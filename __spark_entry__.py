@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship threshold-alert query at sf0.001.
+``queries()`` / ``oracle_sql()`` expose the operator catalog
+(alerta_spark/plans/catalog.py) — one entry per implemented operator
+from SURVEY.md §2, each with equivalent DuckDB SQL where the semantics
+are SQL-expressible.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from alerta_spark.plans import catalog  # noqa: E402
+
+
+def _prepare(spark: SparkSession) -> None:
+    # testdata parquet carries TIMESTAMP(NANOS); the source layer
+    # converts, but the session must read them as longs first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the big_purchases threshold rule end-to-end
+    (criteria scan → group-count → HAVING → event collection → mustache
+    render) on /root/testdata/sf0.001."""
+    _prepare(spark)
+    from alerta_spark.operators.threshold import threshold_alerts
+    from alerta_spark.sources.lake import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    alerts = threshold_alerts(ev, catalog.BIG_PURCHASES_RULE)
+    # project a stable, array-free schema for the smoke check
+    from pyspark.sql import functions as F
+
+    return alerts.select(
+        "alert_name",
+        "severity",
+        "category",
+        F.col("metadata.value").alias("agg_value"),
+        F.col("metadata.count").alias("n_events"),
+        "summary",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out = {}
+    for name, fn in catalog.queries().items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            _prepare(spark)
+            return _fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return catalog.oracle_sql()

@@ -1,0 +1,135 @@
+"""Threshold alert trigger as one declarative DataFrame plan.
+
+Rebuild of the reference path (alerta.py:428-478):
+criteria scan (S1/F1-F6) → dedup anti-join (F8) → group-count on the
+aggregation key (A1) → HAVING count >= threshold (A2) → per-group
+event collection (A4/F7) + top-k sample (A5) → metadata struct (A6)
+→ mustache summary + snippet rendering (C7).
+
+One lazy plan per rule: Catalyst pushes the criteria into the parquet
+scan, the group-count is a partial+final hash aggregate, rendering is
+a codegen'd ``concat`` (no Python in the hot path). The per-group
+event list is capped (``max_events_per_alert``) so a hot key cannot
+OOM an executor at 100 TB — the reference caps implicitly via its
+``limit 1000`` scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alerta_spark.dialect import trino_to_spark
+from alerta_spark.paths import path_col
+from alerta_spark.rules import threshold_shell
+from alerta_spark.templates import template_col
+
+
+def apply_criteria(df: DataFrame, criteria: str) -> DataFrame:
+    """F1-F4/C1-C3: run a Trino-dialect WHERE fragment over the frame."""
+    if not criteria:
+        return df
+    return df.where(F.expr(trino_to_spark(criteria)))
+
+
+def _sort_cmp(a: Column, b: Column) -> Column:
+    return (
+        F.when(a["_o1"] < b["_o1"], F.lit(-1))
+        .when(a["_o1"] > b["_o1"], F.lit(1))
+        .when(a["_o2"] < b["_o2"], F.lit(-1))
+        .when(a["_o2"] > b["_o2"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def grouped_events(
+    df: DataFrame,
+    aggregation_key: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    max_events: int = 1000,
+) -> DataFrame:
+    """A1+A4: group by the dotted key; count + ordered event collection.
+
+    -> DataFrame[value: string, count: long, events: array<struct>]
+    Events are ordered deterministically by (ts, id) and capped at
+    `max_events` per group (skew guard).
+    """
+    key = path_col(df, aggregation_key).cast("string")
+    event = F.struct(*[F.col(c) for c in df.columns])
+    tagged = F.struct(
+        F.col(ts_col).alias("_o1"), F.col(id_col).alias("_o2"), event.alias("e")
+    )
+    return (
+        df.where(key.isNotNull())
+        .groupBy(key.alias("value"))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.slice(
+                F.array_sort(F.collect_list(tagged), _sort_cmp), 1, max_events
+            ).alias("_tagged"),
+        )
+        .withColumn("events", F.expr("transform(_tagged, x -> x.e)"))
+        .drop("_tagged")
+    )
+
+
+def assemble_alerts(fired: DataFrame, params: dict[str, Any], events_schema) -> DataFrame:
+    """Turn fired groups [value, count, events] into alert documents.
+
+    Renders ``summary`` then appends ``" " + event_snippet`` per sampled
+    event (first ``event_sample_count``), exactly the reference's
+    enrichment loop (alerta.py:453-458).
+    """
+    k = int(params.get("event_sample_count", 3) or 0)
+    alert = fired.select(
+        F.lit(params["alert_name"]).alias("alert_name"),
+        F.lit(params["alert_type"]).alias("alert_type"),
+        F.lit(params.get("severity", "INFO")).alias("severity"),
+        F.lit(params.get("category", "general")).alias("category"),
+        F.array([F.lit(t) for t in params.get("tags", [])]).cast("array<string>").alias("tags"),
+        F.lit(params.get("criteria", "")).alias("criteria"),
+        F.lit(params.get("aggregation_key", "")).alias("aggregation_key"),
+        F.lit(int(params.get("threshold", 1))).alias("threshold"),
+        F.lit(True).alias("triggered"),
+        F.struct(
+            F.col("value").alias("value"), F.col("count").alias("count")
+        ).alias("metadata"),
+        F.col("events"),
+        F.lit(str(params.get("utctimestamp", ""))).alias("utctimestamp"),
+    )
+    # summary template renders against the whole alert document
+    root = F.struct(*[F.col(c) for c in alert.columns])
+    summary = template_col(str(params.get("summary", "")), root, alert.schema)
+    snippet_tmpl = str(params.get("event_snippet", "") or "")
+    if k > 0:
+        snips = F.transform(
+            F.slice(F.col("events"), 1, k),
+            lambda e: F.concat(F.lit(" "), template_col(snippet_tmpl, e, events_schema)),
+        )
+        summary = F.concat(summary, F.array_join(snips, ""))
+    return alert.withColumn("summary", summary)
+
+
+def threshold_alerts(
+    df: DataFrame,
+    params: dict[str, Any],
+    alerted_ids: DataFrame | None = None,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    max_events: int = 1000,
+) -> DataFrame:
+    """Full threshold rule: one alert row per aggregation-key group
+    whose event count >= threshold (per-group fan-out, alerta.py:438).
+    """
+    p = threshold_shell(params)
+    ev = apply_criteria(df, p["criteria"])
+    if alerted_ids is not None:
+        from alerta_spark.operators.dedup import remove_previously_alerted
+
+        ev = remove_previously_alerted(ev, alerted_ids, id_col=id_col)
+    grouped = grouped_events(ev, p["aggregation_key"], id_col, ts_col, max_events)
+    fired = grouped.where(F.col("count") >= int(p["threshold"]))
+    return assemble_alerts(fired, p, ev.schema)

@@ -1,0 +1,84 @@
+"""Dotted-path resolution over DataFrame schemas.
+
+The reference addresses nested event fields by dotted string path with
+silent-miss semantics (DotDict.get -> None, utils/dotdict.py:14-22;
+getValueByPath, utils/mostcommon.py:28-37). Events in the lake keep
+their payload (``details`` / ``props``) as a JSON *string*, parsed
+client-side (alerta.py:351-353).
+
+Here a dotted path compiles to a Column expression:
+
+- struct fields are walked natively (``a.b.c`` -> ``F.col("a.b.c")``);
+- array index segments (``events.0.x``) -> ``element_at(col, i+1)``;
+- map segments -> ``element_at(map, key)`` (NULL on miss);
+- when the walk lands on a **string** column with path remaining, the
+  rest resolves through ``get_json_object`` (NULL on miss) — exactly
+  the reference's JSON-payload semantics;
+- a path that doesn't exist at all compiles to ``lit(NULL)`` (the
+  DotDict silent miss).
+
+NOTE (documented divergence, SURVEY.md §1.4-1): the reference's
+``mostCommon`` matches aggregation keys by *set* of path components
+(order-insensitive). We use exact paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def resolve_path(expr: Column, dtype: T.DataType, parts: list[str]) -> tuple[Column, T.DataType]:
+    """Walk `parts` starting from (expr, dtype); silent-miss -> lit(NULL)."""
+    if not parts:
+        return expr, dtype
+    head, rest = parts[0], parts[1:]
+
+    if isinstance(dtype, T.StructType):
+        field = next((f for f in dtype.fields if f.name == head), None)
+        if field is None:
+            return F.lit(None).cast("string"), T.StringType()
+        return resolve_path(expr.getField(head), field.dataType, rest)
+
+    if isinstance(dtype, T.ArrayType):
+        if head.lstrip("-").isdigit():
+            idx = int(head)
+            # mustache paths are 0-based; element_at is 1-based
+            child = F.element_at(expr, idx + 1 if idx >= 0 else idx)
+            return resolve_path(child, dtype.elementType, rest)
+        return F.lit(None).cast("string"), T.StringType()
+
+    if isinstance(dtype, T.MapType):
+        child = F.element_at(expr, F.lit(head).cast(dtype.keyType))
+        return resolve_path(child, dtype.valueType, rest)
+
+    if isinstance(dtype, T.StringType):
+        # JSON-string payload: resolve the remainder via get_json_object.
+        json_path = "$." + ".".join([head] + rest)
+        return F.get_json_object(expr, json_path), T.StringType()
+
+    # scalar with path remaining -> miss
+    return F.lit(None).cast("string"), T.StringType()
+
+
+def path_col(df_or_schema: DataFrame | T.StructType, path: str) -> Column:
+    """Compile a dotted path against a DataFrame/schema to a Column."""
+    schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    parts = [p for p in path.split(".") if p]
+    if not parts:
+        return F.lit(None).cast("string")
+    head, rest = parts[0], parts[1:]
+    field = next((f for f in schema.fields if f.name == head), None)
+    if field is None:
+        return F.lit(None).cast("string")
+    expr, _ = resolve_path(F.col(head), field.dataType, rest)
+    return expr
+
+
+def path_value(expr: Column, dtype: T.DataType, path: str) -> Column:
+    """Like path_col but relative to an arbitrary expression (e.g. a
+    lambda variable inside transform())."""
+    parts = [p for p in path.split(".") if p]
+    out, _ = resolve_path(expr, dtype, parts)
+    return out

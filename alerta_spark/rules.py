@@ -1,0 +1,138 @@
+"""Alert-rule model: YAML loading + default shells.
+
+Mirrors the reference's declarative rule surface (README.md:53-68;
+shells at alerta.py:164-207, 251-271): ``alert_name``, ``alert_type``
+(threshold|deadman|sequence), ``criteria`` (SQL WHERE fragment),
+``threshold``, ``aggregation_key`` (dotted path), ``summary`` /
+``event_snippet`` (mustache), ``event_sample_count``, ``severity``,
+``category``, ``tags``, ``lifespan`` + ``slots[]`` (sequence only).
+
+Rules are plain dicts (like the reference) so sequence state documents
+can embed partially-filled slots.
+"""
+
+from __future__ import annotations
+
+import glob
+import re
+import uuid
+from datetime import datetime, timedelta, timezone
+from typing import Any
+
+import yaml
+
+
+def utcnow() -> datetime:
+    return datetime.now(timezone.utc)
+
+
+def generate_meteor_id() -> str:
+    """24-hex-char random id (reference: alerta.py:31-35)."""
+    return uuid.uuid4().hex[:24]
+
+
+def merge(overrides: dict, defaults: dict) -> dict:
+    """Recursive merge: values in `overrides` win (reference:
+    utils/dict_helpers.py:5-16)."""
+    out = dict(defaults)
+    for k, v in overrides.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge(v, out[k])
+        else:
+            out[k] = v
+    return out
+
+
+_TIMEDELTA = re.compile(
+    r"(?P<n>\d+(?:\.\d+)?)\s*(?P<unit>w(?:eeks?)?|d(?:ays?)?|h(?:ours?|rs?)?|"
+    r"m(?:in(?:utes?)?)?|s(?:ec(?:onds?)?)?)\b",
+    re.IGNORECASE,
+)
+
+_UNIT_SECONDS = {"w": 604800, "d": 86400, "h": 3600, "m": 60, "s": 1}
+
+
+def parse_timedelta(text: str) -> timedelta:
+    """Parse human interval strings like '7 days', '1 hour', '90 min'
+    (reference uses pd.Timedelta at alerta.py:266)."""
+    total = 0.0
+    for m in _TIMEDELTA.finditer(str(text)):
+        total += float(m.group("n")) * _UNIT_SECONDS[m.group("unit")[0].lower()]
+    if total == 0.0:
+        raise ValueError(f"unparseable interval: {text!r}")
+    return timedelta(seconds=total)
+
+
+def threshold_shell(params: dict[str, Any]) -> dict[str, Any]:
+    """Defaults for a threshold rule (reference: alerta.py:164-184)."""
+    shell = {
+        "alert_name": params.get("alert_name", "unnamed"),
+        "alert_type": params.get("alert_type", "threshold"),
+        "utctimestamp": utcnow().isoformat(),
+        "severity": params.get("severity", "INFO"),
+        "summary": params.get("summary", "threshold alert!"),
+        "event_snippet": params.get("event_snippet", ""),
+        "event_sample_count": params.get("event_sample_count", 3),
+        "category": params.get("category", "general"),
+        "tags": params.get("tags", []),
+        "threshold": params.get("threshold", 1),
+        "aggregation_key": params.get("aggregation_key", ""),
+        "criteria": params.get("criteria", ""),
+        "debug": params.get("debug", True),
+        "events": [],
+    }
+    return merge(params, shell)
+
+
+def deadman_shell(params: dict[str, Any]) -> dict[str, Any]:
+    """Defaults for a deadman rule (reference: alerta.py:187-207)."""
+    shell = {
+        "alert_name": params.get("alert_name", "unnamed"),
+        "alert_type": params.get("alert_type", "deadman"),
+        "utctimestamp": utcnow().isoformat(),
+        "severity": params.get("severity", "INFO"),
+        "summary": params.get("summary", "deadman alert!"),
+        "event_snippet": params.get("event_snippet", ""),
+        "event_sample_count": params.get("event_sample_count", 0),
+        "category": params.get("category", "deadman"),
+        "tags": params.get("tags", ["deadman"]),
+        "threshold": params.get("threshold", 0),
+        "aggregation_key": params.get("aggregation_key", "none"),
+        "criteria": params.get("criteria", ""),
+        "debug": params.get("debug", True),
+        "events": [],
+    }
+    return merge(params, shell)
+
+
+def sequence_shell(params: dict[str, Any]) -> dict[str, Any]:
+    """Defaults for a sequence rule incl. expiration from lifespan
+    (reference: alerta.py:251-271)."""
+    shell = {
+        "alert_name": params.get("alert_name", "unnamed"),
+        "alert_type": params.get("alert_type", "sequence"),
+        "utctimestamp": params.get("utctimestamp", utcnow().isoformat()),
+        "lifespan": params.get("lifespan", "3 days"),
+        "severity": params.get("severity", "INFO"),
+        "summary": params.get("summary", "sequence alert!"),
+        "debug": params.get("debug", True),
+        "slots": params.get("slots", []),
+    }
+    start = datetime.fromisoformat(str(shell["utctimestamp"]))
+    if start.tzinfo is None:
+        start = start.replace(tzinfo=timezone.utc)
+    shell["expiration"] = params.get(
+        "expiration", (start + parse_timedelta(shell["lifespan"])).isoformat()
+    )
+    return merge(params, shell)
+
+
+def load_rules(mask: str) -> list[dict[str, Any]]:
+    """Glob rule files and YAML-parse (reference: alerta.py:499-506)."""
+    rules = []
+    for path in sorted(glob.glob(mask)):
+        with open(path) as f:
+            doc = yaml.safe_load(f)
+        if doc:
+            rules.append(doc)
+    return rules

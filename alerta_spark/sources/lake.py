@@ -1,0 +1,84 @@
+"""Lake sources.
+
+The reference scans a Hive-partitioned Athena table with explicit
+string partition predicates for the current + previous hour
+(alerta.py:114-161, utils/dates.py:13-35) and `SELECT *` + `limit
+1000`. Spark equivalents:
+
+- partition pruning is automatic on a partitioned layout; on the
+  driver's flat parquet we express the same hop window as a timestamp
+  range filter (pushed to the parquet scan as a min/max filter);
+- no row cap is needed for correctness — plans are distributed; the
+  cap survives as an optional ``limit``;
+- `SELECT *` is replaced by column pruning: rules declare which
+  columns they touch, Catalyst prunes the scan (fixes the reference's
+  anti-optimization, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (unsupported by the
+    Spark vectorized reader; read as long via
+    spark.sql.legacy.parquet.nanosAsLong and converted here)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nano_ts_columns(path):
+        # integer div keeps full precision; truncation toward zero
+        # matches DuckDB's ns->us coercion
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream table: event_id, ts, user_id, event_type,
+    value, props (JSON string — the analogue of the reference's
+    ``details`` payload)."""
+    return load_table(spark, sf_dir, "events")
+
+
+def time_window(
+    df: DataFrame,
+    ts_col: str = "ts",
+    now: datetime | str | None = None,
+    hours: int = 2,
+) -> DataFrame:
+    """F5: the reference's current+previous-hour hop window, expressed
+    as a timestamp range (partition-prunable on a partitioned lake).
+
+    ``now=None`` anchors at the max timestamp in the frame (useful for
+    replaying static test data); on a live lake pass
+    ``datetime.utcnow()``.
+    """
+    if now is None:
+        # anchor at the frame's max ts, computed driver-side so the
+        # resulting range filter stays scan-prunable
+        row = df.select(F.max(ts_col).alias("m")).first()
+        if row["m"] is None:
+            return df.where(F.lit(False))
+        anchor_lit = F.lit(row["m"])
+    else:
+        anchor_lit = F.lit(now)
+    lower = F.date_trunc("hour", anchor_lit) - F.expr(f"INTERVAL {hours - 1} HOURS")
+    return df.where((F.col(ts_col) >= lower) & (F.col(ts_col) <= anchor_lit))

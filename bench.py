@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "s1_criteria_scan",
+    "a1_mostcommon",
+    "a2_threshold_trigger",
+    "c7_threshold_alert_render",
+    "a5_topk_per_group",
+    "f8_dedup_antijoin",
+    "tpch_q1_pricing_summary",
+    "join_revenue_by_nation",
+    "semi_join_building_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from alerta_spark.plans import catalog
+    from alerta_spark.session import get_spark
+
+    spark = get_spark(
+        "alerta-bench",
+        master=f"local[{cpus}]" if cpus else "local[*]",
+        shuffle_partitions=int(cpus) if cpus else (os.cpu_count() or 8),
+    )
+
+    qs = catalog.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers with the cheapest query
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.foreach(lambda _: None) if False else df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

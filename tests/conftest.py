@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from alerta_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("alerta-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    from alerta_spark.sources.lake import load_events
+
+    return load_events(spark, SF_DIR)
+
+
+@pytest.fixture()
+def cloudtrail_events(spark):
+    """Golden fixture shaped like the reference's cloudtrail sample
+    (tests/samples/sample_cloudtrail_login_no_mfa.json): two root
+    ConsoleLogin events, JSON-string payload."""
+    import json
+
+    rows = []
+    for i, ip in enumerate(["6.9.9.93", "6.9.9.93"]):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2026-01-01 00:0{i}:00",
+                "source": "cloudtrail",
+                "details": json.dumps(
+                    {
+                        "eventname": "ConsoleLogin",
+                        "useridentity": {"type": "Root", "arn": "arn:aws:iam::123:root"},
+                        "sourceipaddress": ip,
+                        "recipientaccountid": "123456789012",
+                    }
+                ),
+            }
+        )
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.to_timestamp("ts")).select(
+        "event_id", "ts", "source", "details"
+    )

@@ -1,0 +1,58 @@
+import json
+
+from pyspark.sql import functions as F
+
+from alerta_spark.paths import path_col
+from alerta_spark.templates import render_py, template_col
+
+
+def test_path_col_struct_and_json(spark):
+    df = spark.createDataFrame(
+        [
+            {"a": {"b": "x"}, "props": json.dumps({"k": 5, "nest": {"deep": "v"}})},
+        ]
+    )
+    row = df.select(
+        path_col(df, "a.b").alias("ab"),
+        path_col(df, "props.k").alias("k"),
+        path_col(df, "props.nest.deep").alias("deep"),
+        path_col(df, "a.missing").alias("miss"),
+        path_col(df, "nosuch.path").alias("nocol"),
+    ).first()
+    assert row["ab"] == "x"
+    assert row["k"] == "5"
+    assert row["deep"] == "v"
+    assert row["miss"] is None
+    assert row["nocol"] is None
+
+
+def test_template_col_renders_paths_and_misses(spark):
+    df = spark.createDataFrame([{"metadata": {"value": "root", "count": 2}, "x": 1}])
+    root = F.struct(*[F.col(c) for c in df.columns])
+    out = df.select(
+        template_col(
+            "User {{metadata.value}} seen {{metadata.count}} times{{missing.path}}!",
+            root,
+            df.schema,
+        ).alias("s")
+    ).first()["s"]
+    assert out == "User root seen 2 times!"
+
+
+def test_template_array_index(spark):
+    df = spark.createDataFrame(
+        [{"events": [{"details": json.dumps({"user": "alice"})}]}]
+    )
+    root = F.struct(*[F.col(c) for c in df.columns])
+    out = df.select(
+        template_col("first={{events.0.details.user}}", root, df.schema).alias("s")
+    ).first()["s"]
+    assert out == "first=alice"
+
+
+def test_render_py_matches_column_semantics():
+    ctx = {"metadata": {"value": "root", "count": 2}, "events": [{"id": 7}]}
+    assert (
+        render_py("{{metadata.value}}/{{metadata.count}}/{{events.0.id}}/{{nope}}", ctx)
+        == "root/2/7/"
+    )

@@ -1,0 +1,81 @@
+"""Threshold-trigger semantics, mirroring the reference's golden test
+(tests/test_alerts.py:204-238: asserts rendered summary substrings)."""
+
+from pyspark.sql import functions as F
+
+from alerta_spark.operators.threshold import threshold_alerts
+
+CLOUDTRAIL_RULE = {
+    "alert_name": "aws_console_login",
+    "alert_type": "threshold",
+    "criteria": "source='cloudtrail' AND json_extract_scalar(details,'$.eventname') = 'ConsoleLogin'",
+    "severity": "INFO",
+    "summary": "{{metadata.count}} ConsoleLogin by {{metadata.value}}",
+    "event_snippet": "from {{details.sourceipaddress}}",
+    "event_sample_count": 5,
+    "threshold": 1,
+    "aggregation_key": "details.useridentity.type",
+    "category": "authentication",
+    "tags": ["login", "aws"],
+}
+
+
+def test_golden_cloudtrail_summary(cloudtrail_events):
+    alerts = threshold_alerts(
+        cloudtrail_events, CLOUDTRAIL_RULE, id_col="event_id", ts_col="ts"
+    ).collect()
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert "ConsoleLogin by Root" in a["summary"]
+    assert "from 6.9.9.93" in a["summary"]
+    assert a["metadata"]["value"] == "Root"
+    assert a["metadata"]["count"] == 2
+    assert a["triggered"] is True
+    assert a["tags"] == ["login", "aws"]
+    assert len(a["events"]) == 2
+
+
+def test_below_threshold_no_alert(cloudtrail_events):
+    rule = dict(CLOUDTRAIL_RULE, threshold=5)
+    assert threshold_alerts(cloudtrail_events, rule).count() == 0
+
+
+def test_per_group_fanout(events):
+    """One alert per aggregation-key value crossing the threshold
+    (alerta.py:438-459)."""
+    rule = {
+        "alert_name": "any",
+        "criteria": "event_type='purchase'",
+        "threshold": 1,
+        "aggregation_key": "user_id",
+        "summary": "u={{metadata.value}}",
+    }
+    alerts = threshold_alerts(events, rule)
+    n_groups = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert alerts.count() == n_groups
+
+
+def test_missing_key_contributes_nothing(cloudtrail_events):
+    rule = dict(CLOUDTRAIL_RULE, aggregation_key="details.not_a_key")
+    assert threshold_alerts(cloudtrail_events, rule).count() == 0
+
+
+def test_sample_cap_orders_by_ts(events):
+    rule = {
+        "alert_name": "cap",
+        "criteria": "event_type='purchase'",
+        "threshold": 1,
+        "aggregation_key": "user_id",
+        "summary": "",
+        "event_snippet": "{{event_id}}",
+        "event_sample_count": 1,
+    }
+    a = threshold_alerts(events, rule).orderBy("metadata.value").first()
+    first_event = a["events"][0]
+    # sample snippet must reference the earliest event in the group
+    assert a["summary"].strip() == str(first_event["event_id"])
