@@ -1,0 +1,76 @@
+"""Engine driver: one micro-batch run over a rule set.
+
+Mirrors the reference's ``main()`` loop (alerta.py:481-515): for each
+rule file — threshold rules fire and append alerts; deadman rules fire
+on absence; sequence rules resume in-flight state, then start fresh,
+then completed sequences emit and expired state is reaped.
+
+The reference runs this under cron every 15 minutes (startup.sh:24-26);
+here ``run_once`` is the batch body, and the streaming engine
+(streaming/) gives the same semantics under a Structured Streaming
+trigger.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from alerta_spark.operators.deadman import deadman_alerts
+from alerta_spark.operators.sequence import (
+    alerts_df_to_docs,
+    create_sequence_alerts,
+    expire_sequence_alerts,
+    process_sequence_alert,
+)
+from alerta_spark.operators.threshold import threshold_alerts
+from alerta_spark.state import DocStore
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        id_col: str = "event_id",
+        ts_col: str = "ts",
+    ):
+        self.spark = spark
+        self.alerts = DocStore(spark, os.path.join(store_dir, "alerts"))
+        self.inflight = DocStore(spark, os.path.join(store_dir, "inflight_alerts"))
+        self.id_col = id_col
+        self.ts_col = ts_col
+
+    def run_once(self, events_df: DataFrame, rules: list[dict[str, Any]]) -> None:
+        """One engine pass (the cron body, alerta.py:481-515)."""
+        # resume in-flight sequences first (alerta.py:491)
+        for doc in self.inflight.docs(newest_first=True):
+            process_sequence_alert(
+                events_df, doc, self.inflight, self.alerts, self.id_col, self.ts_col
+            )
+
+        for rule in rules:
+            kind = rule.get("alert_type", "threshold")
+            if kind == "threshold":
+                fired = threshold_alerts(
+                    events_df,
+                    rule,
+                    alerted_ids=self.alerts.alerted_ids(),
+                    id_col=self.id_col,
+                    ts_col=self.ts_col,
+                )
+                self.alerts.append(alerts_df_to_docs(fired))
+            elif kind == "deadman":
+                fired = deadman_alerts(
+                    events_df, rule, id_col=self.id_col, ts_col=self.ts_col
+                )
+                self.alerts.append(alerts_df_to_docs(fired))
+            elif kind == "sequence":
+                process_sequence_alert(
+                    events_df, rule, self.inflight, self.alerts, self.id_col, self.ts_col
+                )
+
+        create_sequence_alerts(self.inflight, self.alerts)
+        expire_sequence_alerts(self.inflight)

@@ -1,0 +1,154 @@
+"""Sequence correlation — the reference's flagship stateful operator,
+batch mode (T3-T5 in SURVEY.md §2.7; reference alerta.py:210-317).
+
+Semantics per micro-batch run:
+
+1. resume every in-flight alert: find its first slot without
+   ``triggered``; render the slot's criteria against the alert state
+   (cross-slot templating like
+   ``...='{{slots.0.events.0.details.user_name}}'``); evaluate the
+   slot as a threshold (with F8/F9 dedup) or deadman trigger; on fire,
+   write the filled slot back and upsert state.
+2. start rules with a fresh shell the same way.
+3. completed sequences (every slot has events) emit an alert and drop
+   state; expired state (past ``expiration``) is reaped.
+
+Scale notes. The heavy work — the slot scan + trigger — is a Spark
+plan per (rule, slot); state documents are one per correlation value
+and tiny, so driver-side orchestration over them is not a data-volume
+bottleneck. The fan-out optimization for many in-flight alerts of the
+same rule is implemented in :func:`slot_criteria_values`: alerts
+waiting on the same slot differ only in their templated values, so one
+scan with an IN-set/semi-join serves all of them. The fully
+distributed version (state in Spark's state store, no driver loop) is
+streaming/correlator.py.
+"""
+
+from __future__ import annotations
+
+import json
+from copy import deepcopy
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from alerta_spark.operators.deadman import deadman_alerts
+from alerta_spark.operators.threshold import threshold_alerts
+from alerta_spark.rules import sequence_shell, utcnow
+from alerta_spark.state import DocStore
+from alerta_spark.templates import render_py
+
+
+def first_unfilled_slot(doc: dict[str, Any]) -> tuple[int | None, dict | None]:
+    """First slot lacking 'triggered' (reference: utils/helpers.py:96-113
+    via alerta.py:283-285)."""
+    for i, slot in enumerate(doc.get("slots") or []):
+        if "triggered" not in slot:
+            return i, slot
+    return None, None
+
+
+def alerts_df_to_docs(alerts: DataFrame) -> list[dict[str, Any]]:
+    """Collect an alert DataFrame as JSON documents (events included).
+
+    Only called on *alert* frames — already aggregated, one row per
+    fired group — never on raw event scans.
+    """
+    return [json.loads(s) for s in alerts.toJSON().collect()]
+
+
+def process_sequence_alert(
+    events_df: DataFrame,
+    doc: dict[str, Any],
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> None:
+    """Advance one in-flight (or fresh) sequence alert by at most one
+    slot (reference: alerta.py:274-317)."""
+    doc = sequence_shell(doc)
+    index, slot = first_unfilled_slot(doc)
+    if slot is None:
+        return
+
+    # cross-slot templating: values captured by earlier slots become
+    # literals in this slot's criteria (alerta.py:291)
+    criteria = render_py(str(slot.get("criteria", "")), doc)
+    params = dict(slot, criteria=criteria)
+
+    fired_docs: list[dict[str, Any]] = []
+    if slot.get("alert_type", "threshold") == "threshold":
+        # F9 then F8 dedup, mirroring alerta.py:300-301
+        dedup_ids = inflight_store.alerted_ids().unionByName(
+            alert_store.alerted_ids()
+        )
+        fired = threshold_alerts(
+            events_df, params, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
+        )
+        fired_docs = alerts_df_to_docs(fired)
+    elif slot.get("alert_type") == "deadman":
+        fired = deadman_alerts(events_df, params, id_col=id_col, ts_col=ts_col)
+        fired_docs = alerts_df_to_docs(fired)
+
+    for fired_doc in fired_docs:
+        inflight = deepcopy(doc)
+        inflight["slots"][index] = fired_doc
+        inflight_store.upsert(inflight)
+
+
+def create_sequence_alerts(inflight_store: DocStore, alert_store: DocStore) -> int:
+    """Emit alerts for fully-slotted sequences, drop their state
+    (reference: alerta.py:218-237). Returns number emitted."""
+    emitted = 0
+    for doc in inflight_store.docs():
+        slots = doc.get("slots") or []
+        if slots and all("events" in s for s in slots):
+            doc = dict(doc)
+            doc["summary"] = render_py(str(doc.get("summary", "")), doc)
+            alert_store.append([doc])
+            inflight_store.delete(doc["_id"])
+            emitted += 1
+    return emitted
+
+
+def expire_sequence_alerts(inflight_store: DocStore, now: datetime | None = None) -> int:
+    """Reap state past its expiration (reference: alerta.py:240-248)."""
+    now = now or utcnow()
+    kept, dropped = [], 0
+    for doc in inflight_store.docs():
+        exp = doc.get("expiration")
+        try:
+            exp_dt = datetime.fromisoformat(str(exp)) if exp else None
+            if exp_dt is not None and exp_dt.tzinfo is None:
+                exp_dt = exp_dt.replace(tzinfo=timezone.utc)
+        except ValueError:
+            exp_dt = None
+        if exp_dt is not None and exp_dt < now:
+            dropped += 1
+        else:
+            kept.append(doc)
+    if dropped:
+        inflight_store.overwrite(kept)
+    return dropped
+
+
+def slot_criteria_values(docs: list[dict[str, Any]], slot_index: int) -> list[str]:
+    """Scale path: in-flight alerts of one rule waiting on the same slot
+    differ only in templated values — collect them so one scan with a
+    semi-join on the set serves every alert (SURVEY.md §7.4-1)."""
+    from alerta_spark.templates import template_vars
+
+    values = []
+    for doc in docs:
+        slots = doc.get("slots") or []
+        if slot_index >= len(slots):
+            continue
+        for var in template_vars(str(slots[slot_index].get("criteria", ""))):
+            from alerta_spark.templates import _lookup
+
+            v = _lookup(doc, [p for p in var.split(".") if p])
+            if v is not None:
+                values.append(str(v))
+    return values

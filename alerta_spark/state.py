@@ -1,0 +1,158 @@
+"""Persistent stores for alerts and in-flight sequence state.
+
+The reference externalizes both to MongoDB (save_alert alerta.py:76-89;
+save_inflight_alert alerta.py:92-111), which is what makes its cron
+driver restartable. Here both are parquet tables with a stable doc
+schema:
+
+    _id: string            meteor-style id
+    alert_name: string
+    utctimestamp: string   ISO-8601
+    utcepoch: long
+    expiration: string     (in-flight only; ISO-8601)
+    summary: string
+    alerted_event_ids: array<string>   -- flattened ids for F8/F9 dedup
+    doc: string            -- full alert document as JSON
+
+Alerts are append-only (S7). In-flight state is read-modify-write of a
+small table (S8-S10) — the state cardinality is one row per (rule ×
+correlation value), tiny next to the scan, so an overwrite per
+micro-batch is cheap and atomic-enough; the streaming engine keeps
+state in Spark's own state store instead (streaming/correlator.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from alerta_spark.rules import generate_meteor_id, utcnow
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("alert_name", T.StringType()),
+        T.StructField("utctimestamp", T.StringType()),
+        T.StructField("utcepoch", T.LongType()),
+        T.StructField("expiration", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("alerted_event_ids", T.ArrayType(T.StringType())),
+        T.StructField("doc", T.StringType()),
+    ]
+)
+
+
+def _doc_event_ids(doc: dict[str, Any], id_field: str = "event_id") -> list[str]:
+    """Flatten event ids from doc['events'] and doc['slots'][*]['events']
+    (the two places the reference's dedup probes look: alerta.py:38-73)."""
+    ids: list[str] = []
+    for ev in doc.get("events") or []:
+        v = ev.get(id_field)
+        if v is not None:
+            ids.append(str(v))
+    for slot in doc.get("slots") or []:
+        for ev in (slot or {}).get("events") or []:
+            v = ev.get(id_field)
+            if v is not None:
+                ids.append(str(v))
+    return ids
+
+
+def _epoch(ts: str | None) -> int:
+    if not ts:
+        return int(utcnow().timestamp())
+    try:
+        dt = datetime.fromisoformat(str(ts))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp())
+    except ValueError:
+        return int(utcnow().timestamp())
+
+
+def doc_to_row(doc: dict[str, Any]) -> dict[str, Any]:
+    doc = dict(doc)
+    doc.setdefault("_id", generate_meteor_id())
+    ts = doc.get("utctimestamp") or utcnow().isoformat()
+    doc["utctimestamp"] = str(ts)
+    doc.setdefault("utcepoch", _epoch(str(ts)))
+    return {
+        "_id": doc["_id"],
+        "alert_name": str(doc.get("alert_name", "unnamed")),
+        "utctimestamp": str(ts),
+        "utcepoch": int(doc["utcepoch"]),
+        "expiration": str(doc["expiration"]) if doc.get("expiration") else None,
+        "summary": str(doc.get("summary", "")),
+        "alerted_event_ids": _doc_event_ids(doc),
+        "doc": json.dumps(doc, default=str),
+    }
+
+
+class DocStore:
+    """A tiny document table over parquet (the Mongo stand-in)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def frame(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], DOC_SCHEMA)
+        return self.spark.read.schema(DOC_SCHEMA).parquet(self.path)
+
+    def docs(self, newest_first: bool = True) -> list[dict[str, Any]]:
+        """Full scan, newest first (reference sort: alerta.py:213)."""
+        df = self.frame()
+        if newest_first:
+            df = df.orderBy(F.desc("utcepoch"))
+        return [json.loads(r["doc"]) for r in df.select("doc", "utcepoch").collect()]
+
+    def append(self, docs: list[dict[str, Any]]) -> None:
+        if not docs:
+            return
+        rows = [doc_to_row(d) for d in docs]
+        self.spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    def overwrite(self, docs: list[dict[str, Any]]) -> None:
+        rows = [doc_to_row(d) for d in docs]
+        df = self.spark.createDataFrame(rows, DOC_SCHEMA)
+        # write-then-swap keeps readers consistent on local fs
+        tmp = self.path + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        out = self.spark.read.schema(DOC_SCHEMA).parquet(tmp)
+        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def upsert(self, doc: dict[str, Any]) -> None:
+        """Insert-or-replace by _id (reference: alerta.py:92-111)."""
+        doc = dict(doc)
+        doc.setdefault("_id", generate_meteor_id())
+        docs = [d for d in self.docs() if d.get("_id") != doc["_id"]]
+        docs.append(doc)
+        self.overwrite(docs)
+
+    def delete(self, _id: str) -> None:
+        self.overwrite([d for d in self.docs() if d.get("_id") != _id])
+
+    def alerted_ids(self) -> DataFrame:
+        """DataFrame[alerted_event_id] for anti-join dedup (F8/F9)."""
+        return (
+            self.frame()
+            .select(F.explode("alerted_event_ids").alias("alerted_event_id"))
+            .distinct()
+        )

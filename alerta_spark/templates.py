@@ -80,6 +80,15 @@ def template_vars(template: str) -> list[str]:
 def _lookup(ctx: Any, parts: list[str]) -> Any:
     cur = ctx
     for p in parts:
+        if isinstance(cur, str):
+            # JSON-string payload (the lake's `details`/`props` column);
+            # the reference json-decodes it client-side (alerta.py:352)
+            import json
+
+            try:
+                cur = json.loads(cur)
+            except (ValueError, TypeError):
+                return None
         if isinstance(cur, dict):
             cur = cur.get(p)
         elif isinstance(cur, (list, tuple)) and p.lstrip("-").isdigit():

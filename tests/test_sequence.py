@@ -1,0 +1,160 @@
+"""Sequence state machine, batch mode — mirrors the reference's
+end-to-end tests (tests/test_alerts.py:278-342 threshold sequence;
+345-435 threshold→deadman incl. cross-slot criteria templating)."""
+
+import json
+from datetime import timedelta
+
+import pytest
+
+from alerta_spark.engine import Engine
+from alerta_spark.operators.sequence import (
+    expire_sequence_alerts,
+    first_unfilled_slot,
+)
+from alerta_spark.rules import sequence_shell, utcnow
+from alerta_spark.templates import render_py
+
+
+def _onelogin_events(spark, rows):
+    from pyspark.sql import functions as F
+
+    data = [
+        {
+            "event_id": i,
+            "ts": f"2026-01-01 00:0{i}:00",
+            "source": "onelogin",
+            "details": json.dumps(d),
+        }
+        for i, d in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data)
+    return df.withColumn("ts", F.to_timestamp("ts")).select(
+        "event_id", "ts", "source", "details"
+    )
+
+
+RISKY = {
+    "risk_score": "95",
+    "risk_reasons": "Infrequent access from this location",
+    "user_name": "alice",
+    "sourceipaddress": "1.2.3.4",
+}
+
+SEQ_RULE = {
+    "alert_name": "multiple_risky_logins",
+    "alert_type": "sequence",
+    "lifespan": "7 days",
+    "severity": "INFO",
+    "summary": "Multiple risky logins by {{slots.0.events.0.details.user_name}}",
+    "category": "authentication",
+    "tags": ["login"],
+    "slots": [
+        {
+            "alert_name": "risky_login_1",
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80 "
+                "AND position('Defaulted' IN json_extract_scalar(details,'$.risk_reasons'))=0"
+            ),
+            "summary": "risky login by {{events.0.details.user_name}}",
+            "event_snippet": "",
+            "aggregation_key": "details.user_name",
+            "threshold": 1,
+            "event_sample_count": 5,
+        },
+        {
+            "alert_name": "risky_login_2",
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80 "
+                "AND json_extract_scalar(details,'$.user_name')='{{slots.0.events.0.details.user_name}}'"
+            ),
+            "summary": "repeat risky login by {{events.0.details.user_name}}",
+            "event_snippet": "",
+            "aggregation_key": "details.user_name",
+            "threshold": 1,
+            "event_sample_count": 5,
+        },
+    ],
+}
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "store"), id_col="event_id", ts_col="ts")
+
+
+def test_sequence_two_runs_completes(spark, engine):
+    # run 1: slot 0 fires for alice
+    ev1 = _onelogin_events(spark, [RISKY])
+    engine.run_once(ev1, [SEQ_RULE])
+    inflight = engine.inflight.docs()
+    assert len(inflight) == 1
+    idx, slot = first_unfilled_slot(inflight[0])
+    assert idx == 1  # slot 0 filled
+    assert inflight[0]["slots"][0]["metadata"]["value"] == "alice"
+
+    # cross-slot templating: slot 1 criteria renders alice in (alerta.py:291)
+    rendered = render_py(slot["criteria"], inflight[0])
+    assert "='alice'" in rendered
+
+    # run 2: a NEW alice event fires slot 1 -> sequence completes
+    ev2 = _onelogin_events(spark, [dict(RISKY, sourceipaddress="9.9.9.9")])
+    # distinct event id so F9 inflight-dedup doesn't eat it
+    from pyspark.sql import functions as F
+
+    ev2 = ev2.withColumn("event_id", F.col("event_id") + 100)
+    engine.run_once(ev2, [SEQ_RULE])
+
+    assert engine.inflight.docs() == []  # state removed
+    alerts = engine.alerts.docs()
+    assert len(alerts) == 1
+    assert alerts[0]["summary"] == "Multiple risky logins by alice"
+    assert all("events" in s for s in alerts[0]["slots"])
+
+
+def test_sequence_inflight_dedup_blocks_same_event(spark, engine):
+    ev1 = _onelogin_events(spark, [RISKY])
+    engine.run_once(ev1, [SEQ_RULE])
+    # same event again: F9 removes it, slot 1 must NOT fire
+    engine.run_once(ev1, [SEQ_RULE])
+    inflight = engine.inflight.docs()
+    # still one in-flight alert waiting on slot 1 (plus no completion)
+    assert engine.alerts.docs() == []
+    assert any(first_unfilled_slot(d)[0] == 1 for d in inflight)
+
+
+def test_sequence_threshold_then_deadman(spark, engine):
+    rule = json.loads(json.dumps(SEQ_RULE))
+    rule["slots"][1] = {
+        "alert_name": "then_silence",
+        "alert_type": "deadman",
+        "criteria": "source='onelogin' AND json_extract_scalar(details,'$.user_name')='{{slots.0.events.0.details.user_name}}'",
+        "summary": "user went quiet",
+        "aggregation_key": "details.user_name",
+        "threshold": 0,
+        "event_sample_count": 0,
+    }
+    ev1 = _onelogin_events(spark, [RISKY])
+    engine.run_once(ev1, [rule])
+    assert len(engine.inflight.docs()) == 1
+
+    # run 2 with NO matching events -> deadman slot fires -> completes
+    empty = _onelogin_events(spark, [dict(RISKY, user_name="bob")]).where(
+        "source='nope'"
+    )
+    engine.run_once(empty, [rule])
+    alerts = engine.alerts.docs()
+    assert len(alerts) == 1
+    assert alerts[0]["slots"][1]["metadata"]["count"] == 0
+
+
+def test_expiry_reaps_state(spark, engine):
+    doc = sequence_shell(dict(SEQ_RULE, lifespan="1 hours"))
+    engine.inflight.upsert(doc)
+    assert expire_sequence_alerts(engine.inflight, now=utcnow()) == 0
+    assert expire_sequence_alerts(
+        engine.inflight, now=utcnow() + timedelta(days=1)
+    ) == 1
+    assert engine.inflight.docs() == []
