@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, each a different cost/recall point, all shuffle-aware:
+
+- exact_dedup          hash-groupBy on a content digest (1 shuffle)
+- ngram_jaccard_pairs  EXACT shingle-Jaccard via an inverted-index
+                       self-join (the oracle-checkable ground truth)
+- minhash_lsh_pairs    MinHash signatures + LSH banding: candidate
+                       generation is O(docs x bands), verification only
+                       on collided pairs — the 100 TB scale path
+- simhash_near_dups    64-bit SimHash + pigeonhole banding for
+                       hamming-distance near-dups
+- embedding near-dup   see similarity.cosine_pairs (cosine >= tau)
+
+Skew notes: the inverted-index join salts nothing but *caps* stop-
+shingles (a shingle appearing in more than `max_doc_freq` docs can be
+dropped — standard practice, off by default to preserve exactness);
+LSH band buckets are (band_id, band_hash) keyed so hot buckets split
+across partitions naturally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alerta_spark.ops.text import normalize_text, tokenize
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """n-gram (word) shingles as array<string>; documents shorter than
+    n tokens yield their whole text as one shingle."""
+    toks = tokenize(col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-content digest.
+
+    -> [keep_id, dup_count, dup_ids] one row per distinct content;
+    keep_id = min id (deterministic survivor). Single hash shuffle on
+    the digest — no skew risk beyond genuinely identical content.
+    """
+    digest = F.md5(normalize_text(text_col)).alias("digest")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+    )
+
+
+def _shingle_index(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """(id, shingle) inverted index over DISTINCT shingles per doc."""
+    idx = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window as W
+
+        freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        idx = (
+            idx.join(freq.where(F.col("_df") <= max_doc_freq), "shingle")
+            .drop("_df")
+        )
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index self-join: |A∩B| = count of shared shingles,
+    |A∪B| = |A|+|B|-|A∩B|. Cost is sum over shingles of df(s)^2 —
+    fine when near-dup clusters are small; cap `max_doc_freq` to bound
+    hot shingles at web scale (documented approximation).
+
+    -> [id_a, id_b, jaccard] with id_a < id_b.
+    """
+    idx = _shingle_index(df, text_col, id_col, n, max_doc_freq)
+    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))).cast(
+                "double"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of
+    xxhash64(i, shingle).
+
+    Shape matters at scale: explode to (doc, shingle) rows FIRST so the
+    shingle construction runs exactly once per shingle, then take the 64
+    per-lane mins as ONE hash aggregate (partial min map-side, so the
+    shuffle carries one 64-long row per doc per partition, not the
+    shingles). The tempting pure-projection form — 64 ×
+    array_min(transform(shingles, hash_i)) — re-evaluates the shingle
+    expression once per lane after Catalyst's projection collapse
+    (measured 40x slower at sf0.1).
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
+    )
+    lanes = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("_id")
+        .agg(*lanes)
+        .select(
+            "_id",
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """Approximate Jaccard near-dup pairs via MinHash + LSH banding.
+
+    bands=16 x rows=4 over 64 hashes -> collision prob at j=0.8 is
+    1-(1-0.8^4)^16 ≈ 0.9996 (high recall at the threshold). Candidates
+    come from banding (groupBy (band, band_hash)); `verify=True`
+    re-checks candidates with EXACT shingle Jaccard so precision is 1
+    and the only approximation is missed recall.
+
+    -> [id_a, id_b, jaccard] (jaccard = exact when verify, else
+    signature estimate).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+    if not verify:
+        return cand
+
+    # verify candidates with exact jaccard over distinct shingle sets
+    sets_ = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, n)).alias("sh"),
+    )
+    sa = sets_.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets_.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit i is 1 iff the sum of
+    (+1/-1) contributions of token-hash bit i over all tokens is
+    positive.
+
+    Same explode-then-aggregate shape as minhash_signatures: hash each
+    token once, then 64 partial-aggregated bit sums — not 64 re-walks
+    of the token array."""
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = ex.groupBy("_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = (
+            F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
+    pair within the distance budget collides on at least one chunk, so
+    the blocked join has perfect recall; hamming is verified exactly on
+    collisions via bit_count(xor).
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash_signatures(df, text_col, id_col)
+    banded = sigs.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("_id", "simhash", "cc.chunk", "cc.key")
+
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,222 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- cosine_topk: brute-force exact top-k for a (small) query set —
+  broadcast the queries, one pass over the corpus, per-query top-k via
+  window. Linear in corpus size, embarrassingly parallel: the right
+  baseline and the recall oracle.
+- lsh_topk: random-hyperplane LSH bucketing (sign bits of fixed
+  pseudo-random projections) — candidates only from matching buckets
+  (multi-probe over bands), exact cosine re-rank on candidates. The
+  scale path when the query set or corpus is huge.
+
+Dot products use zip_with + aggregate in DOUBLE (deterministic
+index-order accumulation, matches the DuckDB oracle bit-for-bit after
+round(,6)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize the embedding column (cosine == dot thereafter;
+    also makes euclidean LSH equivalent to cosine LSH)."""
+    v = F.col(vec_col)
+    n = _norm(v)
+    return df.withColumn(
+        vec_col, F.transform(v, lambda x: (x.cast("double") / n))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Broadcast the query vectors (small) against the corpus — one scan,
+    no shuffle of the corpus; the per-query top-k is a window over
+    corpus partitions pre-filtered by rank.
+
+    -> [query_id, neighbor_id, cos] deterministic (ties broken by
+    neighbor_id asc).
+    """
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    joined = df.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane weights from a
+    splitmix64-style integer hash (public-domain mixing constants)."""
+    out = []
+    for i in range(dim):
+        z = (plane * 1_000_003 + i) & 0xFFFFFFFFFFFFFFFF
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        out.append(((z % 2_000_001) - 1_000_000) / 1_000_000.0)
+    return out
+
+
+def lsh_bucket_col(vec_col: str, dim: int, planes: int, band: int) -> Column:
+    """Sign-bit bucket id for one band of `planes` hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        weights = _hyperplane(dim, band * planes + p)
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(w) for w in weights]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    bands: int = 12,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing any LSH band
+    bucket with the query, re-ranked by exact cosine.
+
+    bands x planes sign-bit buckets: a candidate survives if it matches
+    the query's bucket in >= 1 band (multi-probe style recall boost
+    without probing). Corpus-side bucket computation is one projection;
+    the join is on (band, bucket) — bounded fan-in per bucket.
+
+    -> [query_id, neighbor_id, cos] (same shape as cosine_topk).
+    """
+    def bucketed(frame: DataFrame, idalias: str) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias(idalias),
+            F.col(vec_col).alias(f"{idalias}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            lsh_bucket_col(vec_col, dim, planes, b).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idalias, f"{idalias}_vec", "bb.band", "bb.bucket")
+
+    qb = bucketed(df.where(F.col(id_col).isin(query_ids)), "query_id")
+    cb = bucketed(df, "neighbor_id")
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (cb["band"] == qb["band"])
+            & (cb["bucket"] == qb["bucket"])
+            & (cb["neighbor_id"] != qb["query_id"]),
+        )
+        .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    With `block_col`, only intra-block pairs are compared (the standard
+    blocked all-pairs — at 100 TB you'd block by an LSH bucket instead;
+    pass block_col=None for exact all-pairs on small corpora).
+
+    -> [id_a, id_b, cos] with id_a < id_b.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    on = [F.col("id_a") < F.col("id_b")]
+    joined = (
+        a.join(b, (a["blk"] == b["blk"]) & on[0]) if block_col else a.crossJoin(b).where(on[0])
+    )
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,157 @@
+"""Text-analysis operators for training-data pipelines, over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+All of these are pure column expressions (whole-stage codegen, no
+Python in the hot path) and embarrassingly parallel — no shuffle at
+all, so they scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + collapse whitespace — the canonical form used by exact
+    dedup and fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """A BPE-ish regex tokenization: words, numbers, and single
+    punctuation marks as separate tokens (GPT-2-style pre-tokenizer
+    shape, public regex idiom)."""
+    return F.regexp_extract_all(
+        _c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    char counts, per document."""
+    toks = tokenize(text_col)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_bpe_tokens"),
+        F.length(_c(text_col)).alias("n_chars_measured"),
+    )
+
+
+# Tiny public stopword markers per language — enough for an n-gram/
+# stopword-ratio heuristic language ID (the standard trick; see e.g.
+# the langid literature). Deterministic and SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "los", "una", "es"],
+    "fr": ["le", "la", "les", "des", "est", "une", "et"],
+}
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-marker hit counts per language,
+    argmax with deterministic tie-break (language code asc); 'und'
+    (undetermined) when nothing matches."""
+    toks = tokenize(text_col)
+    scored = df.select(
+        "doc_id",
+        *[
+            _marker_hits(toks, m).alias(f"score_{lang}")
+            for lang, m in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{code}") for code in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for code in langs:  # asc order => deterministic tie-break
+        pick = pick.when(F.col(f"score_{code}") == best, F.lit(code))
+    return scored.select(
+        "doc_id", pick.alias("lang_pred"), best.alias("lang_score")
+    )
+
+
+# quality heuristics: public-knowledge features (Gopher/C4-style
+# filters): token count, mean word length, stopword ratio, digit and
+# punctuation character ratios.
+_STOPWORDS = LANG_MARKERS["en"] + ["that", "it", "for", "on", "with", "as"]
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite [0,1] score.
+
+    score = 0.25*len_ok + 0.25*word_len_ok + 0.3*stopword_signal
+          + 0.2*(1 - symbol_noise)
+    with every feature a deterministic ratio (matches the oracle SQL
+    bit-for-bit since all math is double on both sides).
+    """
+    t = _c(text_col)
+    toks = tokenize(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    mean_word_len = (
+        F.when(n_tokens > 0, (F.length(normalize_text(text_col)) - (n_tokens - 1)) / n_tokens)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.when(n_tokens > 0, F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_tokens)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    digit_ratio = (
+        F.when(n_chars > 0, (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))) / n_chars)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    punct_ratio = (
+        F.when(n_chars > 0, (n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))) / n_chars)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
+    len_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+    stop_signal = F.least(stop_ratio * F.lit(10.0), F.lit(1.0))
+    score = (
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * word_len_ok
+        + F.lit(0.3) * stop_signal
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio + punct_ratio, F.lit(1.0)))
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (stable
+    across engines) + Spark's xxhash64 (cheap 64-bit content key for
+    joins/bucketing at scale)."""
+    norm = normalize_text(text_col)
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xxh64"),
+    )

@@ -422,3 +422,290 @@ def semi_join_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions (SURVEY.md §7.2-9): text analysis
+# over `documents`, dedup (exact → LSH), similarity over `embeddings`,
+# multimodal plumbing. DuckDB normalization mirrors
+# alerta_spark.ops.text.normalize_text.
+# ---------------------------------------------------------------------------
+
+_DUCK_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_DUCK_TOKS = f"string_split({_DUCK_NORM}, ' ')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokens (pure codegen,
+    no shuffle)."""
+    from alerta_spark.ops.text import token_stats
+
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _duck_marker_count(markers: list[str]) -> str:
+    inlist = ", ".join(f"''{m}''" for m in markers).replace("''", "'")
+    return f"len(list_filter({_DUCK_TOKS}, t -> t IN ({inlist})))"
+
+
+@register(
+    "text_language_id",
+    oracle=None,  # set below — built programmatically from LANG_MARKERS
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker heuristic language ID (argmax, deterministic
+    tie-break)."""
+    from alerta_spark.ops.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    from alerta_spark.ops.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        f"{_duck_marker_count(LANG_MARKERS[code])} AS score_{code}" for code in langs
+    )
+    best = f"greatest({', '.join('score_' + c for c in langs)})"
+    case = " ".join(f"WHEN score_{c} = best THEN '{c}'" for c in langs)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {score_cols}
+      FROM documents
+    ), b AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id,
+           CASE WHEN best <= 0 THEN 'und' {case} END AS lang_pred,
+           best AS lang_score
+    FROM b
+    """
+
+
+QUERIES["text_language_id"]["oracle"] = _lang_oracle()
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len({_DUCK_TOKS}) AS n_tokens,
+             length(text) AS n_chars,
+             length({_DUCK_NORM}) AS n_norm_chars
+      FROM documents
+    ), f AS (
+      SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens > 0 THEN (n_norm_chars - (n_tokens - 1)) / n_tokens::DOUBLE ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_tokens > 0 THEN len(list_filter({_DUCK_TOKS}, x -> x IN ('the','of','and','to','in','is','a','that','it','for','on','with','as'))) / n_tokens::DOUBLE ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))) / n_chars::DOUBLE ELSE 0.0 END AS digit_ratio,
+        CASE WHEN n_chars > 0 THEN (n_chars - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) / n_chars::DOUBLE ELSE 0.0 END AS punct_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(digit_ratio, 6) AS digit_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+               + 0.25 * (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * least(stopword_ratio * 10.0, 1.0)
+               + 0.2 * (1.0 - least(digit_ratio + punct_ratio, 1.0)), 6) AS quality_score
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality features + composite score."""
+    from alerta_spark.ops.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_DUCK_NORM}) AS fp_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text; engine-portable)."""
+    from alerta_spark.ops.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5"
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_DUCK_NORM}) AS digest,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content digest (one hash shuffle)."""
+    from alerta_spark.ops.dedupe import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents")).select(
+        "digest", "keep_id", "dup_count"
+    )
+
+
+_DUCK_SHINGLES = (
+    f"CASE WHEN len({_DUCK_TOKS}) >= 5 THEN "
+    f"list_distinct([array_to_string(({_DUCK_TOKS})[i:i+4], ' ') "
+    f"for i in range(1, len({_DUCK_TOKS}) - 3)]) "
+    f"ELSE [array_to_string({_DUCK_TOKS}, ' ')] END"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM pairs WHERE j >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 5-gram-shingle Jaccard >= 0.8 pairs via inverted-index
+    self-join (the ground truth the LSH path approximates)."""
+    from alerta_spark.ops.dedupe import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)  # approximate: rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH banding (16x4) candidates, verified with exact
+    Jaccard — the 100 TB dedup path. Tested against the exact operator
+    in tests/test_dedupe.py (recall check)."""
+    from alerta_spark.ops.dedupe import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.8
+    )
+
+
+@register("dedup_simhash", oracle=None)  # hash-function specific: rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dups (hamming <= 3) via pigeonhole banding."""
+    from alerta_spark.ops.dedupe import simhash_near_dups
+
+    return simhash_near_dups(load_table(spark, sf_dir, "documents"))
+
+
+_DUCK_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COS}, 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_DUCK_COS}, 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= tau) blocked by label —
+    at web scale the block key is an LSH bucket instead."""
+    from alerta_spark.ops.similarity import cosine_pairs
+
+    return cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, block_col="label"
+    )
+
+
+_TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, q.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+      FROM e a, q WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors: broadcast
+    queries x one corpus scan + per-query window."""
+    from alerta_spark.ops.similarity import cosine_topk
+
+    return cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10
+    )
+
+
+@register("similarity_lsh_topk", oracle=None)  # approximate: rows-only
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed ANN top-10, exact re-rank on
+    candidates (recall vs brute force checked in tests)."""
+    from alerta_spark.ops.similarity import lsh_topk
+
+    return lsh_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+
+
+@register(
+    "multimodal_media_summary",
+    oracle="""
+    SELECT 'image' AS kind, 'fake' AS format,
+           count(*) AS n,
+           sum(octet_length(encode(text))) AS total_bytes,
+           max(octet_length(encode(text))) AS max_bytes
+    FROM documents
+    """,
+)
+def multimodal_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: typed metadata projection +
+    byte stats without decoding (the pre-flight query before a decode
+    pass over 100 TB)."""
+    from alerta_spark.ops.multimodal import attach_fake_media, media_summary
+
+    docs = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return media_summary(docs)
+
+
+@register("multimodal_features", oracle=None)  # Arrow/mapInPandas plumbing
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode+feature-extract (decode stubbed
+    deterministically; Spark-side plumbing is the real thing)."""
+    from alerta_spark.ops.multimodal import attach_fake_media, extract_features
+
+    docs = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs)

@@ -25,6 +25,13 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "join_revenue_by_nation",
     "semi_join_building_orders",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,79 @@
+"""Dedup operator semantics + LSH recall vs the exact ground truth."""
+
+import pytest
+
+from alerta_spark.ops.dedupe import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from alerta_spark.sources.lake import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+def test_exact_dedup_finds_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),  # same after normalization
+            (3, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["keep_id"]: r for r in exact_dedup(df).collect()}
+    assert rows[1]["dup_count"] == 2 and rows[1]["dup_ids"] == [1, 2]
+    assert rows[3]["dup_count"] == 1
+
+
+def test_ngram_jaccard_exact_pair(spark):
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " u"), (3, "z y x w v u t s r q p o n m l")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, n=5, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.9
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=5, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, n=5, threshold=0.8).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    # verification step guarantees precision == 1
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_symmetric_and_thresholded(docs):
+    rows = simhash_near_dups(docs, max_hamming=3).collect()
+    assert all(r["hamming"] <= 3 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # near-identical docs should collide
+    assert len(rows) > 0
+
+
+def test_simhash_identical_docs_zero_distance(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = simhash_near_dups(df).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0

@@ -1,0 +1,61 @@
+"""Similarity search: brute-force correctness + LSH recall."""
+
+import math
+
+import pytest
+
+from alerta_spark.ops.similarity import cosine_topk, lsh_topk, cosine_pairs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from alerta_spark.sources.lake import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = sorted(
+        (
+            (round(float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), 6), -vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+        reverse=True,
+    )[:5]
+    expect = [(-vid, cos) for cos, vid in sims]
+
+    got = [
+        (r["neighbor_id"], r["cos"])
+        for r in cosine_topk(emb, [0], k=5).orderBy("cos", ascending=False).collect()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gid, gcos), (eid, ecos) in zip(got, expect):
+        assert math.isclose(gcos, ecos, abs_tol=1e-6)
+
+
+def test_lsh_topk_recall(emb):
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_cosine_pairs_blocked_symmetry(emb):
+    rows = cosine_pairs(emb, threshold=0.3, block_col="label").collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)

@@ -1,0 +1,90 @@
+"""Text analysis + multimodal plumbing."""
+
+import pytest
+
+from alerta_spark.ops.multimodal import (
+    FEATURE_DIM,
+    attach_fake_media,
+    extract_features,
+    media_summary,
+    sample_frames,
+)
+from alerta_spark.ops.text import language_id, quality_score, token_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from alerta_spark.sources.lake import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "doc_id long, text string")
+    r = token_stats(df).first()
+    assert r["n_tokens"] == 4
+    # hello , world ! 42 times
+    assert r["n_bpe_tokens"] == 6
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "el perro y la casa de que los gatos"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_quality_score_bounds(docs):
+    rows = quality_score(docs).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_media_pipeline(docs):
+    media = attach_fake_media(docs)
+    summ = media_summary(media).collect()
+    assert len(summ) == 1 and summ[0]["kind"] == "image"
+    assert summ[0]["n"] == docs.count()
+
+    feats = extract_features(media).collect()
+    assert len(feats) == docs.count()
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
+    # deterministic: same input -> same features
+    again = extract_features(media).collect()
+    assert {r["doc_id"]: r["features"] for r in feats} == {
+        r["doc_id"]: r["features"] for r in again
+    }
+
+
+def test_real_decoder_is_explicitly_stubbed(docs):
+    media = attach_fake_media(docs)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="real")
+
+
+def test_frame_sampling(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, data binary").select(
+        "doc_id",
+        F.struct(
+            F.col("data"),
+            F.struct(
+                F.lit("video").alias("kind"),
+                F.lit("fake").alias("format"),
+                F.lit(0).alias("width"),
+                F.lit(0).alias("height"),
+                F.lit(3500).alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    frames = sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
