@@ -709,3 +709,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return extract_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — stateful sequence correlation (T3-T5). Not SQL-expressible
+# (ordered per-key state machine) -> rows-only driver check; semantics
+# are covered by tests/test_streaming.py incl. a real streaming run.
+# ---------------------------------------------------------------------------
+
+SEQ_EVENTS_RULE = {
+    "alert_name": "purchase_then_error",
+    "alert_type": "sequence",
+    "lifespan": "30 days",
+    "slots": [
+        {
+            "alert_name": "big_buys",
+            "alert_type": "threshold",
+            "criteria": "event_type='purchase' AND CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 80",
+            "aggregation_key": "user_id",
+            "threshold": 2,
+        },
+        {
+            "alert_name": "then_error",
+            "alert_type": "threshold",
+            "criteria": "event_type='error'",
+            "aggregation_key": "user_id",
+            "threshold": 1,
+        },
+    ],
+}
+
+
+@register("t3_sequence_correlator", oracle=None)
+def t3_sequence_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence correlation keyed by user: 2 big purchases then an
+    error. applyInPandasWithState on streams; identical one-pass
+    applyInPandas on batch (reference: alerta.py:274-317)."""
+    from alerta_spark.streaming.correlator import sequence_correlator
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_correlator(ev, SEQ_EVENTS_RULE, "user_id").select(
+        "correlation_value", "alert_name", "slot_counts", "sample_event_ids"
+    )

@@ -1,0 +1,307 @@
+"""Structured Streaming versions of the engine's stateful semantics
+(SURVEY.md §2.7 T1-T7).
+
+The reference is a cron micro-batch system: 15-minute trigger
+(startup.sh:24-26), 2-hour hop window re-scan with storage-level dedup
+(alerta.py:136-146 + 38-73), and a Mongo-persisted sequence state
+machine advanced one slot per run (alerta.py:274-317). Structured
+Streaming expresses each natively:
+
+- T1 trigger        -> ``trigger(processingTime=...)`` / ``availableNow``
+- T2 hop window     -> ``withWatermark + dropDuplicates`` (streaming_dedup)
+- A2 threshold      -> windowed groupBy-count (streaming_threshold_alerts)
+- T3-T6 sequence    -> ``applyInPandasWithState`` keyed by the rule's
+                       correlation value (sequence_correlator): state =
+                       slot index + captured samples; lifespan expiry via
+                       state timeout; deadman slots fire on timeout.
+
+Slot criteria are compiled to per-event boolean columns JVM-side
+(``matches_{i}``) BEFORE the stateful operator, so the Python state
+function never evaluates SQL — it only advances a tiny per-key state
+machine over Arrow batches. Cross-slot templated equality
+(``...user_name='{{slots.0...user_name}}'``) is satisfied structurally:
+the stream is keyed by that correlation value, so within a key group
+the equality always holds and only the static residual needs checking
+(SURVEY.md §7.4-1).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from alerta_spark.dialect import trino_to_spark
+from alerta_spark.paths import path_col
+from alerta_spark.rules import parse_timedelta
+from alerta_spark.templates import template_vars
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("correlation_value", T.StringType()),
+        T.StructField("alert_name", T.StringType()),
+        T.StructField("n_slots", T.IntegerType()),
+        T.StructField("slot_counts", T.ArrayType(T.LongType())),
+        T.StructField("first_event_ts", T.TimestampType()),
+        T.StructField("last_event_ts", T.TimestampType()),
+        T.StructField("sample_event_ids", T.ArrayType(T.StringType())),
+        T.StructField("expired", T.BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("slot_index", T.IntegerType()),
+        T.StructField("slot_counts", T.ArrayType(T.LongType())),
+        T.StructField("first_ts_ms", T.LongType()),
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("sample_ids_json", T.StringType()),
+    ]
+)
+
+
+def _static_criteria(slot: dict[str, Any]) -> str:
+    """Strip templated equality conjuncts — within a correlation-key
+    group they hold by construction. Conjuncts are split on top-level
+    AND; a conjunct containing a {{...}} template var is dropped."""
+    criteria = str(slot.get("criteria", ""))
+    if not template_vars(criteria):
+        return criteria
+    parts = [p.strip() for p in _split_top_and(criteria)]
+    kept = [p for p in parts if not template_vars(p)]
+    return " AND ".join(kept)
+
+
+def _split_top_and(sql: str) -> list[str]:
+    out, depth, buf, i = [], 0, [], 0
+    up = sql.upper()
+    while i < len(sql):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0 and up[i : i + 5] == " AND " :
+            out.append("".join(buf))
+            buf = []
+            i += 5
+            continue
+        buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+def sequence_correlator(
+    events: DataFrame,
+    rule: dict[str, Any],
+    correlation_key: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    sample_count: int = 3,
+) -> DataFrame:
+    """T3-T5: distributed sequence correlation over a stream.
+
+    Keyed by the rule's correlation value; state advances through the
+    slot vector as matching events arrive; emits one row per completed
+    (or expired) sequence. Threshold slots advance when their running
+    count reaches the slot threshold; deadman slots advance when the
+    state times out with no matching events (absence confirmed).
+
+    Works on both streaming and batch frames (batch: timeouts do not
+    fire, so deadman slots never advance — streaming is the real mode;
+    the batch engine covers deadman separately).
+    """
+    slots = rule["slots"]
+    lifespan_ms = int(parse_timedelta(str(rule.get("lifespan", "3 days"))).total_seconds() * 1000)
+
+    key = path_col(events, correlation_key).cast("string").alias("_corr")
+    match_cols = [
+        F.expr(trino_to_spark(_static_criteria(s)) or "true").alias(f"_m{i}")
+        for i, s in enumerate(slots)
+    ]
+    slim = events.select(
+        key,
+        F.col(id_col).cast("string").alias("_eid"),
+        F.col(ts_col).alias("_ts"),
+        *match_cols,
+    ).where(F.col("_corr").isNotNull())
+
+    is_streaming = slim.isStreaming
+    if is_streaming:
+        slim = slim.withWatermark("_ts", watermark)
+
+    slot_kinds = [str(s.get("alert_type", "threshold")) for s in slots]
+    slot_thresholds = [int(s.get("threshold", 1)) for s in slots]
+    n_slots = len(slots)
+    alert_name = str(rule.get("alert_name", "unnamed"))
+
+    def fn(
+        key_: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        corr = key_[0]
+        if state.exists:
+            slot_index, counts, first_ms, last_ms, samples_json = state.get
+            counts = list(counts)
+            samples = json.loads(samples_json)
+        else:
+            slot_index, counts, first_ms, last_ms, samples = 0, [0] * n_slots, None, None, []
+
+        def emit(expired: bool) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "correlation_value": [corr],
+                    "alert_name": [alert_name],
+                    "n_slots": [n_slots],
+                    "slot_counts": [counts],
+                    "first_event_ts": [pd.Timestamp(first_ms, unit="ms") if first_ms else None],
+                    "last_event_ts": [pd.Timestamp(last_ms, unit="ms") if last_ms else None],
+                    "sample_event_ids": [samples[:sample_count]],
+                    "expired": [expired],
+                }
+            )
+
+        if state.hasTimedOut:
+            # deadman slot: absence over the window IS the trigger
+            if slot_index < n_slots and slot_kinds[slot_index] == "deadman":
+                slot_index += 1
+                if slot_index >= n_slots:
+                    state.remove()
+                    yield emit(False)
+                    return
+                state.update((slot_index, counts, first_ms, last_ms, json.dumps(samples)))
+                state.setTimeoutDuration(lifespan_ms)
+            else:
+                state.remove()
+                yield emit(True)  # lifespan expiry (T5)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values(["_ts", "_eid"])
+            for _, r in rows.iterrows():
+                ts_ms = int(r["_ts"].value // 1_000_000)
+                first_ms = first_ms or ts_ms
+                last_ms = ts_ms
+                # an event is tested only against the CURRENT slot: a
+                # captured event can't also satisfy the next slot
+                # (mirrors the reference's F9 in-flight dedup)
+                if (
+                    slot_index < n_slots
+                    and slot_kinds[slot_index] == "threshold"
+                    and bool(r[f"_m{slot_index}"])
+                ):
+                    counts[slot_index] += 1
+                    if len(samples) < sample_count:
+                        samples.append(str(r["_eid"]))
+                    if counts[slot_index] >= slot_thresholds[slot_index]:
+                        slot_index += 1
+                if slot_index >= n_slots:
+                    break
+        if slot_index >= n_slots:
+            state.remove()
+            yield emit(False)
+            return
+        state.update((slot_index, counts, first_ms, last_ms, json.dumps(samples)))
+        if is_streaming:
+            state.setTimeoutDuration(lifespan_ms)
+
+    if is_streaming:
+        return slim.groupBy("_corr").applyInPandasWithState(
+            fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+
+    # batch fallback: applyInPandasWithState is streaming-only; with the
+    # whole history in hand one pass per key gives identical completions
+    def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        corr = pdf["_corr"].iloc[0]
+        slot_index, counts, samples = 0, [0] * n_slots, []
+        first_ms = last_ms = None
+        rows = pdf.sort_values(["_ts", "_eid"])
+        for _, r in rows.iterrows():
+            ts_ms = int(r["_ts"].value // 1_000_000)
+            first_ms = first_ms or ts_ms
+            last_ms = ts_ms
+            if (
+                slot_index < n_slots
+                and slot_kinds[slot_index] == "threshold"
+                and bool(r[f"_m{slot_index}"])
+            ):
+                counts[slot_index] += 1
+                if len(samples) < sample_count:
+                    samples.append(str(r["_eid"]))
+                if counts[slot_index] >= slot_thresholds[slot_index]:
+                    slot_index += 1
+            if slot_index >= n_slots:
+                break
+        if slot_index < n_slots:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in OUTPUT_SCHEMA.fields}
+            )
+        return pd.DataFrame(
+            {
+                "correlation_value": [corr],
+                "alert_name": [alert_name],
+                "n_slots": [n_slots],
+                "slot_counts": [counts],
+                "first_event_ts": [pd.Timestamp(first_ms, unit="ms")],
+                "last_event_ts": [pd.Timestamp(last_ms, unit="ms")],
+                "sample_event_ids": [samples[:sample_count]],
+                "expired": [False],
+            }
+        )
+
+    return slim.groupBy("_corr").applyInPandas(batch_fn, OUTPUT_SCHEMA)
+
+
+def streaming_threshold_alerts(
+    events: DataFrame,
+    rule: dict[str, Any],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A2 as a native streaming windowed aggregate: criteria filter →
+    watermark → tumbling-window group-count → HAVING. Emits one alert
+    row per (window, group) in append mode once the watermark passes."""
+    from alerta_spark.operators.threshold import apply_criteria
+    from alerta_spark.rules import threshold_shell
+
+    p = threshold_shell(rule)
+    ev = apply_criteria(events, p["criteria"])
+    key = path_col(ev, p["aggregation_key"]).cast("string")
+    out = (
+        ev.withWatermark(ts_col, watermark)
+        .where(key.isNotNull())
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), key.alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= int(p["threshold"]))
+    )
+    return out.select(
+        F.lit(p["alert_name"]).alias("alert_name"),
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.struct("value", "count").alias("metadata"),
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T2/T7: the reference's overlapping-scan + storage-dedup becomes
+    watermark + dropDuplicates on the event id — exactly-once delivery
+    within the watermark horizon, state auto-expired by Spark."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([id_col])
