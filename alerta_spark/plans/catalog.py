@@ -751,3 +751,208 @@ def t3_sequence_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_correlator(ev, SEQ_EVENTS_RULE, "user_id").select(
         "correlation_value", "alert_name", "slot_counts", "sample_event_ids"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 extended relational surface — window functions, set ops, grouping
+# sets, pivot, distinct/approx aggregates, session windows. The
+# reference delegated this whole surface to Athena/Trino; a user
+# switching engines needs it native.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_running_agg_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER w AS rn,
+           lag(event_id) OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS running_value,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w_running_agg_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: ranking, lag/lead, running sum, moving average
+    with explicit frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.sum("value")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("decimal(20,2)")
+        .alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, W.currentRow)), 6).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@register(
+    "set_ops_union_except_intersect",
+    oracle="""
+    WITH purchases AS (SELECT user_id FROM events WHERE event_type='purchase'),
+         errors AS (SELECT user_id FROM events WHERE event_type='error'),
+         signups AS (SELECT user_id FROM events WHERE event_type='signup')
+    SELECT 'purchase_or_error' AS grp, count(*) AS n FROM (
+      SELECT * FROM purchases UNION SELECT * FROM errors)
+    UNION ALL
+    SELECT 'purchase_minus_signup' AS grp, count(*) AS n FROM (
+      SELECT * FROM purchases EXCEPT SELECT * FROM signups)
+    UNION ALL
+    SELECT 'purchase_and_error' AS grp, count(*) AS n FROM (
+      SELECT * FROM purchases INTERSECT SELECT * FROM errors)
+    """,
+)
+def set_ops_union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT / INTERSECT (distinct semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    sel = lambda t: ev.where(F.col("event_type") == t).select("user_id")  # noqa: E731
+    p, e, s = sel("purchase"), sel("error"), sel("signup")
+    spark_ = spark
+
+    def one(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("grp"), "n"
+        )
+
+    return (
+        one("purchase_or_error", p.union(e).distinct())
+        .unionByName(one("purchase_minus_signup", p.subtract(s)))
+        .unionByName(one("purchase_and_error", p.intersect(e)))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube_distinct",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE + multiple COUNT(DISTINCT) (expand + two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (count per status column)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "window_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregate (the hypertable-rollup shape;
+    streaming-compatible via F.window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "session_windows_per_user",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via F.session_window — native
+    streaming-capable sessionization (oracle: gaps-and-islands SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@register("agg_approx_quantiles", oracle=None)  # sketch-based: rows-only
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (KLL/HLL-style sketches): percentile_approx
+    + approx_count_distinct — the constant-memory path for 100 TB
+    profiling."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
