@@ -38,7 +38,9 @@ def to_utc(col: Column | str) -> Column:
         .when(n < _US_MAX, F.timestamp_micros(n))
         .otherwise(F.timestamp_micros((n / 1000).cast("long")))
     )
-    return F.when(num.isNotNull(), from_num).otherwise(F.to_timestamp(s))
+    # try_to_timestamp: NULL on unparseable strings (ANSI-safe),
+    # matching DotDict-style silent-miss semantics
+    return F.when(num.isNotNull(), from_num).otherwise(F.try_to_timestamp(s))
 
 
 def utc_epoch(col: Column | str) -> Column:

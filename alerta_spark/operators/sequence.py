@@ -92,10 +92,17 @@ def process_sequence_alert(
         fired = deadman_alerts(events_df, params, id_col=id_col, ts_col=ts_col)
         fired_docs = alerts_df_to_docs(fired)
 
+    # per-group fan-out: a FRESH rule (no _id) spawns one in-flight doc
+    # per fired group; a RESUMED doc keeps its _id, so multiple fired
+    # groups replace the same doc and the last one wins (reference
+    # behavior: save_inflight_alert per group on the same _id,
+    # alerta.py:304-316)
+    updates = []
     for fired_doc in fired_docs:
         inflight = deepcopy(doc)
         inflight["slots"][index] = fired_doc
-        inflight_store.upsert(inflight)
+        updates.append(inflight)
+    inflight_store.upsert_many(updates)
 
 
 def create_sequence_alerts(inflight_store: DocStore, alert_store: DocStore) -> int:

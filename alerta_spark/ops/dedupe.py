@@ -98,7 +98,10 @@ def ngram_jaccard_pairs(
 
     -> [id_a, id_b, jaccard] with id_a < id_b.
     """
-    idx = _shingle_index(df, text_col, id_col, n, max_doc_freq)
+    # the index feeds three plan branches (a-side, b-side, sizes);
+    # persist it so shingle construction runs once, not three times —
+    # at lake scale this materialization would be a checkpoint table
+    idx = _shingle_index(df, text_col, id_col, n, max_doc_freq).persist()
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
 
     a = idx.alias("a")
@@ -220,10 +223,11 @@ def minhash_lsh_pairs(
         return cand
 
     # verify candidates with exact jaccard over distinct shingle sets
+    # (persisted: consumed by both join sides)
     sets_ = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(text_col, n)).alias("sh"),
-    )
+    ).persist()
     sa = sets_.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -956,3 +956,124 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
         F.approx_count_distinct("user_id").alias("approx_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 scalar functions + §2.2 plugin routing + A3 expected-set deadman —
+# the remaining oracle-checkable inventory items.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c8_timestamp_coercion",
+    oracle="""
+    WITH v(raw) AS (VALUES ('1700000000'), ('1700000000000'),
+                           ('1700000000000000'), ('1700000000000000000'),
+                           ('2023-11-14T22:13:20'), ('not a time'))
+    SELECT raw,
+      CASE
+        WHEN TRY_CAST(raw AS DOUBLE) IS NOT NULL THEN
+          CASE
+            WHEN TRY_CAST(raw AS HUGEINT) < 100000000000 THEN to_timestamp(TRY_CAST(raw AS DOUBLE))::TIMESTAMP
+            WHEN TRY_CAST(raw AS HUGEINT) < 100000000000000 THEN make_timestamp((TRY_CAST(raw AS HUGEINT) * 1000)::BIGINT)
+            WHEN TRY_CAST(raw AS HUGEINT) < 100000000000000000 THEN make_timestamp(TRY_CAST(raw AS HUGEINT)::BIGINT)
+            ELSE make_timestamp((TRY_CAST(raw AS HUGEINT) / 1000)::BIGINT)
+          END
+        ELSE TRY_CAST(raw AS TIMESTAMP)
+      END AS coerced
+    FROM v
+    """,
+)
+def c8_timestamp_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toUTC epoch-magnitude heuristic (utils/dates.py:38-85): one
+    expression classifies s/ms/us/ns epochs and ISO strings."""
+    from alerta_spark.functions.scalars import to_utc
+
+    df = spark.createDataFrame(
+        [
+            ("1700000000",),
+            ("1700000000000",),
+            ("1700000000000000",),
+            ("1700000000000000000",),
+            ("2023-11-14T22:13:20",),
+            ("not a time",),
+        ],
+        "raw string",
+    )
+    return df.select("raw", to_utc(F.col("raw")).alias("coerced"))
+
+
+@register(
+    "c16_ip_validation",
+    oracle=r"""
+    SELECT event_id,
+           concat('10.0.', CAST(user_id AS VARCHAR), '.', CAST(event_id % 300 AS VARCHAR)) AS ip,
+           regexp_matches(concat('10.0.', CAST(user_id AS VARCHAR), '.', CAST(event_id % 300 AS VARCHAR)),
+             '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$') AS valid_v4
+    FROM events
+    """,
+)
+def c16_ip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_ipv4 as a pure rlike (utils/helpers.py:44-74) — octets > 255
+    (event_id % 300) correctly rejected."""
+    from alerta_spark.functions.scalars import is_ipv4
+
+    ev = load_table(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10.0."),
+        F.col("user_id").cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 300).cast("string"),
+    )
+    return ev.select("event_id", ip.alias("ip"), is_ipv4(ip).alias("valid_v4"))
+
+
+@register(
+    "f11_plugin_routing",
+    oracle="""
+    SELECT event_id, event_type,
+           (event_type IN ('purchase', 'error')) AS routed
+    FROM events
+    """,
+)
+def f11_plugin_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plugin routing predicate: registration-token overlap with the
+    event's token set (utils/plugins.py:78-93) as arrays_overlap."""
+    ev = load_table(spark, sf_dir, "events")
+    reg = F.array(F.lit("purchase"), F.lit("error"))
+    tokens = F.array(F.col("event_type"))
+    return ev.select(
+        "event_id", "event_type", F.arrays_overlap(tokens, reg).alias("routed")
+    )
+
+
+@register(
+    "a3_deadman_expected_keys",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
+    )
+    SELECT c.c_custkey AS expected_key
+    FROM customer c
+    LEFT JOIN active a ON a.user_id = c.c_custkey
+    WHERE a.user_id IS NULL AND c.c_custkey < 150
+    """,
+)
+def a3_deadman_expected_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable deadman variant: absence per EXPECTED key via left-anti
+    join against the active set — the outer-join generalization of the
+    reference's single synthesized zero row (alerta.py:384-386)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 150)
+    cut = ev.select((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cut"))
+    active = (
+        ev.crossJoin(F.broadcast(cut))
+        .where((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("cut")))
+        .select("user_id")
+        .distinct()
+    )
+    return cust.join(
+        active, cust["c_custkey"] == active["user_id"], "left_anti"
+    ).select(F.col("c_custkey").alias("expected_key"))

@@ -140,10 +140,23 @@ class DocStore:
 
     def upsert(self, doc: dict[str, Any]) -> None:
         """Insert-or-replace by _id (reference: alerta.py:92-111)."""
-        doc = dict(doc)
-        doc.setdefault("_id", generate_meteor_id())
-        docs = [d for d in self.docs() if d.get("_id") != doc["_id"]]
-        docs.append(doc)
+        self.upsert_many([doc])
+
+    def upsert_many(self, new_docs: list[dict[str, Any]]) -> None:
+        """Batch insert-or-replace: ONE read + ONE write for any number
+        of state changes (the reference pays a Mongo round-trip per
+        upsert; a run that advances N in-flight alerts must not rewrite
+        the state table N times)."""
+        if not new_docs:
+            return
+        new_docs = [dict(d) for d in new_docs]
+        for d in new_docs:
+            d.setdefault("_id", generate_meteor_id())
+        # duplicate _ids within a batch: last wins (repeated Mongo
+        # replace_one semantics)
+        by_id = {d["_id"]: d for d in new_docs}
+        docs = [d for d in self.docs() if d.get("_id") not in by_id]
+        docs.extend(by_id.values())
         self.overwrite(docs)
 
     def delete(self, _id: str) -> None:
