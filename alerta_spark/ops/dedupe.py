@@ -29,7 +29,12 @@ from alerta_spark.ops.text import normalize_text, tokenize
 
 def shingles(col: Column | str, n: int = 5) -> Column:
     """n-gram (word) shingles as array<string>; documents shorter than
-    n tokens yield their whole text as one shingle."""
+    n tokens yield their whole text as one shingle.
+
+    NOTE: array-valued form for small inputs/tests. In pipelines use
+    :func:`shingle_rows` — the slice-inside-transform lambda here
+    re-evaluates the tokenize subtree per shingle, which is a 3-4x
+    slowdown at scale."""
     toks = tokenize(col)
     k = F.size(toks)
     return F.when(
@@ -39,6 +44,39 @@ def shingles(col: Column | str, n: int = 5) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """DISTINCT (id, shingle) rows via posexplode + window leads: each
+    token is produced and read exactly once; the n-gram is a concat of
+    n-1 leads over the per-doc position order. One shuffle (window by
+    doc id) — and every downstream consumer (minhash, inverted index,
+    verification sets) starts from these rows. Documents shorter than
+    n tokens contribute their whole text as one shingle (parity with
+    :func:`shingles`)."""
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(tokenize(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy("_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    out = tok.select(
+        "_id",
+        "pos",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("_last"),
+        F.count(F.lit(1)).over(W.partitionBy("_id")).alias("_n"),
+    )
+    return (
+        out.where(
+            F.col("_last").isNotNull() | ((F.col("_n") < n) & (F.col("pos") == 0))
+        )
+        .select("_id", "shingle")
+        .distinct()
+    )
 
 
 def exact_dedup(
@@ -66,10 +104,7 @@ def _shingle_index(
     df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
     """(id, shingle) inverted index over DISTINCT shingles per doc."""
-    idx = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
-    )
+    idx = shingle_rows(df, text_col, id_col, n)
     if max_doc_freq is not None:
         from pyspark.sql import Window as W
 
@@ -146,10 +181,7 @@ def minhash_signatures(
     expression once per lane after Catalyst's projection collapse
     (measured 40x slower at sf0.1).
     """
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"),
-    )
+    ex = shingle_rows(df, text_col, id_col, n)
     lanes = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -224,10 +256,12 @@ def minhash_lsh_pairs(
 
     # verify candidates with exact jaccard over distinct shingle sets
     # (persisted: consumed by both join sides)
-    sets_ = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, n)).alias("sh"),
-    ).persist()
+    sets_ = (
+        shingle_rows(df, text_col, id_col, n)
+        .groupBy("_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+        .persist()
+    )
     sa = sets_.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -86,6 +86,10 @@ def extract_features(
     if decoder != "fake":
         raise ValueError(f"unknown decoder: {decoder}")
 
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

@@ -175,6 +175,9 @@ def lsh_topk(
 
     -> [query_id, neighbor_id, cos] (same shape as cosine_topk).
     """
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     buckets = _bucket_udf(dim, planes, bands)
 
     def bucketed(frame: DataFrame, idalias: str) -> DataFrame:

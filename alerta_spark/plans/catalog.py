@@ -1077,3 +1077,56 @@ def a3_deadman_expected_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         active, cust["c_custkey"] == active["user_id"], "left_anti"
     ).select(F.col("c_custkey").alias("expected_key"))
+
+
+@register(
+    "s4_variant_payload",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+    """,
+)
+def s4_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload via Spark 4 VariantType: parse_json once,
+    typed variant_get access — the native schema-on-read path for the
+    reference's `details` column (SURVEY.md §1.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select("event_id", k.alias("k_int")).where(k.isNotNull())
+
+
+@register(
+    "sql_api_passthrough",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props,'$.k') AS INTEGER) BETWEEN 10 AND 90
+    GROUP BY event_type
+    """,
+)
+def sql_api_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw Spark SQL surface: users of the reference write Trino
+    SQL; here the same statement (dialect-shimmed) runs via spark.sql
+    over a temp view — proving criteria can be arbitrary SQL, not just
+    compiled DataFrame calls."""
+    from alerta_spark.dialect import trino_to_spark
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    sql = trino_to_spark(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+        FROM events_v
+        WHERE CAST(json_extract_scalar(props,'$.k') AS INTEGER) BETWEEN 10 AND 90
+        GROUP BY event_type
+        """
+    )
+    return spark.sql(sql)

@@ -99,6 +99,64 @@ def _split_top_and(sql: str) -> list[str]:
     return out
 
 
+class SlotMachine:
+    """The per-key sequence state machine, engine-agnostic so the
+    timeout/deadman branches are unit-testable without a streaming
+    query. State tuple: (slot_index, counts, first_ms, last_ms,
+    samples)."""
+
+    def __init__(
+        self,
+        slot_kinds: list[str],
+        slot_thresholds: list[int],
+        sample_count: int = 3,
+    ):
+        self.kinds = slot_kinds
+        self.thresholds = slot_thresholds
+        self.n = len(slot_kinds)
+        self.sample_count = sample_count
+
+    def initial(self) -> tuple:
+        return (0, [0] * self.n, None, None, [])
+
+    def on_events(self, state: tuple, events: list[tuple[int, str, list[bool]]]):
+        """events: [(ts_ms, event_id, matches_per_slot)] in order.
+        -> (state, completed: bool). An event is tested only against the
+        CURRENT slot (a captured event can't also satisfy the next slot
+        — mirrors the reference's F9 in-flight dedup)."""
+        slot_index, counts, first_ms, last_ms, samples = state
+        counts = list(counts)
+        samples = list(samples)
+        for ts_ms, eid, matches in events:
+            first_ms = first_ms or ts_ms
+            last_ms = ts_ms
+            if (
+                slot_index < self.n
+                and self.kinds[slot_index] == "threshold"
+                and matches[slot_index]
+            ):
+                counts[slot_index] += 1
+                if len(samples) < self.sample_count:
+                    samples.append(str(eid))
+                if counts[slot_index] >= self.thresholds[slot_index]:
+                    slot_index += 1
+            if slot_index >= self.n:
+                break
+        new_state = (slot_index, counts, first_ms, last_ms, samples)
+        return new_state, slot_index >= self.n
+
+    def on_timeout(self, state: tuple):
+        """Timeout with no new data. A deadman slot's absence window
+        elapsing IS its trigger -> advance; otherwise the sequence's
+        lifespan expired (T5). -> (state, completed, expired)."""
+        slot_index, counts, first_ms, last_ms, samples = state
+        if slot_index < self.n and self.kinds[slot_index] == "deadman":
+            slot_index += 1
+            state = (slot_index, list(counts), first_ms, last_ms, list(samples))
+            return state, slot_index >= self.n, False
+        return state, False, True
+
+
 def sequence_correlator(
     events: DataFrame,
     rule: dict[str, Any],
@@ -120,6 +178,10 @@ def sequence_correlator(
     fire, so deadman slots never advance — streaming is the real mode;
     the batch engine covers deadman separately).
     """
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
+
     slots = rule["slots"]
     lifespan_ms = int(parse_timedelta(str(rule.get("lifespan", "3 days"))).total_seconds() * 1000)
 
@@ -143,6 +205,33 @@ def sequence_correlator(
     slot_thresholds = [int(s.get("threshold", 1)) for s in slots]
     n_slots = len(slots)
     alert_name = str(rule.get("alert_name", "unnamed"))
+    machine = SlotMachine(slot_kinds, slot_thresholds, sample_count)
+
+    def _emit(corr, st, expired: bool) -> pd.DataFrame:
+        slot_index, counts, first_ms, last_ms, samples = st
+        return pd.DataFrame(
+            {
+                "correlation_value": [corr],
+                "alert_name": [alert_name],
+                "n_slots": [n_slots],
+                "slot_counts": [counts],
+                "first_event_ts": [pd.Timestamp(first_ms, unit="ms") if first_ms else None],
+                "last_event_ts": [pd.Timestamp(last_ms, unit="ms") if last_ms else None],
+                "sample_event_ids": [samples[: machine.sample_count]],
+                "expired": [expired],
+            }
+        )
+
+    def _rows_to_events(rows: pd.DataFrame) -> list[tuple[int, str, list[bool]]]:
+        rows = rows.sort_values(["_ts", "_eid"])
+        return [
+            (
+                int(r["_ts"].value // 1_000_000),
+                str(r["_eid"]),
+                [bool(r[f"_m{i}"]) for i in range(n_slots)],
+            )
+            for _, r in rows.iterrows()
+        ]
 
     def fn(
         key_: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -150,69 +239,30 @@ def sequence_correlator(
         corr = key_[0]
         if state.exists:
             slot_index, counts, first_ms, last_ms, samples_json = state.get
-            counts = list(counts)
-            samples = json.loads(samples_json)
+            st = (slot_index, list(counts), first_ms, last_ms, json.loads(samples_json))
         else:
-            slot_index, counts, first_ms, last_ms, samples = 0, [0] * n_slots, None, None, []
-
-        def emit(expired: bool) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "correlation_value": [corr],
-                    "alert_name": [alert_name],
-                    "n_slots": [n_slots],
-                    "slot_counts": [counts],
-                    "first_event_ts": [pd.Timestamp(first_ms, unit="ms") if first_ms else None],
-                    "last_event_ts": [pd.Timestamp(last_ms, unit="ms") if last_ms else None],
-                    "sample_event_ids": [samples[:sample_count]],
-                    "expired": [expired],
-                }
-            )
+            st = machine.initial()
 
         if state.hasTimedOut:
-            # deadman slot: absence over the window IS the trigger
-            if slot_index < n_slots and slot_kinds[slot_index] == "deadman":
-                slot_index += 1
-                if slot_index >= n_slots:
-                    state.remove()
-                    yield emit(False)
-                    return
-                state.update((slot_index, counts, first_ms, last_ms, json.dumps(samples)))
-                state.setTimeoutDuration(lifespan_ms)
-            else:
+            st, completed, expired = machine.on_timeout(st)
+            if completed or expired:
                 state.remove()
-                yield emit(True)  # lifespan expiry (T5)
+                yield _emit(corr, st, expired)
+            else:
+                state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
+                state.setTimeoutDuration(lifespan_ms)
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        completed = False
         if len(rows):
-            rows = rows.sort_values(["_ts", "_eid"])
-            for _, r in rows.iterrows():
-                ts_ms = int(r["_ts"].value // 1_000_000)
-                first_ms = first_ms or ts_ms
-                last_ms = ts_ms
-                # an event is tested only against the CURRENT slot: a
-                # captured event can't also satisfy the next slot
-                # (mirrors the reference's F9 in-flight dedup)
-                if (
-                    slot_index < n_slots
-                    and slot_kinds[slot_index] == "threshold"
-                    and bool(r[f"_m{slot_index}"])
-                ):
-                    counts[slot_index] += 1
-                    if len(samples) < sample_count:
-                        samples.append(str(r["_eid"]))
-                    if counts[slot_index] >= slot_thresholds[slot_index]:
-                        slot_index += 1
-                if slot_index >= n_slots:
-                    break
-        if slot_index >= n_slots:
+            st, completed = machine.on_events(st, _rows_to_events(rows))
+        if completed:
             state.remove()
-            yield emit(False)
+            yield _emit(corr, st, False)
             return
-        state.update((slot_index, counts, first_ms, last_ms, json.dumps(samples)))
-        if is_streaming:
-            state.setTimeoutDuration(lifespan_ms)
+        state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
+        state.setTimeoutDuration(lifespan_ms)
 
     if is_streaming:
         return slim.groupBy("_corr").applyInPandasWithState(
@@ -224,41 +274,12 @@ def sequence_correlator(
     # whole history in hand one pass per key gives identical completions
     def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         corr = pdf["_corr"].iloc[0]
-        slot_index, counts, samples = 0, [0] * n_slots, []
-        first_ms = last_ms = None
-        rows = pdf.sort_values(["_ts", "_eid"])
-        for _, r in rows.iterrows():
-            ts_ms = int(r["_ts"].value // 1_000_000)
-            first_ms = first_ms or ts_ms
-            last_ms = ts_ms
-            if (
-                slot_index < n_slots
-                and slot_kinds[slot_index] == "threshold"
-                and bool(r[f"_m{slot_index}"])
-            ):
-                counts[slot_index] += 1
-                if len(samples) < sample_count:
-                    samples.append(str(r["_eid"]))
-                if counts[slot_index] >= slot_thresholds[slot_index]:
-                    slot_index += 1
-            if slot_index >= n_slots:
-                break
-        if slot_index < n_slots:
+        st, completed = machine.on_events(machine.initial(), _rows_to_events(pdf))
+        if not completed:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in OUTPUT_SCHEMA.fields}
             )
-        return pd.DataFrame(
-            {
-                "correlation_value": [corr],
-                "alert_name": [alert_name],
-                "n_slots": [n_slots],
-                "slot_counts": [counts],
-                "first_event_ts": [pd.Timestamp(first_ms, unit="ms")],
-                "last_event_ts": [pd.Timestamp(last_ms, unit="ms")],
-                "sample_event_ids": [samples[:sample_count]],
-                "expired": [False],
-            }
-        )
+        return _emit(corr, st, False)
 
     return slim.groupBy("_corr").applyInPandas(batch_fn, OUTPUT_SCHEMA)
 

@@ -136,3 +136,48 @@ def test_streaming_dedup(spark):
     dup = ev.union(ev)
     got = _run_stream(spark, dup, lambda s: streaming_dedup(s), "dedup_out")
     assert got.count() == 2
+
+
+def test_slot_machine_deadman_timeout():
+    """Deadman slot advances on timeout (absence confirmed); lifespan
+    expiry reaps a stalled threshold slot (T5/T6)."""
+    from alerta_spark.streaming.correlator import SlotMachine
+
+    m = SlotMachine(["threshold", "deadman"], [1, 0])
+    st, completed = m.on_events(m.initial(), [(1000, "e1", [True, False])])
+    assert st[0] == 1 and not completed  # slot 0 filled, waiting on deadman
+
+    # timeout while on the deadman slot -> absence confirmed -> complete
+    st2, completed, expired = m.on_timeout(st)
+    assert completed and not expired and st2[0] == 2
+
+    # timeout while on a THRESHOLD slot -> lifespan expiry
+    m2 = SlotMachine(["threshold", "threshold"], [1, 1])
+    st3, _ = m2.on_events(m2.initial(), [(1000, "e1", [True, False])])
+    _, completed3, expired3 = m2.on_timeout(st3)
+    assert not completed3 and expired3
+
+
+def test_slot_machine_event_cannot_double_fill():
+    from alerta_spark.streaming.correlator import SlotMachine
+
+    m = SlotMachine(["threshold", "threshold"], [1, 1])
+    # one event matching BOTH slots must not complete the sequence alone
+    st, completed = m.on_events(m.initial(), [(1000, "e1", [True, True])])
+    assert st[0] == 1 and not completed
+    st, completed = m.on_events(st, [(2000, "e2", [True, True])])
+    assert completed and st[1] == [1, 1]
+
+
+def test_slot_machine_mid_deadman_then_threshold():
+    """threshold -> deadman -> threshold: timeout advances the middle
+    slot, then events fill the last."""
+    from alerta_spark.streaming.correlator import SlotMachine
+
+    m = SlotMachine(["threshold", "deadman", "threshold"], [1, 0, 1])
+    st, completed = m.on_events(m.initial(), [(1, "a", [True, False, False])])
+    assert st[0] == 1
+    st, completed, expired = m.on_timeout(st)
+    assert st[0] == 2 and not completed and not expired
+    st, completed = m.on_events(st, [(2, "b", [False, False, True])])
+    assert completed
