@@ -107,17 +107,24 @@ def process_sequence_alert(
 
 def create_sequence_alerts(inflight_store: DocStore, alert_store: DocStore) -> int:
     """Emit alerts for fully-slotted sequences, drop their state
-    (reference: alerta.py:218-237). Returns number emitted."""
-    emitted = 0
+    (reference: alerta.py:218-237). Returns number emitted.
+
+    Batched: one append to the alerts table + one state overwrite for
+    any number of completions (the reference pays two Mongo round-trips
+    per completed sequence)."""
+    completed, remaining = [], []
     for doc in inflight_store.docs():
         slots = doc.get("slots") or []
         if slots and all("events" in s for s in slots):
             doc = dict(doc)
             doc["summary"] = render_py(str(doc.get("summary", "")), doc)
-            alert_store.append([doc])
-            inflight_store.delete(doc["_id"])
-            emitted += 1
-    return emitted
+            completed.append(doc)
+        else:
+            remaining.append(doc)
+    if completed:
+        alert_store.append(completed)
+        inflight_store.overwrite(remaining)
+    return len(completed)
 
 
 def expire_sequence_alerts(inflight_store: DocStore, now: datetime | None = None) -> int:
@@ -141,21 +148,119 @@ def expire_sequence_alerts(inflight_store: DocStore, now: datetime | None = None
     return dropped
 
 
-def slot_criteria_values(docs: list[dict[str, Any]], slot_index: int) -> list[str]:
-    """Scale path: in-flight alerts of one rule waiting on the same slot
-    differ only in templated values — collect them so one scan with a
-    semi-join on the set serves every alert (SURVEY.md §7.4-1)."""
+import re as _re
+
+# templated equality conjunct shapes we can turn into a join key:
+#   json_extract_scalar(col,'$.path') = '{{tmpl}}'
+#   CAST(col AS STRING) = '{{tmpl}}'
+#   col = '{{tmpl}}'
+_TMPL_EQ = [
+    (
+        _re.compile(
+            r"^\s*json_extract_scalar\(\s*(\w+)\s*,\s*'\$\.([\w.]+)'\s*\)\s*=\s*'\{\{([^{}]+)\}\}'\s*$",
+            _re.IGNORECASE,
+        ),
+        lambda m: (f"{m.group(1)}.{m.group(2)}", m.group(3).strip()),
+    ),
+    (
+        _re.compile(
+            r"^\s*CAST\(\s*(\w+)\s+AS\s+\w+\s*\)\s*=\s*'\{\{([^{}]+)\}\}'\s*$",
+            _re.IGNORECASE,
+        ),
+        lambda m: (m.group(1), m.group(2).strip()),
+    ),
+    (
+        _re.compile(r"^\s*(\w+)\s*=\s*'\{\{([^{}]+)\}\}'\s*$"),
+        lambda m: (m.group(1), m.group(2).strip()),
+    ),
+]
+
+
+def compile_templated_criteria(criteria: str) -> tuple[str, str, str] | None:
+    """Split a slot criteria into (static_conjuncts, event_key_path,
+    state_template_path) when exactly one conjunct is a templated
+    equality of a supported shape; None -> caller falls back to
+    per-document rendering (SURVEY.md §7.4-1)."""
+    from alerta_spark.streaming.correlator import _split_top_and
     from alerta_spark.templates import template_vars
 
-    values = []
-    for doc in docs:
-        slots = doc.get("slots") or []
-        if slot_index >= len(slots):
-            continue
-        for var in template_vars(str(slots[slot_index].get("criteria", ""))):
-            from alerta_spark.templates import _lookup
+    if not template_vars(criteria):
+        return None
+    conjuncts = [c.strip() for c in _split_top_and(criteria)]
+    templated = [c for c in conjuncts if template_vars(c)]
+    if len(templated) != 1:
+        return None
+    for rx, extract in _TMPL_EQ:
+        m = rx.match(templated[0])
+        if m:
+            key_path, tmpl_path = extract(m)
+            static = " AND ".join(c for c in conjuncts if not template_vars(c))
+            return static, key_path, tmpl_path
+    return None
 
-            v = _lookup(doc, [p for p in var.split(".") if p])
-            if v is not None:
-                values.append(str(v))
-    return values
+
+def process_sequence_slot_batched(
+    events_df: DataFrame,
+    docs: list[dict[str, Any]],
+    slot_index: int,
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> list[dict[str, Any]] | None:
+    """Advance MANY in-flight alerts waiting on the same slot with ONE
+    Spark job: the templated equality becomes a semi-join of the slot
+    scan against the captured state values, and fired groups route back
+    to their documents by value. Returns the docs it could not batch
+    (caller processes those per-document), or None when the slot shape
+    is not batchable at all.
+
+    Requires the slot's aggregation_key to equal the equality's event
+    key path (true for the reference corpus: both key on the templated
+    field), so one grouped aggregate serves every document.
+    """
+    from pyspark.sql import functions as F
+
+    from alerta_spark.paths import path_col
+    from alerta_spark.templates import _lookup
+
+    slot = docs[0]["slots"][slot_index]
+    if slot.get("alert_type", "threshold") != "threshold":
+        return None
+    compiled = compile_templated_criteria(str(slot.get("criteria", "")))
+    if compiled is None:
+        return None
+    static, key_path, tmpl_path = compiled
+    if str(slot.get("aggregation_key", "")) != key_path:
+        return None
+
+    value_to_doc: dict[str, dict] = {}
+    leftover: list[dict] = []
+    for doc in docs:
+        v = _lookup(doc, [p for p in tmpl_path.split(".") if p])
+        if v is None:
+            leftover.append(doc)
+        else:
+            value_to_doc[str(v)] = doc
+
+    if not value_to_doc:
+        return leftover
+
+    key = path_col(events_df, key_path).cast("string")
+    candidates = events_df.where(key.isin(list(value_to_doc)))
+    dedup_ids = inflight_store.alerted_ids().unionByName(alert_store.alerted_ids())
+    params = dict(slot, criteria=static)
+    fired = threshold_alerts(
+        candidates, params, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
+    )
+
+    updates = []
+    for fired_doc in alerts_df_to_docs(fired):
+        doc = value_to_doc.get(str(fired_doc["metadata"]["value"]))
+        if doc is None:
+            continue
+        inflight = deepcopy(sequence_shell(doc))
+        inflight["slots"][slot_index] = fired_doc
+        updates.append(inflight)
+    inflight_store.upsert_many(updates)
+    return leftover

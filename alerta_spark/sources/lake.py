@@ -58,6 +58,54 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def write_partitioned_events(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Lay events out Hive-partitioned by zero-padded string
+    year/month/day/hour — the reference lake's partition scheme
+    (utils/dates.py:13-35). At 100 TB this is what makes the 2-hour
+    hop-window scan touch 2 partitions instead of the whole table."""
+    from alerta_spark.functions.scalars import date_parts
+
+    parts = date_parts(F.col(ts_col))
+    (
+        df.withColumn("year", parts["year"])
+        .withColumn("month", parts["month"])
+        .withColumn("day", parts["day"])
+        .withColumn("hour", parts["hour"])
+        .write.mode(mode)
+        .partitionBy("year", "month", "day", "hour")
+        .parquet(path)
+    )
+
+
+def load_partitioned_events(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def partition_window(
+    df: DataFrame, now: datetime, hours: int = 2
+) -> DataFrame:
+    """F5 on a partitioned layout: explicit predicates on the string
+    partition columns (current + previous `hours-1` hour partitions),
+    exactly the reference's query template (alerta.py:136-146). Catalyst
+    turns these into PartitionFilters — zero data files outside the
+    window are opened."""
+    from datetime import timedelta
+
+    preds = None
+    for h in range(hours):
+        t = now - timedelta(hours=h)
+        p = (
+            (F.col("year") == f"{t.year:04d}")
+            & (F.col("month") == f"{t.month:02d}")
+            & (F.col("day") == f"{t.day:02d}")
+            & (F.col("hour") == f"{t.hour:02d}")
+        )
+        preds = p if preds is None else (preds | p)
+    return df.where(preds)
+
+
 def time_window(
     df: DataFrame,
     ts_col: str = "ts",

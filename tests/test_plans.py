@@ -52,3 +52,39 @@ def test_text_ops_shuffle_free(spark):
     for name in ["text_token_stats", "text_quality_score", "text_fingerprint"]:
         plan = _plan(spark, name)
         assert "Exchange" not in plan, f"{name} should be map-only"
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """The reference's year/month/day/hour partition scheme: the hop
+    window must become PartitionFilters (file-level pruning), not a
+    data filter."""
+    from datetime import datetime
+
+    from alerta_spark.sources.lake import (
+        load_events,
+        load_partitioned_events,
+        partition_window,
+        write_partitioned_events,
+    )
+
+    ev = load_events(spark, SF)
+    path = str(tmp_path / "lake")
+    write_partitioned_events(ev, path)
+    lake = load_partitioned_events(spark, path)
+
+    now = datetime(2024, 1, 1, 3, 30)
+    win = partition_window(lake, now, hours=2)
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan
+
+    # row parity with the equivalent timestamp-range filter
+    from pyspark.sql import functions as F
+
+    expect = ev.where(
+        (F.col("ts") >= "2024-01-01 02:00:00") & (F.col("ts") < "2024-01-01 04:00:00")
+    ).count()
+    assert win.count() == expect
+    # pruning is real: only the 2 hour-partitions' files are read
+    n_files = win.select(F.input_file_name()).distinct().count()
+    assert n_files <= 4

@@ -158,3 +158,56 @@ def test_expiry_reaps_state(spark, engine):
         engine.inflight, now=utcnow() + timedelta(days=1)
     ) == 1
     assert engine.inflight.docs() == []
+
+
+def test_compile_templated_criteria_reference_shapes():
+    from alerta_spark.operators.sequence import compile_templated_criteria
+
+    # the reference's multiple_risky_logins slot 2 shape
+    c = (
+        "source='onelogin' AND CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80 "
+        "AND json_extract_scalar(details,'$.user_name')='{{slots.0.events.0.details.user_name}}'"
+    )
+    static, key_path, tmpl = compile_templated_criteria(c)
+    assert key_path == "details.user_name"
+    assert tmpl == "slots.0.events.0.details.user_name"
+    assert "risk_score" in static and "{{" not in static
+
+    # bare column and CAST shapes
+    assert compile_templated_criteria(
+        "event_type='error' AND CAST(user_id AS STRING)='{{slots.0.metadata.value}}'"
+    )[1] == "user_id"
+    # non-templated criteria -> None
+    assert compile_templated_criteria("source='x'") is None
+    # two templated conjuncts -> not batchable
+    assert compile_templated_criteria(
+        "a='{{x}}' AND b='{{y}}'"
+    ) is None
+
+
+def test_batched_slot_advance_many_docs(spark, engine):
+    """10 in-flight alerts waiting on the same slot advance with one
+    scan (SURVEY.md §7.4-1) and route fired groups to the right doc."""
+    users = [f"u{i}" for i in range(10)]
+    # seed: slot 0 filled per user
+    ev1 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in users]
+    )
+    engine.run_once(ev1, [SEQ_RULE])
+    inflight = engine.inflight.docs()
+    assert len(inflight) == 10
+
+    # new events for only 4 users -> only their slot 1 fires
+    hit = {"u1", "u3", "u5", "u7"}
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in sorted(hit)]
+    )
+    from pyspark.sql import functions as F
+
+    ev2 = ev2.withColumn("event_id", F.col("event_id") + 500)
+    engine.run_once(ev2, [SEQ_RULE])
+
+    done = engine.alerts.docs()
+    assert {d["slots"][0]["metadata"]["value"] for d in done} == hit
+    still = engine.inflight.docs()
+    assert {d["slots"][0]["metadata"]["value"] for d in still} == set(users) - hit
