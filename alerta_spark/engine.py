@@ -17,6 +17,7 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from alerta_spark.operators.deadman import deadman_alerts
 from alerta_spark.operators.sequence import (
@@ -59,10 +60,23 @@ class Engine:
                 )
                 self.alerts.append(alerts_df_to_docs(fired))
             elif kind == "deadman":
-                fired = deadman_alerts(
-                    events_df, rule, id_col=self.id_col, ts_col=self.ts_col
-                )
-                self.alerts.append(alerts_df_to_docs(fired))
+                # reference failure semantics (alerta.py:417-420): a scan
+                # exception is swallowed and leaves events empty, so a
+                # broken criteria / unavailable lake FIRES the deadman
+                # (absence of evidence is the alarm condition)
+                try:
+                    fired = deadman_alerts(
+                        events_df, rule, id_col=self.id_col, ts_col=self.ts_col
+                    )
+                    docs = alerts_df_to_docs(fired)
+                except Exception:
+                    empty = events_df.where(F.lit(False))
+                    fired = deadman_alerts(
+                        empty, dict(rule, criteria=""), id_col=self.id_col,
+                        ts_col=self.ts_col,
+                    )
+                    docs = alerts_df_to_docs(fired)
+                self.alerts.append(docs)
             elif kind == "sequence":
                 process_sequence_alert(
                     events_df, rule, self.inflight, self.alerts, self.id_col, self.ts_col

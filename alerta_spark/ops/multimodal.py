@@ -167,3 +167,80 @@ def sample_frames(
             ).otherwise(F.array(F.lit(0)))
         ).alias("frame_ms"),
     )
+
+
+def resize_images(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    target: tuple[int, int] = (224, 224),
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image resize plumbing over mapInPandas: 1->1 rows, binary in /
+    binary out with updated metadata. The pixel work is stubbed
+    (`decoder='fake'` re-emits a deterministic digest-truncated payload
+    with the target dims; `decoder='real'` names the library it
+    needs) — the Arrow batch path, output schema and metadata rewrite
+    are the production shape."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real resize requires an imaging library (e.g. Pillow) not "
+            "present in this environment; use decoder='fake'"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    tw, th = int(target[0]), int(target[1])
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "media",
+                T.StructType(
+                    [
+                        T.StructField("data", T.BinaryType()),
+                        T.StructField("meta", MEDIA_META),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def _resize(b):
+            b = bytes(b or b"")
+            # deterministic stand-in for decoded+resized pixels
+            return _hl.sha256(b).digest() * 4
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["_id"],
+                    "media": [
+                        {
+                            "data": _resize(d),
+                            "meta": {
+                                "kind": "image",
+                                "format": "fake-resized",
+                                "width": tw,
+                                "height": th,
+                                "duration_ms": None,
+                            },
+                        }
+                        for d in pdf["_data"]
+                    ],
+                }
+            )
+
+    slim = df.select(
+        F.col(id_col).alias("_id"), F.col(f"{media_col}.data").alias("_data")
+    )
+    return slim.mapInPandas(fn, out_schema)

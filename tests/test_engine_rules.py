@@ -43,3 +43,22 @@ def test_engine_full_run_over_testdata(spark, events, tmp_path):
     # sequences may have advanced using not-yet-captured events; deadman
     # fires every run by design (reference parity)
     assert len(engine.alerts.docs()) >= n_before
+
+
+def test_deadman_fires_on_scan_failure(spark, events, tmp_path):
+    """Reference failure semantics (alerta.py:417-420): a deadman rule
+    whose criteria cannot even be evaluated FIRES — absence of evidence
+    is the alarm condition."""
+    engine = Engine(spark, str(tmp_path / "store2"))
+    broken = {
+        "alert_name": "broken_deadman",
+        "alert_type": "deadman",
+        "criteria": "this is ==== not sql",
+        "threshold": 0,
+        "aggregation_key": "user_id",
+        "summary": "deadman {{metadata.count}}",
+    }
+    engine.run_once(events, [broken])
+    alerts = engine.alerts.docs()
+    assert len(alerts) == 1
+    assert alerts[0]["metadata"]["count"] == 0

@@ -88,3 +88,14 @@ def test_frame_sampling(spark):
     )
     frames = sample_frames(df, every_ms=1000).collect()
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_resize_images_plumbing(docs):
+    from alerta_spark.ops.multimodal import resize_images
+
+    media = attach_fake_media(docs.limit(20))
+    out = resize_images(media, target=(224, 224)).collect()
+    assert len(out) == 20
+    assert all(r["media"]["meta"]["width"] == 224 for r in out)
+    assert all(r["media"]["meta"]["format"] == "fake-resized" for r in out)
+    assert all(len(r["media"]["data"]) == 128 for r in out)
