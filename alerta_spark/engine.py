@@ -51,14 +51,26 @@ class Engine:
         for rule in rules:
             kind = rule.get("alert_type", "threshold")
             if kind == "threshold":
-                fired = threshold_alerts(
-                    events_df,
-                    rule,
-                    alerted_ids=self.alerts.alerted_ids(),
-                    id_col=self.id_col,
-                    ts_col=self.ts_col,
-                )
-                self.alerts.append(alerts_df_to_docs(fired))
+                # reference swallows scan failures here too
+                # (alerta.py:470-473): a broken criteria logs and yields
+                # no events -> no alert, the run continues
+                try:
+                    fired = threshold_alerts(
+                        events_df,
+                        rule,
+                        alerted_ids=self.alerts.alerted_ids(),
+                        id_col=self.id_col,
+                        ts_col=self.ts_col,
+                    )
+                    docs = alerts_df_to_docs(fired)
+                except Exception:
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "threshold scan failed for rule %r", rule.get("alert_name")
+                    )
+                    docs = []
+                self.alerts.append(docs)
             elif kind == "deadman":
                 # reference failure semantics (alerta.py:417-420): a scan
                 # exception is swallowed and leaves events empty, so a
