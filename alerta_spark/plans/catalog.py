@@ -1130,3 +1130,86 @@ def sql_api_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins — as-of (latest prior match) and range containment —
+# composed from built-ins, oracle-checked against DuckDB's native
+# ASOF JOIN / inequality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey, o.o_orderdate
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event enriched with the user's most recent
+    order at event time. Union + last_value-ignore-nulls window — one
+    key shuffle, no range cross-product (operators/asof.py)."""
+    from alerta_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+        )
+    )
+    out = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "o_orderkey",
+        F.col("o_orderdate_right").alias("o_orderdate"),
+    )
+
+
+@register(
+    "range_join_orders_followup",
+    oracle="""
+    SELECT a.o_orderkey AS first_order, count(*) AS n_followups
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+     AND a.o_orderkey != b.o_orderkey
+    GROUP BY a.o_orderkey
+    """,
+)
+def range_join_orders_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: follow-up orders by the same customer within 30
+    days — equi-join on the key with a range residual (hash join + a
+    cheap filter, NOT a nested loop over the cross product)."""
+    from alerta_spark.operators.asof import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    windows = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_order"),
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
+    )
+    followups = range_join(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        windows,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        lower="win_start",
+        upper="win_end",
+    ).where(F.col("o_orderkey") != F.col("first_order"))
+    return followups.groupBy("first_order").agg(
+        F.count(F.lit(1)).alias("n_followups")
+    )

@@ -51,8 +51,14 @@ def main() -> None:
 
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footers with the cheapest query
+    # warm the JVM + parquet footers with the cheapest query, and the
+    # Python-worker pool (Arrow/pandas-UDF paths pay daemon startup once)
     qs[names[0]](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+
+    spark.range(100).select(
+        F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:
