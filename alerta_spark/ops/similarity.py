@@ -212,6 +212,124 @@ def lsh_topk(
     )
 
 
+def _train_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    n_train: int,
+    id_col: str,
+    vec_col: str,
+    iters: int = 10,
+):
+    """Deterministic spherical k-means on a bounded sample.
+
+    The sample is the first `n_train` vectors by id (collected to the
+    driver — bounded, independent of corpus size; at 100 TB you train
+    on exactly this kind of fixed-size sample). Init = evenly spaced
+    sample points; Lloyd iterations on L2-normalized vectors (argmax
+    dot == spherical assignment). Fully deterministic: no RNG.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_train)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def _cell_udf(centroids, n_probe: int):
+    """Arrow-batched cell assignment: top-`n_probe` nearest centroids
+    per vector (one numpy matmul per batch)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def _cells(vecs):
+        X = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.tolist() for row in top])
+
+    _cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_cells, "array<int>")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_train: int = 256,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus
+    vectors land in their single nearest-centroid cell; each query
+    probes its `n_probe` nearest cells; exact cosine re-ranks the
+    candidates.
+
+    Scale path: the cell assignment is a write-once partition key — at
+    100 TB you'd persist the corpus bucketed by `cell` and each query
+    touches n_probe/n_centroids of the data. Here the probe join is a
+    broadcast of the (tiny) exploded query->cell list against the
+    cell-assigned corpus: one corpus scan, no corpus shuffle.
+
+    -> [query_id, neighbor_id, cos] (same shape as cosine_topk).
+    """
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    C = _train_centroids(df, n_centroids, n_train, id_col, vec_col)
+    corpus_cell = _cell_udf(C, 1)
+    query_cells = _cell_udf(C, n_probe)
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.element_at(corpus_cell(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = (
+        df.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(query_cells(F.col(vec_col))).alias("cell"),
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"]) & (corpus["neighbor_id"] != q["query_id"]),
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

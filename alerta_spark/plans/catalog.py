@@ -681,6 +681,17 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
 
 
+@register("similarity_ivf_topk", oracle=None)  # approximate: rows-only
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-10: deterministic spherical k-means cells,
+    n_probe-cell candidate fetch, exact cosine re-rank (recall vs
+    brute force checked in tests). At scale the cell id is the corpus
+    partition key — each query reads n_probe/n_centroids of the data."""
+    from alerta_spark.ops.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+
+
 @register(
     "multimodal_media_summary",
     oracle="""
@@ -1212,4 +1223,176 @@ def range_join_orders_followup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("o_orderkey") != F.col("first_order"))
     return followups.groupBy("first_order").agg(
         F.count(F.lit(1)).alias("n_followups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subquery surface — correlated scalar, IN + HAVING, NOT EXISTS, and a
+# top-k join (TPC-H Q3/Q17/Q18/Q22 shapes). The reference delegated all
+# of this to Athena/Trino; a user switching engines writes these
+# directly. Each Spark plan is the decorrelated scale shape: the
+# subquery becomes a pre-aggregated (broadcastable) join input instead
+# of a per-row probe.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2)) * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact-fact join ->
+    grouped revenue -> global top-10 (TakeOrderedAndProject, no full
+    sort at scale). Deterministic tie-break on l_orderkey."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "subquery_correlated_small_qty",
+    oracle="""
+    SELECT count(*) AS n_small,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS total_extprice
+    FROM lineitem l
+    WHERE CAST(l.l_quantity AS DECIMAL(20,2)) * 5 *
+          (SELECT count(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+        < (SELECT sum(CAST(i.l_quantity AS DECIMAL(20,2)))
+           FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+    """,
+)
+def subquery_correlated_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (qty < 0.2 * per-part
+    avg) decorrelated into one per-part aggregate joined back to the
+    fact — one shuffle on l_partkey instead of a per-row probe. The
+    predicate is rearranged to exact DECIMAL arithmetic
+    (qty*5*cnt < sum) so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("total_extprice"),
+        )
+    )
+
+
+@register(
+    "subquery_in_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(20,2))) > 300
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    """,
+)
+def subquery_in_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN (grouped HAVING subquery) as a left_semi
+    join against the aggregated key set — the qualifying-orderkey side
+    is tiny after HAVING, so it broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+        .where(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "subquery_not_exists_idle_rich",
+    oracle="""
+    WITH stats AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(20,2))) AS s, count(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, count(*) AS n_custs,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS total_bal
+    FROM customer c, stats
+    WHERE CAST(c.c_acctbal AS DECIMAL(20,2)) * stats.n > stats.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def subquery_not_exists_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar aggregate (broadcast single-row
+    cross join, exact bal*n > sum DECIMAL compare — no float-boundary
+    flakiness) + NOT EXISTS as a left_anti join on the filtered orders
+    key set."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .where(dec("c_acctbal") * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
     )

@@ -4,7 +4,12 @@ import math
 
 import pytest
 
-from alerta_spark.ops.similarity import cosine_topk, lsh_topk, cosine_pairs
+from alerta_spark.ops.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+    cosine_pairs,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -53,6 +58,29 @@ def test_lsh_topk_recall(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ANN recall too low: {recall}"
+
+
+def test_ivf_topk_recall(emb):
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    # The synthetic embeddings are near-uniform — the hardest case for
+    # a coarse quantizer — so the tiny corpus needs wide probing
+    # (8/16 cells) for recall; clustered real corpora need far fewer.
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qids, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_ivf_topk_deterministic(emb):
+    a = sorted(map(tuple, ivf_topk(emb, [0], k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, [0], k=5).collect()))
+    assert a == b
 
 
 def test_cosine_pairs_blocked_symmetry(emb):
