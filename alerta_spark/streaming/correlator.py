@@ -284,6 +284,167 @@ def sequence_correlator(
     return slim.groupBy("_corr").applyInPandas(batch_fn, OUTPUT_SCHEMA)
 
 
+def sequence_correlator_tws(
+    events: DataFrame,
+    rule: dict[str, Any],
+    correlation_key: str,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    sample_count: int = 3,
+    time_mode: str = "processingTime",
+) -> DataFrame:
+    """T3-T5 on the Spark 4 arbitrary-state v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``): same
+    SlotMachine semantics as :func:`sequence_correlator`, but state and
+    lifespan live in a typed ValueState plus explicit timers — the
+    engine owns state encoding/expiry (RocksDB-backed at scale) instead
+    of the legacy flatMapGroupsWithState timeout channel.
+
+    ``time_mode='eventTime'`` registers watermark-driven timers, so the
+    deadman/expiry clock follows the data, not the wall clock.
+    Streaming-only (use sequence_correlator for batch frames).
+
+    Requires the ``protobuf`` package (the transformWithState Python
+    state-server protocol is protobuf-framed); raises ImportError with
+    a clear message where it is unavailable — sequence_correlator
+    (applyInPandasWithState) is the dependency-free fallback.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package; "
+            "use sequence_correlator (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
+
+    slots = rule["slots"]
+    lifespan_ms = int(
+        parse_timedelta(str(rule.get("lifespan", "3 days"))).total_seconds() * 1000
+    )
+    key = path_col(events, correlation_key).cast("string").alias("_corr")
+    match_cols = [
+        F.expr(trino_to_spark(_static_criteria(s)) or "true").alias(f"_m{i}")
+        for i, s in enumerate(slots)
+    ]
+    slim = (
+        events.select(
+            key,
+            F.col(id_col).cast("string").alias("_eid"),
+            F.col(ts_col).alias("_ts"),
+            *match_cols,
+        )
+        .where(F.col("_corr").isNotNull())
+        .withWatermark("_ts", watermark)
+    )
+
+    machine = SlotMachine(
+        [str(s.get("alert_type", "threshold")) for s in slots],
+        [int(s.get("threshold", 1)) for s in slots],
+        sample_count,
+    )
+    n_slots = len(slots)
+    alert_name = str(rule.get("alert_name", "unnamed"))
+    event_time = time_mode.lower() == "eventtime"
+
+    class _SequenceProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("seq", STATE_SCHEMA)
+
+        def _load(self):
+            if self._state.exists():
+                slot_index, counts, first_ms, last_ms, samples_json = self._state.get()
+                return (slot_index, list(counts), first_ms, last_ms, json.loads(samples_json))
+            return machine.initial()
+
+        def _store(self, st) -> None:
+            self._state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
+
+        def _arm_timer(self, timer_values, st) -> None:
+            if event_time:
+                # clock follows the data: expire lifespan after the
+                # latest captured event (watermark-driven)
+                base = st[3] or max(timer_values.getCurrentWatermarkInMs(), 0)
+            else:
+                base = timer_values.getCurrentProcessingTimeInMs()
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(base + lifespan_ms)
+
+        def _emit_pdf(self, corr, st, expired: bool) -> pd.DataFrame:
+            slot_index, counts, first_ms, last_ms, samples = st
+            return pd.DataFrame(
+                {
+                    "correlation_value": [corr],
+                    "alert_name": [alert_name],
+                    "n_slots": [n_slots],
+                    "slot_counts": [counts],
+                    "first_event_ts": [pd.Timestamp(first_ms, unit="ms") if first_ms else None],
+                    "last_event_ts": [pd.Timestamp(last_ms, unit="ms") if last_ms else None],
+                    "sample_event_ids": [samples[: machine.sample_count]],
+                    "expired": [expired],
+                }
+            )
+
+        def handleInputRows(self, key_, rows, timer_values):
+            corr = key_[0]
+            st = self._load()
+            pdfs = [p for p in rows if len(p)]
+            ev_rows = (
+                pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
+            )
+            completed = False
+            if len(ev_rows):
+                ev_rows = ev_rows.sort_values(["_ts", "_eid"])
+                evs = [
+                    (
+                        int(r["_ts"].value // 1_000_000),
+                        str(r["_eid"]),
+                        [bool(r[f"_m{i}"]) for i in range(n_slots)],
+                    )
+                    for _, r in ev_rows.iterrows()
+                ]
+                st, completed = machine.on_events(st, evs)
+            if completed:
+                self._state.clear()
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                yield self._emit_pdf(corr, st, False)
+                return
+            self._store(st)
+            self._arm_timer(timer_values, st)
+
+        def handleExpiredTimer(self, key_, timer_values, expired_timer_info):
+            corr = key_[0]
+            st = self._load()
+            st, completed, expired = machine.on_timeout(st)
+            if completed or expired:
+                self._state.clear()
+                yield self._emit_pdf(corr, st, expired)
+            else:
+                self._store(st)
+                self._arm_timer(timer_values, st)
+
+        def close(self) -> None:
+            pass
+
+    return slim.groupBy("_corr").transformWithStateInPandas(
+        _SequenceProcessor(),
+        OUTPUT_SCHEMA,
+        "append",
+        "eventTime" if event_time else "processingTime",
+    )
+
+
 def streaming_threshold_alerts(
     events: DataFrame,
     rule: dict[str, Any],

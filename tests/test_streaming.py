@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from alerta_spark.streaming.correlator import (
     sequence_correlator,
+    sequence_correlator_tws,
     streaming_dedup,
     streaming_threshold_alerts,
 )
@@ -95,6 +96,54 @@ def test_sequence_correlator_completes_per_key(spark):
     assert "alice" in done and done["alice"]["expired"] is False
     assert list(done["alice"]["slot_counts"]) == [2, 1]
     assert "bob" not in done and "carol" not in done
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this env)",
+)
+def test_sequence_correlator_tws_completes_per_key(spark):
+    """transformWithStateInPandas (arbitrary-state v2) path produces
+    the same completions as the applyInPandasWithState path."""
+    risky = lambda u, score=95: {"risk_score": str(score), "user_name": u}  # noqa: E731
+    ev = _events(
+        spark,
+        [
+            (0, risky("alice")),
+            (1, risky("alice")),
+            (2, risky("alice")),
+            (3, risky("bob")),
+            (4, risky("carol", score=10)),
+        ],
+    )
+    out = _run_stream(
+        spark,
+        ev,
+        lambda s: sequence_correlator_tws(s, RULE, "details.user_name"),
+        "seq_tws_out",
+    ).collect()
+    done = {r["correlation_value"]: r for r in out}
+    assert "alice" in done and done["alice"]["expired"] is False
+    assert list(done["alice"]["slot_counts"]) == [2, 1]
+    assert "bob" not in done and "carol" not in done
+
+
+@pytest.mark.skipif(
+    _has_protobuf(), reason="guard only observable without protobuf"
+)
+def test_sequence_correlator_tws_requires_protobuf(spark):
+    ev = _events(spark, [(0, {"risk_score": "95", "user_name": "a"})])
+    with pytest.raises(ImportError, match="protobuf"):
+        sequence_correlator_tws(ev, RULE, "details.user_name")
 
 
 def test_sequence_correlator_batch_mode_same_result(spark):
