@@ -168,6 +168,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 5,
     num_hashes: int = 64,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of
     xxhash64(i, shingle).
@@ -180,8 +181,16 @@ def minhash_signatures(
     array_min(transform(shingles, hash_i)) — re-evaluates the shingle
     expression once per lane after Catalyst's projection collapse
     (measured 40x slower at sf0.1).
+
+    `shingle_df` lets callers supply pre-materialized
+    :func:`shingle_rows` output so the shingle pipeline is built once
+    and shared across consumers.
     """
-    ex = shingle_rows(df, text_col, id_col, n)
+    ex = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_rows(df, text_col, id_col, n)
+    )
     lanes = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -218,7 +227,13 @@ def minhash_lsh_pairs(
     signature estimate).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # one shingle materialization feeds BOTH the signature aggregate
+    # and the exact-Jaccard verification sets — at lake scale this
+    # persist is a checkpoint table written once per corpus snapshot
+    idx = shingle_rows(df, text_col, id_col, n)
+    if verify:
+        idx = idx.persist()
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle_df=idx)
     banded = sigs.select(
         "_id",
         F.explode(
@@ -255,12 +270,10 @@ def minhash_lsh_pairs(
         return cand
 
     # verify candidates with exact jaccard over distinct shingle sets
-    # (persisted: consumed by both join sides)
+    # (from the same persisted shingle rows as the signatures)
     sets_ = (
-        shingle_rows(df, text_col, id_col, n)
-        .groupBy("_id")
+        idx.groupBy("_id")
         .agg(F.collect_list("shingle").alias("sh"))
-        .persist()
     )
     sa = sets_.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets_.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
