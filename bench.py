@@ -23,14 +23,19 @@ HEADLINE = [
     "a5_topk_per_group",
     "f8_dedup_antijoin",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
     "join_revenue_by_nation",
     "semi_join_building_orders",
+    "subquery_correlated_small_qty",
+    "subquery_in_large_orders",
+    "asof_join_latest_order",
     "text_quality_score",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "multimodal_features",
 ]
 

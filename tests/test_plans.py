@@ -54,6 +54,33 @@ def test_text_ops_shuffle_free(spark):
         assert "Exchange" not in plan, f"{name} should be map-only"
 
 
+def test_q3_uses_take_ordered_not_full_sort(spark):
+    """Global top-10 must be TakeOrderedAndProject (per-partition heap
+    + driver merge), never a full Sort + CollectLimit."""
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_semi_join_broadcasts_having_set(spark):
+    plan = _plan(spark, "subquery_in_large_orders")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = _plan(spark, "subquery_not_exists_idle_rich")
+    assert "LeftAnti" in plan
+    # the 1-row stats side arrives by broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_correlated_decorrelation_single_fact_shuffle(spark):
+    """Q17 shape: the per-part aggregate and the join must share the
+    l_partkey partitioning — no second scan-side exchange beyond the
+    two key shuffles + the final single-row agg."""
+    plan = _plan(spark, "subquery_correlated_small_qty")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_partitioned_layout_prunes(spark, tmp_path):
     """The reference's year/month/day/hour partition scheme: the hop
     window must become PartitionFilters (file-level pruning), not a
