@@ -82,3 +82,32 @@ def path_value(expr: Column, dtype: T.DataType, path: str) -> Column:
     parts = [p for p in path.split(".") if p]
     out, _ = resolve_path(expr, dtype, parts)
     return out
+
+
+def _flatten_query(query: dict, prefix: str = "") -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    for k, v in query.items():
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.extend(_flatten_query(v, path))
+        else:
+            out.append((path, v))
+    return out
+
+
+def dict_match(df: DataFrame, query: dict) -> Column:
+    """F10 ``dict_match``/``sub_dict`` (utils/dict_helpers.py:63-76): true
+    when every (possibly nested) key/value in `query` is present in the
+    row. Compiles to an AND of path-column equality comparisons — pure
+    codegen, no UDF; values compare as strings on JSON-string payloads
+    (the reference compares post-json.loads Python values; scalar parity
+    holds because JSON scalars stringify identically)."""
+    pred = F.lit(True)
+    for path, value in _flatten_query(query):
+        col = path_col(df, path)
+        if value is None:
+            cond = col.isNull()
+        else:
+            cond = col.cast("string") == F.lit(str(value))
+        pred = pred & cond
+    return pred

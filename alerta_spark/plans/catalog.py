@@ -1396,3 +1396,49 @@ def subquery_not_exists_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
+
+
+@register(
+    "f10_dict_match",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_type = 'purchase'
+      AND json_extract_string(props, '$.k') = '69'
+    """,
+)
+def f10_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 dict subset match (utils/dict_helpers.py:63-76): a query
+    dict {'event_type': 'purchase', 'props': {'k': 69}} compiled to an
+    AND of path-column equalities (codegen, no UDF)."""
+    from alerta_spark.paths import dict_match
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        dict_match(ev, {"event_type": "purchase", "props": {"k": 69}})
+    ).select("event_id", "event_type")
+
+
+@register(
+    "c9_date_parts",
+    oracle="""
+    SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+           strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def c9_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 get_date_parts (utils/dates.py:13-35): zero-padded
+    year/month/day/hour partition strings — the lake partition key
+    derivation, here as a rollup over the events table."""
+    from alerta_spark.functions.scalars import date_parts
+
+    ev = load_table(spark, sf_dir, "events")
+    p = date_parts(F.col("ts"))
+    return (
+        ev.select(p.alias("p"))
+        .groupBy("p.year", "p.month", "p.day", "p.hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -56,3 +56,22 @@ def test_render_py_matches_column_semantics():
         render_py("{{metadata.value}}/{{metadata.count}}/{{events.0.id}}/{{nope}}", ctx)
         == "root/2/7/"
     )
+
+
+def test_dict_match_nested_and_miss(spark):
+    from alerta_spark.paths import dict_match
+
+    df = spark.createDataFrame(
+        [
+            {"source": "onelogin", "props": json.dumps({"k": 69, "who": "root"})},
+            {"source": "onelogin", "props": json.dumps({"k": 70})},
+            {"source": "gsuite", "props": json.dumps({"k": 69})},
+        ]
+    )
+    # nested subset match over the JSON-string payload
+    got = df.where(dict_match(df, {"source": "onelogin", "props": {"k": 69}}))
+    assert got.count() == 1 and got.first()["source"] == "onelogin"
+    # a query path absent from every row matches nothing (silent miss)
+    assert df.where(dict_match(df, {"props": {"nope": 1}})).count() == 0
+    # empty query matches everything (vacuous AND — reference parity)
+    assert df.where(dict_match(df, {})).count() == 3
