@@ -32,6 +32,38 @@ def save_alerts(alerts: DataFrame, path: str) -> None:
     stamped.write.mode("append").parquet(path)
 
 
+def stream_alerts(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str = "alerts_sink",
+    available_now: bool = True,
+):
+    """S7 under Structured Streaming: persist alert rows from a
+    streaming frame (streaming_threshold_alerts / sequence_correlator
+    output) into the alerts table via ``foreachBatch`` -> append.
+
+    The checkpoint makes batch ids stable across restarts; parquet
+    append itself is not transactional, so a crash between write and
+    checkpoint commit can duplicate one micro-batch — the reference has
+    the same at-least-once storage semantics (Mongo insert + eventid
+    dedup on the next scan, alerta.py:38-57), and F8's anti-join
+    absorbs duplicates downstream. On a transactional table format the
+    same foreachBatch body becomes exactly-once.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    writer = (
+        stream.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .foreachBatch(lambda batch, _id: save_alerts(batch, path))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def load_alerts(spark: SparkSession, path: str) -> DataFrame | None:
     if not os.path.isdir(path) or not any(
         f.endswith(".parquet") for f in os.listdir(path)

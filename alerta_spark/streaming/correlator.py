@@ -460,14 +460,28 @@ def streaming_threshold_alerts(
     from alerta_spark.rules import threshold_shell
 
     p = threshold_shell(rule)
-    ev = apply_criteria(events, p["criteria"])
+    # Every event must reach the stateful aggregate, or the event-time
+    # clock stalls: Catalyst pushes a criteria filter below the
+    # EventTimeWatermark node (the predicate doesn't reference ts), so
+    # a filtered stream only advances the watermark on MATCHING events
+    # and a sparse-match rule's last windows never finalize. Instead,
+    # non-matching rows collapse into one sentinel group per window
+    # (O(1) state overhead) and only matches are counted.
+    ev = events.withWatermark(ts_col, watermark)
+    matched = F.expr(trino_to_spark(p["criteria"]) or "true")
     key = path_col(ev, p["aggregation_key"]).cast("string")
+    # The sentinel must be suppressed by the AGGREGATED count alone: a
+    # grouping-key predicate (value IS NOT NULL) would be pushed back
+    # through the aggregate AND the watermark node by the optimizer,
+    # recreating the stall. count counts only matched rows, so the
+    # NULL sentinel group always has count 0 and the HAVING (which
+    # cannot push below the aggregate) drops it.
+    eff_key = F.when(matched & key.isNotNull(), key)  # NULL = sentinel group
+    hit = F.when(matched & key.isNotNull(), 1).otherwise(0)
     out = (
-        ev.withWatermark(ts_col, watermark)
-        .where(key.isNotNull())
-        .groupBy(F.window(F.col(ts_col), window).alias("win"), key.alias("value"))
-        .agg(F.count(F.lit(1)).alias("count"))
-        .where(F.col("count") >= int(p["threshold"]))
+        ev.groupBy(F.window(F.col(ts_col), window).alias("win"), eff_key.alias("value"))
+        .agg(F.sum(hit).alias("count"))
+        .where(F.col("count") >= max(int(p["threshold"]), 1))
     )
     return out.select(
         F.lit(p["alert_name"]).alias("alert_name"),

@@ -187,6 +187,47 @@ def test_streaming_dedup(spark):
     assert got.count() == 2
 
 
+def test_stream_alerts_sink_persists(spark, tmp_path):
+    """Streaming threshold alerts land in the alerts table (S7 under
+    streaming) and are readable for the next run's F8 dedup."""
+    import tempfile
+
+    from alerta_spark.sources.sinks import load_alerts, stream_alerts
+
+    ev = _events(
+        spark,
+        [
+            (0, {"risk_score": "95", "user_name": "u1"}),
+            (0, {"risk_score": "96", "user_name": "u1"}),
+            # later non-matching event advances the watermark past the
+            # first window so the append-mode aggregate finalizes
+            (5, {"risk_score": "10", "user_name": "u2"}),
+        ],
+    )
+    rule = {
+        "alert_name": "risky_hour",
+        "criteria": "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80",
+        "aggregation_key": "details.user_name",
+        "threshold": 2,
+    }
+    src = tempfile.mkdtemp(prefix="sink_src_")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = streaming_threshold_alerts(stream, rule, window="1 hour")
+    q = stream_alerts(
+        out,
+        str(tmp_path / "alerts"),
+        str(tmp_path / "ck"),
+        query_name="sink_test",
+    )
+    q.awaitTermination(120)
+    got = load_alerts(spark, str(tmp_path / "alerts"))
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["metadata"]["count"] == 2
+    assert rows[0]["_id"] is not None and rows[0]["utcepoch"] is not None
+
+
 def test_slot_machine_deadman_timeout():
     """Deadman slot advances on timeout (absence confirmed); lifespan
     expiry reaps a stalled threshold slot (T5/T6)."""
