@@ -1442,3 +1442,58 @@ def c9_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.year", "p.month", "p.day", "p.hour")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "rollup_incremental_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) / count(*), 6) AS avg_value,
+           min(ts) AS min_ts, max(ts) AS max_ts
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly rollup (ops/rollup.py): two
+    disjoint deltas aggregated to PARTIALS, combined, finalized — the
+    oracle is the monolithic GROUP BY over all events, proving the
+    combine algebra is lossless (what makes O(delta) maintenance of a
+    100 TB continuous aggregate sound)."""
+    from alerta_spark.ops.rollup import (
+        combine_partials,
+        finalize_rollup,
+        rollup_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return finalize_rollup(
+        combine_partials(rollup_partials(a), rollup_partials(b))
+    )
+
+
+@register(
+    "a5_topk_per_group_salted",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    """,
+)
+def a5_topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 top-k per group, skew-resistant: salted two-phase ranking
+    (operators/topk.py) — SAME oracle as a5_topk_per_group, proving the
+    salted decomposition returns the identical rows while bounding the
+    per-task group size under key skew."""
+    from alerta_spark.operators.topk import topk_per_group_salted
+
+    ev = load_table(spark, sf_dir, "events")
+    return topk_per_group_salted(
+        ev, ["user_id"], ["ts", "event_id"], k=2
+    ).select("event_id", "user_id", "event_type")

@@ -81,6 +81,39 @@ def test_correlated_decorrelation_single_fact_shuffle(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides written bucketed by the join key -> SortMergeJoin
+    with ZERO exchanges (the 100 TB fact-fact join answer); the same
+    join on plain parquet costs two shuffles."""
+    from alerta_spark.sources.bucketed import read_bucketed, write_bucketed
+    from alerta_spark.sources.lake import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF, "orders")
+        li = load_table(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        write_bucketed(o, "orders_bt", "o_orderkey", 8, path=str(tmp_path / "o"))
+        write_bucketed(li, "lineitem_bt", "o_orderkey", 8, path=str(tmp_path / "l"))
+        j = read_bucketed(spark, "orders_bt").join(
+            read_bucketed(spark, "lineitem_bt"), "o_orderkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and plan.count("Exchange") == 0
+
+        plain = o.join(li, "o_orderkey")
+        p2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert p2.count("Exchange") == 2
+        # same answer either way
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_bt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bt")
+
+
 def test_partitioned_layout_prunes(spark, tmp_path):
     """The reference's year/month/day/hour partition scheme: the hop
     window must become PartitionFilters (file-level pruning), not a
@@ -115,3 +148,28 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     # pruning is real: only the 2 hour-partitions' files are read
     n_files = win.select(F.input_file_name()).distinct().count()
     assert n_files <= 4
+
+
+def test_salted_topk_matches_plain_under_skew(spark):
+    """One key holding most rows: salted two-phase top-k returns the
+    identical row set as the single-window form."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from alerta_spark.operators.topk import topk_per_group_salted
+
+    rows = [(i, "hot" if i % 10 else f"cold{i}", i % 997) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, key string, ord long")
+    plain = (
+        df.withColumn(
+            "rn", F.row_number().over(W.partitionBy("key").orderBy("ord", "id"))
+        )
+        .where(F.col("rn") <= 3)
+        .select("id", "key")
+    )
+    salted = topk_per_group_salted(df, ["key"], ["ord", "id"], k=3).select(
+        "id", "key"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
