@@ -25,6 +25,31 @@ _FUNCTION_ALIASES = {
     "json_extract": "get_json_object",
     "strpos": "instr",
     "codepoint": "ascii",
+    # wider Trino surface a rule author will reach for; pure renames
+    "contains": "array_contains",  # same arg order (array, elem)
+    "approx_distinct": "approx_count_distinct",
+    "starts_with": "startswith",
+    "to_unixtime": "unix_timestamp",
+    # identical in Spark SQL (kept out of the table, documented here):
+    # position(IN), CAST/TRY_CAST, cardinality, element_at (1-based in
+    # both), split_part, regexp_like/regexp_extract/regexp_replace,
+    # date_trunc, from_unixtime, length/lower/upper/trim, lpad/rpad,
+    # coalesce/nullif/if, arrays_overlap, array_join, chr
+}
+
+# Trino calls whose ARGUMENTS must be rewritten, not just the name.
+# Template placeholders: {0},{1},... = argument text verbatim;
+# {0u} = argument with surrounding single quotes stripped (Trino
+# passes time units as strings, Spark's timestampadd/diff take bare
+# keywords).
+_CALL_REWRITES = {
+    "url_extract_host": "parse_url({0}, 'HOST')",
+    "url_extract_path": "parse_url({0}, 'PATH')",
+    "url_extract_protocol": "parse_url({0}, 'PROTOCOL')",
+    "url_extract_query": "parse_url({0}, 'QUERY')",
+    "url_extract_parameter": "parse_url({0}, 'QUERY', {1})",
+    "date_diff": "timestampdiff({0u}, {1}, {2})",
+    "date_add": "timestampadd({0u}, {1}, {2})",
 }
 
 _TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -62,11 +87,134 @@ def _split_literals(sql: str) -> list[tuple[str, bool]]:
     return out
 
 
+def _split_args(argtext: str) -> list[str]:
+    """Split a call's argument text on top-level commas (paren depth 0,
+    outside string literals)."""
+    out, buf, depth, in_str = [], [], 0, False
+    i, n = 0, len(argtext)
+    while i < n:
+        ch = argtext[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < n and argtext[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    if buf or out:
+        out.append("".join(buf).strip())
+    return out
+
+
+def _apply_call_rewrites(sql: str) -> str:
+    """Rewrite Trino calls whose argument shape differs in Spark
+    (paren-matched, string-literal aware; innermost-last so nested
+    calls also rewrite)."""
+    def _literal_spans(s: str) -> list[tuple[int, int]]:
+        spans, i, n = [], 0, len(s)
+        while i < n:
+            if s[i] == "'":
+                j = i + 1
+                while j < n:
+                    if s[j] == "'":
+                        if j + 1 < n and s[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                spans.append((i, j))
+                i = j + 1
+            else:
+                i += 1
+        return spans
+
+    changed = True
+    while changed:
+        changed = False
+        low = sql.lower()
+        spans = _literal_spans(sql)
+        for fname, template in _CALL_REWRITES.items():
+            start = 0
+            while True:
+                at = low.find(fname + "(", start)
+                if at < 0:
+                    break
+                # token boundary on the left; never rewrite inside a literal
+                if (
+                    at > 0 and (low[at - 1].isalnum() or low[at - 1] == "_")
+                ) or any(a <= at <= b for a, b in spans):
+                    start = at + 1
+                    continue
+                open_ = at + len(fname)
+                depth, i, in_str = 0, open_, False
+                while i < len(sql):
+                    ch = sql[i]
+                    if in_str:
+                        if ch == "'":
+                            if i + 1 < len(sql) and sql[i + 1] == "'":
+                                i += 1
+                            else:
+                                in_str = False
+                    elif ch == "'":
+                        in_str = True
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i += 1
+                args = _split_args(sql[open_ + 1 : i])
+                ctx = {str(k): a for k, a in enumerate(args)}
+                for k, a in enumerate(args):
+                    ctx[f"{k}u"] = a.strip().strip("'")
+                try:
+                    replacement = _fmt(template, ctx)
+                except (KeyError, IndexError):
+                    start = at + 1
+                    continue
+                sql = sql[:at] + replacement + sql[i + 1 :]
+                changed = True
+                break
+            if changed:
+                break
+    return sql
+
+
+def _fmt(template: str, ctx: dict[str, str]) -> str:
+    out = template
+    # longest keys first so {0u} is not clobbered by {0}
+    for k in sorted(ctx, key=len, reverse=True):
+        out = out.replace("{" + k + "}", ctx[k])
+    if re.search(r"\{\d+u?\}", out):
+        raise KeyError("missing argument for template")
+    return out
+
+
 def trino_to_spark(criteria: str) -> str:
     """Rewrite a Trino WHERE-fragment into Spark SQL.
 
-    Only function names are touched, and only outside string literals.
+    Function renames apply only outside string literals; the few calls
+    whose argument shape differs (url_extract_*, date_diff/date_add)
+    are rewritten with paren-matched, literal-aware templates.
     """
+    criteria = _apply_call_rewrites(criteria)
     parts = []
     for chunk, is_lit in _split_literals(criteria):
         if is_lit:

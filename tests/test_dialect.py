@@ -34,3 +34,49 @@ def test_escaped_quote_in_literal():
     out = trino_to_spark(crit)
     assert "'O''json_extract_scalar'" in out
     assert "get_json_object(d,'$.x')='1'" in out
+
+
+def test_call_rewrites_url_and_date_functions():
+    assert (
+        trino_to_spark("url_extract_host(json_extract_scalar(d,'$.url')) = 'evil.example'")
+        == "parse_url(get_json_object(d,'$.url'), 'HOST') = 'evil.example'"
+    )
+    assert trino_to_spark("date_diff('hour', ts, now()) < 2") == (
+        "timestampdiff(hour, ts, now()) < 2"
+    )
+    assert trino_to_spark("date_add('day', 7, ts) > now()") == (
+        "timestampadd(day, 7, ts) > now()"
+    )
+    # nested rewrites resolve
+    assert trino_to_spark("date_diff('hour', ts, date_add('day', 1, ts)) > 0") == (
+        "timestampdiff(hour, ts, timestampadd(day, 1, ts)) > 0"
+    )
+    # literals are never rewritten
+    assert trino_to_spark("x = 'date_diff(''h'', a, b)'") == "x = 'date_diff(''h'', a, b)'"
+
+
+def test_wider_renames():
+    assert trino_to_spark("contains(tags, 'prod')") == "array_contains(tags, 'prod')"
+    assert trino_to_spark("strpos(s,'a') > 0") == "instr(s,'a') > 0"
+    assert trino_to_spark("approx_distinct(x) > 5") == "approx_count_distinct(x) > 5"
+    assert trino_to_spark("starts_with(s,'p')") == "startswith(s,'p')"
+
+
+def test_rewritten_criteria_evaluate_in_spark(spark):
+    """The rewritten fragments must be valid, correct Spark SQL."""
+    df = spark.createDataFrame(
+        [
+            {
+                "url": "https://evil.example/p?id=7",
+                "tags": ["prod", "web"],
+                "ts": "2026-01-01 00:00:00",
+            }
+        ]
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["to_timestamp"]).to_timestamp("ts"))
+    df.createOrReplaceTempView("dialect_t")
+    sql = trino_to_spark(
+        "url_extract_host(url) = 'evil.example'"
+        " AND contains(tags, 'prod')"
+        " AND date_diff('hour', ts, date_add('day', 1, ts)) = 24"
+    )
+    assert spark.sql(f"SELECT count(*) c FROM dialect_t WHERE {sql}").first()["c"] == 1
