@@ -155,3 +155,34 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xxh64"),
     )
+
+
+# Conservative, engine-portable PII patterns (identical semantics in
+# Java regex and DuckDB's RE2): email, dotted-quad IPv4, US-style
+# 7-digit phone tail. Redaction before training is a standard lake
+# hygiene pass; patterns are intentionally simple and auditable —
+# swap in org-specific ones at deploy time.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", token: str = "[PII]"
+) -> DataFrame:
+    """Redact PII spans and count them per category — one map-only
+    projection (no shuffle, no UDF): ``regexp_count`` per pattern plus
+    chained ``regexp_replace``. Order matters: email first so its
+    domain dots are not half-eaten by the ipv4 pattern."""
+    redacted = _c(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(_c(text_col), F.lit(pat)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(
+        "doc_id",
+        redacted.alias("text_redacted"),
+        *counts,
+    )

@@ -1497,3 +1497,87 @@ def a5_topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group_salted(
         ev, ["user_id"], ["ts", "event_id"], k=2
     ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    WITH spiked AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+             '\b\d{3}[-.]\d{4}\b', '[PII]', 'g') AS text_redacted,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{3}[-.]\d{4}\b')) AS n_phone
+    FROM spiked
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data hygiene): documents spiked with
+    deterministic synthetic PII, then redacted + counted per category
+    in one map-only projection (ops/text.redact_pii)."""
+    from alerta_spark.ops.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(spiked)
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # set below (needs _DUCK_SHINGLES)
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over exact n-gram-Jaccard pairs:
+    iterative min-label propagation (connected components), cluster_id
+    = component min id (the kept survivor). Oracle: DuckDB recursive
+    CTE computing the same closure."""
+    from alerta_spark.ops.dedupe import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.8
+    )
+    return dup_clusters(pairs)
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """
+
+
+QUERIES["dedup_clusters"]["oracle"] = _clusters_oracle()

@@ -77,3 +77,15 @@ def test_simhash_identical_docs_zero_distance(spark):
     )
     rows = simhash_near_dups(df).collect()
     assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_dup_clusters_transitive(spark):
+    from alerta_spark.ops.dedupe import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (9, 8)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
