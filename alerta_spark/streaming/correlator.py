@@ -165,6 +165,7 @@ def sequence_correlator(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     sample_count: int = 3,
+    time_mode: str = "processingTime",
 ) -> DataFrame:
     """T3-T5: distributed sequence correlation over a stream.
 
@@ -173,6 +174,15 @@ def sequence_correlator(
     (or expired) sequence. Threshold slots advance when their running
     count reaches the slot threshold; deadman slots advance when the
     state times out with no matching events (absence confirmed).
+
+    ``time_mode='eventTime'`` drives timeouts from the WATERMARK
+    instead of the wall clock: a deadman slot fires when the data's
+    own clock passes last_event + lifespan — replayable and
+    deterministic (a backfill re-produces identical alerts). In this
+    mode null-correlation rows are NOT pre-filtered (a filter would be
+    pushed below the EventTimeWatermark node and stall the clock —
+    same hazard as streaming_threshold_alerts); they are dropped
+    inside the state function instead.
 
     Works on both streaming and batch frames (batch: timeouts do not
     fire, so deadman slots never advance — streaming is the real mode;
@@ -184,6 +194,7 @@ def sequence_correlator(
 
     slots = rule["slots"]
     lifespan_ms = int(parse_timedelta(str(rule.get("lifespan", "3 days"))).total_seconds() * 1000)
+    event_time = time_mode.lower() == "eventtime"
 
     key = path_col(events, correlation_key).cast("string").alias("_corr")
     match_cols = [
@@ -195,7 +206,9 @@ def sequence_correlator(
         F.col(id_col).cast("string").alias("_eid"),
         F.col(ts_col).alias("_ts"),
         *match_cols,
-    ).where(F.col("_corr").isNotNull())
+    )
+    if not event_time:
+        slim = slim.where(F.col("_corr").isNotNull())
 
     is_streaming = slim.isStreaming
     if is_streaming:
@@ -233,10 +246,28 @@ def sequence_correlator(
             for _, r in rows.iterrows()
         ]
 
+    def _arm(state: GroupState, st) -> None:
+        if event_time:
+            # data-clock timeout: last captured event + lifespan, but
+            # always strictly ahead of the current watermark (Spark
+            # rejects timestamps at/behind it)
+            wm = state.getCurrentWatermarkMs()
+            base = st[3] if st[3] is not None else wm
+            state.setTimeoutTimestamp(max(base + lifespan_ms, wm + 1))
+        else:
+            state.setTimeoutDuration(lifespan_ms)
+
     def fn(
         key_: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         corr = key_[0]
+        if corr is None:
+            # eventTime mode lets null-correlation rows through to keep
+            # the watermark honest; they carry no state
+            if state.exists:
+                state.remove()
+            return
+
         if state.exists:
             slot_index, counts, first_ms, last_ms, samples_json = state.get
             st = (slot_index, list(counts), first_ms, last_ms, json.loads(samples_json))
@@ -250,7 +281,7 @@ def sequence_correlator(
                 yield _emit(corr, st, expired)
             else:
                 state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
-                state.setTimeoutDuration(lifespan_ms)
+                _arm(state, st)
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
@@ -262,12 +293,14 @@ def sequence_correlator(
             yield _emit(corr, st, False)
             return
         state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
-        state.setTimeoutDuration(lifespan_ms)
+        _arm(state, st)
 
     if is_streaming:
         return slim.groupBy("_corr").applyInPandasWithState(
             fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
-            GroupStateTimeout.ProcessingTimeTimeout,
+            GroupStateTimeout.EventTimeTimeout
+            if event_time
+            else GroupStateTimeout.ProcessingTimeTimeout,
         )
 
     # batch fallback: applyInPandasWithState is streaming-only; with the

@@ -228,6 +228,67 @@ def test_stream_alerts_sink_persists(spark, tmp_path):
     assert rows[0]["_id"] is not None and rows[0]["utcepoch"] is not None
 
 
+def test_sequence_correlator_event_time_deadman(spark, tmp_path):
+    """threshold -> deadman sequence driven by the DATA clock: the
+    deadman fires when the watermark passes last_event + lifespan.
+    Two waves through one checkpoint; the second wave only advances the
+    watermark (its event matches nothing)."""
+    rule = {
+        "alert_name": "login_then_silence",
+        "alert_type": "sequence",
+        "lifespan": "1 hour",
+        "slots": [
+            {
+                "alert_name": "risky_login",
+                "alert_type": "threshold",
+                "criteria": "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80",
+                "threshold": 1,
+            },
+            {
+                "alert_name": "then_silence",
+                "alert_type": "deadman",
+                "threshold": 0,
+            },
+        ],
+    }
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    def run_wave(events_df, name):
+        events_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_df.schema).parquet(src)
+        out = sequence_correlator(
+            stream, rule, "details.user_name", time_mode="eventTime"
+        )
+        emitted = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    w1 = run_wave(
+        _events(spark, [(0, {"risk_score": "95", "user_name": "alice"})]), "et_w1"
+    )
+    assert w1 == []  # slot 0 filled; deadman pending on the data clock
+    # wave 2: an unrelated low-risk event 10 hours later — advances the
+    # watermark to 08:00 (2h delay), past alice's 01:00 deadline
+    w2 = run_wave(
+        _events(spark, [(10, {"risk_score": "1", "user_name": "zed"})]), "et_w2"
+    )
+    done = {r["correlation_value"]: r for r in w2}
+    assert "alice" in done
+    assert done["alice"]["expired"] is False
+    assert list(done["alice"]["slot_counts"]) == [1, 0]
+
+
 def test_slot_machine_deadman_timeout():
     """Deadman slot advances on timeout (absence confirmed); lifespan
     expiry reaps a stalled threshold slot (T5/T6)."""
