@@ -189,20 +189,24 @@ def lsh_topk(
 
     qb = bucketed(df.where(F.col(id_col).isin(query_ids)), "query_id")
     cb = bucketed(df, "neighbor_id")
-    cand = (
+    # cosine BEFORE the dedup: a pair colliding in several bands is
+    # re-scored (cheap, compute-local) so the distinct shuffles only
+    # (ids, score) — ~24 bytes/row — instead of two 64-dim vectors
+    scored = (
         cb.join(
             F.broadcast(qb),
             (cb["band"] == qb["band"])
             & (cb["bucket"] == qb["bucket"])
             & (cb["neighbor_id"] != qb["query_id"]),
         )
-        .select("query_id", "query_id_vec", "neighbor_id", "neighbor_id_vec")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6
+            ).alias("cos"),
+        )
         .distinct()
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -30,6 +30,8 @@ HEADLINE = [
     "subquery_in_large_orders",
     "asof_join_latest_order",
     "text_quality_score",
+    "text_redact_pii",
+    "rollup_incremental_hourly",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
