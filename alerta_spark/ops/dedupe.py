@@ -122,14 +122,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity pairs >= threshold.
+    """n-gram Jaccard similarity pairs >= threshold.
 
     Inverted-index self-join: |A∩B| = count of shared shingles,
-    |A∪B| = |A|+|B|-|A∩B|. Cost is sum over shingles of df(s)^2 —
-    fine when near-dup clusters are small; cap `max_doc_freq` to bound
-    hot shingles at web scale (documented approximation).
+    |A∪B| = |A|+|B|-|A∩B|. Cost is sum over shingles of df(s)^2, so one
+    boilerplate shingle shared by d documents makes a d^2 join bucket —
+    a skew bomb at web scale. `max_doc_freq` therefore defaults ON:
+    shingles appearing in more than that many documents are dropped from
+    BOTH the index and the per-doc set sizes (so Jaccard is exact over
+    the capped shingle sets — self-consistent, not an unbounded error).
+    Pass ``max_doc_freq=None`` for the uncapped exact ground truth on
+    corpora known to be skew-free.
 
     -> [id_a, id_b, jaccard] with id_a < id_b.
     """

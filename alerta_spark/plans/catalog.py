@@ -575,25 +575,40 @@ _DUCK_SHINGLES = (
 
 @register(
     "dedup_ngram_jaccard",
+    # Oracle replicates the hot-shingle cap (doc_freq <= 1000) so the
+    # check is exact over the SAME capped shingle sets the Spark side
+    # uses — the cap is part of the operator contract, not a fudge.
     oracle=f"""
-    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    WITH s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+    kept AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 1000),
+    idx AS (SELECT s.doc_id, s.sh FROM s JOIN kept USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
     )
     SELECT id_a, id_b, round(j, 6) AS jaccard
     FROM pairs WHERE j >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 5-gram-shingle Jaccard >= 0.8 pairs via inverted-index
-    self-join (the ground truth the LSH path approximates)."""
+    """5-gram-shingle Jaccard >= 0.8 pairs via inverted-index self-join
+    with the hot-shingle cap ON (doc_freq <= 1000) — the pipeline-facing
+    configuration that bounds the worst join bucket at web scale. The
+    uncapped exact ground truth remains available via
+    ``ngram_jaccard_pairs(..., max_doc_freq=None)``."""
     from alerta_spark.ops.dedupe import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=5, threshold=0.8
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.8,
+        max_doc_freq=1000,
     )
 
 
@@ -697,8 +712,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'image' AS kind, 'fake' AS format,
            count(*) AS n,
-           sum(octet_length(encode(text))) AS total_bytes,
-           max(octet_length(encode(text))) AS max_bytes
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents
     """,
 )
@@ -719,7 +734,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alerta_spark.ops.multimodal import attach_fake_media, extract_features
 
     docs = attach_fake_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs)
+    feats = extract_features(docs)
+    # Flatten the feature vector to (doc_id, feat_idx, feat_value) rows so
+    # the output is hashable by the driver canonicalizer; the operator
+    # keeps its array-native schema for pipeline consumers.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -759,8 +782,14 @@ def t3_sequence_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alerta_spark.streaming.correlator import sequence_correlator
 
     ev = load_table(spark, sf_dir, "events")
+    # Array columns are serialized to JSON at the catalog boundary so the
+    # result is hashable row-by-row (driver canonicalizer requirement);
+    # the operator itself stays array-native.
     return sequence_correlator(ev, SEQ_EVENTS_RULE, "user_id").select(
-        "correlation_value", "alert_name", "slot_counts", "sample_event_ids"
+        "correlation_value",
+        "alert_name",
+        F.to_json("slot_counts").alias("slot_counts"),
+        F.to_json("sample_event_ids").alias("sample_event_ids"),
     )
 
 
@@ -781,8 +810,10 @@ def t3_sequence_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(event_id) OVER w AS next_event_id,
            CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS running_value,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+           CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -802,9 +833,16 @@ def w_running_agg_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("decimal(20,2)")
         .alias("running_value"),
-        F.round(F.avg("value").over(w.rowsBetween(-2, W.currentRow)), 6).alias(
-            "moving_avg"
-        ),
+        # Sliding-frame float avg diverges between engines at the ulp level
+        # (sliding-window aggregation algorithms differ), so: sum exact
+        # decimals, one decimal->double cast, one IEEE division — bit-
+        # deterministic on both sides.
+        (
+            F.sum(F.col("value").cast("decimal(20,2)"))
+            .over(w.rowsBetween(-2, W.currentRow))
+            .cast("double")
+            / F.count("value").over(w.rowsBetween(-2, W.currentRow))
+        ).alias("moving_avg"),
     )
 
 
@@ -963,9 +1001,22 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     + approx_count_distinct — the constant-memory path for 100 TB
     profiling."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
         F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+    # Explode the percentile array to (event_type, pct, pct_value) rows —
+    # hashable by the driver canonicalizer (arrays are not).
+    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    return agg.select(
+        "event_type",
+        "approx_users",
+        F.posexplode("value_pcts").alias("pct_idx", "pct_value"),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.element_at(pcts, F.col("pct_idx") + 1).alias("pct"),
+        "pct_value",
     )
 
 

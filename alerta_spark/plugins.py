@@ -99,6 +99,115 @@ class PluginChain:
         return out
 
 
+def row_plugin_transform(
+    on_message: Callable,
+    module_file: str | None = None,
+    metadata: dict | None = None,
+) -> Callable[[DataFrame, Column], DataFrame]:
+    """Adapt a reference-style ``onMessage(event_dict, metadata)`` row
+    plugin to a chain transform (the full-generality slow path — column
+    plugins should use expressions instead).
+
+    Semantics pinned to send_event_to_plugins (reference
+    utils/plugins.py:64-108): the plugin sees a dict per matched event,
+    may mutate values, and returning ``None`` (or a ``(None, meta)``
+    tuple) drops the event. Spark frames have a fixed schema, so value
+    edits apply to existing columns only; new keys are ignored
+    (documented divergence — the reference's events are schemaless
+    Mongo docs).
+
+    Arrow moves the batch; the per-row dict loop runs only over rows
+    the routing predicate matched, so an unmatched partition slice
+    passes through columnar.
+    """
+
+    def _t(df: DataFrame, matched: Column) -> DataFrame:
+        import pandas as pd
+
+        if module_file:
+            # ship the plugin module so executors can unpickle the
+            # bound method (its module is not on their sys.path)
+            df.sparkSession.sparkContext.addPyFile(module_file)
+        schema = df.schema
+        cols = [f.name for f in schema.fields]
+        with_m = df.withColumn("__pm", matched)
+
+        def run(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = pdf["__pm"].fillna(False).astype(bool).to_numpy()
+                if not m.any():
+                    yield pdf[cols]
+                    continue
+                out_rows = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i]
+                    if not m[i]:
+                        out_rows.append(row[cols])
+                        continue
+                    res = on_message(
+                        {c: row[c] for c in cols}, dict(metadata or {})
+                    )
+                    ev = res[0] if isinstance(res, tuple) else res
+                    if ev is None:
+                        continue  # drop signal
+                    out_rows.append(
+                        pd.Series({c: ev.get(c, row[c]) for c in cols})
+                    )
+                yield (
+                    pd.DataFrame(out_rows)[cols]
+                    if out_rows
+                    else pdf.iloc[0:0][cols]
+                )
+
+        return with_m.mapInPandas(run, schema)
+
+    return _t
+
+
+def register_plugins(
+    directory: str, chain: PluginChain | None = None
+) -> PluginChain:
+    """Directory-scan plugin discovery (reference register_plugins,
+    utils/plugins.py:32-61): import every module in ``directory``; a
+    module exposing a ``message`` class contributes an instance whose
+    ``registration`` token list routes it and whose ``priority``
+    (default 100) orders it. Registration tokens are lowercased, as in
+    the reference's matching loop. Import failures raise ImportError,
+    matching the reference."""
+    import importlib
+    import os
+    import pkgutil
+    import sys
+
+    chain = chain or PluginChain()
+    if not os.path.exists(directory):
+        return chain
+    if directory not in sys.path:
+        sys.path.insert(0, directory)
+    for _finder, name, _ispkg in pkgutil.iter_modules([directory]):
+        try:
+            module = importlib.import_module(name)
+            if "message" not in dir(module):
+                continue
+            mclass = module.message()
+            mreg = mclass.registration
+            if not isinstance(mreg, list):
+                continue
+            chain.register(
+                name,
+                [str(t).lower() for t in mreg],
+                row_plugin_transform(
+                    mclass.onMessage, getattr(module, "__file__", None)
+                ),
+                priority=int(getattr(mclass, "priority", 100)),
+            )
+        except Exception as e:
+            raise ImportError(f"Unable to load module {name}") from e
+    return chain
+
+
 def drop_when(predicate: Column) -> Callable[[DataFrame, Column], DataFrame]:
     """Helper: a plugin body that drops matched rows satisfying
     `predicate` (onMessage returning None)."""

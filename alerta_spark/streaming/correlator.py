@@ -62,6 +62,8 @@ STATE_SCHEMA = T.StructType(
         T.StructField("slot_counts", T.ArrayType(T.LongType())),
         T.StructField("first_ts_ms", T.LongType()),
         T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("deadline_ms", T.LongType()),
+        T.StructField("anchor_ms", T.LongType()),
         T.StructField("sample_ids_json", T.StringType()),
     ]
 )
@@ -103,58 +105,143 @@ class SlotMachine:
     """The per-key sequence state machine, engine-agnostic so the
     timeout/deadman branches are unit-testable without a streaming
     query. State tuple: (slot_index, counts, first_ms, last_ms,
-    samples)."""
+    deadline_ms, anchor_ms, samples).
+
+    Time semantics (reference parity):
+
+    * **Fixed lifespan expiry** — ``deadline_ms`` is set ONCE when the
+      state is created (first event + lifespan) and never slides
+      (reference alerta.py:266-268 sets ``expiration = utctimestamp +
+      lifespan`` at creation; expire_sequence_alerts alerta.py:240-248
+      reaps past it). A chatty correlation key therefore still expires.
+    * **Deadman criteria participate** — a deadman slot's matching
+      events are counted as evidence AGAINST the absence; when more
+      than ``threshold`` matches arrive within the slot's absence
+      window the window restarts (``anchor_ms`` resets), mirroring the
+      reference's per-cycle re-query where any window containing more
+      than ``threshold`` matching events does not fire
+      (determine_deadman_trigger alerta.py:358-410: ``count <=
+      threshold`` is the trigger). Up to ``threshold`` matches inside
+      one window are tolerated, exactly like the reference.
+    * ``anchor_ms`` marks when the current slot was entered (or the
+      deadman window last restarted); a deadman fires when the clock
+      passes ``anchor + window`` with the tolerated-match budget
+      unexhausted. A slot without an explicit ``window`` means
+      "absence for the remainder of the sequence's life": it fires at
+      the fixed deadline unless over-budget matches latched a failure
+      (then the sequence expires, mirroring the reference's silent
+      expire_sequence_alerts deletion).
+    """
 
     def __init__(
         self,
         slot_kinds: list[str],
         slot_thresholds: list[int],
         sample_count: int = 3,
+        lifespan_ms: int = 0,
+        slot_windows_ms: list[int | None] | None = None,
     ):
         self.kinds = slot_kinds
         self.thresholds = slot_thresholds
         self.n = len(slot_kinds)
         self.sample_count = sample_count
+        self.lifespan_ms = lifespan_ms
+        # None window = "absence for the REMAINDER of the sequence's
+        # life": fires at the fixed deadline iff the match budget was
+        # never exceeded (over-budget latches failure). An explicit
+        # window gives the reference's sliding windowed-absence, where
+        # an over-budget window restarts rather than latches.
+        self.windows = list(slot_windows_ms or [None] * self.n)
 
-    def initial(self) -> tuple:
-        return (0, [0] * self.n, None, None, [])
+    def initial(self, now_ms: int = 0) -> tuple:
+        return (0, [0] * self.n, None, None, now_ms + self.lifespan_ms, now_ms, [])
 
     def on_events(self, state: tuple, events: list[tuple[int, str, list[bool]]]):
         """events: [(ts_ms, event_id, matches_per_slot)] in order.
         -> (state, completed: bool). An event is tested only against the
         CURRENT slot (a captured event can't also satisfy the next slot
         — mirrors the reference's F9 in-flight dedup)."""
-        slot_index, counts, first_ms, last_ms, samples = state
+        slot_index, counts, first_ms, last_ms, deadline_ms, anchor_ms, samples = state
         counts = list(counts)
         samples = list(samples)
         for ts_ms, eid, matches in events:
             first_ms = first_ms or ts_ms
             last_ms = ts_ms
-            if (
-                slot_index < self.n
-                and self.kinds[slot_index] == "threshold"
-                and matches[slot_index]
-            ):
-                counts[slot_index] += 1
-                if len(samples) < self.sample_count:
-                    samples.append(str(eid))
-                if counts[slot_index] >= self.thresholds[slot_index]:
-                    slot_index += 1
+            if slot_index < self.n and matches[slot_index]:
+                kind = self.kinds[slot_index]
+                if kind == "threshold":
+                    counts[slot_index] += 1
+                    if len(samples) < self.sample_count:
+                        samples.append(str(eid))
+                    if counts[slot_index] >= self.thresholds[slot_index]:
+                        slot_index += 1
+                        anchor_ms = ts_ms  # next slot's window starts now
+                elif kind == "deadman":
+                    # evidence against the absence (reference: a window
+                    # with count > threshold does not fire). Explicit
+                    # window: over-budget restarts the window; None
+                    # (until-deadline) window: over-budget latches the
+                    # failure via the count itself.
+                    counts[slot_index] += 1
+                    if (
+                        counts[slot_index] > self.thresholds[slot_index]
+                        and self.windows[slot_index] is not None
+                    ):
+                        counts[slot_index] = 0
+                        anchor_ms = ts_ms
             if slot_index >= self.n:
                 break
-        new_state = (slot_index, counts, first_ms, last_ms, samples)
+        new_state = (
+            slot_index, counts, first_ms, last_ms, deadline_ms, anchor_ms, samples
+        )
         return new_state, slot_index >= self.n
 
-    def on_timeout(self, state: tuple):
-        """Timeout with no new data. A deadman slot's absence window
-        elapsing IS its trigger -> advance; otherwise the sequence's
-        lifespan expired (T5). -> (state, completed, expired)."""
-        slot_index, counts, first_ms, last_ms, samples = state
-        if slot_index < self.n and self.kinds[slot_index] == "deadman":
+    def on_timeout(self, state: tuple, now_ms: int):
+        """Timeout with no new data at clock ``now_ms`` (same time base
+        the state was created with — event-time watermark or wall
+        clock). Deadman slots whose absence window has elapsed advance
+        (cascading through consecutive deadman slots); then, if the
+        sequence is still incomplete past its FIXED deadline, it
+        expires (T5). -> (state, completed, expired). Neither completed
+        nor expired means a deadman window restarted later than the
+        armed timer — re-arm and keep waiting."""
+        slot_index, counts, first_ms, last_ms, deadline_ms, anchor_ms, samples = state
+        counts = list(counts)
+        while (
+            slot_index < self.n
+            and self.kinds[slot_index] == "deadman"
+            and now_ms
+            >= (
+                anchor_ms + self.windows[slot_index]
+                if self.windows[slot_index] is not None
+                else deadline_ms
+            )
+            and counts[slot_index] <= self.thresholds[slot_index]
+        ):
             slot_index += 1
-            state = (slot_index, list(counts), first_ms, last_ms, list(samples))
-            return state, slot_index >= self.n, False
-        return state, False, True
+            anchor_ms = now_ms
+        state = (
+            slot_index, counts, first_ms, last_ms, deadline_ms, anchor_ms,
+            list(samples),
+        )
+        if slot_index >= self.n:
+            return state, True, False
+        if now_ms >= deadline_ms:
+            return state, False, True
+        return state, False, False
+
+    def next_wakeup(self, state: tuple) -> int:
+        """Earliest clock value at which this state can change without
+        new data: the deadman window edge if one is pending, else the
+        fixed expiry deadline."""
+        slot_index, _counts, _f, _l, deadline_ms, anchor_ms, _s = state
+        if (
+            slot_index < self.n
+            and self.kinds[slot_index] == "deadman"
+            and self.windows[slot_index] is not None
+        ):
+            return min(deadline_ms, anchor_ms + self.windows[slot_index])
+        return deadline_ms
 
 
 def sequence_correlator(
@@ -216,12 +303,20 @@ def sequence_correlator(
 
     slot_kinds = [str(s.get("alert_type", "threshold")) for s in slots]
     slot_thresholds = [int(s.get("threshold", 1)) for s in slots]
+    slot_windows = [
+        int(parse_timedelta(str(s["window"])).total_seconds() * 1000)
+        if s.get("window")
+        else None
+        for s in slots
+    ]
     n_slots = len(slots)
     alert_name = str(rule.get("alert_name", "unnamed"))
-    machine = SlotMachine(slot_kinds, slot_thresholds, sample_count)
+    machine = SlotMachine(
+        slot_kinds, slot_thresholds, sample_count, lifespan_ms, slot_windows
+    )
 
     def _emit(corr, st, expired: bool) -> pd.DataFrame:
-        slot_index, counts, first_ms, last_ms, samples = st
+        slot_index, counts, first_ms, last_ms, _deadline, _anchor, samples = st
         return pd.DataFrame(
             {
                 "correlation_value": [corr],
@@ -247,15 +342,19 @@ def sequence_correlator(
         ]
 
     def _arm(state: GroupState, st) -> None:
+        # wake at the earliest state-changing instant: pending deadman
+        # window edge or the FIXED expiry deadline (never re-based on
+        # activity — reference expiration = creation + lifespan)
+        nxt = machine.next_wakeup(st)
         if event_time:
-            # data-clock timeout: last captured event + lifespan, but
             # always strictly ahead of the current watermark (Spark
             # rejects timestamps at/behind it)
             wm = state.getCurrentWatermarkMs()
-            base = st[3] if st[3] is not None else wm
-            state.setTimeoutTimestamp(max(base + lifespan_ms, wm + 1))
+            state.setTimeoutTimestamp(max(nxt, wm + 1))
         else:
-            state.setTimeoutDuration(lifespan_ms)
+            import time as _time
+
+            state.setTimeoutDuration(max(nxt - int(_time.time() * 1000), 1))
 
     def fn(
         key_: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -268,23 +367,45 @@ def sequence_correlator(
                 state.remove()
             return
 
-        if state.exists:
-            slot_index, counts, first_ms, last_ms, samples_json = state.get
-            st = (slot_index, list(counts), first_ms, last_ms, json.loads(samples_json))
-        else:
-            st = machine.initial()
+        def _unpack():
+            (si, counts, f_ms, l_ms, dl_ms, an_ms, samples_json) = state.get
+            return (si, list(counts), f_ms, l_ms, dl_ms, an_ms, json.loads(samples_json))
+
+        def _pack(st):
+            return (st[0], st[1], st[2], st[3], st[4], st[5], json.dumps(st[6]))
 
         if state.hasTimedOut:
-            st, completed, expired = machine.on_timeout(st)
+            st = _unpack()
+            if event_time:
+                now = state.getCurrentWatermarkMs()
+            else:
+                import time as _time
+
+                now = int(_time.time() * 1000)
+            st, completed, expired = machine.on_timeout(st, now)
             if completed or expired:
                 state.remove()
                 yield _emit(corr, st, expired)
             else:
-                state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
+                state.update(_pack(st))
                 _arm(state, st)
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if state.exists:
+            st = _unpack()
+        else:
+            # clock origin for the FIXED deadline: the data clock (first
+            # event) in eventTime mode, the wall clock otherwise
+            if event_time and len(rows):
+                now = int(rows["_ts"].min().value // 1_000_000)
+            elif event_time:
+                now = max(state.getCurrentWatermarkMs(), 0)
+            else:
+                import time as _time
+
+                now = int(_time.time() * 1000)
+            st = machine.initial(now)
         completed = False
         if len(rows):
             st, completed = machine.on_events(st, _rows_to_events(rows))
@@ -292,7 +413,7 @@ def sequence_correlator(
             state.remove()
             yield _emit(corr, st, False)
             return
-        state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
+        state.update(_pack(st))
         _arm(state, st)
 
     if is_streaming:
@@ -307,7 +428,8 @@ def sequence_correlator(
     # whole history in hand one pass per key gives identical completions
     def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         corr = pdf["_corr"].iloc[0]
-        st, completed = machine.on_events(machine.initial(), _rows_to_events(pdf))
+        t0 = int(pdf["_ts"].min().value // 1_000_000) if len(pdf) else 0
+        st, completed = machine.on_events(machine.initial(t0), _rows_to_events(pdf))
         if not completed:
             return pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in OUTPUT_SCHEMA.fields}
@@ -383,6 +505,13 @@ def sequence_correlator_tws(
         [str(s.get("alert_type", "threshold")) for s in slots],
         [int(s.get("threshold", 1)) for s in slots],
         sample_count,
+        lifespan_ms,
+        [
+            int(parse_timedelta(str(s["window"])).total_seconds() * 1000)
+            if s.get("window")
+            else None
+            for s in slots
+        ],
     )
     n_slots = len(slots)
     alert_name = str(rule.get("alert_name", "unnamed"))
@@ -393,28 +522,32 @@ def sequence_correlator_tws(
             self._handle = handle
             self._state = handle.getValueState("seq", STATE_SCHEMA)
 
-        def _load(self):
+        def _load(self, now_ms: int):
             if self._state.exists():
-                slot_index, counts, first_ms, last_ms, samples_json = self._state.get()
-                return (slot_index, list(counts), first_ms, last_ms, json.loads(samples_json))
-            return machine.initial()
+                (si, counts, f_ms, l_ms, dl_ms, an_ms, samples_json) = self._state.get()
+                return (si, list(counts), f_ms, l_ms, dl_ms, an_ms, json.loads(samples_json))
+            return machine.initial(now_ms)
 
         def _store(self, st) -> None:
-            self._state.update((st[0], st[1], st[2], st[3], json.dumps(st[4])))
+            self._state.update(
+                (st[0], st[1], st[2], st[3], st[4], st[5], json.dumps(st[6]))
+            )
+
+        def _now(self, timer_values) -> int:
+            if event_time:
+                return max(timer_values.getCurrentWatermarkInMs(), 0)
+            return timer_values.getCurrentProcessingTimeInMs()
 
         def _arm_timer(self, timer_values, st) -> None:
-            if event_time:
-                # clock follows the data: expire lifespan after the
-                # latest captured event (watermark-driven)
-                base = st[3] or max(timer_values.getCurrentWatermarkInMs(), 0)
-            else:
-                base = timer_values.getCurrentProcessingTimeInMs()
+            # earliest state-changing instant: pending deadman window
+            # edge or the FIXED expiry deadline (never slides)
+            nxt = machine.next_wakeup(st)
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
-            self._handle.registerTimer(base + lifespan_ms)
+            self._handle.registerTimer(max(nxt, self._now(timer_values) + 1))
 
         def _emit_pdf(self, corr, st, expired: bool) -> pd.DataFrame:
-            slot_index, counts, first_ms, last_ms, samples = st
+            slot_index, counts, first_ms, last_ms, _dl, _an, samples = st
             return pd.DataFrame(
                 {
                     "correlation_value": [corr],
@@ -430,11 +563,17 @@ def sequence_correlator_tws(
 
         def handleInputRows(self, key_, rows, timer_values):
             corr = key_[0]
-            st = self._load()
             pdfs = [p for p in rows if len(p)]
             ev_rows = (
                 pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
             )
+            # deadline origin: first event's data-clock in eventTime
+            # mode, else the engine's processing clock
+            if event_time and len(ev_rows):
+                t0 = int(ev_rows["_ts"].min().value // 1_000_000)
+            else:
+                t0 = self._now(timer_values)
+            st = self._load(t0)
             completed = False
             if len(ev_rows):
                 ev_rows = ev_rows.sort_values(["_ts", "_eid"])
@@ -458,8 +597,9 @@ def sequence_correlator_tws(
 
         def handleExpiredTimer(self, key_, timer_values, expired_timer_info):
             corr = key_[0]
-            st = self._load()
-            st, completed, expired = machine.on_timeout(st)
+            now = self._now(timer_values)
+            st = self._load(now)
+            st, completed, expired = machine.on_timeout(st, now)
             if completed or expired:
                 self._state.clear()
                 yield self._emit_pdf(corr, st, expired)

@@ -67,11 +67,15 @@ def main() -> None:
         F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
     ).count()
 
+    # noop sink, NOT count(): count() lets Catalyst prune every column a
+    # map-only query computes, so regex/decode work would be skipped and
+    # the timing would measure only the scan. The noop writer evaluates
+    # every output column and discards rows executor-side.
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        df.foreach(lambda _: None) if False else df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -45,6 +45,39 @@ def test_ngram_jaccard_exact_pair(spark):
     assert (1, 3) not in pairs
 
 
+def test_ngram_jaccard_hot_shingle_cap_bounds_bucket(spark):
+    """A boilerplate shingle shared by EVERY doc must not create a
+    quadratic join bucket: with the cap on, the hot shingle is dropped
+    from index AND sizes, so unrelated docs produce no pairs while true
+    near-dups (sharing many uncapped shingles) still match."""
+    boiler = "this message is confidential please do not distribute"
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{boiler} unique{i} filler{i} words{i} here{i} now{i}")
+            for i in range(20)]
+    rows += [(100, f"{boiler} {dup}"), (101, f"{boiler} {dup} extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, n=5, threshold=0.5, max_doc_freq=10)
+        .collect()
+    }
+    # the 20 boilerplate-only docs share ONLY capped shingles -> no pairs
+    assert all(a >= 100 for a, _ in capped), capped
+    # the genuine near-dup pair survives on its uncapped shingles
+    assert (100, 101) in capped
+
+    # uncapped ground truth: the boilerplate shingle links everything;
+    # the capped run must emit strictly fewer candidate pairs
+    uncapped = ngram_jaccard_pairs(
+        df, n=5, threshold=0.0, max_doc_freq=None
+    ).count()
+    capped_all = ngram_jaccard_pairs(
+        df, n=5, threshold=0.0, max_doc_freq=10
+    ).count()
+    assert capped_all < uncapped
+
+
 def test_minhash_lsh_recall_vs_exact(docs):
     exact = {
         (r["id_a"], r["id_b"])

@@ -55,6 +55,46 @@ def test_plugin_drop(spark):
     assert sorted(r["event_id"] for r in out.collect()) == ["1", "3"]
 
 
+def test_register_plugins_directory_discovery(spark):
+    """U1 module discovery (reference utils/plugins.py:32-61): scan a
+    directory, register message classes by priority, route by
+    registration tokens, honor the drop signal."""
+    import os
+
+    from alerta_spark.plugins import register_plugins
+
+    plugin_dir = os.path.join(os.path.dirname(__file__), "sample_plugins")
+    chain = register_plugins(plugin_dir)
+    assert [p.name for p in chain.plugins] == ["lowercase_severity", "drop_debug"]
+    assert [p.priority for p in chain.plugins] == [5, 50]
+
+    df = spark.createDataFrame(
+        [
+            ("1", "INFO", "alert"),
+            ("2", "WARNING", "debug"),   # dropped by drop_debug
+            ("3", None, "alert"),
+        ],
+        "event_id string, severity string, category string",
+    )
+    out = {r["event_id"]: r for r in chain.apply(df).collect()}
+    assert set(out) == {"1", "3"}          # debug event dropped
+    assert out["1"]["severity"] == "info"  # lowercased by the row plugin
+    assert out["1"]["plugins"] == ["lowercase_severity", "drop_debug"]
+
+
+def test_register_plugins_missing_dir_and_bad_module(tmp_path):
+    from alerta_spark.plugins import register_plugins
+
+    assert register_plugins("/nonexistent/path").plugins == []
+    bad = tmp_path / "broken_plugin.py"
+    bad.write_text("raise RuntimeError('boom')\n")
+    try:
+        register_plugins(str(tmp_path))
+        raise AssertionError("expected ImportError")
+    except ImportError:
+        pass
+
+
 def test_to_utc_epoch_heuristics(spark):
     df = spark.createDataFrame(
         [("1700000000",), ("1700000000000",), ("1700000000000000",),

@@ -289,46 +289,112 @@ def test_sequence_correlator_event_time_deadman(spark, tmp_path):
     assert list(done["alice"]["slot_counts"]) == [1, 0]
 
 
+HOUR_MS = 3_600_000
+DAY_MS = 24 * HOUR_MS
+
+
 def test_slot_machine_deadman_timeout():
-    """Deadman slot advances on timeout (absence confirmed); lifespan
-    expiry reaps a stalled threshold slot (T5/T6)."""
+    """Deadman slot advances at the fixed deadline (absence confirmed);
+    the same deadline reaps a stalled threshold slot (T5/T6)."""
     from alerta_spark.streaming.correlator import SlotMachine
 
-    m = SlotMachine(["threshold", "deadman"], [1, 0])
-    st, completed = m.on_events(m.initial(), [(1000, "e1", [True, False])])
+    m = SlotMachine(["threshold", "deadman"], [1, 0], lifespan_ms=DAY_MS)
+    st, completed = m.on_events(m.initial(0), [(1000, "e1", [True, False])])
     assert st[0] == 1 and not completed  # slot 0 filled, waiting on deadman
 
-    # timeout while on the deadman slot -> absence confirmed -> complete
-    st2, completed, expired = m.on_timeout(st)
+    # fixed deadline reached while on the deadman slot with an empty
+    # match budget -> absence confirmed -> complete
+    st2, completed, expired = m.on_timeout(st, DAY_MS)
     assert completed and not expired and st2[0] == 2
 
     # timeout while on a THRESHOLD slot -> lifespan expiry
-    m2 = SlotMachine(["threshold", "threshold"], [1, 1])
-    st3, _ = m2.on_events(m2.initial(), [(1000, "e1", [True, False])])
-    _, completed3, expired3 = m2.on_timeout(st3)
+    m2 = SlotMachine(["threshold", "threshold"], [1, 1], lifespan_ms=DAY_MS)
+    st3, _ = m2.on_events(m2.initial(0), [(1000, "e1", [True, False])])
+    _, completed3, expired3 = m2.on_timeout(st3, DAY_MS)
     assert not completed3 and expired3
+
+
+def test_slot_machine_expiry_is_fixed_not_sliding():
+    """A chatty key must still expire: non-matching activity (or slot-0
+    matches below threshold) never extends the deadline (reference
+    expiration = creation + lifespan, alerta.py:266-268)."""
+    from alerta_spark.streaming.correlator import SlotMachine
+
+    m = SlotMachine(["threshold"], [3], lifespan_ms=DAY_MS)
+    st = m.initial(0)
+    # events trickle in right up to the deadline without reaching 3
+    for t in range(0, DAY_MS, HOUR_MS):
+        st, completed = m.on_events(st, [(t, f"e{t}", [True])])
+        assert not completed or st[1][0] < 3
+        if st[1][0] >= 2:
+            break
+    assert m.next_wakeup(st) == DAY_MS  # never re-based on activity
+    _, completed, expired = m.on_timeout(st, DAY_MS)
+    assert expired and not completed
+
+
+def test_slot_machine_deadman_criteria_participate():
+    """Matching events during a deadman slot count against the absence:
+    over-budget matches latch failure for an until-deadline window, and
+    restart an explicit sliding window (reference
+    determine_deadman_trigger: count <= threshold is the trigger)."""
+    from alerta_spark.streaming.correlator import SlotMachine
+
+    # until-deadline window (None): one match > threshold 0 -> latched
+    m = SlotMachine(["deadman"], [0], lifespan_ms=DAY_MS)
+    st = m.initial(0)
+    st, completed = m.on_events(st, [(1000, "e1", [True])])
+    assert not completed
+    st, completed, expired = m.on_timeout(st, DAY_MS)
+    assert expired and not completed  # absence violated -> never fires
+
+    # tolerated budget: threshold 1 allows one match and still fires
+    m2 = SlotMachine(["deadman"], [1], lifespan_ms=DAY_MS)
+    st2 = m2.initial(0)
+    st2, _ = m2.on_events(st2, [(1000, "e1", [True])])
+    st2, completed2, expired2 = m2.on_timeout(st2, DAY_MS)
+    assert completed2 and not expired2
+
+    # explicit sliding window: a match restarts the absence clock
+    m3 = SlotMachine(
+        ["deadman"], [0], lifespan_ms=DAY_MS, slot_windows_ms=[HOUR_MS]
+    )
+    st3 = m3.initial(0)
+    st3, _ = m3.on_events(st3, [(30 * 60_000, "e1", [True])])
+    # at the ORIGINAL window edge the restarted window hasn't elapsed
+    st3, completed3, expired3 = m3.on_timeout(st3, HOUR_MS)
+    assert not completed3 and not expired3
+    assert m3.next_wakeup(st3) == 30 * 60_000 + HOUR_MS
+    # silence through the restarted window -> absence confirmed
+    st3, completed3, expired3 = m3.on_timeout(st3, 30 * 60_000 + HOUR_MS)
+    assert completed3 and not expired3
 
 
 def test_slot_machine_event_cannot_double_fill():
     from alerta_spark.streaming.correlator import SlotMachine
 
-    m = SlotMachine(["threshold", "threshold"], [1, 1])
+    m = SlotMachine(["threshold", "threshold"], [1, 1], lifespan_ms=DAY_MS)
     # one event matching BOTH slots must not complete the sequence alone
-    st, completed = m.on_events(m.initial(), [(1000, "e1", [True, True])])
+    st, completed = m.on_events(m.initial(0), [(1000, "e1", [True, True])])
     assert st[0] == 1 and not completed
     st, completed = m.on_events(st, [(2000, "e2", [True, True])])
     assert completed and st[1] == [1, 1]
 
 
 def test_slot_machine_mid_deadman_then_threshold():
-    """threshold -> deadman -> threshold: timeout advances the middle
-    slot, then events fill the last."""
+    """threshold -> deadman(1h window) -> threshold: the middle slot's
+    absence window elapsing advances it, then events fill the last."""
     from alerta_spark.streaming.correlator import SlotMachine
 
-    m = SlotMachine(["threshold", "deadman", "threshold"], [1, 0, 1])
-    st, completed = m.on_events(m.initial(), [(1, "a", [True, False, False])])
+    m = SlotMachine(
+        ["threshold", "deadman", "threshold"],
+        [1, 0, 1],
+        lifespan_ms=DAY_MS,
+        slot_windows_ms=[None, HOUR_MS, None],
+    )
+    st, completed = m.on_events(m.initial(0), [(1, "a", [True, False, False])])
     assert st[0] == 1
-    st, completed, expired = m.on_timeout(st)
+    st, completed, expired = m.on_timeout(st, 1 + HOUR_MS)
     assert st[0] == 2 and not completed and not expired
-    st, completed = m.on_events(st, [(2, "b", [False, False, True])])
+    st, completed = m.on_events(st, [(2 + HOUR_MS, "b", [False, False, True])])
     assert completed

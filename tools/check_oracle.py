@@ -33,7 +33,12 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        # FULL precision, no rounding: the driver's canonicalizer is
+        # strict, so any engine ulp divergence must FAIL here too —
+        # local green has to predict driver green. Queries must produce
+        # bit-identical floats on both sides (exact-decimal accumulate,
+        # single final cast/division).
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     return str(v)
