@@ -28,6 +28,17 @@ def to_utc(col: Column | str) -> Column:
 
     Numeric inputs are classified by magnitude into s/ms/us/ns;
     strings go through to_timestamp (ISO-8601 and date-like forms).
+
+    Documented divergences from the reference (use
+    :func:`to_utc_conformant` when a migrated rule depends on them):
+
+    * no fuzzy string parsing — the reference falls back to
+      ``dateutil.parse(fuzzy=True)`` (utils/dates.py:73), which
+      accepts strings like ``'seen on 2023-11-14 at 22:13'``; this
+      fast path returns NULL for them;
+    * naive timestamps are treated as UTC, not the host's local
+      timezone (utils/dates.py:79-84) — cluster-deterministic on
+      purpose: a 1000-executor job must not depend on executor TZ.
     """
     s = _c(col).cast("string")
     num = s.try_cast("double")
@@ -41,6 +52,72 @@ def to_utc(col: Column | str) -> Column:
     # try_to_timestamp: NULL on unparseable strings (ANSI-safe),
     # matching DotDict-style silent-miss semantics
     return F.when(num.isNotNull(), from_num).otherwise(F.try_to_timestamp(s))
+
+
+def to_utc_conformant(col: Column | str) -> Column:
+    """C8 exact-conformance mode: an Arrow-batched pandas UDF
+    replicating reference toUTC (utils/dates.py:38-85) decision-for-
+    decision — the string epoch-divisor quirk (``10 ** (len % 10)``),
+    ``<= 0`` -> epoch zero, ``dateutil.parse(fuzzy=True)`` for
+    arbitrary strings, and naive -> LOCAL timezone. Unparseable
+    strings yield NULL instead of the reference's ValueError (a
+    distributed scan can't abort on one bad row; filter
+    ``IS NULL`` to find them).
+
+    This is the slow path — use :func:`to_utc` (pure codegen) unless
+    a migrated rule depends on fuzzy parsing or local-TZ semantics."""
+    import pandas as pd
+
+    def _f(s):
+        from datetime import datetime, timezone
+
+        from dateutil.parser import parse as du_parse
+        from dateutil.tz import tzlocal
+
+        local = tzlocal()
+        epoch0 = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+        def one(v):
+            if v is None:
+                return None
+            obj = None
+            v = str(v)
+            if v.isdigit():
+                iv = int(v)
+                if iv <= 0:
+                    obj = epoch0
+                else:
+                    # the reference's divisor quirk, verbatim
+                    divisor = int("1" + "0" * (len(v) % 10))
+                    obj = datetime.fromtimestamp(iv / divisor, local)
+            else:
+                try:
+                    fv = float(v)
+                    if fv <= 0:
+                        obj = epoch0
+                    else:
+                        import math
+
+                        magnitude = int(math.log10(int(fv)))
+                        if magnitude > 9:
+                            fv = fv / 10 ** (magnitude - 9)
+                        obj = datetime.fromtimestamp(fv, local)
+                except ValueError:
+                    try:
+                        obj = du_parse(v, fuzzy=True)
+                    except (ValueError, OverflowError):
+                        return None
+            if obj.tzinfo is None:
+                obj = obj.replace(tzinfo=local)
+            # tz-naive UTC for Spark's TimestampType
+            return obj.astimezone(timezone.utc).replace(tzinfo=None)
+
+        return s.map(one)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # breaks pandas_udf's hint parsing — set them explicitly
+    _f.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_f, "timestamp")(_c(col).cast("string"))
 
 
 def utc_epoch(col: Column | str) -> Column:
@@ -98,6 +175,73 @@ def is_ipv6(col: Column | str) -> Column:
     return _c(col).cast("string").rlike(_IPV6)
 
 
+def is_cidr(col: Column | str) -> Column:
+    """C16: valid `addr/prefix` CIDR notation (v4 prefix 0-32, v6
+    0-128) — the reference's is_ip accepts these via
+    netaddr.IPNetwork (utils/helpers.py:44-61)."""
+    s = _c(col).cast("string")
+    addr = F.substring_index(s, "/", 1)
+    plen = F.substring_index(s, "/", -1).try_cast("int")
+    return (
+        s.contains("/")
+        & plen.isNotNull()
+        & (
+            (addr.rlike(_IPV4) & plen.between(0, 32))
+            | (addr.rlike(_IPV6) & plen.between(0, 128))
+        )
+    )
+
+
 def is_ip(col: Column | str) -> Column:
-    """C16 `is_ip`."""
-    return is_ipv4(col) | is_ipv6(col)
+    """C16 `is_ip`: a single address OR a CIDR range, matching the
+    reference's netaddr.IPNetwork acceptance (utils/helpers.py:44-61).
+    """
+    return is_ipv4(col) | is_ipv6(col) | is_cidr(col)
+
+
+def ipv4_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 -> uint32 as a long, pure codegen (no UDF):
+    ((o1*256+o2)*256+o3)*256+o4. NULL for non-IPv4 input."""
+    s = _c(col).cast("string")
+    parts = F.split(s, r"\.")
+    acc = F.element_at(parts, 1).try_cast("long")
+    for i in (2, 3, 4):
+        acc = acc * 256 + F.element_at(parts, i).try_cast("long")
+    return F.when(s.rlike(_IPV4), acc)
+
+
+def in_cidr(col: Column | str, cidr: str) -> Column:
+    """CIDR membership for IPv4 (reference filters like `10.0.0.0/8`,
+    utils/helpers.py:44-61 via netaddr). The cidr literal is parsed
+    driver-side into a [lo, hi] long range, so the executor-side test
+    is one BETWEEN over :func:`ipv4_to_long` — fully codegen, pushes
+    down as a range predicate. IPv6 ranges need a 128-bit integer and
+    are validation-only here (documented divergence)."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    if net.version != 4:
+        raise ValueError(f"in_cidr supports IPv4 ranges only, got: {cidr}")
+    lo = int(net.network_address)
+    hi = int(net.broadcast_address)
+    return F.coalesce(
+        ipv4_to_long(col).between(F.lit(lo), F.lit(hi)), F.lit(False)
+    )
+
+
+def in_any_cidr(col: Column | str, cidrs: list[str]) -> Column:
+    """Membership in ANY of a CIDR list (allow/deny lists). N ranges
+    compile to N range predicates OR-ed JVM-side — fine for rule-sized
+    lists; a 10k-entry feed should be a broadcast range join instead."""
+    out = F.lit(False)
+    for c in cidrs:
+        out = out | in_cidr(col, c)
+    return out
+
+
+def is_cloudtrail(col: Column | str) -> Column:
+    """C17 `is_cloudtrail` (utils/helpers.py:10,39-41): the reference's
+    filename regex verbatim (including its unescaped dots), case-
+    insensitive. Apply to ``F.input_file_name()`` to gate a
+    file-derived frame, or to any filename column."""
+    return _c(col).cast("string").rlike(r"(?i)\d+_cloudtrail_.+.json.gz$")

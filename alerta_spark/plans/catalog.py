@@ -1091,6 +1091,105 @@ def c16_ip_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c17_cloudtrail_filenames",
+    oracle=r"""
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0
+                THEN concat(CAST(user_id AS VARCHAR), '_cloudtrail_', event_type, '.json.gz')
+                WHEN event_id % 3 = 1
+                THEN concat('cloudtrail_', event_type, '.json.gz')
+                ELSE concat(CAST(user_id AS VARCHAR), '_', event_type, '.log')
+           END AS fname,
+           regexp_matches(
+             CASE WHEN event_id % 3 = 0
+                  THEN concat(CAST(user_id AS VARCHAR), '_cloudtrail_', event_type, '.json.gz')
+                  WHEN event_id % 3 = 1
+                  THEN concat('cloudtrail_', event_type, '.json.gz')
+                  ELSE concat(CAST(user_id AS VARCHAR), '_', event_type, '.log')
+             END, '(?i)\d+_cloudtrail_.+.json.gz$') AS is_ct
+    FROM events
+    """,
+)
+def c17_cloudtrail_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 `is_cloudtrail` filename predicate (utils/helpers.py:10,
+    39-41) over synthesized filenames: only `<digits>_cloudtrail_*.
+    json.gz` forms pass (the un-prefixed variant correctly rejected)."""
+    from alerta_spark.functions.scalars import is_cloudtrail
+
+    ev = load_table(spark, sf_dir, "events")
+    fname = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("_cloudtrail_"),
+                F.col("event_type"),
+                F.lit(".json.gz"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit("cloudtrail_"), F.col("event_type"), F.lit(".json.gz")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("_"),
+                F.col("event_type"),
+                F.lit(".log"),
+            )
+        )
+    )
+    return ev.select(
+        "event_id", fname.alias("fname"), is_cloudtrail(fname).alias("is_ct")
+    )
+
+
+@register(
+    "c16_cidr_membership",
+    oracle="""
+    WITH ips AS (
+      SELECT event_id,
+             concat('10.', CAST(user_id % 256 AS VARCHAR), '.',
+                    CAST(event_id % 256 AS VARCHAR), '.',
+                    CAST((event_id // 7) % 300 AS VARCHAR)) AS ip
+      FROM events
+    )
+    SELECT event_id, ip,
+           CASE WHEN NOT regexp_matches(ip,
+             '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+             THEN FALSE
+             ELSE (CAST(split_part(ip,'.',1) AS BIGINT)*16777216
+                 + CAST(split_part(ip,'.',2) AS BIGINT)*65536
+                 + CAST(split_part(ip,'.',3) AS BIGINT)*256
+                 + CAST(split_part(ip,'.',4) AS BIGINT))
+                  BETWEEN 167772160 AND 184549375  -- 10.0.0.0/8
+           END AS in_net
+    FROM ips
+    """,
+)
+def c16_cidr_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR membership (reference is_ip accepts `10.0.0.0/8` via
+    netaddr, utils/helpers.py:44-61): pure-codegen dotted-quad ->
+    uint32 BETWEEN range test; malformed octets (>=256) are FALSE,
+    not NULL."""
+    from alerta_spark.functions.scalars import in_cidr
+
+    ev = load_table(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("event_id") / 7).cast("long") % 300).cast("string"),
+    )
+    return ev.select(
+        "event_id", ip.alias("ip"), in_cidr(ip, "10.0.0.0/8").alias("in_net")
+    )
+
+
+@register(
     "f11_plugin_routing",
     oracle="""
     SELECT event_id, event_type,

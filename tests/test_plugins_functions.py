@@ -95,6 +95,95 @@ def test_register_plugins_missing_dir_and_bad_module(tmp_path):
         pass
 
 
+def test_is_cloudtrail_reference_regex(spark):
+    """C17: the reference's regex verbatim (utils/helpers.py:10) —
+    digits prefix required, case-insensitive, .json.gz suffix."""
+    from alerta_spark.functions import is_cloudtrail
+
+    df = spark.createDataFrame(
+        [
+            ("123456_CloudTrail_us-east-1.json.gz", True),
+            ("999_cloudtrail_x.JSON.GZ", True),
+            ("cloudtrail_x.json.gz", False),   # no digits prefix
+            ("123456_cloudtrail_x.json", False),  # wrong suffix
+            ("randomfile.log", False),
+        ],
+        "fname string, expect boolean",
+    )
+    rows = df.select("expect", is_cloudtrail("fname").alias("got")).collect()
+    assert all(r["got"] == r["expect"] for r in rows)
+
+
+def test_cidr_validation_and_membership(spark):
+    """C16 CIDR parity with reference netaddr (utils/helpers.py:44-74):
+    is_ip accepts ranges; in_cidr is a pure range predicate."""
+    from alerta_spark.functions import in_any_cidr, in_cidr, ipv4_to_long, is_cidr, is_ip
+
+    df = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", True, False),
+            ("192.168.1.5", True, False),
+            ("192.168.1.0/33", False, False),  # bad prefix
+            ("10.1.2.3", True, True),
+            ("10.255.255.255", True, True),
+            ("11.0.0.0", True, False),
+            ("2001:db8::/32", True, False),
+            ("999.1.1.1", False, False),
+            ("5", False, False),  # reference rejects bare digits
+        ],
+        "ip string, valid boolean, in_ten boolean",
+    )
+    rows = df.select(
+        "ip",
+        "valid",
+        "in_ten",
+        is_ip("ip").alias("got_valid"),
+        in_cidr("ip", "10.0.0.0/8").alias("got_in"),
+    ).collect()
+    for r in rows:
+        assert r["got_valid"] == r["valid"], r["ip"]
+        assert r["got_in"] == r["in_ten"], r["ip"]
+
+    assert is_cidr is not None
+    v = df.select(ipv4_to_long("ip").alias("n")).where(F.col("ip") == "10.1.2.3")
+    assert v.collect()[0]["n"] == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+    multi = df.select(
+        "ip", in_any_cidr("ip", ["11.0.0.0/8", "192.168.0.0/16"]).alias("m")
+    ).collect()
+    got = {r["ip"]: r["m"] for r in multi}
+    assert got["11.0.0.0"] is True and got["192.168.1.5"] is True
+    assert got["10.1.2.3"] is False
+
+
+def test_to_utc_conformant_reference_semantics(spark):
+    """C8 conformance mode: fuzzy strings parse, the string epoch-
+    divisor quirk is replicated, <=0 maps to epoch zero, junk is NULL
+    (reference utils/dates.py:38-85)."""
+    from datetime import datetime
+
+    from alerta_spark.functions import to_utc_conformant
+
+    df = spark.createDataFrame(
+        [
+            ("1700000000",),        # 10 digits -> divisor 10^(10%10)=1 -> seconds
+            ("0",),                 # <= 0 -> epoch zero
+            ("-12.5",),             # negative float -> epoch zero
+            ("seen on 2023-11-14 at 22:13 UTC",),  # fuzzy
+            ("total garbage",),     # NULL (reference raises; scans can't)
+        ],
+        "raw string",
+    )
+    got = {
+        r["raw"]: r["ts"]
+        for r in df.select("raw", to_utc_conformant("raw").alias("ts")).collect()
+    }
+    assert got["1700000000"] == datetime(2023, 11, 14, 22, 13, 20)
+    assert got["0"] == datetime(1970, 1, 1)
+    assert got["-12.5"] == datetime(1970, 1, 1)
+    assert got["seen on 2023-11-14 at 22:13 UTC"] == datetime(2023, 11, 14, 22, 13)
+    assert got["total garbage"] is None
+
+
 def test_to_utc_epoch_heuristics(spark):
     df = spark.createDataFrame(
         [("1700000000",), ("1700000000000",), ("1700000000000000",),
