@@ -100,19 +100,57 @@ def exact_dedup(
     )
 
 
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist + register for :func:`release_cached`. The operators
+    return LAZY frames whose plans read these caches, so they must
+    outlive the call — the caller owns the lifetime and releases after
+    its consuming action."""
+    _CACHED.append(df.persist())
+    return df
+
+
+def release_cached(blocking: bool = False) -> int:
+    """Unpersist every frame the dedup operators cached. Call after
+    the consuming action (e.g. once pairs are written); a long-lived
+    driver that skips this accumulates storage memory across runs.
+    Returns the number of frames released."""
+    n = 0
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist(blocking)
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
 def _shingle_index(
     df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
-    """(id, shingle) inverted index over DISTINCT shingles per doc."""
+    """(id, shingle) inverted index over DISTINCT shingles per doc.
+
+    The cap must itself be skew-proof: counting doc-freq is a partial
+    (map-side combined) aggregate, so a mega-hot shingle never piles
+    onto one task; the hot set (df > cap) is tiny BY CONSTRUCTION
+    (<= distinct-shingle-rows / cap survive the filter... in practice a
+    handful of boilerplate strings), so it broadcasts and the index is
+    filtered MAP-SIDE — hot rows are dropped before any shuffle keyed
+    by shingle, which is exactly where they would have skewed. (A
+    window count over `shingle` would re-create the skew: window
+    partitions can't be split by AQE.)"""
     idx = shingle_rows(df, text_col, id_col, n)
     if max_doc_freq is not None:
-        from pyspark.sql import Window as W
-
-        freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        idx = (
-            idx.join(freq.where(F.col("_df") <= max_doc_freq), "shingle")
-            .drop("_df")
+        idx = _persist(idx)  # freq branch + anti-join branch: compute once
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
         )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
     return idx
 
 
@@ -141,7 +179,7 @@ def ngram_jaccard_pairs(
     # the index feeds three plan branches (a-side, b-side, sizes);
     # persist it so shingle construction runs once, not three times —
     # at lake scale this materialization would be a checkpoint table
-    idx = _shingle_index(df, text_col, id_col, n, max_doc_freq).persist()
+    idx = _persist(_shingle_index(df, text_col, id_col, n, max_doc_freq))
     sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
 
     a = idx.alias("a")
@@ -237,7 +275,7 @@ def minhash_lsh_pairs(
     # persist is a checkpoint table written once per corpus snapshot
     idx = shingle_rows(df, text_col, id_col, n)
     if verify:
-        idx = idx.persist()
+        idx = _persist(idx)
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, shingle_df=idx)
     banded = sigs.select(
         "_id",
@@ -435,4 +473,7 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    # the returned frame reads the final round's cache; register it so
+    # release_cached() frees it once the caller has consumed the result
+    _CACHED.append(labels)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -55,7 +55,12 @@ def resolve_path(expr: Column, dtype: T.DataType, parts: list[str]) -> tuple[Col
 
     if isinstance(dtype, T.StringType):
         # JSON-string payload: resolve the remainder via get_json_object.
-        json_path = "$." + ".".join([head] + rest)
+        # Digit segments compile to [i] array indexes ('items.0' ->
+        # '$.items[0]'), keeping template_col in agreement with the
+        # python-side _lookup on array paths.
+        json_path = "$"
+        for p in [head] + rest:
+            json_path += f"[{int(p)}]" if p.isdigit() else "." + p
         return F.get_json_object(expr, json_path), T.StringType()
 
     # scalar with path remaining -> miss

@@ -867,7 +867,6 @@ def set_ops_union_except_intersect(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events")
     sel = lambda t: ev.where(F.col("event_type") == t).select("user_id")  # noqa: E731
     p, e, s = sel("purchase"), sel("error"), sel("signup")
-    spark_ = spark
 
     def one(name: str, frame: DataFrame) -> DataFrame:
         return frame.agg(F.count(F.lit(1)).alias("n")).select(

@@ -82,22 +82,31 @@ def _static_criteria(slot: dict[str, Any]) -> str:
 
 
 def _split_top_and(sql: str) -> list[str]:
-    out, depth, buf, i = [], 0, [], 0
-    up = sql.upper()
-    while i < len(sql):
-        c = sql[i]
+    """Split on top-level AND, string-literal aware: quoted literals
+    are masked before scanning so an ``' and '`` or parens INSIDE a
+    literal neither splits nor corrupts depth tracking, and the
+    returned parts are verbatim slices of the input (no case
+    mutation)."""
+    from alerta_spark.dialect import _split_literals
+
+    masked = "".join(
+        "\x00" * len(chunk) if is_lit else chunk.upper()
+        for chunk, is_lit in _split_literals(sql)
+    )
+    out, depth, start, i, n = [], 0, 0, 0, len(sql)
+    while i < n:
+        c = masked[i]
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        if depth == 0 and up[i : i + 5] == " AND " :
-            out.append("".join(buf))
-            buf = []
+        if depth == 0 and masked[i : i + 5] == " AND ":
+            out.append(sql[start:i])
             i += 5
+            start = i
             continue
-        buf.append(c)
         i += 1
-    out.append("".join(buf))
+    out.append(sql[start:])
     return out
 
 
@@ -649,12 +658,24 @@ def streaming_threshold_alerts(
     # recreating the stall. count counts only matched rows, so the
     # NULL sentinel group always has count 0 and the HAVING (which
     # cannot push below the aggregate) drops it.
+    threshold = int(p["threshold"])
+    if threshold < 1:
+        # The sentinel-group design requires count >= 1: a threshold of
+        # 0 would fire the sentinel (count 0) for every window. The
+        # batch path fires every group at threshold<=0 (reference
+        # determine_threshold_trigger) — refuse loudly rather than
+        # silently diverge.
+        raise ValueError(
+            "streaming_threshold_alerts requires threshold >= 1 "
+            f"(got {threshold}); use the batch threshold engine for "
+            "fire-on-any-count rules"
+        )
     eff_key = F.when(matched & key.isNotNull(), key)  # NULL = sentinel group
     hit = F.when(matched & key.isNotNull(), 1).otherwise(0)
     out = (
         ev.groupBy(F.window(F.col(ts_col), window).alias("win"), eff_key.alias("value"))
         .agg(F.sum(hit).alias("count"))
-        .where(F.col("count") >= max(int(p["threshold"]), 1))
+        .where(F.col("count") >= threshold)
     )
     return out.select(
         F.lit(p["alert_name"]).alias("alert_name"),

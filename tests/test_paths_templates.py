@@ -26,6 +26,54 @@ def test_path_col_struct_and_json(spark):
     assert row["nocol"] is None
 
 
+def test_path_col_json_array_index(spark):
+    """Digit segments inside a JSON-string payload compile to [i]
+    (ADVICE: '$.items.0' silently NULLed; render_py resolved it) —
+    both sides must agree."""
+    df = spark.createDataFrame(
+        [{"props": json.dumps({"items": ["a", "b", "c"], "nest": [{"k": "v"}]})}]
+    )
+    row = df.select(
+        path_col(df, "props.items.0").alias("i0"),
+        path_col(df, "props.items.2").alias("i2"),
+        path_col(df, "props.nest.0.k").alias("nk"),
+        path_col(df, "props.items.9").alias("miss"),
+    ).first()
+    assert row["i0"] == "a"
+    assert row["i2"] == "c"
+    assert row["nk"] == "v"
+    assert row["miss"] is None
+
+
+def test_split_top_and_literal_aware():
+    """' and '/parens inside quoted literals neither split nor corrupt
+    depth; parts come back verbatim (ADVICE fix)."""
+    from alerta_spark.streaming.correlator import _split_top_and
+
+    sql = "msg = 'fish and (chips' AND x = 1 and y = 'A AND B'"
+    parts = _split_top_and(sql)
+    assert parts == ["msg = 'fish and (chips'", "x = 1", "y = 'A AND B'"]
+
+    # templated conjunct dropping keeps literals intact
+    from alerta_spark.streaming.correlator import _static_criteria
+
+    crit = "note = 'alpha and beta' AND user = '{{metadata.value}}'"
+    assert _static_criteria({"criteria": crit}) == "note = 'alpha and beta'"
+
+
+def test_dedupe_release_cached(spark):
+    from alerta_spark.ops import dedupe
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    dedupe.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(dedupe._CACHED) >= 1
+    released = dedupe.release_cached()
+    assert released >= 1 and dedupe._CACHED == []
+
+
 def test_template_col_renders_paths_and_misses(spark):
     df = spark.createDataFrame([{"metadata": {"value": "root", "count": 2}, "x": 1}])
     root = F.struct(*[F.col(c) for c in df.columns])

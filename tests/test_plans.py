@@ -150,6 +150,35 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     assert n_files <= 4
 
 
+def test_lsh_banding_joins_stay_shuffle_bounded(spark):
+    """The MinHash/LSH candidate joins must remain hash-equi joins on
+    (band, bucket): if a Spark version ever routes the composite
+    condition (equi keys + `_id <` filter) through
+    BroadcastNestedLoopJoin or CartesianProduct, candidate generation
+    degrades to all-pairs — the exact failure LSH exists to avoid."""
+    for q in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = _plan(spark, q)
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    from alerta_spark.ops.dedupe import release_cached
+
+    release_cached()
+
+
+def test_ngram_cap_filters_map_side(spark):
+    """The hot-shingle cap must drop capped rows BEFORE any
+    shingle-keyed shuffle: the hot set broadcasts into a left-anti
+    hash join (map-side), never a shuffled join of the full index."""
+    from alerta_spark.ops.dedupe import _shingle_index, release_cached
+    from alerta_spark.sources.lake import load_table
+
+    docs = load_table(spark, SF, "documents")
+    idx = _shingle_index(docs, "text", "doc_id", 5, 100)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    release_cached()
+
+
 def test_salted_topk_matches_plain_under_skew(spark):
     """One key holding most rows: salted two-phase top-k returns the
     identical row set as the single-window form."""
