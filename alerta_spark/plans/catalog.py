@@ -994,6 +994,52 @@ def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t2_hop_window_counts",
+    oracle="""
+    WITH hops AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS hop_start
+      FROM events
+    )
+    SELECT hop_start, event_type, count(*) AS n
+    FROM hops GROUP BY hop_start, event_type
+    """,
+)
+def t2_hop_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 hopping (sliding) windows: 1h windows every 30min — each
+    event lands in exactly two epoch-aligned hops (alerta.py's
+    overlapping 15-min cron scans, as a native window; streaming uses
+    the identical expression). Oracle: each hop start enumerated per
+    event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hop_start"), "event_type", "n")
+    )
+
+
+@register(
+    "c15_json_keys",
+    oracle="""
+    SELECT event_id, unnest(json_keys(props)) AS key FROM events
+    """,
+)
+def c15_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C15 keypath enumeration (reference dict walkers,
+    utils/dict_helpers.py enum_keys) over JSON payloads: one row per
+    (event, top-level key), JVM-side json_object_keys — schema
+    discovery over a schemaless payload column at scan speed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.explode(F.json_object_keys("props")).alias("key")
+    )
+
+
 @register("agg_approx_quantiles", oracle=None)  # sketch-based: rows-only
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (KLL/HLL-style sketches): percentile_approx

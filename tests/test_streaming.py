@@ -289,6 +289,130 @@ def test_sequence_correlator_event_time_deadman(spark, tmp_path):
     assert list(done["alice"]["slot_counts"]) == [1, 0]
 
 
+def test_sequence_correlator_chatty_key_still_expires(spark, tmp_path):
+    """Fixed lifespan expiry end-to-end: non-matching chatter must NOT
+    extend a sequence's life (the pre-fix sliding timeout re-armed off
+    last_ms, so a chatty key never expired). bob's sequence starts at
+    00:00 with a 2h lifespan; chatter runs through 04:00; the watermark
+    reaching 04:00 (> 02:00 deadline, < any slid deadline) expires it."""
+    rule = {
+        "alert_name": "start_then_stall",
+        "alert_type": "sequence",
+        "lifespan": "2 hours",
+        "slots": [
+            {
+                "alert_name": "risky",
+                "alert_type": "threshold",
+                "criteria": "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80",
+                "threshold": 1,
+            },
+            {
+                "alert_name": "never",
+                "alert_type": "threshold",
+                "criteria": "json_extract_scalar(details,'$.kind')='unicorn'",
+                "threshold": 1,
+            },
+        ],
+    }
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+
+    def run_wave(events_df, name):
+        events_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_df.schema).parquet(src)
+        out = sequence_correlator(stream, rule, "details.user_name", time_mode="eventTime")
+        emitted = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    wave1 = [(0, {"risk_score": "95", "user_name": "bob"})] + [
+        (h, {"risk_score": "1", "user_name": "bob"}) for h in (1, 2, 3, 4)
+    ]
+    assert run_wave(_events(spark, wave1), "chatty_w1") == []
+    # watermark -> 04:00 (06:00 - 2h delay): past the FIXED 02:00
+    # deadline; a slid deadline (04:00 + 2h) would still be pending
+    w2 = run_wave(
+        _events(spark, [(6, {"risk_score": "1", "user_name": "zed"})]), "chatty_w2"
+    )
+    done = {r["correlation_value"]: r for r in w2}
+    assert "bob" in done
+    assert done["bob"]["expired"] is True
+    assert list(done["bob"]["slot_counts"]) == [1, 0]
+
+
+def test_sequence_correlator_sliding_deadman_window(spark, tmp_path):
+    """Criteria-aware deadman with an explicit sliding window: a
+    matching heartbeat RESTARTS the absence clock (pre-fix, deadman
+    matches were never consulted); silence through the restarted
+    window then fires the absence."""
+    rule = {
+        "alert_name": "login_then_heartbeat_stops",
+        "alert_type": "sequence",
+        "lifespan": "1 day",
+        "slots": [
+            {
+                "alert_name": "risky",
+                "alert_type": "threshold",
+                "criteria": "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80",
+                "threshold": 1,
+            },
+            {
+                "alert_name": "heartbeat_absent",
+                "alert_type": "deadman",
+                "criteria": "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)<5",
+                "threshold": 0,
+                "window": "1 hour",
+            },
+        ],
+    }
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+
+    def run_wave(events_df, name):
+        events_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_df.schema).parquet(src)
+        out = sequence_correlator(stream, rule, "details.user_name", time_mode="eventTime")
+        emitted = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    # 00:00 risky login (slot 0, anchor 00:00); 01:00 heartbeat matches
+    # the deadman criteria -> over budget (threshold 0) -> window
+    # restarts at 01:00
+    wave1 = [
+        (0, {"risk_score": "95", "user_name": "bob"}),
+        (1, {"risk_score": "1", "user_name": "bob"}),
+    ]
+    assert run_wave(_events(spark, wave1), "slide_w1") == []
+    # watermark -> 03:00: past the restarted 02:00 edge -> absence
+    # confirmed -> sequence completes (not expired)
+    w2 = run_wave(
+        _events(spark, [(5, {"risk_score": "50", "user_name": "zed"})]), "slide_w2"
+    )
+    done = {r["correlation_value"]: r for r in w2}
+    assert "bob" in done
+    assert done["bob"]["expired"] is False
+    assert list(done["bob"]["slot_counts"]) == [1, 0]  # count reset on restart
+
+
 HOUR_MS = 3_600_000
 DAY_MS = 24 * HOUR_MS
 
