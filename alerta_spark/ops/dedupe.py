@@ -313,9 +313,21 @@ def minhash_lsh_pairs(
         return cand
 
     # verify candidates with exact jaccard over distinct shingle sets
-    # (from the same persisted shingle rows as the signatures)
+    # (from the same persisted shingle rows as the signatures) — but
+    # ONLY for docs that appear in a candidate pair: the semi-join
+    # below shrinks the collect_list aggregate from corpus-size to
+    # candidate-size, which at 100 TB is the difference between
+    # re-aggregating every document's shingles and touching just the
+    # suspected near-dups
+    cand = _persist(cand)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
     sets_ = (
-        idx.groupBy("_id")
+        idx.join(cand_ids, "_id", "left_semi")
+        .groupBy("_id")
         .agg(F.collect_list("shingle").alias("sh"))
     )
     sa = sets_.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
