@@ -727,6 +727,56 @@ def multimodal_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_summary(docs)
 
 
+@register(
+    "sample_deterministic",
+    oracle="""
+    SELECT doc_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'epoch1'), 1, 8) < '33333333'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~20% reproducible corpus sample by md5-prefix band: membership
+    is a pure row function — stable under task retry and identical
+    across engines (rand()-based sample() is neither). '33333333' =
+    floor(0.2 * 16^8) in hex."""
+    from alerta_spark.ops.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.2, salt="epoch1").select("doc_id")
+
+
+@register(
+    "split_train_eval_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+        CASE
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'eval'
+          ELSE 'test'
+        END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n, min(doc_id) AS min_id
+    FROM assigned GROUP BY split
+    """,
+)
+def split_train_eval_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/eval/test split via cumulative
+    md5-prefix bands (hash_split): disjoint, exhaustive, and a row's
+    split NEVER changes across pipeline re-runs — the anti-leakage
+    property randomSplit lacks under retries."""
+    from alerta_spark.ops.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, {"train": 0.8, "eval": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
 @register("multimodal_features", oracle=None)  # Arrow/mapInPandas plumbing
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode+feature-extract (decode stubbed

@@ -1,0 +1,78 @@
+"""Deterministic sampling/splitting: reproducibility, disjointness,
+fraction accuracy (ops/sampling.py — training-data extension)."""
+
+import pytest
+
+from alerta_spark.ops.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_deterministic_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from alerta_spark.sources.lake import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+def test_sample_fraction_and_stability(spark, docs):
+    total = docs.count()
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    assert s1 == s2  # rerun-stable: same rows, not just same count
+    assert 0.15 <= len(s1) / total <= 0.45  # binomial tolerance at n=500
+    # a larger fraction with the same salt is a SUPERSET (nested samples)
+    s_half = {r["doc_id"] for r in deterministic_sample(docs, 0.5).select("doc_id").collect()}
+    assert s1 <= s_half
+    # a different salt draws an effectively independent sample
+    s_other = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, 0.3, salt="v2").select("doc_id").collect()
+    }
+    assert s_other != s1
+
+
+def test_sample_fraction_bounds(docs):
+    assert deterministic_sample(docs, 1.0) is docs
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)
+    assert deterministic_sample(docs, 0.0).count() == 0
+
+
+def test_hash_split_disjoint_exhaustive_stable(docs):
+    out = hash_split(docs, {"train": 0.8, "eval": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) <= {"train", "eval", "test"}
+    assert sum(counts.values()) == docs.count()  # exhaustive, disjoint
+    assert counts["train"] > counts.get("eval", 0)
+    # a specific row's assignment never changes
+    one = out.where(out.doc_id == out.select("doc_id").first()["doc_id"])
+    a = one.first()["split"]
+    b = hash_split(docs, {"train": 0.8, "eval": 0.1, "test": 0.1}).where(
+        out.doc_id == one.first()["doc_id"]
+    ).first()["split"]
+    assert a == b
+
+
+def test_stratified_sample_per_stratum(spark):
+    rows = [(i, "common") for i in range(200)] + [(1000 + i, "rare") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_deterministic_sample(
+        df, {"common": 0.1, "rare": 1.0}, strata_col="source"
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["rare"] == 20          # keep all scarce data
+    assert 5 <= got.get("common", 0) <= 45  # ~10% of 200
+    # unlisted strata default to 0
+    df2 = df.withColumn("source", df.source)
+    out2 = stratified_deterministic_sample(df2, {"rare": 1.0}, strata_col="source")
+    assert out2.where(out2.source == "common").count() == 0
