@@ -369,3 +369,58 @@ def cosine_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    bands: int = 16,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: random-hyperplane LSH
+    blocking + exact cosine verification — the scale path
+    :func:`cosine_pairs`'s docstring promises (label blocking needs a
+    trusted label column; this needs only the vectors).
+
+    A pair at cosine c collides per plane with prob 1 - arccos(c)/pi
+    (~0.90 at c=0.95), per band p^planes, overall 1-(1-p^planes)^bands
+    (~0.9998 at the defaults) — recall pinned against the exact
+    operator in tests. Precision is 1: every candidate is re-scored
+    with exact cosine before thresholding.
+
+    Same plan shape as MinHash banding (the shape that survives
+    100 TB): explode to (id, band, bucket), self-join on (band,
+    bucket) — bounded fan-in per bucket, never all-pairs — and score
+    before the distinct so the dedup shuffles (ids, cos), not two
+    vectors per row.
+
+    -> [id_a, id_b, cos] with id_a < id_b.
+    """
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    buckets = _bucket_udf(dim, planes, bands)
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .distinct()
+    )

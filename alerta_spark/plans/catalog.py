@@ -657,6 +657,35 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_embedding_lsh", oracle=None)  # approximate: rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH blocking +
+    exact cosine verification — the label-free scale path (the blocked
+    variant above needs a trusted label).
+
+    Hyperplane LSH is a HIGH-threshold tool (collision prob per plane
+    is 1 - arccos(c)/pi, so selectivity collapses below ~0.9); the
+    synthetic embeddings' organic pairs top out near cos 0.48, so this
+    query plants deterministic near-copies (one mildly perturbed twin
+    per original, cos ~0.9998) and finds them at threshold 0.95 — the
+    regime the operator exists for. Recall/precision vs the exact
+    operator pinned in tests/test_similarity_ops.py."""
+    from alerta_spark.ops.similarity import cosine_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twin = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.02 * ((i % 2) * 2 - 1)),
+        )
+        .cast(emb.schema["embedding"].dataType)
+        .alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twin)
+    return cosine_pairs_lsh(corpus, threshold=0.95)
+
+
 _TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
 
 

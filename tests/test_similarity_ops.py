@@ -87,3 +87,39 @@ def test_cosine_pairs_blocked_symmetry(emb):
     rows = cosine_pairs(emb, threshold=0.3, block_col="label").collect()
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+
+
+def test_cosine_pairs_lsh_finds_planted_twins(spark, emb):
+    """Label-free LSH near-dup: every planted twin (cos ~0.9998) is
+    recovered (recall 1 in the high-cos regime hyperplane LSH targets)
+    and precision is 1 vs the exact all-pairs ground truth."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.similarity import cosine_pairs_lsh
+
+    base = emb.select("vec_id", "embedding").limit(200)
+    twin = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.02 * ((i % 2) * 2 - 1))
+        )
+        .cast(emb.schema["embedding"].dataType)
+        .alias("embedding"),
+    )
+    corpus = base.unionByName(twin)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh(corpus, threshold=0.95).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(corpus, threshold=0.95, block_col=None).collect()
+    }
+    planted = {
+        (r["vec_id"], r["vec_id"] + 1_000_000) for r in base.select("vec_id").collect()
+    }
+    assert planted <= exact          # sanity: twins really are >= 0.95
+    assert got <= exact              # precision 1 (exact re-scoring)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall too low: {recall}"
