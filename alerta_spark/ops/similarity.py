@@ -400,13 +400,19 @@ def cosine_pairs_lsh(
     -> [id_a, id_b, cos] with id_a < id_b.
     """
     from alerta_spark._ship import ensure_shipped
+    from alerta_spark.ops.dedupe import _persist
 
     ensure_shipped(df.sparkSession)
     buckets = _bucket_udf(dim, planes, bands)
-    b = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+    # both join sides read the bucketed projection: cache it so the
+    # numpy bucketing matmul runs once per corpus, not twice (shared
+    # registry with the dedup ops — release via dedupe.release_cached)
+    b = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
+        )
     )
     l, r = b.alias("l"), b.alias("r")
     return (

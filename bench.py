@@ -39,6 +39,10 @@ HEADLINE = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "multimodal_features",
+    # round-2 additions (no r01 baseline; tracked from r02 on)
+    "t2_hop_window_counts",
+    "split_train_eval_test",
+    "dedup_embedding_lsh",
 ]
 
 

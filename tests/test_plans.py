@@ -179,6 +179,24 @@ def test_ngram_cap_filters_map_side(spark):
     release_cached()
 
 
+def test_deterministic_sample_is_map_only(spark):
+    """Sampling must stay a pure scan-side filter: zero exchanges, and
+    the md5-band predicate inside whole-stage codegen."""
+    plan = _plan(spark, "sample_deterministic")
+    assert "Exchange" not in plan
+    assert "*(1) Filter" in plan  # codegen'd stage-1 filter
+    # column pruning: only the key column is read
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "ReadSchema: struct<doc_id:bigint>" in scan
+
+
+def test_hash_split_single_exchange(spark):
+    """Split assignment is map-side; only the count aggregate
+    shuffles — one exchange for the whole query."""
+    plan = _plan(spark, "split_train_eval_test")
+    assert plan.count("Exchange") <= 2  # partial+final agg pair max
+
+
 def test_salted_topk_matches_plain_under_skew(spark):
     """One key holding most rows: salted two-phase top-k returns the
     identical row set as the single-window form."""
