@@ -97,6 +97,37 @@ class Engine:
         create_sequence_alerts(self.inflight, self.alerts)
         expire_sequence_alerts(self.inflight)
 
+    def run_stream(
+        self,
+        events_stream: DataFrame,
+        rules: list[dict[str, Any]],
+        checkpoint_dir: str,
+        trigger: dict[str, Any] | None = None,
+    ):
+        """T1 as a first-class API: the cron body under a Structured
+        Streaming trigger. Each micro-batch executes one full rule pass
+        (resume in-flight → fire → create → expire) exactly like a cron
+        tick — the reference's 15-minute cron (startup.sh:24-26)
+        becomes ``trigger={"processingTime": "15 minutes"}``, and the
+        default ``availableNow`` replays a backlog with identical
+        semantics. The alert/in-flight DocStores carry state across
+        batches AND restarts (S7/S8), so recovery = reference restart.
+
+        Returns the StreamingQuery (caller owns awaitTermination)."""
+        if not events_stream.isStreaming:
+            raise ValueError("run_stream needs a streaming DataFrame; use run_once")
+        trigger = trigger or {"availableNow": True}
+
+        def _batch(batch_df: DataFrame, _batch_id: int) -> None:
+            self.run_once(batch_df, rules)
+
+        return (
+            events_stream.writeStream.foreachBatch(_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**trigger)
+            .start()
+        )
+
     def _resume_inflight(self, events_df: DataFrame) -> None:
         """Resume in-flight sequences (alerta.py:491, 210-215).
 

@@ -62,3 +62,40 @@ def test_deadman_fires_on_scan_failure(spark, events, tmp_path):
     alerts = engine.alerts.docs()
     assert len(alerts) == 1
     assert alerts[0]["metadata"]["count"] == 0
+
+
+def test_engine_run_stream_matches_run_once(spark, events, tmp_path):
+    """T1 first-class: the same rule pass under a Structured Streaming
+    trigger produces the same alerts as the batch cron body, and state
+    (DocStores) carries across micro-batches."""
+    rules = load_rules("rules/*alert.yml")
+
+    # batch reference run
+    batch_engine = Engine(spark, str(tmp_path / "batch_store"))
+    batch_engine.run_once(events, rules)
+    want = {
+        (a["alert_name"], a["metadata"]["value"])
+        for a in batch_engine.alerts.docs()
+        if a["alert_name"] == "big_purchases"
+    }
+    assert want
+
+    # identical events through a real file-source stream
+    src = str(tmp_path / "src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    stream_engine = Engine(spark, str(tmp_path / "stream_store"))
+    q = stream_engine.run_stream(stream, rules, str(tmp_path / "ck"))
+    q.awaitTermination(180)
+    got = {
+        (a["alert_name"], a["metadata"]["value"])
+        for a in stream_engine.alerts.docs()
+        if a["alert_name"] == "big_purchases"
+    }
+    assert got == want
+
+    # misuse guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_engine.run_stream(events, rules, str(tmp_path / "ck2"))

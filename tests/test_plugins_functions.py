@@ -215,3 +215,22 @@ def test_ip_validators(spark):
     assert got["::1"] == (False, True, True)
     assert got["2001:db8::8a2e:370:7334"] == (False, True, True)
     assert got["nope"] == (False, False, False)
+
+
+def test_meteor_id_and_short_uuid_formats(spark):
+    """C12/C13: nondeterministic values, deterministic CONTRACTS —
+    meteor_id is 24 lowercase hex chars (alerta.py:31-35), short_uuid
+    is the first 8 uuid chars (utils/helpers.py:35-36); distinct per
+    row."""
+    import re
+
+    from alerta_spark.functions import meteor_id, short_uuid
+
+    rows = (
+        spark.range(200)
+        .select(meteor_id().alias("mid"), short_uuid().alias("sid"))
+        .collect()
+    )
+    assert all(re.fullmatch(r"[0-9a-f]{24}", r["mid"]) for r in rows)
+    assert all(re.fullmatch(r"[0-9a-f-]{8}", r["sid"]) for r in rows)
+    assert len({r["mid"] for r in rows}) == 200  # unique per row
