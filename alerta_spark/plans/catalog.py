@@ -756,6 +756,70 @@ def multimodal_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_summary(docs)
 
 
+@register("pipeline_clean_corpus", oracle=None)  # oracle set below
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end preprocessing flow as ONE Spark plan: quality
+    gate -> language filter -> exact-dedup survivors -> deterministic
+    train/eval/test split, reported as per-split corpus stats. Every
+    stage is an operator from this catalog, composed — Catalyst fuses
+    the quality/language maps into the scan and the whole flow costs
+    two shuffles (dedup digest group, final split aggregate)."""
+    from alerta_spark.ops.dedupe import exact_dedup
+    from alerta_spark.ops.sampling import hash_split
+    from alerta_spark.ops.text import language_id, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = language_id(docs).select("doc_id", "lang_pred")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    cleaned = (
+        q.join(lang, "doc_id")
+        .where((F.col("quality_score") >= 0.5) & (F.col("lang_pred") == "en"))
+        .join(keep, "doc_id", "left_semi")
+    )
+    return (
+        hash_split(cleaned, {"train": 0.8, "eval": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("quality_score").alias("min_quality"),
+        )
+    )
+
+
+def _pipeline_oracle() -> str:
+    quality_sql = QUERIES["text_quality_score"]["oracle"]
+    lang_sql = _lang_oracle()
+    return f"""
+    WITH q AS ({quality_sql}),
+    l AS ({lang_sql}),
+    keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_DUCK_NORM})),
+    cleaned AS (
+      SELECT q.doc_id, q.n_tokens, q.quality_score
+      FROM q JOIN l ON q.doc_id = l.doc_id
+      WHERE q.quality_score >= 0.5 AND l.lang_pred = 'en'
+        AND q.doc_id IN (SELECT doc_id FROM keep)
+    ),
+    assigned AS (
+      SELECT *,
+        CASE
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'eval'
+          ELSE 'test'
+        END AS split
+      FROM cleaned
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(quality_score) AS min_quality
+    FROM assigned GROUP BY split
+    """
+
+
+QUERIES["pipeline_clean_corpus"]["oracle"] = _pipeline_oracle()
+
+
 @register(
     "sample_deterministic",
     oracle="""

@@ -197,6 +197,17 @@ def test_hash_split_single_exchange(spark):
     assert plan.count("Exchange") <= 2  # partial+final agg pair max
 
 
+def test_pipeline_clean_corpus_two_shuffles(spark):
+    """The composed preprocessing flow (quality -> lang -> dedup
+    survivors -> split stats) must cost exactly two real shuffles:
+    the dedup digest groupBy and the final split aggregate. Doc-id
+    joins stay broadcast; the quality/language maps fuse into the
+    scan."""
+    plan = _plan(spark, "pipeline_clean_corpus")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_topk_matches_plain_under_skew(spark):
     """One key holding most rows: salted two-phase top-k returns the
     identical row set as the single-window form."""
