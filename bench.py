@@ -43,6 +43,7 @@ HEADLINE = [
     "t2_hop_window_counts",
     "split_train_eval_test",
     "dedup_embedding_lsh",
+    "pipeline_clean_corpus",
 ]
 
 
