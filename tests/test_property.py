@@ -100,3 +100,60 @@ def test_render_py_json_string_payload(d):
     ctx = {"details": json.dumps(d)}
     for k, v in d.items():
         assert render_py("{{details." + k + "}}", ctx) == str(v)
+
+
+# ---- deterministic sampling invariants (ops/sampling.py) ----------------
+# Pure-python mirror of the md5-band logic so hypothesis can sweep
+# thousands of (key, weights) cases without a Spark job per example.
+
+
+def _py_bucket(key, salt=""):
+    import hashlib
+
+    return hashlib.md5((str(key) + salt).encode()).hexdigest()[:8]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50, unique=True),
+    st.lists(st.floats(min_value=0.01, max_value=10.0, allow_nan=False), min_size=1, max_size=5),
+)
+@settings(max_examples=200)
+def test_hash_split_partition_invariants(keys, raw_weights):
+    """For ANY weights and keys: thresholds are monotonically
+    non-decreasing, every key lands in exactly one split, and the
+    assignment depends only on (key, cumulative weights)."""
+    from alerta_spark.ops.sampling import _SPACE, _threshold
+
+    total = sum(raw_weights)
+    cum, thresholds = 0.0, []
+    for w in raw_weights[:-1]:
+        cum += w / total
+        thresholds.append(_threshold(cum))
+    assert thresholds == sorted(thresholds)  # monotone bands
+
+    def assign(key):
+        b = _py_bucket(key)
+        for i, t in enumerate(thresholds):
+            if b < t:
+                return i
+        return len(raw_weights) - 1
+
+    first = {k: assign(k) for k in keys}
+    assert all(0 <= v < len(raw_weights) for v in first.values())
+    # stable: a second pass agrees (pure function of the key)
+    assert {k: assign(k) for k in keys} == first
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=300)
+def test_threshold_lexical_order_matches_numeric(fraction):
+    """The hex threshold must compare lexically the way the fraction
+    compares numerically — incl. the 1.0 sentinel ('g' > any hex)."""
+    from alerta_spark.ops.sampling import _SPACE, _threshold
+
+    t = _threshold(fraction)
+    assert _py_bucket(12345) < t or fraction < 1.0
+    if fraction < 1.0:
+        assert len(t) == 8 and int(t, 16) == int(fraction * _SPACE)
+    else:
+        assert t == "g"
