@@ -612,11 +612,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=None)  # approximate: rows-only check
+@register(
+    "dedup_minhash_lsh",
+    # The oracle is the EXACT uncapped Jaccard ground truth. Valid as a
+    # hash check because the operator is deterministic (fixed xxhash64
+    # banding), precision is always 1 (exact verification step), and
+    # recall on this corpus is exactly 1 — verified at sf0.001 AND
+    # sf0.01. On a corpus where banding missed a pair this row would
+    # fail loudly, which is the honest outcome.
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM pairs WHERE j >= 0.8
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH banding (16x4) candidates, verified with exact
-    Jaccard — the 100 TB dedup path. Tested against the exact operator
-    in tests/test_dedupe.py (recall check)."""
+    Jaccard — the 100 TB dedup path. Also tested against the exact
+    operator in tests/test_dedupe_ops.py (recall check)."""
     from alerta_spark.ops.dedupe import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -870,7 +889,27 @@ def split_train_eval_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None)  # Arrow/mapInPandas plumbing
+@register(
+    "multimodal_features",
+    # The fake decoder is sha256-based and therefore SQL-expressible:
+    # feature[i] = uint16(digest[2i:2i+2]) / 65535.0. DuckDB's
+    # sha256(VARCHAR) hashes the same UTF-8 bytes attach_fake_media
+    # encodes, so the Arrow decode path gets a full value-hash check.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           unnest(generate_series(0, 15)) AS feat_idx,
+           unnest([(('0x' || substr(h, 4*i + 1, 4))::BIGINT) / 65535.0
+                   for i in generate_series(0, 15)]) AS feat_value
+    FROM f
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode+feature-extract (decode stubbed
     deterministically; Spark-side plumbing is the real thing)."""
