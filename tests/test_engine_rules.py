@@ -99,3 +99,34 @@ def test_engine_run_stream_matches_run_once(spark, events, tmp_path):
 
     with _pytest.raises(ValueError):
         stream_engine.run_stream(events, rules, str(tmp_path / "ck2"))
+
+
+def test_cli_run_from_config(spark, tmp_path):
+    """Config-file entry (reference alerta.py:517-535 -c flag): one
+    cron body from a YAML config; missing keys rejected."""
+    import pytest as _pytest
+    import yaml
+
+    from alerta_spark.cli import load_config, run_from_config
+
+    cfg_path = tmp_path / "cfg.yml"
+    cfg_path.write_text(
+        yaml.safe_dump(
+            {
+                "lake_dir": "/root/testdata/sf0.001",
+                "store_dir": str(tmp_path / "store"),
+                "alerts_file_mask": "rules/*alert.yml",
+            }
+        )
+    )
+    cfg = load_config(str(cfg_path))
+    run_from_config(cfg)
+    from alerta_spark.state import DocStore
+
+    alerts = DocStore(spark, str(tmp_path / "store" / "alerts")).docs()
+    assert any(a["alert_name"] == "big_purchases" for a in alerts)
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("store_dir: /tmp/x\n")
+    with _pytest.raises(ValueError):
+        load_config(str(bad))
