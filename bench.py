@@ -44,6 +44,7 @@ HEADLINE = [
     "split_train_eval_test",
     "dedup_embedding_lsh",
     "pipeline_clean_corpus",
+    "t3_sequence_correlator",
 ]
 
 
