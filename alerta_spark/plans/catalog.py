@@ -960,7 +960,8 @@ SEQ_EVENTS_RULE = {
 def t3_sequence_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence correlation keyed by user: 2 big purchases then an
     error. applyInPandasWithState on streams; identical one-pass
-    applyInPandas on batch (reference: alerta.py:274-317)."""
+    partition-level mapInPandas on batch (reference:
+    alerta.py:274-317)."""
     from alerta_spark.streaming.correlator import sequence_correlator
 
     ev = load_table(spark, sf_dir, "events")
