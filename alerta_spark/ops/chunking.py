@@ -1,0 +1,170 @@
+"""Document chunking and sequence packing for training pipelines,
+over the ``documents`` table (doc_id, text, lang, source, n_chars).
+
+Two standard LLM-pretraining data transforms, both expressed as pure
+Spark column operations (whole-stage codegen, no Python UDF):
+
+- **chunk_documents** — sliding fixed-size token windows with overlap
+  (long-document splitting for context-limited training, embedding
+  indexing, retrieval corpora). Tokenize once per document, explode a
+  chunk-index ``sequence``, ``slice`` the carried token array. One
+  Generate, zero shuffles: scales linearly with input splits.
+
+- **pack_sequences** — concat-and-split packing: documents are laid
+  out as a contiguous token stream and cut at fixed ``budget``
+  boundaries (exactly how pretraining batches are packed). Bin ids
+  fall out of a running token sum, so the whole op is one window over
+  ``(partition_col, shard)`` streams. ``shards`` splits each
+  partition's stream into md5-derived sub-streams: packing does not
+  need global contiguity, so sharding bounds the sequential-scan
+  length per task — the knob that keeps one giant source from
+  serializing at 100 TB.
+
+Reference provenance: the reference has no chunking tier (it caps
+result sets at 1000 rows, alerta.py:168-209); these extend the
+training-data surface alongside ops/sampling and ops/text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Case-preserving whitespace tokens (array<string>), empty
+    strings from leading/trailing whitespace dropped. Matches DuckDB's
+    ``list_filter(string_split_regex(text, '\\s+'), t -> t <> '')``
+    exactly — the oracle relies on this."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_size`` with
+    ``overlap`` tokens shared between consecutive windows.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)``
+    (0-based, stride = chunk_size - overlap); the last chunk may be
+    short. Documents with zero tokens produce zero chunks. Output:
+    (id_col, chunk_id, chunk_tokens, chunk_text).
+
+    Plan shape: Project(tokenize once) -> Generate(sequence of chunk
+    ids) -> Project(slice). The token array is computed below the
+    Generate and carried through it, so tokenization runs once per
+    document, not once per chunk (the shingle lesson: lambda bodies
+    re-evaluate outer expression trees)."""
+    if overlap < 0 or overlap >= chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}"
+        )
+    stride = chunk_size - overlap
+    n = F.size(F.col("_toks"))
+    n_chunks = (
+        F.when(n <= chunk_size, F.lit(1))
+        .otherwise(F.ceil((n - chunk_size) / F.lit(float(stride))) + 1)
+        .cast("int")
+    )
+    sized = (
+        df.select(id_col, ws_tokens(text_col).alias("_toks"))
+        .where(F.size("_toks") >= 1)
+        .withColumn("_n_chunks", n_chunks)
+    )
+    exploded = sized.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias("_cid"),
+    )
+    chunk = F.slice("_toks", F.col("_cid") * stride + 1, chunk_size)
+    return exploded.select(
+        id_col,
+        F.col("_cid").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def _md5_shard(key: Column, shards: int) -> Column:
+    """16-bit md5 prefix mod ``shards`` — deterministic, uniform, and
+    bit-identical in DuckDB (``CAST('0x'||substring(md5(k),1,4) AS
+    INTEGER) % shards``), unlike Spark's ``hash()``."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+        % shards
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partition_col: str = "source",
+    shards: int = 1,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing: within each ``(partition_col,
+    shard)`` stream ordered by ``id_col``, documents occupy consecutive
+    token offsets; training sequences are the ``budget``-sized cuts of
+    that stream.
+
+    Output per document: (id_col, partition_col, shard, n_tokens,
+    first_seq, offset_in_seq, seqs_spanned) — first_seq is the sequence
+    index where the document starts, offset_in_seq its token offset
+    inside it, seqs_spanned how many sequences it straddles. All
+    integer arithmetic (``div``/``%``), so the result is exact at any
+    cumulative-sum magnitude (no double rounding past 2^53).
+
+    One shuffle (hash on (partition, shard)) + one in-partition sort.
+    The running sum is inherently sequential per stream; ``shards``
+    bounds stream length so a skewed source still parallelizes.
+
+    ``token_col``: use a precomputed token count instead of
+    tokenizing ``text_col``."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    n_tokens = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(ws_tokens(text_col)).cast("long")
+    )
+    shard = (
+        _md5_shard(F.col(id_col), shards) if shards > 1 else F.lit(0)
+    ).cast("long")
+    base = df.select(
+        id_col,
+        F.col(partition_col).alias("_part"),
+        shard.alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("_part", "shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = base.withColumn(
+        "_cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    first_seq = F.expr(f"_cum_before div {budget}")
+    return cum.select(
+        id_col,
+        F.col("_part").alias(partition_col),
+        "shard",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        (F.col("_cum_before") % budget).alias("offset_in_seq"),
+        (
+            F.expr(f"(_cum_before + greatest(n_tokens - 1, 0L)) div {budget}")
+            - first_seq
+            + 1
+        ).alias("seqs_spanned"),
+    )

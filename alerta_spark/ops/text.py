@@ -169,6 +169,40 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def vocab_top_terms(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-N terms by total frequency, with document
+    frequency (the tf/df pair every tokenizer-training and IDF pipeline
+    starts from). Terms are lowercase [a-z0-9] runs — identical to
+    DuckDB's ``string_split_regex(lower(text), '[^a-z0-9]+')``.
+
+    Plan shape: Generate(explode) -> partial count -> one shuffle on
+    term -> TakeOrderedAndProject. ``countDistinct(id)`` rides the same
+    aggregate (Expand), so doc frequency costs no extra shuffle. The
+    (tf DESC, term ASC) sort makes the top-N cut deterministic under
+    ties. Integer outputs only — exact across engines."""
+    c = _c(text_col)
+    term = F.explode(
+        F.filter(
+            F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), term.alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", token: str = "[PII]"
 ) -> DataFrame:

@@ -890,6 +890,101 @@ def split_train_eval_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / CAST(24 AS DOUBLE)) AS INTEGER) + 1
+             END AS n_chunks
+      FROM toks WHERE len(toks) >= 1
+    ), ex AS (
+      SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM sized
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32)) AS chunk_tokens,
+           array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (size 32, overlap 8): the
+    long-document split every context-limited trainer and embedding
+    indexer needs. Tokenize once -> explode chunk ids -> slice; zero
+    shuffles."""
+    from alerta_spark.ops.chunking import chunk_documents as chunk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk(docs, chunk_size=32, overlap=8)
+
+
+@register(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 2 AS shard,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens,
+           cum_before // 256 AS first_seq,
+           cum_before % 256 AS offset_in_seq,
+           ((cum_before + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // 256)
+             - (cum_before // 256) + 1 AS seqs_spanned
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (budget 256 tokens, 2 md5
+    shards per source): documents laid out as contiguous token streams,
+    cut at budget boundaries — the pretraining batch-packing transform.
+    One hash shuffle + one in-partition running sum; pure integer
+    arithmetic so it is exact at any scale."""
+    from alerta_spark.ops.chunking import pack_sequences as pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack(docs, budget=256, shards=2)
+
+
+@register(
+    "vocab_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS doc_freq
+    FROM terms
+    GROUP BY term
+    ORDER BY tf DESC, term ASC
+    LIMIT 200
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 terms by total frequency with doc
+    frequency riding the same aggregate — the tf/df base for tokenizer
+    training and IDF. One shuffle; deterministic (tf DESC, term ASC)
+    cut."""
+    from alerta_spark.ops.text import vocab_top_terms as vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab(docs, top_n=200)
+
+
+@register(
     "multimodal_features",
     # The fake decoder is sha256-based and therefore SQL-expressible:
     # feature[i] = uint16(digest[2i:2i+2]) / 65535.0. DuckDB's
@@ -1690,6 +1785,184 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a region-pruned dim chain and a
+    customer-supplier co-nation constraint. The dim chain
+    (region->nation->supplier) broadcasts; only the lineitem-orders
+    fact-fact join shuffles — the join order Catalyst should and does
+    pick once the selective region filter is declared first."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey)
+            & (c.c_nationkey == dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
+                    * CAST(l_discount AS DECIMAL(20,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-aggregate with three pushable range
+    predicates — the canonical pushdown/pruning probe (every filter
+    reaches the parquet scan; ReadSchema is 4 columns). No shuffle but
+    the final single-row partial-agg merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_priority_mix",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: testdata lineitem has no l_shipmode,
+    so the group key is l_returnflag): fact-fact join + conditional
+    aggregation (CASE inside sum). Integer outputs — exact everywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(20,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(20,2)))
+                           ELSE 0 END) AS DOUBLE) AS promo_revenue,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+        AND l.l_shipdate < TIMESTAMP '1997-09-01'
+    )
+    SELECT promo_revenue, total_revenue,
+           100.0 * promo_revenue / total_revenue AS promo_pct
+    FROM agg
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional revenue ratio.
+    Both sums accumulate in DECIMAL and cast to double ONCE; the pct is
+    a single IEEE division of two bit-identical doubles, so the float
+    output still hash-matches across engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(20,2)")))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
     )
 
 

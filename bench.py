@@ -45,6 +45,9 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "pipeline_clean_corpus",
     "t3_sequence_correlator",
+    "chunk_documents",
+    "pack_sequences",
+    "vocab_top_terms",
 ]
 
 
