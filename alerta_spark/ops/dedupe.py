@@ -489,3 +489,24 @@ def dup_clusters(
     # release_cached() frees it once the caller has consumed the result
     _CACHED.append(labels)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: drop every transitive-dup
+    cluster member except the canonical (min-id) survivor.
+
+    ``clusters`` is ``dup_clusters`` output (doc_id, cluster_id); rows
+    with cluster_id == doc_id are the survivors, rows with cluster_id
+    < doc_id the drops. Unclustered documents (no near-dup at all)
+    survive by absence. One anti-join keyed on ``id_col`` — the drop
+    list is typically a small fraction of the corpus, so AQE picks a
+    broadcast anti-join when it fits and a shuffle anti-join when a
+    dup-heavy corpus makes it big; no forced broadcast here."""
+    drops = clusters.where(F.col("cluster_id") < F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")

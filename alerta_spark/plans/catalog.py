@@ -2243,6 +2243,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+@register("dedup_keep_canonical")
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup cut: near-dup pairs -> transitive clusters
+    -> keep the min-id survivor per cluster + every unclustered doc.
+    This is the frame a training pipeline actually writes out. One
+    anti-join after clustering; oracle = recursive-CTE closure +
+    NOT IN (set below, shares the pairs CTE with dedup_clusters)."""
+    from alerta_spark.ops.dedupe import (
+        dup_clusters,
+        keep_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+    return keep_canonical(docs, dup_clusters(pairs)).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def _clusters_oracle() -> str:
     return f"""
     WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
@@ -2265,3 +2285,32 @@ def _clusters_oracle() -> str:
 
 
 QUERIES["dedup_clusters"]["oracle"] = _clusters_oracle()
+
+
+def _keep_canonical_oracle() -> str:
+    return f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE cluster_id < doc_id)
+    """
+
+
+QUERIES["dedup_keep_canonical"]["oracle"] = _keep_canonical_oracle()

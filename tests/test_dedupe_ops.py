@@ -122,3 +122,20 @@ def test_dup_clusters_transitive(spark):
         r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_keep_canonical_survivors(spark):
+    from alerta_spark.ops.dedupe import dup_clusters, keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # clusters {1,2,3,4} and {5,6}; 0,7,8,9 unclustered
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in keep_canonical(docs, dup_clusters(pairs)).collect()
+    )
+    assert kept == [0, 1, 5, 7, 8, 9]
