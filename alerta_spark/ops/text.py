@@ -169,6 +169,64 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def repetition_stats(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: per document,
+    the fraction of duplicate token n-grams and the share of the single
+    most frequent n-gram — the standard filters for boilerplate and
+    degenerate (looping) text. Documents with fewer than ``n`` tokens
+    emit no row (they have no n-gram).
+
+    Shape: posexplode + (n-1) window leads (each token produced and
+    read once — no per-element lambda re-tokenization), then two
+    aggregations that REUSE the window's hash partitioning on the doc
+    id (grouping keys (_id, g) and (_id) are both clustered by _id), so
+    the whole op is ONE exchange. Fractions are a single IEEE division
+    of exact integer counts — bit-identical across engines."""
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "tok"),
+    )
+    w = W.partitionBy("_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    ng = tok.select(
+        "_id",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+        leads[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    counts = ng.groupBy("_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    distinct = F.count(F.lit(1))
+    top = F.max("c")
+    return (
+        counts.groupBy("_id")
+        .agg(
+            total.alias("total_ngrams"),
+            distinct.alias("distinct_ngrams"),
+            top.alias("top_ngram_count"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "total_ngrams",
+            "distinct_ngrams",
+            "top_ngram_count",
+            (
+                (F.col("total_ngrams") - F.col("distinct_ngrams"))
+                / F.col("total_ngrams")
+            ).alias("dup_ngram_frac"),
+            (F.col("top_ngram_count") / F.col("total_ngrams")).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+
+
 def vocab_top_terms(
     df: DataFrame,
     top_n: int = 1000,

@@ -48,6 +48,8 @@ HEADLINE = [
     "chunk_documents",
     "pack_sequences",
     "vocab_top_terms",
+    "text_repetition_stats",
+    "tpch_q10_returned_items",
 ]
 
 

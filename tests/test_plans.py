@@ -231,3 +231,35 @@ def test_salted_topk_matches_plain_under_skew(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_q5_broadcasts_dims_single_fact_shuffle_pair(spark):
+    """Q5's region->nation->supplier chain and customer broadcast; the
+    only sort-merge-eligible join is lineitem x orders."""
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "r_name" in plan  # region filter present, prunes the chain
+
+
+def test_q6_all_filters_pushed(spark):
+    """Q6 is the pushdown probe: every predicate must reach the scan
+    and only the 4 referenced columns are read."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    pushed = scan.split("PushedFilters:")[1] if "PushedFilters:" in scan else scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    read = scan.split("ReadSchema:")[1] if "ReadSchema:" in scan else scan
+    assert "l_returnflag" not in read and "l_tax" not in read
+
+
+def test_q10_take_ordered(spark):
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_stats_single_exchange(spark):
+    """Both aggregations must reuse the window's hash partitioning on
+    the doc id — one exchange end-to-end."""
+    plan = _plan(spark, "text_repetition_stats")
+    assert plan.count("Exchange") == 1
