@@ -16,11 +16,15 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def ensure_shipped(spark: SparkSession) -> None:
-    key = id(spark.sparkContext)
+    # Key on the JVM application id, not id(sparkContext): the Python
+    # wrapper can be re-created (and a CPython id() re-used) within one
+    # JVM app, and a second addPyFile crashes if the package source
+    # changed on disk in between ("exists and does not match").
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     pkg_dir = Path(__file__).resolve().parent

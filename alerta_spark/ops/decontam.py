@@ -1,0 +1,63 @@
+"""Benchmark / eval-set decontamination for training corpora.
+
+The standard pre-training hygiene step: a training document that shares
+any word n-gram with an evaluation document is "contaminated" and must
+be dropped (the n-gram-overlap rule used by GPT-3/PaLM/Llama data
+cards, typically n in 8..13; parameterized here).
+
+Shape at 100 TB: the eval side is small (benchmarks are a few MB) and
+the train side is the corpus, so the plan is asymmetric by design —
+
+- build the eval set's DISTINCT shingle set once (tiny);
+- ``broadcast`` it and ``left_semi``-join the train shingle stream
+  against it: the corpus-sized side never shuffles, contamination
+  detection is map-side;
+- one ``distinct`` on the (small) hit set of contaminated doc ids,
+  then a broadcast ``left_anti`` back onto the corpus.
+
+With ``broadcast_eval=False`` the same plan falls back to a shuffle
+semi-join for eval sets too large to broadcast (e.g. decontaminating
+against another corpus — then it's really cross-corpus dedup and the
+MinHash path in :mod:`alerta_spark.ops.dedupe` is the better tool).
+
+Reference provenance: no analogue in the reference (alertA delegates
+all scanning to Athena); this is part of the training-data extension
+surface mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alerta_spark.ops.dedupe import shingle_rows
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Ids of train docs sharing at least one word ``n``-gram with any
+    eval doc. Returns a 1-column DataFrame named ``id_col``."""
+    ev = shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = shingle_rows(train, text_col, id_col, n).join(ev, "shingle", "left_semi")
+    return hits.select(F.col("_id").alias(id_col)).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Training rows with every contaminated document removed."""
+    bad = contaminated_ids(train, eval_df, text_col, id_col, n, broadcast_eval)
+    return train.join(F.broadcast(bad) if broadcast_eval else bad, id_col, "left_anti")

@@ -510,3 +510,54 @@ def keep_canonical(
         F.col("doc_id").alias(id_col)
     )
     return df.join(drops, id_col, "left_anti")
+
+
+def incremental_dedup_ingest(
+    spark,
+    store_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-over-batch corpus ingestion: dedup a new batch against a
+    persistent fingerprint store (parquet of distinct content digests),
+    return the surviving new documents, and append their digests.
+
+    The daily-crawl maintenance op: instead of re-deduping the whole
+    corpus per increment, each batch costs one within-batch shuffle on
+    the digest plus one anti-join against a digest-only column scan of
+    the store. Replaying the same batch yields zero survivors (retry-
+    idempotent). At 100 TB, bucket the store by digest so the anti-join
+    is co-located; the store never holds text, only 32-byte digests.
+    Within a batch the min-id row per digest survives (deterministic).
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window as W
+
+    batch = new_docs.withColumn("_digest", F.md5(normalize_text(text_col)))
+    w = W.partitionBy("_digest").orderBy(id_col)
+    firsts = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        store = spark.read.parquet(store_path).select("digest")
+        kept = firsts.join(
+            store, firsts["_digest"] == store["digest"], "left_anti"
+        )
+    except AnalysisException:  # first batch: store does not exist yet
+        kept = firsts
+    # Truncate lineage BEFORE appending: the append's refreshByPath
+    # invalidates any *cached* plan that scans store_path, so a plain
+    # persist would silently recompute against the post-append store
+    # and filter the batch's own survivors out. localCheckpoint
+    # materializes to executor storage with no path dependency. (At
+    # cluster scale with executor churn, write the survivors to their
+    # output location first and derive the digest append from that
+    # file instead.)
+    kept = kept.localCheckpoint(eager=True)
+    kept.select(F.col("_digest").alias("digest")).write.mode(
+        "append"
+    ).parquet(store_path)
+    return kept.drop("_digest")

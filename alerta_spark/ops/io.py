@@ -1,0 +1,165 @@
+"""Corpus materialization: write training shards a dataloader can
+consume.
+
+The last step of every pipeline in this repo (clean -> dedup -> split
+-> pack) is a write, and at 100 TB the write layout decides both the
+job's shuffle cost and the dataloader's read pattern:
+
+- partition by low-cardinality routing columns (``split``, ``lang``)
+  so consumers prune whole directories;
+- bound shard size with ``maxRecordsPerFile`` (Spark splits task
+  output at the limit — no extra shuffle) so dataloader workers get
+  uniform units;
+- order rows *within* shards by a stable key so reruns produce
+  byte-stable files (checksummable) and similar rows co-locate for
+  compression;
+- route rows to tasks with ``repartition(num_shards, key)`` — a hash
+  shuffle that also caps concurrent output files per partition
+  directory (small-files control), the thing a naive
+  ``df.write.partitionBy`` gets wrong when 32k tasks each open a file
+  per partition value.
+
+Reference provenance: the reference's only sink is a Mongo upsert per
+alert (alerta.py:168-209); shard writing is part of the training-data
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    shard_key: str = "doc_id",
+    num_shards: int | None = None,
+    max_records_per_file: int = 100_000,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+) -> None:
+    """Write ``df`` as deterministic training shards under ``path``.
+
+    ``num_shards`` controls the shuffle fan-in (defaults to the
+    session's shuffle partitions); each task writes one file chain per
+    partition value it holds, split every ``max_records_per_file``
+    rows. Rows are hash-routed by ``shard_key`` and sorted by it within
+    tasks, so the same input produces the same shard contents on every
+    rerun — the property that makes corpus versions diffable."""
+    out = df
+    if num_shards is not None:
+        out = out.repartition(num_shards, F.col(shard_key))
+    else:
+        out = out.repartition(F.col(shard_key))
+    out = out.sortWithinPartitions(shard_key)
+    writer = (
+        out.write.mode("overwrite")
+        .format(fmt)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_training_shards(
+    spark, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read shards back; partition columns come back as columns and
+    partition filters prune directories (guarded by
+    tests/test_plans.py::test_partitioned_layout_prunes)."""
+    return spark.read.format(fmt).load(path)
+
+
+_EXT_FMT = {
+    ".parquet": "parquet",
+    ".jsonl": "json",
+    ".json": "json",
+    ".ndjson": "json",
+    ".csv": "csv",
+    ".txt": "text",
+    ".orc": "orc",
+}
+
+
+def read_corpus(
+    spark,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read a document corpus from any of the common interchange
+    formats (parquet/orc/jsonl/csv/raw text) behind one call.
+
+    ``fmt=None`` infers from the path extension. Schema discipline at
+    scale: pass ``schema`` explicitly for json/csv — without it Spark
+    runs a full inference pass over the data (a second read of 100 TB).
+    csv defaults to header=true; text produces a single ``text`` column
+    (one doc per line) with a generated ``doc_id``.
+    """
+    if fmt is None:
+        import os as _os
+
+        ext = _os.path.splitext(path.rstrip("/"))[1].lower()
+        fmt = _EXT_FMT.get(ext, "parquet")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "false" if schema else "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if fmt == "text":
+        df = df.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+    return df
+
+
+def stream_ingest_dedup(
+    spark,
+    input_path: str,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Continuously ingest arriving corpus files, dedup each micro-batch
+    against the persistent fingerprint store, and append survivors to
+    ``out_path`` — the streaming face of
+    :func:`alerta_spark.ops.dedupe.incremental_dedup_ingest`, so batch
+    backfills and the live stream share ONE dedup implementation and
+    one store.
+
+    Exactly-once note: the file source + checkpoint give each input
+    file to exactly one epoch; within an epoch the store append and the
+    output append are two writes, so a crash between them can leave a
+    digest whose survivor row was never written — the store is a
+    superset and re-delivery stays suppressed (at-least-once dedup,
+    never duplicate output of the same content). ``available_now``
+    drains what exists then stops (batch-style run of the same
+    streaming graph); pass False for a continuous micro-batch trigger.
+    """
+    from alerta_spark.ops.dedupe import incremental_dedup_ingest
+
+    stream = spark.readStream.format(fmt).schema(schema).load(input_path)
+
+    def _epoch(df, _epoch_id):
+        kept = incremental_dedup_ingest(spark, store_path, df)
+        kept.write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.foreachBatch(_epoch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -278,3 +278,38 @@ def redact_pii(
         redacted.alias("text_redacted"),
         *counts,
     )
+
+
+def corpus_composition(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition report: per-(source, lang) document, token,
+    and character counts plus each stratum's share of the corpus — the
+    numbers a training-data card publishes and a mix-rebalance
+    (``stratified_deterministic_sample``) takes as input.
+
+    One partial-aggregated shuffle on the grouping key does all the
+    counting; the share divisions ride a single-partition window over
+    the tiny aggregated frame (|strata| rows, never the corpus).
+    Shares are one IEEE division of two exact BIGINTs — deterministic
+    across engines."""
+    from pyspark.sql import Window as W
+
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokenize(text_col))).alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+    )
+    w = W.partitionBy()
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("doc_share"),
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)).alias(
+            "token_share"
+        ),
+    )

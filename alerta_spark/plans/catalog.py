@@ -1022,6 +1022,113 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_train_split",
+    # Oracle replays the full composition: the md5 split band
+    # (0.8 -> floor(0.8 * 16^8) = 'cccccccc', hash_split semantics),
+    # 5-gram shingles over BOTH sides, and the overlap rule. Exact —
+    # shingling and banding are engine-identical string/hash ops.
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' AS is_train
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS sh
+      FROM assigned WHERE NOT is_train
+    ),
+    tr AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+      FROM assigned WHERE is_train
+    ),
+    bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (sh))
+    SELECT a.doc_id, a.lang
+    FROM assigned a
+    WHERE a.is_train AND a.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontaminate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination composed with the deterministic split:
+    hash_split documents 80/20, then drop every train doc sharing any
+    5-gram with the eval side (the GPT-3/Llama data-card hygiene rule).
+    Plan shape: the corpus-sized train shingle stream never shuffles —
+    the eval shingle set is broadcast and the semi/anti joins are
+    map-side; only the tiny contaminated-id set aggregates."""
+    from alerta_spark.ops.decontam import decontaminate
+    from alerta_spark.ops.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 0.8, "eval": 0.2})
+    train = split.where(F.col("split") == "train")
+    ev = split.where(F.col("split") == "eval")
+    return decontaminate(train, ev, n=5).select("doc_id", "lang")
+
+
+@register(
+    "corpus_composition_stats",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens, n_chars,
+           CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)
+             AS doc_share,
+           CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)
+             AS token_share
+    FROM g
+    """,
+)
+def corpus_composition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card composition report per (source, lang): doc/token/char
+    counts and corpus shares. One partial-agg shuffle; share divisions
+    ride a window over the |strata|-row aggregate, one IEEE division
+    each (cross-engine exact)."""
+    from alerta_spark.ops.text import corpus_composition
+
+    return corpus_composition(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_stratified_rebalance",
+    # thresholds are floor(frac * 16^8) in hex, exactly what
+    # ops/sampling._threshold computes: en 0.25 -> '40000000',
+    # de/es/fr keep-all -> 'g' sorts after every hex digit,
+    # zh 0.5 -> '80000000'. Unlisted langs keep default 0.0 -> ''.
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8) <
+          CASE lang
+            WHEN 'en' THEN '40000000'
+            WHEN 'zh' THEN '80000000'
+            WHEN 'de' THEN 'g'
+            WHEN 'es' THEN 'g'
+            WHEN 'fr' THEN 'g'
+            ELSE ''
+          END
+    """,
+)
+def sample_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalance: downsample the over-represented strata
+    (en 25%, zh 50%), keep all of the scarce ones — deterministic
+    sampleBy via per-stratum md5 thresholds, map-only and pushdown-
+    friendly. Same banding as sample_deterministic, so membership is
+    retry- and engine-stable."""
+    from alerta_spark.ops.sampling import stratified_deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_deterministic_sample(
+        docs,
+        {"en": 0.25, "zh": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0},
+        strata_col="lang",
+        salt="mix1",
+    ).select("doc_id", "lang")
+
+
+@register(
     "multimodal_features",
     # The fake decoder is sha256-based and therefore SQL-expressible:
     # feature[i] = uint16(digest[2i:2i+2]) / 65535.0. DuckDB's
