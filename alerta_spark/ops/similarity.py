@@ -398,10 +398,13 @@ def cosine_pairs_lsh(
     corpus grows; recall at the high-cos regime stays ~1.
 
     Same plan shape as MinHash banding (the shape that survives
-    100 TB): explode to (id, band, bucket), self-join on (band,
-    bucket) — bounded fan-in per bucket, never all-pairs — and score
-    before the distinct so the dedup shuffles (ids, cos), not two
-    vectors per row.
+    100 TB): explode to LIGHT (id, band, bucket) rows — no vector —
+    self-join on (band, bucket) with bounded fan-in per bucket, dedup
+    the candidate id pairs, and only then join the vectors back for
+    exact scoring. The banding exchange carries ~24 bytes/row instead
+    of a vector per band copy (``bands``× the corpus in vector bytes);
+    vectors cross the wire exactly twice, once per pair side, and only
+    for the candidate set.
 
     -> [id_a, id_b, cos] with id_a < id_b.
     """
@@ -416,23 +419,32 @@ def cosine_pairs_lsh(
     b = _persist(
         df.select(
             F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
             F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
         )
     )
     l, r = b.alias("l"), b.alias("r")
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(vecs, cand["id_a"] == vecs["_vid"])
+        .withColumnRenamed("_v", "va")
+        .drop("_vid")
+        .join(vecs, cand["id_b"] == vecs["_vid"])
+        .withColumnRenamed("_v", "vb")
+        .drop("_vid")
         .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("cos"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
-        .distinct()
     )

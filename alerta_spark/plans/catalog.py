@@ -1092,6 +1092,107 @@ def corpus_composition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_events",
+    # Gaps-and-islands replica; all time math in integer microseconds
+    # (epoch_us / unix_micros agree: both truncate the parquet ns
+    # values toward zero for positive timestamps). Session bounds are
+    # emitted as epoch-µs BIGINTs, not timestamps, so the ns-vs-µs
+    # printing difference between the engines can't touch the hash.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, us,
+             CASE WHEN pus IS NULL OR us - pus > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us) AS BIGINT) AS session_end_us,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization of the events stream: per-session
+    event counts, bounds, duration. One exchange total — the groupBy
+    reuses the sessionize window's hash partitioning on user_id."""
+    from alerta_spark.ops.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    s = session_stats(ev, gap_minutes=30)
+    return s.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "duration_us",
+    )
+
+
+@register(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT step_idx, step, n AS n_users,
+           CAST(n AS DOUBLE) / CAST(first_value(n) OVER (ORDER BY step_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS DOUBLE) AS conversion
+    FROM c
+    """,
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → view → purchase funnel with strict event-order
+    semantics (each step's first qualifying event must follow the
+    previous step's). Carried state is one timestamp per user,
+    broadcast at every step."""
+    from alerta_spark.ops.sessions import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("view", F.col("event_type") == "view"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+@register(
     "sample_stratified_rebalance",
     # thresholds are floor(frac * 16^8) in hex, exactly what
     # ops/sampling._threshold computes: en 0.25 -> '40000000',
@@ -2156,6 +2257,187 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
             "promo_pct"
         ),
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(20,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(20,2))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. The two nation dims broadcast onto supplier/customer; the
+    disjunctive pair filter lands on the broadcast-joined columns
+    before the fact-fact shuffle, so only qualifying lineitems reach
+    the orders join."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    sd = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    cd = c.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+        c.c_nationkey == F.col("cnk"),
+    ).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(sd), li.l_suppkey == sd.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cd), o.o_custkey == cd.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(20,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(20,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share of a part segment inside a
+    customer region, by order year. Every dim (part filter, supplier
+    nation, customer nation→region) broadcasts; the single real
+    exchange is lineitem⋈orders. Both sums accumulate DECIMAL and the
+    share is one IEEE division — hash-exact across engines."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    sd = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    cd = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sd), li.l_suppkey == sd.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cd), o.o_custkey == cd.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                    F.lit(0).cast("decimal(20,2)")
+                )
+            )
+            .cast("double")
+            .alias("nat"),
+            F.sum(vol).cast("double").alias("tot"),
+        )
+    )
+    return agg.select(
+        "o_year", (F.col("nat") / F.col("tot")).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 5 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity >= 10 AND l.l_quantity <= 45)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. The
+    per-table halves of each conjunct (brand+size on part, quantity on
+    lineitem) can't individually be pushed below the join without
+    changing semantics, but the OR's table-local envelopes CAN — Spark
+    derives `brand IN (…)` / quantity-range envelope filters below the
+    join, and the residual disjunction evaluates on the joined row.
+    Part side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 5)
+        & (F.col("l_quantity") <= 30)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 40)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 45)
+    )
+    return j.where(cond).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
 
 

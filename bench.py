@@ -50,6 +50,10 @@ HEADLINE = [
     "vocab_top_terms",
     "text_repetition_stats",
     "tpch_q10_returned_items",
+    "decontaminate_train_split",
+    "corpus_composition_stats",
+    "sessionize_events",
+    "funnel_signup_view_purchase",
 ]
 
 

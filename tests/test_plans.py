@@ -156,12 +156,33 @@ def test_lsh_banding_joins_stay_shuffle_bounded(spark):
     condition (equi keys + `_id <` filter) through
     BroadcastNestedLoopJoin or CartesianProduct, candidate generation
     degrades to all-pairs — the exact failure LSH exists to avoid."""
-    for q in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+    for q in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_lsh"):
         plan = _plan(spark, q)
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert "CartesianProduct" not in plan, q
     from alerta_spark.ops.dedupe import release_cached
 
+    release_cached()
+
+
+def test_embedding_lsh_banding_exchange_is_vector_free(spark):
+    """The embedding-LSH banding self-join must shuffle only
+    (id, band, bucket) rows — the vectors join back AFTER the candidate
+    distinct. A vector column inside the banding exchange multiplies
+    shuffle bytes by bands x vector-width, the regression this pins."""
+    from alerta_spark.ops.dedupe import release_cached
+    from alerta_spark.ops.similarity import cosine_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = cosine_pairs_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        if "band" in keys and "bucket" in keys:
+            assert "_v" not in keys
+    # the persisted banding projection itself must not carry vectors
+    assert "InMemoryTableScan [_id" in plan and "_v, band" not in plan
     release_cached()
 
 

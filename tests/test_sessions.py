@@ -1,0 +1,130 @@
+"""Sessionization and funnel semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from alerta_spark.ops.sessions import (
+    funnel_counts,
+    session_stats,
+    session_window_stats,
+    sessionize,
+)
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                user_id=u,
+                event_type=t,
+                ts=base + dt.timedelta(minutes=m),
+            )
+            for i, (u, m, t) in enumerate(rows)
+        ]
+    )
+
+
+def test_gap_splits_sessions(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "click"),
+            (1, 10, "click"),
+            (1, 50, "click"),  # 40-min gap -> new session
+            (2, 0, "click"),
+        ],
+    )
+    s = sessionize(ev, gap_minutes=30)
+    got = {(r.user_id, r.event_id): r.session_idx for r in s.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 1)] == 1 and got[(1, 2)] == 2
+    assert got[(2, 3)] == 1
+
+    stats = {
+        (r.user_id, r.session_idx): r for r in session_stats(ev, 30).collect()
+    }
+    assert stats[(1, 1)].n_events == 2
+    assert stats[(1, 1)].duration_us == 10 * 60 * 1_000_000
+    assert stats[(1, 2)].n_events == 1
+
+
+def test_native_session_window_agrees(spark):
+    """F.session_window (the streaming operator) produces the same
+    (user, session_start, n_events) partitioning as the window-based
+    batch sessionize on real data."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    a = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_stats(ev, 30).select(
+            "user_id", "session_start", "n_events"
+        ).collect()
+    }
+    b = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_window_stats(ev, 30).select(
+            "user_id", "session_start", "n_events"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_session_stats_single_exchange(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    plan = (
+        session_stats(ev, 30)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_strict_ordering(spark):
+    ev = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, 0, "signup"),
+            (1, 5, "view"),
+            (1, 9, "purchase"),
+            # user 2: purchase BEFORE view -> converts only to view
+            (2, 0, "signup"),
+            (2, 3, "purchase"),
+            (2, 7, "view"),
+            # user 3: never signs up -> not even step 1
+            (3, 1, "view"),
+            (3, 2, "purchase"),
+        ],
+    )
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("view", F.col("event_type") == "view"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    got = {r.step: (r.n_users, r.conversion) for r in funnel_counts(ev, steps).collect()}
+    assert got["signup"] == (2, 1.0)
+    assert got["view"] == (2, 1.0)
+    assert got["purchase"][0] == 1
+    assert abs(got["purchase"][1] - 0.5) < 1e-12
+
+
+def test_funnel_broadcast_and_shuffle_agree(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("view", F.col("event_type") == "view"),
+    ]
+    a = sorted(map(tuple, funnel_counts(ev, steps, broadcast_state=True).collect()))
+    b = sorted(map(tuple, funnel_counts(ev, steps, broadcast_state=False).collect()))
+    assert a == b
