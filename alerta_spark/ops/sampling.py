@@ -92,6 +92,77 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual-LM data
+    mix (sample source s with probability proportional to w_s^alpha,
+    alpha < 1 flattens the distribution so low-resource sources are
+    upweighted relative to their share).
+
+    Per-source totals ``w_s = sum(weight_col)`` (token counts) are
+    aggregated exactly (one tiny partial-agg shuffle), scaled to
+    ``q_s = w_s^alpha / sum_t w_t^alpha``, and converted to a per-doc
+    keep probability ``min(1, budget_frac * N * q_s / n_s)`` targeting
+    ``budget_frac * N`` docs overall. Membership is the same md5-band
+    pure-row predicate as `deterministic_sample`, so the mix is stable
+    under retries and identical across engines.
+
+    Scale shape: the per-source plan is a handful of rows — broadcast
+    joined back, so the pass over the corpus stays map-only. For
+    ``alpha=0.5`` the scaling uses IEEE sqrt (bit-identical across
+    engines — the catalog oracle relies on this); other alphas use
+    ``pow``, which is libm-dependent and therefore not oracle-exact.
+
+    Reference provenance: no counterpart (the reference has no
+    sampling tier); training-data extension surface.
+    """
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    w = F.col("_w").cast("double")
+    scaled = F.sqrt(w) if alpha == 0.5 else F.pow(w, F.lit(float(alpha)))
+    totals = (
+        df.groupBy(source_col)
+        .agg(
+            F.sum(F.col(weight_col)).cast("bigint").alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn("_sw", scaled)
+    )
+    # denominator: few-source sum of doubles — accumulate in DECIMAL so
+    # the result doesn't depend on aggregation order (engine-portable)
+    glob = totals.agg(
+        F.sum(F.col("_sw").cast("decimal(28,10)")).cast("double").alias("_denom"),
+        F.sum("_n").cast("bigint").alias("_total_n"),
+    )
+    keep_p = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_frac))
+        * F.col("_total_n").cast("double")
+        * (F.col("_sw") / F.col("_denom"))
+        / F.col("_n").cast("double"),
+    )
+    plan = (
+        totals.crossJoin(F.broadcast(glob))
+        .withColumn("_keep_p", keep_p)
+        .select(source_col, "_keep_p")
+    )
+    u = F.conv(_bucket(F.col(key_col), salt), 16, 10).cast("bigint").cast(
+        "double"
+    ) / F.lit(float(_SPACE))
+    return (
+        df.join(F.broadcast(plan), source_col)
+        .where(u < F.col("_keep_p"))
+        .drop("_keep_p")
+    )
+
+
 def stratified_deterministic_sample(
     df: DataFrame,
     fractions: dict[str, float],

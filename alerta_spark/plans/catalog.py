@@ -2789,3 +2789,322 @@ def _keep_canonical_oracle() -> str:
 
 
 QUERIES["dedup_keep_canonical"]["oracle"] = _keep_canonical_oracle()
+
+
+# ---------------------------------------------------------------------------
+# §2.5 round-3 relational widening — the remaining TPC-H shapes the
+# testdata schema supports (no partsupp/c_phone/receiptdate, so Q2,
+# Q11, Q16, Q20-22 are out of reach; Q13/Q15/Q18 and an adapted Q9
+# close out the join/agg plan-shape families), plus exact-moment
+# statistics and histogram profiling for the 100 TB data-audit tier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — outer join
+    with an ON-clause filter (NOT a WHERE, which would turn it inner),
+    then a two-level aggregation. The first groupBy reuses the join's
+    hash partitioning on c_custkey (no extra exchange); the second is
+    a near-trivial shuffle over distinct counts. All-integer outputs.
+    At scale the left join's NULL-heavy build side is the classic skew
+    spot — AQE skew-join splits it; counts stay exact regardless."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
+                      * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(20,2))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — an
+    aggregate view consumed twice (per-supplier revenue AND its global
+    max). The view is computed once; the 1-row max is broadcast back
+    (no second scan, no driver collect). Revenue compared in
+    DECIMAL(20,2) — exact equality, no float max ties."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("decimal(20,2)")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 170
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — an aggregated HAVING
+    subquery feeding a semi-join on the fact table, then re-aggregation
+    with dimension context. The heavy lineitem aggregate runs ONCE and
+    serves as both the filter and (via the semi-joined re-scan) the
+    summed quantity; orders/customer broadcast. l_quantity is
+    integral-valued, so sum-then-BIGINT is exact in any order.
+    Global top-100 via TakeOrderedAndProject, not a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 170)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in testdata, so
+    profit omits the supplycost term): product-line profit by supplier
+    nation and order year — the widest join tree in the suite (4 dims
+    around lineitem). Filtered part, supplier, and nation broadcast;
+    orders is the single fact-fact shuffle. Money in DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           sx / CAST(n AS DOUBLE) AS mean_value,
+           sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_value
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment statistics per group: mean + sample stddev computed
+    from DECIMAL-accumulated Σx and Σx² (built-in stddev_samp streams
+    doubles in partition order — nondeterministic at the ulp across
+    runs AND engines; the two-moment formulation costs one extra
+    column in the same single aggregate and is bit-reproducible).
+    The final sqrt/divide runs on identical doubles on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    nd = F.col("n").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(x * x).cast("double").alias("sxx"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("sx") / nd).alias("mean_value"),
+            F.sqrt(
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                / (nd * (nd - F.lit(1).cast("double")))
+            ).alias("stddev_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_histogram_value_buckets",
+    oracle="""
+    SELECT GREATEST(LEAST(CAST(floor(value / 25.0) AS INTEGER) + 1, 21), 0)
+             AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram profiling: fixed-width binning (width_bucket
+    semantics over [0, 525) in 21 bins, expressed as explicit floor
+    arithmetic so both engines evaluate the identical double
+    expression) + per-bin count and DECIMAL-exact sum. One partial-agg
+    shuffle of at most n_bins rows per task — the constant-memory
+    distribution profile you run before choosing filter thresholds
+    at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.greatest(
+        F.least(F.floor(F.col("value") / F.lit(25.0)).cast("int") + F.lit(1), F.lit(21)),
+        F.lit(0),
+    ).alias("bucket")
+    return (
+        ev.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH totals AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS w, count(*) AS n
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, sqrt(CAST(w AS DOUBLE)) AS sw, n FROM totals
+    ),
+    glob AS (
+      SELECT CAST(sum(CAST(sw AS DECIMAL(28,10))) AS DOUBLE) AS denom,
+             CAST(sum(n) AS BIGINT) AS total_n
+      FROM scaled
+    ),
+    plan AS (
+      SELECT source,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   0.5 * CAST(total_n AS DOUBLE) * (sw / denom)
+                   / CAST(n AS DOUBLE)) AS keep_p
+      FROM scaled, glob
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN plan p USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix1'), 1, 8))
+               AS BIGINT) / 4294967296.0 < p.keep_p
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha=0.5, half-budget): the
+    multilingual-LM rebalance that samples each source proportional to
+    sqrt of its token mass. Per-source plan broadcast back over a
+    map-only md5-band membership test — deterministic across retries
+    and engines (sqrt is IEEE-exact; the tiny cross-source sum
+    accumulates in DECIMAL)."""
+    from alerta_spark.ops.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, "source", "n_chars", alpha=0.5, budget_frac=0.5, salt="mix1"
+    ).select("doc_id", "source")
