@@ -36,6 +36,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Integer-µs epoch of a timestamp column; tolerates TIMESTAMP_NTZ
+    inputs (naive parquet timestamps) by reading them as UTC instants —
+    ``unix_micros`` itself rejects NTZ."""
+    c = F.col(ts_col)
+    for f in df.schema.fields:
+        if f.name == ts_col and f.dataType.typeName() == "timestamp_ntz":
+            c = c.cast("timestamp")
+    return F.unix_micros(c)
+
+
 def sessionize(
     df: DataFrame,
     gap_minutes: int = 30,
@@ -48,7 +59,7 @@ def sessionize(
     One shuffle (window by ``key_col``); the session ordinal is a
     running sum of new-session flags over (ts, tiebreaker) order —
     deterministic under timestamp ties. Adds ``session_idx``."""
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(df, ts_col)
     w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(us).over(w)
@@ -77,7 +88,8 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         (
-            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
         ).alias("duration_us"),
     )
 
@@ -127,7 +139,7 @@ def funnel_counts(
     and every stage shares that one partitioning."""
     if not steps:
         raise ValueError("funnel needs at least one step")
-    us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(df, ts_col)
     prev: DataFrame | None = None
     tiers: list[tuple[str, DataFrame]] = []
     for name, pred in steps:

@@ -48,6 +48,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div keeps full precision; truncation toward zero
         # matches DuckDB's ns->us coercion
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Naive (isAdjustedToUTC=false) parquet timestamps read as
+    # TIMESTAMP_NTZ under Spark 4's inference. Downstream instant math
+    # (unix_micros, epoch arithmetic) requires TIMESTAMP, and the DuckDB
+    # oracle treats the same naive values as UTC instants — so does this
+    # cast (session timezone is pinned to UTC in session.get_spark).
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
