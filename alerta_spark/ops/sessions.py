@@ -36,15 +36,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def _epoch_us(df: DataFrame, ts_col: str) -> Column:
-    """Integer-µs epoch of a timestamp column; tolerates TIMESTAMP_NTZ
-    inputs (naive parquet timestamps) by reading them as UTC instants —
-    ``unix_micros`` itself rejects NTZ."""
-    c = F.col(ts_col)
+def _norm_ts(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize a TIMESTAMP_NTZ ``ts_col`` to TIMESTAMP once, at the
+    top of every public function in this module, so downstream
+    ``unix_micros``/output columns are uniformly zoned.
+
+    NOTE: the NTZ→TIMESTAMP cast interprets the naive wall-clock in the
+    SESSION timezone — these functions assume
+    ``spark.sql.session.timeZone=UTC`` (alerta_spark.session.get_spark
+    pins it; sources/lake.py documents the same requirement). Under a
+    non-UTC session zone, naive timestamps would shift across DST
+    transitions and distort gap/duration math."""
     for f in df.schema.fields:
         if f.name == ts_col and f.dataType.typeName() == "timestamp_ntz":
-            c = c.cast("timestamp")
-    return F.unix_micros(c)
+            return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Integer-µs epoch of a timestamp column (inputs already
+    normalized by :func:`_norm_ts`)."""
+    return F.unix_micros(F.col(ts_col))
 
 
 def sessionize(
@@ -59,6 +71,7 @@ def sessionize(
     One shuffle (window by ``key_col``); the session ordinal is a
     running sum of new-session flags over (ts, tiebreaker) order —
     deterministic under timestamp ties. Adds ``session_idx``."""
+    df = _norm_ts(df, ts_col)
     us = _epoch_us(df, ts_col)
     w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_minutes * 60 * 1_000_000
@@ -82,14 +95,14 @@ def session_stats(
     already partitioned by ``key_col``, so the following groupBy on
     (key, session_idx) reuses that partitioning — one real exchange
     end-to-end."""
+    df = _norm_ts(df, ts_col)
     s = sessionize(df, gap_minutes, ts_col, key_col, tiebreak_col)
     return s.groupBy(key_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         (
-            F.unix_micros(F.max(ts_col).cast("timestamp"))
-            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
         ).alias("duration_us"),
     )
 
@@ -105,6 +118,7 @@ def session_window_stats(
     in front). Window end is last_event + gap by session-window
     definition; ``session_start`` equals :func:`sessionize`'s (pinned
     in tests)."""
+    df = _norm_ts(df, ts_col)
     sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
     return (
         df.groupBy(F.col(key_col), sw)
@@ -117,12 +131,71 @@ def session_window_stats(
     )
 
 
+def funnel_conversion_times(
+    df: DataFrame,
+    steps: list[tuple[str, Column]],
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-user funnel state in ONE corpus scan: for ordered steps
+    p_1..p_n, t_i = the first event time matching p_i strictly after
+    t_{i-1}. Returns (``key_col``, ``conv_times`` array<long> of µs,
+    null where the step was never reached).
+
+    Plan shape (the 100 TB design): one scan with the any-step
+    disjunction pushed to the parquet reader, one shuffle on the user
+    key, then a per-user ascending fold (``F.aggregate`` over the
+    sorted event list — whole-stage JVM, no Python). Because events
+    fold in ascending time order, the first event with flag_i and
+    t > acc[i-1] IS min{t : p_i, t > t_{i-1}} — identical semantics to
+    the step-join formulation, n-times fewer scans. Per-user memory is
+    the user's *matching* events only; a funnel over pathologically
+    chatty keys can fall back to ``funnel_counts(strategy='shuffle')``.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    df = _norm_ts(df, ts_col)
+    n = len(steps)
+    us = _epoch_us(df, ts_col)
+    any_match = steps[0][1]
+    for _, pred in steps[1:]:
+        any_match = any_match | pred
+    flags = F.array(*[pred.cast("boolean") for _, pred in steps])
+    ev = df.where(any_match).select(
+        F.col(key_col).alias("_u"), us.alias("_t"), flags.alias("_f")
+    )
+    per_user = ev.groupBy("_u").agg(
+        F.sort_array(F.collect_list(F.struct("_t", "_f"))).alias("_evs")
+    )
+    init = F.expr(f"array_repeat(CAST(NULL AS BIGINT), {n})")
+
+    def fold(acc, e):
+        def slot(i):
+            # prereq for step i (0-based): step 0 always armed; step i
+            # needs acc[i-1] set and this event strictly after it. The
+            # greatest() guard keeps element_at's index >= 1 so the
+            # i == 0 branch never evaluates an invalid index.
+            prev = F.element_at(acc, F.greatest(i, F.lit(1)))
+            armed = (i == F.lit(0)) | (prev.isNotNull() & (e["_t"] > prev))
+            cur = F.element_at(acc, i + 1)
+            hit = F.coalesce(F.element_at(e["_f"], i + 1), F.lit(False))
+            return F.when(cur.isNull() & hit & armed, e["_t"]).otherwise(cur)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(n - 1)), slot)
+
+    return per_user.select(
+        F.col("_u").alias(key_col),
+        F.aggregate("_evs", init, fold).alias("conv_times"),
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     steps: list[tuple[str, Column]],
     ts_col: str = "ts",
     key_col: str = "user_id",
     broadcast_state: bool = True,
+    strategy: str = "fold",
 ) -> DataFrame:
     """Ordered-funnel conversion: per step, the number of users whose
     first qualifying event occurs strictly after their previous step's
@@ -130,15 +203,55 @@ def funnel_counts(
     conversion is the fraction of step-1 converters (one IEEE division
     of exact counts).
 
-    Plan: step i is ``filter(p_i)`` → join the previous step's
-    (user, t_{i-1}) frame → ``min`` aggregate. The carried state is one
-    timestamp per surviving user; with ``broadcast_state`` it rides a
-    broadcast join so the events table never shuffles beyond the
-    per-user partial aggregate. At hundreds of millions of distinct
-    users pass False — the step joins then shuffle on the user key,
-    and every stage shares that one partitioning."""
+    ``strategy``:
+
+    - ``'fold'`` (default) — :func:`funnel_conversion_times`: ONE
+      corpus scan + one user-key shuffle; step counts come from a
+      single aggregate over the per-user conversion-time arrays.
+    - ``'joins'`` — the step-chained form: step i is ``filter(p_i)`` →
+      join the previous step's (user, t_{i-1}) frame → ``min``
+      aggregate; ``broadcast_state`` picks broadcast vs user-key
+      shuffle joins. Scans the table once per step PER TIER (the
+      carried state re-derives), so it is the verification/fallback
+      path — e.g. when per-user matching-event lists would not fit the
+      fold's collect_list."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if strategy == "fold":
+        conv = funnel_conversion_times(df, steps, ts_col, key_col)
+        n = len(steps)
+        one = conv.agg(
+            *[
+                F.count(F.element_at("conv_times", i + 1)).alias(f"_n{i}")
+                for i in range(n)
+            ]
+        )
+        # n is tiny: explode the single count row to (step_idx, step,
+        # n_users) rows and divide by step 1's count — no window needed.
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("step_idx"),
+                    F.lit(name).alias("step"),
+                    F.col(f"_n{i}").alias("n_users"),
+                )
+                for i, (name, _) in enumerate(steps)
+            ]
+        )
+        return one.select(
+            F.inline(rows), F.col("_n0").alias("_base")
+        ).select(
+            "step_idx",
+            "step",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("_base").cast("double")).alias(
+                "conversion"
+            ),
+        )
+
+    if strategy != "joins":
+        raise ValueError(f"unknown funnel strategy: {strategy!r}")
+    df = _norm_ts(df, ts_col)
     us = _epoch_us(df, ts_col)
     prev: DataFrame | None = None
     tiers: list[tuple[str, DataFrame]] = []
@@ -161,6 +274,8 @@ def funnel_counts(
             F.count(F.lit(1)).alias("n_users"),
         )
         counts = row if counts is None else counts.unionByName(row)
+    # bounded by construction: |steps| rows total, so the unpartitioned
+    # window is a deliberate single-partition pass over a tiny frame
     w = W.orderBy("step_idx").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return counts.select(
         "step_idx",

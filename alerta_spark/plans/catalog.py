@@ -938,10 +938,10 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens,
-           cum_before // 256 AS first_seq,
-           cum_before % 256 AS offset_in_seq,
-           ((cum_before + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // 256)
-             - (cum_before // 256) + 1 AS seqs_spanned
+           CAST(cum_before // 256 AS BIGINT) AS first_seq,
+           CAST(cum_before % 256 AS BIGINT) AS offset_in_seq,
+           CAST(((cum_before + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // 256)
+             - (cum_before // 256) + 1 AS BIGINT) AS seqs_spanned
     FROM c
     """,
 )
@@ -1118,7 +1118,8 @@ def corpus_composition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS session_idx
       FROM flagged
     )
-    SELECT user_id, session_idx, count(*) AS n_events,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
            CAST(min(us) AS BIGINT) AS session_start_us,
            CAST(max(us) AS BIGINT) AS session_end_us,
            CAST(max(us) - min(us) AS BIGINT) AS duration_us
@@ -1268,9 +1269,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.7 — stateful sequence correlation (T3-T5). Not SQL-expressible
-# (ordered per-key state machine) -> rows-only driver check; semantics
-# are covered by tests/test_streaming.py incl. a real streaming run.
+# §2.7 — stateful sequence correlation (T3-T5). The general ordered
+# per-key state machine is not SQL-expressible, but THIS catalog
+# instance (2 threshold slots, fixed thresholds) is — so the entry
+# carries a full hash-checked oracle; general semantics (deadman slots,
+# expiry, streaming) are covered by tests/test_streaming.py.
 # ---------------------------------------------------------------------------
 
 SEQ_EVENTS_RULE = {
@@ -1296,7 +1299,52 @@ SEQ_EVENTS_RULE = {
 }
 
 
-@register("t3_sequence_correlator", oracle=None)
+@register(
+    "t3_sequence_correlator",
+    # A fixed 2-slot threshold sequence IS SQL-expressible, so the
+    # flagship stateful operator gets a full hash-checked oracle: slot 0
+    # completes at its 2nd matching event per key (in (ts, eid-string)
+    # order — the correlator sorts _eid as a string); slot 1 is the
+    # first matching event STRICTLY after that anchor. Slot counts stop
+    # at the threshold (events are tested only against the current
+    # slot), so a completed state is always [2,1]; samples are the slot-0
+    # matches plus the completing event (sample cap 3).
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS corr,
+             CAST(event_id AS VARCHAR) AS eid, ts,
+             (event_type = 'purchase'
+              AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 80) AS m0,
+             (event_type = 'error') AS m1
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    p AS (
+      SELECT corr, eid, ts,
+             row_number() OVER (PARTITION BY corr ORDER BY ts, eid) AS rn
+      FROM ev WHERE m0
+    ),
+    anchor AS (
+      SELECT corr,
+             max(CASE WHEN rn = 1 THEN eid END) AS s1,
+             max(CASE WHEN rn = 2 THEN eid END) AS s2,
+             max(CASE WHEN rn = 2 THEN ts END) AS ats
+      FROM p WHERE rn <= 2 GROUP BY corr
+      HAVING count(*) = 2
+    ),
+    err AS (
+      SELECT e.corr, e.eid,
+             row_number() OVER (PARTITION BY e.corr ORDER BY e.ts, e.eid) AS rn
+      FROM ev e JOIN anchor a ON e.corr = a.corr
+      WHERE e.m1 AND (e.ts > a.ats OR (e.ts = a.ats AND e.eid > a.s2))
+    )
+    SELECT a.corr AS correlation_value,
+           'purchase_then_error' AS alert_name,
+           '[2,1]' AS slot_counts,
+           to_json([a.s1, a.s2, er.eid]) AS sample_event_ids
+    FROM anchor a
+    JOIN (SELECT corr, eid FROM err WHERE rn = 1) er ON a.corr = er.corr
+    """,
+)
 def t3_sequence_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence correlation keyed by user: 2 big purchases then an
     error. applyInPandasWithState on streams; identical one-pass
@@ -1331,8 +1379,8 @@ def t3_sequence_correlator(spark: SparkSession, sf_dir: str) -> DataFrame:
            row_number() OVER w AS rn,
            lag(event_id) OVER w AS prev_event_id,
            lead(event_id) OVER w AS next_event_id,
-           CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS running_value,
+           CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
            CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              / count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1352,9 +1400,13 @@ def w_running_agg_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.lead("event_id").over(w).alias("next_event_id"),
-        F.sum("value")
+        # Sum exact decimals (associative, engine-independent), then one
+        # cast to DOUBLE — a double running sum differs at the ulp across
+        # engines (DuckDB uses segment-tree sliding aggregation) and a
+        # DECIMAL-typed output canonicalizes differently in the driver.
+        F.sum(F.col("value").cast("decimal(20,2)"))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("decimal(20,2)")
+        .cast("double")
         .alias("running_value"),
         # Sliding-frame float avg diverges between engines at the ulp level
         # (sliding-window aggregation algorithms differ), so: sum exact
@@ -1584,6 +1636,45 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "approx_users",
         F.element_at(pcts, F.col("pct_idx") + 1).alias("pct"),
+        "pct_value",
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    # Exact interpolated percentiles: Spark `percentile` and DuckDB
+    # `quantile_cont` both sort and interpolate lo + (hi-lo)*frac —
+    # deterministic on both engines (unlike the sketch-based approx
+    # entry, which stays rows-only alongside).
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           -- the bare literal list is DECIMAL(3,2) in DuckDB ('0.50')
+           unnest([CAST(0.25 AS DOUBLE), 0.5, 0.75, 0.9, 0.99]) AS pct,
+           unnest(qs) AS pct_value
+    FROM q
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile profile per event type (25/50/75/90/99): the
+    oracle-checkable companion to agg_approx_quantiles. Exact
+    percentile needs a per-group sort, so it is the small-group /
+    verification path; the approx sketch is the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = [0.25, 0.5, 0.75, 0.9, 0.99]
+    pcts_arr = F.array(*[F.lit(p) for p in pcts])
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", pcts_arr).alias("qs")
+    )
+    return agg.select(
+        "event_type", F.posexplode("qs").alias("pct_idx", "pct_value")
+    ).select(
+        "event_type",
+        F.element_at(pcts_arr, F.col("pct_idx") + 1).alias("pct"),
         "pct_value",
     )
 
@@ -2844,9 +2935,13 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
-                      * (1 - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(20,2))
-               AS total_revenue
+             -- DECIMAL(12,2) inputs (the TPC-H column width): a (20,2)
+             -- product overflows DuckDB's 38-digit limit and silently
+             -- degrades to DOUBLE, shifting the sum by a cent. Keep the
+             -- exact scale-4 sum: a scale-REDUCING decimal cast truncates
+             -- in DuckDB but rounds half-up in Spark (.1794 -> .17 vs .18).
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -2869,10 +2964,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    dec = lambda col: F.col(col).cast("decimal(12,2)")  # noqa: E731
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-        .cast("decimal(20,2)")
         .alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
@@ -2988,15 +3082,25 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH s AS (
       SELECT event_type,
              count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sxd,
              CAST(sum(CAST(value AS DECIMAL(18,6))
-                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+                      * CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,12)) AS sxxd
       FROM events
       GROUP BY event_type
     )
     SELECT event_type, n,
-           sx / CAST(n AS DOUBLE) AS mean_value,
-           sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+           CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+           -- variance numerator computed EXACTLY in decimal (widths sized
+           -- to stay under both engines' 38-digit cap), then ONE cast to
+           -- double, one divide, one sqrt -> bit-identical across engines
+           -- DECIMAL(19,6) widening forces DuckDB's INT128 multiply path
+           -- (an (18,6)x(18,6) product overflows its int64 fast path).
+           -- The VARCHAR hop matters: DuckDB's direct wide-decimal->double
+           -- cast double-rounds (int128 -> double, / 1e12 -> double) and
+           -- lands 1 ulp off the correctly-rounded value Spark produces;
+           -- its string->double parse is correctly rounded.
+           sqrt(CAST(CAST(CAST(n AS DECIMAL(10,0)) * sxxd
+                     - CAST(sxd AS DECIMAL(19,6)) * CAST(sxd AS DECIMAL(19,6)) AS VARCHAR) AS DOUBLE)
                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_value
     FROM s
     ORDER BY event_type
@@ -3016,15 +3120,21 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(x).cast("double").alias("sx"),
-            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(x).cast("decimal(18,6)").alias("sxd"),
+            F.sum(x * x).cast("decimal(24,12)").alias("sxxd"),
         )
         .select(
             "event_type",
             "n",
-            (F.col("sx") / nd).alias("mean_value"),
+            (F.col("sxd").cast("double") / nd).alias("mean_value"),
+            # n*sxx - sx*sx carried exactly in decimal; a single cast to
+            # double then divide+sqrt is evaluation-order-proof across
+            # engines (the all-double form differs at the ulp).
             F.sqrt(
-                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                (
+                    F.col("n").cast("decimal(10,0)") * F.col("sxxd")
+                    - F.col("sxd") * F.col("sxd")
+                ).cast("double")
                 / (nd * (nd - F.lit(1).cast("double")))
             ).alias("stddev_value"),
         )
@@ -3077,7 +3187,9 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled AS (
       SELECT source, sqrt(CAST(w AS DOUBLE)) AS sw, n FROM totals
     ),
-    glob AS (
+    overall AS (
+      -- (CTE was previously named "glob" — a DuckDB reserved word that
+      -- made the oracle unparseable)
       SELECT CAST(sum(CAST(sw AS DECIMAL(28,10))) AS DOUBLE) AS denom,
              CAST(sum(n) AS BIGINT) AS total_n
       FROM scaled
@@ -3087,7 +3199,7 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(CAST(1.0 AS DOUBLE),
                    0.5 * CAST(total_n AS DOUBLE) * (sw / denom)
                    / CAST(n AS DOUBLE)) AS keep_p
-      FROM scaled, glob
+      FROM scaled, overall
     )
     SELECT d.doc_id, d.source
     FROM documents d JOIN plan p USING (source)

@@ -284,3 +284,24 @@ def test_repetition_stats_single_exchange(spark):
     the doc id — one exchange end-to-end."""
     plan = _plan(spark, "text_repetition_stats")
     assert plan.count("Exchange") == 1
+
+
+def test_pack_sequences_single_exchange_single_scan(spark):
+    """Sequence packing is one (source, shard) hash shuffle + an
+    in-partition running sum: exactly one exchange, one scan."""
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_funnel_fold_is_single_scan(spark):
+    """The default funnel strategy reads the events table ONCE (the
+    any-step disjunction pushed to the scan), shuffles once on the
+    user key, and needs no unpartitioned window — the n-step funnel
+    must not rescan per step."""
+    plan = _plan(spark, "funnel_signup_view_purchase")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters" in scan and "event_type" in scan

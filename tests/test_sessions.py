@@ -7,6 +7,7 @@ import datetime as dt
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from alerta_spark.sources.lake import load_events
 from alerta_spark.ops.sessions import (
     funnel_counts,
     session_stats,
@@ -57,9 +58,7 @@ def test_native_session_window_agrees(spark):
     """F.session_window (the streaming operator) produces the same
     (user, session_start, n_events) partitioning as the window-based
     batch sessionize on real data."""
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_events(spark, "/root/testdata/sf0.001")
     a = {
         (r.user_id, r.session_start, r.n_events)
         for r in session_stats(ev, 30).select(
@@ -76,9 +75,7 @@ def test_native_session_window_agrees(spark):
 
 
 def test_session_stats_single_exchange(spark):
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_events(spark, "/root/testdata/sf0.001")
     plan = (
         session_stats(ev, 30)
         ._jdf.queryExecution()
@@ -117,14 +114,47 @@ def test_funnel_strict_ordering(spark):
     assert abs(got["purchase"][1] - 0.5) < 1e-12
 
 
-def test_funnel_broadcast_and_shuffle_agree(spark):
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+def test_funnel_strategies_agree(spark):
+    """The single-scan fold (default), broadcast step-joins, and
+    shuffled step-joins are three physical strategies for one
+    semantics — identical output on real data."""
+    ev = load_events(spark, "/root/testdata/sf0.001")
     steps = [
         ("signup", F.col("event_type") == "signup"),
         ("view", F.col("event_type") == "view"),
     ]
-    a = sorted(map(tuple, funnel_counts(ev, steps, broadcast_state=True).collect()))
-    b = sorted(map(tuple, funnel_counts(ev, steps, broadcast_state=False).collect()))
+    a = sorted(map(tuple, funnel_counts(ev, steps).collect()))
+    b = sorted(map(tuple, funnel_counts(ev, steps, strategy="joins").collect()))
+    c = sorted(
+        map(
+            tuple,
+            funnel_counts(
+                ev, steps, broadcast_state=False, strategy="joins"
+            ).collect(),
+        )
+    )
+    assert a == b == c
+
+
+def test_funnel_fold_strict_ordering_matches_joins(spark):
+    """The fold must enforce strict step ordering exactly like the
+    join formulation on the synthetic out-of-order case."""
+    ev = _ev(
+        spark,
+        [
+            (1, 0, "signup"),
+            (1, 5, "view"),
+            (1, 9, "purchase"),
+            (2, 0, "signup"),
+            (2, 3, "purchase"),
+            (2, 7, "view"),
+        ],
+    )
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("view", F.col("event_type") == "view"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    a = sorted(map(tuple, funnel_counts(ev, steps).collect()))
+    b = sorted(map(tuple, funnel_counts(ev, steps, strategy="joins").collect()))
     assert a == b
