@@ -297,6 +297,12 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
 
+    # the self-join below reads `banded` twice; without a persist each
+    # side re-runs the whole shingle -> 64-lane min signature aggregate
+    # (the most expensive stage in the pipeline). The banded frame is
+    # tiny — `bands` rows of three longs per doc — so caching it costs
+    # O(docs) memory and halves the signature work.
+    banded = _persist(banded)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

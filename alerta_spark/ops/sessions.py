@@ -274,9 +274,14 @@ def funnel_counts(
             F.count(F.lit(1)).alias("n_users"),
         )
         counts = row if counts is None else counts.unionByName(row)
-    # bounded by construction: |steps| rows total, so the unpartitioned
-    # window is a deliberate single-partition pass over a tiny frame
-    w = W.orderBy("step_idx").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # bounded by construction: |steps| rows total, so the single-
+    # partition window is deliberate; the constant partition key states
+    # that and silences WindowExec's no-partition warning
+    w = (
+        W.partitionBy(F.lit(0))
+        .orderBy("step_idx")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
     return counts.select(
         "step_idx",
         "step",

@@ -302,14 +302,27 @@ def corpus_composition(
         F.sum(F.size(tokenize(text_col))).alias("n_tokens"),
         F.sum(F.length(text_col)).alias("n_chars"),
     )
-    w = W.partitionBy()
-    return g.select(
+    # corpus totals as a broadcast 1-row cross-join instead of an
+    # unpartitioned window (WindowExec warns on every run and its
+    # single-partition pass is a smell even on tiny frames). The
+    # strata aggregate is persisted so BOTH branches read the cached
+    # |strata|-row frame — the corpus is scanned exactly once (without
+    # the persist, column pruning specializes each branch's partial
+    # aggregate and exchange reuse cannot kick in -> two full scans).
+    from alerta_spark.ops.dedupe import _persist
+
+    g = _persist(g)
+    totals = g.agg(
+        F.sum("n_docs").alias("_total_docs"),
+        F.sum("n_tokens").alias("_total_tokens"),
+    )
+    return g.crossJoin(F.broadcast(totals)).select(
         *group_cols,
         "n_docs",
         "n_tokens",
         "n_chars",
-        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("doc_share"),
-        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)).alias(
+        (F.col("n_docs").cast("double") / F.col("_total_docs")).alias("doc_share"),
+        (F.col("n_tokens").cast("double") / F.col("_total_tokens")).alias(
             "token_share"
         ),
     )
