@@ -326,3 +326,118 @@ def corpus_composition(
             "token_share"
         ),
     )
+
+
+def _lm_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per token INSTANCE: (doc id, term). Same lowercase
+    [a-z0-9]-run tokenization as :func:`vocab_top_terms` so the LM
+    vocabulary and the tf/df report describe the same token stream."""
+    term = F.explode(
+        F.filter(
+            F.split(F.lower(_c(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+    )
+    return df.select(F.col(id_col).alias("_id"), term.alias("term"))
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """CCNet-style corpus-LM quality score: per document, the mean
+    negative log-likelihood of its tokens under the corpus's own
+    unigram model (-1/n * Σ ln(c_t / N)). Low = stereotypical fluent
+    text, high = rare-token noise — the standard pretraining
+    perplexity-filter signal, with the corpus itself as the LM.
+
+    Cross-engine determinism: a float Σ ln p over arbitrary row order
+    diverges at the ulp between engines, so each term's log-count is
+    QUANTIZED once (floor(ln(c) * quant) — a per-row double op on
+    identical inputs) and the per-document sum runs on exact BIGINTs.
+    The one final expression (n*lnN_q - Σq)/quant/n is two IEEE ops on
+    identical operands. Quantization error ≤ n/quant nats — 1e-9 per
+    token — irrelevant to any filtering decision and the price of a
+    hashable cross-engine gate.
+
+    Plan: explode -> one term-keyed count aggregate (map-side partial;
+    the vocabulary frame is persisted because it feeds both the join
+    and the 1-row total) -> term-keyed join back to token instances
+    (AQE splits hot-term skew) -> one doc-keyed sum. The corpus text is
+    scanned once per side of the join lineage; at lake scale the vocab
+    frame is the natural checkpoint table."""
+    from alerta_spark.ops.dedupe import _persist
+
+    toks = _lm_terms(df, text_col, id_col)
+    vocab = _persist(toks.groupBy("term").agg(F.count("*").alias("_c")))
+    total = vocab.agg(F.sum("_c").alias("_n_corpus"))
+    q = F.floor(F.log(F.col("_c").cast("double")) * F.lit(float(quant))).cast(
+        "long"
+    )
+    scored = (
+        toks.join(vocab.select("term", q.alias("_q")), "term")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_q").alias("_sq"))
+    )
+    lnN_q = F.floor(
+        F.log(F.col("_n_corpus").cast("double")) * F.lit(float(quant))
+    ).cast("long")
+    return scored.crossJoin(F.broadcast(total)).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (
+            (
+                (F.col("n_tokens") * lnN_q - F.col("_sq")).cast("double")
+                / F.lit(float(quant))
+            )
+            / F.col("n_tokens").cast("double")
+        ).alias("mean_nll"),
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-document Shannon entropy of the document's OWN token
+    distribution: H = ln(n) - (1/n) Σ c_t ln(c_t). Near-zero entropy
+    means degenerate repetition (the keyboard-mash and looping-
+    generation failure mode); high entropy tracks lexical diversity —
+    a standard corpus-quality feature next to the Gopher repetition
+    fractions.
+
+    Same fixed-point discipline as :func:`unigram_nll` — and EVERY ln
+    is quantized, including the final ln(n): JVM Math.log and C libm
+    log legitimately differ by 1 ulp on some inputs (observed on
+    ln(74)), so the whole entropy numerator n*lnq(n) - Σ c*lnq(c) is
+    assembled in exact BIGINTs and cast to double exactly once. Two
+    aggregates — (doc, term) counts, then per-doc sums — each with
+    map-side partials."""
+    toks = _lm_terms(df, text_col, id_col)
+    counts = toks.groupBy("_id", "term").agg(F.count("*").alias("_c"))
+    cq = (
+        F.col("_c")
+        * F.floor(F.log(F.col("_c").cast("double")) * F.lit(float(quant))).cast(
+            "long"
+        )
+    ).alias("_cq")
+    per_doc = counts.select("_id", "_c", cq).groupBy("_id").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum("_cq").alias("_scq"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    ln_n_q = F.floor(F.log(n_d) * F.lit(float(quant))).cast("long")
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (
+            (F.col("n_tokens") * ln_n_q - F.col("_scq")).cast("double")
+            / F.lit(float(quant))
+            / n_d
+        ).alias("entropy"),
+    )

@@ -3077,6 +3077,377 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    # Q2 shape adapted to this testdata (no partsupp table): the
+    # supplier offering the minimum observed unit price per part in a
+    # region, via a correlated-min — expressed as a window min so the
+    # per-(part,supplier) aggregate is computed ONCE (the classic
+    # aggregate-view-consumed-twice decorrelation). Unit price is one
+    # per-row IEEE division; min is order-independent -> cross-engine
+    # exact.
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey, n.n_name, s.s_name,
+             CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+             min(CAST(l.l_extendedprice AS DOUBLE)
+                 / CAST(l.l_quantity AS DOUBLE)) AS unit_price
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND l.l_quantity > 0
+      GROUP BY l.l_partkey, l.l_suppkey, n.n_name, s.s_name, s.s_acctbal
+    ),
+    ranked AS (
+      SELECT *, min(unit_price) OVER (PARTITION BY l_partkey) AS best_price
+      FROM cost
+    )
+    SELECT p.p_partkey, p.p_brand, c.s_name, c.n_name, c.s_acctbal,
+           c.unit_price
+    FROM ranked c JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE c.unit_price = c.best_price AND p.p_size <= 10
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within a region.
+    The correlated min-subquery decorrelates into ONE aggregate + a
+    window min over the part key — no self-join, no second scan of the
+    aggregate lineage. Dims broadcast; one fact shuffle to the
+    (part, supplier) grain, reused by the window."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    cost = (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "n_name", "s_name", "s_acctbal")
+        .agg(
+            F.min(
+                F.col("l_extendedprice").cast("double")
+                / F.col("l_quantity").cast("double")
+            ).alias("unit_price")
+        )
+    )
+    w = W.partitionBy("l_partkey")
+    ranked = cost.withColumn("best_price", F.min("unit_price").over(w))
+    return (
+        ranked.where(F.col("unit_price") == F.col("best_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "unit_price",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    # Q11 shape without partsupp: parts whose revenue exceeds a fixed
+    # fraction of TOTAL revenue — a group aggregate HAVING against a
+    # global scalar. The per-part frame is persisted so the totals
+    # branch reads the cache instead of re-scanning the fact table;
+    # the scalar rides a broadcast cross-join. Revenue sums are exact
+    # DECIMAL; the threshold compare happens in DOUBLE with a margin
+    # (values quantized at 1e-4) far above any ulp.
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS v
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+    FROM rev
+    WHERE CAST(v AS DOUBLE) > 0.0006 * (SELECT CAST(sum(v) AS DOUBLE) FROM rev)
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered against a scalar derived from
+    the SAME aggregate (value > fraction of total). The aggregate is
+    cached (it is |parts|-sized, not fact-sized) and consumed by both
+    the row stream and the 1-row total, which then broadcasts — one
+    fact scan, one shuffle, no second pass."""
+    from alerta_spark.ops.dedupe import _persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(12,2)")  # noqa: E731
+    rev = _persist(
+        li.groupBy("l_partkey").agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "v"
+            )
+        )
+    )
+    total = rev.agg(F.sum("v").cast("double").alias("_tv"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .where(F.col("v").cast("double") > F.lit(0.0006) * F.col("_tv"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt_by_part_attr",
+    # Q16 shape via lineitem as the part-supplier bridge (no partsupp
+    # table): distinct supplier count per (brand, type, size) bucket,
+    # excluding an unwanted-supplier set via NOT IN (compiled to a
+    # broadcast anti-join). Pure integer outputs.
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 7, 10, 13)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%9'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt_by_part_attr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each part
+    bucket, minus a blocklisted supplier set. The part filter broadcasts
+    into the fact scan; the blocklist is a broadcast LEFT ANTI join
+    (never a shuffled NOT IN); one shuffle for the distinct-count
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%9"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_bulk_part_suppliers",
+    # Q20 shape: suppliers in one nation who shipped a bulk quantity
+    # of any part matching a name filter in a window year — the nested
+    # IN-subquery chain becomes a semi-join onto an aggregated
+    # (supplier, part) HAVING set. Quantity sums in DECIMAL (a double
+    # sum's accumulation order diverges across engines at the HAVING
+    # boundary).
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%gear%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 50
+      )
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the qualifying (supplier, part, qty) aggregate
+    is computed once over the date+name-pruned fact slice, reduced to a
+    distinct supplier set, and semi-joined into the (tiny, broadcast)
+    nation-filtered supplier dim — the fact table never joins the dim
+    directly."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    bulk = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_q"))
+        .where(F.col("_q") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bulk, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    # Q21 shape (testdata has no commit/receipt dates, so "late" is
+    # shipdate > orderdate + 60 days): for finalized orders with >= 2
+    # suppliers, count per supplier the orders where THEY were the only
+    # late one. The two correlated EXISTS become window counts over the
+    # per-(order, supplier) lateness aggregate — one pass, no
+    # self-joins.
+    oracle="""
+    WITH ol AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    w AS (
+      SELECT l_suppkey, is_late,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+             sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+      FROM ol
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    WHERE w.is_late = 1 AND w.n_supp >= 2 AND w.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders. EXISTS/NOT EXISTS decorrelate into two window counts over
+    one per-(order, supplier) aggregate: the fact joins orders once,
+    aggregates once, windows once — three exchanges total and zero
+    self-joins of lineitem (the textbook plan re-scans it twice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    ol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = ol.select(
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    return (
+        flagged.where(
+            (F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), flagged.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
+    "text_unigram_nll",
+    # Fixed-point discipline: ln(count) is quantized per TERM
+    # (floor(ln(c)*1e9) — identical per-row doubles on both engines),
+    # the per-document accumulation is exact BIGINT, and the final
+    # (n*lnN_q - Σq)/1e9/n is two IEEE ops on identical operands. A
+    # plain float Σ ln p would diverge at the ulp with row order.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM vocab),
+    q AS (
+      SELECT term,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT) AS qv
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           (CAST(count(*) * (SELECT CAST(floor(ln(CAST(n_corpus AS DOUBLE))
+                                              * 1000000000) AS BIGINT) FROM tot)
+                 - CAST(sum(q.qv) AS BIGINT) AS DOUBLE) / 1000000000.0)
+             / CAST(count(*) AS DOUBLE) AS mean_nll
+    FROM toks t JOIN q USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score: per-document mean negative
+    log-likelihood under the corpus's own unigram distribution — the
+    perplexity-filter signal of large-corpus pipelines, here with the
+    corpus itself as the LM (no external model file)."""
+    from alerta_spark.ops.text import unigram_nll
+
+    return unigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_entropy",
+    # Same fixed-point trick as text_unigram_nll — the per-doc
+    # Σ c·ln(c) accumulates as exact BIGINTs.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           -- every ln quantized (libm vs JVM log differ by 1 ulp on
+           -- some inputs); numerator assembled in exact BIGINTs
+           CAST(CAST(sum(c) AS BIGINT)
+                  * CAST(floor(ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))
+                               * 1000000000) AS BIGINT)
+                - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000)
+                                    AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / 1000000000.0
+             / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS entropy
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the document's own token
+    distribution: near-zero = degenerate repetition, high = lexical
+    diversity. Companion signal to the Gopher repetition fractions."""
+    from alerta_spark.ops.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "agg_stats_moments",
     oracle="""
     WITH s AS (

@@ -54,6 +54,10 @@ HEADLINE = [
     "corpus_composition_stats",
     "sessionize_events",
     "funnel_signup_view_purchase",
+    # round-3 additions (no earlier baseline; tracked from r03 on)
+    "text_unigram_nll",
+    "text_token_entropy",
+    "tpch_q21_waiting_supplier",
 ]
 
 

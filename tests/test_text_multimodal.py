@@ -99,3 +99,62 @@ def test_resize_images_plumbing(docs):
     assert all(r["media"]["meta"]["width"] == 224 for r in out)
     assert all(r["media"]["meta"]["format"] == "fake-resized" for r in out)
     assert all(len(r["media"]["data"]) == 128 for r in out)
+
+
+def test_token_entropy_degenerate_vs_diverse(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from alerta_spark.ops.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),
+            Row(doc_id=2, text="one two three four five six"),
+        ]
+    )
+    got = {r.doc_id: r for r in token_entropy(df).collect()}
+    # all-identical tokens -> H = 0; all-distinct n tokens -> H = ln(n)
+    assert abs(got[1].entropy) < 1e-6
+    assert abs(got[2].entropy - math.log(6)) < 1e-6
+    assert got[1].n_distinct == 1 and got[2].n_distinct == 6
+    assert got[1].n_tokens == 6 and got[2].n_tokens == 6
+
+
+def test_unigram_nll_rare_tokens_score_higher(spark):
+    from pyspark.sql import Row
+
+    from alerta_spark.ops.text import unigram_nll
+    from alerta_spark.ops.dedupe import release_cached
+
+    common = "the quick brown fox " * 5
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=common),
+            Row(doc_id=2, text=common),
+            Row(doc_id=3, text="zyzzyva qoph xylyl kvetch"),
+        ]
+    )
+    got = {r.doc_id: r.mean_nll for r in unigram_nll(df).collect()}
+    release_cached()
+    # docs made of corpus-frequent tokens are more likely under the
+    # corpus LM than the all-rare-token doc
+    assert got[1] == got[2] < got[3]
+
+
+def test_unigram_nll_matches_closed_form(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from alerta_spark.ops.text import unigram_nll
+    from alerta_spark.ops.dedupe import release_cached
+
+    # corpus: "a a a b" -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([Row(doc_id=1, text="a a a b")])
+    got = unigram_nll(df).collect()[0]
+    release_cached()
+    expect = -(3 * math.log(3 / 4) + 1 * math.log(1 / 4)) / 4
+    assert abs(got.mean_nll - expect) < 1e-6
+    assert got.n_tokens == 4
