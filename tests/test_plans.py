@@ -305,3 +305,16 @@ def test_funnel_fold_is_single_scan(spark):
     assert "Window" not in plan, plan
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PushedFilters" in scan and "event_type" in scan
+
+
+def test_unigram_nll_caches_vocab_bounded_exchanges(spark):
+    """The LM vocab aggregate must be cached (it feeds both the join
+    and the corpus-total scalar — uncached, the fact scan would run a
+    third time) and the whole op stays within 3 hash exchanges:
+    term count, term join, doc sum."""
+    from alerta_spark.ops.dedupe import release_cached
+
+    plan = _plan(spark, "text_unigram_nll")
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    release_cached()

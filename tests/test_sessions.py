@@ -158,3 +158,54 @@ def test_funnel_fold_strict_ordering_matches_joins(spark):
     a = sorted(map(tuple, funnel_counts(ev, steps).collect()))
     b = sorted(map(tuple, funnel_counts(ev, steps, strategy="joins").collect()))
     assert a == b
+
+
+def test_funnel_fold_matches_joins_randomized(spark):
+    """200 random users with adversarial event structure (duplicate
+    timestamps, same-instant multi-step matches, missing steps,
+    interleaved order): the fold and join strategies must agree
+    user-for-user, not just in aggregate. Seeded -> reproducible."""
+    import random
+
+    from alerta_spark.ops.sessions import funnel_conversion_times
+
+    rng = random.Random(20260813)
+    types = ["signup", "view", "purchase", "noise"]
+    rows = []
+    for u in range(200):
+        for _ in range(rng.randint(0, 12)):
+            # minute granularity with heavy collisions to exercise ties
+            rows.append((u, rng.randint(0, 30), rng.choice(types)))
+    ev = _ev(spark, rows)
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("view", F.col("event_type") == "view"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    a = sorted(map(tuple, funnel_counts(ev, steps).collect()))
+    b = sorted(map(tuple, funnel_counts(ev, steps, strategy="joins").collect()))
+    assert a == b
+
+    # per-user conversion times vs an independent python reference
+    conv = {
+        r.user_id: list(r.conv_times)
+        for r in funnel_conversion_times(ev, steps).collect()
+    }
+    by_user = {}
+    for r in ev.select("user_id", "ts", "event_type").collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    import datetime as _dt
+
+    for u, evs in by_user.items():
+        evs.sort()
+        t = [None, None, None]
+        for ts, et in evs:
+            us = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+            for i, name in enumerate(["signup", "view", "purchase"]):
+                prereq = (t[i - 1] is not None and us > t[i - 1]) if i else True
+                if t[i] is None and et == name and prereq:
+                    t[i] = us
+        if u in conv:
+            assert conv[u] == t, (u, conv[u], t)
+        else:
+            assert all(x is None for x in t), (u, t)
