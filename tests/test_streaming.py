@@ -522,3 +522,47 @@ def test_slot_machine_mid_deadman_then_threshold():
     assert st[0] == 2 and not completed and not expired
     st, completed = m.on_events(st, [(2 + HOUR_MS, "b", [False, False, True])])
     assert completed
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """T2-adjacent: the SAME session_window aggregate that backs batch
+    session_window_stats, run as a real watermarked stream, finalizes
+    exactly the sessions the batch sessionizer computes. A far-future
+    sentinel user pushes the global watermark past every real session
+    so append mode emits them all; the sentinel's own (unfinalized)
+    session is excluded from the comparison."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from alerta_spark.ops.sessions import session_stats, session_window_stats
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 0), (1, 10), (1, 50),          # user 1: two sessions
+        (2, 0), (2, 29), (2, 58),          # user 2: one chained session
+        (3, 5),                            # user 3: singleton
+        (999, 60 * 24 * 10),               # sentinel: +10 days
+    ]
+    ev = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=u, ts=base + dt.timedelta(minutes=m))
+            for i, (u, m) in enumerate(rows)
+        ]
+    )
+    got = _run_stream(
+        spark,
+        ev,
+        lambda s: session_window_stats(s.withWatermark("ts", "1 second"), 30),
+        "sess_win_out",
+    )
+    stream_set = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in got.collect()
+        if r.user_id != 999
+    }
+    batch_set = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_stats(ev.where(F.col("user_id") != 999), 30).collect()
+    }
+    assert stream_set == batch_set and len(batch_set) == 4
