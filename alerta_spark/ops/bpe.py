@@ -1,0 +1,185 @@
+"""BPE (byte-pair-encoding) tokenizer training over a corpus —
+Spark-first.
+
+The classic trainer (Sennrich et al. 2016, public algorithm) is a loop:
+count adjacent symbol pairs, merge the most frequent pair everywhere,
+repeat. The scale insight every production trainer uses: after ONE
+corpus-wide word-frequency aggregate, training never touches the corpus
+again — pair counts are exact sums of ``freq(word) x pairs(word)`` over
+the word-frequency table (vocab-sized, millions of rows at 100 TB, not
+trillions). Each merge round here is therefore:
+
+  pair explode over the word table -> one partial-aggregated count
+  shuffle -> deterministic top-1 (count DESC, pair ASC) -> an
+  ``F.aggregate`` fold that rewrites each word's symbol array JVM-side.
+
+No Python executes per row during training. Applying a learned merge
+table to raw text (``apply_bpe``) IS the legitimate Pandas-UDF case:
+greedy iterative merging per word is not expressible in built-ins, so
+it runs as an Arrow-batched vectorized UDF over ``mapInPandas``-style
+columns, with the merge ranks broadcast once per executor.
+
+Reference provenance: no analogue in the reference (alertA is an
+alerting engine); brief-mandated training-pipeline extension, same
+family as ops/chunking (X22/X23) and ops/text vocab (X24).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over the corpus — the ONE corpus-wide shuffle.
+    Words are lowercase [a-z0-9] runs (the repo's vocab tokenization)
+    with an end-of-word marker appended, the standard BPE trick that
+    keeps merges from crossing word boundaries."""
+    w = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    return df.select(w.alias("word")).groupBy("word").agg(
+        F.count("*").alias("freq")
+    )
+
+
+def _initial_symbols() -> Column:
+    """word -> array of single characters + trailing '</w>' marker."""
+    chars = F.split(F.col("word"), "")
+    return F.concat(
+        F.filter(chars, lambda c: c != F.lit("")), F.array(F.lit("</w>"))
+    )
+
+
+def _merge_fold(a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b inside the
+    ``syms`` array, as a JVM-side fold. Because the fold consumes one
+    symbol at a time and compares against the ALREADY-MERGED tail,
+    overlapping runs resolve exactly like the sequential reference
+    algorithm ('aaa' under (a,a) -> ['aa','a'])."""
+    merged = F.lit(a + b)
+
+    def step(acc, x):
+        last = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0) & (last == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("syms"), F.expr("CAST(array() AS ARRAY<STRING>)"), step
+    )
+
+
+def learn_bpe(
+    df: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns
+    [(left, right, pair_freq)] in merge order — fully deterministic
+    (ties break on the pair string), so retrains on the same corpus are
+    byte-identical.
+
+    The driver holds only the current top pair per round (one 1-row
+    collect each — the aggregate itself is distributed); the word table
+    is cached and rewritten in place each round. Early-stops when the
+    best remaining pair drops below ``min_pair_freq``."""
+    words = _word_freqs(df, text_col).select(
+        "word", "freq", _initial_symbols().alias("syms")
+    )
+    words = words.persist()
+    try:
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(num_merges):
+            pairs = words.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.zip_with(
+                            F.slice("syms", 1, F.size("syms") - 1),
+                            F.slice("syms", 2, F.size("syms") - 1),
+                            lambda x, y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    ).otherwise(F.expr("array()")),
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_freq:
+                break
+            a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+            merges.append((a, b, n))
+            nxt = words.select(
+                "word", "freq", _merge_fold(a, b).alias("syms")
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            words.unpersist()
+            words = nxt
+        return merges
+    finally:
+        words.unpersist()
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize documents with a learned merge table. The greedy
+    rank-ordered merge loop is inherently iterative per word, so this
+    is the documented Pandas-UDF case: Arrow-batched, merge ranks
+    broadcast in the closure, pure numpy/python inside the batch.
+    Map-only — no shuffle."""
+    from pyspark.sql import types as T
+
+    ranks = {(a, b): i for i, (a, b, _n) in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + ["</w>"]
+        while len(syms) >= 2:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str) -> list[str]:
+            out: list[str] = []
+            for w in tok_re.findall((text or "").lower()):
+                if w not in cache:
+                    cache[w] = encode_word(w)
+                out.extend(cache[w])
+            return out
+
+        return texts.map(enc)
+
+    return df.select(F.col(id_col), encode(F.col(text_col)).alias(out_col))

@@ -3447,6 +3447,25 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(load_table(spark, sf_dir, "documents"))
 
 
+@register("bpe_learn_merges", oracle=None)  # iterative algorithm: rows-only
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (10 merges): ONE corpus
+    word-frequency aggregate, then vocab-table-only rounds — pair
+    counts are freq-weighted sums, merges are JVM-side array folds.
+    Deterministic (ties break on the pair string), so the merge table
+    is retrain-stable; exact merges are pinned against a hand-computed
+    corpus in tests/test_bpe.py. Driver check is rows-only (the
+    iterative loop is not SQL-expressible)."""
+    from alerta_spark.ops.bpe import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, pair_freq BIGINT",
+    )
+
+
 @register(
     "agg_stats_moments",
     oracle="""
