@@ -189,3 +189,35 @@ def stratified_deterministic_sample(
         else F.lit(_threshold(default_fraction))
     )
     return df.where(bucket < thresh)
+
+
+def shuffled_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets
+    a (shard, pos) address under a pseudo-random permutation keyed by
+    md5(id || salt). Same corpus + same salt -> identical order on any
+    engine, any partitioning, any retry — the reshuffle between
+    training epochs is just a new salt.
+
+    Scale shape: the shard assignment is map-only (md5 band of the full
+    hash); positions are per-shard window ranks, so the one exchange is
+    hash-partitioned by shard and each window sorts only corpus/shards
+    rows — no global single-partition sort. Downstream shard writers
+    consume (shard, pos) directly as (file, offset)."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(shards)
+    ).alias("shard")
+    out = df.select(F.col(id_col), shard, h.alias("_h"))
+    w = W.partitionBy("shard").orderBy("_h", id_col)
+    return out.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

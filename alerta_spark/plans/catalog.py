@@ -3447,6 +3447,34 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "corpus_shuffled_order",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST('0x' || substring(hh, 1, 8) AS BIGINT) % 8 AS BIGINT)
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST('0x' || substring(hh, 1, 8) AS BIGINT) % 8
+             ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def corpus_shuffled_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: md5-keyed (shard, pos) addresses —
+    the training-order permutation that is retry/engine-stable and
+    re-rolls with a new salt per epoch. Map-only shard assignment +
+    one shard-partitioned window (no global sort)."""
+    from alerta_spark.ops.sampling import shuffled_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffled_order(docs, shards=8, salt="epoch0")
+
+
 @register("bpe_learn_merges", oracle=None)  # iterative algorithm: rows-only
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus (10 merges): ONE corpus

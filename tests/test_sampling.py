@@ -76,3 +76,24 @@ def test_stratified_sample_per_stratum(spark):
     df2 = df.withColumn("source", df.source)
     out2 = stratified_deterministic_sample(df2, {"rare": 1.0}, strata_col="source")
     assert out2.where(out2.source == "common").count() == 0
+
+
+def test_shuffled_order_is_permutation_and_epoch_varies(docs):
+    from alerta_spark.ops.sampling import shuffled_order
+
+    a = shuffled_order(docs, shards=4, salt="e0").collect()
+    # exhaustive: every doc addressed exactly once
+    assert len(a) == docs.count()
+    assert len({r.doc_id for r in a}) == len(a)
+    # (shard, pos) is a proper dense address space per shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+    # deterministic: rerun identical
+    b = shuffled_order(docs, shards=4, salt="e0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a new epoch salt produces a different order
+    c = shuffled_order(docs, shards=4, salt="e1").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
