@@ -567,3 +567,64 @@ def incremental_dedup_ingest(
         "append"
     ).parquet(store_path)
     return kept.drop("_digest")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS algorithm — public): hash every character k-gram of the
+    normalized text, slide a window of ``w`` consecutive hashes, keep
+    each window's minimum — guaranteeing every match of length
+    >= k + w - 1 shares a fingerprint while storing ~2/(w+1) of the
+    hashes. The selected (position, fingerprint) set is the
+    plagiarism/near-dup index a lake builds once per snapshot.
+
+    Determinism: the k-gram hash is the first 15 hex chars of md5
+    (engine-identical, 60-bit); window minima compare (hash, pos)
+    structs lexicographically, so equal-content hash ties break on the
+    leftmost position identically everywhere.
+
+    Plan: one Generate (k-gram explode) + ONE doc-keyed exchange for
+    the position window + a distinct that reuses the same clustering.
+    Fingerprint rows are ~2/(w+1) of characters — the downstream
+    near-dup join consumes them exactly like the shingle index."""
+    from pyspark.sql import Window as W
+
+    from alerta_spark.ops.text import normalize_text
+
+    kg = F.expr(
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)), "
+        f"p -> struct(p AS pos, substring(_norm, p, {k}) AS kg))"
+    )
+    rows = (
+        df.select(
+            F.col(id_col).alias("_id"), normalize_text(text_col).alias("_norm")
+        )
+        .select("_id", F.length("_norm").alias("_len"), F.explode(kg).alias("g"))
+        .select(
+            "_id",
+            "_len",
+            F.col("g.pos").alias("pos"),
+            F.conv(F.substring(F.md5("g.kg"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    win = W.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        rows.withColumn("_m", F.min(F.struct("h", "pos")).over(win))
+        # only full windows select (window starts fitting w hashes)
+        .where(F.col("pos") <= F.col("_len") - F.lit(k - 1) - F.lit(w - 1))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_m.pos").alias("pos"),
+            F.col("_m.h").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

@@ -441,3 +441,70 @@ def token_entropy(
             / n_d
         ).alias("entropy"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — the
+    keyword-extraction / retrieval-weighting primitive. Returns
+    (id, term, rank, tfidf) with rank 1..k per doc.
+
+    tf = c/n (per-doc term share), idf = ln(N/df) with the ln quantized
+    to fixed-point (the same 1-ulp JVM-vs-libm hazard as unigram_nll);
+    the ranking key c * idf_q is an exact BIGINT, so ordering — and
+    therefore the top-k cut — is identical across engines, with ties
+    broken on the term string. The emitted tfidf value is one exact
+    division chain on identical operands.
+
+    Plan: (doc, term) count aggregate -> term-keyed df aggregate joined
+    back (both map-side partial-aggregated) -> broadcast N -> one
+    per-doc window for the rank. Four exchanges, all key-partitioned;
+    nothing corpus-sized crosses the driver."""
+    from pyspark.sql import Window as W
+
+    from alerta_spark.ops.dedupe import _persist
+
+    toks = _lm_terms(df, text_col, id_col)
+    counts = _persist(
+        toks.groupBy("_id", "term").agg(F.count("*").alias("_c"))
+    )
+    docfreq = counts.groupBy("term").agg(F.count("*").alias("_df"))
+    ndocs = counts.select("_id").distinct().agg(
+        F.count("*").alias("_n_docs")
+    )
+    doclen = counts.groupBy("_id").agg(F.sum("_c").alias("_n"))
+    idf_q = F.floor(
+        F.log(F.col("_n_docs").cast("double") / F.col("_df").cast("double"))
+        * F.lit(float(quant))
+    ).cast("long")
+    scored = (
+        counts.join(docfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .join(doclen, "_id")
+        .select(
+            "_id",
+            "term",
+            "_c",
+            "_n",
+            (F.col("_c") * idf_q).alias("_score_q"),
+        )
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("_score_q"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.col("rank").cast("long").alias("rank"),
+            (
+                (F.col("_score_q").cast("double") / F.lit(float(quant)))
+                / F.col("_n").cast("double")
+            ).alias("tfidf"),
+        )
+    )

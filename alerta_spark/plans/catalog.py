@@ -3448,6 +3448,99 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnow_fingerprints",
+    # Winnowing (MOSS): min hash per sliding window of w=4 consecutive
+    # k=8-gram hashes. Hash = first 15 md5 hex chars as a 60-bit
+    # BIGINT (engine-identical); minima compare (h, pos) structs so
+    # equal-content ties break on the leftmost position everywhere.
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, length(t) AS L, t,
+             unnest(generate_series(1, greatest(length(t) - 7, 0))) AS p
+      FROM n
+    ),
+    hashed AS (
+      SELECT doc_id, L, p,
+             CAST('0x' || substring(md5(substring(t, p, 8)), 1, 15) AS BIGINT)
+               AS h
+      FROM pos
+    ),
+    sel AS (
+      SELECT doc_id, L, p,
+             min({'h': h, 'p': p}) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, CAST(m.p AS BIGINT) AS pos, CAST(m.h AS BIGINT) AS fp
+    FROM sel WHERE p <= L - 7 - 3
+    """,
+)
+def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint index over the corpus (k=8, w=4): every
+    match of length >= 11 chars shares a fingerprint while storing
+    ~2/(w+1) of the k-gram hashes — the plagiarism-detection-grade
+    near-dup index, one doc-keyed exchange."""
+    from alerta_spark.ops.dedupe import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=8, w=4
+    ).select("doc_id", "pos", "fp")
+
+
+@register(
+    "text_tfidf_top_terms",
+    # Ranking key c*idf_q is an exact BIGINT (idf's ln quantized — the
+    # JVM-vs-libm 1-ulp hazard), so the per-doc top-5 cut is identical
+    # across engines; ties break on the term string.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS dfr FROM counts GROUP BY term),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM counts),
+    dlen AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT c.doc_id, c.term, l.n,
+             c.c * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(d.dfr AS DOUBLE))
+                              * 1000000000) AS BIGINT) AS score_q
+      FROM counts c
+      JOIN dfreq d USING (term)
+      CROSS JOIN nd
+      JOIN dlen l USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, term, n, score_q,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rnk AS BIGINT) AS rank,
+           (CAST(score_q AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE)
+             AS tfidf
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by tf-idf — keyword
+    extraction / retrieval weighting over the corpus's own statistics."""
+    from alerta_spark.ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@register(
     "corpus_shuffled_order",
     oracle="""
     WITH h AS (

@@ -139,3 +139,32 @@ def test_keep_canonical_survivors(spark):
         for r in keep_canonical(docs, dup_clusters(pairs)).collect()
     )
     assert kept == [0, 1, 5, 7, 8, 9]
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing's contract: any shared substring of length >= k+w-1
+    yields a shared fingerprint between the two documents; density is
+    well under 1 fingerprint per character."""
+    from pyspark.sql import Row
+
+    from alerta_spark.ops.dedupe import winnow_fingerprints
+
+    shared = "identical plagiarized passage of text"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma delta"),
+            Row(doc_id=2, text=f"unrelated opening words {shared} and a tail"),
+            Row(doc_id=3, text="completely different content here entirely"),
+        ]
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # docs 1 and 2 share the passage -> must share >= 1 fingerprint
+    assert by_doc[1] & by_doc[2]
+    # doc 3 shares nothing long with doc 1
+    assert not (by_doc[1] & by_doc[3])
+    # density: ~2/(w+1) of positions, never more than 1 per position
+    n_chars = len(f"alpha beta {shared} gamma delta")
+    assert 0 < len(by_doc[1]) < n_chars * 0.8
