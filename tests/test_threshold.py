@@ -79,3 +79,51 @@ def test_sample_cap_orders_by_ts(events):
     first_event = a["events"][0]
     # sample snippet must reference the earliest event in the group
     assert a["summary"].strip() == str(first_event["event_id"])
+
+
+def test_malformed_criteria_raises_parse_error(events):
+    """A syntactically broken criteria must fail loudly at plan time
+    (the ENGINE swallows it per reference semantics — engine.py — but
+    the operator itself surfaces the ParseException)."""
+    import pytest
+    from pyspark.errors import ParseException
+
+    from alerta_spark.operators.threshold import threshold_alerts
+
+    rule = {
+        "alert_name": "broken",
+        "criteria": "event_type === 'x' AND (",
+        "aggregation_key": "user_id",
+        "threshold": 1,
+    }
+    with pytest.raises(ParseException):
+        threshold_alerts(events, rule).collect()
+
+
+def test_dotted_key_to_missing_json_field_yields_no_alerts(events):
+    """Aggregation key pointing into a JSON path that never exists:
+    every group key is NULL -> contributes nothing, no crash."""
+    from alerta_spark.operators.threshold import threshold_alerts
+
+    rule = {
+        "alert_name": "ghost_key",
+        "criteria": "event_type='purchase'",
+        "aggregation_key": "props.does_not_exist",
+        "threshold": 1,
+    }
+    assert threshold_alerts(events, rule).count() == 0
+
+
+def test_empty_criteria_matches_all_rows(events):
+    """An empty criteria string is 'match everything' (reference
+    parity: an absent criteria scans the whole window)."""
+    from alerta_spark.operators.threshold import threshold_alerts
+
+    rule = {
+        "alert_name": "all",
+        "criteria": "",
+        "aggregation_key": "event_type",
+        "threshold": 1,
+    }
+    fired = threshold_alerts(events, rule)
+    assert fired.count() == events.select("event_type").distinct().count()
