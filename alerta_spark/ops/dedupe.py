@@ -628,3 +628,61 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over winnowing fingerprint SETS — the
+    same inverted-index shape as :func:`ngram_jaccard_pairs`, but the
+    index is the winnowed ~2/(w+1)-density character-level print set,
+    so it catches partial overlap (shared passages) that word-shingle
+    Jaccard dilutes. ``max_fp_freq`` caps boilerplate prints exactly
+    like the hot-shingle cap: map-side broadcast anti-join BEFORE any
+    fp-keyed shuffle, self-consistent set sizes.
+
+    -> [id_a, id_b, fp_jaccard] with id_a < id_b."""
+    fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
+        F.col(id_col).alias("_id"), "fp"
+    ).distinct()
+    fps = _persist(fps)
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+        fps = _persist(fps)
+    sizes = fps.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("size_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "fp_jaccard",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).cast("double"),
+        )
+        .where(F.col("fp_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("fp_jaccard", 6).alias("fp_jaccard"))
+    )

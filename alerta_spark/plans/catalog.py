@@ -3492,6 +3492,71 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_winnow_pairs",
+    # Jaccard over winnowed fingerprint SETS; the oracle replays the
+    # winnow selection (same CTE as dedup_winnow_fingerprints) and the
+    # pair join exactly. The 1000-doc-freq cap never fires at this sf
+    # (and the oracle replicates it implicitly by having no prints that
+    # hot), so the comparison is exact.
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, length(t) AS L, t,
+             unnest(generate_series(1, greatest(length(t) - 7, 0))) AS p
+      FROM n
+    ),
+    hashed AS (
+      SELECT doc_id, L, p,
+             CAST('0x' || substring(md5(substring(t, p, 8)), 1, 15) AS BIGINT)
+               AS h
+      FROM pos
+    ),
+    sel AS (
+      SELECT doc_id, L, p,
+             min({'h': h, 'p': p}) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM hashed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE p <= L - 7 - 3
+    ),
+    capped AS (
+      SELECT * FROM fps
+      WHERE fp NOT IN (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1000
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM capped a JOIN capped b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS fp_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by Jaccard over winnowing fingerprint sets —
+    character-level partial-overlap detection (shared passages) that
+    word-shingle Jaccard dilutes. Same inverted-index + hot-cap
+    discipline as the shingle path."""
+    from alerta_spark.ops.dedupe import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), k=8, w=4, threshold=0.5
+    )
+
+
+@register(
     "text_tfidf_top_terms",
     # Ranking key c*idf_q is an exact BIGINT (idf's ln quantized — the
     # JVM-vs-libm 1-ulp hazard), so the per-doc top-5 cut is identical
