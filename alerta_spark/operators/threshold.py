@@ -133,3 +133,75 @@ def threshold_alerts(
     grouped = grouped_events(ev, p["aggregation_key"], id_col, ts_col, max_events)
     fired = grouped.where(F.col("count") >= int(p["threshold"]))
     return assemble_alerts(fired, p, ev.schema)
+
+
+def threshold_alerts_fused(
+    df: DataFrame,
+    rules: list[dict[str, Any]],
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    max_events: int = 1000,
+) -> DataFrame:
+    """N threshold rules in ONE pass — the scale upgrade over the
+    reference's per-rule loop (alerta.py:481-515 re-scans the window
+    for every rule; at 100 TB that is N corpus scans).
+
+    Every rule's criteria and aggregation key are evaluated as columns
+    in a single projection; a row emits one (rule_idx, key) struct per
+    matching rule, exploded and aggregated by (rule_idx, value) — so
+    the whole rule set costs ONE corpus scan and ONE exchange, with
+    the criteria disjunction eligible for scan pushdown. Returns
+    [alert_name, value, count, events] rows for every fired group
+    (rendering stays per-rule: feed each slice to assemble_alerts).
+
+    Equivalence with the sequential path is pytest-pinned
+    (tests/test_threshold.py)."""
+    shells = [threshold_shell(r) for r in rules]
+    preds = [
+        F.expr(trino_to_spark(p["criteria"]) or "true") if p["criteria"] else F.lit(True)
+        for p in shells
+    ]
+    keys = [path_col(df, p["aggregation_key"]).cast("string") for p in shells]
+    matches = F.array(
+        *[
+            F.when(
+                pred & key.isNotNull(),
+                F.struct(F.lit(i).alias("rule_idx"), key.alias("value")),
+            )
+            for i, (pred, key) in enumerate(zip(preds, keys))
+        ]
+    )
+    event = F.struct(*[F.col(c) for c in df.columns])
+    tagged = df.select(
+        F.col(ts_col).alias("_o1"),
+        F.col(id_col).alias("_o2"),
+        event.alias("e"),
+        F.explode(F.filter(matches, lambda m: m.isNotNull())).alias("m"),
+    )
+    row = F.struct(F.col("_o1"), F.col("_o2"), F.col("e"))
+    grouped = (
+        tagged.groupBy(
+            F.col("m.rule_idx").alias("rule_idx"), F.col("m.value").alias("value")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.slice(
+                F.array_sort(F.collect_list(row), _sort_cmp), 1, max_events
+            ).alias("_tagged"),
+        )
+        .withColumn("events", F.expr("transform(_tagged, x -> x.e)"))
+        .drop("_tagged")
+    )
+    thresholds = F.array(*[F.lit(int(p["threshold"])) for p in shells])
+    names = F.array(*[F.lit(p["alert_name"]) for p in shells])
+    return (
+        grouped.where(
+            F.col("count") >= F.element_at(thresholds, F.col("rule_idx") + 1)
+        )
+        .select(
+            F.element_at(names, F.col("rule_idx") + 1).alias("alert_name"),
+            "value",
+            "count",
+            "events",
+        )
+    )

@@ -3448,6 +3448,49 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a2_threshold_fused_rules",
+    oracle="""
+    SELECT 'big_purchases' AS alert_name,
+           CAST(user_id AS VARCHAR) AS value, count(*) AS count
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+      AND user_id IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 2
+    UNION ALL
+    SELECT 'errors_by_user', CAST(user_id AS VARCHAR), count(*)
+    FROM events
+    WHERE event_type = 'error' AND user_id IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 3
+    """,
+)
+def a2_threshold_fused_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule fusion: N threshold rules in ONE corpus scan + ONE exchange
+    (the reference's main loop re-scans per rule — N scans at 100 TB).
+    Plan-guarded in tests; per-rule equivalence pytest-pinned."""
+    from alerta_spark.operators.threshold import threshold_alerts_fused
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        {
+            "alert_name": "big_purchases",
+            "criteria": "event_type='purchase' AND CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 50",
+            "aggregation_key": "user_id",
+            "threshold": 2,
+        },
+        {
+            "alert_name": "errors_by_user",
+            "criteria": "event_type='error'",
+            "aggregation_key": "user_id",
+            "threshold": 3,
+        },
+    ]
+    return threshold_alerts_fused(ev, rules).select(
+        "alert_name", "value", "count"
+    )
+
+
+@register(
     "dedup_winnow_fingerprints",
     # Winnowing (MOSS): min hash per sliding window of w=4 consecutive
     # k=8-gram hashes. Hash = first 15 md5 hex chars as a 60-bit

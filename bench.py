@@ -58,6 +58,8 @@ HEADLINE = [
     "text_unigram_nll",
     "text_token_entropy",
     "tpch_q21_waiting_supplier",
+    "text_tfidf_top_terms",
+    "dedup_winnow_pairs",
 ]
 
 

@@ -127,3 +127,64 @@ def test_empty_criteria_matches_all_rows(events):
     }
     fired = threshold_alerts(events, rule)
     assert fired.count() == events.select("event_type").distinct().count()
+
+
+def test_fused_rules_match_sequential(events):
+    """N rules in one pass must fire exactly the groups the per-rule
+    path fires — names, values, counts, and collected event ids."""
+    from alerta_spark.operators.threshold import (
+        threshold_alerts,
+        threshold_alerts_fused,
+    )
+
+    rules = [
+        {
+            "alert_name": "big_purchases",
+            "criteria": "event_type='purchase' AND CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 50",
+            "aggregation_key": "user_id",
+            "threshold": 2,
+        },
+        {
+            "alert_name": "errors_by_user",
+            "criteria": "event_type='error'",
+            "aggregation_key": "user_id",
+            "threshold": 3,
+        },
+        {
+            "alert_name": "all_by_type",
+            "criteria": "",
+            "aggregation_key": "event_type",
+            "threshold": 1,
+        },
+    ]
+    fused = {
+        (r.alert_name, r.value): (r["count"], tuple(e.event_id for e in r.events))
+        for r in threshold_alerts_fused(events, rules).collect()
+    }
+    seq = {}
+    for rule in rules:
+        for r in threshold_alerts(events, rule).collect():
+            seq[(rule["alert_name"], r.metadata.value)] = (
+                r.metadata["count"],
+                tuple(e.event_id for e in r.events),
+            )
+    assert fused == seq and len(fused) > 0
+
+
+def test_fused_rules_single_scan_single_exchange(events):
+    from alerta_spark.operators.threshold import threshold_alerts_fused
+
+    rules = [
+        {"alert_name": "a", "criteria": "event_type='purchase'",
+         "aggregation_key": "user_id", "threshold": 1},
+        {"alert_name": "b", "criteria": "event_type='error'",
+         "aggregation_key": "user_id", "threshold": 1},
+    ]
+    plan = (
+        threshold_alerts_fused(events, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
