@@ -736,3 +736,92 @@ def streaming_dedup(
     watermark + dropDuplicates on the event id — exactly-once delivery
     within the watermark horizon, state auto-expired by Spark."""
     return events.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+
+
+def streaming_threshold_alerts_fused(
+    events: DataFrame,
+    rules: list[dict[str, Any]],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """N streaming threshold rules over ONE stateful aggregate — the
+    streaming face of rule fusion (operators/threshold.
+    threshold_alerts_fused): each row emits one (rule_idx, key) struct
+    per matching rule and the windowed count groups by
+    (window, rule_idx, value), so the whole rule set costs one
+    watermarked state store instead of N independent streaming queries.
+
+    Liveness discipline is inherited from streaming_threshold_alerts:
+    every row must reach the aggregate or the event-time clock stalls
+    on sparse-match rules — a row matching NO rule carries a single
+    NULL sentinel struct (O(1) state per window) whose group can never
+    fire because only real matches are counted and thresholds are
+    required >= 1."""
+    from alerta_spark.rules import threshold_shell
+
+    shells = [threshold_shell(r) for r in rules]
+    for p in shells:
+        if int(p["threshold"]) < 1:
+            raise ValueError(
+                "streaming_threshold_alerts_fused requires threshold >= 1 "
+                f"(rule {p['alert_name']!r}); use the batch engine for "
+                "fire-on-any-count rules"
+            )
+    ev = events.withWatermark(ts_col, watermark)
+    preds = [
+        F.expr(trino_to_spark(p["criteria"]) or "true") if p["criteria"] else F.lit(True)
+        for p in shells
+    ]
+    keys = [path_col(ev, p["aggregation_key"]).cast("string") for p in shells]
+    matched = F.filter(
+        F.array(
+            *[
+                F.when(
+                    pred & key.isNotNull(),
+                    F.struct(
+                        F.lit(i).cast("int").alias("rule_idx"),
+                        key.alias("value"),
+                    ),
+                )
+                for i, (pred, key) in enumerate(zip(preds, keys))
+            ]
+        ),
+        lambda m: m.isNotNull(),
+    )
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("int").alias("rule_idx"),
+            F.lit(None).cast("string").alias("value"),
+        )
+    )
+    tagged = ev.select(
+        F.col(ts_col),
+        F.explode(
+            F.when(F.size(matched) > 0, matched).otherwise(sentinel)
+        ).alias("m"),
+    )
+    thresholds = F.array(*[F.lit(int(p["threshold"])) for p in shells])
+    names = F.array(*[F.lit(p["alert_name"]) for p in shells])
+    hit = F.when(F.col("m.rule_idx").isNotNull(), 1).otherwise(0)
+    out = (
+        tagged.groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col("m.rule_idx").alias("rule_idx"),
+            F.col("m.value").alias("value"),
+        )
+        .agg(F.sum(hit).alias("count"))
+        # The sentinel group must be suppressed by this aggregated
+        # predicate ALONE: adding `rule_idx IS NOT NULL` (a grouping-key
+        # predicate) would be pushed below the aggregate and the
+        # watermark, recreating the sparse-match stall. For the NULL
+        # sentinel, element_at(.., NULL+1) is NULL -> comparison NULL ->
+        # dropped; real groups always have count >= 1 of actual hits.
+        .where(F.col("count") >= F.element_at(thresholds, F.col("rule_idx") + 1))
+    )
+    return out.select(
+        F.element_at(names, F.col("rule_idx") + 1).alias("alert_name"),
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.struct("value", "count").alias("metadata"),
+    )

@@ -566,3 +566,64 @@ def test_streaming_session_windows_match_batch(spark):
         for r in session_stats(ev.where(F.col("user_id") != 999), 30).collect()
     }
     assert stream_set == batch_set and len(batch_set) == 4
+
+
+def test_streaming_fused_thresholds_match_per_rule(spark):
+    """Fused N-rule streaming aggregate == union of per-rule streaming
+    queries, including a sparse-match rule (exercises the NULL sentinel
+    keeping the event-time clock honest)."""
+    from alerta_spark.streaming.correlator import (
+        streaming_threshold_alerts,
+        streaming_threshold_alerts_fused,
+    )
+
+    risky = lambda u, s=95: {"risk_score": str(s), "user_name": u}  # noqa: E731
+    ev = _events(
+        spark,
+        [
+            (0, risky("alice")),
+            (0, risky("alice")),
+            (1, risky("bob")),
+            (2, risky("carol", 10)),
+            (3, risky("dora", 99)),   # late hours advance the watermark
+            (9, risky("eve", 10)),
+        ],
+    )
+    rules = [
+        {
+            "alert_name": "risky_users",
+            "alert_type": "threshold",
+            "criteria": "CAST(json_extract_scalar(details,'$.risk_score') AS INTEGER) > 50",
+            "aggregation_key": "details.user_name",
+            "threshold": 2,
+        },
+        {
+            # sparse: matches nothing in this stream
+            "alert_name": "never_fires",
+            "alert_type": "threshold",
+            "criteria": "json_extract_scalar(details,'$.user_name') = 'zeus'",
+            "aggregation_key": "details.user_name",
+            "threshold": 1,
+        },
+    ]
+    fused = sorted(
+        (r.alert_name, r.window_start, r.metadata.value, r.metadata["count"])
+        for r in _run_stream(
+            spark,
+            ev,
+            lambda s: streaming_threshold_alerts_fused(s, rules, window="1 hour"),
+            "fused_thr_out",
+        ).collect()
+    )
+    per_rule = []
+    for i, rule in enumerate(rules):
+        per_rule.extend(
+            (rule["alert_name"], r.window_start, r.metadata.value, r.metadata["count"])
+            for r in _run_stream(
+                spark,
+                ev,
+                lambda s, rule=rule: streaming_threshold_alerts(s, rule, window="1 hour"),
+                f"single_thr_out_{i}",
+            ).collect()
+        )
+    assert fused == sorted(per_rule) and len(fused) > 0
