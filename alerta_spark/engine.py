@@ -44,9 +44,35 @@ class Engine:
         self.id_col = id_col
         self.ts_col = ts_col
 
-    def run_once(self, events_df: DataFrame, rules: list[dict[str, Any]]) -> None:
-        """One engine pass (the cron body, alerta.py:481-515)."""
+    def run_once(
+        self,
+        events_df: DataFrame,
+        rules: list[dict[str, Any]],
+        fuse_thresholds: bool = False,
+    ) -> None:
+        """One engine pass (the cron body, alerta.py:481-515).
+
+        ``fuse_thresholds=True`` routes every threshold rule through
+        :func:`~alerta_spark.operators.threshold.threshold_alerts_fused`
+        — one corpus scan + one exchange for the whole rule set instead
+        of a scan per rule (the reference loop's shape). Alert documents
+        are identical to the sequential path (pytest-pinned); only
+        their append order in the store differs (all thresholds first).
+        Per-rule failure isolation is preserved by validating each
+        rule's criteria/key resolution up front and dropping (logging)
+        the broken ones, matching the swallow-and-continue semantics
+        below."""
         self._resume_inflight(events_df)
+
+        if fuse_thresholds:
+            thr = [
+                r for r in rules if r.get("alert_type", "threshold") == "threshold"
+            ]
+            if thr:
+                self._run_thresholds_fused(events_df, thr)
+            rules = [
+                r for r in rules if r.get("alert_type", "threshold") != "threshold"
+            ]
 
         for rule in rules:
             kind = rule.get("alert_type", "threshold")
@@ -127,6 +153,59 @@ class Engine:
             .trigger(**trigger)
             .start()
         )
+
+    def _run_thresholds_fused(
+        self, events_df: DataFrame, rules: list[dict[str, Any]]
+    ) -> None:
+        """Fused threshold pass: validate each rule compiles/resolves
+        (broken ones log and drop — reference swallow semantics,
+        alerta.py:470-473), anti-join alert history ONCE (the history
+        id set is global across rules, so dedup commutes with the
+        fusion), run the single-scan aggregate, then render each
+        rule's slice of the tiny fired frame."""
+        import logging
+
+        from alerta_spark.dialect import trino_to_spark
+        from alerta_spark.operators.dedup import remove_previously_alerted
+        from alerta_spark.operators.threshold import (
+            assemble_alerts,
+            threshold_alerts_fused,
+        )
+        from alerta_spark.paths import path_col
+        from alerta_spark.rules import threshold_shell
+
+        valid: list[dict[str, Any]] = []
+        for rule in rules:
+            try:
+                p = threshold_shell(rule)
+                if p["criteria"]:
+                    # plan-time parse + resolve check; no job runs
+                    events_df.where(F.expr(trino_to_spark(p["criteria"]))).schema
+                path_col(events_df, p["aggregation_key"])
+                valid.append(rule)
+            except Exception:
+                logging.getLogger(__name__).exception(
+                    "threshold scan failed for rule %r", rule.get("alert_name")
+                )
+        if not valid:
+            return
+        ev = remove_previously_alerted(
+            events_df, self.alerts.alerted_ids(), id_col=self.id_col
+        )
+        fired = threshold_alerts_fused(
+            ev, valid, id_col=self.id_col, ts_col=self.ts_col
+        ).persist()
+        try:
+            for rule in valid:
+                p = threshold_shell(rule)
+                slice_ = fired.where(
+                    F.col("alert_name") == p["alert_name"]
+                ).select("value", "count", "events")
+                self.alerts.append(
+                    alerts_df_to_docs(assemble_alerts(slice_, p, ev.schema))
+                )
+        finally:
+            fired.unpersist()
 
     def _resume_inflight(self, events_df: DataFrame) -> None:
         """Resume in-flight sequences (alerta.py:491, 210-215).

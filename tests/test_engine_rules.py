@@ -130,3 +130,57 @@ def test_cli_run_from_config(spark, tmp_path):
     bad.write_text("store_dir: /tmp/x\n")
     with _pytest.raises(ValueError):
         load_config(str(bad))
+
+
+def test_fused_engine_pass_matches_sequential(spark, events, tmp_path):
+    """run_once(fuse_thresholds=True) must append the identical alert
+    documents as the sequential per-rule pass — including a broken rule
+    that is swallowed in both modes."""
+    from alerta_spark.engine import Engine
+
+    rules = [
+        {
+            "alert_name": "big_purchases",
+            "alert_type": "threshold",
+            "criteria": "event_type='purchase' AND CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 50",
+            "aggregation_key": "user_id",
+            "threshold": 2,
+            "summary": "{{metadata.count}} big buys by {{metadata.value}}",
+        },
+        {
+            "alert_name": "broken_rule",
+            "alert_type": "threshold",
+            "criteria": "this is ((( not sql",
+            "aggregation_key": "user_id",
+            "threshold": 1,
+        },
+        {
+            "alert_name": "errors_by_user",
+            "alert_type": "threshold",
+            "criteria": "event_type='error'",
+            "aggregation_key": "user_id",
+            "threshold": 3,
+        },
+    ]
+
+    def run(fused: bool, sub: str):
+        eng = Engine(spark, str(tmp_path / sub))
+        eng.run_once(events, rules, fuse_thresholds=fused)
+        docs = eng.alerts.docs()
+        out = set()
+        for d in docs:
+            out.add(
+                (
+                    d["alert_name"],
+                    d["metadata"]["value"],
+                    d["metadata"]["count"],
+                    d["summary"],
+                    tuple(e["event_id"] for e in d.get("events", [])),
+                )
+            )
+        return out
+
+    a = run(False, "seq")
+    b = run(True, "fused")
+    assert a == b and len(a) > 0
+    assert not any(name == "broken_rule" for name, *_ in a)
