@@ -129,6 +129,7 @@ class Engine:
         rules: list[dict[str, Any]],
         checkpoint_dir: str,
         trigger: dict[str, Any] | None = None,
+        fuse_thresholds: bool = False,
     ):
         """T1 as a first-class API: the cron body under a Structured
         Streaming trigger. Each micro-batch executes one full rule pass
@@ -145,7 +146,7 @@ class Engine:
         trigger = trigger or {"availableNow": True}
 
         def _batch(batch_df: DataFrame, _batch_id: int) -> None:
-            self.run_once(batch_df, rules)
+            self.run_once(batch_df, rules, fuse_thresholds=fuse_thresholds)
 
         return (
             events_stream.writeStream.foreachBatch(_batch)
