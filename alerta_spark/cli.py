@@ -18,6 +18,10 @@ Config keys (YAML, flat):
     shuffle_partitions:int                                (default cpu count)
     stream_checkpoint: checkpoint dir (streaming mode)
     trigger:           {"processingTime": "15 minutes"} etc. (streaming mode)
+    fuse_thresholds:   bool (default false) — run every threshold rule
+                       in ONE corpus scan (operators/threshold.
+                       threshold_alerts_fused); identical alerts,
+                       N-times fewer scans
 """
 
 from __future__ import annotations
@@ -54,9 +58,10 @@ def run_from_config(config: dict[str, Any], stream: bool = False):
     rules = load_rules(str(config.get("alerts_file_mask", "alerts/*.yml")))
     engine = Engine(spark, str(config["store_dir"]))
     table = str(config.get("events_table", "events"))
+    fuse = bool(config.get("fuse_thresholds", False))
     if not stream:
         events = load_table(spark, str(config["lake_dir"]), table)
-        engine.run_once(events, rules)
+        engine.run_once(events, rules, fuse_thresholds=fuse)
         return None
     batch = load_table(spark, str(config["lake_dir"]), table)
     src = spark.readStream.schema(batch.schema).parquet(
@@ -67,6 +72,7 @@ def run_from_config(config: dict[str, Any], stream: bool = False):
         rules,
         str(config["stream_checkpoint"]),
         trigger=config.get("trigger"),
+        fuse_thresholds=fuse,
     )
 
 
