@@ -22,9 +22,6 @@ if _REPO not in sys.path:
 from alerta_spark.plans import catalog  # noqa: E402
 
 
-_SHIPPED = False
-
-
 def _prepare(spark: SparkSession) -> None:
     # testdata parquet carries TIMESTAMP(NANOS); the source layer
     # converts, but the session must read them as longs first.
@@ -32,18 +29,14 @@ def _prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # ship the package to executors: the driver may run this module
     # from any cwd, and Python workers (pandas UDF paths) need to
-    # import alerta_spark
-    global _SHIPPED
-    if not _SHIPPED:
-        import shutil
-        import tempfile
+    # import alerta_spark. MUST go through the package's single
+    # shipping guard — a second addPyFile of the same archive NAME
+    # crashes the app if the source tree changed on disk in between
+    # ("exists and does not match contents"), so exactly one zip may
+    # ever be added per JVM application.
+    from alerta_spark._ship import ensure_shipped
 
-        zip_base = Path(tempfile.mkdtemp(prefix="alerta_spark_pkg_")) / "alerta_spark"
-        archive = shutil.make_archive(
-            str(zip_base), "zip", root_dir=_REPO, base_dir="alerta_spark"
-        )
-        spark.sparkContext.addPyFile(archive)
-        _SHIPPED = True
+    ensure_shipped(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
