@@ -168,3 +168,56 @@ def pack_sequences(
             + 1
         ).alias("seqs_spanned"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching report: assign every document to a
+    token-length quantile bucket and measure the padding waste of
+    batching each bucket to its max length — the standard
+    sequence-bucketing transform that keeps pad-token waste low when
+    forming fixed-shape training batches.
+
+    Scale shape: bucket EDGES come from one exact-percentile aggregate
+    (a few doubles), broadcast back over a map-only comparison — NOT a
+    global ntile window (which would single-partition the corpus).
+    Waste = 1 - sum(len)/(n_docs * max_len) per bucket: exact integer
+    sums, one IEEE division.
+
+    -> [bucket, n_docs, min_len, max_len, sum_tokens, pad_waste]"""
+    from alerta_spark.ops.text import tokenize
+
+    lens = df.select(
+        F.col(id_col).alias("_id"), F.size(tokenize(text_col)).alias("_len")
+    )
+    pcts = [i / n_buckets for i in range(1, n_buckets)]
+    edges = lens.agg(
+        F.percentile("_len", F.array(*[F.lit(p) for p in pcts])).alias("_edges")
+    )
+    with_edges = lens.crossJoin(F.broadcast(edges))
+    bucket = F.lit(1)
+    for i in range(len(pcts)):
+        bucket = bucket + F.when(
+            F.col("_len").cast("double") > F.element_at("_edges", i + 1), 1
+        ).otherwise(0)
+    return (
+        with_edges.select("_id", "_len", bucket.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_len").cast("long").alias("min_len"),
+            F.max("_len").cast("long").alias("max_len"),
+            F.sum("_len").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_waste",
+            F.lit(1.0)
+            - F.col("sum_tokens").cast("double")
+            / (F.col("n_docs") * F.col("max_len")).cast("double"),
+        )
+        .orderBy("bucket")
+    )

@@ -3649,6 +3649,53 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_length_buckets",
+    # Bucket edges are exact interpolated percentiles (Spark
+    # `percentile` == DuckDB `quantile_cont`, proven bit-identical by
+    # agg_exact_percentiles); assignment is a map-only comparison
+    # against the broadcast edges — never a global ntile window.
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, len({{toks}}) AS l FROM documents
+    ),
+    e AS (
+      SELECT quantile_cont(l, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+               AS edges
+      FROM lens
+    ),
+    b AS (
+      SELECT l,
+             1 {{cases}} AS bucket
+      FROM lens, e
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(l) AS BIGINT) AS min_len,
+           CAST(max(l) AS BIGINT) AS max_len,
+           CAST(sum(l) AS BIGINT) AS sum_tokens,
+           1.0 - CAST(CAST(sum(l) AS BIGINT) AS DOUBLE)
+                 / CAST(count(*) * CAST(max(l) AS BIGINT) AS DOUBLE)
+             AS pad_waste
+    FROM b GROUP BY bucket ORDER BY bucket
+    """.replace("{toks}", _DUCK_TOKS).replace(
+        "{cases}",
+        " ".join(
+            f"+ (CASE WHEN CAST(l AS DOUBLE) > edges[{i}] THEN 1 ELSE 0 END)"
+            for i in range(1, 8)
+        ),
+    ),
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for batch formation: 8 quantile
+    buckets over token length + the padding waste of batching each
+    bucket to its max — the pad-efficiency report that decides
+    bucketed-batching parameters for training."""
+    from alerta_spark.ops.chunking import length_buckets
+
+    return length_buckets(load_table(spark, sf_dir, "documents"), n_buckets=8)
+
+
+@register(
     "corpus_shuffled_order",
     oracle="""
     WITH h AS (

@@ -163,3 +163,24 @@ def test_pack_plan_single_exchange(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = pack_sequences(docs, shards=2)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_length_buckets_cover_and_order(spark):
+    from pyspark.sql import Row
+
+    from alerta_spark.ops.chunking import length_buckets
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * n)) for i, n in enumerate(
+            [1, 2, 3, 4, 5, 10, 20, 40, 80, 160, 320, 640]
+        )]
+    )
+    out = length_buckets(df, n_buckets=4).collect()
+    # exhaustive: every doc in exactly one bucket
+    assert sum(r.n_docs for r in out) == 12
+    # buckets ordered by length range, non-overlapping
+    rows = sorted(out, key=lambda r: r.bucket)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_len <= b.min_len
+    # waste in [0, 1); a bucket batched to its max wastes < 100%
+    assert all(0.0 <= r.pad_waste < 1.0 for r in rows)
