@@ -354,27 +354,44 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: bit i is 1 iff the sum of
+    """SimHash over whitespace tokens: bit i is 1 iff the sum of
     (+1/-1) contributions of token-hash bit i over all tokens is
     positive.
 
+    ``hash_fn='xxhash64'`` (default) is the production path — one JVM
+    hash per token. ``hash_fn='md5'`` derives a 60-bit hash from the
+    md5 hex prefix (pass ``n_bits=60``): slower, but engine-portable,
+    which is what lets the catalog pin the WHOLE simhash pipeline
+    against an exact cross-engine oracle (the algorithm is identical;
+    only the token-hash primitive changes).
+
     Same explode-then-aggregate shape as minhash_signatures: hash each
-    token once, then 64 partial-aggregated bit sums — not 64 re-walks
-    of the token array."""
+    token once, then n_bits partial-aggregated bit sums — not n_bits
+    re-walks of the token array."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("_t")
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     ex = df.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_t")
-    ).select("_id", F.xxhash64("_t").alias("_h"))
+    ).select("_id", h.alias("_h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = ex.groupBy("_id").agg(*bit_sums)
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = (
             F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))
@@ -389,17 +406,21 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
-    pair within the distance budget collides on at least one chunk, so
-    the blocked join has perfect recall; hamming is verified exactly on
-    collisions via bit_count(xor).
+    Pigeonhole banding: split the signature bits into (max_hamming+1)
+    chunks; any pair within the distance budget collides on at least
+    one chunk, so the blocked join has PERFECT recall (the catalog
+    exploits this: the md5-portable variant is oracle-checked against
+    all-pairs ground truth and must match exactly); hamming is
+    verified exactly on collisions via bit_count(xor).
     """
     chunks = max_hamming + 1
-    width = 64 // chunks
-    sigs = simhash_signatures(df, text_col, id_col)
+    width = n_bits // chunks
+    sigs = simhash_signatures(df, text_col, id_col, hash_fn, n_bits)
     banded = sigs.select(
         "_id",
         "simhash",

@@ -3490,6 +3490,66 @@ def a2_threshold_fused_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_BITS = 60
+_SIMHASH_BSUMS = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_SIG = "\n             + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash_portable",
+    # The md5-portable simhash variant vs the ALL-PAIRS ground truth:
+    # pigeonhole banding has perfect recall at max_hamming=3 over 4
+    # chunks, so the blocked Spark result must EQUAL the exhaustive
+    # oracle — making the whole simhash pipeline hash-checkable (the
+    # xxhash64 production entry stays rows-only: its hash primitive
+    # has no DuckDB twin).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_DUCK_NORM}, ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    bsums AS (
+      SELECT doc_id,
+             {_SIMHASH_BSUMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_SIMHASH_SIG} AS s
+      FROM bsums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (hamming <= 3) with the engine-portable
+    60-bit md5 token hash: identical algorithm to dedup_simhash, but
+    every step has a DuckDB twin, so the pigeonhole-banded result is
+    hash-checked against exhaustive all-pairs ground truth."""
+    from alerta_spark.ops.dedupe import simhash_near_dups
+
+    return simhash_near_dups(
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        hash_fn="md5",
+        n_bits=60,
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 @register(
     "dedup_winnow_fingerprints",
     # Winnowing (MOSS): min hash per sliding window of w=4 consecutive
