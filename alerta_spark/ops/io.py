@@ -163,3 +163,72 @@ def stream_ingest_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+) -> DataFrame:
+    """Add ``_zkey``: the Morton (Z-order) interleave of the given
+    numeric columns, normalized to ``bits``-bit fixed-point via
+    broadcast min/max stats — the lakehouse multi-dimensional
+    clustering key (public technique; Delta/Iceberg OPTIMIZE ZORDER).
+
+    Rows close in Z-key are close in EVERY listed dimension, so
+    sorting files by ``_zkey`` gives parquet min/max footer stats that
+    skip files for predicates on ANY of the columns — a single-column
+    sort only skips for its leading column. Normalization stats come
+    from one tiny aggregate (a driver ``first()`` of 2*len(cols)
+    numbers — bounded, documented); key construction is pure codegen
+    bit arithmetic, map-only."""
+    stats_row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    ).first()
+    n = len(cols)
+    scaled = []
+    for c in cols:
+        mn = float(stats_row[f"_mn_{c}"])
+        mx = float(stats_row[f"_mx_{c}"])
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn))
+                / F.lit(span)
+                * F.lit(float((1 << bits) - 1))
+            ).cast("long"),
+        )
+        scaled.append(q)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(scaled):
+            z = z.bitwiseXOR(
+                F.shiftleft(
+                    F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return df.withColumn("_zkey", z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Write parquet clustered by the Z-order of ``cols``:
+    range-partition on ``_zkey`` (so files tile the space-filling
+    curve) and sort within each file (so row groups tile it too).
+    Readers then skip files/row-groups from footer min/max stats for
+    predicates on any clustered column."""
+    out = zorder_key(df, cols, bits)
+    (
+        out.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -74,3 +74,46 @@ def test_shards_partition_filter_prunes(spark, tmp_path):
     )
     scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "PartitionFilters" in scan and "split" in scan.split("PartitionFilters")[1][:80]
+
+
+def test_zorder_skips_files_on_second_dimension(spark, tmp_path):
+    """256x256 grid clustered by Z-order vs by a single-column sort:
+    a predicate selective ONLY on the second dimension must intersect
+    far fewer files under Z-order (the min/max footer-stats skipping
+    a lakehouse reader performs). File ranges are measured directly
+    (per-file min/max of each column), so the assertion tests the
+    layout itself, not reader internals."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.io import write_zordered
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(grid, zpath, ["x", "y"], n_files=64, bits=8)
+    (
+        grid.repartitionByRange(64, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def files_touching(path, ylo, yhi):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("y").alias("ymin"), F.max("y").alias("ymax"))
+            .collect()
+        )
+        return sum(1 for r in per_file if r.ymax >= ylo and r.ymin < yhi), len(per_file)
+
+    z_hit, z_total = files_touching(zpath, 0, 16)     # y in [0, 16)
+    l_hit, l_total = files_touching(lpath, 0, 16)
+    # x-sorted layout: y spans every file -> no skipping possible
+    assert l_hit == l_total
+    # z-order: the y-stripe touches a small fraction of files
+    assert z_hit < z_total / 2, (z_hit, z_total)
+    # row parity: both layouts hold the full grid
+    assert spark.read.parquet(zpath).count() == 256 * 256
