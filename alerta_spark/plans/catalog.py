@@ -3869,6 +3869,76 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_zscore_events",
+    # Population stats per event_type via the proven exact-moments
+    # pattern (decimal sums, VARCHAR hop around DuckDB's wide-decimal
+    # cast), broadcast back over a map-only per-row z-score — the
+    # SOC-style outlier sweep in one scan + one tiny aggregate.
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sxd,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,12)) AS sxxd
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+             sqrt(CAST(CAST(CAST(n AS DECIMAL(10,0)) * sxxd
+                   - CAST(sxd AS DECIMAL(19,6)) * CAST(sxd AS DECIMAL(19,6))
+                   AS VARCHAR) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS sd_v
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+           (CAST(e.value AS DOUBLE) - st.mean_v) / st.sd_v AS zscore
+    FROM events e JOIN stats st USING (event_type)
+    WHERE abs((CAST(e.value AS DOUBLE) - st.mean_v) / st.sd_v) > 3.0
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): population mean/stddev from
+    one exact-moments aggregate (the agg_stats_moments discipline),
+    broadcast back over a map-only score — the anomaly sweep a
+    security pipeline runs before thresholding, one corpus scan."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    nd = F.col("n").cast("double")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("decimal(18,6)").alias("sxd"),
+            F.sum(x * x).cast("decimal(24,12)").alias("sxxd"),
+        )
+        .select(
+            "event_type",
+            (F.col("sxd").cast("double") / nd).alias("mean_v"),
+            F.sqrt(
+                (
+                    F.col("n").cast("decimal(10,0)") * F.col("sxxd")
+                    - F.col("sxd") * F.col("sxd")
+                ).cast("double")
+                / (nd * (nd - F.lit(1).cast("double")))
+            ).alias("sd_v"),
+        )
+    )
+    z = (F.col("value").cast("double") - F.col("mean_v")) / F.col("sd_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            z.alias("zscore"),
+        )
+    )
+
+
+@register(
     "agg_histogram_value_buckets",
     oracle="""
     SELECT GREATEST(LEAST(CAST(floor(value / 25.0) AS INTEGER) + 1, 21), 0)

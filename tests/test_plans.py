@@ -360,3 +360,41 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """With runtime bloom filters on, a selective dim filter must
+    inject a might_contain probe into the FACT side's scan filter —
+    rows that cannot join are dropped before the shuffle. At 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling the ~matching slice."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.sources.lake import load_table
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        # the probe guards the lineitem (fact) side, pre-shuffle
+        probe_line = next(l for l in plan.splitlines() if "might_contain" in l)
+        assert "l_orderkey" in probe_line
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
