@@ -473,6 +473,15 @@ def dup_clusters(
     dup of a dup of X is usually a dup of X), so a handful of rounds
     closes 100 TB-scale graphs. Each round is one self-contained
     shuffle join; frames are persisted per round and released after.
+
+    Lineage is truncated with ``localCheckpoint`` every few rounds:
+    although every round's cache is materialized, the LOGICAL plan
+    still chains through all previous rounds, and analyzer time (and
+    plan size) grows per iteration — the standard iterative-algorithm
+    hazard. The checkpoint stores to executor-local disk (same cost
+    class as the persist it replaces); an executor loss mid-run means
+    recomputing the run, which is acceptable for a bounded-round batch
+    job and documented here deliberately.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -488,7 +497,7 @@ def dup_clusters(
         .withColumn("label", F.col("id"))
         .persist()
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         prop = (
             edges.join(labels, edges["src"] == labels["id"])
             .select(F.col("dst").alias("id"), "label")
@@ -511,6 +520,10 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+        if (i + 1) % 5 == 0:
+            # truncate the logical lineage (see docstring); the frame
+            # is already materialized by the `changed` count
+            labels = labels.localCheckpoint()
     edges.unpersist()
     # the returned frame reads the final round's cache; register it so
     # release_cached() frees it once the caller has consumed the result
