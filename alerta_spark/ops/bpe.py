@@ -130,6 +130,11 @@ def learn_bpe(
             nxt.count()  # materialize before dropping the parent cache
             words.unpersist()
             words = nxt
+            if len(merges) % 5 == 0:
+                # truncate logical lineage: each round's fold otherwise
+                # chains the full expression history and analyzer time
+                # grows with merge count (same hazard as dup_clusters)
+                words = words.localCheckpoint()
         return merges
     finally:
         words.unpersist()
