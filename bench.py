@@ -60,6 +60,8 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "text_tfidf_top_terms",
     "dedup_winnow_pairs",
+    "anomaly_zscore_events",
+    "corpus_length_buckets",
 ]
 
 
