@@ -371,6 +371,154 @@ def cosine_pairs(
     )
 
 
+def _int_hyperplane(dim: int, plane: int) -> list[int]:
+    """Integer numerators of :func:`_hyperplane` (same splitmix64
+    derivation, scale 1e6 left implicit): weights in [-1e6, 1e6]."""
+    out = []
+    for i in range(dim):
+        z = (plane * 1_000_003 + i) & 0xFFFFFFFFFFFFFFFF
+        z = (z + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        out.append((z % 2_000_001) - 1_000_000)
+    return out
+
+
+def quantize_vec(vec_col: str | Column, scale: int = 1_000_000) -> Column:
+    """Fixed-point BIGINT quantization of a float vector:
+    ``floor(x * scale)`` per component. floor (not round) so halfway
+    ties cannot diverge across engines; float32→double widening and
+    the double multiply are bit-identical IEEE on both."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def lsh_buckets_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    bands: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Engine-portable hyperplane LSH buckets: sign bits of INTEGER
+    dot products between the fixed-point-quantized vector and integer
+    hyperplane numerators. Every step is exact BIGINT math, so the
+    bucket assignment — the one part of hyperplane LSH float math
+    makes engine-specific (a 1-ulp dot near zero flips a sign bit) —
+    has a DuckDB twin and the whole banded pipeline is
+    hash-checkable. |qx| <= scale·|x|, |w| <= 1e6, dim 64 ⇒ the dot
+    stays far inside int64.
+
+    Aggregation shape (the MinHash lesson): posexplode the vector
+    once, quantize each component once, then bands*planes partial-
+    aggregated conditional sums — not bands*planes re-walks of the
+    array under Catalyst's projection collapse.
+
+    -> [id_col, band, bucket] (bands rows per input row).
+    """
+    total = bands * planes
+    ex = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(quantize_vec(vec_col, scale)).alias("_pos", "_qc"),
+    )
+    dots = ex.groupBy("_pid").agg(
+        *[
+            F.sum(
+                F.col("_qc")
+                * F.element_at(
+                    F.array(
+                        *[F.lit(w).cast("long") for w in _int_hyperplane(dim, p)]
+                    ),
+                    F.col("_pos") + 1,
+                )
+            ).alias(f"_d{p}")
+            for p in range(total)
+        ]
+    )
+    band_buckets = F.array(
+        *[
+            F.aggregate(
+                F.array(
+                    *[
+                        F.when(
+                            F.col(f"_d{b * planes + p}") > 0,
+                            F.lit(1 << p).cast("long"),
+                        ).otherwise(F.lit(0).cast("long"))
+                        for p in range(planes)
+                    ]
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for b in range(bands)
+        ]
+    )
+    return dots.select(
+        F.col("_pid").alias(id_col),
+        F.posexplode(band_buckets).alias("band", "bucket"),
+    )
+
+
+def cosine_pairs_lsh_portable(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    bands: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs via the PORTABLE integer LSH banding:
+    identical plan shape to :func:`cosine_pairs_lsh` (light
+    (id, band, bucket) exchange → distinct candidate pairs → vectors
+    joined back for exact cosine verification), but the bucketing is
+    :func:`lsh_buckets_portable`'s exact BIGINT math, so the catalog
+    pins the WHOLE pipeline — banding included — against a DuckDB
+    oracle. The numpy/xxhash-free bucketing is slower per row than the
+    Arrow matmul variant (it exists for verifiability, like
+    dedup_simhash_portable); the candidate-join topology — what
+    actually decides 100 TB behavior — is the same.
+
+    -> [id_a, id_b, cos] with id_a < id_b.
+    """
+    from alerta_spark.ops.dedupe import _persist
+
+    b = _persist(
+        lsh_buckets_portable(df, id_col, vec_col, dim, planes, bands)
+    ).withColumnRenamed(id_col, "_id")
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(vecs, cand["id_a"] == vecs["_vid"])
+        .withColumnRenamed("_v", "va")
+        .drop("_vid")
+        .join(vecs, cand["id_b"] == vecs["_vid"])
+        .withColumnRenamed("_v", "vb")
+        .drop("_vid")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.95,

@@ -705,6 +705,110 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_lsh(corpus, threshold=0.95)
 
 
+_PLSH_DIM, _PLSH_PLANES, _PLSH_BANDS = 64, 8, 6
+
+
+def _plsh_weight_values() -> str:
+    from alerta_spark.ops.similarity import _int_hyperplane
+
+    return ",\n      ".join(
+        "({}, [{}])".format(
+            p, ", ".join(str(w) for w in _int_hyperplane(_PLSH_DIM, p))
+        )
+        for p in range(_PLSH_BANDS * _PLSH_PLANES)
+    )
+
+
+@register(
+    "dedup_embedding_lsh_portable",
+    # The integer-quantized hyperplane LSH twin of dedup_embedding_lsh:
+    # floor(x*1e6) BIGINT components x integer hyperplane numerators
+    # make every sign bit exact on both engines, so the oracle replays
+    # the ENTIRE banded pipeline (bucketing included) — the step float
+    # math keeps engine-specific in the production variant. Corpus =
+    # embeddings + one mildly perturbed twin per vector (cos ~0.9998),
+    # the high-cos regime hyperplane LSH exists for.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    idx AS (SELECT unnest(generate_series(1, {_PLSH_DIM})) AS pos),
+    bcomp AS (SELECT vec_id, pos, v[pos] AS x FROM e, idx),
+    comp AS (
+      SELECT vec_id, pos, x FROM bcomp
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, pos,
+             x * (1.0 + 0.02 * (((pos - 1) % 2) * 2 - 1)) AS x
+      FROM bcomp
+    ),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(x * 1000000.0) AS BIGINT) AS c
+      FROM comp
+    ),
+    w AS (
+      SELECT plane, pos, wts[pos] AS wv
+      FROM (VALUES {{W_VALUES}}) pw(plane, wts), idx
+    ),
+    dots AS (
+      SELECT vec_id, plane, sum(c * wv) AS d
+      FROM q JOIN w USING (pos) GROUP BY vec_id, plane
+    ),
+    sigs AS (
+      SELECT vec_id, plane // {_PLSH_PLANES} AS band,
+             sum(CASE WHEN d > 0
+                 THEN CAST(1 AS BIGINT) << (plane % {_PLSH_PLANES})
+                 ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, plane // {_PLSH_PLANES}
+    ),
+    cand AS (
+      SELECT DISTINCT s1.vec_id AS id_a, s2.vec_id AS id_b
+      FROM sigs s1 JOIN sigs s2
+        ON s1.band = s2.band AND s1.bucket = s2.bucket
+       AND s1.vec_id < s2.vec_id
+    ),
+    vl AS (
+      SELECT vec_id, list(x ORDER BY pos) AS v FROM comp GROUP BY vec_id
+    )
+    SELECT c.id_a, c.id_b, round({_DUCK_COS}, 6) AS cos
+    FROM cand c
+    JOIN vl a ON c.id_a = a.vec_id
+    JOIN vl b ON c.id_b = b.vec_id
+    WHERE round({_DUCK_COS}, 6) >= 0.95
+    """.replace("{W_VALUES}", _plsh_weight_values()),
+)
+def dedup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dups with exact BIGINT bucketing
+    (floor(x*1e6) fixed point x integer weights): same banded-join
+    topology as the production dedup_embedding_lsh, every step
+    engine-portable, the whole pipeline hash-checked."""
+    from alerta_spark.ops.similarity import cosine_pairs_lsh_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twin = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (
+                F.lit(1.0)
+                + F.lit(0.02) * ((i % 2) * 2 - 1).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twin)
+    return cosine_pairs_lsh_portable(
+        corpus,
+        threshold=0.95,
+        dim=_PLSH_DIM,
+        planes=_PLSH_PLANES,
+        bands=_PLSH_BANDS,
+    )
+
+
 _TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
 
 

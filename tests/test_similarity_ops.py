@@ -123,3 +123,49 @@ def test_cosine_pairs_lsh_finds_planted_twins(spark, emb):
     assert got <= exact              # precision 1 (exact re-scoring)
     recall = len(got & exact) / len(exact)
     assert recall >= 0.95, f"LSH recall too low: {recall}"
+
+
+def test_cosine_pairs_lsh_portable_matches_exact(spark, emb):
+    """The integer-quantized portable LSH variant: precision 1 by
+    construction (exact re-scoring) and full recall on planted twins —
+    plus bucket determinism: two runs produce identical pair sets."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh_portable,
+    )
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).limit(150)
+    twin = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + 0.02 * ((i % 2) * 2 - 1))
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twin)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh_portable(corpus, threshold=0.95).collect()
+    }
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh_portable(corpus, threshold=0.95).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(corpus, threshold=0.95, block_col=None).collect()
+    }
+    planted = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in base.select("vec_id").collect()
+    }
+    assert got == again              # exact integer math: bit-deterministic
+    assert got <= exact              # precision 1
+    assert planted <= exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"portable LSH recall too low: {recall}"
