@@ -334,6 +334,103 @@ def ivf_topk(
     )
 
 
+def pinned_centroids(dim: int = 64, n_centroids: int = 16) -> list[list[int]]:
+    """Deterministic integer centroid directions (splitmix64 weights,
+    offset seed space so they never collide with the LSH planes).
+    Uniform in [-1e6, 1e6] per component, so centroid norms concentrate
+    tightly — raw-dot argmax is a valid spherical assignment."""
+    return [_int_hyperplane(dim, 10_000 + c) for c in range(n_centroids)]
+
+
+def ivf_topk_pinned(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF ANN with PINNED integer centroids: the exact-oracle
+    companion to :func:`ivf_topk`. Cell assignment is argmax of
+    INTEGER dot products between the fixed-point-quantized vector and
+    pinned centroid directions (ties → lowest centroid index), queries
+    probe their ``n_probe`` best cells by (dot DESC, centroid ASC) —
+    every comparison exact BIGINT, so assignment, probing, and the
+    candidate set are bit-identical across engines and the whole query
+    path is hash-checkable (training stays driver-side in the
+    production variant; this pins everything downstream of it).
+
+    Plan shape matches production IVF: cell assignment is MAP-ONLY on
+    the corpus row (no shuffle — at 100 TB `cell` is the write-time
+    partition key), probes broadcast, exact cosine re-rank on
+    candidates.
+
+    -> [query_id, neighbor_id, cos].
+    """
+    C = pinned_centroids(dim, n_centroids)
+    qv = quantize_vec(vec_col, scale)
+    dcols = [
+        F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(w).cast("long") for w in C[c]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for c in range(n_centroids)
+    ]
+    darr = F.array(*dcols)
+    cell = (F.array_position(darr, F.array_max(darr)) - 1).cast("long")
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        cell.alias("cell"),
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.sort_array(
+                F.array(
+                    *[
+                        F.struct(
+                            (dcols[c] * F.lit(-1)).alias("nd"),
+                            F.lit(c).cast("long").alias("cent"),
+                        )
+                        for c in range(n_centroids)
+                    ]
+                )
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["cent"],
+    )
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvv"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"]) & (corpus["neighbor_id"] != q["query_id"]),
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvv"), F.col("nv")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -859,6 +859,78 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
 
 
+def _ivf_centroid_values() -> str:
+    from alerta_spark.ops.similarity import pinned_centroids
+
+    return ",\n      ".join(
+        "({}, [{}])".format(c, ", ".join(str(w) for w in wts))
+        for c, wts in enumerate(pinned_centroids(64, 16))
+    )
+
+
+@register(
+    "similarity_ivf_pinned",
+    # The IVF query path with pinned integer centroids: assignment =
+    # argmax of exact BIGINT dots (ties -> lowest centroid), probes =
+    # top-4 cells by (dot DESC, cent ASC), exact cosine re-rank. The
+    # oracle replays assignment + probing + candidates bit-for-bit —
+    # the production entry (driver-trained k-means) stays rows-only;
+    # this one hash-checks everything downstream of training.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    comp AS (SELECT vec_id, pos, v[pos] AS x FROM e, idx),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(x * 1000000.0) AS BIGINT) AS c
+      FROM comp
+    ),
+    w AS (
+      SELECT cent, pos, wts[pos] AS wv
+      FROM (VALUES {{C_VALUES}}) cw(cent, wts), idx
+    ),
+    dots AS (
+      SELECT vec_id, cent, sum(c * wv) AS d
+      FROM q JOIN w USING (pos) GROUP BY vec_id, cent
+    ),
+    ranked AS (
+      SELECT vec_id, cent,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d DESC, cent ASC) AS rn
+      FROM dots
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, cent AS cell
+               FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cent AS cell
+               FROM ranked WHERE rn <= 4 AND vec_id IN (0,1,2,3,4)),
+    cand AS (
+      SELECT p.query_id, c.neighbor_id
+      FROM probes p JOIN corpus c
+        ON p.cell = c.cell AND c.neighbor_id != p.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, round({_DUCK_COS}, 6) AS cos
+      FROM cand
+      JOIN e a ON cand.query_id = a.vec_id
+      JOIN e b ON cand.neighbor_id = b.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """.replace("{C_VALUES}", _ivf_centroid_values()),
+)
+def similarity_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 with pinned integer centroids: map-only exact
+    BIGINT cell assignment (cell = the 100 TB write-partition key),
+    broadcast probes, exact cosine re-rank — hash-checked end to end."""
+    from alerta_spark.ops.similarity import ivf_topk_pinned
+
+    return ivf_topk_pinned(
+        load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10
+    )
+
+
 @register(
     "multimodal_media_summary",
     oracle="""
