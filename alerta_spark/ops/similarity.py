@@ -431,6 +431,183 @@ def ivf_topk_pinned(
     )
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    n_codes: int = 16,
+    n_train: int = 256,
+    iters: int = 10,
+):
+    """Product-quantization codebooks: split the vector into ``n_sub``
+    contiguous subspaces and run deterministic L2 k-means (evenly
+    spaced init, Lloyd) per subspace on a bounded driver-side sample —
+    the same fixed-size-sample training discipline as IVF. Returns a
+    numpy array (n_sub, n_codes, dim/n_sub). No RNG anywhere."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_train).collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sd = dim // n_sub
+    books = []
+    for s in range(n_sub):
+        Xs = X[:, s * sd : (s + 1) * sd]
+        idx = np.linspace(0, len(Xs) - 1, n_codes).astype(int)
+        C = Xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _pq_encode_udf(books):
+    """Arrow-batched PQ encoder: per subspace, argmin L2 code — one
+    numpy distance computation per batch per subspace. Map-only; the
+    output codes are the ONLY thing the candidate scan ever reads
+    (n_sub small ints ≈ 8 bytes vs 256 bytes of float32 vector —
+    the ~32x footprint cut is the whole point of PQ at 100 TB)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)  # n_sub x n_codes x sd
+    n_sub, _, sd = B.shape
+
+    def _encode(vecs):
+        X = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        out = np.empty((len(X), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            Xs = X[:, s * sd : (s + 1) * sd]
+            d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(-1)
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    _encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_encode, "array<int>")
+
+
+def _pq_lut_udf(books):
+    """Per-query ADC lookup table, flattened: lut[s*n_codes + c] =
+    ||q_s - books[s][c]||^2. Computed once per QUERY row (tiny), so
+    the per-candidate score is n_sub JVM array lookups — no float
+    vector math in the scan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)
+    n_sub, n_codes, sd = B.shape
+
+    def _lut(vecs):
+        out = []
+        for v in vecs:
+            q = np.asarray(v, dtype=np.float64)
+            lut = np.empty(n_sub * n_codes)
+            for s in range(n_sub):
+                qs = q[s * sd : (s + 1) * sd]
+                lut[s * n_codes : (s + 1) * n_codes] = (
+                    (B[s] - qs[None, :]) ** 2
+                ).sum(-1)
+            out.append(lut.tolist())
+        return pd.Series(out)
+
+    _lut.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_lut, "array<double>")
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    n_codes: int = 16,
+    n_train: int = 256,
+    rerank: int = 64,
+) -> DataFrame:
+    """Approximate top-k via product quantization with asymmetric
+    distance computation (ADC) + exact re-rank:
+
+    1. encode the corpus to ``n_sub`` sub-codes (map-only, once —
+       at 100 TB the codes table IS the index you persist: ~32x
+       smaller than the vectors);
+    2. per query, broadcast a flat ADC lookup table; candidate score =
+       sum of ``n_sub`` JVM array lookups over the codes — the scan
+       never touches a raw vector;
+    3. keep the ``rerank`` best ADC candidates per query, join raw
+       vectors back for exact cosine, emit top-k.
+
+    -> [query_id, neighbor_id, cos] (same shape as cosine_topk).
+    """
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    books = train_pq_codebooks(
+        df, id_col, vec_col, n_sub, n_codes, n_train
+    )
+    encode = _pq_encode_udf(books)
+    lut_fn = _pq_lut_udf(books)
+
+    codes = df.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+    q = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        lut_fn(F.col(vec_col)).alias("lut"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda c, s: F.element_at(
+                F.col("lut"), (s * n_codes + c + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    wa = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    rescored = (
+        cand.join(vecs, cand["query_id"] == vecs["_vid"])
+        .withColumnRenamed("_v", "qvv")
+        .drop("_vid")
+        .join(vecs, cand["neighbor_id"] == vecs["_vid"])
+        .withColumnRenamed("_v", "nv")
+        .drop("_vid")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -859,6 +859,20 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
 
 
+@register("similarity_pq_topk", oracle=None)  # approximate: rows-only
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10: corpus encoded to 8 sub-codes
+    (map-only, ~32x smaller than the vectors — the persisted index at
+    100 TB), per-query broadcast ADC lookup tables score candidates
+    with 8 JVM array lookups each (no vector math in the scan), exact
+    cosine re-rank on the short list. Recall vs brute force pinned in
+    tests/test_similarity_ops.py; codebook training is deterministic
+    bounded-sample k-means, so the result is rerun-stable."""
+    from alerta_spark.ops.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10)
+
+
 def _ivf_centroid_values() -> str:
     from alerta_spark.ops.similarity import pinned_centroids
 

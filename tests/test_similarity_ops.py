@@ -208,3 +208,43 @@ def test_ivf_pinned_probe_contains_own_cell(spark, emb):
         own_cell = max(range(16), key=lambda c: (dots[c], -c))
         best_probe = sorted(range(16), key=lambda c: (-dots[c], c))[0]
         assert own_cell == best_probe
+
+
+def test_pq_topk_recall(emb):
+    """PQ+ADC recall vs brute force: the exact re-rank of the ADC
+    short list recovers most true top-5 neighbors, and results are
+    deterministic (no-RNG codebook training)."""
+    from alerta_spark.ops.similarity import pq_topk
+
+    qids = [0, 1, 2]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, qids, k=5).collect()
+    }
+    again = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(emb, qids, k=5).collect()
+    }
+    assert approx == again
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+
+def test_pq_encode_roundtrip_shape(spark, emb):
+    """Codes are n_sub ints in [0, n_codes); every corpus row encodes."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.similarity import _pq_encode_udf, train_pq_codebooks
+
+    books = train_pq_codebooks(emb, n_sub=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    enc = _pq_encode_udf(books)
+    rows = emb.select(enc(F.col("embedding")).alias("codes")).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
