@@ -2917,6 +2917,54 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_distinct_users_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users per event type — the oracle-checked
+    companion to the HLL-sketch rollup (which is rows-only: the
+    DataSketches estimate has no DuckDB twin). At 100 TB the exact
+    form shuffles every (day, type, user) triple once; the sketch form
+    in ops/sketches.py never re-shuffles history."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("DAY", F.col("ts")).alias("bucket_start"),
+        "event_type",
+    ).agg(F.countDistinct("user_id").alias("n_distinct"))
+
+
+@register("agg_distinct_users_daily_hll", oracle=None)  # sketch: rows-only
+def agg_distinct_users_daily_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-merged HLL distinct-count rollup: two disjoint
+    deltas sketched separately then hll_union_agg-combined — the
+    constant-memory, O(delta)-maintenance form of the exact query
+    above. Register merge is pointwise max (commutative+associative),
+    so the incremental estimate equals the monolithic one bit-for-bit;
+    estimate-vs-exact error bounds pinned in tests/test_sketches.py."""
+    from alerta_spark.ops.sketches import (
+        combine_distinct_partials,
+        distinct_partials,
+        finalize_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    return finalize_distinct(
+        combine_distinct_partials(
+            distinct_partials(a, bucket="1 day"),
+            distinct_partials(b, bucket="1 day"),
+        )
+    )
+
+
+@register(
     "a5_topk_per_group_salted",
     oracle="""
     SELECT event_id, user_id, event_type
