@@ -2917,6 +2917,62 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_snapshot_diff",
+    # Deterministic second snapshot: drop doc_id%7==0 (removed),
+    # append a marker to text for doc_id%5==0 (changed), add doc_id+
+    # 100000 twins for doc_id%11==0 (added). The oracle diffs content
+    # semantically (IS DISTINCT FROM); the Spark op compares one
+    # null-tagged md5 digest per side — same answer, ~48 bytes/row
+    # through the 100 TB shuffle instead of the row bodies.
+    oracle="""
+    WITH newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.text IS DISTINCT FROM n.text
+       OR o.lang IS DISTINCT FROM n.lang
+       OR o.source IS DISTINCT FROM n.source
+       OR o.n_chars IS DISTINCT FROM n.n_chars
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (added/removed/changed) between two corpus
+    versions via digest-only full outer join — the incremental
+    pipeline pre-flight."""
+    from alerta_spark.ops.io import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    changed = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = changed.unionByName(added)
+    return snapshot_diff(
+        docs, new, content_cols=["text", "lang", "source", "n_chars"]
+    )
+
+
+@register(
     "agg_distinct_users_daily",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,

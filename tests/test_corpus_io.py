@@ -88,3 +88,20 @@ def test_stream_ingest_dedup_two_waves(spark, tmp_path):
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 5]
     assert spark.read.parquet(store).count() == 3
+
+
+def test_snapshot_diff_classifies_and_ignores_unchanged(spark):
+    """added/removed/changed classified exactly; unchanged rows never
+    surface; NULL-vs-empty content cannot collide (null tagging)."""
+    from alerta_spark.ops.io import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+        "doc_id long, text string, extra string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", ""), (5, "e", "v"), (4, "D", "w")],
+        "doc_id long, text string, extra string",
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
