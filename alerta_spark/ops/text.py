@@ -508,3 +508,64 @@ def tfidf_top_terms(
             ).alias("tfidf"),
         )
     )
+
+
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    banned_substrings: tuple[str, ...] = (),
+    min_lines_kept: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning: drop lines with fewer than
+    ``min_words`` single-space-separated words or containing any
+    banned substring (boilerplate markers: 'lorem ipsum',
+    'javascript', cookie notices, ...), then drop documents with
+    fewer than ``min_lines_kept`` surviving lines.
+
+    Pure codegen (split → filter lambda → array_join): map-only, no
+    shuffle, no Python — the shape every doc-level gate in this repo
+    uses. Input is expected whitespace-normalized within lines (one
+    space between words), as produced by normalize_text or the
+    tokenizing chunkers.
+
+    -> [id_col, clean_text, n_lines_kept, n_lines_dropped].
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def line_ok(ln: Column) -> Column:
+        ok = F.size(F.split(ln, " ")) >= min_words
+        for b in banned_substrings:
+            ok = ok & ~ln.contains(b)
+        return ok
+
+    keep = F.filter(lines, line_ok)
+    return (
+        df.select(
+            F.col(id_col),
+            F.array_join(keep, "\n").alias("clean_text"),
+            F.size(keep).cast("long").alias("n_lines_kept"),
+            (F.size(lines) - F.size(keep)).cast("long").alias("n_lines_dropped"),
+        )
+        .where(F.col("n_lines_kept") >= min_lines_kept)
+    )
+
+
+def chunk_into_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """Rewrite single-line text as newline-separated lines of
+    ``words_per_line`` words — a deterministic 'liner' for corpora
+    without layout (and the fixture generator for line-level ops over
+    the synthetic documents table). Map-only codegen."""
+    toks = F.split(F.col(text_col), " ")
+    n = words_per_line
+    nlines = F.ceil(F.size(toks) / F.lit(float(n))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
+    )
+    return df.withColumn(text_col, F.array_join(lines, "\n"))

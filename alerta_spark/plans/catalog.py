@@ -2917,6 +2917,54 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_clean_lines",
+    # Deterministic liner (8 words per line) + C4-style line gate:
+    # keep lines with >= 6 words and no 'slow' marker; drop docs with
+    # zero surviving lines. Both engines run the same split/chunk/
+    # filter/join pipeline in their native list lambdas.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    lined AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+               i -> array_to_string(tk[i*8+1 : i*8+8], ' ')
+             ) AS lines
+      FROM toks
+    ),
+    cleaned AS (
+      SELECT doc_id, lines,
+             list_filter(
+               lines,
+               ln -> len(string_split(ln, ' ')) >= 6
+                     AND ln NOT LIKE '%slow%'
+             ) AS keep
+      FROM lined
+    )
+    SELECT doc_id,
+           array_to_string(keep, chr(10)) AS clean_text,
+           CAST(len(keep) AS BIGINT) AS n_lines_kept,
+           CAST(len(lines) - len(keep) AS BIGINT) AS n_lines_dropped
+    FROM cleaned
+    WHERE len(keep) >= 1
+    """,
+)
+def text_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus cleaning (C4/Gopher style): deterministic
+    8-word liner, then drop short (<6 words) or marker-bearing lines
+    and docs left empty — map-only codegen, zero shuffles."""
+    from alerta_spark.ops.text import chunk_into_lines, clean_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = chunk_into_lines(docs, words_per_line=8)
+    return clean_lines(
+        lined, min_words=6, banned_substrings=("slow",), min_lines_kept=1
+    )
+
+
+@register(
     "corpus_snapshot_diff",
     # Deterministic second snapshot: drop doc_id%7==0 (removed),
     # append a marker to text for doc_id%5==0 (changed), add doc_id+

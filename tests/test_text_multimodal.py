@@ -158,3 +158,42 @@ def test_unigram_nll_matches_closed_form(spark):
     expect = -(3 * math.log(3 / 4) + 1 * math.log(1 / 4)) / 4
     assert abs(got.mean_nll - expect) < 1e-6
     assert got.n_tokens == 4
+
+
+def test_clean_lines_rules(spark):
+    """Line gate semantics: short lines drop, banned-substring lines
+    drop, empty docs drop, counts reconcile."""
+    from alerta_spark.ops.text import clean_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three\nshort line\nbad slow line here"),
+            (2, "tiny"),
+            (3, "alpha beta gamma\ndelta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in clean_lines(
+            df, min_words=3, banned_substrings=("slow",), min_lines_kept=1
+        ).collect()
+    }
+    assert got[1]["clean_text"] == "one two three"
+    assert got[1]["n_lines_kept"] == 1 and got[1]["n_lines_dropped"] == 2
+    assert 2 not in got  # only line too short -> doc dropped
+    assert got[3]["n_lines_kept"] == 2 and got[3]["n_lines_dropped"] == 0
+
+
+def test_chunk_into_lines_partitions_words(spark):
+    from alerta_spark.ops.text import chunk_into_lines
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(19)))], "doc_id long, text string"
+    )
+    out = chunk_into_lines(df, words_per_line=8).collect()[0]["text"]
+    lines = out.split("\n")
+    assert [len(l.split(" ")) for l in lines] == [8, 8, 3]
+    assert " ".join(out.replace("\n", " ").split(" ")) == " ".join(
+        f"w{i}" for i in range(19)
+    )
