@@ -1,0 +1,65 @@
+"""Pre-flight data profiling for shuffle-heavy plans.
+
+Every big join/groupBy in this repo shuffles on a key; at 100 TB a
+single hot key (or NULL flood) turns one reducer into the job's
+critical path. `skew_report` is the cheap pre-flight: one aggregate
+over the key column, broadcast totals, top-N heavy hitters with their
+share of all rows and ratio to the mean key size — the numbers that
+decide between a plain shuffle, `salted_topk`-style two-phase
+aggregation, AQE skew-join, or an explicit hot-key route. NULL keys
+are reported as a first-class row (the classic silent skew source in
+outer joins).
+
+All ratios are single IEEE divisions of exact BIGINT counts —
+deterministic across engines, so the catalog entry is hash-checked.
+
+Reference provenance: no analogue — the reference's Athena delegation
+hides physical skew entirely; on Spark it is the operator's problem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Top-``top_n`` heaviest keys with global skew context.
+
+    Plan: one partial+final count aggregate on the key, a broadcast
+    single-row totals frame, and TakeOrderedAndProject for the top-N
+    cut (never a global window over all keys); the rank window runs
+    over the already-cut top-N rows only — bounded by construction,
+    single-partition by design (constant partition key states that).
+
+    -> [key, cnt, rank, share_of_total, ratio_to_mean].
+    """
+    c = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = c.orderBy(F.desc("cnt"), F.asc_nulls_first("key")).limit(top_n)
+    w = W.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+    return (
+        top.crossJoin(F.broadcast(t))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "share_of_total"
+            ),
+            (
+                F.col("cnt").cast("double")
+                / (F.col("total").cast("double") / F.col("n_keys").cast("double"))
+            ).alias("ratio_to_mean"),
+        )
+    )

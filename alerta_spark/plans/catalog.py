@@ -2917,6 +2917,36 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_key_skew",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+      FROM events GROUP BY CAST(user_id AS VARCHAR)
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+    r AS (
+      SELECT key, CAST(cnt AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC NULLS FIRST) AS rank
+      FROM c
+    )
+    SELECT key, cnt, CAST(rank AS BIGINT) AS rank,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share_of_total,
+           CAST(cnt AS DOUBLE)
+             / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS ratio_to_mean
+    FROM r, t WHERE rank <= 10
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle pre-flight: top-10 heaviest join/agg keys with share of
+    all rows and ratio to the mean key size (NULL keys first-class) —
+    the numbers that pick between plain shuffle, salting, and AQE
+    skew-join. One aggregate + broadcast totals + TakeOrdered cut."""
+    from alerta_spark.ops.profile import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+@register(
     "text_clean_lines",
     # Deterministic liner (8 words per line) + C4-style line gate:
     # keep lines with >= 6 words and no 'slow' marker; drop docs with
