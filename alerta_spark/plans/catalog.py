@@ -2917,6 +2917,35 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_winsorize_values",
+    # Clip to per-type exact [p01, p99]: quantile_cont and Spark
+    # `percentile` interpolate identically; the clamp picks one of two
+    # already-identical doubles — no new float math anywhere.
+    oracle="""
+    WITH b AS (
+      SELECT event_type, quantile_cont(value, [0.01, 0.99]) AS q
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value IS NULL THEN NULL
+                ELSE least(greatest(e.value, q[1]), q[2]) END AS value_w,
+           CASE WHEN e.value IS NULL THEN NULL
+                ELSE e.value < q[1] OR e.value > q[2] END AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def stats_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip event values to the per-type exact p01/p99
+    band — bounds aggregate broadcast over one map-only corpus pass."""
+    from alerta_spark.ops.stats import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return winsorize(ev, "value", ["event_type"], lo=0.01, hi=0.99)
+
+
+@register(
     "profile_key_skew",
     oracle="""
     WITH c AS (
