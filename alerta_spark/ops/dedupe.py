@@ -609,6 +609,7 @@ def winnow_fingerprints(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the
     MOSS algorithm — public): hash every character k-gram of the
@@ -618,15 +619,23 @@ def winnow_fingerprints(
     hashes. The selected (position, fingerprint) set is the
     plagiarism/near-dup index a lake builds once per snapshot.
 
-    Determinism: the k-gram hash is the first 15 hex chars of md5
-    (engine-identical, 60-bit); window minima compare (hash, pos)
-    structs lexicographically, so equal-content hash ties break on the
-    leftmost position identically everywhere.
+    Determinism: with ``hash_fn='md5'`` (default) the k-gram hash is
+    the first 15 hex chars of md5 — engine-identical, 60-bit, what
+    lets the catalog oracle replay the whole pipeline.
+    ``hash_fn='xxhash64'`` is the cheaper JVM-hash production path
+    (same algorithm, no DuckDB twin — the simhash split). Window
+    minima compare (hash, pos) structs lexicographically, so
+    equal-content hash ties break on the leftmost position
+    identically everywhere.
 
-    Plan: one Generate (k-gram explode) + ONE doc-keyed exchange for
-    the position window + a distinct that reuses the same clustering.
-    Fingerprint rows are ~2/(w+1) of characters — the downstream
-    near-dup join consumes them exactly like the shingle index."""
+    Plan: ONE doc-keyed exchange of the RAW documents (placed BEFORE
+    the ~L-per-doc k-gram fan-out, so the shuffle moves document
+    bytes, not exploded hash rows — and hashing parallelizes even
+    when the input arrives in few large files), then Generate + md5
+    + the position window and distinct all pipeline inside that same
+    partitioning with no further exchange. Fingerprint rows are
+    ~2/(w+1) of characters — the downstream near-dup join consumes
+    them exactly like the shingle index."""
     from pyspark.sql import Window as W
 
     from alerta_spark.ops.text import normalize_text
@@ -635,8 +644,14 @@ def winnow_fingerprints(
         f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 0)), "
         f"p -> struct(p AS pos, substring(_norm, p, {k}) AS kg))"
     )
+    # explicit partition count: the pre-fan-out frame is small by
+    # construction (raw docs), so AQE would coalesce it back to one
+    # partition and serialize the ~L-per-doc hashing that follows
     rows = (
-        df.select(
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+        .select(
             F.col(id_col).alias("_id"), normalize_text(text_col).alias("_norm")
         )
         .select("_id", F.length("_norm").alias("_len"), F.explode(kg).alias("g"))
@@ -644,9 +659,13 @@ def winnow_fingerprints(
             "_id",
             "_len",
             F.col("g.pos").alias("pos"),
-            F.conv(F.substring(F.md5("g.kg"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
+            (
+                F.xxhash64("g.kg")
+                if hash_fn == "xxhash64"
+                else F.conv(F.substring(F.md5("g.kg"), 1, 15), 16, 10).cast(
+                    "long"
+                )
+            ).alias("h"),
         )
     )
     win = W.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
@@ -672,6 +691,7 @@ def winnow_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_fp_freq: int | None = 1000,
+    max_fp_frac: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by Jaccard over winnowing fingerprint SETS — the
     same inverted-index shape as :func:`ngram_jaccard_pairs`, but the
@@ -681,12 +701,38 @@ def winnow_near_dup_pairs(
     like the hot-shingle cap: map-side broadcast anti-join BEFORE any
     fp-keyed shuffle, self-consistent set sizes.
 
+    ``max_fp_frac`` (overrides ``max_fp_freq`` when set) expresses the
+    cap as a FRACTION of the corpus: prints in more than
+    floor(frac * n_docs) documents drop. An absolute cap silently
+    stops firing as the corpus grows past it (a print in 1000 of 5000
+    shared-boilerplate docs fans into ~500k candidate pairs); the
+    fraction form keeps the join fan-in proportional at every scale —
+    the knob you actually set for a 100 TB corpus. Computed in-plan
+    (one tiny count aggregate broadcast into the HAVING), floor'd so
+    the boundary is integer-exact on every engine.
+
     -> [id_a, id_b, fp_jaccard] with id_a < id_b."""
     fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
         F.col(id_col).alias("_id"), "fp"
     ).distinct()
     fps = _persist(fps)
-    if max_fp_freq is not None:
+    if max_fp_frac is not None:
+        n_docs = df.select(
+            F.countDistinct(F.col(id_col)).alias("_nd")
+        )
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(n_docs))
+            .where(
+                F.col("_df")
+                > F.floor(F.col("_nd").cast("double") * F.lit(max_fp_frac))
+            )
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+        fps = _persist(fps)
+    elif max_fp_freq is not None:
         hot = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("_df"))

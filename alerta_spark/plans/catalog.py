@@ -3999,9 +3999,10 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_winnow_pairs",
     # Jaccard over winnowed fingerprint SETS; the oracle replays the
     # winnow selection (same CTE as dedup_winnow_fingerprints) and the
-    # pair join exactly. The 1000-doc-freq cap never fires at this sf
-    # (and the oracle replicates it implicitly by having no prints that
-    # hot), so the comparison is exact.
+    # pair join exactly, including the FRACTION-based hot-print cap
+    # (prints in > floor(2% of docs) documents drop — identical
+    # double-multiply-then-floor boundary on both engines; an absolute
+    # cap silently stops firing as the corpus grows).
     oracle=r"""
     WITH n AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -4030,7 +4031,11 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped AS (
       SELECT * FROM fps
       WHERE fp NOT IN (
-        SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1000
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) > floor(
+          CAST(0.02 AS DOUBLE)
+          * (SELECT count(DISTINCT doc_id) FROM documents)
+        )
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
@@ -4056,7 +4061,11 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alerta_spark.ops.dedupe import winnow_near_dup_pairs
 
     return winnow_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), k=8, w=4, threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        k=8,
+        w=4,
+        threshold=0.5,
+        max_fp_frac=0.02,
     )
 
 
