@@ -552,6 +552,99 @@ def clean_lines(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+    score_quant: int = 1_000_000,
+) -> DataFrame:
+    """BM25 top-k document retrieval for a bag of query terms — the
+    classic lexical-retrieval primitive (k1=1.2, b=0.75), the scorer
+    behind every "find me training docs about X" probe and the hard
+    baseline for the ANN ops in ops/similarity.
+
+    Scale shape — the inverted-index probe: the query-term filter is
+    applied BEFORE the (doc, term) count aggregate, so only posting
+    rows for |Q| terms ever shuffle; the full token stream feeds one
+    doc-keyed length aggregate (needed for dl) and nothing else. The
+    final cut is ``orderBy(...).limit(k)`` — Spark's
+    TakeOrderedAndProject, per-partition heaps merged on the driver,
+    never a single-partition global window.
+
+    Cross-engine determinism (the fixed-point discipline of
+    :func:`unigram_nll`): idf = ln((2N - 2df + 1)/(2df + 1))
+    (the standard +0.5-smoothed form with the halves cleared) is
+    quantized once per query term from exact BIGINTs; each
+    (doc, term) partial score
+
+        (idf_q/quant) * tf * 2.2 / (tf + 0.3 + 0.9 * (dl*N)/T)
+
+    is an identical elementwise IEEE chain on exact integer inputs on
+    both engines, quantized to ``score_quant`` fixed-point, and the
+    per-document total is summed in exact BIGINTs — so the ranking key
+    (and therefore the top-k cut, tie-broken on id) is engine-exact.
+    dl*N stays below 2^53 for any realistic doc length and corpus;
+    beyond that, pre-divide dl by a constant.
+    """
+    toks = _lm_terms(df, text_col, id_col)
+    doclen = toks.groupBy("_id").agg(F.count("*").alias("_dl"))
+    totals = doclen.agg(
+        F.count("*").alias("_n_docs"), F.sum("_dl").alias("_t_corpus")
+    )
+    qcounts = (
+        toks.where(F.col("term").isin(list(query_terms)))
+        .groupBy("_id", "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    docfreq = (
+        qcounts.groupBy("term")
+        .agg(F.count("*").alias("_df"))
+        .crossJoin(F.broadcast(totals.select("_n_docs")))
+    )
+    idf_q = F.floor(
+        F.log(
+            (2 * F.col("_n_docs") - 2 * F.col("_df") + 1).cast("double")
+            / (2 * F.col("_df") + 1).cast("double")
+        )
+        * F.lit(float(quant))
+    ).cast("long")
+    ratio = (F.col("_dl") * F.col("_n_docs")).cast("double") / F.col(
+        "_t_corpus"
+    ).cast("double")
+    tf_d = F.col("_tf").cast("double")
+    part = (
+        (F.col("_idf_q").cast("double") / F.lit(float(quant)))
+        * (tf_d * F.lit(2.2))
+        / (tf_d + (F.lit(0.3) + F.lit(0.9) * ratio))
+    )
+    scored = (
+        qcounts.join(F.broadcast(docfreq.select("term", idf_q.alias("_idf_q"))), "term")
+        .join(doclen, "_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_id",
+            F.floor(part * F.lit(float(score_quant))).cast("long").alias("_pq"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count("*").alias("n_terms_matched"), F.sum("_pq").alias("_sq")
+    )
+    return (
+        per_doc.orderBy(F.desc("_sq"), F.asc("_id"))
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+            (F.col("_sq").cast("double") / F.lit(float(score_quant))).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
 def chunk_into_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -4384,6 +4384,66 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25_topk",
+    # BM25 with the repo's fixed-point discipline: idf quantized from
+    # exact BIGINTs, each (doc, term) partial score an identical
+    # elementwise IEEE chain on exact integer inputs quantized to
+    # fixed-point, per-doc totals summed as BIGINTs so the top-k cut
+    # (tie-broken on doc_id) is engine-exact.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS t_corpus FROM doclen),
+    qc AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term,
+             CAST(floor(ln(CAST(2 * (SELECT n_docs FROM tot)
+                                  - 2 * count(*) + 1 AS DOUBLE)
+                           / CAST(2 * count(*) + 1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS idf_q
+      FROM qc GROUP BY term
+    ),
+    parts AS (
+      SELECT qc.doc_id,
+             CAST(floor(
+               (CAST(idf_q AS DOUBLE) / 1000000.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + (0.3 + 0.9 * (CAST(dl * (SELECT n_docs FROM tot) AS DOUBLE)
+                                  / CAST((SELECT t_corpus FROM tot) AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS pq
+      FROM qc JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+    )
+    SELECT doc_id, count(*) AS n_terms_matched,
+           CAST(CAST(sum(pq) AS BIGINT) AS DOUBLE) / 1000000.0 AS bm25
+    FROM parts GROUP BY doc_id
+    ORDER BY CAST(sum(pq) AS BIGINT) DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (top-10 for a 3-term query): the
+    inverted-index probe — query-term filter BEFORE the posting
+    aggregate so only |Q|-term rows shuffle, full stream touched only
+    by one doc-length aggregate, top-k via TakeOrderedAndProject
+    (never a global single-partition window)."""
+    from alerta_spark.ops.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "vector"], k=10)
+
+
+@register(
     "corpus_temperature_mix",
     oracle="""
     WITH totals AS (

@@ -320,6 +320,18 @@ def test_unigram_nll_caches_vocab_bounded_exchanges(spark):
     release_cached()
 
 
+def test_bm25_probe_filters_before_shuffle_and_takes_ordered(spark):
+    """BM25 is the inverted-index probe: the query-term IN filter must
+    sit BELOW the posting (doc, term) aggregate — only |Q|-term rows
+    shuffle — and the top-k cut must be TakeOrderedAndProject, never a
+    global single-partition window."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # the IN-filter appears on the generated term column pre-aggregate
+    assert "term" in plan and " IN (spark,join,vector)" in plan, plan
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """The 100 TB skew story must actually engage: under a hot join key
     (90% of rows), AQE's skew-join rule splits the oversized partition

@@ -197,3 +197,37 @@ def test_chunk_into_lines_partitions_words(spark):
     assert " ".join(out.replace("\n", " ").split(" ")) == " ".join(
         f"w{i}" for i in range(19)
     )
+
+
+def test_bm25_matches_closed_form(spark):
+    """Hand-computed BM25 (k1=1.2, b=0.75, halves-cleared idf) on a
+    3-doc corpus: ranking AND scores must match to quantization
+    error (2 query terms * 1e-6 per fixed-point step)."""
+    import math
+
+    from alerta_spark.ops.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark join filter"),  # tf(spark)=2, tf(join)=1, dl=4
+            (2, "spark scan scan"),          # tf(spark)=1, dl=3
+            (3, "scan sort merge"),          # no query terms, dl=3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bm25_topk(df, ["spark", "join"], k=10).collect()}
+    assert 3 not in got and set(got) == {1, 2}
+
+    N, T = 3, 10
+    def idf(dfreq):
+        return math.log((2 * N - 2 * dfreq + 1) / (2 * dfreq + 1))
+
+    def part(tf, dl, dfreq):
+        return idf(dfreq) * tf * 2.2 / (tf + 0.3 + 0.9 * (dl * N) / T)
+
+    exp1 = part(2, 4, 2) + part(1, 4, 1)
+    exp2 = part(1, 3, 2)
+    assert got[1].n_terms_matched == 2 and got[2].n_terms_matched == 1
+    assert abs(got[1].bm25 - exp1) < 3e-6, (got[1].bm25, exp1)
+    assert abs(got[2].bm25 - exp2) < 3e-6, (got[2].bm25, exp2)
+    assert got[1].bm25 > got[2].bm25
