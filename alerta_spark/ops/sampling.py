@@ -221,3 +221,35 @@ def shuffled_order(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen deterministically:
+    the k smallest md5(key || salt) values within each group — the
+    distributed, rerun-stable analogue of per-group reservoir sampling
+    (a uniform hash induces a uniform random-order rank, but unlike a
+    reservoir the pick is a pure row function: identical across
+    engines, retries, and partitionings; a new ``salt`` redraws).
+
+    Scale shape: delegates to the two-phase salted top-k
+    (operators/topk.py) — a hot group spreads over ``salt_buckets``
+    tasks in phase 1 and only k x salt_buckets survivors per group
+    reach the final rank, so no single task ever holds a whole group.
+    """
+    from alerta_spark.operators.topk import topk_per_group_salted
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return topk_per_group_salted(
+        df.withColumn("_h", h),
+        [group_col],
+        [F.col("_h"), F.col(key_col)],
+        k,
+        salt_buckets=salt_buckets,
+    ).drop("_h")

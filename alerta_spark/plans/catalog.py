@@ -4384,6 +4384,35 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_k_per_group",
+    # The oracle is the PLAIN single-window formulation; the Spark side
+    # runs the skew-safe two-phase salted variant — the hash gate
+    # proves the two-phase cut is exactly the top-k-by-hash answer.
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'pick1'), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def sample_k_per_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (3 docs per source): uniform
+    by md5 rank, rerun- and engine-stable, computed via the two-phase
+    salted top-k so a hot group never lands in one task."""
+    from alerta_spark.ops.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, "source", k=3, salt="pick1").select(
+        "doc_id", "source"
+    )
+
+
+@register(
     "text_bm25_topk",
     # BM25 with the repo's fixed-point discipline: idf quantized from
     # exact BIGINTs, each (doc, term) partial score an identical

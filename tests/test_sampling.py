@@ -97,3 +97,26 @@ def test_shuffled_order_is_permutation_and_epoch_varies(docs):
     # a new epoch salt produces a different order
     c = shuffled_order(docs, shards=4, salt="e1").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_sample_k_per_group_exact_counts_and_redraw(spark, docs):
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.sampling import sample_k_per_group
+
+    picked = sample_k_per_group(docs, "source", k=3, salt="e1")
+    counts = {
+        r["source"]: r["n"]
+        for r in picked.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {s: min(3, n) for s, n in sizes.items()}
+
+    # deterministic: same salt -> same picks; new salt -> a redraw
+    again = {r["doc_id"] for r in picked.collect()}
+    assert {r["doc_id"] for r in sample_k_per_group(docs, "source", 3, salt="e1").collect()} == again
+    other = {r["doc_id"] for r in sample_k_per_group(docs, "source", 3, salt="e2").collect()}
+    assert other != again
