@@ -645,6 +645,94 @@ def bm25_topk(
     )
 
 
+def token_js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two corpora — the drift monitor between train and eval splits, two
+    snapshot dates, or two sources (0 = identical mix, ln 2 ≈ 0.693 =
+    disjoint vocabularies). One row out:
+    (n_terms_a, n_terms_b, n_shared_terms, jsd).
+
+    Every log argument is a ratio of exact integers — with P = a/A,
+    Q = b/B, M = (P+Q)/2:  p/m = 2aB/(aB + bA)  — so each per-term
+    ln is quantized from identical BIGINT inputs (absent terms fall
+    out naturally: b=0 gives arg exactly 2), the Σ a·lnq accumulates
+    as exact BIGINTs, and JSD emerges from one final double chain on
+    identical operands. a·B stays below 2^63 up to ~3e9-token sides;
+    beyond that, pre-scale the counts.
+
+    Plan: one term-count aggregate per side, a term-keyed full outer
+    join (vocab-sized, never corpus-sized), one partial-aggregated
+    global sum to a single row.
+    """
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            _lm_terms(df, text_col, id_col)
+            .groupBy("term")
+            .agg(F.count("*").alias(side))
+        )
+
+    from alerta_spark.ops.dedupe import _persist
+
+    ca, cb = counts(df_a, "_a"), counts(df_b, "_b")
+    # persisted: feeds both the totals row and the scored pass — the
+    # vocab-sized frame is the natural checkpoint, not the corpus scans
+    joined = _persist(
+        ca.join(cb, "term", "full_outer").select(
+            F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
+            F.coalesce(F.col("_b"), F.lit(0)).alias("_b"),
+        )
+    )
+
+    def lnq(num, den):
+        return F.floor(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(float(quant))
+        ).cast("long")
+
+    # totals A and B ride along exactly via window-free global sums:
+    # aggregate everything in ONE pass (sums of a, b, and the two
+    # weighted quantized-ln terms need A and B first, so two stages).
+    totals = joined.agg(
+        F.sum("_a").alias("_ta"), F.sum("_b").alias("_tb")
+    )
+    with_tot = joined.crossJoin(F.broadcast(totals))
+    den = F.col("_a") * F.col("_tb") + F.col("_b") * F.col("_ta")
+    wa = F.when(
+        F.col("_a") > 0,
+        F.col("_a") * lnq(2 * F.col("_a") * F.col("_tb"), den),
+    ).otherwise(F.lit(0))
+    wb = F.when(
+        F.col("_b") > 0,
+        F.col("_b") * lnq(2 * F.col("_b") * F.col("_ta"), den),
+    ).otherwise(F.lit(0))
+    agg = with_tot.groupBy("_ta", "_tb").agg(
+        F.sum((F.col("_a") > 0).cast("long")).alias("n_terms_a"),
+        F.sum((F.col("_b") > 0).cast("long")).alias("n_terms_b"),
+        F.sum(((F.col("_a") > 0) & (F.col("_b") > 0)).cast("long")).alias(
+            "n_shared_terms"
+        ),
+        F.sum(wa).alias("_swa"),
+        F.sum(wb).alias("_swb"),
+    )
+    qd = F.lit(float(quant))
+    return agg.select(
+        "n_terms_a",
+        "n_terms_b",
+        "n_shared_terms",
+        (
+            F.col("_swa").cast("double")
+            / (F.lit(2.0) * F.col("_ta").cast("double") * qd)
+            + F.col("_swb").cast("double")
+            / (F.lit(2.0) * F.col("_tb").cast("double") * qd)
+        ).alias("jsd"),
+    )
+
+
 def chunk_into_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -4384,6 +4384,77 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_drift_jsd",
+    # Every ln argument is a ratio of exact BIGINTs (p/m = 2aB/(aB+bA)),
+    # quantized once per term; weighted sums accumulate as BIGINTs; the
+    # final JSD is one double chain on identical operands — hashable at
+    # full float precision.
+    oracle="""
+    WITH a_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+    ),
+    b_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= 'e6666666'
+    ),
+    ca AS (
+      SELECT term, count(*) AS na FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  t -> t <> '')) AS term FROM a_docs
+      ) GROUP BY term
+    ),
+    cb AS (
+      SELECT term, count(*) AS nb FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  t -> t <> '')) AS term FROM b_docs
+      ) GROUP BY term
+    ),
+    j AS (
+      SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM ca FULL OUTER JOIN cb USING (term)
+    ),
+    tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+            FROM j),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
+        CAST(sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
+        CAST(sum(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared_terms,
+        CAST(sum(CASE WHEN na > 0 THEN na * CAST(floor(ln(
+              CAST(2 * na * tb AS DOUBLE) / CAST(na * tb + nb * ta AS DOUBLE))
+              * 1000000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS swa,
+        CAST(sum(CASE WHEN nb > 0 THEN nb * CAST(floor(ln(
+              CAST(2 * nb * ta AS DOUBLE) / CAST(na * tb + nb * ta AS DOUBLE))
+              * 1000000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS swb,
+        ANY_VALUE(ta) AS ta, ANY_VALUE(tb) AS tb
+      FROM j, tot
+    )
+    SELECT n_terms_a, n_terms_b, n_shared_terms,
+           CAST(swa AS DOUBLE) / (2.0 * CAST(ta AS DOUBLE) * 1000000000.0)
+             + CAST(swb AS DOUBLE) / (2.0 * CAST(tb AS DOUBLE) * 1000000000.0)
+             AS jsd
+    FROM s
+    """,
+)
+def corpus_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-test distribution drift: Jensen-Shannon divergence of
+    the two splits' unigram distributions — the shift monitor you run
+    before trusting an eval score. Vocab-sized term join, exact-BIGINT
+    accumulation, one row out."""
+    from alerta_spark.ops.sampling import hash_split
+    from alerta_spark.ops.text import token_js_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 0.8, "eval": 0.1, "test": 0.1})
+    return token_js_divergence(
+        split.where(F.col("split") == "train"),
+        split.where(F.col("split") == "test"),
+    )
+
+
+@register(
     "sample_k_per_group",
     # The oracle is the PLAIN single-window formulation; the Spark side
     # runs the skew-safe two-phase salted variant — the hash gate

@@ -231,3 +231,54 @@ def test_bm25_matches_closed_form(spark):
     assert abs(got[1].bm25 - exp1) < 3e-6, (got[1].bm25, exp1)
     assert abs(got[2].bm25 - exp2) < 3e-6, (got[2].bm25, exp2)
     assert got[1].bm25 > got[2].bm25
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark):
+    """JSD(P, P) = 0; fully disjoint vocabularies = ln 2. The
+    fixed-point quantization must not perturb either identity beyond
+    n_terms/quant."""
+    import math
+
+    from alerta_spark.ops.dedupe import release_cached
+    from alerta_spark.ops.text import token_js_divergence
+
+    a = spark.createDataFrame(
+        [(1, "x y z x"), (2, "y z w")], "doc_id long, text string"
+    )
+    same = token_js_divergence(a, a).collect()[0]
+    assert same.n_terms_a == same.n_terms_b == same.n_shared_terms == 4
+    assert abs(same.jsd) < 1e-8
+
+    b = spark.createDataFrame([(3, "p q r p q")], "doc_id long, text string")
+    disj = token_js_divergence(a, b).collect()[0]
+    release_cached()
+    assert disj.n_shared_terms == 0
+    assert abs(disj.jsd - math.log(2.0)) < 1e-8
+
+
+def test_jsd_matches_closed_form_overlapping(spark):
+    """Hand-computed JSD on an overlapping pair (P: a=3/4, b=1/4;
+    Q: b=1/2, c=1/2)."""
+    import math
+
+    from alerta_spark.ops.dedupe import release_cached
+    from alerta_spark.ops.text import token_js_divergence
+
+    A = spark.createDataFrame([(1, "aa aa aa bb")], "doc_id long, text string")
+    B = spark.createDataFrame([(2, "bb cc")], "doc_id long, text string")
+    got = token_js_divergence(A, B).collect()[0]
+    release_cached()
+
+    P = {"aa": 3 / 4, "bb": 1 / 4}
+    Q = {"bb": 1 / 2, "cc": 1 / 2}
+    terms = set(P) | set(Q)
+    jsd = 0.0
+    for t in terms:
+        p, q = P.get(t, 0.0), Q.get(t, 0.0)
+        m = (p + q) / 2
+        if p:
+            jsd += 0.5 * p * math.log(p / m)
+        if q:
+            jsd += 0.5 * q * math.log(q / m)
+    assert abs(got.jsd - jsd) < 1e-7, (got.jsd, jsd)
+    assert (got.n_terms_a, got.n_terms_b, got.n_shared_terms) == (2, 2, 1)
