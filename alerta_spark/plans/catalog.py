@@ -4384,6 +4384,101 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube_event_day",
+    # gid bit order pinned: first grouping column = MSB in Spark's
+    # grouping_id(); DuckDB side computes GROUPING(a)*2 + GROUPING(b)
+    # to match. Sums are exact decimals with one final double cast.
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+)
+def agg_cube_event_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (event_type, day) with grouping_id: all four
+    aggregation granularities in ONE pass — Spark expands the grouping
+    sets before the hash aggregate (map-side partials per set), no
+    4x rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube("event_type", F.to_date("ts").alias("day")).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "w_rank_suite_events",
+    # rank/dense_rank/percent_rank/cume_dist run over ORDER BY value
+    # (tie/peer-group semantics exercised); row_number/ntile need a
+    # total order so they add event_id. percent_rank and cume_dist are
+    # one int/int IEEE division on both engines.
+    oracle="""
+    SELECT event_id, event_type,
+           rank()         OVER wv AS rnk,
+           dense_rank()   OVER wv AS drnk,
+           percent_rank() OVER wv AS prank,
+           cume_dist()    OVER wv AS cdist,
+           row_number()   OVER wt AS rn,
+           ntile(4)       OVER wt AS quartile
+    FROM events
+    WINDOW wv AS (PARTITION BY event_type ORDER BY value),
+           wt AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def w_rank_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window surface: rank, dense_rank,
+    percent_rank, cume_dist under peer groups; row_number and ntile
+    under an explicit total order. One event_type-keyed exchange
+    shared by both window specs."""
+    ev = load_table(spark, sf_dir, "events")
+    wv = W.partitionBy("event_type").orderBy("value")
+    wt = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(wv).cast("long").alias("rnk"),
+        F.dense_rank().over(wv).cast("long").alias("drnk"),
+        F.percent_rank().over(wv).alias("prank"),
+        F.cume_dist().over(wv).alias("cdist"),
+        F.row_number().over(wt).cast("long").alias("rn"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "pivot_event_type_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY day
+    """,
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): daily counts per event type as columns.
+    The pivot value list is PINNED — an unpinned pivot runs an extra
+    distinct-scan job to discover values and makes the output schema
+    data-dependent, both wrong at 100 TB."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+@register(
     "corpus_drift_jsd",
     # Every ln argument is a ratio of exact BIGINTs (p/m = 2aB/(aB+bA)),
     # quantized once per term; weighted sums accumulate as BIGINTs; the
