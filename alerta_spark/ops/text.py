@@ -750,3 +750,65 @@ def chunk_into_lines(
         lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
     )
     return df.withColumn(text_col, F.array_join(lines, "\n"))
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Bigram-LM fluency score: per document, the mean negative
+    log-likelihood of its token transitions under the corpus's own
+    MLE bigram model, -1/(n-1) Σ ln(c(w_{i-1}w_i) / c(w_{i-1}·)) —
+    the stronger cousin of :func:`unigram_nll` (word-order sensitivity:
+    shuffled text scores high even when its unigram mix is typical).
+    Documents with fewer than 2 tokens emit no row.
+
+    Cross-engine determinism: each distinct bigram's ln(c_pair/c_ctx)
+    is a ratio of exact BIGINTs quantized once on the (vocab-sized)
+    pair frame; per-document accumulation is exact; one final double
+    chain. Same discipline as every ln in this module.
+
+    Plan: bigram construction is MAP-ONLY (zip_with over two slices of
+    the token array — no window, no shuffle), then one pair-count
+    aggregate (persisted: feeds the context rollup and the instance
+    join), a tiny ctx aggregate, a pair-keyed join back to instances
+    (AQE splits hot-pair skew), and one doc-keyed sum."""
+    from alerta_spark.ops.dedupe import _persist
+
+    toks = F.filter(
+        F.split(F.lower(_c(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = df.select(
+        F.col(id_col).alias("_id"), F.explode(pairs).alias("pg")
+    )
+    pv = _persist(inst.groupBy("pg").agg(F.count("*").alias("_cp")))
+    cv = pv.groupBy(F.split(F.col("pg"), " ")[0].alias("_w1")).agg(
+        F.sum("_cp").alias("_cc")
+    )
+    qv = F.floor(
+        F.log(F.col("_cp").cast("double") / F.col("_cc").cast("double"))
+        * F.lit(float(quant))
+    ).cast("long")
+    scored_vocab = pv.join(
+        cv, F.split(F.col("pg"), " ")[0] == F.col("_w1")
+    ).select("pg", qv.alias("_qv"))
+    per_doc = inst.join(scored_vocab, "pg").groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("_qv").alias("_sq")
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        (
+            (-F.col("_sq")).cast("double")
+            / F.lit(float(quant))
+            / F.col("n_bigrams").cast("double")
+        ).alias("mean_nll"),
+    )

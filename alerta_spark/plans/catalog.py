@@ -4384,6 +4384,49 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_nll",
+    # Each distinct bigram's ln(c_pair/c_ctx) quantized once from exact
+    # BIGINTs; per-doc sums exact; one final double chain — the
+    # unigram_nll discipline applied to transitions.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    inst AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS pg
+      FROM toks WHERE len(t) >= 2
+    ),
+    pv AS (SELECT pg, count(*) AS cp FROM inst GROUP BY pg),
+    cv AS (SELECT split_part(pg, ' ', 1) AS w1, CAST(sum(cp) AS BIGINT) AS cc
+           FROM pv GROUP BY w1),
+    q AS (
+      SELECT pg, CAST(floor(ln(CAST(cp AS DOUBLE) / CAST(cc AS DOUBLE))
+                            * 1000000000) AS BIGINT) AS qv
+      FROM pv JOIN cv ON split_part(pv.pg, ' ', 1) = cv.w1
+    )
+    SELECT i.doc_id, count(*) AS n_bigrams,
+           CAST(-CAST(sum(q.qv) AS BIGINT) AS DOUBLE) / 1000000000.0
+             / CAST(count(*) AS DOUBLE) AS mean_nll
+    FROM inst i JOIN q USING (pg)
+    GROUP BY i.doc_id
+    """,
+)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency: mean NLL of each document's token
+    transitions under the corpus's own bigram model — word-order
+    sensitive where unigram NLL is not. Bigrams built map-only
+    (zip_with over array slices), one pair aggregate + vocab-sized
+    joins; no window, no per-step rescan."""
+    from alerta_spark.ops.text import bigram_nll
+
+    return bigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "agg_cube_event_day",
     # gid bit order pinned: first grouping column = MSB in Spark's
     # grouping_id(); DuckDB side computes GROUPING(a)*2 + GROUPING(b)

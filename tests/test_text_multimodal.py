@@ -282,3 +282,36 @@ def test_jsd_matches_closed_form_overlapping(spark):
             jsd += 0.5 * q * math.log(q / m)
     assert abs(got.jsd - jsd) < 1e-7, (got.jsd, jsd)
     assert (got.n_terms_a, got.n_terms_b, got.n_shared_terms) == (2, 2, 1)
+
+
+def test_bigram_nll_matches_closed_form(spark):
+    """Corpus [a,b,a,b,a,c] -> bigrams (a,b),(b,a),(a,b),(b,a),(a,c):
+    c(ab)=2, c(ba)=2, c(ac)=1; contexts a=3, b=2. Hand-computed NLL."""
+    import math
+
+    from alerta_spark.ops.dedupe import release_cached
+    from alerta_spark.ops.text import bigram_nll
+
+    df = spark.createDataFrame([(1, "a b a b a c")], "doc_id long, text string")
+    got = bigram_nll(df).collect()[0]
+    release_cached()
+    expect = -(
+        2 * math.log(2 / 3) + 2 * math.log(2 / 2) + 1 * math.log(1 / 3)
+    ) / 5
+    assert got.n_bigrams == 5
+    assert abs(got.mean_nll - expect) < 1e-6, (got.mean_nll, expect)
+
+
+def test_bigram_nll_order_sensitivity(spark):
+    """The property unigram NLL lacks: a doc whose transitions follow
+    the corpus patterns scores LOWER than one with the same unigram
+    mix but scrambled order."""
+    from alerta_spark.ops.dedupe import release_cached
+    from alerta_spark.ops.text import bigram_nll
+
+    rows = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    rows.append((9, "mat the on sat cat the"))  # same tokens, shuffled
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.mean_nll for r in bigram_nll(df).collect()}
+    release_cached()
+    assert got[9] > got[1]
