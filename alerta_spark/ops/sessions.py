@@ -291,3 +291,49 @@ def funnel_counts(
             / F.first("n_users").over(w).cast("double")
         ).alias("conversion"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset), how many of the
+    cohort were active and what fraction that is — the standard
+    product-analytics retention triangle.
+
+    All counts are exact integers; ``retention`` is one int/int IEEE
+    division, so the whole result is engine-exact. Week bucketing is
+    date_trunc('week') (ISO Monday) on both engines.
+
+    Plan: distinct (user, week) one exchange; per-user first week
+    reuses the user clustering; the (cohort, offset) rollup and the
+    offset-0 cohort-size join are both cohort-sized (weeks², not
+    users) — nothing user-sized crosses more than two exchanges."""
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk")
+    uw = df.select(F.col(user_col).alias("_u"), wk).distinct()
+    first = uw.groupBy("_u").agg(F.min("wk").alias("cohort_week"))
+    act = (
+        uw.join(first, "_u")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "_u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    size = act.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return act.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("retention"),
+    )

@@ -870,3 +870,52 @@ def cosine_pairs_lsh(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Per-label embedding centroid + per-dimension variance — the
+    cluster-quality profile behind IVF cell sizing and label-noise
+    audits. Output is (label, dim, n, centroid, dim_var): labels x
+    dims rows, corpus-size-independent.
+
+    Determinism: float sums over arbitrary row order diverge at the
+    ulp, so each component (and its square) is quantized to 1/2^20
+    fixed-point BIGINTs; sums are exact; centroid and variance
+    (E[x^2] - E[x]^2) emerge from one final double chain. Quantization
+    bias on the variance is O(2^-20), orders below any decision
+    threshold.
+
+    Plan: posexplode -> ONE (label, dim)-keyed partial aggregate; no
+    joins, no windows. At 100 TB the shuffle carries only
+    labels x dims x tasks partial rows."""
+    qd = float(quant)
+    xd = F.col("_x").cast("double")
+    xq = F.floor(xd * F.lit(qd)).cast("long")
+    xxq = F.floor(xd * xd * F.lit(qd)).cast("long")
+    nd = F.col("n").cast("double")
+    return (
+        df.select(F.col(label_col).alias("label"),
+                  F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(xq).alias("_sq"),
+            F.sum(xxq).alias("_sqq"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            (F.col("_sq").cast("double") / F.lit(qd) / nd).alias("centroid"),
+            (
+                F.col("_sqq").cast("double") / F.lit(qd) / nd
+                - (F.col("_sq").cast("double") / F.lit(qd) / nd)
+                * (F.col("_sq").cast("double") / F.lit(qd) / nd)
+            ).alias("dim_var"),
+        )
+    )

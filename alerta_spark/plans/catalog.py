@@ -4384,6 +4384,75 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    first AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id),
+    act AS (
+      SELECT cohort_week,
+             CAST((wk - cohort_week) // 7 AS BIGINT) AS week_offset,
+             count(*) AS n_active
+      FROM uw JOIN first USING (user_id)
+      GROUP BY cohort_week, week_offset
+    ),
+    sz AS (SELECT cohort_week, n_active AS cohort_size FROM act
+           WHERE week_offset = 0)
+    SELECT a.cohort_week, a.week_offset, a.n_active, sz.cohort_size,
+           CAST(a.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+             AS retention
+    FROM act a JOIN sz USING (cohort_week)
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: exact integer counts, one
+    int/int division — the product-analytics staple, user-sized data
+    confined to two exchanges."""
+    from alerta_spark.ops.sessions import cohort_retention
+
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "embedding_label_centroids",
+    # Component sums quantized to 1/2^20 fixed-point BIGINTs (float
+    # sums over arbitrary order diverge at the ulp); centroid and
+    # E[x^2]-E[x]^2 variance from one final double chain.
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    comp AS (
+      SELECT label, pos - 1 AS dim,
+             CAST(floor(v[pos] * 1048576) AS BIGINT) AS xq,
+             CAST(floor(v[pos] * v[pos] * 1048576) AS BIGINT) AS xxq
+      FROM e, idx
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           count(*) AS n,
+           CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / 1048576.0
+             / CAST(count(*) AS DOUBLE) AS centroid,
+           CAST(CAST(sum(xxq) AS BIGINT) AS DOUBLE) / 1048576.0
+               / CAST(count(*) AS DOUBLE)
+             - (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / 1048576.0
+                / CAST(count(*) AS DOUBLE))
+             * (CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / 1048576.0
+                / CAST(count(*) AS DOUBLE)) AS dim_var
+    FROM comp GROUP BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + per-dimension variance over the embedding
+    corpus: posexplode -> one (label, dim) partial aggregate; output
+    is labels x dims regardless of corpus size."""
+    from alerta_spark.ops.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb).withColumn("label", F.col("label").cast("long"))
+
+
+@register(
     "text_bigram_nll",
     # Each distinct bigram's ln(c_pair/c_ctx) quantized once from exact
     # BIGINTs; per-doc sums exact; one final double chain — the
