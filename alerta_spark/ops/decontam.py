@@ -61,3 +61,51 @@ def decontaminate(
     """Training rows with every contaminated document removed."""
     bad = contaminated_ids(train, eval_df, text_col, id_col, n, broadcast_eval)
     return train.join(F.broadcast(bad) if broadcast_eval else bad, id_col, "left_anti")
+
+
+def containment_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Graded leakage report: for every (train doc, eval doc) pair
+    sharing word n-grams, the CONTAINMENT |S_train ∩ S_eval| / |S_eval|
+    — the fraction of the eval doc already present in training. The
+    finer-grained companion to :func:`contaminated_ids` (binary
+    any-overlap): containment 1.0 = the eval doc is fully embedded in
+    a training doc; the usual report threshold is well below that.
+
+    Same asymmetric 100 TB shape as decontaminate: the eval shingle
+    index (with eval doc ids) broadcasts, the corpus-sized train
+    shingle stream joins map-side, and only MATCHED (train, eval,
+    shingle) rows enter the pair aggregate.
+
+    -> [train_id, eval_id, shared, eval_size, containment],
+    containment = one int/int IEEE division (engine-exact).
+    """
+    ev = shingle_rows(eval_df, text_col, id_col, n).select(
+        F.col("_id").alias("eval_id"), "shingle"
+    )
+    ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_size"))
+    ev_side = F.broadcast(ev) if broadcast_eval else ev
+    hits = (
+        shingle_rows(train, text_col, id_col, n)
+        .withColumnRenamed("_id", "train_id")
+        .join(ev_side, "shingle")
+    )
+    pairs = hits.groupBy("train_id", "eval_id").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    return (
+        pairs.join(F.broadcast(ev_sizes), "eval_id")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double") / F.col("eval_size").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("train_id", "eval_id", "shared", "eval_size", "containment")
+    )

@@ -63,3 +63,40 @@ def skew_report(
             ).alias("ratio_to_mean"),
         )
     )
+
+
+def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Schema-quality profile: per listed column, row count, NULL
+    count, NULL rate, and EXACT distinct count, in ONE scan.
+
+    The multi-column exact-distinct runs as a single aggregate (Spark
+    expands the input once per distinct aggregate — row growth is
+    x len(cols), partial-aggregated map-side; for web-scale quick looks
+    swap in approx_count_distinct). The wide one-row result is unpivoted
+    driver-side via stack — nothing row-sized leaves the aggregate.
+
+    -> [column, n_rows, n_null, null_rate, n_distinct]; null_rate is
+    one int/int IEEE division (engine-exact).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _n_{c}, _null_{c}, _dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (column, n_rows, n_null, n_distinct)"
+    ).select(
+        "column",
+        "n_rows",
+        "n_null",
+        (F.col("n_null").cast("double") / F.col("n_rows").cast("double")).alias(
+            "null_rate"
+        ),
+        "n_distinct",
+    )

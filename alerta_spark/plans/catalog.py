@@ -4384,6 +4384,154 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_column_stats",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, event_type, value,
+             json_extract_string(props, '$.k') AS props_k
+      FROM events
+    ),
+    wide AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z1,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z2,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z3,
+             CAST(count(DISTINCT value) AS BIGINT) AS d3,
+             CAST(sum(CASE WHEN props_k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z4,
+             CAST(count(DISTINCT props_k) AS BIGINT) AS d4
+      FROM src
+    )
+    SELECT 'user_id' AS column, n AS n_rows, z1 AS n_null,
+           CAST(z1 AS DOUBLE) / CAST(n AS DOUBLE) AS null_rate, d1 AS n_distinct
+    FROM wide
+    UNION ALL SELECT 'event_type', n, z2, CAST(z2 AS DOUBLE) / CAST(n AS DOUBLE), d2 FROM wide
+    UNION ALL SELECT 'value', n, z3, CAST(z3 AS DOUBLE) / CAST(n AS DOUBLE), d3 FROM wide
+    UNION ALL SELECT 'props_k', n, z4, CAST(z4 AS DOUBLE) / CAST(n AS DOUBLE), d4 FROM wide
+    """,
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality pre-flight: per column (including a derived JSON
+    path), row/NULL/exact-distinct counts in one scan — the profile
+    you read before choosing join keys and filter thresholds."""
+    from alerta_spark.ops.profile import column_profile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").alias("props_k"),
+    )
+    return column_profile(ev, ["user_id", "event_type", "value", "props_k"])
+
+
+@register(
+    "events_cooccurrence_lift",
+    # lift = (n_both * n_users) / (n_a * n_b): exact-integer products
+    # (bounded by users^2 < 2^53 here; cast products once) and ONE
+    # double division — engine-exact.
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    tc AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both, ta.n_t AS n_a, tb.n_t AS n_b,
+           CAST(n_both * (SELECT n_users FROM tot) AS DOUBLE)
+             / CAST(ta.n_t * tb.n_t AS DOUBLE) AS lift
+    FROM pairs
+    JOIN tc ta ON ta.event_type = pairs.type_a
+    JOIN tc tb ON tb.event_type = pairs.type_b
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: for each type pair, do
+    the same users do both more than independence predicts? The
+    distinct-first plan bounds the user self-join fan-out to
+    (#types per user)^2 regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = F.broadcast(tc.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")))
+    tb = F.broadcast(tc.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")))
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "split_leakage_containment",
+    oracle=f"""
+    WITH tr AS (SELECT doc_id, text FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'),
+    te AS (SELECT doc_id, text FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= 'e6666666'),
+    si AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+           FROM (SELECT doc_id, text FROM tr) AS documents(doc_id, text)),
+    se AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+           FROM (SELECT doc_id, text FROM te) AS documents(doc_id, text)),
+    sz AS (SELECT doc_id AS eval_id, count(*) AS eval_size FROM se GROUP BY 1),
+    inter AS (
+      SELECT si.doc_id AS train_id, se.doc_id AS eval_id, count(*) AS shared
+      FROM si JOIN se USING (shingle) GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id, shared, eval_size,
+           CAST(shared AS DOUBLE) / CAST(eval_size AS DOUBLE) AS containment
+    FROM inter JOIN sz USING (eval_id)
+    WHERE CAST(shared AS DOUBLE) / CAST(eval_size AS DOUBLE) >= 0.5
+    """,
+)
+def split_leakage_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->test leakage report: per cross-split doc pair, the
+    fraction of the test doc's 5-gram set already present in a train
+    doc (containment = 1.0 -> verbatim leak). Asymmetric plan: test
+    shingle index broadcasts, the train stream joins map-side."""
+    from alerta_spark.ops.decontam import containment_report
+    from alerta_spark.ops.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 0.8, "eval": 0.1, "test": 0.1})
+    return containment_report(
+        split.where(F.col("split") == "train"),
+        split.where(F.col("split") == "test"),
+        threshold=0.5,
+    )
+
+
+@register(
     "cohort_retention_weekly",
     oracle="""
     WITH uw AS (
