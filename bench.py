@@ -62,6 +62,13 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "anomaly_zscore_events",
     "corpus_length_buckets",
+    # round-3 batch 3 (no earlier baseline; tracked from r03 on)
+    "text_bm25_topk",
+    "text_bigram_nll",
+    "corpus_drift_jsd",
+    "split_leakage_containment",
+    "agg_cube_event_day",
+    "cohort_retention_weekly",
 ]
 
 
