@@ -253,3 +253,50 @@ def sample_k_per_group(
         k,
         salt_buckets=salt_buckets,
     ).drop("_h")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Weighted sampling without replacement, made deterministic: the
+    Efraimidis-Spirakis A-ES scheme (rank by u^(1/w), u uniform) with
+    u derived from md5(key || salt) instead of an RNG — inclusion
+    probabilities follow the weights (quality-proportional corpus
+    picks), yet the draw is a pure row function: identical across
+    engines, retries, and partitionings; a new ``salt`` redraws.
+
+    Cross-engine determinism: u = (h+1)/2^32 from the 32-bit md5
+    prefix, ln(u) quantized to fixed-point once per row (exact BIGINT),
+    and the ranking key lnq(u)/w is ONE IEEE division on identical
+    operands — ties broken on the key column. Rows with weight <= 0
+    are excluded (A-ES gives them rank -inf anyway).
+
+    Scale shape: map-only scoring + a global top-k via
+    ``orderBy().limit(k)`` — TakeOrderedAndProject's per-partition
+    heaps, never a sort of the corpus.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]; ln(u) in [-22.18, 0]
+    lnq_u = F.floor(
+        F.log((h + 1).cast("double") / F.lit(float(_SPACE)))
+        * F.lit(float(quant))
+    ).cast("long")
+    score = lnq_u.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_es_score", score)
+        .orderBy(F.desc("_es_score"), F.asc(key_col))
+        .limit(k)
+        .drop("_es_score")
+    )

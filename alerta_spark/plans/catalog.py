@@ -4384,6 +4384,40 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_topk",
+    # A-ES weighted sampling with hash-derived uniforms: ln(u)
+    # quantized from exact BIGINTs, ranking key = ONE IEEE division,
+    # ties on doc_id — the k-cut is engine-identical.
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST(floor(ln(
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 8))
+                    AS BIGINT) + 1 AS DOUBLE) / 4294967296.0)
+               * 1000000000) AS BIGINT) AS lnq
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars
+    FROM scored
+    ORDER BY CAST(lnq AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis with md5-derived uniforms): 25 docs drawn
+    with probability proportional to length — the quality- or
+    size-proportional corpus pick, rerun-stable. Map-only scoring +
+    TakeOrderedAndProject."""
+    from alerta_spark.ops.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, "n_chars", k=25, salt="w1").select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
     "profile_column_stats",
     oracle="""
     WITH src AS (

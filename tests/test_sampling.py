@@ -120,3 +120,25 @@ def test_sample_k_per_group_exact_counts_and_redraw(spark, docs):
     assert {r["doc_id"] for r in sample_k_per_group(docs, "source", 3, salt="e1").collect()} == again
     other = {r["doc_id"] for r in sample_k_per_group(docs, "source", 3, salt="e2").collect()}
     assert other != again
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES property: with extreme weights, every heavy row must make
+    the cut before any light row can crowd it out (u^(1/w) -> 1 as
+    w -> inf); and the draw is salt-stable."""
+    from alerta_spark.ops.sampling import weighted_sample_k
+
+    rows = [(i, 10**9 if i < 10 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    picked = {r.doc_id for r in weighted_sample_k(df, "w", k=20, salt="s1").collect()}
+    assert len(picked) == 20
+    assert set(range(10)) <= picked  # all heavy rows included
+
+    again = {r.doc_id for r in weighted_sample_k(df, "w", k=20, salt="s1").collect()}
+    assert again == picked
+    redraw = {r.doc_id for r in weighted_sample_k(df, "w", k=20, salt="s2").collect()}
+    assert set(range(10)) <= redraw and redraw != picked
+
+    # zero/negative weights are excluded entirely
+    z = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w long")
+    assert {r.doc_id for r in weighted_sample_k(z, "w", k=3).collect()} == {3}
