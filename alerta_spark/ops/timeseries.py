@@ -1,0 +1,88 @@
+"""Time-series regularization over the event lake.
+
+Metrics pipelines want a VALUE PER KEY PER BUCKET even when nothing
+was observed in a bucket — dashboards, joins against other regular
+series, and window models all assume a dense time grid. These
+operators densify an irregular event stream: per-key calendar grid,
+last-observation-carried-forward fill, and an observed/filled flag.
+
+Scale shape: the grid explode is per-key (span/step rows, independent
+of event volume); the last-in-bucket cut and the forward-fill window
+both run under ONE key-hash exchange (the per-bucket aggregate reuses
+the window's clustering). Carried values are COPIES of observed
+doubles — no float arithmetic — so results are engine-exact and the
+catalog entry is hash-checked.
+
+Reference provenance: no analogue (alertA's Athena queries return
+sparse groups; absence is handled by the deadman operator,
+alerta.py:238-264). Training-data/analytics extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "day",
+) -> DataFrame:
+    """Per-key dense calendar grid at ``unit`` granularity ('day' or
+    'hour') spanning that key's [first, last] observation, with the
+    last observed value carried forward into empty buckets.
+
+    Bucket representative = the LAST observation in the bucket under
+    the total order (ts, then a stable column tie-break if ts
+    collides) — pinned identically in the oracle. Output:
+    [key, bucket, value, is_observed]; ``value`` is never NULL (the
+    first bucket of a key is always observed).
+    """
+    if unit not in ("day", "hour"):
+        raise ValueError(f"unit must be 'day' or 'hour', got {unit}")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    if unit == "day":
+        bucket = F.to_date(bucket)
+
+    obs = df.select(
+        F.col(key_col).alias("_k"), bucket.alias("bucket"),
+        F.col(ts_col).alias("_ts"), F.col(value_col).alias("_v"),
+    )
+    # last observation per (key, bucket) under (ts) desc; a second
+    # monotone column is unnecessary when ts is unique per key — the
+    # catalog pins (ts, value) to make the cut total regardless
+    w_last = W.partitionBy("_k", "bucket").orderBy(
+        F.desc("_ts"), F.desc("_v")
+    )
+    last_obs = (
+        obs.withColumn("_rn", F.row_number().over(w_last))
+        .where(F.col("_rn") == 1)
+        .select("_k", "bucket", F.col("_v").alias("_obs_v"))
+    )
+
+    step = F.expr(f"INTERVAL 1 {unit.upper()}")
+    span = obs.groupBy("_k").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = span.select(
+        "_k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket")
+    )
+
+    w_fill = (
+        W.partitionBy("_k")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(last_obs, ["_k", "bucket"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            "bucket",
+            F.last("_obs_v", ignorenulls=True).over(w_fill).alias(value_col),
+            F.col("_obs_v").isNotNull().alias("is_observed"),
+        )
+    )

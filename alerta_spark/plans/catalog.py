@@ -4384,6 +4384,51 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_ffill_daily",
+    # Carried values are copies of observed doubles (no arithmetic);
+    # the last-in-bucket cut is pinned to ORDER BY ts DESC, value DESC
+    # on both engines — fully hash-exact.
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS bucket,
+             ts, value
+      FROM events
+    ),
+    last_obs AS (
+      SELECT k, bucket, value FROM (
+        SELECT k, bucket, value,
+               row_number() OVER (PARTITION BY k, bucket
+                                  ORDER BY ts DESC, value DESC) AS rn
+        FROM obs
+      ) WHERE rn = 1
+    ),
+    span AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY k),
+    grid AS (
+      SELECT k, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                            CAST(hi AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS DATE) AS bucket
+      FROM span
+    )
+    SELECT g.k AS user_id, g.bucket,
+           last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.k ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           l.value IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN last_obs l ON g.k = l.k AND g.bucket = l.bucket
+    """,
+)
+def timeseries_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-user daily grid with
+    last-observation-carried-forward — the regularization every
+    metrics join and window model assumes. Grid size is span/step per
+    key (event-volume independent); fill + bucket-cut share one
+    key-hash exchange."""
+    from alerta_spark.ops.timeseries import resample_ffill
+
+    return resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "sample_weighted_topk",
     # A-ES weighted sampling with hash-derived uniforms: ln(u)
     # quantized from exact BIGINTs, ranking key = ONE IEEE division,

@@ -1,0 +1,52 @@
+"""Time-series densification semantics."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from alerta_spark.ops.timeseries import resample_ffill
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2026, 1, 1, 6, 30)
+    return spark.createDataFrame(
+        [
+            Row(user_id=u, ts=base + dt.timedelta(days=d, minutes=m), value=float(v))
+            for (u, d, m, v) in rows
+        ]
+    )
+
+
+def test_ffill_fills_gaps_and_flags(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 0, 10.0),   # day 0
+            (1, 3, 0, 40.0),   # day 3 (days 1-2 are gaps)
+            (2, 5, 0, 7.0),    # single-day user
+        ],
+    )
+    out = {
+        (r.user_id, str(r.bucket)): (r.value, r.is_observed)
+        for r in resample_ffill(ev).collect()
+    }
+    assert out[(1, "2026-01-01")] == (10.0, True)
+    assert out[(1, "2026-01-02")] == (10.0, False)   # carried
+    assert out[(1, "2026-01-03")] == (10.0, False)   # carried
+    assert out[(1, "2026-01-04")] == (40.0, True)
+    assert out[(2, "2026-01-06")] == (7.0, True)
+    assert len(out) == 5  # no grid beyond each key's span
+
+
+def test_ffill_last_in_bucket_wins(spark):
+    ev = _ev(spark, [(1, 0, 0, 1.0), (1, 0, 60, 2.0), (1, 1, 0, 3.0)])
+    out = {str(r.bucket): r.value for r in resample_ffill(ev).collect()}
+    assert out["2026-01-01"] == 2.0  # later ts wins within the bucket
+    assert out["2026-01-02"] == 3.0
+
+
+def test_ffill_hourly_unit(spark):
+    ev = _ev(spark, [(1, 0, 0, 5.0), (1, 0, 150, 6.0)])  # 06:30 and 09:00
+    rows = resample_ffill(ev, unit="hour").collect()
+    assert len(rows) == 4  # 06:00, 07:00, 08:00, 09:00
+    assert [r.value for r in sorted(rows, key=lambda r: r.bucket)] == [5.0, 5.0, 5.0, 6.0]
