@@ -136,21 +136,30 @@ def funnel_conversion_times(
     steps: list[tuple[str, Column]],
     ts_col: str = "ts",
     key_col: str = "user_id",
+    within_minutes: float | None = None,
 ) -> DataFrame:
     """Per-user funnel state in ONE corpus scan: for ordered steps
     p_1..p_n, t_i = the first event time matching p_i strictly after
     t_{i-1}. Returns (``key_col``, ``conv_times`` array<long> of µs,
     null where the step was never reached).
 
+    ``within_minutes`` adds a conversion deadline: step i counts only
+    if it lands within that long after step i-1's conversion time
+    (FIRST-TOUCH semantics — the deadline runs from the first
+    qualifying occurrence of the previous step, the standard
+    product-analytics convention; a later re-occurrence does not
+    reopen the window).
+
     Plan shape (the 100 TB design): one scan with the any-step
     disjunction pushed to the parquet reader, one shuffle on the user
     key, then a per-user ascending fold (``F.aggregate`` over the
     sorted event list — whole-stage JVM, no Python). Because events
     fold in ascending time order, the first event with flag_i and
-    t > acc[i-1] IS min{t : p_i, t > t_{i-1}} — identical semantics to
-    the step-join formulation, n-times fewer scans. Per-user memory is
-    the user's *matching* events only; a funnel over pathologically
-    chatty keys can fall back to ``funnel_counts(strategy='shuffle')``.
+    t > acc[i-1] (and under the deadline, if set) IS the step-join
+    minimum — identical semantics to the step-join formulation,
+    n-times fewer scans. Per-user memory is the user's *matching*
+    events only; a funnel over pathologically chatty keys can fall
+    back to ``funnel_counts(strategy='shuffle')``.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -176,7 +185,11 @@ def funnel_conversion_times(
             # greatest() guard keeps element_at's index >= 1 so the
             # i == 0 branch never evaluates an invalid index.
             prev = F.element_at(acc, F.greatest(i, F.lit(1)))
-            armed = (i == F.lit(0)) | (prev.isNotNull() & (e["_t"] > prev))
+            after_prev = prev.isNotNull() & (e["_t"] > prev)
+            if within_minutes is not None:
+                lim = int(within_minutes * 60 * 1_000_000)
+                after_prev = after_prev & (e["_t"] <= prev + F.lit(lim))
+            armed = (i == F.lit(0)) | after_prev
             cur = F.element_at(acc, i + 1)
             hit = F.coalesce(F.element_at(e["_f"], i + 1), F.lit(False))
             return F.when(cur.isNull() & hit & armed, e["_t"]).otherwise(cur)
@@ -196,6 +209,7 @@ def funnel_counts(
     key_col: str = "user_id",
     broadcast_state: bool = True,
     strategy: str = "fold",
+    within_minutes: float | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: per step, the number of users whose
     first qualifying event occurs strictly after their previous step's
@@ -218,7 +232,7 @@ def funnel_counts(
     if not steps:
         raise ValueError("funnel needs at least one step")
     if strategy == "fold":
-        conv = funnel_conversion_times(df, steps, ts_col, key_col)
+        conv = funnel_conversion_times(df, steps, ts_col, key_col, within_minutes)
         n = len(steps)
         one = conv.agg(
             *[
@@ -259,9 +273,11 @@ def funnel_counts(
         stage = df.where(pred).select(F.col(key_col).alias("_u"), us.alias("_t"))
         if prev is not None:
             carried = F.broadcast(prev) if broadcast_state else prev
-            stage = stage.join(
-                carried, "_u"
-            ).where(F.col("_t") > F.col("_prev_t")).drop("_prev_t")
+            gate = F.col("_t") > F.col("_prev_t")
+            if within_minutes is not None:
+                lim = int(within_minutes * 60 * 1_000_000)
+                gate = gate & (F.col("_t") <= F.col("_prev_t") + F.lit(lim))
+            stage = stage.join(carried, "_u").where(gate).drop("_prev_t")
         reached = stage.groupBy("_u").agg(F.min("_t").alias("_prev_t"))
         tiers.append((name, reached))
         prev = reached

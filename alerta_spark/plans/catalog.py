@@ -4384,6 +4384,108 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_within_24h",
+    # First-touch deadline: each step must land within 24h of the
+    # PREVIOUS step's first qualifying time — t bounds are exact µs
+    # integers on both engines.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+        AND epoch_us(e.ts) <= s1.t + 86400000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        AND epoch_us(e.ts) <= s2.t + 86400000000
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT step_idx, step, n AS n_users,
+           CAST(n AS DOUBLE) / CAST(first_value(n) OVER (ORDER BY step_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS DOUBLE) AS conversion
+    FROM c
+    """,
+)
+def funnel_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel: signup → view → purchase where each step must
+    convert within 24h of the previous one (first-touch window) —
+    same single-scan fold as the unconstrained funnel, one extra
+    comparison per slot."""
+    from alerta_spark.ops.sessions import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("view", F.col("event_type") == "view"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within_minutes=24 * 60,
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    # Exact sliding distinct: explode each (user, day) into the 7
+    # target days it contributes to, then one distinct + count — never
+    # a per-day rescan or a sliding set union.
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+                FROM events),
+    contrib AS (
+      SELECT DISTINCT user_id, d + CAST(o AS INTEGER) AS target_day
+      FROM ud, (SELECT unnest(generate_series(0, 6)) AS o)
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud)
+    SELECT target_day, count(*) AS active_users_7d
+    FROM contrib, bounds
+    WHERE target_day BETWEEN lo AND hi
+    GROUP BY target_day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct users per day — the sliding
+    distinct no window frame can express exactly. Each (user, day)
+    fans out to the <=7 days it contributes to (bounded fan-out), one
+    distinct + one count aggregate; days outside the observed range
+    are clipped so the curve has no synthetic ramp-out tail."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+            "d",
+        )
+        .select("user_id", F.date_add(F.col("d"), F.col("o")).alias("target_day"))
+        .distinct()
+    )
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("target_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("target_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )
+
+
+@register(
     "timeseries_ffill_daily",
     # Carried values are copies of observed doubles (no arithmetic);
     # the last-in-bucket cut is pinned to ORDER BY ts DESC, value DESC

@@ -209,3 +209,49 @@ def test_funnel_fold_matches_joins_randomized(spark):
             assert conv[u] == t, (u, conv[u], t)
         else:
             assert all(x is None for x in t), (u, t)
+
+
+def test_funnel_within_deadline_semantics(spark):
+    """Step counts only when it lands within the window after the
+    previous step's FIRST qualifying event; fold and join strategies
+    agree under the deadline."""
+    ev = _ev(
+        spark,
+        [
+            # user 1 converts view at +5min (inside 10-min window)
+            (1, 0, "signup"),
+            (1, 5, "view"),
+            # user 2's view lands at +30min -> outside the window
+            (2, 0, "signup"),
+            (2, 30, "view"),
+            # user 3: early view before signup doesn't count; the one
+            # after signup is outside the window
+            (3, 1, "view"),
+            (3, 2, "signup"),
+            (3, 40, "view"),
+        ],
+    )
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("view", F.col("event_type") == "view"),
+    ]
+    got = {
+        r.step: r.n_users
+        for r in funnel_counts(ev, steps, within_minutes=10).collect()
+    }
+    assert got == {"signup": 3, "view": 1}
+
+    a = sorted(map(tuple, funnel_counts(ev, steps, within_minutes=10).collect()))
+    b = sorted(
+        map(
+            tuple,
+            funnel_counts(
+                ev, steps, within_minutes=10, strategy="joins"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    # no deadline -> user 2 and 3 convert too
+    loose = {r.step: r.n_users for r in funnel_counts(ev, steps).collect()}
+    assert loose == {"signup": 3, "view": 3}
