@@ -4384,6 +4384,123 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "path_top_user_journeys",
+    # The journey string is built from an explicitly ordered (ts,
+    # event_id) list on both engines; the top-20 cut ranks on exact
+    # counts with a string tie-break.
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             array_to_string(
+               list(event_type ORDER BY ts, event_id)[1:8], '>') AS journey
+      FROM events GROUP BY user_id
+    )
+    SELECT journey, count(*) AS n_users
+    FROM j GROUP BY journey
+    ORDER BY n_users DESC, journey ASC
+    LIMIT 20
+    """,
+)
+def path_top_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first 8 events as an ordered
+    'a>b>c' journey string, top-20 most common journeys — the
+    navigation-pattern report. One user-keyed aggregate (collect +
+    sort + slice, all JVM array ops) + one journey-keyed count +
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            1,
+            8,
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(journey.alias("journey"))
+        .groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("journey"))
+        .limit(20)
+    )
+
+
+@register(
+    "changepoint_cusum_daily",
+    # Daily means quantized to 1e-9 fixed-point; the CUSUM running sum
+    # is an INTEGER window sum (exact under any sliding-aggregation
+    # algorithm — the w_running_agg_lag float hazard cannot occur);
+    # one final double division per row.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+      FROM events GROUP BY day
+    ),
+    q AS (
+      SELECT day,
+             CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000000)
+                  AS BIGINT) AS mq
+      FROM d
+    ),
+    tot AS (SELECT CAST(sum(mq) AS BIGINT) AS mu_num,
+                   CAST(count(*) AS BIGINT) AS nd FROM q)
+    SELECT day,
+           CAST(mq AS DOUBLE) / 1000000000.0 AS daily_mean,
+           CAST(CAST(sum(mq * nd - mu_num) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS DOUBLE)
+             / (CAST(nd AS DOUBLE) * 1000000000.0) AS cusum
+    FROM q, tot
+    """,
+)
+def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point trace: cumulative deviation of the daily
+    mean from the period mean — the standard drift/level-shift
+    detector; the |cusum| peak marks the most likely change day.
+    Day-sized data only after one exact-decimal daily aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("s"),
+    )
+    q = d.select(
+        "day",
+        F.floor(
+            F.col("s").cast("double") / F.col("n").cast("double") * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("mq"),
+    )
+    tot = q.agg(
+        F.sum("mq").alias("mu_num"), F.count(F.lit(1)).alias("nd")
+    )
+    w = (
+        W.partitionBy(F.lit(0))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # day-count-sized frame: the single-partition window is deliberate
+    return q.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("mq").cast("double") / F.lit(1e9)).alias("daily_mean"),
+        (
+            F.sum(F.col("mq") * F.col("nd") - F.col("mu_num"))
+            .over(w)
+            .cast("double")
+            / (F.col("nd").cast("double") * F.lit(1e9))
+        ).alias("cusum"),
+    )
+
+
+@register(
     "funnel_within_24h",
     # First-touch deadline: each step must land within 24h of the
     # PREVIOUS step's first qualifying time — t bounds are exact µs
