@@ -410,3 +410,74 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_corpus_drift_caches_vocab_join(spark):
+    """The vocab-sized outer-join frame feeds the totals row AND the
+    scored pass — it must be cached, else both corpus-side term
+    aggregates run twice."""
+    from alerta_spark.ops.dedupe import release_cached
+
+    plan = _plan(spark, "corpus_drift_jsd")
+    assert "InMemoryTableScan" in plan, plan
+    release_cached()
+
+
+def test_leakage_containment_broadcasts_eval_side(spark):
+    """The eval shingle index must broadcast — the corpus-sized train
+    shingle stream may not shuffle for the containment join."""
+    plan = _plan(spark, "split_leakage_containment")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_sample_take_ordered_no_window(spark):
+    plan = _plan(spark, "sample_weighted_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_journeys_take_ordered(spark):
+    plan = _plan(spark, "path_top_user_journeys")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cube_is_single_scan_expand(spark):
+    """CUBE must compute all four granularities in one pass: one scan,
+    one Expand, no union of per-granularity aggregates."""
+    plan = _plan(spark, "agg_cube_event_day")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan and "Union" not in plan, plan
+
+
+def test_profile_single_scan(spark):
+    """The multi-column profiler reads the table once (Expand-based
+    multi-distinct), never once per column."""
+    plan = _plan(spark, "profile_column_stats")
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_ffill_bounded_exchanges(spark):
+    """Grid, bucket-cut, and fill share key-hash partitioning: the
+    whole densification stays within 4 hash exchanges and the fill
+    window is keyed (never a global single partition)."""
+    plan = _plan(spark, "timeseries_ffill_daily")
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_rolling_distinct_bounded_fanout_plan(spark):
+    """The 7-day sliding distinct is explode + distinct + count — no
+    per-day rescan. Exactly two scans: the contribution pass and the
+    1-column (ts) min/max bounds pass (cheap column-pruned read;
+    NEVER one per day)."""
+    plan = _plan(spark, "rolling_7d_active_users")
+    assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_bigram_nll_caches_pair_vocab(spark):
+    from alerta_spark.ops.dedupe import release_cached
+
+    plan = _plan(spark, "text_bigram_nll")
+    assert "InMemoryTableScan" in plan, plan
+    assert "Window" not in plan, plan  # bigrams are zip_with, not lead
+    release_cached()
