@@ -4383,6 +4383,71 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _benford_expected() -> list[float]:
+    import math
+
+    return [math.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+@register(
+    "anomaly_benford_digits",
+    # Digit shares are count/total divisions; the TVD is a FIXED-ORDER
+    # 9-term expression tree of identical doubles (never an aggregate
+    # over digit rows, whose order would differ) — engine-exact.
+    oracle=(
+        lambda b=_benford_expected(): f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS dig
+      FROM events WHERE value >= 1
+    ),
+    c AS (
+      SELECT event_type, count(*) AS n,
+             {", ".join(f"count(*) FILTER (WHERE dig = {i}) AS c{i}" for i in range(1, 10))}
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) AS d1_share,
+           0.5 * ({" + ".join(
+               f"abs(CAST(c{i} AS DOUBLE) / CAST(n AS DOUBLE) - {b[i-1]!r})"
+               for i in range(1, 10)
+           )}) AS benford_tvd
+    FROM c
+    """
+    )(),
+)
+def anomaly_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance per event type: total-variation
+    distance between the observed leading-digit distribution and
+    Benford's law — the classic fabricated-numbers screen. One
+    conditional aggregate; the 9-term TVD is a fixed expression tree,
+    not an aggregation over digit rows."""
+    b = _benford_expected()
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") >= 1)
+    dig = F.substring(
+        F.floor(F.col("value")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.count(F.when(dig == i, 1)).alias(f"c{i}") for i in range(1, 10)
+    ]
+    c = ev.groupBy("event_type").agg(*aggs)
+    nd = F.col("n").cast("double")
+    tvd = F.lit(0.5) * sum(
+        (
+            F.abs(F.col(f"c{i}").cast("double") / nd - F.lit(b[i - 1]))
+            for i in range(2, 10)
+        ),
+        F.abs(F.col("c1").cast("double") / nd - F.lit(b[0])),
+    )
+    return c.select(
+        "event_type",
+        "n",
+        (F.col("c1").cast("double") / nd).alias("d1_share"),
+        tvd.alias("benford_tvd"),
+    )
+
+
 @register(
     "path_top_user_journeys",
     # The journey string is built from an explicitly ordered (ts,
