@@ -4383,6 +4383,74 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_corr_value_hour",
+    # Pearson r from five exact-decimal moments (built-in corr()
+    # streams doubles — ulp-nondeterministic across engines); both
+    # covariance and variance numerators assembled exactly, the wide-
+    # decimal -> double casts routed through VARCHAR (DuckDB's direct
+    # cast double-rounds), then one sqrt + one division.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sx,
+             CAST(sum(EXTRACT(hour FROM ts)) AS BIGINT) AS sy,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(EXTRACT(hour FROM ts) AS DECIMAL(4,0)))
+                  AS DECIMAL(24,6)) AS sxy,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,12)) AS sxx,
+             CAST(sum(EXTRACT(hour FROM ts) * EXTRACT(hour FROM ts)) AS BIGINT)
+               AS syy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(CAST(n AS DECIMAL(10,0)) * sxy
+                 - CAST(sx AS DECIMAL(19,6)) * CAST(sy AS DECIMAL(12,0))
+                 AS VARCHAR) AS DOUBLE)
+           / sqrt(
+               CAST(CAST(CAST(n AS DECIMAL(10,0)) * sxx
+                     - CAST(sx AS DECIMAL(19,6)) * CAST(sx AS DECIMAL(19,6))
+                     AS VARCHAR) AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)
+             ) AS corr_value_hour
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_corr_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and hour-of-day per
+    event type, from five exact-decimal/integer moments in ONE
+    aggregate — the bit-reproducible form of corr() (which streams
+    doubles in partition order and drifts at the ulp)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,6)")
+    y = F.hour("ts")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("decimal(18,6)").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y.cast("decimal(4,0)")).cast("decimal(24,6)").alias("sxy"),
+        F.sum(x * x).cast("decimal(24,12)").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    cov_num = (
+        F.col("n").cast("decimal(10,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(19,6)") * F.col("sy").cast("decimal(12,0)")
+    ).cast("double")
+    varx_num = (
+        F.col("n").cast("decimal(10,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(19,6)") * F.col("sx").cast("decimal(19,6)")
+    ).cast("double")
+    vary_num = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (cov_num / F.sqrt(varx_num * vary_num)).alias("corr_value_hour"),
+    ).orderBy("event_type")
+
+
 def _benford_expected() -> list[float]:
     import math
 
