@@ -677,9 +677,22 @@ def token_js_divergence(
             .agg(F.count("*").alias(side))
         )
 
-    from alerta_spark.ops.dedupe import _persist
+    return js_divergence_from_counts(
+        counts(df_a, "_a"), counts(df_b, "_b"), quant=quant
+    )
 
-    ca, cb = counts(df_a, "_a"), counts(df_b, "_b")
+
+def js_divergence_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """JSD from two pre-aggregated term-count frames — the entry point
+    the incremental/streaming drift monitor uses (its baseline side is
+    a persisted count store, not a corpus). ``ca``/``cb`` are
+    (term, _a) and (term, _b); same math and guarantees as
+    :func:`token_js_divergence`."""
+    from alerta_spark.ops.dedupe import _persist
     # persisted: feeds both the totals row and the scored pass — the
     # vocab-sized frame is the natural checkpoint, not the corpus scans
     joined = _persist(
