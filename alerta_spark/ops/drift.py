@@ -136,3 +136,20 @@ def stream_drift_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_store(spark, store_path: str) -> int:
+    """Rewrite the append-only partial-count store as one aggregated
+    (term, n) snapshot — run offline when partial files accumulate.
+    Returns the number of distinct terms after compaction.
+
+    The aggregate is materialized (localCheckpoint) before the
+    overwrite so the write never scans the path it is replacing."""
+    agg = (
+        spark.read.parquet(store_path)
+        .groupBy("term")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    agg.write.mode("overwrite").parquet(store_path)
+    return agg.count()

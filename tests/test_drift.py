@@ -2,6 +2,7 @@
 
 import math
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from alerta_spark.ops.drift import incremental_drift_monitor, stream_drift_monitor
@@ -86,3 +87,21 @@ def test_stream_drift_matches_batch_face(spark, tmp_path):
     ).collect()[0]
     assert got[1].jsd == expect.jsd
     assert got[1].n_shared_terms == expect.n_shared_terms == 2
+
+
+def test_compact_store_preserves_counts(spark, tmp_path):
+    from alerta_spark.ops.drift import compact_store
+
+    store = str(tmp_path / "store_c")
+    incremental_drift_monitor(spark, store, _docs(spark, [(1, "x y x")]))
+    incremental_drift_monitor(spark, store, _docs(spark, [(2, "x z")]))
+    before = {
+        (r.term, r.n)
+        for r in spark.read.parquet(store)
+        .groupBy("term")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    n_terms = compact_store(spark, store)
+    after = {(r.term, r.n) for r in spark.read.parquet(store).collect()}
+    assert n_terms == 3 and after == before == {("x", 3), ("y", 1), ("z", 1)}
