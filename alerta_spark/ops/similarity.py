@@ -919,3 +919,49 @@ def label_centroids(
             ).alias("dim_var"),
         )
     )
+
+
+def hybrid_retrieval(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[int],
+    query_vec_id: int,
+    recall_k: int = 100,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage hybrid retrieval — the RAG-serving shape: a cheap
+    LEXICAL recall stage (BM25 top ``recall_k``) followed by an exact
+    embedding-cosine RERANK of just those candidates against the query
+    vector. The corpus pays one BM25 pass; the O(dim) cosine work
+    touches only ``recall_k`` rows.
+
+    Scale shape: the candidate set is tiny, so it BROADCASTS into the
+    embedding join (the embedding corpus never shuffles); the query
+    vector is a broadcast single row; the final cut is
+    TakeOrderedAndProject. Determinism: BM25's exact-BIGINT ranking +
+    the round(cos, 6) discipline of :func:`cosine_topk`, ties on id.
+
+    -> [doc_id, bm25, cos] — top ``k`` by cosine.
+    """
+    from alerta_spark.ops.text import bm25_topk
+
+    cands = bm25_topk(docs, query_terms, k=recall_k, id_col=id_col).select(
+        id_col, "bm25"
+    )
+    qv = emb.where(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    return (
+        emb.join(F.broadcast(cands), F.col(vec_id_col) == F.col(id_col))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            id_col,
+            "bm25",
+            F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

@@ -4384,6 +4384,80 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_retrieval_rerank",
+    # Stage 1 = the text_bm25_topk pipeline at recall_k=100 (exact
+    # BIGINT ranking); stage 2 = round(cos,6) rerank of candidates
+    # against the query vector; both cuts tie-broken on id.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS t_corpus FROM doclen),
+    qc AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term,
+             CAST(floor(ln(CAST(2 * (SELECT n_docs FROM tot)
+                                  - 2 * count(*) + 1 AS DOUBLE)
+                           / CAST(2 * count(*) + 1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS idf_q
+      FROM qc GROUP BY term
+    ),
+    parts AS (
+      SELECT qc.doc_id,
+             CAST(floor(
+               (CAST(idf_q AS DOUBLE) / 1000000.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + (0.3 + 0.9 * (CAST(dl * (SELECT n_docs FROM tot) AS DOUBLE)
+                                  / CAST((SELECT t_corpus FROM tot) AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS pq
+      FROM qc JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+    ),
+    cands AS (
+      SELECT doc_id,
+             CAST(CAST(sum(pq) AS BIGINT) AS DOUBLE) / 1000000.0 AS bm25
+      FROM parts GROUP BY doc_id
+      ORDER BY CAST(sum(pq) AS BIGINT) DESC, doc_id ASC
+      LIMIT 100
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = 0)
+    SELECT c.doc_id, c.bm25,
+           round(list_dot_product(e.v, qv.v)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos
+    FROM cands c JOIN e ON e.vec_id = c.doc_id, qv
+    ORDER BY cos DESC, c.doc_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (the RAG-serving shape): BM25
+    lexical recall (top-100) broadcast into an exact cosine rerank
+    against query vector 0 — the embedding corpus never shuffles and
+    O(dim) work touches only the candidates."""
+    from alerta_spark.ops.similarity import hybrid_retrieval
+
+    return hybrid_retrieval(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["spark", "join", "vector"],
+        query_vec_id=0,
+        recall_k=100,
+        k=10,
+    )
+
+
+@register(
     "agg_corr_value_hour",
     # Pearson r from five exact-decimal moments (built-in corr()
     # streams doubles — ulp-nondeterministic across engines); both

@@ -481,3 +481,12 @@ def test_bigram_nll_caches_pair_vocab(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "Window" not in plan, plan  # bigrams are zip_with, not lead
     release_cached()
+
+
+def test_hybrid_retrieval_broadcasts_candidates(spark):
+    """The BM25 candidate set must broadcast into the embedding join
+    (the embedding corpus may not shuffle), and the final cut is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "hybrid_retrieval_rerank")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
