@@ -627,3 +627,42 @@ def test_streaming_fused_thresholds_match_per_rule(spark):
             ).collect()
         )
     assert fused == sorted(per_rule) and len(fused) > 0
+
+
+def test_sequence_correlator_reproduces_funnel(spark):
+    """Coherence pin between the two 'ordered steps per key' surfaces:
+    a funnel IS a 3-slot all-threshold-1 sequence rule. On real events
+    (no same-user ts ties at this sf), the batch correlator's completed
+    sequences must be exactly the funnel's final-step converters — the
+    security-alert flagship and the analytics funnel agree user for
+    user."""
+    from alerta_spark.ops.sessions import funnel_conversion_times
+    from alerta_spark.sources.lake import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    steps = ["signup", "view", "purchase"]
+    rule = {
+        "alert_name": "funnel_as_sequence",
+        "lifespan": "365 days",
+        "slots": [
+            {
+                "alert_name": s,
+                "alert_type": "threshold",
+                "criteria": f"event_type='{s}'",
+                "aggregation_key": "user_id",
+                "threshold": 1,
+            }
+            for s in steps
+        ],
+    }
+    done = {
+        r["correlation_value"]
+        for r in sequence_correlator(ev, rule, "user_id").collect()
+        if not r["expired"]
+    }
+    conv = funnel_conversion_times(
+        ev, [(s, F.col("event_type") == s) for s in steps]
+    ).collect()
+    funnel_done = {str(r.user_id) for r in conv if r.conv_times[2] is not None}
+    assert len(funnel_done) > 0
+    assert done == funnel_done
