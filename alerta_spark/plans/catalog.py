@@ -4384,6 +4384,176 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "abtest_conversion_z",
+    # Two-proportion z-test from exact integer counts; every division
+    # and the sqrt run on identical operands in one fixed expression
+    # tree — the textbook pooled-variance form, engine-exact.
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 8)
+                       < '80000000' THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ),
+    conv AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase'
+               AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 97),
+    s AS (
+      SELECT arm, count(*) AS n,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM assign a LEFT JOIN conv c USING (user_id)
+      GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        (SELECT n FROM s WHERE arm = 'A') AS na,
+        (SELECT x FROM s WHERE arm = 'A') AS xa,
+        (SELECT n FROM s WHERE arm = 'B') AS nb,
+        (SELECT x FROM s WHERE arm = 'B') AS xb
+    )
+    SELECT na, xa, nb, xb,
+           CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS p_a,
+           CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS p_b,
+           (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+           / sqrt(
+               (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+               * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+               * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+             ) AS z
+    FROM wide
+    """,
+)
+def abtest_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically split 50/50 by
+    md5 band (the hash_split discipline — assignment survives reruns),
+    per-arm high-value-purchase conversion, and the pooled two-proportion
+    z-statistic from exact counts. User-sized data in two exchanges;
+    the z emerges from one fixed double chain."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit("exp1"))), 1, 8)
+        < "80000000",
+        "A",
+    ).otherwise("B")
+    assign = ev.select("user_id").distinct().withColumn("arm", arm)
+    conv = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.get_json_object("props", "$.k").cast("int") > 97)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    s = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long").alias("x"),
+        )
+    )
+    a = s.where(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("x").alias("xa")
+    )
+    b = s.where(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("x").alias("xb")
+    )
+    wide = a.crossJoin(F.broadcast(b))
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    xad, xbd = F.col("xa").cast("double"), F.col("xb").cast("double")
+    pool = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    return wide.select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        (xad / nad).alias("p_a"),
+        (xbd / nbd).alias("p_b"),
+        (
+            (xad / nad - xbd / nbd)
+            / F.sqrt(
+                pool * (F.lit(1.0) - pool) * (F.lit(1.0) / nad + F.lit(1.0) / nbd)
+            )
+        ).alias("z"),
+    )
+
+
+@register(
+    "trending_terms_snapshot",
+    # Snapshot-over-snapshot lift from exact counts with +1 smoothing;
+    # the ranking key is the quantized ratio (BIGINT) with a term
+    # tie-break, so the top-20 cut is engine-identical.
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS half,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+               AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT term,
+             CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS c_old,
+             CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS c_new
+      FROM toks GROUP BY term
+    ),
+    r AS (
+      SELECT term, c_old, c_new,
+             CAST(floor(CAST(c_new + 1 AS DOUBLE) / CAST(c_old + 1 AS DOUBLE)
+                        * 1000000) AS BIGINT) AS lift_q
+      FROM c
+    )
+    SELECT term, c_old, c_new,
+           CAST(lift_q AS DOUBLE) / 1000000.0 AS lift
+    FROM r
+    ORDER BY lift_q DESC, term ASC
+    LIMIT 20
+    """,
+)
+def trending_terms_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-term report between two corpus snapshots (old half vs
+    new half): +1-smoothed count lift, top-20 — the what-changed probe
+    that pairs with corpus_snapshot_diff. One term aggregate + a
+    TakeOrdered cut on a quantized ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = F.when(F.col("doc_id") < 250, 0).otherwise(1)
+    toks = docs.select(
+        half.alias("half"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    c = toks.groupBy("term").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("c_old"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("c_new"),
+    )
+    lift_q = F.floor(
+        (F.col("c_new") + 1).cast("double")
+        / (F.col("c_old") + 1).cast("double")
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        c.withColumn("_lq", lift_q)
+        .orderBy(F.desc("_lq"), F.asc("term"))
+        .limit(20)
+        .select(
+            "term",
+            "c_old",
+            "c_new",
+            (F.col("_lq").cast("double") / F.lit(1e6)).alias("lift"),
+        )
+    )
+
+
+@register(
     "hybrid_retrieval_rerank",
     # Stage 1 = the text_bm25_topk pipeline at recall_k=100 (exact
     # BIGINT ranking); stage 2 = round(cos,6) rerank of candidates
