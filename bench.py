@@ -69,6 +69,9 @@ HEADLINE = [
     "split_leakage_containment",
     "agg_cube_event_day",
     "cohort_retention_weekly",
+    "hybrid_retrieval_rerank",
+    "timeseries_ffill_daily",
+    "path_top_user_journeys",
 ]
 
 
