@@ -825,3 +825,96 @@ def bigram_nll(
             / F.col("n_bigrams").cast("double")
         ).alias("mean_nll"),
     )
+
+
+def naive_bayes_source(
+    df: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own labels and
+    applied back to every document — the classic source/domain
+    classifier as a pure DataFrame train+predict loop (no MLlib, no
+    Python): score(d, c) = lnq P(c) + Σ_t lnq P(t|c) with add-one
+    smoothing, argmax with label-asc tie-break.
+
+    Every probability is a ratio of exact BIGINTs (class doc counts /
+    N; (c_tc + 1) / (T_c + V)), so each lnq is quantized once on the
+    (class x term) vocab frame, per-document scores accumulate as
+    exact BIGINTs, and the argmax — one (doc)-keyed min_by on the
+    (negated score, label) struct — is engine-identical.
+
+    Two bounded driver-side scalars (corpus doc count, vocab size)
+    are computed eagerly — each is one aggregate job returning one
+    number, the NB smoothing constants.
+
+    Plan: one (label, term) count aggregate + tiny per-class totals
+    broadcast; the scoring join fans each token instance out to
+    n_classes rows (bounded small multiplier), one doc-keyed argmax
+    aggregate. -> [doc_id, pred_source, best_score].
+    """
+    from alerta_spark.ops.dedupe import _persist
+
+    toks = _lm_terms(df, text_col, id_col)
+    # class priors from doc counts
+    priors = df.groupBy(F.col(label_col).alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_docs")
+    )
+    n_docs = df.count()
+    # per-(class, term) token counts — training
+    labeled = toks.join(
+        df.select(F.col(id_col).alias("_id"), F.col(label_col).alias("_cls")),
+        "_id",
+    )
+    ct = _persist(
+        labeled.groupBy("_cls", "term").agg(F.count(F.lit(1)).alias("_ctc"))
+    )
+    vocab_n = ct.select("term").distinct().count()
+    class_tot = ct.groupBy("_cls").agg(F.sum("_ctc").alias("_tc"))
+
+    def lnq(num, den):
+        return F.floor(
+            F.log(num.cast("double") / den.cast("double")) * F.lit(float(quant))
+        ).cast("long")
+
+    # full (class x distinct term) likelihood table incl. unseen terms
+    classes = priors.select("_cls")
+    full = (
+        ct.select("term").distinct().crossJoin(F.broadcast(classes))
+        .join(ct, ["_cls", "term"], "left")
+        .join(F.broadcast(class_tot), "_cls")
+        .select(
+            "_cls",
+            "term",
+            lnq(
+                F.coalesce(F.col("_ctc"), F.lit(0)) + F.lit(1),
+                F.col("_tc") + F.lit(vocab_n),
+            ).alias("_lq"),
+        )
+    )
+    prior_q = priors.select(
+        "_cls", lnq(F.col("_docs"), F.lit(n_docs)).alias("_pq")
+    )
+    scored = (
+        toks.join(full, "term")
+        .groupBy("_id", "_cls")
+        .agg(F.sum("_lq").alias("_sl"))
+        .join(F.broadcast(prior_q), "_cls")
+        .select("_id", "_cls", (F.col("_sl") + F.col("_pq")).alias("_score"))
+    )
+    # argmax with label-ASC tie-break: min_by over the struct
+    # (negated score, label) — struct comparison is lexicographic, so
+    # the minimum is the highest score, then the smallest label.
+    best = scored.groupBy("_id").agg(
+        F.min_by(
+            F.struct(F.col("_cls").alias("c"), F.col("_score").alias("s")),
+            F.struct((-F.col("_score")).alias("ns"), F.col("_cls").alias("c")),
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_b.c").alias("pred_" + label_col),
+        (F.col("_b.s").cast("double") / F.lit(float(quant))).alias("best_score"),
+    )

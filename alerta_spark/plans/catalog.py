@@ -4383,6 +4383,147 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_langid_confusion", oracle=None)  # oracle set below
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: confusion matrix of the
+    heuristic language ID against the table's ground-truth ``lang``
+    labels, plus each cell's share of its true-label row count (one
+    int/int division) — the accuracy report you run before trusting a
+    filter built on lang_pred."""
+    from alerta_spark.ops.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cell = joined.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.col("n_true").cast("double")).alias(
+            "share_of_true"
+        ),
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+    WITH pred AS ({_lang_oracle()}),
+    joined AS (
+      SELECT d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cell AS (SELECT lang, lang_pred, count(*) AS n FROM joined GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS n_true FROM joined GROUP BY lang)
+    SELECT cell.lang, lang_pred, n,
+           CAST(n AS DOUBLE) / CAST(n_true AS DOUBLE) AS share_of_true
+    FROM cell JOIN tot USING (lang)
+    """
+
+
+QUERIES["text_langid_confusion"]["oracle"] = _langid_confusion_oracle()
+
+
+@register(
+    "corpus_boilerplate_shingles",
+    # Observability face of the hot-shingle cap: the exact shingles the
+    # dedup index drops (df > cap), ranked by document frequency.
+    oracle=f"""
+    WITH s AS (SELECT doc_id, unnest({{SH}}) AS sh FROM documents),
+    freq AS (SELECT sh, count(*) AS doc_freq FROM s GROUP BY sh)
+    SELECT sh AS shingle, doc_freq
+    FROM freq WHERE doc_freq > 1
+    ORDER BY doc_freq DESC, sh ASC
+    LIMIT 25
+    """.replace("{SH}", _DUCK_SHINGLES),
+)
+def corpus_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery: the highest-document-frequency 5-gram
+    shingles (df > 1 at this synthetic sf; raise with corpus scale) —
+    exactly the rows the skew cap in
+    dedup_ngram_jaccard would drop, surfaced as a report so the cap
+    threshold is chosen from data, not guessed. One partial-agg
+    shuffle + TakeOrdered."""
+    from alerta_spark.ops.dedupe import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shingle_rows(docs, "text", "doc_id", 5)
+        .groupBy(F.col("shingle"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") > 1)
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(25)
+    )
+
+
+@register(
+    "text_naive_bayes_source",
+    # Full NB train+predict as SQL: every probability a ratio of exact
+    # BIGINTs, lnq quantized on the (class x term) table, per-doc sums
+    # exact, argmax via window with (score DESC, label ASC).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    priors AS (SELECT source AS cls, count(*) AS docs FROM documents GROUP BY source),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    labeled AS (
+      SELECT t.doc_id, d.source AS cls, t.term
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    ct AS (SELECT cls, term, count(*) AS ctc FROM labeled GROUP BY cls, term),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ct),
+    ctot AS (SELECT cls, CAST(sum(ctc) AS BIGINT) AS tc FROM ct GROUP BY cls),
+    terms AS (SELECT DISTINCT term FROM ct),
+    lik AS (
+      SELECT p.cls, t.term,
+             CAST(floor(ln(
+               CAST(COALESCE(ct.ctc, 0) + 1 AS DOUBLE)
+               / CAST(ctot.tc + (SELECT v FROM vocab) AS DOUBLE))
+               * 1000000) AS BIGINT) AS lq
+      FROM terms t CROSS JOIN priors p
+      JOIN ctot ON ctot.cls = p.cls
+      LEFT JOIN ct ON ct.cls = p.cls AND ct.term = t.term
+    ),
+    pq AS (
+      SELECT cls, CAST(floor(ln(CAST(docs AS DOUBLE)
+                 / CAST((SELECT n FROM ndocs) AS DOUBLE)) * 1000000) AS BIGINT)
+               AS pqv
+      FROM priors
+    ),
+    scored AS (
+      SELECT tk.doc_id, l.cls, CAST(sum(l.lq) AS BIGINT) AS sl
+      FROM toks tk JOIN lik l USING (term)
+      GROUP BY tk.doc_id, l.cls
+    ),
+    fin AS (
+      SELECT s.doc_id, s.cls, s.sl + p.pqv AS score,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY s.sl + p.pqv DESC, s.cls ASC) AS rn
+      FROM scored s JOIN pq p ON p.cls = s.cls
+    )
+    SELECT doc_id, cls AS pred_source,
+           CAST(score AS DOUBLE) / 1000000.0 AS best_score
+    FROM fin WHERE rn = 1
+    """,
+)
+def text_naive_bayes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classifier, trained on the
+    corpus's own labels and applied back — a complete ML train+predict
+    loop in pure DataFrame ops with an exact cross-engine gate
+    (add-one smoothing, fixed-point log-probabilities, min_by
+    argmax)."""
+    from alerta_spark.ops.text import naive_bayes_source
+
+    return naive_bayes_source(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "abtest_conversion_z",
     # Two-proportion z-test from exact integer counts; every division
