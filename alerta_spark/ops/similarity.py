@@ -965,3 +965,43 @@ def hybrid_retrieval(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_label(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification: predict each query vector's label by
+    majority vote over its exact cosine top-k neighbors (self
+    excluded). Vote ties break on (count DESC, label ASC); the
+    neighbor cut itself is the deterministic cosine_topk ranking.
+
+    -> [query_id, pred_label, votes] — one row per query.
+    """
+    nn = cosine_topk(df, query_ids, k, id_col, vec_col)
+    votes = (
+        nn.join(
+            df.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_lbl"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "_lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.min_by(
+            F.struct(F.col("_lbl").alias("l"), F.col("votes").alias("v")),
+            F.struct((-F.col("votes")).alias("nv"), F.col("_lbl").alias("l")),
+        ).alias("_b")
+    )
+    return best.select(
+        "query_id",
+        F.col("_b.l").cast("long").alias("pred_label"),
+        F.col("_b.v").alias("votes"),
+    )

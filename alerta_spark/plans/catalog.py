@@ -4383,6 +4383,50 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_knn_label",
+    # Neighbor cut = the proven cosine_topk ranking (round 6dp, id
+    # tie-break); vote argmax = (count DESC, label ASC) window.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id IN (0,1,2,3,4)),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, a.label,
+             round(list_dot_product(a.v, q.v) /
+                   (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+      FROM e a, q WHERE a.vec_id != q.query_id
+    ),
+    nn AS (
+      SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    votes AS (
+      SELECT query_id, label, count(*) AS votes
+      FROM nn GROUP BY query_id, label
+    )
+    SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def embedding_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding corpus: majority label
+    of the exact cosine top-10 for 5 query vectors — the second
+    DataFrame-native ML loop (with text_naive_bayes_source), built on
+    the broadcast-queries/one-corpus-scan cosine_topk plan."""
+    from alerta_spark.ops.similarity import knn_label
+
+    return knn_label(
+        load_table(spark, sf_dir, "embeddings"), _TOPK_QUERY_IDS, k=10
+    )
+
+
 @register("text_langid_confusion", oracle=None)  # oracle set below
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation as a query: confusion matrix of the
