@@ -4384,6 +4384,76 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_state_intervals",
+    # Gaps-and-islands by VALUE CHANGE (the SCD2 build): island id =
+    # running count of change points; interval bounds are exact µs.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT user_id, event_type, t,
+             CAST(sum(CASE WHEN prev_type IS NULL
+                             OR prev_type <> event_type THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM o
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS version,
+           any_value(event_type) AS state,
+           min(t) AS valid_from_us, max(t) AS last_seen_us,
+           count(*) AS n_events
+    FROM marked
+    GROUP BY user_id, island
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: collapse each user's event stream into
+    versioned state intervals (a new version whenever the event_type
+    changes) — the slowly-changing-dimension construction every
+    warehouse needs. One user-keyed exchange shared by the lag window,
+    the island running count, and the interval aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    wi = (
+        W.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = o.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.sum(
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wi)
+        .cast("long")
+        .alias("island"),
+    )
+    return marked.groupBy("user_id", F.col("island").alias("version")).agg(
+        F.any_value("event_type").alias("state"),
+        F.min("t").alias("valid_from_us"),
+        F.max("t").alias("last_seen_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "embedding_knn_label",
     # Neighbor cut = the proven cosine_topk ranking (round 6dp, id
     # tie-break); vote argmax = (count DESC, label ASC) window.

@@ -490,3 +490,10 @@ def test_hybrid_retrieval_broadcasts_candidates(spark):
     plan = _plan(spark, "hybrid_retrieval_rerank")
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scd2_single_exchange(spark):
+    """Lag window, island running count, and interval aggregate all
+    reuse the user-key partitioning: one hash exchange end-to-end."""
+    plan = _plan(spark, "scd2_user_state_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
