@@ -766,3 +766,78 @@ def winnow_near_dup_pairs(
         .where(F.col("fp_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("fp_jaccard", 6).alias("fp_jaccard"))
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """n-gram Jaccard pairs >= threshold via PREFIX FILTERING (the
+    PPJoin/AllPairs candidate generation): under any consistent global
+    token order, two sets with Jaccard >= t MUST share a token within
+    each one's first ``|d| - ceil(t*|d|) + 1`` tokens — so only that
+    prefix is indexed. At t=0.8 the inverted index shrinks ~5x vs the
+    full-index formulation in :func:`ngram_jaccard_pairs`, and the
+    join cost (sum of df^2 over indexed tokens) shrinks quadratically;
+    rare-first ordering makes the surviving buckets the smallest ones.
+
+    The global order is (corpus doc-freq ASC, shingle ASC) — applied
+    per document with a JVM ``sort_array`` over (freq, shingle)
+    structs, so NO global rank window (which would be a
+    single-partition sort) is ever materialized.
+
+    Verification is exact: candidates join back their full sorted
+    shingle arrays and the Jaccard is computed with
+    ``array_intersect`` — same output contract as
+    ngram_jaccard_pairs(max_doc_freq=None): [id_a, id_b, jaccard].
+    """
+    import math
+
+    idx = _persist(shingle_rows(df, text_col, id_col, n))
+    freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    with_f = idx.join(freq, "shingle")
+    per_doc = _persist(
+        with_f.groupBy("_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_f"), F.col("shingle")))
+            ).alias("_ord")
+        )
+    )
+    L = F.size("_ord")
+    prefix_len = L - F.ceil(L * F.lit(float(threshold))).cast("int") + 1
+    prefix = per_doc.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.slice("_ord", 1, prefix_len), lambda s: s["shingle"]
+            )
+        ).alias("shingle"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sets = per_doc.select(
+        "_id",
+        F.transform("_ord", lambda s: s["shingle"]).alias("_set"),
+    )
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = inter / (F.size("_sa") + F.size("_sb") - inter)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -4384,6 +4384,41 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_prefix_jaccard",
+    # Same result contract as the uncapped inverted-index formulation;
+    # the oracle is the plain exact all-shared-token computation — the
+    # prefix filter must be output-invisible (a pure candidate-
+    # generation optimization).
+    oracle=f"""
+    WITH s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.id_a
+      JOIN sizes sb ON sb.doc_id = inter.id_b
+    )
+    SELECT id_a, id_b, round(j, 6) AS jaccard
+    FROM pairs WHERE j >= 0.8
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard pairs (t=0.8): only each
+    document's rare-first prefix is indexed — the index and its df²
+    join cost shrink ~(1-t)x/quadratically vs the full inverted index,
+    with exact verification on candidates. The hash gate proves the
+    prefix filter is output-invisible."""
+    from alerta_spark.ops.dedupe import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "scd2_user_state_intervals",
     # Gaps-and-islands by VALUE CHANGE (the SCD2 build): island id =
     # running count of change points; interval bounds are exact µs.

@@ -168,3 +168,42 @@ def test_winnow_guarantee_and_density(spark):
     # density: ~2/(w+1) of positions, never more than 1 per position
     n_chars = len(f"alpha beta {shared} gamma delta")
     assert 0 < len(by_doc[1]) < n_chars * 0.8
+
+
+def test_prefix_filter_matches_full_index_and_shrinks(spark):
+    """The PPJoin lemma in practice: prefix-filtered pairs == the
+    full-inverted-index formulation (uncapped) at the same threshold,
+    while indexing strictly fewer (token, doc) rows."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.dedupe import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+        release_cached,
+        shingle_rows,
+    )
+    from alerta_spark.sources.lake import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, max_doc_freq=None).collect())
+    )
+    pref = sorted(map(tuple, prefix_jaccard_pairs(docs).collect()))
+    assert full == pref and len(pref) > 0
+
+    # index-size claim: at t=0.8 the prefix index is a small fraction
+    n_full = shingle_rows(docs, "text", "doc_id", 5).count()
+    # reconstruct the prefix row count the operator indexes
+    idx = shingle_rows(docs, "text", "doc_id", 5)
+    freq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+    per_doc = (
+        idx.join(freq, "shingle")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("L"))
+        .select(
+            (F.col("L") - F.ceil(F.col("L") * 0.8).cast("int") + 1).alias("p")
+        )
+    )
+    n_prefix = per_doc.agg(F.sum("p")).first()[0]
+    release_cached()
+    assert n_prefix < 0.45 * n_full, (n_prefix, n_full)
