@@ -4384,6 +4384,114 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pmi_term_pairs",
+    # PMI = ln(n_both * N / (n_a * n_b)) — a ratio of exact BIGINTs
+    # quantized once per pair; the top-20 cut ranks on the quantized
+    # BIGINT with a pair tie-break.
+    oracle="""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+      )
+    ),
+    ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+    df AS (SELECT term, count(*) AS d FROM dt GROUP BY term HAVING count(*) >= 5),
+    kept AS (SELECT dt.doc_id, dt.term FROM dt JOIN df USING (term)),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_both
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    scored AS (
+      SELECT term_a, term_b, n_both, da.d AS n_a, db.d AS n_b,
+             CAST(floor(ln(CAST(n_both * (SELECT n FROM ndocs) AS DOUBLE)
+                           / CAST(da.d * db.d AS DOUBLE)) * 1000000000)
+                  AS BIGINT) AS pmi_q
+      FROM pairs
+      JOIN df da ON da.term = pairs.term_a
+      JOIN df db ON db.term = pairs.term_b
+    )
+    SELECT term_a, term_b, n_both, n_a, n_b,
+           CAST(pmi_q AS DOUBLE) / 1000000000.0 AS pmi
+    FROM scored
+    ORDER BY pmi_q DESC, term_a ASC, term_b ASC
+    LIMIT 20
+    """,
+)
+def text_pmi_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 term pairs by pointwise mutual
+    information over document co-occurrence (min support 5 on both
+    terms and the pair). The support filter applies BEFORE the per-doc
+    pair fan-out — the quadratic blow-up guard; at web scale also cap
+    per-doc distinct terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    ndocs = dt.select("doc_id").distinct().count()
+    dfreq = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= 5)
+    )
+    kept = dt.join(F.broadcast(dfreq.select("term")), "term")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 5)
+    )
+    da = F.broadcast(
+        dfreq.select(F.col("term").alias("term_a"), F.col("d").alias("n_a"))
+    )
+    db = F.broadcast(
+        dfreq.select(F.col("term").alias("term_b"), F.col("d").alias("n_b"))
+    )
+    pmi_q = F.floor(
+        F.log(
+            (F.col("n_both") * F.lit(ndocs)).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        pairs.join(da, "term_a")
+        .join(db, "term_b")
+        .withColumn("_pq", pmi_q)
+        .orderBy(F.desc("_pq"), F.asc("term_a"), F.asc("term_b"))
+        .limit(20)
+        .select(
+            "term_a",
+            "term_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("_pq").cast("double") / F.lit(1e9)).alias("pmi"),
+        )
+    )
+
+
+@register(
     "dedup_prefix_jaccard",
     # Same result contract as the uncapped inverted-index formulation;
     # the oracle is the plain exact all-shared-token computation — the
