@@ -4384,6 +4384,68 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_robust_mad",
+    # Robust (median/MAD) outliers: both medians are exact
+    # interpolated percentiles (Spark `percentile` == DuckDB
+    # `quantile_cont`, the agg_exact_percentiles pin); the modified
+    # z-score is a fixed double chain on identical operands.
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             any_value(m.med_v) AS med_v,
+             quantile_cont(abs(CAST(e.value AS DOUBLE) - m.med_v), 0.5) AS mad_v
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+           0.6745 * (CAST(e.value AS DOUBLE) - s.med_v) / s.mad_v AS robust_z
+    FROM events e JOIN mad s USING (event_type)
+    WHERE abs(0.6745 * (CAST(e.value AS DOUBLE) - s.med_v) / s.mad_v) > 3.5
+    """,
+)
+def anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier sweep: modified z-score via median/MAD
+    (|0.6745·(x-med)/MAD| > 3.5) — immune to the outliers that
+    inflate stddev and mask each other in the plain z-score sweep
+    (anomaly_zscore_events). Two grouped exact-percentile aggregates
+    broadcast back over a map-only score."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med_v").alias("med_v"),
+            F.percentile(
+                F.abs(F.col("value").cast("double") - F.col("med_v")),
+                F.lit(0.5),
+            ).alias("mad_v"),
+        )
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col("value").cast("double") - F.col("med_v"))
+        / F.col("mad_v")
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            z.alias("robust_z"),
+        )
+    )
+
+
+@register(
     "text_pmi_term_pairs",
     # PMI = ln(n_both * N / (n_a * n_b)) — a ratio of exact BIGINTs
     # quantized once per pair; the top-20 cut ranks on the quantized
