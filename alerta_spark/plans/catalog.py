@@ -4384,6 +4384,57 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skyline_value_recency",
+    # The oracle is the DEFINITIONAL quadratic NOT EXISTS; the Spark
+    # side is the efficient 2D-skyline plan (sort + running max under
+    # one window) — the hash gate proves the optimization correct.
+    oracle="""
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value, epoch_us(e.ts) AS t_us
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events o
+      WHERE o.event_type = e.event_type
+        AND o.value >= e.value AND epoch_us(o.ts) >= epoch_us(e.ts)
+        AND (o.value > e.value OR epoch_us(o.ts) > epoch_us(e.ts))
+    )
+    """,
+)
+def skyline_value_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier per event type over (value, recency): the rows
+    no other row beats on both dimensions — the multi-criteria 'best
+    offers' query. The 2D skyline needs NO quadratic self-join:
+    aggregate to distinct (type, value) -> max ts, sort values DESC,
+    and keep values whose max-ts strictly exceeds the running max over
+    all strictly-higher values (a ROWS frame over the DISTINCT value
+    frame, so value ties never leak in); rows then rejoin and survive
+    only at their value's max ts. One aggregate + one value-count-
+    sized window + a broadcast-back join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    g = ev.groupBy("event_type", "value").agg(F.max("t_us").alias("_vmax"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.desc("value"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky_vals = (
+        g.withColumn("_bh", F.max("_vmax").over(w))
+        .where(F.col("_bh").isNull() | (F.col("_vmax") > F.col("_bh")))
+        .select("event_type", "value", "_vmax")
+    )
+    return (
+        ev.join(F.broadcast(sky_vals), ["event_type", "value"])
+        .where(F.col("t_us") == F.col("_vmax"))
+        .select("event_id", "event_type", "value", "t_us")
+    )
+
+
+@register(
     "anomaly_robust_mad",
     # Robust (median/MAD) outliers: both medians are exact
     # interpolated percentiles (Spark `percentile` == DuckDB

@@ -497,3 +497,12 @@ def test_scd2_single_exchange(spark):
     reuse the user-key partitioning: one hash exchange end-to-end."""
     plan = _plan(spark, "scd2_user_state_intervals")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_skyline_no_quadratic_join(spark):
+    """The 2D skyline must run as aggregate + window, never as the
+    definitional quadratic self-join."""
+    plan = _plan(spark, "skyline_value_recency")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
