@@ -4384,6 +4384,73 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_merge_snapshot",
+    # MERGE INTO semantics (insert/update/delete) as a full outer
+    # join + case — the lakehouse upsert without a table format. The
+    # change batch is derived deterministically from the base table so
+    # the gate is self-contained.
+    oracle="""
+    WITH changes AS (
+      SELECT doc_id, 'U' AS op, upper(text) AS new_text
+      FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT doc_id, 'D', NULL FROM documents
+      WHERE doc_id >= 10 AND doc_id < 20
+      UNION ALL
+      SELECT doc_id + 10000, 'I', 'inserted doc ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN c.op = 'U' THEN c.new_text
+                WHEN c.op = 'I' THEN c.new_text
+                ELSE b.text END AS text,
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS merge_action
+    FROM documents b FULL OUTER JOIN changes c USING (doc_id)
+    WHERE c.op IS DISTINCT FROM 'D'
+    """,
+)
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert + delete) emulated on plain parquet: one
+    full outer join on the key, matched-update / matched-delete /
+    not-matched-insert resolved by a case — the CDC apply step. At
+    scale, bucket both sides by the key (sources/bucketed) so the
+    merge join is co-located and shuffle-free."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = load_table(spark, sf_dir, "documents")
+    changes = (
+        d.where(F.col("doc_id") < 10)
+        .select("doc_id", F.lit("U").alias("op"), F.upper("text").alias("new_text"))
+        .unionByName(
+            d.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+                "doc_id", F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_text")
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.lit("I").alias("op"),
+                F.concat(F.lit("inserted doc "), F.col("doc_id").cast("string")).alias("new_text"),
+            )
+        )
+    )
+    merged = base.join(changes, "doc_id", "full_outer")
+    return merged.where(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "doc_id",
+        F.when(F.col("op").isin("U", "I"), F.col("new_text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(F.col("op").isNull(), "kept")
+        .when(F.col("op") == "U", "updated")
+        .otherwise("inserted")
+        .alias("merge_action"),
+    )
+
+
+@register(
     "skyline_value_recency",
     # The oracle is the DEFINITIONAL quadratic NOT EXISTS; the Spark
     # side is the efficient 2D-skyline plan (sort + running max under
