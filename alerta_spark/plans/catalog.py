@@ -4384,6 +4384,34 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "attribution_click_purchase",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, click_ts, purchase_id, purchase_ts,
+           epoch_us(purchase_ts) - epoch_us(click_ts) AS delay_us
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND purchase_ts >= click_ts
+      AND purchase_ts < click_ts + INTERVAL 1 HOUR
+    """,
+)
+def attribution_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution (1-hour window): the batch face of
+    the stream-stream interval join in streaming/attribution.py — the
+    time-range predicate that bounds streaming join state is the same
+    expression that makes this a range join in batch."""
+    from alerta_spark.streaming.attribution import attribute_purchases
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribute_purchases(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
     "cdc_merge_snapshot",
     # MERGE INTO semantics (insert/update/delete) as a full outer
     # join + case — the lakehouse upsert without a table format. The

@@ -666,3 +666,40 @@ def test_sequence_correlator_reproduces_funnel(spark):
     funnel_done = {str(r.user_id) for r in conv if r.conv_times[2] is not None}
     assert len(funnel_done) > 0
     assert done == funnel_done
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """The stream-stream interval join (two live file streams, both
+    watermarked, joined on user within a 1h event-time window) emits
+    exactly the batch range-join answer — and the time-range predicate
+    reaches the streaming join so state stays bounded."""
+    import tempfile
+
+    from alerta_spark.sources.lake import load_events
+    from alerta_spark.streaming.attribution import attribute_purchases
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    clicks_b = ev.where(F.col("event_type") == "click")
+    purch_b = ev.where(F.col("event_type") == "purchase")
+    expect = sorted(
+        map(tuple, attribute_purchases(clicks_b, purch_b).collect())
+    )
+    assert len(expect) > 0
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("att_c_", "att_p_", "att_ck_")]
+    clicks_b.write.mode("overwrite").parquet(dirs[0])
+    purch_b.write.mode("overwrite").parquet(dirs[1])
+    cs = spark.readStream.schema(clicks_b.schema).parquet(dirs[0])
+    ps = spark.readStream.schema(purch_b.schema).parquet(dirs[1])
+    out = attribute_purchases(cs, ps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("att_out")
+        .option("checkpointLocation", dirs[2])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM att_out").collect()))
+    assert got == expect
