@@ -157,6 +157,33 @@ def threshold_alerts_fused(
     Equivalence with the sequential path is pytest-pinned
     (tests/test_threshold.py)."""
     shells = [threshold_shell(r) for r in rules]
+    grouped = fused_grouped(df, shells, id_col, ts_col, max_events)
+    thresholds = F.array(*[F.lit(int(p["threshold"])) for p in shells])
+    names = F.array(*[F.lit(p["alert_name"]) for p in shells])
+    return (
+        grouped.where(
+            F.col("count") >= F.element_at(thresholds, F.col("rule_idx") + 1)
+        )
+        .select(
+            F.element_at(names, F.col("rule_idx") + 1).alias("alert_name"),
+            "value",
+            "count",
+            "events",
+        )
+    )
+
+
+def fused_grouped(
+    df: DataFrame,
+    shells: list[dict[str, Any]],
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    max_events: int = 1000,
+) -> DataFrame:
+    """The shared one-scan/one-exchange core of rule fusion: evaluate
+    every rule's criteria + aggregation key as columns, explode one
+    (rule_idx, value) struct per matching rule, aggregate by
+    (rule_idx, value) -> [rule_idx, value, count, events]."""
     preds = [
         F.expr(trino_to_spark(p["criteria"]) or "true") if p["criteria"] else F.lit(True)
         for p in shells
@@ -192,16 +219,4 @@ def threshold_alerts_fused(
         .withColumn("events", F.expr("transform(_tagged, x -> x.e)"))
         .drop("_tagged")
     )
-    thresholds = F.array(*[F.lit(int(p["threshold"])) for p in shells])
-    names = F.array(*[F.lit(p["alert_name"]) for p in shells])
-    return (
-        grouped.where(
-            F.col("count") >= F.element_at(thresholds, F.col("rule_idx") + 1)
-        )
-        .select(
-            F.element_at(names, F.col("rule_idx") + 1).alias("alert_name"),
-            "value",
-            "count",
-            "events",
-        )
-    )
+    return grouped
