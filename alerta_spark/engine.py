@@ -49,6 +49,7 @@ class Engine:
         events_df: DataFrame,
         rules: list[dict[str, Any]],
         fuse_thresholds: bool = False,
+        fuse_deadmen: bool = False,
     ) -> None:
         """One engine pass (the cron body, alerta.py:481-515).
 
@@ -73,6 +74,11 @@ class Engine:
             rules = [
                 r for r in rules if r.get("alert_type", "threshold") != "threshold"
             ]
+        if fuse_deadmen:
+            dm = [r for r in rules if r.get("alert_type") == "deadman"]
+            if dm:
+                self._run_deadmen_fused(events_df, dm)
+            rules = [r for r in rules if r.get("alert_type") != "deadman"]
 
         for rule in rules:
             kind = rule.get("alert_type", "threshold")
@@ -130,6 +136,7 @@ class Engine:
         checkpoint_dir: str,
         trigger: dict[str, Any] | None = None,
         fuse_thresholds: bool = False,
+        fuse_deadmen: bool = False,
     ):
         """T1 as a first-class API: the cron body under a Structured
         Streaming trigger. Each micro-batch executes one full rule pass
@@ -146,7 +153,12 @@ class Engine:
         trigger = trigger or {"availableNow": True}
 
         def _batch(batch_df: DataFrame, _batch_id: int) -> None:
-            self.run_once(batch_df, rules, fuse_thresholds=fuse_thresholds)
+            self.run_once(
+                batch_df,
+                rules,
+                fuse_thresholds=fuse_thresholds,
+                fuse_deadmen=fuse_deadmen,
+            )
 
         return (
             events_stream.writeStream.foreachBatch(_batch)
@@ -207,6 +219,56 @@ class Engine:
                 )
         finally:
             fired.unpersist()
+
+    def _run_deadmen_fused(
+        self, events_df: DataFrame, rules: list[dict[str, Any]]
+    ) -> None:
+        """Fused deadman pass: rules whose criteria fail to COMPILE
+        fire immediately (deadman failure semantics, alerta.py:417-420
+        — absence of evidence is the alarm), the rest share one
+        single-scan aggregate with per-rule empty synthesis; each
+        rule's slice renders through the same assemble_alerts as the
+        sequential path."""
+        from alerta_spark.dialect import trino_to_spark
+        from alerta_spark.operators.deadman import deadman_alerts_fused
+        from alerta_spark.operators.threshold import assemble_alerts
+        from alerta_spark.paths import path_col
+        from alerta_spark.rules import deadman_shell
+
+        valid: list[dict[str, Any]] = []
+        for rule in rules:
+            try:
+                p = deadman_shell(rule)
+                if p["criteria"]:
+                    events_df.where(F.expr(trino_to_spark(p["criteria"]))).schema
+                path_col(events_df, p["aggregation_key"])
+                valid.append(rule)
+            except Exception:
+                # broken criteria FIRES the deadman, as sequential
+                empty = events_df.where(F.lit(False))
+                fired = deadman_alerts(
+                    empty, dict(rule, criteria=""), id_col=self.id_col,
+                    ts_col=self.ts_col,
+                )
+                self.alerts.append(alerts_df_to_docs(fired))
+        if not valid:
+            return
+        fired_all = deadman_alerts_fused(
+            events_df, valid, id_col=self.id_col, ts_col=self.ts_col
+        ).persist()
+        try:
+            for rule in valid:
+                p = deadman_shell(rule)
+                slice_ = fired_all.where(
+                    F.col("alert_name") == p["alert_name"]
+                ).select("value", "count", "events")
+                self.alerts.append(
+                    alerts_df_to_docs(
+                        assemble_alerts(slice_, p, events_df.schema)
+                    )
+                )
+        finally:
+            fired_all.unpersist()
 
     def _resume_inflight(self, events_df: DataFrame) -> None:
         """Resume in-flight sequences (alerta.py:491, 210-215).

@@ -184,3 +184,56 @@ def test_fused_engine_pass_matches_sequential(spark, events, tmp_path):
     b = run(True, "fused")
     assert a == b and len(a) > 0
     assert not any(name == "broken_rule" for name, *_ in a)
+
+
+def test_fused_deadman_engine_pass_matches_sequential(spark, events, tmp_path):
+    """run_once(fuse_deadmen=True) appends identical alert documents
+    to the per-rule pass — including the broken-criteria rule, which
+    FIRES in both modes (deadman failure semantics: absence of
+    evidence is the alarm)."""
+    from alerta_spark.engine import Engine
+
+    rules = [
+        {
+            "alert_name": "dm_quiet_type",
+            "alert_type": "deadman",
+            "criteria": "event_type='nonexistent_kind'",
+            "aggregation_key": "user_id",
+            "threshold": 0,
+            "summary": "missing: {{metadata.value}} n={{metadata.count}}",
+        },
+        {
+            "alert_name": "dm_broken",
+            "alert_type": "deadman",
+            "criteria": "((( not sql at all",
+            "aggregation_key": "user_id",
+            "threshold": 0,
+        },
+        {
+            "alert_name": "dm_satisfied",
+            "alert_type": "deadman",
+            "criteria": "event_type='purchase'",
+            "aggregation_key": "user_id",
+            "threshold": 0,
+        },
+    ]
+
+    def run(fused: bool, sub: str):
+        eng = Engine(spark, str(tmp_path / sub))
+        eng.run_once(events, rules, fuse_deadmen=fused)
+        return {
+            (
+                d["alert_name"],
+                d["metadata"]["value"],
+                d["metadata"]["count"],
+                tuple(e["event_id"] for e in d.get("events", [])),
+            )
+            for d in eng.alerts.docs()
+        }
+
+    a = run(False, "dm_seq")
+    b = run(True, "dm_fused")
+    assert a == b and len(a) > 0
+    names = {n for n, *_ in a}
+    assert "dm_quiet_type" in names and "dm_broken" in names
+    assert "dm_satisfied" not in names
