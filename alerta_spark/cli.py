@@ -18,6 +18,7 @@ Config keys (YAML, flat):
     shuffle_partitions:int                                (default cpu count)
     stream_checkpoint: checkpoint dir (streaming mode)
     trigger:           {"processingTime": "15 minutes"} etc. (streaming mode)
+    fuse_deadmen:      bool (default false) — one-scan fused absence pass
     fuse_thresholds:   bool (default false) — run every threshold rule
                        in ONE corpus scan (operators/threshold.
                        threshold_alerts_fused); identical alerts,
@@ -59,9 +60,12 @@ def run_from_config(config: dict[str, Any], stream: bool = False):
     engine = Engine(spark, str(config["store_dir"]))
     table = str(config.get("events_table", "events"))
     fuse = bool(config.get("fuse_thresholds", False))
+    fuse_dm = bool(config.get("fuse_deadmen", False))
     if not stream:
         events = load_table(spark, str(config["lake_dir"]), table)
-        engine.run_once(events, rules, fuse_thresholds=fuse)
+        engine.run_once(
+            events, rules, fuse_thresholds=fuse, fuse_deadmen=fuse_dm
+        )
         return None
     batch = load_table(spark, str(config["lake_dir"]), table)
     src = spark.readStream.schema(batch.schema).parquet(
@@ -73,6 +77,7 @@ def run_from_config(config: dict[str, Any], stream: bool = False):
         str(config["stream_checkpoint"]),
         trigger=config.get("trigger"),
         fuse_thresholds=fuse,
+        fuse_deadmen=fuse_dm,
     )
 
 
