@@ -244,3 +244,118 @@ def resize_images(
         F.col(id_col).alias("_id"), F.col(f"{media_col}.data").alias("_data")
     )
     return slim.mapInPandas(fn, out_schema)
+
+
+
+def ahash64(col) -> "F.Column":
+    """64-bit average-hash (aHash) of a char stream — the perceptual
+    near-dup key that survives re-encoding and small edits where a
+    content digest does not. The stream splits into 64 cells (cell of
+    position i0 = i0*64 // n, integer arithmetic — the SAME
+    formulation the oracle uses); bit_j is 1 iff cell j's mean exceeds
+    the global mean, compared EXACTLY by integer cross-multiplication
+    (sum_j * n > total * len_j — no division, no float), with bit 63
+    as the two's-complement sign weight so the value is engine-exact
+    BIGINT everywhere.
+
+    Implementation is the module's documented genuinely-numeric case:
+    a vectorized pandas UDF (codepoints via one utf-32 reinterpret,
+    cell sums via np.bincount per Arrow batch). A pure column-
+    expression fold computes the identical value but runs ~1000x
+    slower: higher-order-function lambdas are interpreted per element,
+    outside whole-stage codegen — same reason LSH bucketing is numpy
+    (README '63x' note). The DuckDB oracle rebuilds every bit from the
+    same integer formulation, so the UDF is hash-checked end to end.
+
+    With real codecs the identical thresholding runs over decoded
+    pixel rows.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ah(series: pd.Series) -> pd.Series:
+        out = []
+        for txt in series:
+            if not txt:
+                out.append(0)
+                continue
+            a = np.frombuffer(
+                txt.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = a.size
+            idx = (np.arange(n, dtype=np.int64) * 64) // n
+            sums = np.bincount(idx, weights=a, minlength=64).astype(np.int64)
+            cnts = np.bincount(idx, minlength=64).astype(np.int64)
+            total = int(a.sum())
+            bits = (sums * n) > (total * cnts)
+            h = 0
+            for j in range(63):
+                if bits[j]:
+                    h += 1 << j
+            if bits[63]:
+                h -= 1 << 63
+            out.append(h)
+        return pd.Series(out, dtype="int64")
+
+    return _ah(F.col(col) if isinstance(col, str) else col)
+
+
+def media_ahash_near_dups(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over the media column: aHash ->
+    pigeonhole banding (hamming <= 6 over 64 bits means at least one
+    16-bit band matches exactly) -> exact hamming verify with
+    bit_count(xor). Same candidate discipline as SimHash: band-bucket
+    equi-joins only, never all-pairs.
+
+    -> [id_a, id_b, hamming]."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        ahash64(F.col(media_col)["data"].cast("string")).alias("_h"),
+    )
+    width = 64 // bands
+    banded = sig.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("_h"), k * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("b"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.b.band") == F.col("b.b.band"))
+            & (F.col("a.b.key") == F.col("b.b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cands.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -4384,6 +4384,47 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ahash_signature",
+    # The full 64-bit perceptual hash per document, hash-checked: the
+    # oracle rebuilds every cell sum/count with the SAME integer cell
+    # index ((i-1)*64)//n and the same exact cross-multiplied
+    # threshold; bit 63 enters as the two's-complement sign weight.
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, length(text) AS n,
+             [ascii(text[i]) for i in range(1, length(text) + 1)] AS o
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN n = 0 THEN 0 ELSE CAST(list_sum([
+        CASE WHEN
+          COALESCE(list_sum([o[i] for i in range(1, n + 1)
+                             if ((i - 1) * 64) // n = j]), 0) * n
+          > list_sum(o) * len([i for i in range(1, n + 1)
+                               if ((i - 1) * 64) // n = j])
+        THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE CAST(power(2, j) AS BIGINT) END
+        ELSE 0 END
+        for j in range(0, 64)
+      ]) AS BIGINT) END AS ahash
+    FROM sig
+    """,
+)
+def multimodal_ahash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of every document's media bytes (fake
+    decoder = the text's char stream): 64 mean-threshold bits built in
+    ONE fold with exact integer comparisons — the image near-dup key,
+    map-only and engine-exact end to end."""
+    from alerta_spark.ops.multimodal import ahash64, attach_fake_media
+
+    docs = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        ahash64(F.col("media")["data"].cast("string")).alias("ahash"),
+    )
+
+
+@register(
     "attribution_click_purchase",
     oracle="""
     WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts

@@ -315,3 +315,60 @@ def test_bigram_nll_order_sensitivity(spark):
     got = {r.doc_id: r.mean_nll for r in bigram_nll(df).collect()}
     release_cached()
     assert got[9] > got[1]
+
+
+def test_ahash_near_dups_match_bruteforce(spark):
+    """Banding candidates + hamming verify == brute-force all-pairs
+    hamming <= 6 (the pigeonhole guarantee: <=6 differing bits across
+    4 bands leaves at least one band identical). Near-dup docs (e.g.
+    whitespace variants) must collide where exact digests differ."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.multimodal import (
+        ahash64,
+        attach_fake_media,
+        media_ahash_near_dups,
+    )
+    from alerta_spark.sources.lake import load_table
+
+    base_docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # synthesize guaranteed near-dups: one-word edits of real docs
+    variants = base_docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+", "zzz").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    docs = attach_fake_media(base_docs.unionByName(variants))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in media_ahash_near_dups(docs).collect()
+    }
+    sigs = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", ahash64(F.col("media")["data"].cast("string")).alias("h")
+        ).collect()
+    }
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 6
+    }
+    assert got == expect and len(expect) > 0
+
+    # perceptual property: a small edit keeps the hash close; the
+    # exact digest changes completely
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base.replace("lazy", "hazy")
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    hs = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", ahash64(F.col("text")).alias("h")).collect()
+    }
+    assert bin((hs[1] ^ hs[2]) & (2**64 - 1)).count("1") <= 6
