@@ -4384,6 +4384,52 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audience_overlap_venn",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 97
+                  THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'error'
+                  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 97
+                  THEN 1 ELSE 0 END) AS b,
+             max(CASE WHEN event_type = 'signup'
+                  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 97
+                  THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(a * 4 + b * 2 + c AS BIGINT) AS cell,
+           a = 1 AS in_purchase, b = 1 AS in_error, c = 1 AS in_signup,
+           count(*) AS n_users
+    FROM flags GROUP BY a, b, c
+    """,
+)
+def audience_overlap_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-overlap (Venn) analysis: every user folded to three
+    membership bits (purchaser / errorer / signup) in ONE user-keyed
+    aggregate, then the 8 intersection cells counted — the audience-
+    overlap question answered without N² pairwise intersect scans."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    seg = lambda t: F.max(  # noqa: E731
+        ((F.col("event_type") == t) & (k > 97)).cast("int")
+    )
+    flags = ev.groupBy("user_id").agg(
+        seg("purchase").alias("a"), seg("error").alias("b"), seg("signup").alias("c")
+    )
+    return flags.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        (F.col("a") * 4 + F.col("b") * 2 + F.col("c")).cast("long").alias("cell"),
+        (F.col("a") == 1).alias("in_purchase"),
+        (F.col("b") == 1).alias("in_error"),
+        (F.col("c") == 1).alias("in_signup"),
+        "n_users",
+    )
+
+
+@register(
     "multimodal_ahash_signature",
     # The full 64-bit perceptual hash per document, hash-checked: the
     # oracle rebuilds every cell sum/count with the SAME integer cell
