@@ -4384,6 +4384,68 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_bounce_rate_daily",
+    # The sessionize islands rolled up to a per-day bounce rate: a
+    # session belongs to the day of its first event; bounce = exactly
+    # one event. Rates are one int/int division.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, us,
+             CASE WHEN pus IS NULL OR us - pus > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, ts, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_idx,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT day, count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM per_session GROUP BY day
+    """,
+)
+def session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-min-gap sessions with exactly
+    one event, attributed to the day the session started — built on
+    the SAME single-exchange sessionizer the catalog already pins,
+    plus one day-sized rollup."""
+    from alerta_spark.ops.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    s = session_stats(ev, 30)
+    per = s.select(
+        F.to_date(F.date_trunc("day", "session_start")).alias("day"),
+        "n_events",
+    )
+    return per.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounces"),
+        (
+            F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+@register(
     "audience_overlap_venn",
     oracle="""
     WITH flags AS (
