@@ -4384,6 +4384,130 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gap_percentiles_by_type",
+    # Inter-arrival gaps are exact µs integer differences; the
+    # percentile is the pinned exact-interpolation pair (Spark
+    # `percentile` == DuckDB `quantile_cont`).
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_cont(gap_us, [0.5, 0.9, 0.99]) AS qs,
+             count(gap_us) AS n_gaps
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           unnest([CAST(0.5 AS DOUBLE), 0.9, 0.99]) AS pct,
+           unnest(qs) AS gap_us_pct
+    FROM q
+    """,
+)
+def gap_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency profile: p50/p90/p99 of the gap between
+    consecutive events per type — the SLA/heartbeat-tuning numbers
+    (e.g. picking a deadman window from data). One type-keyed window
+    shared with the percentile aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).where(F.col("gap_us").isNotNull())
+    pcts = [0.5, 0.9, 0.99]
+    pa = F.array(*[F.lit(p) for p in pcts])
+    agg = g.groupBy("event_type").agg(
+        F.percentile("gap_us", pa).alias("qs"),
+        F.count("gap_us").alias("n_gaps"),
+    )
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.posexplode("qs").alias("_i", "gap_us_pct"),
+    ).select(
+        "event_type",
+        "n_gaps",
+        F.element_at(pa, F.col("_i") + 1).alias("pct"),
+        "gap_us_pct",
+    )
+
+
+@register(
+    "dedup_pair_evidence",
+    # Explainability for the near-dup report: per qualifying pair, the
+    # 3 lexicographically-smallest shared shingles — deterministic
+    # evidence columns, assembled from the same capped index.
+    oracle=f"""
+    WITH s AS (SELECT doc_id, unnest({{SH}}) AS sh FROM documents),
+    kept AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= 1000),
+    idx AS (SELECT s.doc_id, s.sh FROM s JOIN kept USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS i,
+             array_to_string(list_sort(list(a.sh))[1:3], ' | ') AS evidence
+      FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard,
+           evidence
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.id_a
+    JOIN sizes sb ON sb.doc_id = inter.id_b
+    WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+    """.replace("{SH}", _DUCK_SHINGLES),
+)
+def dedup_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs WITH evidence: each >=0.8-Jaccard pair carries
+    its 3 smallest shared shingles — the reviewer-facing 'why were
+    these merged' column every dedup pipeline audit asks for. Same
+    capped inverted index as dedup_ngram_jaccard; the evidence is one
+    extra collect+sort inside the existing intersection aggregate."""
+    from alerta_spark.ops.dedupe import _persist, _shingle_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _persist(_shingle_index(docs, "text", "doc_id", 5, 1000))
+    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_i"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list(F.col("a.shingle"))), 1, 3),
+                " | ",
+            ).alias("evidence"),
+        )
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_size").alias("_sb"))
+    jac = F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.8)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac.cast("double"), 6).alias("jaccard"),
+            "evidence",
+        )
+    )
+
+
+@register(
     "session_bounce_rate_daily",
     # The sessionize islands rolled up to a per-day bounce rate: a
     # session belongs to the day of its first event; bounce = exactly
