@@ -4384,6 +4384,98 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "more_like_this_doc",
+    # Composition capstone: the query terms are doc 0's tf-idf top-5
+    # (exact-BIGINT ranked, term tie-break — so both engines pick the
+    # SAME terms), fed into the BM25 pipeline over the rest of the
+    # corpus. Dynamic query terms enter the oracle as IN (SELECT ...).
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, term, count(*) AS c FROM toks0 GROUP BY doc_id, term
+    ),
+    dfreq0 AS (SELECT term, count(*) AS dfr FROM counts GROUP BY term),
+    nd0 AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM counts),
+    qterms AS (
+      SELECT term FROM (
+        SELECT c.term,
+               row_number() OVER (ORDER BY
+                 c.c * CAST(floor(ln(CAST(n_docs AS DOUBLE)
+                                     / CAST(d.dfr AS DOUBLE)) * 1000000000)
+                            AS BIGINT) DESC, c.term ASC) AS rnk
+        FROM counts c JOIN dfreq0 d USING (term) CROSS JOIN nd0
+        WHERE c.doc_id = 0
+      ) WHERE rnk <= 5
+    ),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id != 0),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM corpus
+    ),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS t_corpus FROM doclen),
+    qc AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN (SELECT term FROM qterms)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term,
+             CAST(floor(ln(CAST(2 * (SELECT n_docs FROM tot)
+                                  - 2 * count(*) + 1 AS DOUBLE)
+                           / CAST(2 * count(*) + 1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS idf_q
+      FROM qc GROUP BY term
+    ),
+    parts AS (
+      SELECT qc.doc_id,
+             CAST(floor(
+               (CAST(idf_q AS DOUBLE) / 1000000.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + (0.3 + 0.9 * (CAST(dl * (SELECT n_docs FROM tot) AS DOUBLE)
+                                  / CAST((SELECT t_corpus FROM tot) AS DOUBLE))))
+               * 1000000.0) AS BIGINT) AS pq
+      FROM qc JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+    )
+    SELECT doc_id, count(*) AS n_terms_matched,
+           CAST(CAST(sum(pq) AS BIGINT) AS DOUBLE) / 1000000.0 AS bm25
+    FROM parts GROUP BY doc_id
+    ORDER BY CAST(sum(pq) AS BIGINT) DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def more_like_this_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this retrieval: document 0's tf-idf top-5 terms
+    become the BM25 query over the rest of the corpus — the
+    related-documents feature as a composition of two pinned
+    operators. The 5-term collect is a bounded driver action (like
+    the IVF centroid sample), documented and tiny."""
+    from alerta_spark.ops.text import bm25_topk, tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = [
+        r["term"]
+        for r in tfidf_top_terms(docs, k=5)
+        .where(F.col("doc_id") == 0)
+        .orderBy("rank")
+        .collect()
+    ]
+    from alerta_spark.ops.dedupe import release_cached
+
+    release_cached()
+    return bm25_topk(docs.where(F.col("doc_id") != 0), qterms, k=10)
+
+
+@register(
     "gap_percentiles_by_type",
     # Inter-arrival gaps are exact µs integer differences; the
     # percentile is the pinned exact-interpolation pair (Spark
