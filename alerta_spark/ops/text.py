@@ -897,10 +897,14 @@ def naive_bayes_source(
     prior_q = priors.select(
         "_cls", lnq(F.col("_docs"), F.lit(n_docs)).alias("_pq")
     )
+    # fan out DISTINCT (doc, term) counts -- not token instances -- to
+    # the class dimension: the xN_classes join input shrinks from corpus
+    # token count to distinct (doc, term) pairs
+    dtc = toks.groupBy("_id", "term").agg(F.count("*").alias("_n"))
     scored = (
-        toks.join(full, "term")
+        dtc.join(full, "term")
         .groupBy("_id", "_cls")
-        .agg(F.sum("_lq").alias("_sl"))
+        .agg(F.sum(F.col("_n") * F.col("_lq")).alias("_sl"))
         .join(F.broadcast(prior_q), "_cls")
         .select("_id", "_cls", (F.col("_sl") + F.col("_pq")).alias("_score"))
     )
