@@ -4384,6 +4384,91 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_datacard",
+    # One wide row of dataset-card facts, every field a formula the
+    # catalog already pins elsewhere (token counts, exact dedup, md5
+    # split bands, exact percentile): all 1-row side frames broadcast.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM (SELECT doc_id, source, lang,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text
+            FROM documents)
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             quantile_cont(n_tok, 0.5) AS p50_tokens
+      FROM t
+    ),
+    dup AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_unique FROM (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        FROM documents GROUP BY 1)
+    ),
+    tr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_train FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+    )
+    SELECT n_docs, total_tokens, n_sources, n_langs, p50_tokens,
+           CAST(n_docs - n_unique AS BIGINT) AS n_exact_dups,
+           CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS dup_rate,
+           n_train,
+           CAST(n_train AS DOUBLE) / CAST(n_docs AS DOUBLE) AS train_share
+    FROM base, dup, tr
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card as ONE query: corpus size, token mass, source/
+    language cardinalities, median length, exact-dup rate, and the
+    train-split share — each field a formula another catalog entry
+    already pins, composed via broadcast 1-row frames. The summary a
+    training run stamps into its provenance log."""
+    from alerta_spark.ops.dedupe import exact_dedup
+    from alerta_spark.ops.sampling import deterministic_sample
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(tokenize("text"), lambda x: x != F.lit("")))
+    base = docs.select(n_tok.alias("n_tok"), "source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.percentile("n_tok", F.lit(0.5)).alias("p50_tokens"),
+    )
+    uniq = exact_dedup(docs).agg(F.count(F.lit(1)).alias("n_unique"))
+    train = deterministic_sample(docs, 0.8).agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    return (
+        base.crossJoin(F.broadcast(uniq))
+        .crossJoin(F.broadcast(train))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "n_sources",
+            "n_langs",
+            "p50_tokens",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dups"),
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "n_train",
+            (F.col("n_train").cast("double") / F.col("n_docs").cast("double")).alias(
+                "train_share"
+            ),
+        )
+    )
+
+
+@register(
     "more_like_this_doc",
     # Composition capstone: the query terms are doc 0's tf-idf top-5
     # (exact-BIGINT ranked, term tie-break — so both engines pick the
