@@ -4384,6 +4384,70 @@ def agg_histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_first_last_nth_events",
+    # first/last/nth value window surface under an explicit total
+    # order and a full-partition frame (last_value under the default
+    # frame is the famous footgun — pinned explicit here).
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER w AS last_event,
+           nth_value(event_id, 2) OVER w AS second_event,
+           epoch_us(ts) - first_value(epoch_us(ts)) OVER w AS since_first_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w_first_last_nth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value under an explicit
+    full-partition frame (the default RANGE..CURRENT ROW frame makes
+    last_value return the current row — the classic window footgun
+    this entry pins shut) plus a time-since-first derivation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+        (
+            F.unix_micros("ts") - F.first(F.unix_micros("ts")).over(w)
+        ).alias("since_first_us"),
+    )
+
+
+@register(
+    "agg_bool_conditional_surface",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_errors,
+           bool_or(event_type = 'purchase') AS ever_purchased,
+           bool_and(value < 200) AS always_under_200,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_bool_conditional_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: count_if-style filtered
+    count, bool_or / bool_and (any/every), and per-group exact
+    distinct — one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.bool_and(F.col("value") < 200).alias("always_under_200"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+@register(
     "corpus_datacard",
     # One wide row of dataset-card facts, every field a formula the
     # catalog already pins elsewhere (token counts, exact dedup, md5
