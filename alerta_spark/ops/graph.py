@@ -1,0 +1,110 @@
+"""Link-analysis operators: fixed-point PageRank over an edge list.
+
+The reference has no graph operator; this extends the engine the same
+way dup-clustering (connected components, ``ops/dedupe.py``) does —
+iterative algorithms expressed as a bounded number of join+aggregate
+rounds, one shuffle per round, no driver-side adjacency.
+
+Determinism design: ranks are carried as **integer fixed-point**
+(units of 1e-12). Float PageRank sums per-vertex contributions in
+whatever order the engine's aggregation happens to combine them —
+bit-identical results across engines (or even across two Spark runs
+with different partitioning) are not guaranteed. With integer units,
+every round is exact integer math (`div` floor-division + SUM of
+longs), so the result is a pure function of the graph: the DuckDB
+oracle unrolls the same rounds in SQL and hash-matches exactly.
+At lake scale the quantization error (1e-12 per division) is far
+below float noise; a production caller that doesn't need cross-run
+bit-stability can read `rank = rank_fp / 1e12`.
+
+Scale shape: each round is edges ⋈ ranks (shuffle on vertex id —
+pre-partition both on `id` to reuse the exchange) + one aggregate.
+Dangling mass is one scalar aggregate broadcast into the update.
+Rounds are bounded (`iters`), so no lineage checkpointing is needed
+below ~15 rounds; beyond that, apply the localCheckpoint cadence
+documented in ``dedupe.dup_clusters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**12  # fixed-point scale: 1.0 rank == 1e12 units
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over a directed edge list -> [id, rank_fp].
+
+    ``rank_fp`` is the rank in 1e-12 units (BIGINT). Per round, for
+    every vertex v:
+
+        r'(v) = (100-d)% * UNIT/N  +  d% * (sum_{u->v} r(u) div out(u)
+                                            + dangling div N)
+
+    with every division an integer floor-division (`div`), so the
+    result is order-independent and engine-independent. Dangling
+    vertices (no out-edges) spread their rank over all N vertices.
+
+    All intermediate products fit comfortably in BIGINT:
+    damping_pct * sum(contributions) <= 100 * UNIT * 1 = 1e14.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()  # scalar; broadcast into every round below
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # out-degree is a per-vertex scalar — attach once so every round
+    # reuses the same frame instead of re-joining
+    ranks = vertices.join(outdeg, vertices["id"] == outdeg["src"], "left").select(
+        "id", "outdeg", F.lit(UNIT // n).cast("long").alias("rank_fp")
+    ).persist()
+    base = ((100 - damping_pct) * (UNIT // n)) // 100
+
+    for _ in range(iters):
+        dangling = (
+            ranks.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("d"))
+            .first()["d"]
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank_fp div outdeg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            ranks.alias("r")
+            .join(contrib.alias("c"), "id", "left")
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(contrib, 0)"
+                        f" + {dangling} div {n})) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before releasing the input
+        ranks.unpersist()
+        ranks = new_ranks
+
+    vertices.unpersist()
+    return ranks.select("id", "rank_fp")

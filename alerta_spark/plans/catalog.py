@@ -6736,3 +6736,93 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(
         docs, "source", "n_chars", alpha=0.5, budget_frac=0.5, salt="mix1"
     ).select("doc_id", "source")
+
+
+@register(
+    "graph_pagerank_transitions",
+    # 3 unrolled fixed-point rounds; every division is integer floor
+    # (DuckDB // == Spark div for non-negative operands) and every SUM
+    # is cast back to BIGINT (DuckDB window/agg SUM returns HUGEINT),
+    # so both engines compute the identical integers.
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL),
+    v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    r0 AS (
+      SELECT v.id, od.outdeg, 1000000000000 // nn.n AS rank_fp
+      FROM v LEFT JOIN od ON v.id = od.src CROSS JOIN nn
+    ),
+    r1 AS (
+      SELECT r.id, r.outdeg,
+             (15 * (1000000000000 // nn.n)) // 100
+             + (85 * (COALESCE(c.contrib, 0)
+                      + (SELECT CAST(COALESCE(SUM(rank_fp), 0) AS BIGINT)
+                         FROM r0 WHERE outdeg IS NULL) // nn.n)) // 100
+               AS rank_fp
+      FROM r0 r
+      LEFT JOIN (SELECT e.dst AS id,
+                        CAST(SUM(p.rank_fp // p.outdeg) AS BIGINT) AS contrib
+                 FROM e JOIN r0 p ON e.src = p.id GROUP BY e.dst) c
+        ON r.id = c.id
+      CROSS JOIN nn
+    ),
+    r2 AS (
+      SELECT r.id, r.outdeg,
+             (15 * (1000000000000 // nn.n)) // 100
+             + (85 * (COALESCE(c.contrib, 0)
+                      + (SELECT CAST(COALESCE(SUM(rank_fp), 0) AS BIGINT)
+                         FROM r1 WHERE outdeg IS NULL) // nn.n)) // 100
+               AS rank_fp
+      FROM r1 r
+      LEFT JOIN (SELECT e.dst AS id,
+                        CAST(SUM(p.rank_fp // p.outdeg) AS BIGINT) AS contrib
+                 FROM e JOIN r1 p ON e.src = p.id GROUP BY e.dst) c
+        ON r.id = c.id
+      CROSS JOIN nn
+    ),
+    r3 AS (
+      SELECT r.id, r.outdeg,
+             (15 * (1000000000000 // nn.n)) // 100
+             + (85 * (COALESCE(c.contrib, 0)
+                      + (SELECT CAST(COALESCE(SUM(rank_fp), 0) AS BIGINT)
+                         FROM r2 WHERE outdeg IS NULL) // nn.n)) // 100
+               AS rank_fp
+      FROM r2 r
+      LEFT JOIN (SELECT e.dst AS id,
+                        CAST(SUM(p.rank_fp // p.outdeg) AS BIGINT) AS contrib
+                 FROM e JOIN r2 p ON e.src = p.id GROUP BY e.dst) c
+        ON r.id = c.id
+      CROSS JOIN nn
+    )
+    SELECT id, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3
+    """,
+)
+def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (distinct
+    consecutive per-user transitions), 3 fixed-point rounds.
+
+    The iterative-algorithm representative alongside dup_clusters'
+    label propagation: each round is one join + one aggregate, ranks
+    carried as integer 1e-12 units so the result is bit-identical
+    across engines and runs (see ops/graph.py docstring). The edge
+    builder is one window pass over events."""
+    from alerta_spark.ops.graph import pagerank_fixedpoint
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .distinct()
+    )
+    return pagerank_fixedpoint(edges, iters=3)
