@@ -108,3 +108,98 @@ def maintain_distinct_rollup(
 
 def read_distinct_rollup(spark: SparkSession, path: str) -> DataFrame:
     return finalize_distinct(spark.read.parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (CMS): fixed-size frequency summaries
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str = "term",
+    depth: int = 3,
+    prefix_len: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a count-min sketch over an item stream ->
+    [depth, bucket, cnt].
+
+    Classic CMS: ``depth`` independent hash rows x ``16^prefix_len``
+    buckets; an item's count is added to one bucket per row. Hashing
+    is the first ``prefix_len`` hex chars of md5(item || salt || row)
+    — a pure row function, identical in every engine and on every
+    retry (the same discipline as ops/sampling's md5 bands).
+
+    Scale shape: one Expand (depth rows per item instance) -> partial
+    count -> ONE shuffle on (depth, bucket). The sketch is
+    depth * 16^prefix_len rows TOTAL regardless of input size — the
+    constant-memory frequency summary you keep per corpus shard and
+    merge by adding cnt (commutative/associative, so incremental
+    maintenance is exact; see test_sketches). Estimates only ever
+    OVERcount (collisions add), never undercount.
+    """
+    rows = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("depth")
+    it = items.select(F.col(item_col).cast("string").alias("_i")).select(
+        "_i", rows
+    )
+    bucket = F.substring(
+        F.md5(
+            F.concat(F.col("_i"), F.lit(salt), F.col("depth").cast("string"))
+        ),
+        1,
+        prefix_len,
+    )
+    return (
+        it.select("depth", bucket.alias("bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    candidates: DataFrame,
+    item_col: str = "term",
+    depth: int = 3,
+    prefix_len: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Probe a count-min sketch: per candidate item, min over the
+    sketch's depth rows of the hashed bucket's count -> adds
+    ``cms_tf`` to the candidates frame.
+
+    The sketch is tiny (depth * 16^prefix_len rows) so the probe is a
+    broadcast join — candidates never shuffle. Items that hash to an
+    absent bucket (never seen, row dropped) estimate 0 via coalesce.
+    """
+    probes = candidates.select(
+        "*",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("_d"),
+    ).withColumn(
+        "_b",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(item_col).cast("string"),
+                    F.lit(salt),
+                    F.col("_d").cast("string"),
+                )
+            ),
+            1,
+            prefix_len,
+        ),
+    )
+    joined = probes.join(
+        F.broadcast(cms),
+        (probes["_d"] == cms["depth"]) & (probes["_b"] == cms["bucket"]),
+        "left",
+    )
+    keys = [c for c in candidates.columns]
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_tf")
+        )
+    )

@@ -6826,3 +6826,60 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixedpoint(edges, iters=3)
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    # CMS is usually engine-specific; this one is md5-bucketed so the
+    # whole sketch — build AND probe — is a pure integer function of
+    # the corpus, exactly replicable in SQL. cms_tf >= tf always
+    # (collisions only ever ADD).
+    oracle="""
+    WITH terms AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    cms AS (
+      SELECT d.depth,
+             substr(md5(t.term || 'cms' || CAST(d.depth AS VARCHAR)), 1, 3)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM terms t CROSS JOIN (SELECT unnest([0, 1, 2]) AS depth) d
+      GROUP BY 1, 2
+    ),
+    top20 AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf
+      FROM terms GROUP BY term
+      ORDER BY tf DESC, term ASC LIMIT 20
+    )
+    SELECT t.term, t.tf, CAST(MIN(c.cnt) AS BIGINT) AS cms_tf
+    FROM top20 t
+    JOIN cms c
+      ON c.bucket = substr(md5(t.term || 'cms'
+                               || CAST(c.depth AS VARCHAR)), 1, 3)
+    GROUP BY t.term, t.tf
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency summary, probed for the exact top-20
+    corpus terms: (term, exact tf, CMS estimate). depth=3 x 4096
+    buckets — a constant-size mergeable summary of an unbounded term
+    stream; the estimate only ever overcounts. The md5 bucketing makes
+    build+probe engine-exact, so unlike most sketches this one is
+    hash-checked, not rows-only (cf. agg_distinct_users_daily_hll)."""
+    from alerta_spark.ops.sketches import cms_build, cms_estimate
+    from alerta_spark.ops.text import vocab_top_terms as vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term")
+    )
+    cms = cms_build(terms, depth=3, prefix_len=3)
+    top = vocab(docs, top_n=20).select("term", "tf")
+    return cms_estimate(cms, top, depth=3, prefix_len=3)

@@ -88,3 +88,49 @@ def test_hll_maintain_rollup_two_waves(spark, events, tmp_path):
         ).collect()
     }
     assert stored == oneshot
+
+
+def test_cms_overcounts_never_undercounts(spark):
+    from alerta_spark.ops.sketches import cms_build, cms_estimate
+
+    items = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 7 + [("c",)] * 1, ["term"]
+    )
+    cms = cms_build(items, depth=3, prefix_len=2)  # 256 buckets
+    cand = spark.createDataFrame([("a",), ("b",), ("c",)], ["term"])
+    est = {r["term"]: r["cms_tf"] for r in cms_estimate(
+        cms, cand, depth=3, prefix_len=2
+    ).collect()}
+    exact = {"a": 50, "b": 7, "c": 1}
+    for t, n in exact.items():
+        assert est[t] >= n
+
+
+def test_cms_unseen_item_estimates_zero_or_collision(spark):
+    from alerta_spark.ops.sketches import cms_build, cms_estimate
+
+    items = spark.createDataFrame([("a",)] * 3, ["term"])
+    cms = cms_build(items, depth=3, prefix_len=3)  # 4096 buckets, 1 item
+    cand = spark.createDataFrame([("zzz_never_seen",)], ["term"])
+    [row] = cms_estimate(cms, cand, depth=3, prefix_len=3).collect()
+    # with one distinct item in 4096 buckets a 3-row collision on all
+    # depths is impossible -> the min must hit an absent bucket
+    assert row["cms_tf"] == 0
+
+
+def test_cms_merge_by_adding_counts_is_exact(spark):
+    """Sketch of (A union B) == pointwise sum of sketches of A and B —
+    the property that makes CMS a per-shard incremental summary."""
+    from alerta_spark.ops.sketches import cms_build
+
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, ["term"])
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 5, ["term"])
+    merged = (
+        cms_build(a).unionByName(cms_build(b))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    oneshot = cms_build(a.unionByName(b))
+    m = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    o = {(r["depth"], r["bucket"]): r["cnt"] for r in oneshot.collect()}
+    assert m == o
