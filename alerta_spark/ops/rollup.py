@@ -119,3 +119,67 @@ def maintain_rollup(
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     return finalize_rollup(spark.read.parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of an aggregate-over-JOIN view
+
+
+def join_view_partials(
+    delta_orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Partials of the revenue-by-nation JOIN view for one delta batch
+    of orders -> [n_name, revenue_d (DECIMAL), n_items].
+
+    Incremental view maintenance for aggregates over joins: when a
+    batch of new orders lands, only THOSE orders' lineitems are
+    scanned (the delta predicate pushes through the o_orderkey join),
+    dims broadcast, and the delta aggregate merges into the stored
+    view by addition — O(delta) per refresh instead of re-joining the
+    full 100 TB fact history. Sound because (a) the join is key-
+    preserving per order (each lineitem matches exactly one order /
+    customer / nation row) and (b) the partial measures are DECIMAL
+    sums and counts — exact and associative, so any batch split folds
+    to the bit-identical view (pinned in test_rollup and by the
+    catalog oracle, which recomputes monolithically).
+    """
+    dec = lambda col: F.col(col).cast("decimal(20,2)")  # noqa: E731
+    return (
+        lineitem.join(
+            delta_orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .alias("revenue_d"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def combine_join_view(*parts: DataFrame) -> DataFrame:
+    """Merge join-view partials by addition (exact: DECIMAL + BIGINT)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("n_name").agg(
+        F.sum("revenue_d").alias("revenue_d"),
+        F.sum("n_items").cast("long").alias("n_items"),
+    )
+
+
+def finalize_join_view(partials: DataFrame) -> DataFrame:
+    """One final DOUBLE cast for serving; partials stay DECIMAL."""
+    return partials.select(
+        "n_name",
+        F.col("revenue_d").cast("double").alias("revenue"),
+        "n_items",
+    )

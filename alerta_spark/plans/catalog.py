@@ -6883,3 +6883,50 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = cms_build(terms, depth=3, prefix_len=3)
     top = vocab(docs, top_n=20).select("term", "tf")
     return cms_estimate(cms, top, depth=3, prefix_len=3)
+
+
+@register(
+    "mv_join_incremental_revenue",
+    # oracle recomputes the view monolithically; the Spark side folds
+    # three md5-banded order deltas through partial->combine->finalize,
+    # proving the join-view maintenance algebra is lossless.
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(20,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def mv_join_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate-over-JOIN view: revenue by
+    nation, refreshed from three disjoint order deltas. Each refresh
+    joins ONLY the delta's lineitems (O(delta), dims broadcast) and
+    merges by exact DECIMAL addition — the monolithic oracle proves
+    the fold is lossless. Complements rollup_incremental_hourly
+    (single-table) with the join-view case every warehouse MV needs."""
+    from alerta_spark.ops.rollup import (
+        combine_join_view,
+        finalize_join_view,
+        join_view_partials,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    band = F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 1, 1
+    )
+    deltas = [
+        o.where(band < F.lit("6")),
+        o.where((band >= F.lit("6")) & (band < F.lit("b"))),
+        o.where(band >= F.lit("b")),
+    ]
+    parts = [join_view_partials(d, li, c, n) for d in deltas]
+    return finalize_join_view(combine_join_view(*parts))

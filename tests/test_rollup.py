@@ -67,3 +67,34 @@ def test_maintain_rollup_touches_only_delta_buckets(spark, tmp_path):
     assert str(bucket_ts).split(" ")[0] in next(iter(changed)) or True
     # untouched buckets byte-identical timestamps
     assert all(after[d] == before[d] for d in before if d not in changed)
+
+
+def test_join_view_two_batches_equal_one_shot(spark):
+    """Incremental join-view fold == monolithic aggregate, including
+    a delta that touches no lineitems (empty partial)."""
+    from alerta_spark.ops.rollup import (
+        combine_join_view,
+        finalize_join_view,
+        join_view_partials,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    from alerta_spark.sources.lake import load_table
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(F.col("o_orderkey") % 2 == 1)
+    empty = o.where(F.lit(False))
+    inc = finalize_join_view(
+        combine_join_view(
+            join_view_partials(a, li, c, n),
+            join_view_partials(b, li, c, n),
+            join_view_partials(empty, li, c, n),
+        )
+    )
+    full = finalize_join_view(join_view_partials(o, li, c, n))
+    key = lambda r: (r["n_name"], r["revenue"], r["n_items"])  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
