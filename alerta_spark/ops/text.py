@@ -922,3 +922,72 @@ def naive_bayes_source(
         F.col("_b.c").alias("pred_" + label_col),
         (F.col("_b.s").cast("double") / F.lit(float(quant))).alias("best_score"),
     )
+
+
+def line_df_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """CCNet-style cross-corpus line deduplication: drop every line
+    whose trimmed form appears in more than ``max_doc_freq`` DISTINCT
+    documents (site chrome, cookie banners, license headers — the
+    boilerplate that survives document-level dedup because the rest of
+    each page differs), then reassemble the documents.
+
+    Complements :func:`clean_lines` (per-doc local filters — no corpus
+    statistics) and ``corpus_boilerplate_shingles`` (reports frequent
+    shingles, doesn't remove them). Reference analogue: none — this is
+    the standard web-corpus cleaning pass (CCNet / RefinedWeb publish
+    the recipe).
+
+    Plan for 100 TB: one posexplode fan-out (bounded by lines/doc), a
+    line-hash aggregate whose OUTPUT is only the frequent lines (tiny:
+    df > max_doc_freq survivors), broadcast back as a left_anti join
+    (map-side drop — the corpus-sized line stream never shuffles on
+    the line key twice), then ONE doc-keyed exchange to reassemble.
+    Same asymmetric shape as the hot-shingle cap in ngram_jaccard.
+
+    Blank lines are never dropped (they carry layout, not content).
+    A document whose every line is frequent boilerplate reduces to
+    nothing and is dropped from the output entirely (the desired
+    pipeline behavior — nothing left to train on).
+    -> [id_col, clean_text, n_lines_kept, n_lines_dropped].
+    """
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(lines).alias("_total"),
+        F.posexplode(lines).alias("_pos", "_line"),
+    ).withColumn("_norm", F.trim(F.col("_line")))
+    frequent = (
+        ex.where(F.col("_norm") != "")
+        .groupBy("_norm")
+        .agg(F.count_distinct(F.col("_id")).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("_norm")
+    )
+    kept = ex.join(F.broadcast(frequent), "_norm", "left_anti")
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            (F.first("_total") - F.count(F.lit(1))).alias("n_lines_dropped"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "clean_text",
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+    )

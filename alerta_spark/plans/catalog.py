@@ -6930,3 +6930,68 @@ def mv_join_incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = [join_view_partials(d, li, c, n) for d in deltas]
     return finalize_join_view(combine_join_view(*parts))
+
+
+@register(
+    "dedup_frequent_lines",
+    # The synthetic documents have no layout, so the query PLANTS the
+    # boilerplate regime the operator exists for (same pattern as
+    # dedup_embedding_lsh's twins): a per-source header line (df=25
+    # docs at sf0.01) and a global footer (df=500), around the doc's
+    # own words re-lined 8 per row. The oracle replicates the
+    # synthesis and the df>2 drop rule monolithically.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) AS nl
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, 0 AS pos,
+             '== ' || source || ' terms of service ==' AS line
+      FROM base
+      UNION ALL
+      SELECT doc_id, pos,
+             array_to_string(
+               list_slice(toks, (pos - 1) * 8 + 1, (pos - 1) * 8 + 8), ' ')
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, nl)) AS pos
+        FROM base
+      )
+      UNION ALL
+      SELECT doc_id, nl + 1, 'all rights reserved' FROM base
+    ),
+    freq AS (
+      SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+      SELECT * FROM lines WHERE trim(line) NOT IN (SELECT norm FROM freq)
+    ),
+    tot AS (SELECT doc_id, count(*) AS total FROM lines GROUP BY 1)
+    SELECT k.doc_id,
+           string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept,
+           CAST(any_value(t.total) - count(*) AS BIGINT) AS n_lines_dropped
+    FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def dedup_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 cross-corpus line dedup (CCNet-style): drop lines whose
+    trimmed form appears in > max_doc_freq DISTINCT docs, reassemble.
+    Frequent-line set is tiny -> broadcast anti-join (map-side drop);
+    one doc-keyed exchange to reassemble."""
+    from alerta_spark.ops.text import chunk_into_lines, line_df_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    lined = chunk_into_lines(docs.select("doc_id", "source", "text"))
+    planted = lined.withColumn(
+        "text",
+        F.concat(
+            F.lit("== "), F.col("source"), F.lit(" terms of service ==\n"),
+            F.col("text"),
+            F.lit("\nall rights reserved"),
+        ),
+    )
+    return line_df_dedup(planted, max_doc_freq=2)

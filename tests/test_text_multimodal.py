@@ -372,3 +372,31 @@ def test_ahash_near_dups_match_bruteforce(spark):
         for r in df.select("doc_id", ahash64(F.col("text")).alias("h")).collect()
     }
     assert bin((hs[1] ^ hs[2]) & (2**64 - 1)).count("1") <= 6
+
+
+def test_line_df_dedup_semantics(spark):
+    from alerta_spark.ops.text import line_df_dedup
+
+    # 'boiler' appears in 3 docs (df=3 > 2) -> dropped everywhere,
+    # including its indented variant (trim-normalized df key).
+    # 'rare' appears in 2 docs (df=2, not > 2) -> kept.
+    # Blank lines are never dropped. Doc 4 is pure boilerplate ->
+    # reduced to nothing and dropped from the output.
+    df = spark.createDataFrame(
+        [
+            (1, "boiler\ncontent one\n\nrare"),
+            (2, "  boiler  \ncontent two\nrare"),
+            (3, "boiler\ncontent three"),
+            (4, "boiler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in line_df_dedup(df, max_doc_freq=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "content one\n\nrare"
+    assert out[1]["n_lines_kept"] == 3
+    assert out[1]["n_lines_dropped"] == 1
+    assert out[2]["clean_text"] == "content two\nrare"
+    assert out[3]["clean_text"] == "content three"
