@@ -203,3 +203,98 @@ def cms_estimate(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_tf")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: fixed-size SET MEMBERSHIP summaries (the companion to
+# CMS's frequency estimates). Use case at 100 TB: the fast-path probe
+# in front of the incremental-dedup digest store — a few KB of bits
+# answer "definitely new" for most documents, and only the
+# maybe-seen minority pays the exact anti-join against the store.
+
+
+def _bloom_positions(item: F.Column, k: int, prefix_len: int, salt: str):
+    """k md5-derived bit positions in [0, 16^prefix_len) — the same
+    engine-portable hex-prefix hashing as cms_build, so DuckDB can
+    reproduce every bit."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(item, F.lit(salt), F.lit(str(i)))),
+                1,
+                prefix_len,
+            ),
+            16,
+            10,
+        ).cast("long")
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    k: int = 4,
+    prefix_len: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter -> [word, bits]: m = 16^prefix_len bits
+    packed 60 per BIGINT word, k set bits per item.
+
+    One Expand (k rows per item) -> partial bit_or -> ONE shuffle on
+    word; the filter is ceil(m/60) rows TOTAL regardless of input
+    size. Merge = bit_or by word (commutative/associative), so shard
+    filters union losslessly — same incremental algebra as cms_build.
+    No false negatives by construction; false-positive rate ~
+    (1 - e^(-k*n/m))^k.
+    """
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(item_col).cast("string"), k, prefix_len, salt))
+    ).alias("_pos")
+    ex = items.select(pos)
+    return (
+        ex.select(
+            F.floor(F.col("_pos") / 60).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 60 AS INT))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    item_col: str,
+    k: int = 4,
+    prefix_len: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe a Bloom filter: adds boolean ``maybe_member`` to the
+    candidates frame (true iff ALL k bits are set — never a false
+    negative).
+
+    The filter is tiny, so the probe is a broadcast join on word —
+    candidates fan out k rows each and never shuffle beyond the final
+    per-key all-bits conjunction."""
+    probes = candidates.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *_bloom_positions(F.col(item_col).cast("string"), k, prefix_len, salt)
+            )
+        ).alias("_i", "_pos"),
+    ).select(
+        "*",
+        F.floor(F.col("_pos") / 60).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 60 AS INT))").alias("_m"),
+    )
+    joined = probes.join(F.broadcast(bloom), "word", "left")
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("_m"))
+        != 0
+    )
+    keys = list(candidates.columns)
+    return joined.select(*keys, hit.alias("_h")).groupBy(*keys).agg(
+        F.min("_h").alias("maybe_member")
+    )

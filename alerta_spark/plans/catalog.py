@@ -6995,3 +6995,80 @@ def dedup_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return line_df_dedup(planted, max_doc_freq=2)
+
+
+@register(
+    "sketch_bloom_dedup_probe",
+    # Bloom filter over the train split's doc digests, probed with the
+    # whole corpus; is_member is the exact truth carried alongside so
+    # the no-false-negative guarantee is visible in the output (every
+    # is_member row MUST be maybe_member). md5-hex-prefix hashing makes
+    # every bit engine-reproducible, so all 1093 filter words and every
+    # membership verdict hash-match.
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5({_DUCK_NORM}) AS dg,
+             md5(doc_id || 'bloomsplit') AS band
+      FROM documents
+    ),
+    train AS (SELECT dg FROM d WHERE substring(band, 1, 1) < '8'),
+    pos AS (
+      SELECT dg,
+             CAST('0x' || substring(md5(dg || 'bloom' || g.i), 1, 4) AS BIGINT)
+               AS p
+      FROM train, (SELECT unnest(generate_series(0, 3)) AS i) g
+    ),
+    bloom AS (
+      SELECT CAST(floor(p / 60.0) AS BIGINT) AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT doc_id,
+             CAST('0x' || substring(md5(dg || 'bloom' || g.i), 1, 4) AS BIGINT)
+               AS p
+      FROM d, (SELECT unnest(generate_series(0, 3)) AS i) g
+    ),
+    verdict AS (
+      SELECT probe.doc_id,
+             min(CASE WHEN coalesce(b.bits, 0)
+                          & (CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) <> 0
+                      THEN 1 ELSE 0 END) = 1 AS maybe_member
+      FROM probe
+      LEFT JOIN bloom b ON CAST(floor(p / 60.0) AS BIGINT) = b.word
+      GROUP BY 1
+    )
+    SELECT v.doc_id, v.maybe_member,
+           d.dg IN (SELECT dg FROM train) AS is_member
+    FROM verdict v JOIN d ON v.doc_id = d.doc_id
+    """,
+)
+def sketch_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 Bloom-filter membership: the constant-size fast path in
+    front of the incremental-dedup digest store — 'definitely new'
+    docs skip the exact anti-join; only maybe-seen docs pay it.
+    Filter = ceil(16^4/60) BIGINT words, broadcast at probe time."""
+    from alerta_spark.ops.sketches import bloom_build, bloom_probe
+    from alerta_spark.ops.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("dg"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("bloomsplit"))
+        ).alias("band"),
+    )
+    train = d.where(F.substring("band", 1, 1) < "8").select("dg")
+    bloom = bloom_build(train, "dg")
+    probed = bloom_probe(bloom, d.select("doc_id", "dg"), "dg")
+    member = train.distinct().withColumn("is_member", F.lit(True))
+    return (
+        probed.join(d.select("doc_id", "dg"), "doc_id")
+        .join(F.broadcast(member), "dg", "left")
+        .select(
+            "doc_id",
+            "maybe_member",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+    )

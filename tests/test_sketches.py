@@ -134,3 +134,41 @@ def test_cms_merge_by_adding_counts_is_exact(spark):
     m = {(r["depth"], r["bucket"]): r["cnt"] for r in merged.collect()}
     o = {(r["depth"], r["bucket"]): r["cnt"] for r in oneshot.collect()}
     assert m == o
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    """Every inserted item MUST probe true (structural guarantee);
+    unseen items probe true only at the designed FPR (~(1-e^{-kn/m})^k
+    ≈ 0.24% for n=200, m=65536, k=4 — assert well under 5%)."""
+    from alerta_spark.ops.sketches import bloom_build, bloom_probe
+
+    seen = spark.range(200).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("v")
+    )
+    unseen = spark.range(1000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    bloom = bloom_build(seen, "v")
+    hits_seen = bloom_probe(bloom, seen, "v").where("maybe_member").count()
+    assert hits_seen == 200
+    fp = bloom_probe(bloom, unseen, "v").where("maybe_member").count()
+    assert fp <= 50
+
+
+def test_bloom_shard_merge_is_lossless(spark):
+    """bit_or-merging per-shard filters == building one filter over
+    the union — the property that makes the filter an incremental
+    per-shard summary like CMS."""
+    from alerta_spark.ops.sketches import bloom_build
+
+    a = spark.createDataFrame([("p",), ("q",)], ["v"])
+    b = spark.createDataFrame([("q",), ("r",)], ["v"])
+    merged = (
+        bloom_build(a, "v").unionByName(bloom_build(b, "v"))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    oneshot = bloom_build(a.unionByName(b), "v")
+    m = {(r["word"], r["bits"]) for r in merged.collect()}
+    o = {(r["word"], r["bits"]) for r in oneshot.collect()}
+    assert m == o
