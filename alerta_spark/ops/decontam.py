@@ -109,3 +109,51 @@ def containment_report(
         .where(F.col("containment") >= threshold)
         .select("train_id", "eval_id", "shared", "eval_size", "containment")
     )
+
+
+def decontaminate_embedding(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Embedding-space decontamination: drop train vectors whose
+    cosine to ANY eval vector reaches ``threshold`` — the semantic
+    companion to the n-gram rule (catches paraphrased leakage that
+    shares no exact shingle; same recipe as the Llama-3 / GSM8k
+    contamination studies, embedding-similarity thresholding).
+
+    Same asymmetric shape as :func:`decontaminate`: the eval side is
+    tiny and BROADCASTS; the corpus-sized train side never shuffles —
+    the cosine fan-out (|train| x |eval| rows) collapses map-side via
+    partial-aggregate max before the one id-keyed exchange.
+
+    -> surviving train rows + their ``max_eval_cos`` (diagnostic;
+    round(6) so the column is engine-portable; NULL = the vector was
+    never within any eval pair's reach, i.e. eval side empty).
+    """
+    from alerta_spark.ops.similarity import cosine
+
+    ev = eval_emb.select(
+        F.col(id_col).alias("_eid"), F.col(vec_col).alias("_ev")
+    )
+    pairs = train_emb.select(
+        F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
+    ).join(F.broadcast(ev) if broadcast_eval else ev)
+    mx = pairs.groupBy("_tid").agg(
+        F.round(F.max(cosine(F.col("_tv"), F.col("_ev"))), 6).alias(
+            "max_eval_cos"
+        )
+    )
+    return (
+        train_emb.join(
+            mx, train_emb[id_col] == mx["_tid"], "left"
+        )
+        .where(
+            F.col("max_eval_cos").isNull()
+            | (F.col("max_eval_cos") < threshold)
+        )
+        .drop("_tid")
+    )

@@ -7072,3 +7072,51 @@ def sketch_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_member", F.lit(False)).alias("is_member"),
         )
     )
+
+
+@register(
+    "decontaminate_embedding_cos",
+    # Semantic decontamination regime planted like dedup_embedding_lsh:
+    # eval = every 11th vector; train = the rest PLUS exact copies of
+    # half the eval set under new ids (leakage). The copies hit
+    # max_eval_cos=1.0 and are dropped; organic train vectors top out
+    # ~0.5 and survive with their diagnostic column intact.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id % 11 = 0),
+    tr AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 11 <> 0
+      UNION ALL
+      SELECT vec_id + 1000000, v FROM ev WHERE vec_id % 22 = 0
+    ),
+    mx AS (
+      SELECT t.vec_id,
+             round(max(list_dot_product(t.v, ev.v)
+                       / (sqrt(list_dot_product(t.v, t.v))
+                          * sqrt(list_dot_product(ev.v, ev.v)))), 6)
+               AS max_eval_cos
+      FROM tr t, ev GROUP BY 1
+    )
+    SELECT vec_id, max_eval_cos FROM mx WHERE max_eval_cos < 0.95
+    """,
+)
+def decontaminate_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 embedding-space decontamination: drop train vectors within
+    cosine 0.95 of ANY eval vector (paraphrase-level leakage the
+    n-gram rule misses). Eval side broadcasts; the corpus side's
+    |train| x |eval| cosine fan-out collapses map-side (partial max)
+    before one id-keyed exchange."""
+    from alerta_spark.ops.decontam import decontaminate_embedding
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 11 == 0)
+    planted = ev.where(F.col("vec_id") % 22 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    train = emb.where(F.col("vec_id") % 11 != 0).unionByName(planted)
+    out = decontaminate_embedding(
+        train.select("vec_id", "embedding"),
+        ev.select("vec_id", "embedding"),
+        threshold=0.95,
+    )
+    return out.select("vec_id", "max_eval_cos")

@@ -69,3 +69,23 @@ def test_corpus_composition_shares_sum_to_one(spark):
     assert math.isclose(sum(r.doc_share for r in out.values()), 1.0)
     assert math.isclose(sum(r.token_share for r in out.values()), 1.0)
     assert math.isclose(out[("book", "en")].token_share, 4 / 9)
+
+
+def test_decontaminate_embedding_drops_leaked_vectors(spark):
+    from alerta_spark.ops.decontam import decontaminate_embedding
+
+    tr = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # exact leak of eval 100
+            (2, [0.9, 0.1, 0.0]),   # near-leak (cos ~0.994)
+            (3, [0.0, 0.0, 1.0]),   # orthogonal -> survives
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = decontaminate_embedding(tr, ev, threshold=0.95)
+    rows = {r["vec_id"]: r["max_eval_cos"] for r in out.collect()}
+    assert set(rows) == {3}
+    assert rows[3] == 0.0
