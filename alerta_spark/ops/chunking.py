@@ -221,3 +221,95 @@ def length_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partition_col: str = "source",
+    shards: int = 1,
+    token_col: str | None = None,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing: whole documents into
+    ``budget``-token bins — the no-split companion to
+    :func:`pack_sequences` for pipelines that forbid cross-document
+    attention (no document straddles two training sequences; padding
+    waste is the price, FFD keeps it near-optimal: <= 11/9 OPT + 1
+    bins, the classic Johnson bound).
+
+    Per (partition, shard) stream: sort by (n_tokens DESC, id ASC) and
+    first-fit each doc into the earliest bin with room. Docs longer
+    than ``budget`` get a dedicated bin flagged ``oversize`` (the
+    training pipeline truncates those). Deterministic: same input ->
+    same bins, any executor, any retry.
+
+    This is an inherently sequential per-stream fold, so it is the
+    documented applyInPandas case (same rationale as apply_bpe): ONE
+    shuffle on (partition, shard), a Python loop bounded by the shard's
+    doc count — ``shards`` caps stream length exactly as in
+    pack_sequences, so a skewed source still parallelizes.
+
+    -> [id_col, partition_col, shard, n_tokens, seq_idx, oversize]
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    n_tokens = (
+        F.col(token_col).cast("long")
+        if token_col
+        else F.size(ws_tokens(text_col)).cast("long")
+    )
+    shard = (
+        _md5_shard(F.col(id_col), shards) if shards > 1 else F.lit(0)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(partition_col).cast("string").alias("_part"),
+        shard.alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            ["n_tokens", "_id"], ascending=[False, True]
+        )
+        remaining: list[int] = []
+        seq_idx: list[int] = []
+        oversize: list[bool] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                seq_idx.append(len(remaining))
+                remaining.append(0)
+                oversize.append(True)
+                continue
+            oversize.append(False)
+            for b, cap in enumerate(remaining):
+                if cap >= n:
+                    remaining[b] = cap - n
+                    seq_idx.append(b)
+                    break
+            else:
+                seq_idx.append(len(remaining))
+                remaining.append(budget - n)
+        out = pdf.copy()
+        out["seq_idx"] = seq_idx
+        out["oversize"] = oversize
+        return out
+
+    packed = base.groupBy("_part", "shard").applyInPandas(
+        pack,
+        schema="_id long, _part string, shard long, n_tokens long, "
+        "seq_idx long, oversize boolean",
+    )
+    return packed.select(
+        F.col("_id").alias(id_col),
+        F.col("_part").alias(partition_col),
+        "shard",
+        "n_tokens",
+        "seq_idx",
+        "oversize",
+    )

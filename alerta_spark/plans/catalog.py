@@ -7120,3 +7120,16 @@ def decontaminate_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.95,
     )
     return out.select("vec_id", "max_eval_cos")
+
+
+@register("pack_sequences_ffd", oracle=None)  # sequential fold: rows-only
+def pack_sequences_ffd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 first-fit-decreasing packing (no-split companion to
+    pack_sequences): whole docs into 256-token bins per (source,
+    shard) stream. Inherently a sequential per-stream fold -> no SQL
+    oracle; validity, the 11/9*OPT+1 bound, determinism, and shard
+    parallelization are pinned in tests/test_chunking.py."""
+    from alerta_spark.ops.chunking import pack_sequences_ffd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences_ffd(docs, budget=256, shards=2)

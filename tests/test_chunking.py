@@ -184,3 +184,71 @@ def test_length_buckets_cover_and_order(spark):
         assert a.max_len <= b.min_len
     # waste in [0, 1); a bucket batched to its max wastes < 100%
     assert all(0.0 <= r.pad_waste < 1.0 for r in rows)
+
+
+def test_ffd_packing_validity_and_bound(spark):
+    """Every bin holds <= budget tokens (oversize bins are dedicated
+    singletons); bin count meets the FFD 11/9*OPT+1 bound; rerun is
+    identical."""
+    from alerta_spark.ops.chunking import pack_sequences_ffd
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, "s", (i * 37) % 90 + 10) for i in range(200)]
+        + [(900, "s", 150)],  # oversize (budget 128)
+        "doc_id long, source string, n_tok long",
+    )
+    out = pack_sequences_ffd(
+        docs, budget=128, token_col="n_tok", partition_col="source"
+    )
+    rows = out.collect()
+    assert len(rows) == 201
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        k = (r["source"], r["shard"], r["seq_idx"])
+        fills[k] = fills.get(k, 0) + r["n_tokens"]
+        if r["oversize"]:
+            assert r["n_tokens"] > 128
+    for k, tot in fills.items():
+        n_docs_in_bin = sum(
+            1
+            for r in rows
+            if (r["source"], r["shard"], r["seq_idx"]) == k
+        )
+        if tot > 128:
+            assert n_docs_in_bin == 1  # dedicated oversize bin
+    total = sum(r["n_tokens"] for r in rows if not r["oversize"])
+    opt_lb = math.ceil(total / 128)
+    n_bins = len({
+        (r["source"], r["shard"], r["seq_idx"])
+        for r in rows
+        if not r["oversize"]
+    })
+    assert n_bins <= math.ceil(11 / 9 * opt_lb) + 1
+    again = {
+        (r["doc_id"], r["seq_idx"], r["oversize"])
+        for r in pack_sequences_ffd(
+            docs, budget=128, token_col="n_tok", partition_col="source"
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["seq_idx"], r["oversize"]) for r in rows}
+
+
+def test_ffd_never_splits_and_shards_partition_stream(spark):
+    from alerta_spark.ops.chunking import pack_sequences_ffd
+
+    docs = spark.createDataFrame(
+        [(i, "a", 60) for i in range(40)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = pack_sequences_ffd(
+        docs, budget=128, token_col="n_tok", shards=4
+    ).collect()
+    # two 60-token docs per 128 bin within each shard
+    by_bin: dict[tuple, int] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_bin[(r["shard"], r["seq_idx"])] = (
+            by_bin.get((r["shard"], r["seq_idx"]), 0) + 1
+        )
+    assert all(c <= 2 for c in by_bin.values())
