@@ -841,3 +841,91 @@ def prefix_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    max_edits: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a SHORT key column (titles,
+    URLs, product names — the record-linkage fuzzy join): all pairs
+    with levenshtein <= ``max_edits``, found without the quadratic
+    all-pairs scan.
+
+    Candidate generation is the classic LOSSLESS q-gram count filter
+    (Gravano/Ukkonen): edit distance <= k implies
+    (a) |len_a - len_b| <= k, and
+    (b) shared positional q-grams (multiset) >=
+        max(len_a, len_b) - q + 1 - k*q,
+    because one edit destroys at most q grams. Pairs are generated by
+    a gram-equality self-join (+ the length band), counted with
+    sum(least(c_a, c_b)), cut by (b), and only survivors pay the
+    exact ``levenshtein`` verify — which keeps the filter
+    output-invisible (the oracle is the all-pairs definition).
+
+    Keys shorter than ``q`` chars have no grams and are excluded
+    (filter inputs or lower q). At corpus scale, token-set similarity
+    should use prefix_jaccard_pairs (PPJoin); this operator is for
+    the short-key regime where edit distance is the right metric and
+    the gram vocabulary is large enough to be selective.
+
+    -> [id_a, id_b, edits]
+    """
+    if max_edits < 0:
+        raise ValueError(f"max_edits must be >= 0, got {max_edits}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    s = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_s")
+    ).where(F.length("_s") >= q)
+    grams = s.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(_s) - {q} + 1),"
+                f" i -> substring(_s, i, {q}))"
+            )
+        ).alias("_g"),
+    )
+    gcnt = _persist(
+        grams.groupBy("_id", "_s", "_g").agg(F.count("*").alias("_c"))
+    )
+    a = gcnt.select(
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_g").alias("_g"),
+        F.col("_c").alias("_ca"),
+    )
+    b = gcnt.select(
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_g").alias("_g"),
+        F.col("_c").alias("_cb"),
+    )
+    shared = (
+        a.join(b, "_g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.length("_sa") - F.length("_sb"))
+                <= F.lit(max_edits)
+            )
+        )
+        .groupBy("id_a", "id_b", "_sa", "_sb")
+        .agg(F.sum(F.least("_ca", "_cb")).alias("_shared"))
+    )
+    bound = (
+        F.greatest(F.length("_sa"), F.length("_sb"))
+        - F.lit(q - 1)
+        - F.lit(max_edits * q)
+    )
+    return (
+        shared.where(F.col("_shared") >= bound)
+        .withColumn("edits", F.levenshtein("_sa", "_sb").cast("long"))
+        .where(F.col("edits") <= max_edits)
+        .select("id_a", "id_b", "edits")
+    )

@@ -7133,3 +7133,47 @@ def pack_sequences_ffd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences_ffd(docs, budget=256, shards=2)
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    # Keys = first 32 chars of the normalized text; typo twins planted
+    # (doc_id % 20 == 0 -> copy with char 5 replaced by '#', id+10000)
+    # so the edits<=2 regime is populated. The oracle is the ALL-PAIRS
+    # definition — proving the q-gram count filter output-invisible.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, substring({_DUCK_NORM}, 1, 32) AS k FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, k FROM base
+      UNION ALL
+      SELECT doc_id + 10000,
+             substring(k, 1, 4) || '#' || substring(k, 6)
+      FROM base WHERE doc_id % 20 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.k, b.k) AS BIGINT) AS edits
+    FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.k, b.k) <= 2
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 record-linkage fuzzy join: levenshtein<=2 pairs over short
+    keys via the lossless q-gram count filter (length band + shared
+    gram count >= max(L)-q+1-k*q), exact verify only on survivors."""
+    from alerta_spark.ops.dedupe import fuzzy_pairs_levenshtein
+    from alerta_spark.ops.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.substring(normalize_text("text"), 1, 32).alias("k")
+    )
+    twins = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.substring("k", 1, 4), F.lit("#"), F.substring("k", 6, 32)
+        ).alias("k"),
+    )
+    keys = base.unionByName(twins)
+    return fuzzy_pairs_levenshtein(keys, key_col="k", max_edits=2)

@@ -207,3 +207,25 @@ def test_prefix_filter_matches_full_index_and_shrinks(spark):
     n_prefix = per_doc.agg(F.sum("p")).first()[0]
     release_cached()
     assert n_prefix < 0.45 * n_full, (n_prefix, n_full)
+
+
+def test_fuzzy_levenshtein_filter_is_output_invisible(spark):
+    """q-gram count filter finds exactly the all-pairs edit<=k set,
+    including cross-length edits and excluding just-over-threshold."""
+    from alerta_spark.ops.dedupe import fuzzy_pairs_levenshtein
+
+    df = spark.createDataFrame(
+        [
+            (1, "warehouse"),
+            (2, "warehouze"),      # 1 substitution
+            (3, "wareouse"),       # 1 deletion
+            (4, "warehouse12"),    # 2 insertions -> edits=2 vs doc 1
+            (5, "completely off"),
+        ],
+        "doc_id long, k string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["edits"])
+        for r in fuzzy_pairs_levenshtein(df, key_col="k", max_edits=2).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 2), (1, 4, 2)}
