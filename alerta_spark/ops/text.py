@@ -991,3 +991,53 @@ def line_df_dedup(
             "n_lines_dropped",
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-phrase search: docs where the whitespace-normalized
+    token stream contains ``phrase``'s tokens CONSECUTIVELY, with the
+    occurrence count.
+
+    The scale story (vs a regex/LIKE scan): only rows whose token is
+    one of the |Q| phrase terms leave the scan — the filter sits below
+    the per-doc aggregate, so the shuffle carries query-term hits, not
+    the corpus token stream (the same posting-list discipline as
+    bm25_topk; this is the positional-index probe). The consecutive
+    check is a JVM higher-order-function expression over each doc's
+    collected (pos, term) hits — no Python, no second scan.
+
+    -> [id_col, n_occurrences], only matching docs (count >= 1).
+    """
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    for t in terms:
+        if "'" in t:
+            raise ValueError(f"phrase token {t!r} contains a quote")
+    toks = tokenize(text_col)
+    hits = (
+        df.select(F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_t"))
+        .where(F.col("_t").isin(terms))
+        .groupBy("_id")
+        .agg(F.collect_list(F.struct("_pos", "_t")).alias("_hits"))
+    )
+    anchor = f"filter(_hits, h -> h._t = '{terms[0]}')"
+    conds = " and ".join(
+        f"exists(_hits, h{j} -> h{j}._t = '{t}' and h{j}._pos = h._pos + {j})"
+        for j, t in enumerate(terms[1:], start=1)
+    )
+    count_expr = (
+        f"size(filter({anchor}, h -> {conds}))" if conds else f"size({anchor})"
+    )
+    return (
+        hits.select(
+            F.col("_id").alias(id_col),
+            F.expr(count_expr).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= 1)
+    )

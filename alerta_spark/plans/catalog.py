@@ -7177,3 +7177,29 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     keys = base.unionByName(twins)
     return fuzzy_pairs_levenshtein(keys, key_col="k", max_edits=2)
+
+
+@register(
+    "text_phrase_search",
+    # The oracle is the DEFINITION: count token positions p with
+    # ts[p]='table' and ts[p+1]='value' — token semantics, so
+    # overlapping-substring pitfalls of a LIKE count can't bite.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS ts FROM documents),
+    pos AS (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS p
+      FROM toks
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM pos WHERE ts[p] = 'table' AND ts[p + 1] = 'value'
+    GROUP BY doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 positional phrase search: only query-term token rows leave
+    the scan (posting-list probe); consecutiveness checked JVM-side
+    over each doc's collected hits."""
+    from alerta_spark.ops.text import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "table value")

@@ -400,3 +400,33 @@ def test_line_df_dedup_semantics(spark):
     assert out[1]["n_lines_dropped"] == 1
     assert out[2]["clean_text"] == "content two\nrare"
     assert out[3]["clean_text"] == "content three"
+
+
+def test_phrase_search_consecutive_only(spark):
+    from alerta_spark.ops.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "big table value here table value end"),  # 2 occurrences
+            (2, "table here value"),                      # both terms, not adjacent
+            (3, "value table"),                           # wrong order
+            (4, "the table value"),                       # 1 occurrence
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(df, "table value").collect()
+    }
+    assert got == {1: 2, 4: 1}
+    # 3-term phrase with a repeated token
+    df2 = spark.createDataFrame(
+        [(1, "go go go stop go go"), (2, "go stop go")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(df2, "go go").collect()
+    }
+    assert got2 == {1: 3}
