@@ -558,6 +558,9 @@ def incremental_dedup_ingest(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    use_bloom: bool = False,
+    bloom_prefix_len: int = 5,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Batch-over-batch corpus ingestion: dedup a new batch against a
     persistent fingerprint store (parquet of distinct content digests),
@@ -570,6 +573,17 @@ def incremental_dedup_ingest(
     idempotent). At 100 TB, bucket the store by digest so the anti-join
     is co-located; the store never holds text, only 32-byte digests.
     Within a batch the min-id row per digest survives (deterministic).
+
+    ``use_bloom=True`` maintains a Bloom filter of the store's digests
+    alongside it (``store_path + "_bloom"``) and probes it FIRST:
+    definitely-new rows (the vast majority of a healthy crawl) skip
+    the store anti-join entirely; only maybe-seen rows pay it. The
+    filter is ceil(16^prefix_len/60) BIGINT words — KBs against a
+    store of billions — and merges by bit_or, so the maintenance is
+    an O(batch) overwrite. No false negatives, so the result is
+    IDENTICAL to the exact path (pinned in tests); size the bit space
+    (``bloom_prefix_len``) to the expected store cardinality to keep
+    the maybe-seen minority small.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
@@ -581,11 +595,41 @@ def incremental_dedup_ingest(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    bloom_path = store_path.rstrip("/") + "_bloom"
+    bloom = None
+    if use_bloom:
+        from alerta_spark.ops.sketches import bloom_build, bloom_probe
+
+        try:
+            bloom = spark.read.parquet(bloom_path)
+        except AnalysisException:
+            bloom = None
     try:
         store = spark.read.parquet(store_path).select("digest")
-        kept = firsts.join(
-            store, firsts["_digest"] == store["digest"], "left_anti"
-        )
+        if bloom is not None:
+            probed = bloom_probe(
+                bloom,
+                firsts.select(F.col("_digest")),
+                "_digest",
+                k=bloom_k,
+                prefix_len=bloom_prefix_len,
+            )
+            firsts = firsts.join(probed, "_digest")
+            definite_new = firsts.where(~F.col("maybe_member")).drop(
+                "maybe_member"
+            )
+            suspects = firsts.where(F.col("maybe_member")).drop(
+                "maybe_member"
+            )
+            kept = definite_new.unionByName(
+                suspects.join(
+                    store, suspects["_digest"] == store["digest"], "left_anti"
+                )
+            )
+        else:
+            kept = firsts.join(
+                store, firsts["_digest"] == store["digest"], "left_anti"
+            )
     except AnalysisException:  # first batch: store does not exist yet
         kept = firsts
     # Truncate lineage BEFORE appending: the append's refreshByPath
@@ -600,6 +644,23 @@ def incremental_dedup_ingest(
     kept.select(F.col("_digest").alias("digest")).write.mode(
         "append"
     ).parquet(store_path)
+    if use_bloom:
+        from alerta_spark.ops.sketches import bloom_build
+
+        delta = bloom_build(
+            kept.select("_digest"),
+            "_digest",
+            k=bloom_k,
+            prefix_len=bloom_prefix_len,
+        )
+        merged = (
+            delta
+            if bloom is None
+            else delta.unionByName(bloom)
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(bloom_path)
     return kept.drop("_digest")
 
 

@@ -40,3 +40,28 @@ def test_rerun_of_same_batch_adds_nothing(spark, tmp_path):
     # replay (retry semantics): nothing new survives, store unchanged
     assert incremental_dedup_ingest(spark, store, b).count() == 0
     assert spark.read.parquet(store).count() == 2
+
+
+def test_bloom_fast_path_is_equivalent_and_idempotent(spark, tmp_path):
+    """use_bloom=True produces IDENTICAL survivors (no false
+    negatives), maintains the side filter, and stays replay-safe."""
+    import os
+
+    exact = str(tmp_path / "exact")
+    fast = str(tmp_path / "fast")
+    b1 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")])
+    b2 = _docs(spark, [(4, "ALPHA beta"), (5, "epsilon"), (6, "epsilon")])
+
+    for store, flag in ((exact, False), (fast, True)):
+        k1 = incremental_dedup_ingest(spark, store, b1, use_bloom=flag)
+        k2 = incremental_dedup_ingest(spark, store, b2, use_bloom=flag)
+        assert sorted(r.doc_id for r in k1.collect()) == [1, 2]
+        assert sorted(r.doc_id for r in k2.collect()) == [5]
+
+    assert os.path.isdir(fast + "_bloom")
+    assert spark.read.parquet(fast).count() == 3
+    # replay: zero survivors, filter and store unchanged in cardinality
+    assert incremental_dedup_ingest(
+        spark, fast, b2, use_bloom=True
+    ).count() == 0
+    assert spark.read.parquet(fast).count() == 3
