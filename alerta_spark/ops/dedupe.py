@@ -913,25 +913,28 @@ def fuzzy_pairs_levenshtein(
 ) -> DataFrame:
     """Edit-distance near-dup pairs over a SHORT key column (titles,
     URLs, product names — the record-linkage fuzzy join): all pairs
-    with levenshtein <= ``max_edits``, found without the quadratic
-    all-pairs scan.
+    with levenshtein <= ``max_edits``, without the quadratic all-pairs
+    scan.
 
-    Candidate generation is the classic LOSSLESS q-gram count filter
-    (Gravano/Ukkonen): edit distance <= k implies
-    (a) |len_a - len_b| <= k, and
-    (b) shared positional q-grams (multiset) >=
-        max(len_a, len_b) - q + 1 - k*q,
-    because one edit destroys at most q grams. Pairs are generated by
-    a gram-equality self-join (+ the length band), counted with
-    sum(least(c_a, c_b)), cut by (b), and only survivors pay the
-    exact ``levenshtein`` verify — which keeps the filter
+    Candidate generation is the LOSSLESS q-gram prefix filter
+    (Gravano et al. / the Ed-Join family): one edit destroys at most
+    ``q`` positional q-grams, so strings within ``k`` edits differ in
+    at most k*q gram occurrences each way — their gram multisets
+    overlap in all but k*q elements. Under ANY global total order on
+    gram occurrences, two such multisets must then share an element
+    among each one's FIRST k*q+1 elements; ordering by ascending
+    corpus frequency makes those prefix elements the RAREST, so index
+    buckets stay small. Candidates additionally satisfy the length
+    band |len_a - len_b| <= k (an edit changes length by <= 1); only
+    survivors pay the exact ``levenshtein`` verify — the filter is
     output-invisible (the oracle is the all-pairs definition).
 
+    Plan: gram fan-out (bounded by key length), one gram-frequency
+    aggregate joined back (AQE splits hot grams), a per-key JVM
+    array_sort cut to k*q+1 prefix elements (never a rank window),
+    the prefix-element self-join, and the verify on distinct pairs.
     Keys shorter than ``q`` chars have no grams and are excluded
-    (filter inputs or lower q). At corpus scale, token-set similarity
-    should use prefix_jaccard_pairs (PPJoin); this operator is for
-    the short-key regime where edit distance is the right metric and
-    the gram vocabulary is large enough to be selective.
+    (filter inputs or lower q).
 
     -> [id_a, id_b, edits]
     """
@@ -939,36 +942,66 @@ def fuzzy_pairs_levenshtein(
         raise ValueError(f"max_edits must be >= 0, got {max_edits}")
     if q < 1:
         raise ValueError(f"q must be >= 1, got {q}")
+    prefix_len = max_edits * q + 1
     s = df.select(
         F.col(id_col).alias("_id"), F.col(key_col).alias("_s")
     ).where(F.length("_s") >= q)
     grams = s.select(
         "_id",
         "_s",
-        F.explode(
+        F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(_s) - {q} + 1),"
                 f" i -> substring(_s, i, {q}))"
             )
-        ).alias("_g"),
+        ).alias("_p", "_g"),
     )
-    gcnt = _persist(
-        grams.groupBy("_id", "_s", "_g").agg(F.count("*").alias("_c"))
+    # occurrence index makes the multiset element (_g, _occ) — the
+    # prefix principle needs multiset semantics, not set
+    occ = _persist(
+        grams.groupBy("_id", "_s", "_g")
+        .agg(F.count("*").alias("_c"))
+        .select(
+            "_id",
+            "_s",
+            "_g",
+            F.explode(F.expr("sequence(1, int(_c))")).alias("_occ"),
+        )
     )
-    a = gcnt.select(
+    dfreq = occ.groupBy("_g", "_occ").agg(F.count("*").alias("_df"))
+    prefix = (
+        occ.join(dfreq, ["_g", "_occ"])
+        .groupBy("_id", "_s")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("_df", "_g", "_occ"))
+                ),
+                1,
+                prefix_len,
+            ).alias("_pre")
+        )
+        .select(
+            "_id",
+            "_s",
+            F.explode("_pre").alias("_e"),
+        )
+        .select("_id", "_s", F.col("_e._g").alias("_g"), F.col("_e._occ").alias("_occ"))
+    )
+    a = prefix.select(
         F.col("_id").alias("id_a"),
         F.col("_s").alias("_sa"),
-        F.col("_g").alias("_g"),
-        F.col("_c").alias("_ca"),
+        "_g",
+        "_occ",
     )
-    b = gcnt.select(
+    b = prefix.select(
         F.col("_id").alias("id_b"),
         F.col("_s").alias("_sb"),
-        F.col("_g").alias("_g"),
-        F.col("_c").alias("_cb"),
+        "_g",
+        "_occ",
     )
-    shared = (
-        a.join(b, "_g")
+    cand = (
+        a.join(b, ["_g", "_occ"])
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (
@@ -976,17 +1009,11 @@ def fuzzy_pairs_levenshtein(
                 <= F.lit(max_edits)
             )
         )
-        .groupBy("id_a", "id_b", "_sa", "_sb")
-        .agg(F.sum(F.least("_ca", "_cb")).alias("_shared"))
-    )
-    bound = (
-        F.greatest(F.length("_sa"), F.length("_sb"))
-        - F.lit(q - 1)
-        - F.lit(max_edits * q)
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
     )
     return (
-        shared.where(F.col("_shared") >= bound)
-        .withColumn("edits", F.levenshtein("_sa", "_sb").cast("long"))
+        cand.withColumn("edits", F.levenshtein("_sa", "_sb").cast("long"))
         .where(F.col("edits") <= max_edits)
         .select("id_a", "id_b", "edits")
     )

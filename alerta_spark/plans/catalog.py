@@ -7077,17 +7077,19 @@ def sketch_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decontaminate_embedding_cos",
     # Semantic decontamination regime planted like dedup_embedding_lsh:
-    # eval = every 11th vector; train = the rest PLUS exact copies of
-    # half the eval set under new ids (leakage). The copies hit
+    # eval = every 37th vector (eval benchmarks are small relative to
+    # the corpus — the asymmetry the broadcast plan exists for);
+    # train = the rest PLUS exact copies of half the eval set under
+    # new ids (leakage). The copies hit
     # max_eval_cos=1.0 and are dropped; organic train vectors top out
     # ~0.5 and survive with their diagnostic column intact.
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    ev AS (SELECT vec_id, v FROM e WHERE vec_id % 11 = 0),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id % 37 = 0),
     tr AS (
-      SELECT vec_id, v FROM e WHERE vec_id % 11 <> 0
+      SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0
       UNION ALL
-      SELECT vec_id + 1000000, v FROM ev WHERE vec_id % 22 = 0
+      SELECT vec_id + 1000000, v FROM ev WHERE vec_id % 74 = 0
     ),
     mx AS (
       SELECT t.vec_id,
@@ -7109,11 +7111,11 @@ def decontaminate_embedding_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alerta_spark.ops.decontam import decontaminate_embedding
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ev = emb.where(F.col("vec_id") % 11 == 0)
-    planted = ev.where(F.col("vec_id") % 22 == 0).withColumn(
+    ev = emb.where(F.col("vec_id") % 37 == 0)
+    planted = ev.where(F.col("vec_id") % 74 == 0).withColumn(
         "vec_id", F.col("vec_id") + 1_000_000
     )
-    train = emb.where(F.col("vec_id") % 11 != 0).unionByName(planted)
+    train = emb.where(F.col("vec_id") % 37 != 0).unionByName(planted)
     out = decontaminate_embedding(
         train.select("vec_id", "embedding"),
         ev.select("vec_id", "embedding"),
@@ -7137,19 +7139,25 @@ def pack_sequences_ffd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_fuzzy_levenshtein",
-    # Keys = first 32 chars of the normalized text; typo twins planted
-    # (doc_id % 20 == 0 -> copy with char 5 replaced by '#', id+10000)
-    # so the edits<=2 regime is populated. The oracle is the ALL-PAIRS
-    # definition — proving the q-gram count filter output-invisible.
-    oracle=f"""
+    # Keys are URL-like slugs (https://<source>/<md5-prefix>) — the
+    # high-entropy short-key regime edit-distance joins exist for
+    # (the word-soup text's 375-gram vocabulary is the DEGENERATE
+    # case where no gram is selective; realistic keys are not). Typo
+    # twins planted (doc_id % 20 == 0 -> char 20 replaced by '#',
+    # id+10000). The oracle is the ALL-PAIRS definition — proving the
+    # q-gram prefix filter output-invisible.
+    oracle="""
     WITH base AS (
-      SELECT doc_id, substring({_DUCK_NORM}, 1, 32) AS k FROM documents
+      SELECT doc_id,
+             'https://' || source || '/'
+               || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS k
+      FROM documents
     ),
     keys AS (
       SELECT doc_id, k FROM base
       UNION ALL
       SELECT doc_id + 10000,
-             substring(k, 1, 4) || '#' || substring(k, 6)
+             substring(k, 1, 19) || '#' || substring(k, 21)
       FROM base WHERE doc_id % 20 = 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -7159,20 +7167,26 @@ def pack_sequences_ffd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X86 record-linkage fuzzy join: levenshtein<=2 pairs over short
-    keys via the lossless q-gram count filter (length band + shared
-    gram count >= max(L)-q+1-k*q), exact verify only on survivors."""
+    """X85 record-linkage fuzzy join: levenshtein<=2 pairs over short
+    URL-like keys via the lossless q-gram prefix filter (rarest
+    k*q+1 gram occurrences indexed per key), exact verify only on
+    candidate survivors."""
     from alerta_spark.ops.dedupe import fuzzy_pairs_levenshtein
-    from alerta_spark.ops.text import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
-        "doc_id", F.substring(normalize_text("text"), 1, 32).alias("k")
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        ).alias("k"),
     )
     twins = base.where(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(
-            F.substring("k", 1, 4), F.lit("#"), F.substring("k", 6, 32)
+            F.substring("k", 1, 19), F.lit("#"), F.substring("k", 21, 64)
         ).alias("k"),
     )
     keys = base.unionByName(twins)

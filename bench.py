@@ -72,6 +72,12 @@ HEADLINE = [
     "hybrid_retrieval_rerank",
     "timeseries_ffill_daily",
     "path_top_user_journeys",
+    # round-3 batch 6 (no earlier baseline; tracked from r03 on)
+    "dedup_frequent_lines",
+    "sketch_bloom_dedup_probe",
+    "decontaminate_embedding_cos",
+    "dedup_fuzzy_levenshtein",
+    "text_phrase_search",
 ]
 
 
