@@ -506,3 +506,50 @@ def test_skyline_no_quadratic_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_frequent_line_dedup_broadcast_anti_and_one_rebuild_exchange(spark):
+    """The frequent-line set must come back as a broadcast anti-join
+    (map-side drop); the doc rebuild is the only corpus-keyed
+    exchange (plus the tiny aggregate feeding the broadcast)."""
+    plan = _plan(spark, "dedup_frequent_lines")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_is_broadcast(spark):
+    """The filter words must broadcast; candidates never shuffle on
+    the word key."""
+    plan = _plan(spark, "sketch_bloom_dedup_probe")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_decontam_no_vector_shuffle(spark):
+    """Eval side broadcasts (nested-loop under the cross product) and
+    the max-cosine collapse happens map-side: the only exchange
+    carries (id, partial max) scalars — never an embedding array."""
+    plan = _plan(spark, "decontaminate_embedding_cos")
+    assert "BroadcastNestedLoopJoin" in plan
+    ex = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert ex and all("embedding" not in l for l in ex)
+
+
+def test_fuzzy_levenshtein_no_rank_window_no_cartesian(spark):
+    """Prefix selection must be the per-key JVM array cut — never a
+    global rank window — and candidates must come from the gram-
+    equality join, never a cartesian product."""
+    plan = _plan(spark, "dedup_fuzzy_levenshtein")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_filters_tokens_below_aggregate(spark):
+    """Only query-term token rows may reach the per-doc aggregate:
+    the isin filter sits under the generate/aggregate, so the shuffle
+    carries term hits, not the token stream."""
+    plan = _plan(spark, "text_phrase_search")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the filter on the exploded tokens appears below the aggregate
+    assert "_t IN (table,value)" in plan.replace("'", "") or "IN (table" in plan
