@@ -86,3 +86,43 @@ def resample_ffill(
             F.col("_obs_v").isNotNull().alias("is_observed"),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    key_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key interval union: merge overlapping-or-touching
+    [start, end] intervals into maximal covered spans — the general
+    form of sessionization (a fixed gap is the special case where
+    every interval has the same length; here an early LONG interval
+    can swallow many later short ones, so the island test compares
+    each start against the RUNNING MAX of all previous ends, not just
+    the previous row's).
+
+    Columns are integer microseconds (cast upstream) so the span
+    arithmetic is exact. One exchange: the key-partitioned window and
+    the (key, island) aggregate share the same clustering.
+
+    -> [key_col, island, start_us, end_us, n_events, covered_us]
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(start_col, tiebreak_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tagged = df.withColumn("island", F.sum(is_new).over(run))
+    return tagged.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("start_us"),
+        F.max(end_col).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(end_col) - F.min(start_col)).alias("covered_us"),
+    )

@@ -7217,3 +7217,60 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, "table value")
+
+
+@register(
+    "intervals_user_activity",
+    # Interval = [ts, ts + floor(value*1e6) us] (value doubles as a
+    # duration in seconds): merging needs the RUNNING-MAX-of-ends
+    # island test — a long early event swallows later short ones, so
+    # a lag-only gap test (plain sessionize) would over-split. floor
+    # of the double product is engine-identical; all span arithmetic
+    # is exact BIGINT microseconds.
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+      FROM flag
+    )
+    SELECT user_id, island,
+           min(s) AS start_us, max(e) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(e) - min(s) AS covered_us
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def intervals_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 per-user interval union over the event lake (value = event
+    duration in seconds). One exchange: window + aggregate share the
+    user clustering."""
+    from alerta_spark.ops.timeseries import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1_000_000).cast("long")
+        ).alias("e"),
+    )
+    return merge_intervals(ev, "s", "e", tiebreak_col="event_id")

@@ -50,3 +50,34 @@ def test_ffill_hourly_unit(spark):
     rows = resample_ffill(ev, unit="hour").collect()
     assert len(rows) == 4  # 06:00, 07:00, 08:00, 09:00
     assert [r.value for r in sorted(rows, key=lambda r: r.bucket)] == [5.0, 5.0, 5.0, 6.0]
+
+
+def test_merge_intervals_running_max_swallows_short_events(spark):
+    """A long early interval must swallow later short ones — the case
+    a lag-only gap test over-splits."""
+    from alerta_spark.ops.timeseries import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            # key 1: [0,100] swallows [10,20] and [30,40]; [150,160] apart
+            (1, 1, 0, 100),
+            (1, 2, 10, 20),
+            (1, 3, 30, 40),
+            (1, 4, 150, 160),
+            # key 2: touching intervals merge ([0,10] + [10,20])
+            (2, 5, 0, 10),
+            (2, 6, 10, 20),
+        ],
+        "user_id long, event_id long, s long, e long",
+    )
+    out = {
+        (r["user_id"], r["island"]): (
+            r["start_us"], r["end_us"], r["n_events"], r["covered_us"]
+        )
+        for r in merge_intervals(df, "s", "e").collect()
+    }
+    assert out == {
+        (1, 1): (0, 100, 3, 100),
+        (1, 2): (150, 160, 1, 10),
+        (2, 1): (0, 20, 2, 20),
+    }
