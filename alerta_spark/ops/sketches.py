@@ -298,3 +298,166 @@ def bloom_probe(
     return joined.select(*keys, hit.alias("_h")).groupBy(*keys).agg(
         F.min("_h").alias("maybe_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HLL: an HyperLogLog whose REGISTERS are engine-reproducible
+# (md5 hex-prefix bucketing + leading-zero rank, like cms_build/bloom),
+# so unlike the DataSketches surface above the whole sketch — every
+# register, the exact harmonic sum, and the estimate — hash-checks
+# against a SQL oracle. The estimate's harmonic sum Σ 2^-M[j] is
+# accumulated as the EXACT integer Σ 2^(53-M[j]) (M <= 53, so every
+# term is an exact BIGINT and the sum is order-free), crossing to
+# float exactly once; the small-range linear-counting branch looks its
+# ln(m/V) up from a shared literal table (V has only m possible
+# values) so no engine evaluates a transcendental.
+
+
+HLL_M = 256  # 2-hex-char buckets; registers rank a 52-bit suffix
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_rho(sub: F.Column) -> F.Column:
+    """1-based position of the first 1-bit in the 52-bit value spelled
+    by 13 hex chars: 4 * (leading zero nibbles) + (zero bits in the
+    first nonzero nibble) + 1; 53 when all zero."""
+    z = F.length(F.regexp_extract(sub, "^0*", 0))
+    nib = sub.substr(z + F.lit(1), F.lit(1))
+    nib_lz = (
+        F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(z == 13, F.lit(53)).otherwise(4 * z + nib_lz + 1).cast("long")
+
+
+def hll_build(
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "hll",
+) -> DataFrame:
+    """Registers [*group_cols, bucket (2 hex chars), mreg]: at most
+    HLL_M rows per group regardless of input size. ONE partial+final
+    max aggregate; merge of shard sketches = max by bucket
+    (commutative/associative — any split of the input produces
+    identical registers)."""
+    groups = group_cols or []
+    h = F.md5(F.concat(F.col(item_col).cast("string"), F.lit(salt)))
+    return (
+        items.select(
+            *groups,
+            F.substring(h, 1, 2).alias("bucket"),
+            _hll_rho(F.substring(h, 3, 13)).alias("_rho"),
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.max("_rho").alias("mreg"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Lossless shard union: pointwise register max."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "mreg"]
+    return out.groupBy(*keys).agg(F.max("mreg").alias("mreg"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Estimate rows [*group_cols, n_buckets, v_zero, s_exact,
+    n_distinct_est]: the standard HLL estimator with bit-reproducible
+    arithmetic — s_exact = Σ 2^(53-M[j]) (+ 2^53 per empty register)
+    is an exact BIGINT, the raw estimate is one literal/SUM division,
+    and the V>0 small-range branch indexes a literal m*ln(m/V) table."""
+    import math
+
+    groups = group_cols or []
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("_present"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mreg AS INT))")
+        ).cast("long").alias("_s_present"),
+    )
+    m = HLL_M
+    v = (F.lit(m).cast("long") - F.col("_present")).alias("v_zero")
+    s_exact = (
+        F.col("_s_present")
+        + (F.lit(m) - F.col("_present")) * F.lit(1 << 53).cast("long")
+    ).alias("s_exact")
+    lin = F.array(*[F.lit(m * math.log(m / vv)) for vv in range(1, m + 1)])
+    base = agg.select(*groups, v, s_exact)
+    raw = F.lit(HLL_ALPHA * m * m * float(1 << 53)) / F.col("s_exact").cast(
+        "double"
+    )
+    est = F.when(
+        (F.col("v_zero") > 0) & (raw <= F.lit(2.5 * m)),
+        F.element_at(lin, F.col("v_zero").cast("int")),
+    ).otherwise(raw)
+    return base.select(
+        *groups,
+        F.lit(m).cast("long").alias("n_buckets"),
+        "v_zero",
+        "s_exact",
+        est.alias("n_distinct_est"),
+    )
+
+
+def duckdb_hll_sql(
+    item_expr: str,
+    from_clause: str,
+    group_cols: list[str] | None = None,
+    salt: str = "hll",
+) -> str:
+    """The oracle twin of hll_build+hll_estimate, generated from the
+    SAME constants so both engines share every literal."""
+    import math
+
+    groups = group_cols or []
+    gsel = (", ".join(groups) + "," ) if groups else ""
+    gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
+    m = HLL_M
+    lin = ", ".join(repr(m * math.log(m / vv)) for vv in range(1, m + 1))
+    return f"""
+    WITH h AS (
+      SELECT {gsel} md5(CAST({item_expr} AS VARCHAR) || '{salt}') AS hh
+      {from_clause}
+    ),
+    r AS (
+      SELECT {gsel} substr(hh, 1, 2) AS bucket,
+             CAST(CASE WHEN length(regexp_extract(substr(hh, 3, 13), '^0*')) = 13
+                  THEN 53
+                  ELSE 4 * length(regexp_extract(substr(hh, 3, 13), '^0*'))
+                       + (CASE substr(substr(hh, 3, 13),
+                               length(regexp_extract(substr(hh, 3, 13), '^0*')) + 1, 1)
+                          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                          WHEN '7' THEN 1 ELSE 0 END) + 1 END AS BIGINT) AS rho
+      FROM h
+    ),
+    reg AS (
+      SELECT {gsel} bucket, max(rho) AS mreg FROM r GROUP BY {gsel} bucket
+    ),
+    agg AS (
+      SELECT {gsel} CAST(count(*) AS BIGINT) AS present,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mreg AS INT)) AS BIGINT)
+               AS s_present
+      FROM reg {gby}
+    )
+    SELECT {gsel} CAST({m} AS BIGINT) AS n_buckets,
+           CAST({m} - present AS BIGINT) AS v_zero,
+           CAST(s_present + ({m} - present) * (CAST(1 AS BIGINT) << 53)
+                AS BIGINT) AS s_exact,
+           CASE WHEN ({m} - present) > 0
+                 AND {HLL_ALPHA * m * m * float(1 << 53)!r}
+                     / CAST(s_present + ({m} - present)
+                            * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+                     <= {2.5 * m!r}
+                THEN ([{lin}])[{m} - present]
+                ELSE {HLL_ALPHA * m * m * float(1 << 53)!r}
+                     / CAST(s_present + ({m} - present)
+                            * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+           END AS n_distinct_est
+    FROM agg
+    """

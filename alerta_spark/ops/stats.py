@@ -25,7 +25,7 @@ conditioning surface); training-data extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -69,4 +69,71 @@ def winsorize(
         F.when(v.isNull(), F.lit(None).cast("boolean"))
         .otherwise((v < F.col("_lo_b")) | (v > F.col("_hi_b")))
         .alias("clipped"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group simple linear regression y = intercept + slope*x from
+    six exact moments in ONE aggregate — the grouped trend line
+    (`regr_slope`/`regr_intercept` surface) in bit-reproducible form.
+
+    ``x`` must be an exact-integer expression (a day index, an hour, a
+    rank); ``y`` is a double measure. Both engines' streaming double
+    aggregation is partition-order-dependent at the ulp, so the moments
+    accumulate in DECIMAL/BIGINT (exact, associative, order-free):
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+        intercept = (Sy - slope*Sx) / n
+        r2        = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+
+    Each numerator is assembled exactly in DECIMAL, crosses to DOUBLE
+    once, and the final expression is a fixed tree of identical doubles
+    on every engine. Groups with zero x-variance yield NULL slope.
+
+    Scale: one partial+final hash aggregate over the fact scan; output
+    is one row per group. No window, no second scan.
+
+    Reference provenance: no analogue (the reference has no numeric
+    analytics surface); training-data/observability extension.
+    """
+    xd = x.cast("decimal(6,0)")
+    yd = y.cast("decimal(14,6)")
+    s = df.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("long")).cast("long").alias("sx"),
+        F.sum(yd).cast("decimal(18,6)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(24,6)").alias("sxy"),
+        F.sum(x.cast("long") * x.cast("long")).cast("long").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(28,12)").alias("syy"),
+    )
+    n8 = F.col("n").cast("decimal(8,0)")
+    cov_num = (
+        n8 * F.col("sxy")
+        - F.col("sx").cast("decimal(12,0)") * F.col("sy")
+    ).cast("string").cast("double")
+    varx_num = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    vary_num = (
+        n8 * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("string").cast("double")
+    slope = F.when(varx_num > 0, cov_num / varx_num)
+    syd = F.col("sy").cast("string").cast("double")
+    nd = F.col("n").cast("double")
+    intercept = (syd - slope * F.col("sx").cast("double")) / nd
+    r2 = F.when(
+        (varx_num > 0) & (vary_num > 0),
+        (cov_num * cov_num) / (varx_num * vary_num),
+    )
+    return s.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
     )

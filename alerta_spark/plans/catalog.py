@@ -7274,3 +7274,126 @@ def intervals_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     )
     return merge_intervals(ev, "s", "e", tiebreak_col="event_id")
+
+
+@register(
+    "trend_ols_daily_value",
+    # The regr_slope/regr_intercept surface in bit-reproducible form:
+    # built-in regression aggregates stream doubles (partition-order
+    # ulp drift), so the six moments accumulate in DECIMAL/BIGINT and
+    # cross to DOUBLE once (VARCHAR hop around DuckDB's double-rounding
+    # decimal cast); slope/intercept/r2 are fixed expression trees.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(date_diff('day', DATE '2024-01-01', ts)) AS BIGINT)
+               AS sx,
+             CAST(sum(CAST(value AS DECIMAL(14,6))) AS DECIMAL(18,6)) AS sy,
+             CAST(sum(CAST(date_diff('day', DATE '2024-01-01', ts)
+                           AS DECIMAL(6,0))
+                      * CAST(value AS DECIMAL(14,6))) AS DECIMAL(24,6))
+               AS sxy,
+             CAST(sum(date_diff('day', DATE '2024-01-01', ts)
+                      * date_diff('day', DATE '2024-01-01', ts)) AS BIGINT)
+               AS sxx,
+             CAST(sum(CAST(value AS DECIMAL(14,6))
+                      * CAST(value AS DECIMAL(14,6))) AS DECIMAL(28,12))
+               AS syy
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy
+                   - CAST(sx AS DECIMAL(12,0)) * CAST(sy AS DECIMAL(19,6))
+                   AS VARCHAR) AS DOUBLE)
+               AS cov_num,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS varx_num,
+             CAST(CAST(CAST(n AS DECIMAL(8,0)) * syy
+                   - CAST(sy AS DECIMAL(19,6)) * CAST(sy AS DECIMAL(19,6))
+                   AS VARCHAR) AS DOUBLE) AS vary_num,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+             CAST(sx AS DOUBLE) AS sxd,
+             CAST(n AS DOUBLE) AS nd
+      FROM s
+    )
+    SELECT event_type, n,
+           CASE WHEN varx_num > 0 THEN cov_num / varx_num END AS slope,
+           (syd - (CASE WHEN varx_num > 0 THEN cov_num / varx_num END) * sxd)
+             / nd AS intercept,
+           CASE WHEN varx_num > 0 AND vary_num > 0
+                THEN (cov_num * cov_num) / (varx_num * vary_num) END AS r2
+    FROM m ORDER BY event_type
+    """,
+)
+def trend_ols_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 per-group trend line: OLS of event value on day index per
+    event type — six exact moments in ONE partial+final aggregate (no
+    window, no second scan). The drift-direction companion to the
+    Pearson entry; slope sign is the 'is this metric degrading' readout
+    a monitoring pipeline wants per key at 100 TB."""
+    from alerta_spark.ops.stats import ols_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return ols_trend(
+        ev,
+        ["event_type"],
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")),
+        F.col("value"),
+    ).orderBy("event_type")
+
+
+def _hll_oracle() -> str:
+    from alerta_spark.ops.sketches import duckdb_hll_sql
+
+    inner = duckdb_hll_sql("user_id", "FROM events", ["event_type"])
+    return f"""
+    WITH est AS ({inner}),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_buckets, e.v_zero, e.s_exact,
+           e.n_distinct_est, x.n_exact,
+           e.n_distinct_est / CAST(x.n_exact AS DOUBLE) AS est_ratio
+    FROM est e JOIN ex x ON e.event_type = x.event_type
+    ORDER BY e.event_type
+    """
+
+
+@register("sketch_hll_distinct_users", oracle=_hll_oracle())
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 portable HyperLogLog: per-type distinct-user estimate whose
+    ENTIRE sketch hash-checks — md5 hex-prefix buckets, leading-zero
+    ranks, the harmonic sum carried as the exact BIGINT Σ 2^(53-M[j]),
+    and a literal-table linear-counting branch (no transcendental is
+    ever evaluated by an engine). The mergeable, constant-memory
+    distinct-count the DataSketches entry provides, now with the
+    register algebra itself under the correctness gate; the exact
+    count rides along for the honest error ratio. Merge = register
+    max (pinned in tests: shard union == one-shot).
+    Reference: the reference re-counts distincts per scan
+    (alerta.py:136-146); sketches are the 100 TB replacement."""
+    from alerta_spark.ops.sketches import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_build(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_buckets",
+            "v_zero",
+            "s_exact",
+            "n_distinct_est",
+            "n_exact",
+            (F.col("n_distinct_est") / F.col("n_exact").cast("double")).alias(
+                "est_ratio"
+            ),
+        )
+        .orderBy("event_type")
+    )

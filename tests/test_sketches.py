@@ -172,3 +172,45 @@ def test_bloom_shard_merge_is_lossless(spark):
     m = {(r["word"], r["bits"]) for r in merged.collect()}
     o = {(r["word"], r["bits"]) for r in oneshot.collect()}
     assert m == o
+
+
+def test_hll_shard_merge_is_lossless(spark):
+    """Register max over shard sketches == one-shot registers, so the
+    sketch composes incrementally like CMS/Bloom."""
+    from alerta_spark.ops.sketches import hll_build, hll_merge
+
+    full = spark.range(500).select(F.col("id").cast("string").alias("v"))
+    a = full.where(F.col("v").cast("long") % 2 == 0)
+    b = full.where(F.col("v").cast("long") % 2 == 1)
+    merged = hll_merge(hll_build(a, "v"), hll_build(b, "v"))
+    oneshot = hll_build(full, "v")
+    m = {(r["bucket"], r["mreg"]) for r in merged.collect()}
+    o = {(r["bucket"], r["mreg"]) for r in oneshot.collect()}
+    assert m == o
+
+
+def test_hll_raw_branch_accuracy(spark):
+    """Above the linear-counting cutoff (2.5m = 640) the raw harmonic
+    estimator engages; HLL's error bound for m=256 is ~1.04/sqrt(m) =
+    6.5% — allow 3 sigma."""
+    from alerta_spark.ops.sketches import hll_build, hll_estimate
+
+    n = 50_000
+    items = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    row = hll_estimate(hll_build(items, "v")).collect()[0]
+    assert row["v_zero"] == 0 or row["n_distinct_est"] > 640
+    assert abs(row["n_distinct_est"] - n) / n < 0.20
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """Tiny cardinalities take the literal-table m*ln(m/V) branch and
+    are near-exact there."""
+    import math
+
+    from alerta_spark.ops.sketches import HLL_M, hll_build, hll_estimate
+
+    items = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    row = hll_estimate(hll_build(items, "v")).collect()[0]
+    assert row["v_zero"] == HLL_M - 10  # no bucket collisions at n=10 likely
+    expect = HLL_M * math.log(HLL_M / row["v_zero"])
+    assert row["n_distinct_est"] == expect

@@ -40,3 +40,23 @@ def test_winsorize_broadcast_plan(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ols_trend_matches_closed_form(spark):
+    """Known line y = 3 + 2x with one outlier-free group and a
+    constant-x group (NULL slope)."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.stats import ols_trend
+
+    rows = [("a", x, 3.0 + 2.0 * x) for x in range(10)]
+    rows += [("b", 5, float(v)) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {
+        r["g"]: r
+        for r in ols_trend(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+    assert abs(out["a"]["slope"] - 2.0) < 1e-12
+    assert abs(out["a"]["intercept"] - 3.0) < 1e-12
+    assert abs(out["a"]["r2"] - 1.0) < 1e-12
+    assert out["b"]["slope"] is None and out["b"]["r2"] is None
