@@ -300,3 +300,82 @@ def weighted_sample_k(
         .limit(k)
         .drop("_es_score")
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    is_target: Column,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    rank RAW-pool documents by unigram importance weight toward a
+    TARGET domain and keep the top k.
+
+    log-weight(d) = Σ_w n_w(d) · [ln p̂_target(w) − ln p̂_raw(w)] with
+    add-one smoothing; each per-term λ_w = ln of a RATIO OF EXACT
+    BIGINTS ((c_t+1)(T_r+V) / (c_r+1)(T_t+V)), fixed-point-quantized
+    (floor·2^20) so both engines agree bit-for-bit, and the document
+    score Σ n_w λ_w is exact BIGINT arithmetic throughout. Ties break
+    on id.
+
+    Shape at 100 TB: one doc-term aggregate over the corpus; term
+    stats are vocab-sized (two grouped counts + one 1-row total frame
+    broadcast); λ joins doc-terms on term (AQE broadcasts when vocab
+    is small); final per-doc score is a second doc-keyed aggregate +
+    TakeOrdered(k). The corpus text is scanned ONCE.
+    """
+    from alerta_spark.ops.text import tokenize
+
+    terms = docs.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(
+            F.filter(tokenize(F.col(text_col)), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    doc_terms = terms.groupBy(id_col, "_tgt", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    )
+    stats = doc_terms.groupBy("term").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("n_w")).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+        F.sum(F.when(~F.col("_tgt"), F.col("n_w")).otherwise(0))
+        .cast("long")
+        .alias("c_r"),
+    )
+    totals = stats.agg(
+        F.sum("c_t").cast("long").alias("t_t"),
+        F.sum("c_r").cast("long").alias("t_r"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lam = stats.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + 1) * (F.col("t_r") + F.col("v"))).cast(
+                    "double"
+                )
+                / ((F.col("c_r") + 1) * (F.col("t_t") + F.col("v"))).cast(
+                    "double"
+                )
+            )
+            * F.lit(float(quant))
+        )
+        .cast("long")
+        .alias("lam_q"),
+    )
+    scored = (
+        doc_terms.where(~F.col("_tgt"))
+        .join(lam, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("n_w") * F.col("lam_q")).cast("long").alias("score_q"),
+            F.sum("n_w").cast("long").alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(F.col("score_q").desc(), F.col(id_col)).limit(k)

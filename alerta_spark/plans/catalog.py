@@ -7397,3 +7397,58 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dsir_select_target_domain",
+    # Mirror of ops/sampling.dsir_select: every probability is a ratio
+    # of exact BIGINTs, every ln fixed-point-quantized (floor * 2^20),
+    # doc scores pure BIGINT — the whole selection is engine-exact
+    # including the top-k cut (ties break on doc_id).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, (source = 'src0') AS tgt,
+             unnest(list_filter({_DUCK_TOKS}, t -> t <> '')) AS term
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, tgt, term, CAST(count(*) AS BIGINT) AS n_w
+      FROM toks GROUP BY 1, 2, 3
+    ),
+    st AS (
+      SELECT term,
+             CAST(sum(CASE WHEN tgt THEN n_w ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN NOT tgt THEN n_w ELSE 0 END) AS BIGINT) AS c_r
+      FROM dt GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(c_t) AS BIGINT) AS t_t,
+             CAST(sum(c_r) AS BIGINT) AS t_r,
+             CAST(count(*) AS BIGINT) AS v
+      FROM st
+    ),
+    lam AS (
+      SELECT term,
+             CAST(floor(ln(CAST((c_t + 1) * (t_r + v) AS DOUBLE)
+                           / CAST((c_r + 1) * (t_t + v) AS DOUBLE))
+                        * 1048576.0) AS BIGINT) AS lam_q
+      FROM st CROSS JOIN tot
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.n_w * l.lam_q) AS BIGINT) AS score_q,
+           CAST(sum(d.n_w) AS BIGINT) AS n_tokens
+    FROM dt d JOIN lam l USING (term)
+    WHERE NOT d.tgt
+    GROUP BY d.doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_select_target_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 DSIR data selection (importance resampling toward a target
+    domain): rank the raw pool (source != src0) by unigram importance
+    weight toward src0's distribution, keep the top 50. One corpus
+    scan; term stats vocab-sized; score arithmetic exact BIGINT."""
+    from alerta_spark.ops.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("source") == "src0", k=50)

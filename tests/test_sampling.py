@@ -142,3 +142,24 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # zero/negative weights are excluded entirely
     z = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w long")
     assert {r.doc_id for r in weighted_sample_k(z, "w", k=3).collect()} == {3}
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """A raw doc written in the target domain's vocabulary must
+    outscore raw docs with off-domain vocabulary."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.sampling import dsir_select
+
+    rows = [
+        (1, "cat feline whiskers purr cat feline", "tgt"),
+        (2, "cat purr feline cat whiskers purr", "tgt"),
+        (10, "cat feline purr whiskers", "raw"),
+        (11, "stock market bond yield equity", "raw"),
+        (12, "bond equity market stock yield", "raw"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dsir_select(df, F.col("source") == "tgt", k=3).collect()
+    assert out[0]["doc_id"] == 10
+    assert out[0]["score_q"] > out[1]["score_q"]
+    assert {r["doc_id"] for r in out} == {10, 11, 12}
