@@ -1017,3 +1017,107 @@ def fuzzy_pairs_levenshtein(
         .where(F.col("edits") <= max_edits)
         .select("id_a", "id_b", "edits")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_anchors: bool = True,
+) -> DataFrame:
+    """Substring-containment dedup: (inner_id, outer_id) pairs where
+    the whole normalized text of `inner` occurs inside `outer` —
+    quote-inclusion / mirror-with-banner duplicates that Jaccard at
+    0.8 misses when the outer doc is much longer.
+
+    Candidate generation is a LOSSLESS rare-anchor probe, the X85
+    q-gram idea lifted to shingles: if norm(inner) ⊆ norm(outer) then
+    inner's INTERIOR tokens (first and last dropped — the boundary
+    tokens may fuse with outer text at a non-whitespace seam) appear
+    as a consecutive token run of outer, so EVERY interior n-shingle
+    of inner is in outer's shingle set. Probing the inverted index at
+    inner's globally RAREST interior shingle (min doc-freq, shingle
+    lexical tie-break) therefore finds every true pair while touching
+    the smallest possible posting list; exact `contains` verification
+    runs only on candidates. Inner docs need >= n+2 tokens to own an
+    interior shingle — shorter docs are out of scope (the op's
+    documented eligibility rule; the oracle applies the same filter).
+
+    Scale: outer-side index = the shared shingle_rows frame (one
+    corpus scan + one doc-keyed window); doc-freq is a partial
+    aggregate; with ``broadcast_anchors`` the distinct anchor-shingle
+    set map-side filters the index BEFORE the probe join, so no hot
+    posting list ever shuffles (set it False when the inner pool is
+    itself lake-sized). Verification joins text for candidate ids
+    only. Pairs with equal text keep the (min_id, max_id) orientation.
+    """
+    norm = normalize_text(F.col(text_col))
+    docs = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            norm.alias("_t"),
+            F.size(tokenize(F.col(text_col))).alias("_ntok"),
+        )
+    )
+    index = _persist(shingle_rows(df, text_col, id_col, n))
+    doc_freq = index.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+
+    inner = docs.where(F.col("_ntok") >= n + 2)
+    interior = inner.select(
+        F.col("_id"),
+        F.array_join(
+            F.slice(F.split(F.col("_t"), " "), 2, F.col("_ntok") - 2), " "
+        ).alias("text"),
+    )
+    interior_shingles = shingle_rows(interior, "text", "_id", n)
+    anchors = (
+        interior_shingles.join(doc_freq, "shingle")
+        .groupBy("_id")
+        .agg(F.min(F.struct("_df", "shingle")).alias("_a"))
+        .select(F.col("_id").alias("_inner"), F.col("_a.shingle").alias("shingle"))
+    )
+
+    probe_index = index
+    if broadcast_anchors:
+        probe_index = index.join(
+            F.broadcast(anchors.select("shingle").distinct()), "shingle"
+        )
+    cands = (
+        anchors.join(probe_index, "shingle")
+        .where(F.col("_inner") != F.col("_id"))
+        .select(F.col("_inner"), F.col("_id").alias("_outer"))
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            docs.select(
+                F.col("_id").alias("_inner"), F.col("_t").alias("_it")
+            ),
+            "_inner",
+        )
+        .join(
+            docs.select(
+                F.col("_id").alias("_outer"), F.col("_t").alias("_ot")
+            ),
+            "_outer",
+        )
+        .where(
+            (F.instr(F.col("_ot"), F.col("_it")) > 0)
+            & (
+                (F.length("_it") < F.length("_ot"))
+                | (
+                    (F.col("_it") == F.col("_ot"))
+                    & (F.col("_inner") < F.col("_outer"))
+                )
+            )
+        )
+    )
+    return verified.select(
+        F.col("_inner").alias("inner_id"),
+        F.col("_outer").alias("outer_id"),
+        F.length("_it").cast("long").alias("inner_len"),
+        F.length("_ot").cast("long").alias("outer_len"),
+    )

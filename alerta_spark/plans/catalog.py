@@ -7452,3 +7452,32 @@ def dsir_select_target_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select(docs, F.col("source") == "src0", k=50)
+
+
+@register(
+    "dedup_containment",
+    # The oracle is the DEFINITION (all-pairs position() probe); the
+    # Spark side goes through the lossless rare-anchor shingle filter,
+    # so a green hash proves the filter output-invisible — the same
+    # proof shape as dedup_prefix_jaccard / dedup_fuzzy_levenshtein.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DUCK_NORM} AS t FROM documents)
+    SELECT b.doc_id AS inner_id, a.doc_id AS outer_id,
+           CAST(length(b.t) AS BIGINT) AS inner_len,
+           CAST(length(a.t) AS BIGINT) AS outer_len
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+    WHERE len(string_split(b.t, ' ')) >= 7
+      AND position(b.t IN a.t) > 0
+      AND (length(b.t) < length(a.t)
+           OR (b.t = a.t AND b.doc_id < a.doc_id))
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 substring-containment dedup: docs whose whole (normalized)
+    text is embedded in another doc — the quote-inclusion duplicates
+    a Jaccard threshold misses when the container is much longer.
+    Lossless rarest-interior-shingle probe + exact verify; the
+    all-pairs oracle proves no pair is lost."""
+    from alerta_spark.ops.dedupe import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"), n=5)

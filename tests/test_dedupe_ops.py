@@ -229,3 +229,47 @@ def test_fuzzy_levenshtein_filter_is_output_invisible(spark):
         for r in fuzzy_pairs_levenshtein(df, key_col="k", max_edits=2).collect()
     }
     assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 2), (1, 4, 2)}
+
+
+def test_containment_pairs_lossless_vs_definition(spark):
+    """Planted containments — including a no-whitespace seam where the
+    inner doc's boundary words fuse with outer text (the case the
+    interior-shingle argument exists for) — match the definitional
+    quadratic exactly."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.dedupe import containment_pairs
+    from alerta_spark.ops.text import normalize_text
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, inner),                                   # eligible inner (8 toks)
+        (2, "prefix words here " + inner + " and trailing text tail"),
+        (3, "XX" + inner + "YY junk padding words here"),  # fused seam
+        (4, "unrelated content entirely different words all over here"),
+        (5, "tiny doc"),                              # ineligible (<7 toks)
+        (6, inner),                                   # exact twin of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(df, n=3).collect()
+    }
+    norm = df.select(
+        F.col("doc_id"), normalize_text(F.col("text")).alias("t"),
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("k"),
+    ).collect()
+    want = set()
+    for b in norm:
+        if b["k"] < 5:  # n + 2
+            continue
+        for a in norm:
+            if a["doc_id"] == b["doc_id"] or b["t"] not in a["t"]:
+                continue
+            if len(b["t"]) < len(a["t"]) or (
+                b["t"] == a["t"] and b["doc_id"] < a["doc_id"]
+            ):
+                want.add((b["doc_id"], a["doc_id"]))
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got and (1, 6) in got
+    assert all(i != 5 for i, _ in got)
