@@ -1005,3 +1005,92 @@ def knn_label(
         F.col("_b.l").cast("long").alias("pred_label"),
         F.col("_b.v").alias("votes"),
     )
+
+
+def pinned_cell(
+    vec_col: str | Column,
+    dim: int = 64,
+    n_centroids: int = 16,
+    scale: int = 1_000_000,
+) -> Column:
+    """Map-only cluster assignment against the pinned integer
+    centroids: argmax of exact BIGINT dot products (ties -> lowest
+    centroid index) — the engine-exact cell id shared by
+    ivf_topk_pinned and semantic_dedup. At 100 TB this is the
+    write-time partition key."""
+    C = pinned_centroids(dim, n_centroids)
+    qv = quantize_vec(vec_col, scale)
+    dcols = [
+        F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(w).cast("long") for w in C[c]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for c in range(n_centroids)
+    ]
+    darr = F.array(*dcols)
+    return (F.array_position(darr, F.array_max(darr)) - 1).cast("long")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then drop within-cluster
+    semantic duplicates — paraphrase-level redundancy that lexical
+    MinHash/Jaccard never sees.
+
+    A vector is DROPPED iff some lower-id vector in the SAME cell has
+    cosine >= tau with it (the deterministic min-id-dominator rule —
+    the same survivor convention as keep_canonical). Returns the
+    dropped rows: [drop_id, cell, keeper_id, cos_keeper] where keeper
+    is the smallest dominator and cos_keeper its (round-6) cosine.
+
+    Scale shape: cell assignment is MAP-ONLY (pinned_cell); the
+    quadratic cosine verify is confined within cells, so the join cost
+    is Σ|cell|² — n_centroids grows with the corpus (√N rule) to keep
+    cells bounded, exactly the SemDeDup recipe. One cell-keyed
+    exchange + one drop-id aggregate.
+    """
+    from alerta_spark.ops.dedupe import _persist
+
+    assigned = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            pinned_cell(vec_col, dim, n_centroids).alias("cell"),
+        )
+    )
+    a = assigned.select(
+        F.col("_id").alias("_ka"), F.col("_v").alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col("_id").alias("_kb"), F.col("_v").alias("_vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("_ka") < F.col("_kb"))
+        .select(
+            "cell",
+            "_ka",
+            "_kb",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("_cos"),
+        )
+        .where(F.col("_cos") >= F.lit(tau))
+    )
+    return pairs.groupBy("_kb").agg(
+        F.min("cell").alias("cell"),  # constant within the group
+        F.min("_ka").cast("long").alias("keeper_id"),
+        F.min_by("_cos", "_ka").alias("cos_keeper"),
+    ).select(
+        F.col("_kb").alias("drop_id"), "cell", "keeper_id", "cos_keeper"
+    )

@@ -7481,3 +7481,71 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alerta_spark.ops.dedupe import containment_pairs
 
     return containment_pairs(load_table(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "dedup_semantic_clusters",
+    # SemDeDup with the pinned-centroid cell assignment replayed
+    # bit-for-bit (exact BIGINT argmax dots, as similarity_ivf_pinned)
+    # and exact copies of every 20th vector planted under +1M ids —
+    # identical vectors land in identical cells and hit cos 1.0, so
+    # the drop set is engine-exact at round-6 cosine.
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, v FROM base WHERE vec_id % 20 = 0
+    ),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(v[pos] * 1000000.0) AS BIGINT) AS c
+      FROM e, idx
+    ),
+    w AS (
+      SELECT cent, pos, wts[pos] AS wv
+      FROM (VALUES {C_VALUES}) cw(cent, wts), idx
+    ),
+    dots AS (
+      SELECT vec_id, cent, sum(c * wv) AS d
+      FROM q JOIN w USING (pos) GROUP BY vec_id, cent
+    ),
+    cells AS (
+      SELECT vec_id, cent AS cell FROM (
+        SELECT vec_id, cent,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cent ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT ca.cell, ca.vec_id AS ka, cb.vec_id AS kb,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM cells ca JOIN cells cb
+        ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      JOIN e a ON ca.vec_id = a.vec_id
+      JOIN e b ON cb.vec_id = b.vec_id
+    )
+    SELECT kb AS drop_id, CAST(min(cell) AS BIGINT) AS cell,
+           CAST(min(ka) AS BIGINT) AS keeper_id,
+           min_by(cos, ka) AS cos_keeper
+    FROM pairs WHERE cos >= 0.95
+    GROUP BY kb
+    """.replace("{C_VALUES}", _ivf_centroid_values()),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 SemDeDup semantic dedup: map-only pinned-centroid cluster
+    assignment confines the quadratic cosine verify within cells
+    (Σ|cell|² work, √N centroids at scale); a vector is dropped iff a
+    lower-id cell-mate has cosine >= 0.95. Exact copies of every 20th
+    vector are planted under +1M ids — the paraphrase-leakage regime
+    the operator exists for (organic pairs top out ~0.5)."""
+    from alerta_spark.ops.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return semantic_dedup(emb.unionByName(planted), tau=0.95)

@@ -248,3 +248,25 @@ def test_pq_encode_roundtrip_shape(spark, emb):
     for r in rows:
         assert len(r["codes"]) == 8
         assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """Exact copies land in their original's cell and are dropped with
+    keeper = the original id; organic vectors (cos ~0.5) survive."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    out = semantic_dedup(emb.unionByName(planted), tau=0.95).collect()
+    dropped = {r["drop_id"]: r for r in out}
+    n_planted = planted.count()
+    assert len(dropped) == n_planted
+    for did, r in dropped.items():
+        assert did >= 1_000_000 and r["keeper_id"] == did - 1_000_000
+        assert r["cos_keeper"] == 1.0
