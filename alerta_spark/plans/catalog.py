@@ -7549,3 +7549,53 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1_000_000
     )
     return semantic_dedup(emb.unionByName(planted), tau=0.95)
+
+
+def _zorder_duck_expr(xe: str, ye: str, bits: int = 16) -> str:
+    terms = []
+    for i, e in enumerate((xe, ye)):
+        for b in range(bits):
+            # fully parenthesized: DuckDB binds + tighter than <<
+            terms.append(f"(((({e}) >> {b}) & 1) << {b * 2 + i})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_spans",
+    # Morton key = exact BIGINT shift/mask interleave, bucket = fixed
+    # right-shift of the keyspace (data-independent boundaries); the
+    # per-bucket min/max rows ARE the parquet zone maps a writer
+    # clustered by z would produce — all-integer, engine-exact.
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id AS x,
+             CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)
+                  AS BIGINT) AS y
+      FROM events
+    ),
+    z AS (
+      SELECT x, y,
+             ({_zorder_duck_expr('x', 'y')}) >> 26 AS bucket
+      FROM q
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY bucket
+    """,
+)
+def layout_zorder_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 Z-order layout: interleave (user_id, minute-offset) bits
+    into one Morton key and report per-keyspace-bucket zone-map spans
+    — the data-skipping layout (OPTIMIZE ZORDER) for scans selective
+    on either column. Key is pure codegen; one aggregate."""
+    from alerta_spark.ops.layout import zorder_layout_report
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.unix_micros("ts") - F.unix_micros(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    # exact integer minutes: subtract the remainder first so the /
+    # is a ratio of exact multiples (never a fractional double)
+    minutes = ((d - d % 60_000_000) / F.lit(60_000_000)).cast("long")
+    return zorder_layout_report(ev, F.col("user_id"), minutes)

@@ -553,3 +553,23 @@ def test_phrase_search_filters_tokens_below_aggregate(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # the filter on the exploded tokens appears below the aggregate
     assert "_t IN (table,value)" in plan.replace("'", "") or "IN (table" in plan
+
+
+def test_zorder_key_is_pure_codegen(spark):
+    """The Morton key must be a map-only projection — no exchange, no
+    UDF — so a layout rewrite is scan+sort only."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.layout import zorder_key
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 64).alias("y")
+    )
+    plan = (
+        df.select(zorder_key([F.col("x"), F.col("y")], bits=8).alias("z"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

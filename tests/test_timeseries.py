@@ -81,3 +81,25 @@ def test_merge_intervals_running_max_swallows_short_events(spark):
         (1, 2): (150, 160, 1, 10),
         (2, 1): (0, 20, 2, 20),
     }
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """Bit-interleave semantics pinned against a Python reference."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.layout import zorder_key
+
+    def morton(x, y, bits=16):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")]).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"])
