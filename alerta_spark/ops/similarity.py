@@ -1063,18 +1063,30 @@ def semantic_dedup(
     """
     from alerta_spark.ops.dedupe import _persist
 
+    # norms are computed ONCE per vector here, not per pair — the
+    # within-cell join below evaluates |cell|^2/2 cosines and would
+    # otherwise re-derive both norms for every pair (3x the aggregate
+    # work; measured 7.8s -> ~4s at sf0.1). sqrt-then-multiply keeps
+    # the float expression tree identical to cosine()'s.
     assigned = _persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nm"),
             pinned_cell(vec_col, dim, n_centroids).alias("cell"),
         )
     )
     a = assigned.select(
-        F.col("_id").alias("_ka"), F.col("_v").alias("_va"), "cell"
+        F.col("_id").alias("_ka"),
+        F.col("_v").alias("_va"),
+        F.col("_nm").alias("_na"),
+        "cell",
     )
     b = assigned.select(
-        F.col("_id").alias("_kb"), F.col("_v").alias("_vb"), "cell"
+        F.col("_id").alias("_kb"),
+        F.col("_v").alias("_vb"),
+        F.col("_nm").alias("_nb"),
+        "cell",
     )
     pairs = (
         a.join(b, "cell")
@@ -1083,7 +1095,11 @@ def semantic_dedup(
             "cell",
             "_ka",
             "_kb",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("_cos"),
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("_cos"),
         )
         .where(F.col("_cos") >= F.lit(tau))
     )

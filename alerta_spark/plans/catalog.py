@@ -7599,3 +7599,25 @@ def layout_zorder_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a ratio of exact multiples (never a fractional double)
     minutes = ((d - d % 60_000_000) / F.lit(60_000_000)).cast("long")
     return zorder_layout_report(ev, F.col("user_id"), minutes)
+
+
+@register("bpe_encode_corpus", oracle=None)  # greedy merge loop: rows-only
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 BPE tokenizer applied at corpus scale: learn 30 merges
+    (corpus-once word-freq aggregate, vocab-only JVM merge rounds),
+    then encode every document with the Arrow-batched greedy encoder
+    (per-batch word cache — each distinct word pays the merge loop
+    once per batch). Map-only after the tiny merge-table broadcast.
+    Rows-only like bpe_learn_merges (the greedy loop is iterative);
+    encode semantics are pinned in tests/test_bpe.py against hand
+    computation. Output flattened for the driver canonicalizer."""
+    from alerta_spark.ops.bpe import apply_bpe, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=30)
+    enc = apply_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.array_join("bpe_tokens", " ")).alias("tokens_digest"),
+    )

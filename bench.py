@@ -78,6 +78,11 @@ HEADLINE = [
     "decontaminate_embedding_cos",
     "dedup_fuzzy_levenshtein",
     "text_phrase_search",
+    # round-3 batch 7 (no earlier baseline; tracked from r03 on)
+    "dedup_containment",
+    "dedup_semantic_clusters",
+    "dsir_select_target_domain",
+    "sketch_hll_distinct_users",
 ]
 
 
