@@ -100,3 +100,44 @@ def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         ),
         "n_distinct",
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Pre-release privacy screen: quasi-identifier combinations whose
+    group size is below ``k`` — the rows a k-anonymity policy says are
+    re-identifiable and must be generalized or suppressed before a
+    dataset ships.
+
+    One partial+final count aggregate on the quasi-identifier tuple +
+    a broadcast 1-row total; NULLs group as values (a NULL combo can
+    be identifying too). Returns only the at-risk combos:
+    [*quasi_cols, n, share_e6] where share_e6 is the combo's
+    parts-per-million of all rows (exact integer arithmetic — an
+    engine-exact stand-in for a float share).
+
+    Scale: group cardinality is bounded by the quasi-identifier
+    domain, not the row count; the aggregate map-side combines, so
+    the 100 TB cost is one shuffle of (combo, partial count) rows.
+
+    Reference provenance: no analogue; dataset-release extension
+    (pairs with corpus_datacard).
+    """
+    counts = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    return (
+        counts.where(F.col("n") < k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *quasi_cols,
+            "n",
+            # integral div, never a float: IEEE n*1e6/tot can round
+            # UP across the integer boundary floor() expects
+            F.expr("(n * 1000000) div _tot").cast("long").alias("share_e6"),
+        )
+    )

@@ -7621,3 +7621,103 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.md5(F.array_join("bpe_tokens", " ")).alias("tokens_digest"),
     )
+
+
+@register(
+    "privacy_k_anonymity",
+    # Pure exact-count arithmetic (the ppm share is an integral div,
+    # never a float) — engine-exact by construction.
+    oracle="""
+    WITH c AS (
+      SELECT source, lang,
+             CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM documents)
+    SELECT source, lang, len_bucket, n,
+           CAST((n * 1000000) // tot AS BIGINT) AS share_e6
+    FROM c CROSS JOIN t WHERE n < 5
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 k-anonymity screen: quasi-identifier combos (source, lang,
+    100-char length bucket) with group size < 5 — the re-identifiable
+    rows a release policy generalizes or suppresses. One combo-keyed
+    aggregate + broadcast total; group cardinality bounded by the
+    quasi-identifier domain, not the corpus."""
+    from alerta_spark.ops.profile import k_anonymity_report
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.expr("n_chars div 100").cast("long").alias("len_bucket")
+    )
+    return k_anonymity_report(docs, ["source", "lang", "len_bucket"], k=5)
+
+
+@register(
+    "records_golden_user_profile",
+    # Definitional oracle: one row_number window per attribute over
+    # the rows where that attribute is present. The Spark side folds
+    # all attributes into ONE aggregate — a green hash proves the
+    # single-exchange struct-max formulation equals the per-attribute
+    # window semantics.
+    oracle="""
+    WITH pk AS (
+      SELECT user_id, json_extract_string(props, '$.k') AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    er AS (
+      SELECT user_id, value AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'error'
+    ),
+    ck AS (
+      SELECT user_id, epoch_us(ts) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    base AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    )
+    SELECT b.user_id, b.n_rows,
+           pk.v AS last_purchase_k,
+           er.v AS last_error_value,
+           ck.v AS last_click_us
+    FROM base b
+    LEFT JOIN pk ON b.user_id = pk.user_id AND pk.rn = 1
+    LEFT JOIN er ON b.user_id = er.user_id AND er.rn = 1
+    LEFT JOIN ck ON b.user_id = ck.user_id AND ck.rn = 1
+    """,
+)
+def records_golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 golden-record survivorship: per-user profile where each
+    attribute keeps the value of the latest row that HAS it (attrs
+    live on different event types, so every column survives from a
+    different row). All attributes resolve in ONE key aggregate —
+    one exchange total vs the oracle's window-per-attribute."""
+    from alerta_spark.ops.records import golden_record
+
+    ev = load_table(spark, sf_dir, "events")
+    return golden_record(
+        ev,
+        "user_id",
+        F.unix_micros("ts"),
+        F.col("event_id"),
+        {
+            "last_purchase_k": F.when(
+                F.col("event_type") == "purchase",
+                F.get_json_object("props", "$.k"),
+            ),
+            "last_error_value": F.when(
+                F.col("event_type") == "error", F.col("value")
+            ),
+            "last_click_us": F.when(
+                F.col("event_type") == "click", F.unix_micros("ts")
+            ),
+        },
+    )
