@@ -1110,3 +1110,66 @@ def semantic_dedup(
     ).select(
         F.col("_kb").alias("drop_id"), "cell", "keeper_id", "cos_keeper"
     )
+
+
+def int8_quantization_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Per-dimension int8 quantization audit: the 4x memory cut every
+    large ANN index takes, with its reconstruction error measured
+    engine-exactly.
+
+    Codes: code = floor((x - min_d) * 254 / (max_d - min_d)),
+    reconstruction x̂ = min_d + (code + 0.5) * (max_d - min_d) / 254.
+    Per-dim stats come from ONE posexplode + (pos) aggregate (64
+    rows), broadcast back onto a map-only encode pass; the error
+    aggregate quantizes each |x - x̂| to fixed-point BIGINT before
+    summing (float sums are partition-order ulp-nondeterministic;
+    BIGINT sums are exact), crossing to double once for the mean.
+
+    -> 1 row per dimension: [pos, min_x, max_x, n, mean_abs_err,
+    max_err_q]. Constant output size regardless of corpus rows.
+    """
+    comp = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("pos"), F.col("x").cast("double").alias("x"))
+    stats = comp.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = comp.join(F.broadcast(stats), "pos")
+    code = F.floor(
+        (F.col("x") - F.col("mn")) * F.lit(254.0) / (F.col("mx") - F.col("mn"))
+    )
+    # the top edge x == max maps to 254; clamp into [0, 253] buckets
+    code = F.least(code, F.lit(253.0))
+    xhat = F.col("mn") + (code + F.lit(0.5)) * (
+        (F.col("mx") - F.col("mn")) / F.lit(254.0)
+    )
+    err_q = F.floor(F.abs(F.col("x") - xhat) * F.lit(float(quant))).cast(
+        "long"
+    )
+    return (
+        j.select("pos", "mn", "mx", err_q.alias("eq"))
+        .groupBy("pos")
+        .agg(
+            F.min("mn").alias("_mn"),
+            F.min("mx").alias("_mx"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("eq").cast("long").alias("_seq"),
+            F.max("eq").cast("long").alias("max_err_q"),
+        )
+        .select(
+            "pos",
+            F.round("_mn", 6).alias("min_x"),
+            F.round("_mx", 6).alias("max_x"),
+            "n",
+            (
+                F.col("_seq").cast("double")
+                / (F.col("n").cast("double") * F.lit(float(quant)))
+            ).alias("mean_abs_err"),
+            "max_err_q",
+        )
+    )

@@ -418,7 +418,11 @@ def duckdb_hll_sql(
     gsel = (", ".join(groups) + "," ) if groups else ""
     gby = ("GROUP BY " + ", ".join(groups)) if groups else ""
     m = HLL_M
-    lin = ", ".join(repr(m * math.log(m / vv)) for vv in range(1, m + 1))
+    # quoted + ::DOUBLE[]: a bare 17-digit literal parses as DECIMAL
+    # and DuckDB's DECIMAL->DOUBLE cast double-rounds (1 ulp off the
+    # correctly-rounded strtod Spark's lit() uses); VARCHAR->DOUBLE
+    # parses exactly.
+    lin = ", ".join("'" + repr(m * math.log(m / vv)) + "'" for vv in range(1, m + 1))
     return f"""
     WITH h AS (
       SELECT {gsel} md5(CAST({item_expr} AS VARCHAR) || '{salt}') AS hh
@@ -454,7 +458,7 @@ def duckdb_hll_sql(
                      / CAST(s_present + ({m} - present)
                             * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
                      <= {2.5 * m!r}
-                THEN ([{lin}])[{m} - present]
+                THEN ([{lin}]::DOUBLE[])[{m} - present]
                 ELSE {HLL_ALPHA * m * m * float(1 << 53)!r}
                      / CAST(s_present + ({m} - present)
                             * (CAST(1 AS BIGINT) << 53) AS DOUBLE)

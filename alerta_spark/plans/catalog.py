@@ -7721,3 +7721,92 @@ def records_golden_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
+
+
+@register(
+    "embedding_int8_quant_report",
+    # Codes and reconstructions are identical IEEE expression trees on
+    # both engines; the error aggregate is fixed-point BIGINT (float
+    # sums would drift with partition order), one double crossing for
+    # the mean.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    comp AS (SELECT vec_id, pos, v[pos] AS x FROM e, idx),
+    st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM comp GROUP BY pos),
+    enc AS (
+      SELECT c.pos, st.mn, st.mx,
+             CAST(floor(abs(c.x - (st.mn + (least(floor((c.x - st.mn) * 254.0
+                                 / (st.mx - st.mn)), 253.0) + 0.5)
+                           * ((st.mx - st.mn) / 254.0))) * 1048576.0)
+                  AS BIGINT) AS eq
+      FROM comp c JOIN st USING (pos)
+    )
+    SELECT pos, round(min(mn), 6) AS min_x, round(min(mx), 6) AS max_x,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(eq) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1048576.0) AS mean_abs_err,
+           CAST(max(eq) AS BIGINT) AS max_err_q
+    FROM enc GROUP BY pos
+    """,
+)
+def embedding_int8_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97 int8 embedding quantization audit: per-dimension min/max
+    scale, mean/max reconstruction error — the 4x-memory ANN-index cut
+    measured engine-exactly (errors fixed-point-quantized before the
+    sum). Per-dim stats broadcast onto a map-only encode; output is 64
+    rows regardless of corpus size."""
+    from alerta_spark.ops.similarity import int8_quantization_report
+
+    return int8_quantization_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def _hll_daily_oracle() -> str:
+    from alerta_spark.ops.sketches import duckdb_hll_sql
+
+    inner = duckdb_hll_sql(
+        "user_id",
+        "FROM (SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events)",
+        ["day", "event_type"],
+    )
+    return f"""
+    WITH est AS ({inner}),
+    ex AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.day, e.event_type, e.v_zero, e.s_exact,
+           e.n_distinct_est, x.n_exact
+    FROM est e JOIN ex x
+      ON e.day = x.day AND e.event_type = x.event_type
+    """
+
+
+@register("rollup_distinct_daily_hll_portable", oracle=_hll_daily_oracle())
+def rollup_distinct_daily_hll_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X89b the sketch-powered incremental distinct rollup, fully
+    under the gate: per-(day, event_type) portable-HLL registers +
+    estimates, with the exact distinct count riding along. Where
+    agg_distinct_users_daily_hll (DataSketches) is rows-only by
+    necessity, every register and estimate here hash-checks; since
+    merge = register max (pinned in tests), per-micro-batch partials
+    maintain this rollup O(delta) — the mergeable-store algebra of
+    X28/X63 applied to COUNT DISTINCT."""
+    from alerta_spark.ops.sketches import hll_build, hll_estimate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "user_id"
+    )
+    est = hll_estimate(
+        hll_build(ev, "user_id", ["day", "event_type"]),
+        ["day", "event_type"],
+    )
+    exact = ev.groupBy("day", "event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, ["day", "event_type"]).select(
+        "day", "event_type", "v_zero", "s_exact", "n_distinct_est", "n_exact"
+    )
