@@ -1,0 +1,141 @@
+"""Engine-exact k-means (Lloyd's algorithm, fixed-point arithmetic).
+
+Iterative ML training is normally the canonical "rows-only" operator:
+float centroid updates accumulate in partition order, so two runs —
+let alone two engines — disagree at the ulp, and the disagreement
+compounds per iteration. This variant makes every step EXACT integer
+arithmetic, so a fixed number of Lloyd iterations is a deterministic
+function of the input and the whole loop hash-checks against a SQL
+oracle that replays it:
+
+- vectors quantize ONCE to BIGINT fixed-point (floor(x * 2^20));
+- distances are exact integer Σ(xq-cq)²; argmin ties break to the
+  lowest centroid index;
+- centroid updates are integral means (sum div count) — exact,
+  order-free, associative.
+
+Quantization changes the result only below the 2^-20 resolution —
+immaterial for clustering — and buys bit-reproducibility across
+engines, retries, and partitionings, which a 100 TB pipeline needs
+for cache reuse and incremental re-clustering.
+
+Scale shape per iteration: one map-only assignment pass (k×dim
+literal comparisons per row, no shuffle) + one (cluster, dim)-keyed
+partial aggregate for the update; centroids (k×dim BIGINTs) collect
+to the driver between iterations — the standard bounded-state
+iterative pattern (cf. ops/graph.py PageRank). Empty clusters simply
+drop out (both engines derive the same drop).
+
+Reference provenance: no analogue; training-data extension (the
+production IVF trainer `ops/similarity._train_centroids` stays
+float/rows-only — this is its verifiable twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_pinned(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Run ``iters`` exact Lloyd rounds from the deterministic seed
+    "the k lowest-id vectors" and return per-cluster stats of the
+    final assignment: [cluster, n, inertia_q, centroid_digest] where
+    inertia_q is the exact integer Σ min-distances of the assignment
+    and centroid_digest fingerprints the post-update centroid
+    (md5 of comma-joined components in dimension order)."""
+    from alerta_spark.ops.dedupe import _persist
+    from alerta_spark.ops.similarity import quantize_vec
+
+    q = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            quantize_vec(vec_col, scale).alias("_xq"),
+        )
+    )
+    seed_rows = (
+        q.orderBy("_id").limit(k).select("_id", "_xq").collect()
+    )
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r["_xq"])) for i, r in enumerate(seed_rows)
+    ]
+
+    assigned = None
+    for _ in range(iters):
+        dcols = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("_xq"),
+                    F.array(*[F.lit(int(c)).cast("long") for c in cvec]),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for _cid, cvec in cents
+        ]
+        darr = F.array(*dcols)
+        idarr = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
+        best = F.element_at(
+            idarr, F.array_position(darr, F.array_min(darr)).cast("int")
+        )
+        assigned = _persist(
+            q.select(
+                "_id",
+                "_xq",
+                best.alias("cluster"),
+                F.array_min(darr).alias("dist_q"),
+            )
+        )
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("_xq").alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                # truncating integral div: Spark `div` and DuckDB `//`
+                # BOTH truncate toward zero on integers (verified:
+                # -7//2 = -3 in DuckDB) — exact and engine-identical
+                F.expr("sum(x) div count(*)").cast("long").alias("c")
+            )
+            .orderBy("cluster", "pos")
+            .collect()
+        )
+        by_cluster: dict[int, list[int]] = {}
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], []).append(r["c"])
+        cents = sorted(by_cluster.items())
+
+    digest = {
+        cid: __import__("hashlib").md5(
+            ",".join(str(c) for c in cvec).encode()
+        ).hexdigest()
+        for cid, cvec in cents
+    }
+    dig_map = F.create_map(
+        *[
+            x
+            for cid, d in digest.items()
+            for x in (F.lit(cid).cast("long"), F.lit(d))
+        ]
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dist_q").cast("long").alias("inertia_q"),
+        )
+        .select(
+            "cluster",
+            "n",
+            "inertia_q",
+            F.element_at(dig_map, F.col("cluster")).alias("centroid_digest"),
+        )
+    )

@@ -7810,3 +7810,72 @@ def rollup_distinct_daily_hll_portable(
     return est.join(exact, ["day", "event_type"]).select(
         "day", "event_type", "v_zero", "s_exact", "n_distinct_est", "n_exact"
     )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2) -> str:
+    rounds = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    d{i} AS (
+      SELECT q.vec_id, c.cent,
+             sum((q.xq - c.cq) * (q.xq - c.cq)) AS dist
+      FROM q JOIN {prev} c USING (pos) GROUP BY 1, 2
+    ),
+    a{i} AS (
+      SELECT vec_id, cent AS cluster, dist FROM (
+        SELECT vec_id, cent, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cent ASC) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT a.cluster AS cent, q.pos,
+             CAST(sum(q.xq) // count(*) AS BIGINT) AS cq
+      FROM a{i} a JOIN q ON a.vec_id = q.vec_id GROUP BY 1, 2
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(v[pos] * 1048576.0) AS BIGINT) AS xq
+      FROM e, idx
+    ),
+    seed AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cent
+      FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS (
+      SELECT s.cent, q.pos, q.xq AS cq
+      FROM seed s JOIN q ON s.vec_id = q.vec_id
+    ),{",".join(rounds)},
+    dig AS (
+      SELECT cent, md5(string_agg(CAST(cq AS VARCHAR), ',' ORDER BY pos))
+               AS centroid_digest
+      FROM c{iters} GROUP BY cent
+    )
+    SELECT a.cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.dist) AS BIGINT) AS inertia_q,
+           min(g.centroid_digest) AS centroid_digest
+    FROM a{iters} a JOIN dig g ON a.cluster = g.cent
+    GROUP BY a.cluster
+    """
+
+
+@register("clustering_kmeans_pinned", oracle=_kmeans_oracle())
+def clustering_kmeans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 engine-exact k-means: 2 Lloyd rounds in fixed-point BIGINT
+    arithmetic (quantize once, exact integer distances, floor-div
+    centroid means, lowest-index tie-break) — iterative ML training
+    whose every centroid component hash-checks against a SQL replay.
+    Per iteration: map-only assignment (k x dim literal expressions,
+    no shuffle) + ONE (cluster, dim) aggregate; k x dim centroids
+    collect to the driver between rounds (the bounded-state iterative
+    pattern, cf. PageRank)."""
+    from alerta_spark.ops.cluster import kmeans_pinned
+
+    return kmeans_pinned(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
