@@ -126,3 +126,52 @@ def merge_intervals(
         F.count(F.lit(1)).alias("n_events"),
         (F.max(end_col) - F.min(start_col)).alias("covered_us"),
     )
+
+
+def ewma_binary(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_q_col: str,
+) -> DataFrame:
+    """Exponentially weighted moving average with α = 1/2, computed
+    EXACTLY: ewma_t = (x_t + ewma_{t-1}) / 2.
+
+    EWMA's recursion is the textbook non-associative float fold — the
+    reason streaming EWMA is usually irreproducible across retries.
+    With binary decay it linearizes into an exact integer prefix sum:
+    M_1 = x_1, M_t = M_{t-1} + x_t·2^(t-2)  (so M_t = 2^(t-1)·ewma_t),
+    which is ONE running window SUM of x·2^(rn-2) — associative,
+    order-free, engine-exact — and ewma_t = M_t / 2^(t-1) is a single
+    IEEE division of two exactly-converted integers.
+
+    ``value_q_col`` must be an exact BIGINT series (quantize floats
+    first); the caller owns the 63-bit budget:
+    max|x_q| · 2^(T-2) · T < 2^62 for series length T (e.g. daily
+    totals in cents over a month: 2e9 · 2^28 · 30 ≈ 2^64·0.09 — fine).
+    For longer horizons, window the series (terms beyond ~50 steps are
+    below any practical quantization anyway).
+
+    Adds [rn, ewma]. One key exchange shared by both windows.
+    """
+    w = W.partitionBy(*key_cols).orderBy(order_col)
+    rn = F.row_number().over(w)
+    out = df.withColumn("rn", rn).withColumn(
+        "_term",
+        F.when(F.col("rn") == 1, F.col(value_q_col)).otherwise(
+            F.col(value_q_col)
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rn - 2 AS INT))")
+        ),
+    )
+    m = F.sum("_term").over(
+        W.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return out.withColumn(
+        "ewma",
+        m.cast("double")
+        / F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(rn - 1 AS INT)) AS DOUBLE)"
+        ),
+    ).drop("_term")

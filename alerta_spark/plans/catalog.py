@@ -7879,3 +7879,57 @@ def clustering_kmeans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_pinned(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+@register(
+    "trend_ewma_daily_value",
+    # EWMA(α=1/2) linearized to an exact integer prefix sum:
+    # M_t = M_{t-1} + x_t*2^(t-2) = 2^(t-1)*ewma_t — the one decay
+    # for which the classic non-associative float fold becomes
+    # order-free BIGINT arithmetic; one IEEE division at the end.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS x_cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, day, x_cents,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS rn
+      FROM d
+    ),
+    m AS (
+      SELECT event_type, day, x_cents, rn,
+             sum(CASE WHEN rn = 1 THEN x_cents
+                      ELSE x_cents * (CAST(1 AS BIGINT) << CAST(rn - 2 AS INT))
+                 END)
+               OVER (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mm
+      FROM r
+    )
+    SELECT event_type, day, x_cents, rn,
+           CAST(mm AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT) << CAST(rn - 1 AS INT) AS DOUBLE)
+             AS ewma
+    FROM m
+    """,
+)
+def trend_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 exact EWMA smoothing of daily value totals per event type
+    (α=1/2): the recursive float fold rewritten as one exact-BIGINT
+    running window sum + one final division — reproducible across
+    engines, retries, and partitionings. One key exchange."""
+    from alerta_spark.ops.timeseries import ewma_binary
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    return ewma_binary(daily, ["event_type"], "day", "x_cents")

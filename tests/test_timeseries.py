@@ -103,3 +103,24 @@ def test_zorder_key_matches_python_morton(spark):
     ).collect()
     for r in got:
         assert r["z"] == morton(r["x"], r["y"])
+
+
+def test_ewma_binary_matches_recursion(spark):
+    """The linearized prefix-sum form must equal the textbook
+    recursion ewma_t = (x_t + ewma_{t-1}) / 2 exactly."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.timeseries import ewma_binary
+
+    xs = [100, 300, 50, 1200, 0, 7]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], ["g", "t", "x"]
+    )
+    out = {
+        r["rn"]: r["ewma"]
+        for r in ewma_binary(df, ["g"], "t", "x").collect()
+    }
+    e = None
+    for i, x in enumerate(xs, start=1):
+        e = float(x) if e is None else (x + e) / 2.0
+        assert out[i] == e
