@@ -83,6 +83,10 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "dsir_select_target_domain",
     "sketch_hll_distinct_users",
+    # round-3 batch 8 (no earlier baseline; tracked from r03 on)
+    "clustering_kmeans_pinned",
+    "embedding_int8_quant_report",
+    "records_golden_user_profile",
 ]
 
 
