@@ -465,3 +465,130 @@ def duckdb_hll_sql(
            END AS n_distinct_est
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch: the QUANTILE member of the mergeable
+# family (CMS = frequency, Bloom = membership, HLL = distinct). A
+# fixed-width histogram over quantized values is a constant-size,
+# bit_or/sum-mergeable summary whose quantile estimates carry a HARD
+# error bound (one bucket width) — and unlike t-digest/KLL, every
+# count and every estimate is exact integer arithmetic, so the whole
+# sketch hash-checks.
+
+
+def histogram_build(
+    items: DataFrame,
+    value_q_col: str,
+    shift: int = 7,
+) -> DataFrame:
+    """-> [bucket, cnt]: bucket = value_q >> shift (non-negative
+    BIGINT values; bucket width 2^shift quantization units). ONE
+    partial+final count aggregate; merge of shard histograms = sum by
+    bucket (commutative/associative)."""
+    return (
+        items.select(
+            F.shiftright(F.col(value_q_col), shift).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    probes_pct: list[int],
+    shift: int = 7,
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each probe q% the
+    estimate is the UPPER EDGE of the first bucket whose cumulative
+    count reaches ceil(q/100 * n) — within 2^shift units of the true
+    q-quantile by construction. All integer: the rank threshold is
+    ceil of an exact product, the cumulative count a window sum.
+
+    -> [q_pct, rank_k, est_q] (est_q in quantization units)."""
+    from pyspark.sql import Window as W
+
+    total = hist.agg(F.sum("cnt").cast("long").alias("_n"))
+    probes = None
+    for p in probes_pct:
+        row = total.select(
+            F.lit(p).cast("long").alias("q_pct"),
+            # ceil(p*n/100) in exact integers
+            F.expr(f"(({p} * _n) + 99) div 100").cast("long").alias("rank_k"),
+        )
+        probes = row if probes is None else probes.unionByName(row)
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            # constant partition key: the frame is histogram-sized
+            # (bounded by the value domain, not the data) — explicit
+            # single-partition intent, no WindowExec warning
+            W.partitionBy(F.lit(0))
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    # tiny frames: the global-window cum runs over the bucket-count
+    # rows (bounded by the histogram domain, not the data), and the
+    # probe join is a broadcast; deliberate single-partition window.
+    joined = cum.join(
+        F.broadcast(probes), F.col("cum") >= F.col("rank_k")
+    ).groupBy("q_pct", "rank_k").agg(F.min("bucket").alias("_b"))
+    return joined.select(
+        "q_pct",
+        "rank_k",
+        F.expr(f"((_b + 1) << {shift}) - 1").cast("long").alias("est_q"),
+    )
+
+
+def maintain_hll_portable_rollup(
+    spark: SparkSession,
+    path: str,
+    delta_events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    dim_col: str = "event_type",
+) -> None:
+    """Incremental per-(day, dim) distinct rollup over PORTABLE HLL
+    registers: fold a delta's registers into the store with pointwise
+    max, rewriting only the days the delta touches (dynamic partition
+    overwrite) — O(delta + affected days), independent of history.
+
+    Because max is IDEMPOTENT (not just commutative/associative like
+    the count stores' sums), replaying a delta is harmless by algebra
+    — no dedup ledger needed for at-least-once ingestion. Estimates
+    come from hll_estimate over the stored registers and are exactly
+    the one-shot estimates (pinned in tests)."""
+    import os
+
+    day = F.col(ts_col).cast("date").alias("day")
+    delta = hll_build(
+        delta_events.select(day, F.col(dim_col), F.col(key_col)),
+        key_col,
+        ["day", dim_col],
+    )
+    exists = os.path.isdir(path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
+    )
+    if exists:
+        existing = spark.read.parquet(path)
+        touched = delta.select("day").distinct()
+        affected = existing.join(F.broadcast(touched), "day", "left_semi")
+        merged = hll_merge(affected, delta)
+    else:
+        merged = delta
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+
+
+def read_hll_portable_rollup(
+    spark: SparkSession, path: str, dim_col: str = "event_type"
+) -> DataFrame:
+    return hll_estimate(spark.read.parquet(path), ["day", dim_col])

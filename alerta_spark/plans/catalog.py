@@ -7933,3 +7933,95 @@ def trend_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x_cents")
     )
     return ewma_binary(daily, ["event_type"], "day", "x_cents")
+
+
+@register(
+    "sketch_histogram_quantiles",
+    # All-integer sketch (bucket counts, ceil-rank thresholds, bucket
+    # edges) + the definitional k-th-smallest exact companion; err_q
+    # is bounded by one bucket width (128 cents) by construction.
+    oracle="""
+    WITH v AS (
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS vq
+      FROM events
+    ),
+    h AS (
+      SELECT vq >> 7 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    probes AS (
+      SELECT q_pct, CAST(((q_pct * n) + 99) // 100 AS BIGINT) AS rank_k
+      FROM (SELECT unnest([50, 90, 99]) AS q_pct) q CROSS JOIN t
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             sum(cnt) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    est AS (
+      SELECT p.q_pct, p.rank_k, min(c.bucket) AS b
+      FROM cum c JOIN probes p ON c.cum >= p.rank_k
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT vq, row_number() OVER (ORDER BY vq, event_id) AS rn FROM v
+    )
+    SELECT e.q_pct, e.rank_k,
+           CAST(((e.b + 1) << 7) - 1 AS BIGINT) AS est_q,
+           r.vq AS exact_q,
+           CAST(((e.b + 1) << 7) - 1 - r.vq AS BIGINT) AS err_q
+    FROM est e JOIN ranked r ON r.rn = e.rank_k
+    """,
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 histogram quantile sketch + sketch-guided exact refine:
+    p50/p90/p99 of event value (cents) from a constant-size, shard-
+    mergeable (sum-by-bucket) histogram — estimate error hard-bounded
+    by one bucket width — then the EXACT k-th smallest recovered by
+    sorting ONLY the one bucket the sketch points at (rank offset =
+    cumulative count below it): the 100 TB exact-quantile pattern, no
+    global sort anywhere. Completes the mergeable-sketch family
+    (CMS frequency / Bloom membership / HLL distinct / histogram
+    quantile)."""
+    from alerta_spark.ops.sketches import histogram_build, histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        (F.col("value").cast("decimal(14,2)") * 100).cast("long").alias("vq"),
+    )
+    hist = histogram_build(v, "vq", shift=7).persist()
+    est = histogram_quantiles(hist, [50, 90, 99], shift=7).withColumn(
+        "_b", F.expr("(est_q + 1 - (1 << 7)) >> 7")
+    )
+    below = hist.alias("h").join(
+        F.broadcast(est.alias("e")), F.col("h.bucket") < F.col("e._b")
+    ).groupBy("q_pct").agg(F.sum("cnt").cast("long").alias("_below"))
+    probes = est.join(below, "q_pct", "left").select(
+        "q_pct",
+        "rank_k",
+        "est_q",
+        "_b",
+        F.coalesce("_below", F.lit(0)).cast("long").alias("_below"),
+    )
+    in_bucket = v.join(
+        F.broadcast(probes),
+        F.shiftright(F.col("vq"), 7) == F.col("_b"),
+    )
+    w = W.partitionBy("q_pct").orderBy("vq", "event_id")
+    exact = (
+        in_bucket.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == F.col("rank_k") - F.col("_below"))
+        .select("q_pct", "rank_k", "est_q", F.col("vq").alias("exact_q"))
+    )
+    return exact.select(
+        "q_pct",
+        "rank_k",
+        "est_q",
+        "exact_q",
+        (F.col("est_q") - F.col("exact_q")).cast("long").alias("err_q"),
+    )

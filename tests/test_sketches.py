@@ -214,3 +214,75 @@ def test_hll_small_range_uses_linear_counting(spark):
     assert row["v_zero"] == HLL_M - 10  # no bucket collisions at n=10 likely
     expect = HLL_M * math.log(HLL_M / row["v_zero"])
     assert row["n_distinct_est"] == expect
+
+
+def test_histogram_shard_merge_and_error_bound(spark):
+    """Sum-merging shard histograms == one-shot; every estimate is
+    within one bucket width above the true discrete quantile."""
+    from alerta_spark.ops.sketches import histogram_build, histogram_quantiles
+
+    full = spark.range(1, 10_001).select(
+        (F.col("id") * 7 % 100_000).alias("vq")
+    )
+    a = full.where(F.col("id") % 2 == 0)
+    b = full.where(F.col("id") % 2 == 1)
+    merged = (
+        histogram_build(a, "vq").unionByName(histogram_build(b, "vq"))
+        .groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    oneshot = histogram_build(full, "vq")
+    assert {(r["bucket"], r["cnt"]) for r in merged.collect()} == {
+        (r["bucket"], r["cnt"]) for r in oneshot.collect()
+    }
+
+    vals = sorted(r["vq"] for r in full.collect())
+    for r in histogram_quantiles(oneshot, [50, 90, 99], shift=7).collect():
+        true_q = vals[r["rank_k"] - 1]
+        assert 0 <= r["est_q"] - true_q < (1 << 7) + (1 << 7)
+        # upper edge of the k-th value's bucket: est >= true always
+        assert r["est_q"] >= true_q
+
+
+def test_hll_portable_rollup_incremental_and_replay(spark, tmp_path, events):
+    """Two-batch maintenance == one-shot build, and replaying a batch
+    changes nothing (register max is idempotent — at-least-once safe
+    with NO dedup ledger)."""
+    from alerta_spark.ops.sketches import (
+        hll_build,
+        hll_estimate,
+        maintain_hll_portable_rollup,
+        read_hll_portable_rollup,
+    )
+
+    path = str(tmp_path / "hll_store")
+    cut = events.selectExpr("percentile(event_id, 0.5)").collect()[0][0]
+    a = events.where(F.col("event_id") <= cut)
+    b = events.where(F.col("event_id") > cut)
+    maintain_hll_portable_rollup(spark, path, a)
+    maintain_hll_portable_rollup(spark, path, b)
+    got = {
+        (str(r["day"]), r["event_type"]): (r["s_exact"], r["n_distinct_est"])
+        for r in read_hll_portable_rollup(spark, path).collect()
+    }
+    oneshot = hll_estimate(
+        hll_build(
+            events.select(
+                F.col("ts").cast("date").alias("day"), "event_type", "user_id"
+            ),
+            "user_id",
+            ["day", "event_type"],
+        ),
+        ["day", "event_type"],
+    )
+    want = {
+        (str(r["day"]), r["event_type"]): (r["s_exact"], r["n_distinct_est"])
+        for r in oneshot.collect()
+    }
+    assert got == want
+
+    maintain_hll_portable_rollup(spark, path, a)  # replay
+    again = {
+        (str(r["day"]), r["event_type"]): (r["s_exact"], r["n_distinct_est"])
+        for r in read_hll_portable_rollup(spark, path).collect()
+    }
+    assert again == want
