@@ -175,3 +175,53 @@ def ewma_binary(
             "CAST(shiftleft(CAST(1 AS BIGINT), CAST(rn - 1 AS INT)) AS DOUBLE)"
         ),
     ).drop("_term")
+
+
+def seasonal_residual(
+    df: DataFrame,
+    key_cols: list[str],
+    hour_col: str,
+    value_q_col: str,
+    period_hours: int = 168,
+) -> DataFrame:
+    """Seasonal-naive residuals: x_t − x_{t−period} on a DENSE hourly
+    grid (missing hours count as 0 — a silent outage IS the anomaly a
+    lag over sparse rows would slide past). The weekly-seasonality
+    screen for metric monitoring: residuals near 0 are "same as last
+    week", large |residual| is the page.
+
+    Grid: per key one min/max aggregate -> sequence() explode (span
+    rows, volume-independent) -> left join the observed totals,
+    coalesce 0 -> ONE lag window. All arithmetic exact BIGINT.
+
+    -> [*key_cols, hour_idx, x_q, baseline_q, resid_q] for hours with
+    a defined baseline (hour_idx >= period)."""
+    w = W.partitionBy(*key_cols).orderBy("hour_idx")
+    span = df.groupBy(*key_cols).agg(
+        F.min(hour_col).cast("long").alias("_h0"),
+        F.max(hour_col).cast("long").alias("_h1"),
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_h0"), F.col("_h1"))).alias("hour_idx"),
+    )
+    obs = df.select(
+        *key_cols,
+        F.col(hour_col).cast("long").alias("hour_idx"),
+        F.col(value_q_col).alias("_x"),
+    )
+    dense = grid.join(obs, [*key_cols, "hour_idx"], "left").select(
+        *key_cols,
+        "hour_idx",
+        F.coalesce("_x", F.lit(0).cast("long")).alias("x_q"),
+    )
+    lagged = dense.withColumn(
+        "baseline_q", F.lag("x_q", period_hours).over(w)
+    )
+    return lagged.where(F.col("baseline_q").isNotNull()).select(
+        *key_cols,
+        "hour_idx",
+        "x_q",
+        "baseline_q",
+        (F.col("x_q") - F.col("baseline_q")).cast("long").alias("resid_q"),
+    )

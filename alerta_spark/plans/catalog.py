@@ -8025,3 +8025,190 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_q",
         (F.col("est_q") - F.col("exact_q")).cast("long").alias("err_q"),
     )
+
+
+@register(
+    "pipeline_entity_resolution",
+    # The record-linkage capstone: X85's all-pairs fuzzy-match
+    # definition -> recursive-CTE transitive closure (dedup_clusters'
+    # oracle shape) -> per-attribute latest-non-null survivorship
+    # (X96's definitional windows). Twins arrive "later" (higher
+    # ingest id) with a typo key and NO lang — the golden record must
+    # take the key from the newest member and the lang from the
+    # oldest, which only a per-attribute pick gets right.
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             'https://' || source || '/'
+               || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS k,
+             lang
+      FROM documents
+    ),
+    recs AS (
+      SELECT doc_id, k, lang FROM base
+      UNION ALL
+      SELECT doc_id + 10000,
+             substring(k, 1, 19) || '#' || substring(k, 21),
+             CAST(NULL AS VARCHAR)
+      FROM base WHERE doc_id % 20 = 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM recs a JOIN recs b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.k, b.k) <= 2
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    m AS (
+      SELECT r.doc_id, coalesce(c.cluster_id, r.doc_id) AS cluster_id,
+             r.k, r.lang
+      FROM recs r LEFT JOIN comp c ON r.doc_id = c.doc_id
+    ),
+    kk AS (
+      SELECT cluster_id, k,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY doc_id DESC) AS rn
+      FROM m WHERE k IS NOT NULL
+    ),
+    ll AS (
+      SELECT cluster_id, lang,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY doc_id DESC) AS rn
+      FROM m WHERE lang IS NOT NULL
+    ),
+    g AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM m GROUP BY cluster_id
+    )
+    SELECT g.cluster_id, g.n_rows, kk.k AS key_latest,
+           ll.lang AS lang_surviving
+    FROM g
+    LEFT JOIN kk ON g.cluster_id = kk.cluster_id AND kk.rn = 1
+    LEFT JOIN ll ON g.cluster_id = ll.cluster_id AND ll.rn = 1
+    """,
+)
+def pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 entity-resolution capstone: fuzzy edit-distance matching
+    (lossless q-gram filter) -> transitive dup clusters (min-label
+    propagation) -> golden-record survivorship per entity, all inside
+    one composed plan. Late-arriving typo twins carry no lang: the
+    golden record takes the NEWEST key but the OLDEST (only) lang —
+    per-attribute survivorship in ONE key aggregate (X96)."""
+    from alerta_spark.ops.dedupe import dup_clusters, fuzzy_pairs_levenshtein
+    from alerta_spark.ops.records import golden_record
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        ).alias("k"),
+        "lang",
+    )
+    twins = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.substring("k", 1, 19), F.lit("#"), F.substring("k", 21, 64)
+        ).alias("k"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    recs = base.unionByName(twins)
+    pairs = fuzzy_pairs_levenshtein(recs, key_col="k", max_edits=2)
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    member = recs.join(clusters, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "doc_id",
+        "k",
+        "lang",
+    )
+    return golden_record(
+        member,
+        "cluster_id",
+        F.col("doc_id"),
+        F.col("doc_id"),
+        {"key_latest": F.col("k"), "lang_surviving": F.col("lang")},
+    )
+
+
+@register(
+    "anomaly_seasonal_residual",
+    # Dense grid (generate_series per key span) + one lag window; all
+    # exact BIGINT cents — the top-20 cut is on integers.
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                  AS BIGINT) AS hour_idx,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS x_cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+      FROM h GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1)) AS hour_idx
+      FROM span
+    ),
+    dense AS (
+      SELECT g.event_type, g.hour_idx,
+             coalesce(h.x_cents, 0) AS x_q
+      FROM grid g LEFT JOIN h
+        ON g.event_type = h.event_type AND g.hour_idx = h.hour_idx
+    ),
+    lagged AS (
+      SELECT event_type, hour_idx, x_q,
+             lag(x_q, 168) OVER (PARTITION BY event_type
+                                 ORDER BY hour_idx) AS baseline_q
+      FROM dense
+    )
+    SELECT event_type, hour_idx, x_q, baseline_q,
+           CAST(x_q - baseline_q AS BIGINT) AS resid_q
+    FROM lagged WHERE baseline_q IS NOT NULL
+    ORDER BY abs(x_q - baseline_q) DESC, event_type, hour_idx
+    LIMIT 20
+    """,
+)
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 seasonal-naive anomaly screen: hourly value totals vs the
+    same hour LAST WEEK on a zero-filled dense grid (an outage hour
+    must surface, not slide past a sparse lag); top-20 |residual|
+    via TakeOrdered on exact integers."""
+    from alerta_spark.ops.timeseries import seasonal_residual
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                )
+            )
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("hour_idx"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    res = seasonal_residual(hourly, ["event_type"], "hour_idx", "x_cents")
+    return res.orderBy(
+        F.abs("resid_q").desc(), "event_type", "hour_idx"
+    ).limit(20)

@@ -573,3 +573,28 @@ def test_zorder_key_is_pure_codegen(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_lake(spark, tmp_path, events):
+    """The 100 TB lake layout is day-partitioned parquet; a join
+    against a filtered dim must prune fact partitions at RUNTIME
+    (DPP), not scan all days. Guard: the fact scan carries a
+    dynamicpruning partition filter."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ev_by_day")
+    events.withColumn("day", F.col("ts").cast("date").cast("string")).write \
+        .mode("overwrite").partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    # DPP needs a SELECTIVE FILTER on an independent dim side (a
+    # limit/derived frame doesn't qualify) — mirror a real calendar
+    # dim with an attribute filter
+    dimpath = str(tmp_path / "dim_days")
+    fact.select("day").distinct().withColumn(
+        "tier",
+        F.expr("CASE WHEN day < '2024-01-03' THEN 'early' ELSE 'late' END"),
+    ).write.mode("overwrite").parquet(dimpath)
+    dim = spark.read.parquet(dimpath).where(F.col("tier") == "early")
+    joined = fact.join(dim, "day").groupBy("day").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

@@ -124,3 +124,22 @@ def test_ewma_binary_matches_recursion(spark):
     for i, x in enumerate(xs, start=1):
         e = float(x) if e is None else (x + e) / 2.0
         assert out[i] == e
+
+
+def test_seasonal_residual_surfaces_outage_hours(spark):
+    """A missing hour on the dense grid must appear as a NEGATIVE
+    residual (-last week's value), not be skipped."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.timeseries import seasonal_residual
+
+    rows = [("a", h, 100) for h in (0, 1, 2)]            # base period
+    rows += [("a", 3, 110), ("a", 5, 90)]                # hour 4 missing
+    df = spark.createDataFrame(rows, ["g", "h", "x"])
+    out = {
+        r["hour_idx"]: r
+        for r in seasonal_residual(df, ["g"], "h", "x", period_hours=3).collect()
+    }
+    assert out[3]["resid_q"] == 10
+    assert out[4]["x_q"] == 0 and out[4]["resid_q"] == -100  # outage hour
+    assert out[5]["resid_q"] == -10
