@@ -521,10 +521,12 @@ def histogram_quantiles(
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
-            # constant partition key: the frame is histogram-sized
-            # (bounded by the value domain, not the data) — explicit
-            # single-partition intent, no WindowExec warning
-            W.partitionBy(F.lit(0))
+            # single-partition on purpose: the frame is histogram-sized
+            # (bounded by the value domain, not the data). The partition
+            # key must be column-DERIVED — a bare lit() is constant-
+            # folded out of the window spec and WindowExec then warns
+            # as if no partitioning were intended.
+            W.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
             .orderBy("bucket")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),

@@ -87,6 +87,10 @@ HEADLINE = [
     "clustering_kmeans_pinned",
     "embedding_int8_quant_report",
     "records_golden_user_profile",
+    # round-3 batch 9 (no earlier baseline; tracked from r03 on)
+    "pipeline_entity_resolution",
+    "anomaly_seasonal_residual",
+    "sketch_histogram_quantiles",
 ]
 
 
