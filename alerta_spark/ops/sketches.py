@@ -594,3 +594,38 @@ def read_hll_portable_rollup(
     spark: SparkSession, path: str, dim_col: str = "event_type"
 ) -> DataFrame:
     return hll_estimate(spark.read.parquet(path), ["day", dim_col])
+
+
+def stream_hll_distinct_monitor(
+    spark: SparkSession,
+    input_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    dim_col: str = "event_type",
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Streaming face of the portable-HLL distinct rollup: each
+    arriving event-file batch folds its registers into the store via
+    maintain_hll_portable_rollup — ONE implementation shared by
+    backfills and the live stream (the drift-monitor pattern). Since
+    register max is idempotent, a replayed micro-batch after a
+    checkpoint rollback cannot corrupt the store — stronger than the
+    count stores' exactly-once requirement."""
+    stream = spark.readStream.format(fmt).schema(schema).load(input_path)
+
+    def _epoch(df, epoch_id):
+        maintain_hll_portable_rollup(
+            spark, store_path, df, ts_col=ts_col,
+            key_col=key_col, dim_col=dim_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(_epoch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -286,3 +286,67 @@ def test_hll_portable_rollup_incremental_and_replay(spark, tmp_path, events):
         for r in read_hll_portable_rollup(spark, path).collect()
     }
     assert again == want
+
+
+def test_stream_hll_monitor_matches_batch_face(spark, tmp_path, events):
+    """Two file waves through the streaming face == one-shot batch
+    registers/estimates over the union."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from alerta_spark.ops.sketches import (
+        hll_build,
+        hll_estimate,
+        read_hll_portable_rollup,
+        stream_hll_distinct_monitor,
+    )
+
+    inp = tmp_path / "in"
+    os.makedirs(inp)
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    ev = events.select("ts", "user_id", "event_type", "event_id")
+    cut = ev.selectExpr("percentile(event_id, 0.5)").collect()[0][0]
+
+    def wave(name, frame):
+        frame.select("ts", "user_id", "event_type").coalesce(1).write.mode(
+            "overwrite"
+        ).json(str(tmp_path / ("stage_" + name)))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.json"))[0]
+        shutil.copy(src, inp / (name + ".json"))
+        q = stream_hll_distinct_monitor(spark, str(inp), store, ck, schema)
+        q.awaitTermination(120)
+
+    wave("a", ev.where(F.col("event_id") <= cut))
+    wave("b", ev.where(F.col("event_id") > cut))
+
+    got = {
+        (str(r["day"]), r["event_type"]): (r["s_exact"], r["n_distinct_est"])
+        for r in read_hll_portable_rollup(spark, store).collect()
+    }
+    oneshot = hll_estimate(
+        hll_build(
+            ev.select(
+                F.col("ts").cast("date").alias("day"), "event_type", "user_id"
+            ),
+            "user_id",
+            ["day", "event_type"],
+        ),
+        ["day", "event_type"],
+    )
+    want = {
+        (str(r["day"]), r["event_type"]): (r["s_exact"], r["n_distinct_est"])
+        for r in oneshot.collect()
+    }
+    assert got == want
