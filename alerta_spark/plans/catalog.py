@@ -8212,3 +8212,193 @@ def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy(
         F.abs("resid_q").desc(), "event_type", "hour_idx"
     ).limit(20)
+
+
+@register(
+    "streak_longest_daily_activity",
+    # Classic gaps-and-islands on the integer day index: within a
+    # user's DISTINCT active days, day - row_number is constant per
+    # consecutive run. All integers.
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS start_day
+      FROM r GROUP BY user_id, grp
+    ),
+    best AS (SELECT user_id, max(len) AS longest FROM runs GROUP BY user_id)
+    SELECT r.user_id,
+           CAST(b.longest AS BIGINT) AS longest_streak,
+           CAST(min(CASE WHEN r.len = b.longest THEN r.start_day END)
+                AS BIGINT) AS streak_start_day,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(sum(r.len) AS BIGINT) AS n_active_days
+    FROM runs r JOIN best b USING (user_id)
+    GROUP BY r.user_id, b.longest
+    """,
+)
+def streak_longest_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 longest consecutive-day activity streak per user —
+    gaps-and-islands via the day-minus-rank constant. Distinct-day
+    frame first (bounded at days-per-user), then window + two
+    aggregates under ONE user-keyed exchange. Earliest longest run
+    wins the start-day tie."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("day"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    runs = (
+        d.withColumn("grp", F.col("day") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("len"),
+            F.min("day").alias("start_day"),
+        )
+    )
+    runs = runs.withColumn(
+        "longest", F.max("len").over(W.partitionBy("user_id"))
+    )
+    return runs.groupBy("user_id", "longest").agg(
+        F.min(
+            F.when(F.col("len") == F.col("longest"), F.col("start_day"))
+        ).cast("long").alias("streak_start_day"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    ).select(
+        "user_id",
+        F.col("longest").cast("long").alias("longest_streak"),
+        "streak_start_day",
+        "n_runs",
+        "n_active_days",
+    )
+
+
+@register(
+    "users_rfm_scores",
+    # Quintile scores via ntile over a UNIQUE total order (metric,
+    # user_id) — both engines place ties identically because the order
+    # is total; R/F/M base metrics are exact integers.
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(max(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+                  AS BIGINT) AS last_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_day, frequency, monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY last_day DESC, user_id)
+                AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)
+                AS BIGINT) AS m_score
+    FROM m
+    """,
+)
+def users_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 RFM segmentation: recency/frequency/monetary per user +
+    quintile scores (1 = best). One fact aggregate to a user-sized
+    frame; the three ntile windows run over that SMALL frame only
+    (deliberate: ntile needs a total order — never rank the fact
+    table). Ties impossible (user_id in the order)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.max(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+        ).cast("long").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    one = F.pmod(F.col("user_id"), F.lit(1))
+    return m.select(
+        "user_id",
+        "last_day",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(W.partitionBy(one).orderBy(F.desc("last_day"), F.asc("user_id")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(
+            W.partitionBy(one).orderBy(F.desc("frequency"), F.asc("user_id"))
+        )
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(
+            W.partitionBy(one).orderBy(
+                F.desc("monetary_cents"), F.asc("user_id")
+            )
+        )
+        .cast("long")
+        .alias("m_score"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    # Transition probabilities = one IEEE division of exact counts;
+    # pair construction via lead() under a (ts, event_id) total order.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM t GROUP BY src)
+    SELECT t.src, t.dst, t.n, tot.n_src,
+           CAST(t.n AS DOUBLE) / CAST(tot.n_src AS DOUBLE) AS p
+    FROM t JOIN tot USING (src)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 first-order Markov transition matrix over per-user event
+    sequences: P(next | current) from exact counts — the model behind
+    the PageRank entry's edge weights and the journeys entry's paths.
+    One user-keyed window + one (src, dst) aggregate; the output is
+    |event types|^2 rows regardless of volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    return t.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        "n_src",
+        (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("p"),
+    )
