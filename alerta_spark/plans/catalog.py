@@ -8402,3 +8402,86 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src",
         (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("p"),
     )
+
+
+@register(
+    "pareto_customer_revenue",
+    # Cumulative-share cutoff on exact DECIMAL revenue: the 80% line
+    # is found by comparing exact cumulative cents against an exact
+    # 80%-of-total threshold (cum*5 >= total*4 — integer cross-
+    # multiplication, no float). Shares cross to DOUBLE once.
+    oracle="""
+    WITH r AS (
+      SELECT o.o_custkey AS custkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(20,2))))
+                  AS DECIMAL(24,4)) AS rev
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT custkey, rev,
+             CAST(row_number() OVER (ORDER BY rev DESC, custkey)
+                  AS BIGINT) AS rnk,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, custkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS DECIMAL(30,4)) AS cum
+      FROM r
+    ),
+    tot AS (
+      SELECT CAST(sum(rev) AS DECIMAL(30,4)) AS total,
+             CAST(count(*) AS BIGINT) AS n_cust
+      FROM r
+    )
+    SELECT CAST(min(rnk) AS BIGINT) AS n_top_customers,
+           CAST(min(rnk) AS DOUBLE) / CAST(max(t.n_cust) AS DOUBLE)
+             AS customer_share,
+           max(t.n_cust) AS n_customers
+    FROM ranked, tot t
+    WHERE cum * 5 >= t.total * 4
+    """,
+)
+def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 Pareto concentration: the smallest top-revenue customer
+    set covering >= 80% of revenue. Fact aggregate first (customer-
+    sized frame), THEN the ranking window over that small frame (a
+    column-derived constant partition key keeps the deliberate
+    single partition warning-free); the 80% cutoff is exact integer
+    cross-multiplication on DECIMAL cents — no float compare."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    r = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(20,2)"))
+            ).cast("decimal(24,4)").alias("rev")
+        )
+    )
+    one = F.pmod(F.col("custkey"), F.lit(1))
+    wr = W.partitionBy(one).orderBy(F.desc("rev"), F.asc("custkey"))
+    ranked = r.select(
+        "custkey",
+        "rev",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.sum("rev")
+        .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("decimal(30,4)")
+        .alias("cum"),
+    )
+    tot = r.agg(
+        F.sum("rev").cast("decimal(30,4)").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    hit = ranked.crossJoin(F.broadcast(tot)).where(
+        F.col("cum") * 5 >= F.col("total") * 4
+    )
+    return hit.agg(
+        F.min("rnk").cast("long").alias("n_top_customers"),
+        (
+            F.min("rnk").cast("double") / F.max("n_cust").cast("double")
+        ).alias("customer_share"),
+        F.max("n_cust").alias("n_customers"),
+    )

@@ -91,6 +91,11 @@ HEADLINE = [
     "pipeline_entity_resolution",
     "anomaly_seasonal_residual",
     "sketch_histogram_quantiles",
+    # round-3 batch 10 (no earlier baseline; tracked from r03 on)
+    "streak_longest_daily_activity",
+    "users_rfm_scores",
+    "events_markov_transitions",
+    "pareto_customer_revenue",
 ]
 
 
