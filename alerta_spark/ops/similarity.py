@@ -1173,3 +1173,102 @@ def int8_quantization_report(
             "max_err_q",
         )
     )
+
+
+def pinned_pq_codebooks(
+    dim: int = 64, n_sub: int = 8, n_codes: int = 16
+) -> list[list[list[int]]]:
+    """Deterministic integer PQ codebooks (splitmix64 weights, seed
+    space above the IVF centroids'): [sub][code] -> sd ints in
+    [-1e6, 1e6] — comparable magnitude to quantize_vec(scale=1e6)
+    components, so argmin assignment is discriminative."""
+    sd = dim // n_sub
+    return [
+        [_int_hyperplane(sd, 20_000 + s * n_codes + c) for c in range(n_codes)]
+        for s in range(n_sub)
+    ]
+
+
+def pq_topk_pinned(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization ANN with PINNED integer codebooks: the
+    exact-oracle companion to :func:`pq_topk` (same relationship as
+    ivf_topk_pinned to ivf_topk). Everything after training is exact
+    BIGINT: per-subspace code assignment is argmin of integer L2
+    (ties -> lowest code), the per-query ADC lookup table is integer
+    distances, and the candidate score is n_sub table lookups summed
+    — so encode, LUT, scores, and the top-k cut all hash-check.
+
+    Plan shape matches production PQ: encode is MAP-ONLY on the
+    corpus (the 8-byte code row is all the scan ever ships), queries
+    + LUTs broadcast, TakeOrdered per query.
+
+    -> [query_id, neighbor_id, pq_dist_q].
+    """
+    B = pinned_pq_codebooks(dim, n_sub, n_codes)
+    sd = dim // n_sub
+    qv = quantize_vec(vec_col, scale)
+
+    def sub_dists(s: int) -> list[Column]:
+        xs = F.slice(qv, s * sd + 1, sd)
+        return [
+            F.aggregate(
+                F.zip_with(
+                    xs,
+                    F.array(*[F.lit(w).cast("long") for w in B[s][c]]),
+                    lambda x, w: (x - w) * (x - w),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in range(n_codes)
+        ]
+
+    code_cols = []
+    lut_cols = []
+    for s in range(n_sub):
+        ds = sub_dists(s)
+        darr = F.array(*ds)
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+        )
+        lut_cols.append(darr)
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array(*code_cols).alias("codes"),
+    )
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.array(*lut_cols).alias("lut"),
+    )
+    joined = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    )
+    dist = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.element_at("lut", s + 1),
+            (F.element_at("codes", s + 1) + 1).cast("int"),
+        )
+        dist = term if dist is None else dist + term
+    scored = joined.select(
+        "query_id", "neighbor_id", dist.cast("long").alias("pq_dist_q")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("pq_dist_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -8485,3 +8485,73 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("customer_share"),
         F.max("n_cust").alias("n_customers"),
     )
+
+
+def _pq_codebook_values() -> str:
+    from alerta_spark.ops.similarity import pinned_pq_codebooks
+
+    return ",\n      ".join(
+        "({}, {}, [{}])".format(s, c, ", ".join(str(w) for w in wts))
+        for s, codes in enumerate(pinned_pq_codebooks())
+        for c, wts in enumerate(codes)
+    )
+
+
+@register(
+    "similarity_pq_pinned",
+    # PQ with pinned integer codebooks: encode (per-subspace argmin of
+    # exact integer L2, ties -> lowest code), per-query ADC lookup
+    # tables, candidate scores, and the top-k cut replayed bit-for-bit
+    # — the production entry (driver-trained float codebooks) stays
+    # rows-only; this hash-checks everything downstream of training.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p64 AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(v[pos] * 1000000.0) AS BIGINT) AS xq
+      FROM e, p64
+    ),
+    cb AS (SELECT sub, code, wts FROM (VALUES {CB_VALUES}) x(sub, code, wts)),
+    d AS (
+      SELECT q.vec_id, cb.sub, cb.code,
+             sum((q.xq - cb.wts[q.pos - cb.sub * 8])
+                 * (q.xq - cb.wts[q.pos - cb.sub * 8])) AS dist
+      FROM q JOIN cb ON cb.sub = (q.pos - 1) // 8
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist ASC, code ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    score AS (
+      SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(sum(d.dist) AS BIGINT) AS pq_dist_q
+      FROM codes c JOIN d ON d.sub = c.sub AND d.code = c.code
+      WHERE d.vec_id IN (0, 1, 2, 3, 4) AND c.vec_id != d.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, pq_dist_q FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY pq_dist_q ASC,
+                                            neighbor_id ASC) AS rn
+      FROM score
+    ) WHERE rn <= 10
+    """.replace("{CB_VALUES}", _pq_codebook_values()),
+)
+def similarity_pq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 PQ ANN with pinned integer codebooks: map-only exact
+    BIGINT encode (the 8-byte code row is all the candidate scan
+    ships — the ~32x PQ footprint cut), broadcast query LUTs, n_sub
+    integer lookups per score, TakeOrdered top-10 — hash-checked end
+    to end. Completes the verified-ANN family: brute-force (exact),
+    IVF (pinned), PQ (pinned); the float-trained production paths
+    keep their recall pytests."""
+    from alerta_spark.ops.similarity import pq_topk_pinned
+
+    return pq_topk_pinned(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10
+    )

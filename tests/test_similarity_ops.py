@@ -270,3 +270,52 @@ def test_semantic_dedup_drops_planted_copies(spark):
     for did, r in dropped.items():
         assert did >= 1_000_000 and r["keeper_id"] == did - 1_000_000
         assert r["cos_keeper"] == 1.0
+
+
+def test_pq_pinned_matches_numpy_replay(spark, emb):
+    """Encode, LUT, score, and cut replayed in numpy over the same
+    integer arithmetic."""
+    import math
+
+    import numpy as np
+
+    from alerta_spark.ops.similarity import (
+        pinned_pq_codebooks,
+        pq_topk_pinned,
+    )
+
+    sub = emb.limit(60)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in sub.collect()}
+    got = {}
+    for r in pq_topk_pinned(sub, [0, 1], k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["pq_dist_q"])
+        )
+
+    B = np.array(pinned_pq_codebooks(), dtype=np.int64)  # 8 x 16 x 8
+    X = {
+        i: np.array([math.floor(x * 1_000_000) for x in v], dtype=np.int64)
+        for i, v in rows.items()
+    }
+
+    def codes(x):
+        return [
+            int(((x[s * 8 : (s + 1) * 8] - B[s]) ** 2).sum(1).argmin())
+            for s in range(8)
+        ]
+
+    def lut(x):
+        return [((x[s * 8 : (s + 1) * 8] - B[s]) ** 2).sum(1) for s in range(8)]
+
+    for qid in (0, 1):
+        L = lut(X[qid])
+        scored = sorted(
+            (
+                int(sum(L[s][c] for s, c in enumerate(codes(X[nid])))),
+                nid,
+            )
+            for nid in X
+            if nid != qid
+        )
+        want = [(nid, d) for d, nid in scored[:5]]
+        assert got[qid] == want
