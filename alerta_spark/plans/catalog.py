@@ -8555,3 +8555,43 @@ def similarity_pq_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_pinned(
         load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10
     )
+
+
+@register(
+    "meta_alert_storm",
+    # Alert-on-alerts: level-1 threshold triggers (the engine's own
+    # semantics) re-aggregated by day — a second-order rule detecting
+    # alert storms. Pure exact counts at both levels.
+    oracle="""
+    WITH l1 AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE event_type = 'error'
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_alerts,
+           CAST(sum(n) AS BIGINT) AS n_events_involved,
+           count(*) >= 5 AS is_storm
+    FROM l1 GROUP BY day
+    """,
+)
+def meta_alert_storm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108 meta-alerting: the engine's threshold semantics applied to
+    its OWN alert output — per-day count of level-1 error-burst
+    triggers, flagged as a storm when >= 5 users trip the same day
+    (the 'noisy rule / incident day' detector an on-call team tunes
+    thresholds with). Two exact aggregates, one plan."""
+    ev = load_table(spark, sf_dir, "events")
+    l1 = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= 3)
+    )
+    return l1.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_alerts"),
+        F.sum("n").cast("long").alias("n_events_involved"),
+        (F.count(F.lit(1)) >= 5).alias("is_storm"),
+    )

@@ -44,3 +44,33 @@ def test_nano_timestamp_conversion(spark):
 
     got = df.select(F.max("ts")).first()[0]
     assert got == expect
+
+
+def test_schema_evolution_read_merges_new_columns(spark, tmp_path, events):
+    """Lake schema evolution: a writer adds a column mid-history;
+    mergeSchema reads must surface old rows with NULLs and rule
+    criteria over the old columns must run unchanged."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.operators.threshold import apply_criteria
+
+    p = str(tmp_path / "lake")
+    v1 = events.select("event_id", "ts", "user_id", "event_type", "value")
+    v1.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(p)
+    v2 = v1.where(F.col("event_id") % 2 == 1).withColumn(
+        "region", F.lit("eu-west")
+    )
+    v2.write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert "region" in merged.columns
+    n_total = events.count()
+    assert merged.count() == n_total
+    assert merged.where(F.col("region").isNull()).count() == v1.where(
+        F.col("event_id") % 2 == 0
+    ).count()
+    # criteria over pre-evolution columns still compile and run
+    out = apply_criteria(merged, "event_type='purchase' AND value > 10")
+    assert out.count() == events.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 10)
+    ).count()
