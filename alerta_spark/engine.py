@@ -50,6 +50,7 @@ class Engine:
         rules: list[dict[str, Any]],
         fuse_thresholds: bool = False,
         fuse_deadmen: bool = False,
+        eval_time=None,
     ) -> None:
         """One engine pass (the cron body, alerta.py:481-515).
 
@@ -64,6 +65,25 @@ class Engine:
         the broken ones, matching the swallow-and-continue semantics
         below."""
         self._resume_inflight(events_df)
+        # maintenance windows: a rule whose `suppress` interval covers
+        # this evaluation instant is skipped whole — including deadman
+        # rules (a maintenance window is precisely when absence is
+        # expected). In-flight sequence state still resumes/expires
+        # above/below so suppression never corrupts it.
+        from alerta_spark.rules import rule_suppressed, utcnow
+
+        now = eval_time or utcnow()
+        suppressed = [
+            r for r in rules if rule_suppressed(r, now)
+        ]
+        if suppressed:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "suppressed rules this run: %s",
+                [r.get("alert_name") for r in suppressed],
+            )
+            rules = [r for r in rules if not rule_suppressed(r, now)]
 
         if fuse_thresholds:
             thr = [

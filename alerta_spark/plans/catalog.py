@@ -8595,3 +8595,241 @@ def meta_alert_storm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events_involved"),
         (F.count(F.lit(1)) >= 5).alias("is_storm"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    # The warehouse PIT join: each purchase fact picks the SCD2 state
+    # version valid AT its timestamp. Oracle = definitional
+    # greatest-valid_from-per-fact; the Spark side is the union-window
+    # as-of (ONE user exchange, no range-join fan-out) — a green hash
+    # proves the as-of formulation equals the interval predicate.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT user_id, event_type, t,
+             CAST(sum(CASE WHEN prev_type IS NULL
+                             OR prev_type <> event_type THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM o
+    ),
+    versions AS (
+      SELECT user_id, island AS version, any_value(event_type) AS state,
+             min(t) AS valid_from_us
+      FROM marked GROUP BY user_id, island
+    ),
+    facts AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, t AS ts_us, version, state AS state_at_fact
+    FROM (
+      SELECT f.event_id, f.user_id, f.t, v.version, v.state,
+             row_number() OVER (PARTITION BY f.event_id
+                                ORDER BY v.valid_from_us DESC,
+                                         v.version DESC) AS rn
+      FROM facts f JOIN versions v
+        ON f.user_id = v.user_id AND v.valid_from_us <= f.t
+    ) WHERE rn = 1
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 SCD2 point-in-time join: purchase facts joined to the
+    user-state version valid at fact time — the SCD2 build (X70)
+    composed with the union-window as-of join, so the whole PIT
+    lookup costs ONE user-keyed exchange instead of an interval range
+    join. At 100 TB this is THE dimension-lookup pattern for
+    versioned dims."""
+    from alerta_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    marked = o.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        ).over(
+            W.partitionBy("user_id")
+            .orderBy("t")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long"),
+    )
+    versions = marked.groupBy("user_id", F.col("island").alias("version")).agg(
+        F.any_value("event_type").alias("state"),
+        F.min("t").alias("valid_from_us"),
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    joined = as_of_join(
+        facts,
+        versions.select("user_id", "valid_from_us", "version", "state"),
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="valid_from_us",
+        right_cols=["version", "state"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "version",
+        F.col("state").alias("state_at_fact"),
+    )
+
+
+@register(
+    "corpus_token_weighted_median_length",
+    # Weighted median: the doc length at which cumulative TOKEN mass
+    # first reaches half the total — exact integer cumsum + cross-
+    # multiplied threshold (cum*2 >= total), no float compare.
+    oracle="""
+    WITH d AS (
+      SELECT n_chars,
+             CAST(sum(len(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t <> ''))) AS BIGINT) AS toks
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT n_chars, toks,
+             CAST(sum(toks) OVER (ORDER BY n_chars
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum
+      FROM d
+    ),
+    t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM d)
+    SELECT CAST(min(n_chars) AS BIGINT) AS weighted_median_len,
+           max(t.total) AS total_tokens
+    FROM c, t WHERE cum * 2 >= t.total
+    """,
+)
+def corpus_token_weighted_median_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X110 token-weighted median document length: the length below
+    which half the corpus's TOKEN MASS lives (the number that decides
+    chunking budgets — an unweighted median over-weights short docs).
+    Length-keyed aggregate (domain-bounded frame), single-partition
+    cumsum over it (column-derived constant key), exact integer
+    cross-multiplied threshold."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("n_chars").agg(
+        F.sum(
+            F.size(F.filter(tokenize(F.col("text")), lambda t: t != F.lit("")))
+        ).cast("long").alias("toks")
+    )
+    one = F.pmod(F.col("n_chars"), F.lit(1))
+    c = d.withColumn(
+        "cum",
+        F.sum("toks").over(
+            W.partitionBy(one)
+            .orderBy("n_chars")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long"),
+    )
+    tot = d.agg(F.sum("toks").cast("long").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") * 2 >= F.col("total"))
+        .agg(
+            F.min("n_chars").cast("long").alias("weighted_median_len"),
+            F.max("total").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "olap_share_of_parent",
+    # Percent-of-parent: nation revenue as a share of its region's —
+    # two exact-decimal aggregates + one broadcast join + one IEEE
+    # division (VARCHAR hop for DuckDB's decimal->double cast).
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(20,2))))
+                  AS DECIMAL(24,4)) AS rev
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    reg AS (
+      SELECT regionkey, CAST(sum(rev) AS DECIMAL(30,4)) AS region_rev
+      FROM nat GROUP BY regionkey
+    )
+    SELECT r.r_name AS region, n.nation,
+           CAST(CAST(n.rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(n.rev AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(g.region_rev AS VARCHAR) AS DOUBLE)
+             AS share_of_region
+    FROM nat n
+    JOIN reg g ON n.regionkey = g.regionkey
+    JOIN region r ON n.regionkey = r.r_regionkey
+    """,
+)
+def olap_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 percent-of-parent hierarchy report: nation revenue and its
+    share of the region total. Child aggregate once; the parent level
+    re-aggregates the CHILD frame (25 rows), never the facts —
+    percent-of-parent must not rescan the lake."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(20,2)"))
+            ).cast("decimal(24,4)").alias("rev")
+        )
+    )
+    reg = nat.groupBy("regionkey").agg(
+        F.sum("rev").cast("decimal(30,4)").alias("region_rev")
+    )
+    return (
+        nat.join(F.broadcast(reg), "regionkey")
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+            (
+                F.col("rev").cast("double")
+                / F.col("region_rev").cast("double")
+            ).alias("share_of_region"),
+        )
+    )

@@ -136,3 +136,38 @@ def load_rules(mask: str) -> list[dict[str, Any]]:
         if doc:
             rules.append(doc)
     return rules
+
+
+def parse_interval(text: str) -> tuple[datetime, datetime]:
+    """ISO-8601 interval 'start/end' -> (start, end); naive bounds are
+    UTC (matching the engine's pinned UTC session clock)."""
+    from datetime import timezone
+
+    s, _, e = str(text).partition("/")
+    if not e:
+        raise ValueError(f"suppress window needs 'start/end', got {text!r}")
+    lo = datetime.fromisoformat(s.strip())
+    hi = datetime.fromisoformat(e.strip())
+    if lo.tzinfo is None:
+        lo = lo.replace(tzinfo=timezone.utc)
+    if hi.tzinfo is None:
+        hi = hi.replace(tzinfo=timezone.utc)
+    if hi <= lo:
+        raise ValueError(f"empty suppress window {text!r}")
+    return lo, hi
+
+
+def rule_suppressed(rule: dict, now: datetime) -> bool:
+    """True when ``now`` falls inside any of the rule's ``suppress``
+    maintenance windows ('start/end' ISO-interval strings, end
+    exclusive). Malformed windows raise at evaluation time — a silent
+    bad window would silently page (or silently not)."""
+    from datetime import timezone
+
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=timezone.utc)
+    for win in rule.get("suppress", []) or []:
+        lo, hi = parse_interval(win)
+        if lo <= now < hi:
+            return True
+    return False

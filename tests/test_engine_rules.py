@@ -237,3 +237,55 @@ def test_fused_deadman_engine_pass_matches_sequential(spark, events, tmp_path):
     names = {n for n, *_ in a}
     assert "dm_quiet_type" in names and "dm_broken" in names
     assert "dm_satisfied" not in names
+
+
+def test_suppression_window_silences_rule(spark, tmp_path, events):
+    """A rule inside its maintenance window fires nothing — including
+    a deadman (absence is expected during maintenance); outside the
+    window it fires again."""
+    from datetime import datetime, timezone
+
+    from alerta_spark.engine import Engine
+    from alerta_spark.rules import deadman_shell, threshold_shell
+
+    thr = threshold_shell(
+        {
+            "alert_name": "sup_thr",
+            "criteria": "event_type='purchase'",
+            "threshold": 1,
+            "aggregation_key": "user_id",
+            "suppress": ["2026-06-01T00:00:00+00:00/2026-06-02T00:00:00+00:00"],
+        }
+    )
+    dm = deadman_shell(
+        {
+            "alert_name": "sup_dm",
+            "criteria": "event_type='nope_never'",
+            "aggregation_key": "user_id",
+            "suppress": ["2026-06-01T00:00:00+00:00/2026-06-02T00:00:00+00:00"],
+        }
+    )
+    inside = datetime(2026, 6, 1, 12, tzinfo=timezone.utc)
+    outside = datetime(2026, 6, 3, tzinfo=timezone.utc)
+
+    e1 = Engine(spark, str(tmp_path / "s1"))
+    e1.run_once(events, [thr, dm], eval_time=inside)
+    assert len(e1.alerts.docs()) == 0
+
+    e2 = Engine(spark, str(tmp_path / "s2"))
+    e2.run_once(events, [thr, dm], eval_time=outside)
+    names = {d["alert_name"] for d in e2.alerts.docs()}
+    assert {"sup_thr", "sup_dm"} <= names
+
+
+def test_malformed_suppress_window_raises(spark):
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from alerta_spark.rules import rule_suppressed
+
+    now = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    with _pytest.raises(ValueError):
+        rule_suppressed({"suppress": ["2026-01-01T00:00:00"]}, now)
+    assert not rule_suppressed({}, now)
