@@ -8833,3 +8833,121 @@ def olap_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_region"),
         )
     )
+
+
+@register(
+    "similarity_filtered_topk",
+    # Filtered ANN: the metadata predicate applies BEFORE scoring, so
+    # the scan only pays cosine for rows that can qualify (post-filter
+    # ANN over-fetches or starves — pre-filter is the correct corpus-
+    # side composition and Catalyst pushes it into the parquet scan).
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    c AS (SELECT vec_id, v FROM e WHERE label = 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 filtered ANN: top-10 cosine neighbors restricted to a
+    metadata predicate (label = 3) — the retrieval-with-ACL/tenant
+    filter every production vector search needs. The filter lands in
+    the parquet scan (pushdown), queries broadcast, and only
+    qualifying rows pay the dot product."""
+    from alerta_spark.ops.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("label") == 3)
+    q = emb.where(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    from alerta_spark.ops.similarity import cosine
+
+    joined = corpus.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@register(
+    "audience_bitmap_intersections",
+    # Per-segment user bitmaps: word = user_id >> 6, bit = user_id &
+    # 63; segment build = bit_or per word (mergeable, O(1) store);
+    # every pairwise intersection is bit_count(a AND b) summed over
+    # words — exact integers end to end, and the bitmaps are reusable
+    # precomputed state (the Venn entry re-scans users per query).
+    oracle="""
+    WITH b AS (
+      SELECT event_type, user_id // 60 AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))
+                  AS BIGINT) AS bits
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+      GROUP BY 1, 2
+    )
+    SELECT a.event_type AS seg_a, c.event_type AS seg_b,
+           CAST(sum(bit_count(a.bits & c.bits)) AS BIGINT) AS n_both,
+           CAST(sum(bit_count(a.bits)) AS BIGINT) AS n_a_in_shared_words
+    FROM b a JOIN b c
+      ON a.word = c.word AND a.event_type < c.event_type
+    GROUP BY 1, 2
+    """,
+)
+def audience_bitmap_intersections(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X115 bitmap-index audience intersections: per-segment user
+    bitmaps (60 users per BIGINT word — signed-shift-safe on every
+    engine, the bloom_build packing — bit_or-mergeable; the roaring-
+    bitmap idea on plain columns) make every pairwise audience overlap
+    a popcount over AND-ed words. Build once, intersect in O(words);
+    the distinct-first projection bounds the build at |users|x|types|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    b = d.select(
+        "event_type",
+        F.expr("user_id div 60").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))"
+        ).alias("_m"),
+    ).groupBy("event_type", "word").agg(F.bit_or("_m").alias("bits"))
+    a = b.select(
+        F.col("event_type").alias("seg_a"),
+        "word",
+        F.col("bits").alias("ba"),
+    )
+    c = b.select(
+        F.col("event_type").alias("seg_b"),
+        "word",
+        F.col("bits").alias("bb"),
+    )
+    j = a.join(c, "word").where(F.col("seg_a") < F.col("seg_b"))
+    return j.groupBy("seg_a", "seg_b").agg(
+        F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.bit_count("ba")).cast("long").alias("n_a_in_shared_words"),
+    )

@@ -703,3 +703,41 @@ def test_stream_stream_attribution_matches_batch(spark):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql("SELECT * FROM att_out").collect()))
     assert got == expect
+
+
+def test_stream_static_enrichment_broadcast_join(spark, tmp_path, events):
+    """Micro-batch enrichment: a streaming scan joined to a static
+    user dimension (broadcast) — the standard stream-side dim lookup.
+    Results must equal the batch join over the same files."""
+    src = str(tmp_path / "ss_src")
+    out = str(tmp_path / "ss_out")
+    ck = str(tmp_path / "ss_ck")
+    events.write.mode("overwrite").parquet(src)
+
+    dim = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("lifetime_events")
+    )
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "lifetime_events"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_id"], r["user_id"], r["lifetime_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["lifetime_events"])
+        for r in events.join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "lifetime_events")
+        .collect()
+    }
+    assert got == want and len(got) == events.count()
