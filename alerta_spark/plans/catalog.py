@@ -8951,3 +8951,167 @@ def audience_bitmap_intersections(
         .alias("n_both"),
         F.sum(F.bit_count("ba")).cast("long").alias("n_a_in_shared_words"),
     )
+
+
+@register(
+    "rule_tuning_suggested_thresholds",
+    # Data-driven rule thresholds: exact p95/p99 of the per-(user,day)
+    # match count distribution per event type — Spark percentile and
+    # DuckDB quantile_cont interpolate identically (lo + (hi-lo)*f on
+    # identical exact-integer inputs).
+    oracle="""
+    WITH m AS (
+      SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_user_days,
+           quantile_cont(n, 0.95) AS p95_daily_matches,
+           quantile_cont(n, 0.99) AS p99_daily_matches,
+           CAST(ceil(quantile_cont(n, 0.99)) + 1 AS BIGINT)
+             AS suggested_threshold
+    FROM m GROUP BY event_type
+    """,
+)
+def rule_tuning_suggested_thresholds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X117 closing the analytics->alerting loop: per event type, the
+    exact p95/p99 of per-(user, day) match counts and the suggested
+    threshold (ceil(p99)+1) a rule author should start from — the
+    threshold twin of the gap-percentiles deadman-window tuning
+    entry. One aggregate to user-day counts, one grouped exact
+    percentile over that bounded frame."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_days"),
+        F.percentile("n", F.lit(0.95)).alias("p95_daily_matches"),
+        F.percentile("n", F.lit(0.99)).alias("p99_daily_matches"),
+        (F.ceil(F.percentile("n", F.lit(0.99))) + 1)
+        .cast("long")
+        .alias("suggested_threshold"),
+    )
+
+
+@register(
+    "report_top_sources_with_other",
+    # Top-N + OTHERS: the reporting cut that keeps totals honest —
+    # the tail is aggregated into one 'other' row instead of dropped;
+    # shares are exact-count divisions.
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT source, n,
+             row_number() OVER (ORDER BY n DESC, source) AS rnk
+      FROM c
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT CASE WHEN rnk <= 3 THEN source ELSE 'other' END AS source_group,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS DOUBLE) / CAST(max(t.total) AS DOUBLE) AS share
+    FROM r, t
+    GROUP BY 1
+    """,
+)
+def report_top_sources_with_other(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X118 top-N + OTHERS report: the top-3 sources by volume with
+    the tail collapsed into one honest 'other' row (shares sum to 1).
+    Rank window over the source-sized aggregate only."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    one = F.pmod(F.length("source"), F.lit(1))
+    r = c.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy(one).orderBy(F.desc("n"), F.asc("source"))
+        ),
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.when(F.col("rnk") <= 3, F.col("source"))
+            .otherwise(F.lit("other"))
+            .alias("source_group")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (
+                F.sum("n").cast("double") / F.max("total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "quality_fk_integrity_audit",
+    # Referential-integrity audit over the star schema: orphan counts
+    # per FK edge via anti-join semantics expressed as NOT IN counts —
+    # exact integers; one row per edge.
+    oracle="""
+    SELECT 'orders.custkey' AS fk_edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey NOT IN
+                       (SELECT c_custkey FROM customer)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.orderkey',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.partkey',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE l.l_partkey NOT IN
+                       (SELECT p_partkey FROM part)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.nationkey',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE c.c_nationkey NOT IN
+                       (SELECT n_nationkey FROM nation)) AS BIGINT)
+    """,
+)
+def quality_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 referential-integrity audit: orphan-row counts for every
+    FK edge of the star schema — the pre-flight data-quality gate
+    before trusting any join's row counts. Each edge is one LEFT ANTI
+    join (broadcast dim); output is one row per edge."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, fact, fk, dim, pk):
+        orphans = fact.join(
+            F.broadcast(dim.select(pk)), F.col(fk) == F.col(pk), "left_anti"
+        )
+        return (
+            fact.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans")
+        )
+
+    return (
+        edge("orders.custkey", o, "o_custkey", c, "c_custkey")
+        .unionByName(edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(edge("lineitem.partkey", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("customer.nationkey", c, "c_nationkey", n, "n_nationkey"))
+    )
