@@ -629,3 +629,62 @@ def stream_hll_distinct_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_histogram_rollup(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    value_q_col: str,
+    shift: int = 7,
+) -> None:
+    """Append a delta's histogram partials to the store. Counts are
+    additive (commutative/associative), so the store is APPEND-ONLY —
+    no read-modify-write, any ingestion order converges to the same
+    totals (the X63 drift-store algebra, here for value
+    distributions). Read with read_histogram_rollup; compact offline
+    by rewriting the aggregate."""
+    histogram_build(delta, value_q_col, shift).write.mode("append").parquet(
+        path
+    )
+
+
+def read_histogram_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def stream_histogram_monitor(
+    spark: SparkSession,
+    input_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema,
+    value_expr: str = "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)",
+    shift: int = 7,
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Streaming face: each arriving batch appends its histogram
+    partials; quantile estimates over the store stay within one
+    bucket width of truth at any point in the stream."""
+    stream = spark.readStream.format(fmt).schema(schema).load(input_path)
+
+    def _epoch(df, epoch_id):
+        maintain_histogram_rollup(
+            spark,
+            store_path,
+            df.selectExpr(f"{value_expr} AS vq"),
+            "vq",
+            shift,
+        )
+
+    writer = stream.writeStream.foreachBatch(_epoch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -9172,3 +9172,124 @@ def dedup_minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "split_allocation_largest_remainder",
+    # Largest-remainder (Hamilton) apportionment: give each source
+    # floor(n*frac) rows, then distribute the leftover seats by
+    # largest fractional remainder (ties -> source asc). Every step
+    # exact integers: remainders compare by cross-multiplication
+    # (n*target % total), never a float.
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(1000 AS BIGINT) AS target
+      FROM c
+    ),
+    base AS (
+      SELECT c.source, c.n,
+             (c.n * t.target) // t.total AS floor_alloc,
+             (c.n * t.target) % t.total AS rem,
+             t.target - CAST(sum((c.n * t.target) // t.total)
+                             OVER () AS BIGINT) AS leftover
+      FROM c, t
+    ),
+    ranked AS (
+      SELECT source, n, floor_alloc, leftover,
+             row_number() OVER (ORDER BY rem DESC, source) AS rr
+      FROM base
+    )
+    SELECT source, n,
+           CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM ranked
+    """,
+)
+def split_allocation_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X121 proportional quota allocation (largest-remainder method):
+    split a 1000-row sampling budget across sources proportional to
+    volume, with the leftover seats going to the largest fractional
+    remainders — allocations sum EXACTLY to the budget (independent
+    per-source rounding does not). All integer arithmetic; windows run
+    over the source-sized frame only."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    target = 1000
+    one = F.pmod(F.length("source"), F.lit(1))
+    base = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"(n * {target}) div total").cast("long").alias("floor_alloc"),
+        F.expr(f"(n * {target}) % total").cast("long").alias("rem"),
+    )
+    base = base.withColumn(
+        "leftover",
+        F.lit(target) - F.sum("floor_alloc").over(W.partitionBy(one)),
+    )
+    ranked = base.withColumn(
+        "rr",
+        F.row_number().over(
+            W.partitionBy(one).orderBy(F.desc("rem"), F.asc("source"))
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("allocation"),
+    )
+
+
+@register(
+    "slo_error_burn_rate",
+    # SRE error-budget math from exact counts: per-day error rate,
+    # availability, and burn rate vs a 99% SLO (budget = 1%); every
+    # ratio is a single division of exact BIGINTs, the burn rate one
+    # more fixed-tree division.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT day, n_total, n_errors,
+           CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) AS error_rate,
+           (CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE)) / 0.01
+             AS burn_rate,
+           n_errors * 100 > n_total AS budget_exceeded
+    FROM d
+    """,
+)
+def slo_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 SLO error-budget burn: per-day error rate and burn rate
+    against a 99% availability SLO, with the exceeded flag decided by
+    integer cross-multiplication (n_errors*100 > n_total) so the
+    boundary never rides a float. One conditional aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_total").cast("double")
+    return d.select(
+        "day",
+        "n_total",
+        "n_errors",
+        rate.alias("error_rate"),
+        (rate / F.lit(0.01)).alias("burn_rate"),
+        (F.col("n_errors") * 100 > F.col("n_total")).alias("budget_exceeded"),
+    )

@@ -350,3 +350,69 @@ def test_stream_hll_monitor_matches_batch_face(spark, tmp_path, events):
         for r in oneshot.collect()
     }
     assert got == want
+
+
+def test_stream_histogram_monitor_matches_batch(spark, tmp_path, events):
+    """Two file waves == one-shot histogram; quantile estimates over
+    the streamed store equal those over the one-shot build."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from alerta_spark.ops.sketches import (
+        histogram_build,
+        histogram_quantiles,
+        read_histogram_rollup,
+        stream_histogram_monitor,
+    )
+
+    inp = tmp_path / "hin"
+    os.makedirs(inp)
+    store = str(tmp_path / "hstore")
+    ck = str(tmp_path / "hck")
+    schema = T.StructType(
+        [
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    ev = events.select("value", "event_id")
+    cut = ev.selectExpr("percentile(event_id, 0.5)").collect()[0][0]
+
+    def wave(name, frame):
+        import glob
+        import shutil
+
+        frame.coalesce(1).write.mode("overwrite").json(
+            str(tmp_path / ("hstage_" + name))
+        )
+        src = glob.glob(str(tmp_path / ("hstage_" + name) / "part-*.json"))[0]
+        shutil.copy(src, inp / (name + ".json"))
+        q = stream_histogram_monitor(spark, str(inp), store, ck, schema)
+        q.awaitTermination(120)
+
+    wave("a", ev.where(F.col("event_id") <= cut))
+    wave("b", ev.where(F.col("event_id") > cut))
+
+    got_hist = {
+        (r["bucket"], r["cnt"])
+        for r in read_histogram_rollup(spark, store).collect()
+    }
+    oneshot = histogram_build(
+        ev.selectExpr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS vq"),
+        "vq",
+    )
+    want_hist = {(r["bucket"], r["cnt"]) for r in oneshot.collect()}
+    assert got_hist == want_hist
+
+    got_q = {
+        (r["q_pct"], r["est_q"])
+        for r in histogram_quantiles(
+            read_histogram_rollup(spark, store), [50, 99]
+        ).collect()
+    }
+    want_q = {
+        (r["q_pct"], r["est_q"])
+        for r in histogram_quantiles(oneshot, [50, 99]).collect()
+    }
+    assert got_q == want_q
