@@ -9293,3 +9293,176 @@ def slo_error_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rate / F.lit(0.01)).alias("burn_rate"),
         (F.col("n_errors") * 100 > F.col("n_total")).alias("budget_exceeded"),
     )
+
+
+@register(
+    "cep_not_followed_by",
+    # Negative sequence pattern: purchase NOT followed by a view
+    # within 1h for the same user — the absence-after-trigger CEP
+    # shape (fraud/abandonment detection). Spark side: ONE lead-style
+    # union window pass (next view timestamp per purchase); oracle =
+    # the definitional NOT EXISTS. Exact integer microseconds.
+    oracle="""
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND epoch_us(v.ts) > epoch_us(p.ts)
+          AND epoch_us(v.ts) <= epoch_us(p.ts) + 3600000000
+      )
+    """,
+)
+def cep_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 negative CEP pattern: purchases with NO view by the same
+    user within the following hour (cart-abandonment / unacknowledged-
+    alert shape). The NOT EXISTS decorrelates into one user-keyed
+    union-window pass: order (ts, is_view) per user, take the NEXT
+    view timestamp via a min-over-following window on view rows only,
+    and keep purchases whose next view is null or beyond the horizon
+    — no self-join, one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("et"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = base.withColumn(
+        "next_view_us",
+        F.min(F.when(F.col("et") == "view", F.col("ts_us"))).over(w),
+    )
+    return (
+        nxt.where(F.col("et") == "purchase")
+        .where(
+            F.col("next_view_us").isNull()
+            | (F.col("next_view_us") > F.col("ts_us") + 3_600_000_000)
+        )
+        .select("event_id", "user_id", "ts_us")
+    )
+
+
+@register(
+    "twa_user_daily_value",
+    # Time-weighted average of a held state: each event's value holds
+    # until the next event (last value holds to end-of-day); weights
+    # are exact integer µs, the value·duration mass accumulates in
+    # DECIMAL, one division at the end.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS t,
+             CAST(value AS DECIMAL(14,2)) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, day, v,
+             coalesce(t_next,
+                      epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)) - t
+               AS dur_us
+      FROM e
+    )
+    SELECT user_id, day,
+           CAST(sum(dur_us) AS BIGINT) AS covered_us,
+           CAST(CAST(sum(v * CAST(dur_us AS DECIMAL(16,0)))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(sum(dur_us) AS DOUBLE) AS twa_value
+    FROM seg GROUP BY user_id, day
+    """,
+)
+def twa_user_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 time-weighted average of a held state (the IoT/billing
+    mean: a value persists until the next observation, the last one
+    holds to end-of-day) — an unweighted mean over-counts bursts.
+    One lead window + one aggregate sharing the (user, day)
+    clustering; value x duration mass exact in DECIMAL."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = W.partitionBy("user_id", day.alias("day")).orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.unix_micros("ts").alias("t"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+        F.lead(F.unix_micros("ts"))
+        .over(W.partitionBy("user_id", day).orderBy("ts", "event_id"))
+        .alias("t_next"),
+    )
+    end_of_day = F.unix_micros(
+        F.date_add(F.col("day"), 1).cast("timestamp")
+    )
+    seg = e.select(
+        "user_id",
+        "day",
+        "v",
+        (F.coalesce(F.col("t_next"), end_of_day) - F.col("t")).alias(
+            "dur_us"
+        ),
+    )
+    return seg.groupBy("user_id", "day").agg(
+        F.sum("dur_us").cast("long").alias("covered_us"),
+        (
+            F.sum(F.col("v") * F.col("dur_us").cast("decimal(16,0)"))
+            .cast("string")
+            .cast("double")
+            / F.sum("dur_us").cast("double")
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "corpus_token_weighted_quality",
+    # Token-weighted mean quality per source: weights exact BIGINT
+    # token counts, quality quantized to exact integer micro-units
+    # before the weighted sum, one final division.
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t <> '')) AS BIGINT) AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_txt
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(toks * n_chars_txt) AS BIGINT) AS char_mass,
+           CAST(sum(toks * n_chars_txt) AS DOUBLE)
+             / CAST(sum(toks) AS DOUBLE) AS token_weighted_mean_chars
+    FROM q GROUP BY source
+    """,
+)
+def corpus_token_weighted_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X125 token-weighted grouped mean (per-source mean doc length
+    weighted by token mass — what the training mix actually sees;
+    unweighted means over-weight short docs). Pure exact integers,
+    one aggregate."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        F.size(
+            F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+        ).cast("long").alias("toks"),
+        F.length("text").cast("long").alias("n_chars_txt"),
+    )
+    return q.groupBy("source").agg(
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(F.col("toks") * F.col("n_chars_txt"))
+        .cast("long")
+        .alias("char_mass"),
+        (
+            F.sum(F.col("toks") * F.col("n_chars_txt")).cast("double")
+            / F.sum("toks").cast("double")
+        ).alias("token_weighted_mean_chars"),
+    )
