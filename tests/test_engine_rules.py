@@ -289,3 +289,18 @@ def test_malformed_suppress_window_raises(spark):
     with _pytest.raises(ValueError):
         rule_suppressed({"suppress": ["2026-01-01T00:00:00"]}, now)
     assert not rule_suppressed({}, now)
+
+
+def test_survey_audit_passes():
+    """Docs and catalog stay in sync: every entry indexed, no phantom
+    entry names in the docs."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/survey_audit.py"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
