@@ -96,6 +96,9 @@ HEADLINE = [
     "users_rfm_scores",
     "events_markov_transitions",
     "pareto_customer_revenue",
+    # round-3 batch 17 (no earlier baseline; tracked from r03 on)
+    "cep_not_followed_by",
+    "twa_user_daily_value",
 ]
 
 
