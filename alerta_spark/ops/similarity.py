@@ -1272,3 +1272,90 @@ def pq_topk_pinned(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_id: int,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k of the top-``n_candidates`` cosine
+    neighbors maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the
+    diversity-aware cut between ANN recall and what a RAG prompt
+    actually wants.
+
+    Distribution of labor at scale: the corpus-sized work (candidate
+    recall via cosine_topk, the |C|² candidate-pair similarity
+    matrix) runs in Spark; the greedy loop itself is O(|C|·k) over a
+    BOUNDED candidate set and runs driver-side on fixed-point BIGINT
+    scores (floor(cos·2^20), ties -> lowest id) — deterministic
+    across engines/retries like the other pinned ops, replayed in
+    tests against a pure-Python reference.
+
+    -> [rank, vec_id, rel_q, mmr_q] (rank 1-based selection order).
+    """
+    cands = cosine_topk(df, [query_id], k=n_candidates, id_col=id_col,
+                        vec_col=vec_col)
+    rel = {
+        r["neighbor_id"]: int(
+            __import__("math").floor(r["cos"] * quant)
+        )
+        for r in cands.collect()
+    }
+    ids = sorted(rel)
+    sub = df.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    a = sub.select(F.col("_id").alias("_a"), F.col("_v").alias("_va"))
+    b = sub.select(F.col("_id").alias("_b"), F.col("_v").alias("_vb"))
+    pair_rows = (
+        a.join(b, F.col("_a") < F.col("_b"))
+        .select(
+            "_a",
+            "_b",
+            F.floor(
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+                * F.lit(float(quant))
+            ).cast("long").alias("_s"),
+        )
+        .collect()
+    )
+    sim: dict[tuple[int, int], int] = {}
+    for r in pair_rows:
+        sim[(r["_a"], r["_b"])] = r["_s"]
+        sim[(r["_b"], r["_a"])] = r["_s"]
+
+    lam_q = int(lam * quant)
+    selected: list[tuple[int, int, int]] = []  # (id, rel, mmr score)
+    chosen: list[int] = []
+    remaining = list(ids)
+    for _ in range(min(k, len(remaining))):
+        best = None
+        for cid in remaining:
+            max_s = max((sim[(cid, s)] for s in chosen), default=0)
+            score = lam_q * rel[cid] - (quant - lam_q) * max_s
+            cand = (-score, cid)
+            if best is None or cand < best:
+                best = cand
+        cid = best[1]
+        max_s = max((sim[(cid, s)] for s in chosen), default=0)
+        selected.append(
+            (cid, rel[cid], lam_q * rel[cid] - (quant - lam_q) * max_s)
+        )
+        chosen.append(cid)
+        remaining.remove(cid)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, cid, r, s)
+            for i, (cid, r, s) in enumerate(selected)
+        ],
+        "rank long, vec_id long, rel_q long, mmr_q long",
+    )

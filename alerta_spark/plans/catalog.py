@@ -9466,3 +9466,82 @@ def corpus_token_weighted_quality(
             / F.sum("toks").cast("double")
         ).alias("token_weighted_mean_chars"),
     )
+
+
+@register(
+    "graph_khop_reachability",
+    # k-hop reachability over the event-transition graph (which event
+    # types a user reaches within 3 transitions of 'signup'): BFS
+    # unrolled as k self-joins over the DISTINCT edge set — exact, and
+    # the edge set is |types|^2-bounded so every hop is a tiny join.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    e AS (
+      SELECT DISTINCT event_type AS src, next_type AS dst
+      FROM seq WHERE next_type IS NOT NULL
+    ),
+    h1 AS (SELECT dst, 1 AS hops FROM e WHERE src = 'signup'),
+    h2 AS (SELECT DISTINCT e.dst, 2 AS hops
+           FROM h1 JOIN e ON e.src = h1.dst),
+    h3 AS (SELECT DISTINCT e.dst, 3 AS hops
+           FROM h2 JOIN e ON e.src = h2.dst),
+    allh AS (
+      SELECT dst, hops FROM h1
+      UNION ALL SELECT dst, hops FROM h2
+      UNION ALL SELECT dst, hops FROM h3
+    )
+    SELECT dst AS reachable_type,
+           CAST(min(hops) AS BIGINT) AS min_hops
+    FROM allh GROUP BY dst
+    """,
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 k-hop reachability (BFS, k=3) from 'signup' over the
+    observed event-transition graph: which states a journey can reach
+    in <= 3 steps, with the minimum hop count. Edges come from ONE
+    lead-window pass; each hop is a join over the |types|²-bounded
+    distinct edge set — graph traversal whose per-round cost is
+    independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .distinct()
+    )
+    frontier = e.where(F.col("src") == "signup").select(
+        "dst", F.lit(1).alias("hops")
+    )
+    reached = frontier
+    for hop in (2, 3):
+        f = frontier.select(F.col("dst").alias("_cur"))
+        frontier = (
+            f.join(e, f["_cur"] == e["src"])
+            .select("dst", F.lit(hop).alias("hops"))
+            .distinct()
+        )
+        reached = reached.unionByName(frontier)
+    return reached.groupBy(F.col("dst").alias("reachable_type")).agg(
+        F.min("hops").cast("long").alias("min_hops")
+    )
+
+
+@register("similarity_mmr_rerank", oracle=None)  # greedy loop: rows-only
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127 MMR diversity re-ranking over the exact top-20 cosine
+    candidates of query 0 (λ=0.7, k=5): corpus-sized work (recall +
+    candidate-pair sims) in Spark, the O(|C|·k) greedy on bounded
+    fixed-point scores driver-side. Rows-only like BPE/FFD (greedy
+    loop); selection replayed against a pure-Python reference in
+    tests/test_similarity_ops.py."""
+    from alerta_spark.ops.similarity import mmr_rerank
+
+    return mmr_rerank(load_table(spark, sf_dir, "embeddings"), query_id=0)

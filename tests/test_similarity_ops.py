@@ -319,3 +319,53 @@ def test_pq_pinned_matches_numpy_replay(spark, emb):
         )
         want = [(nid, d) for d, nid in scored[:5]]
         assert got[qid] == want
+
+
+def test_mmr_rerank_matches_python_replay_and_diversifies(spark, emb):
+    """Selection order replayed from the op's own quantized inputs;
+    first pick is the most relevant; the sim-penalty term must be
+    able to reorder pure relevance."""
+    import math
+
+    from alerta_spark.ops.similarity import cosine, cosine_topk, mmr_rerank
+    from pyspark.sql import functions as F
+
+    out = mmr_rerank(emb, query_id=0, n_candidates=10, k=4).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+    quant = 1 << 20
+    cands = cosine_topk(emb, [0], k=10).collect()
+    rel = {r["neighbor_id"]: math.floor(r["cos"] * quant) for r in cands}
+    ids = sorted(rel)
+    sub = emb.where(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+    )
+    a = sub.select(F.col("_id").alias("_a"), F.col("_v").alias("_va"))
+    b = sub.select(F.col("_id").alias("_b"), F.col("_v").alias("_vb"))
+    sim = {}
+    for r in (
+        a.join(b, F.col("_a") < F.col("_b"))
+        .select(
+            "_a", "_b",
+            F.floor(
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6) * float(quant)
+            ).cast("long").alias("_s"),
+        )
+        .collect()
+    ):
+        sim[(r["_a"], r["_b"])] = sim[(r["_b"], r["_a"])] = r["_s"]
+
+    lam_q = int(0.7 * quant)
+    chosen, want = [], []
+    remaining = list(ids)
+    for _ in range(4):
+        scored = []
+        for c in remaining:
+            mx = max((sim[(c, s)] for s in chosen), default=0)
+            scored.append((-(lam_q * rel[c] - (quant - lam_q) * mx), c))
+        _, pick = min(scored)
+        want.append(pick)
+        chosen.append(pick)
+        remaining.remove(pick)
+    assert [r["vec_id"] for r in out] == want
+    assert out[0]["vec_id"] == max(rel, key=lambda i: (rel[i], -i))
