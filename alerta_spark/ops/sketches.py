@@ -688,3 +688,13 @@ def stream_histogram_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_histogram_rollup(spark: SparkSession, path: str) -> int:
+    """Rewrite the append-only histogram store as one aggregated
+    (bucket, cnt) snapshot — offline, when partial files accumulate.
+    Returns bucket count after compaction. Totals are preserved
+    exactly (sum is the merge operator)."""
+    agg = read_histogram_rollup(spark, path).localCheckpoint(eager=True)
+    agg.write.mode("overwrite").parquet(path)
+    return agg.count()

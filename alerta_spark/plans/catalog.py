@@ -9545,3 +9545,97 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alerta_spark.ops.similarity import mmr_rerank
 
     return mmr_rerank(load_table(spark, sf_dir, "embeddings"), query_id=0)
+
+
+@register(
+    "abtest_stratified_rates",
+    # Simpson's-paradox guard for experiment readouts: pooled
+    # conversion per arm AND per-stratum (event volume tier) rates —
+    # exact counts, fixed divisions; the md5-band arm assignment is
+    # the rerun-stable one from abtest_conversion_z.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               > 0 AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm,
+             CASE WHEN n_events < 50 THEN 'low'
+                  WHEN n_events < 80 THEN 'mid' ELSE 'high' END AS stratum,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS n_conv
+      FROM u GROUP BY 1, 2
+    )
+    SELECT arm, stratum, n_users, n_conv,
+           CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate
+    FROM s
+    UNION ALL
+    SELECT arm, 'POOLED', CAST(sum(n_users) AS BIGINT),
+           CAST(sum(n_conv) AS BIGINT),
+           CAST(sum(n_conv) AS DOUBLE) / CAST(sum(n_users) AS DOUBLE)
+    FROM s GROUP BY arm
+    """,
+)
+def abtest_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128 stratified experiment readout: per-arm conversion split by
+    activity stratum PLUS the pooled row — the Simpson's-paradox
+    guard (a pooled lift can reverse inside every stratum when arms
+    are imbalanced across strata). Exact counts; strata re-aggregate
+    the user-sized frame, never the facts."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) > 0
+        ).alias("converted"),
+    ).select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab"))),
+                1,
+                1,
+            )
+            < "8",
+            "A",
+        ).otherwise("B").alias("arm"),
+        "n_events",
+        "converted",
+    )
+    s = u.groupBy(
+        "arm",
+        F.when(F.col("n_events") < 50, "low")
+        .when(F.col("n_events") < 80, "mid")
+        .otherwise("high")
+        .alias("stratum"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("converted").cast("long")).cast("long").alias("n_conv"),
+    )
+    per = s.select(
+        "arm",
+        "stratum",
+        "n_users",
+        "n_conv",
+        (
+            F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+        ).alias("conv_rate"),
+    )
+    pooled = s.groupBy("arm").agg(
+        F.sum("n_users").cast("long").alias("n_users"),
+        F.sum("n_conv").cast("long").alias("n_conv"),
+    ).select(
+        "arm",
+        F.lit("POOLED").alias("stratum"),
+        "n_users",
+        "n_conv",
+        (
+            F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+        ).alias("conv_rate"),
+    )
+    return per.unionByName(pooled)

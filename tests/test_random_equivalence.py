@@ -99,3 +99,29 @@ def test_containment_random_equivalence(spark):
             if len(bt) < len(at) or (bt == at and bi < ai):
                 want.add((bi, ai))
     assert got == want and len(want) > 0
+
+
+def test_concurrent_catalog_queries_one_session(spark):
+    """Four catalog queries submitted from concurrent threads against
+    ONE session (the multi-tenant/scheduler reality) produce exactly
+    their serial results — no cross-query state bleed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from alerta_spark.plans.catalog import queries
+
+    qs = queries()
+    names = [
+        "a1_mostcommon",
+        "agg_rollup",
+        "users_rfm_scores",
+        "events_markov_transitions",
+    ]
+    sf = "/root/testdata/sf0.001"
+
+    def run(name):
+        return name, {tuple(map(str, r)) for r in qs[name](spark, sf).collect()}
+
+    serial = dict(run(n) for n in names)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        concurrent = dict(ex.map(run, names))
+    assert concurrent == serial

@@ -416,3 +416,27 @@ def test_stream_histogram_monitor_matches_batch(spark, tmp_path, events):
         for r in histogram_quantiles(oneshot, [50, 99]).collect()
     }
     assert got_q == want_q
+
+
+def test_compact_histogram_rollup_preserves_totals(spark, tmp_path):
+    from alerta_spark.ops.sketches import (
+        compact_histogram_rollup,
+        maintain_histogram_rollup,
+        read_histogram_rollup,
+    )
+
+    store = str(tmp_path / "hcstore")
+    a = spark.range(1, 500).select(F.col("id").alias("vq"))
+    b = spark.range(300, 900).select(F.col("id").alias("vq"))
+    maintain_histogram_rollup(spark, store, a, "vq")
+    maintain_histogram_rollup(spark, store, b, "vq")
+    before = {
+        (r["bucket"], r["cnt"])
+        for r in read_histogram_rollup(spark, store).collect()
+    }
+    n = compact_histogram_rollup(spark, store)
+    after = {
+        (r["bucket"], r["cnt"])
+        for r in read_histogram_rollup(spark, store).collect()
+    }
+    assert after == before and n == len(before)
