@@ -9534,14 +9534,15 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_mmr_rerank", oracle=None)  # greedy loop: rows-only
+@register("similarity_mmr_rerank", oracle=None)  # oracle generated below
 def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X127 MMR diversity re-ranking over the exact top-20 cosine
     candidates of query 0 (λ=0.7, k=5): corpus-sized work (recall +
     candidate-pair sims) in Spark, the O(|C|·k) greedy on bounded
-    fixed-point scores driver-side. Rows-only like BPE/FFD (greedy
-    loop); selection replayed against a pure-Python reference in
-    tests/test_similarity_ops.py."""
+    fixed-point scores driver-side. The greedy rounds UNROLL into a
+    generated SQL oracle (_mmr_oracle: pick1..pick5 CTEs), so the
+    selection order and every score hash-check; also replayed against
+    a pure-Python reference in tests/test_similarity_ops.py."""
     from alerta_spark.ops.similarity import mmr_rerank
 
     return mmr_rerank(load_table(spark, sf_dir, "embeddings"), query_id=0)
@@ -9639,3 +9640,80 @@ def abtest_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv_rate"),
     )
     return per.unionByName(pooled)
+
+
+def _mmr_oracle(k: int = 5, n_candidates: int = 20, quant: int = 1 << 20,
+                lam: float = 0.7) -> str:
+    lam_q = int(lam * quant)
+    inv = quant - lam_q
+    ctes = []
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT id FROM pick{i}" for i in range(1, r)
+        )
+        ctes.append(f"""
+    score{r} AS (
+      SELECT c.id, c.rel,
+             {lam_q} * c.rel - {inv} * coalesce(max(s.sim), 0) AS sc,
+             coalesce(max(s.sim), 0) AS mx
+      FROM cands c
+      LEFT JOIN sims s ON s.a = c.id AND s.b IN ({prev})
+      WHERE c.id NOT IN ({prev})
+      GROUP BY c.id, c.rel
+    ),
+    pick{r} AS (
+      SELECT id, rel, sc, {r} AS rnk FROM score{r}
+      ORDER BY sc DESC, id LIMIT 1
+    )""")
+    picks = " UNION ALL ".join(
+        (
+            "SELECT 1 AS rnk, id, rel,"
+            f" {lam_q} * rel AS mmr FROM pick1"
+        ) if i == 1 else f"SELECT rnk, id, rel, sc AS mmr FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id AS id,
+             CAST(floor(round(list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(e.v, e.v))), 6)
+                  * {quant}.0) AS BIGINT) AS rel
+      FROM e, q WHERE e.vec_id <> 0
+    ),
+    cands AS (
+      SELECT id, rel FROM (
+        SELECT id, rel, row_number() OVER (ORDER BY rel DESC, id) AS rn
+        FROM scored
+      ) WHERE rn <= {n_candidates}
+    ),
+    sims0 AS (
+      SELECT a.id AS a, b.id AS b,
+             CAST(floor(round(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v))), 6)
+                  * {quant}.0) AS BIGINT) AS sim
+      FROM cands a JOIN cands b ON a.id < b.id
+      JOIN e ea ON ea.vec_id = a.id
+      JOIN e eb ON eb.vec_id = b.id
+    ),
+    sims AS (
+      SELECT a, b, sim FROM sims0
+      UNION ALL SELECT b, a, sim FROM sims0
+    ),
+    pick1 AS (
+      SELECT id, rel FROM cands ORDER BY rel DESC, id LIMIT 1
+    ),{",".join(ctes)}
+    SELECT CAST(rnk AS BIGINT) AS rank, CAST(id AS BIGINT) AS vec_id,
+           CAST(rel AS BIGINT) AS rel_q, CAST(mmr AS BIGINT) AS mmr_q
+    FROM ({picks})
+    """
+
+
+QUERIES["similarity_mmr_rerank"]["oracle"] = _mmr_oracle()
+# upgraded from rows-only: the greedy rounds unroll into generated
+# CTEs (pick1..pick5), so selection order, relevance, and MMR scores
+# all hash-check — no rows-only entry is left without either an exact
+# twin or a full oracle.
