@@ -9717,3 +9717,88 @@ QUERIES["similarity_mmr_rerank"]["oracle"] = _mmr_oracle()
 # CTEs (pick1..pick5), so selection order, relevance, and MMR scores
 # all hash-check — no rows-only entry is left without either an exact
 # twin or a full oracle.
+
+
+def _rrf_oracle() -> str:
+    bm = QUERIES["text_bm25_topk"]["oracle"]
+    return f"""
+    WITH bm AS ({bm}),
+    bmr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS r_bm25
+      FROM bm
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+      FROM e, q WHERE e.vec_id <> 0
+    ),
+    csr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+               AS r_cos
+      FROM cs QUALIFY r_cos <= 10
+    ),
+    f AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.r_bm25, c.r_cos
+      FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, r_bm25, r_cos,
+           coalesce(1.0 / (60 + r_bm25), 0.0)
+             + coalesce(1.0 / (60 + r_cos), 0.0) AS rrf
+    FROM f
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+
+
+@register("retrieval_rrf_fusion", oracle=None)  # oracle set below
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129 reciprocal rank fusion (RRF, k=60): fuse the BM25 lexical
+    top-10 with the cosine top-10 of query vector 0 (doc_id == vec_id
+    — the synthetic corpora are paired by id) by Σ 1/(60+rank) — the
+    score-free list-fusion standard when lexical and dense scores
+    aren't calibrated against each other (cf. hybrid_retrieval_rerank
+    which funnels instead). Each 1/(60+r) is one IEEE division of
+    exact integers, the fused score one fixed two-term sum — engine-
+    exact including the final cut."""
+    from alerta_spark.ops.similarity import cosine_topk
+    from alerta_spark.ops.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = F.pmod(F.col("doc_id"), F.lit(1))
+    bmr = bm25_topk(docs, ["spark", "join", "vector"], k=10).select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy(one).orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("long")
+        .alias("r_bm25"),
+    )
+    csr = cosine_topk(emb, [0], k=10).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number()
+        .over(
+            W.partitionBy(F.pmod(F.col("neighbor_id"), F.lit(1))).orderBy(
+                F.desc("cos"), F.asc("neighbor_id")
+            )
+        )
+        .cast("long")
+        .alias("r_cos"),
+    )
+    f = bmr.join(csr, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+    return (
+        f.select("doc_id", "r_bm25", "r_cos", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+QUERIES["retrieval_rrf_fusion"]["oracle"] = _rrf_oracle()
