@@ -9802,3 +9802,117 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["retrieval_rrf_fusion"]["oracle"] = _rrf_oracle()
+
+
+@register(
+    "funnel_within_session",
+    # Session-scoped funnel: signup -> view -> purchase must complete
+    # INSIDE one 30-min-gap session (cross-session "conversions" are
+    # the classic product-analytics overcount). Composes the pinned
+    # single-exchange sessionizer with the ordered-steps test; the
+    # oracle recomputes sessions + first-occurrence ordering
+    # definitionally.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, t,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM o
+    ),
+    firsts AS (
+      SELECT user_id, sid,
+             min(CASE WHEN event_type = 'signup' THEN t END) AS t1,
+             min(CASE WHEN event_type = 'view' THEN t END) AS t2,
+             min(CASE WHEN event_type = 'purchase' THEN t END) AS t3
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT)
+             AS n_step1,
+           CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1)
+                AS BIGINT) AS n_step2,
+           CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1
+                                   AND t3 > t2) AS BIGINT) AS n_converted
+    FROM firsts
+    """,
+)
+def funnel_within_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 session-scoped funnel: ordered signup->view->purchase
+    completion within ONE session (30-min gaps) — composes the
+    single-exchange sessionizer with a first-occurrence ordering test
+    per (user, session); the whole computation shares the user
+    clustering (sessionize window + session aggregate), one real
+    exchange. Cross-session conversions — the classic overcount —
+    are excluded by construction."""
+    from alerta_spark.ops.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30).select(
+        "user_id",
+        "session_idx",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+    )
+    firsts = s.groupBy("user_id", "session_idx").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("t"))).alias("t1"),
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t2"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("t"))).alias(
+            "t3"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("t1").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_step1"),
+        F.sum(
+            (F.col("t1").isNotNull() & (F.col("t2") > F.col("t1"))).cast(
+                "long"
+            )
+        ).cast("long").alias("n_step2"),
+        F.sum(
+            (
+                F.col("t1").isNotNull()
+                & (F.col("t2") > F.col("t1"))
+                & (F.col("t3") > F.col("t2"))
+            ).cast("long")
+        ).cast("long").alias("n_converted"),
+    )
+
+
+@register(
+    "timeseries_daily_value_bands",
+    # p10/p50/p90 daily bands: exact interpolated percentiles on both
+    # engines (identical lo + (hi-lo)*frac arithmetic).
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(value, 0.10) AS p10,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.90) AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def timeseries_daily_value_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X131 daily percentile bands (p10/p50/p90 of event value) — the
+    chart-ready envelope behind every metric dashboard; one grouped
+    exact-percentile aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("value", F.lit(0.10)).alias("p10"),
+        F.percentile("value", F.lit(0.50)).alias("p50"),
+        F.percentile("value", F.lit(0.90)).alias("p90"),
+    )
