@@ -9916,3 +9916,134 @@ def timeseries_daily_value_bands(
         F.percentile("value", F.lit(0.50)).alias("p50"),
         F.percentile("value", F.lit(0.90)).alias("p90"),
     )
+
+
+@register(
+    "anomaly_user_burst",
+    # Burst = last-day count vs the user's own trailing daily mean,
+    # compared by integer cross-multiplication (n_last * n_days_prior
+    # >= K * n_prior) — no float boundary; the per-user behavioral
+    # twin of the global seasonal screen.
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(day) AS last_day FROM d),
+    d2 AS (
+      SELECT user_id, day, n FROM d
+      UNION ALL
+      SELECT u AS user_id, mx.last_day AS day, CAST(40 AS BIGINT) AS n
+      FROM (SELECT unnest([1, 2, 3]) AS u), mx
+    ),
+    agg AS (
+      SELECT d.user_id,
+             CAST(sum(CASE WHEN d.day = mx.last_day THEN n ELSE 0 END)
+                  AS BIGINT) AS n_last,
+             CAST(sum(CASE WHEN d.day < mx.last_day THEN n ELSE 0 END)
+                  AS BIGINT) AS n_prior,
+             CAST(count(*) FILTER (WHERE d.day < mx.last_day) AS BIGINT)
+               AS days_prior
+      FROM d2 d, mx GROUP BY d.user_id
+    )
+    SELECT user_id, n_last, n_prior, days_prior
+    FROM agg
+    WHERE days_prior > 0 AND n_last * days_prior >= 3 * n_prior
+      AND n_last >= 5
+    """,
+)
+def anomaly_user_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132 per-user burst detection: users whose LAST-day event count
+    is >= 3x their own trailing daily mean (and >= 5 absolute) — the
+    compromised-account / runaway-client screen, exact integer cross-
+    multiplication so the 3x boundary never rides a float. One daily
+    aggregate + one user aggregate. The uniform synthetic stream has
+    no organic bursts, so 40 extra last-day events are PLANTED for
+    users 1-3 (the planted-twin convention — the regime the operator
+    exists for); the oracle plants identically."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mx = d.agg(F.max("day").alias("last_day"))
+    planted = (
+        spark.range(1, 4)
+        .select(F.col("id").alias("user_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.col("last_day").alias("day"),
+            F.lit(40).cast("long").alias("n"),
+        )
+    )
+    d = d.unionByName(planted)
+    agg = d.crossJoin(F.broadcast(mx)).groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("day") == F.col("last_day"), F.col("n")).otherwise(0)
+        ).cast("long").alias("n_last"),
+        F.sum(
+            F.when(F.col("day") < F.col("last_day"), F.col("n")).otherwise(0)
+        ).cast("long").alias("n_prior"),
+        F.sum((F.col("day") < F.col("last_day")).cast("long"))
+        .cast("long")
+        .alias("days_prior"),
+    )
+    return agg.where(
+        (F.col("days_prior") > 0)
+        & (F.col("n_last") * F.col("days_prior") >= 3 * F.col("n_prior"))
+        & (F.col("n_last") >= 5)
+    )
+
+
+@register(
+    "text_kwic_snippets",
+    # Keyword-in-context: ±3-token windows around every 'vector' hit,
+    # built from the SAME posting-probe machinery as phrase search —
+    # array slicing on the collected token list, all JVM expressions.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS ts
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS p
+      FROM toks
+    )
+    SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           array_to_string(ts[greatest(p - 3, 1):least(p + 3, len(ts))],
+                           ' ') AS snippet
+    FROM pos WHERE ts[p] = 'vector'
+    """,
+)
+def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 keyword-in-context: the reviewer-facing ±3-token window
+    around every 'vector' occurrence — what a search UI or a labeling
+    queue shows. Token positions from one posexplode; the snippet is
+    a JVM slice+join of the per-doc token array."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.filter(tokenize(F.col("text")), lambda x: x != F.lit("")).alias(
+            "ts"
+        ),
+    )
+    hits = t.select(
+        "doc_id",
+        "ts",
+        F.posexplode("ts").alias("p0", "tok"),
+    ).where(F.col("tok") == "vector").select(
+        "doc_id", "ts", (F.col("p0") + 1).alias("pos")
+    )
+    lo = F.greatest(F.col("pos") - 3, F.lit(1))
+    hi = F.least(F.col("pos") + 3, F.size("ts"))
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(F.slice("ts", lo, hi - lo + 1), " ").alias("snippet"),
+    )
