@@ -10047,3 +10047,159 @@ def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.array_join(F.slice("ts", lo, hi - lo + 1), " ").alias("snippet"),
     )
+
+
+@register(
+    "events_hour_of_week_profile",
+    # The 168-cell weekly heatmap behind deadman/threshold tuning:
+    # exact counts + per-type shares (one division of BIGINTs).
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             -- DuckDB dayofweek is 0-based Sunday; Spark's is 1-based
+             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+    SELECT c.event_type, c.dow, c.hod, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def events_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134 hour-of-week activity profile: the 168-cell heatmap per
+    event type with per-type shares — the seasonality fingerprint that
+    tunes deadman windows and threshold schedules. One aggregate +
+    broadcast totals join."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("tot"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "index_posting_stats",
+    # Inverted-index observability: the posting-length distribution
+    # that decides the hot-shingle cap and predicts join fan-out —
+    # exact counts + exact percentiles over the term-sized frame.
+    oracle="""
+    WITH s AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 t -> t <> '')) AS term
+        FROM documents
+      ) GROUP BY term
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(max(df) AS BIGINT) AS max_df,
+           quantile_cont(df, 0.50) AS p50_df,
+           quantile_cont(df, 0.99) AS p99_df
+    FROM s
+    """,
+)
+def index_posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 posting-list statistics for the term inverted index:
+    term count, posting mass, max/p50/p99 document frequency — the
+    numbers that size the hot-term cap (X2/X69) and predict candidate
+    join fan-out BEFORE building a dedup/retrieval index at 100 TB."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+            ).alias("term"),
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+        F.percentile("df", F.lit(0.50)).alias("p50_df"),
+        F.percentile("df", F.lit(0.99)).alias("p99_df"),
+    )
+
+
+@register(
+    "dedup_cluster_size_distribution",
+    # Cluster-size histogram over the transitive dup clusters: how
+    # much mass dedup removes at each multiplicity — the shape that
+    # decides whether canonical-cut savings justify the clustering
+    # pass. Oracle reuses the recursive-closure definition.
+    oracle="""
+    WITH RECURSIVE s AS (SELECT doc_id, {DS} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * (size - 1) AS BIGINT) AS docs_removable
+    FROM sizes GROUP BY size
+    """,
+)
+def dedup_cluster_size_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X136 dup-cluster size histogram + removable-doc mass per size —
+    the dedup ROI readout (a corpus of pairs dedups very differently
+    from one with mega-clusters). Composes dup_clusters; output is
+    bounded by the distinct sizes."""
+    from alerta_spark.ops.dedupe import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.8
+    )
+    sizes = dup_clusters(pairs).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("size") - 1))
+        .cast("long")
+        .alias("docs_removable"),
+    )
+
+
+QUERIES["dedup_cluster_size_distribution"]["oracle"] = QUERIES[
+    "dedup_cluster_size_distribution"
+]["oracle"].replace("{DS}", _DUCK_SHINGLES)
