@@ -10203,3 +10203,156 @@ def dedup_cluster_size_distribution(
 QUERIES["dedup_cluster_size_distribution"]["oracle"] = QUERIES[
     "dedup_cluster_size_distribution"
 ]["oracle"].replace("{DS}", _DUCK_SHINGLES)
+
+
+@register(
+    "growth_accounting_daily",
+    # Growth-accounting quadrants: per day, active users split into
+    # NEW (first-ever day), RETAINED (also active the previous day),
+    # RESURRECTED (seen before, not yesterday). Exact set logic via
+    # first-day aggregate + previous-day self-check; counts only.
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day
+      FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+    j AS (
+      SELECT d.user_id, d.day, f.first_day,
+             EXISTS (SELECT 1 FROM d p
+                     WHERE p.user_id = d.user_id
+                       AND p.day = d.day - 1) AS active_prev
+      FROM d JOIN f USING (user_id)
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(count(*) FILTER (WHERE day = first_day) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (WHERE day > first_day AND active_prev)
+                AS BIGINT) AS retained,
+           CAST(count(*) FILTER (WHERE day > first_day AND NOT active_prev)
+                AS BIGINT) AS resurrected
+    FROM j GROUP BY day
+    """,
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137 growth accounting: daily actives split into new /
+    retained / resurrected — the product-growth ledger (churn is the
+    complement on the next day). The previous-day test is a lag over
+    each user's ORDERED distinct-day sequence (one user exchange
+    shared with the first-day window), not a self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).cast("long").alias("day"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    j = d.select(
+        "user_id",
+        "day",
+        F.min("day").over(W.partitionBy("user_id")).alias("first_day"),
+        (F.lag("day").over(w) == F.col("day") - 1).alias("active_prev"),
+    )
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"),
+        F.sum((F.col("day") == F.col("first_day")).cast("long"))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            (
+                (F.col("day") > F.col("first_day"))
+                & F.coalesce(F.col("active_prev"), F.lit(False))
+            ).cast("long")
+        ).cast("long").alias("retained"),
+        F.sum(
+            (
+                (F.col("day") > F.col("first_day"))
+                & ~F.coalesce(F.col("active_prev"), F.lit(False))
+            ).cast("long")
+        ).cast("long").alias("resurrected"),
+    )
+
+
+@register(
+    "corr_matrix_daily_values",
+    # Pairwise Pearson between event types' daily value totals from
+    # exact-decimal moments (the X62 discipline, now per type-pair):
+    # daily totals exact in DECIMAL cents, the pair frame is
+    # days x types-squared bounded, every numerator assembled exactly
+    # with the VARCHAR hop before ONE double crossing.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, a.x AS xa, b.x AS xb
+      FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT ta, tb, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+             CAST(sum(xa * xb) AS DECIMAL(30,0)) AS sxy,
+             CAST(sum(xa * xa) AS DECIMAL(30,0)) AS sxx,
+             CAST(sum(xb * xb) AS DECIMAL(30,0)) AS syy
+      FROM p GROUP BY ta, tb
+    )
+    SELECT ta, tb, n,
+           CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                 AS VARCHAR) AS DOUBLE)
+           / sqrt(
+               CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxx
+                     - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                     AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(CAST(n AS DECIMAL(8,0)) * syy
+                     - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                     AS VARCHAR) AS DOUBLE)
+             ) AS corr_daily
+    FROM m
+    """,
+)
+def corr_matrix_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138 pairwise correlation matrix of event types' daily value
+    totals (do purchases co-move with views?) — bit-reproducible
+    Pearson from exact moments per pair; the pair frame is
+    days×types² bounded, never the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("x")
+    )
+    a = d.select(
+        F.col("day").alias("_d"), F.col("event_type").alias("ta"),
+        F.col("x").alias("xa"),
+    )
+    b = d.select(
+        F.col("day").alias("_d"), F.col("event_type").alias("tb"),
+        F.col("x").alias("xb"),
+    )
+    p = a.join(b, "_d").where(F.col("ta") < F.col("tb"))
+    m = p.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("decimal(30,0)").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("decimal(30,0)").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("decimal(30,0)").alias("syy"),
+    )
+    n8 = F.col("n").cast("decimal(8,0)")
+    sx19 = F.col("sx").cast("decimal(19,0)")
+    sy19 = F.col("sy").cast("decimal(19,0)")
+    cov = (n8 * F.col("sxy") - sx19 * sy19).cast("string").cast("double")
+    vx = (n8 * F.col("sxx") - sx19 * sx19).cast("string").cast("double")
+    vy = (n8 * F.col("syy") - sy19 * sy19).cast("string").cast("double")
+    return m.select(
+        "ta", "tb", "n", (cov / F.sqrt(vx * vy)).alias("corr_daily")
+    )
