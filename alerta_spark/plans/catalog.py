@@ -10356,3 +10356,168 @@ def corr_matrix_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "ta", "tb", "n", (cov / F.sqrt(vx * vy)).alias("corr_daily")
     )
+
+
+@register(
+    "attribution_linear_multi_touch",
+    # Linear multi-touch with EXACT credit conservation: each purchase
+    # splits its cents equally over the user's clicks in the prior
+    # hour — integral div per click, remainder cents to the EARLIEST
+    # clicks (largest-remainder style), so per-purchase credits sum
+    # exactly to the purchase. Per-click totals are exact BIGINTs.
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pt,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+      SELECT p.pid, p.cents, c.cid,
+             row_number() OVER (PARTITION BY p.pid ORDER BY c.ct, c.cid)
+               AS rn,
+             count(*) OVER (PARTITION BY p.pid) AS n_touch
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ct < p.pt AND c.ct >= p.pt - 3600000000
+    ),
+    credit AS (
+      SELECT cid,
+             cents // n_touch
+               + CASE WHEN rn <= cents % n_touch THEN 1 ELSE 0 END
+               AS cr
+      FROM touch
+    )
+    SELECT cid AS click_event_id,
+           CAST(count(*) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(cr) AS BIGINT) AS credit_cents
+    FROM credit GROUP BY cid
+    """,
+)
+def attribution_linear_multi_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X139 linear multi-touch attribution: purchase cents split
+    equally across the user's prior-hour clicks with EXACT
+    conservation (integral div + remainder cents to the earliest
+    touches — the largest-remainder trick again; float splitting
+    would leak cents). Range join bounded by the 1h window; windows
+    run per purchase over its bounded touch set."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pt"),
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.unix_micros("ts").alias("ct"),
+    )
+    touch = p.join(c, "user_id").where(
+        (F.col("ct") < F.col("pt"))
+        & (F.col("ct") >= F.col("pt") - 3_600_000_000)
+    )
+    w = W.partitionBy("pid").orderBy("ct", "cid")
+    touch = touch.select(
+        "pid",
+        "cents",
+        "cid",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("pid")).alias("n_touch"),
+    )
+    credit = touch.select(
+        "cid",
+        (
+            F.expr("cents div n_touch")
+            + F.when(F.col("rn") <= F.expr("cents % n_touch"), 1).otherwise(0)
+        ).cast("long").alias("cr"),
+    )
+    return credit.groupBy(F.col("cid").alias("click_event_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+        F.sum("cr").cast("long").alias("credit_cents"),
+    )
+
+
+@register(
+    "abtest_wilson_bounds",
+    # Wilson 95% interval from exact counts: one fixed IEEE expression
+    # tree per bound (z = 1.96 literal shared by both engines).
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               > 0 AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS k
+      FROM u GROUP BY arm
+    )
+    SELECT arm, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) + 3.8416 / (2.0 * n)
+            - 1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           + 3.8416 / (4.0 * n)) / n))
+             / (1.0 + 3.8416 / n) AS wilson_lo,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) + 3.8416 / (2.0 * n)
+            + 1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           + 3.8416 / (4.0 * n)) / n))
+             / (1.0 + 3.8416 / n) AS wilson_hi
+    FROM s
+    """,
+)
+def abtest_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140 Wilson 95% confidence bounds on per-arm conversion — the
+    small-sample-honest interval (normal approximation misbehaves at
+    extreme rates); identical fixed expression trees of exact counts
+    on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) > 0
+        ).alias("converted")
+    ).select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab"))),
+                1,
+                1,
+            )
+            < "8",
+            "A",
+        ).otherwise("B").alias("arm"),
+        "converted",
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("converted").cast("long")).cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    ph = F.col("k").cast("double") / nd
+    z2 = F.lit(3.8416)
+    rad = F.sqrt((ph * (F.lit(1.0) - ph) + z2 / (F.lit(4.0) * nd)) / nd)
+    den = F.lit(1.0) + z2 / nd
+    return s.select(
+        "arm",
+        "n",
+        "k",
+        ph.alias("p_hat"),
+        ((ph + z2 / (F.lit(2.0) * nd) - F.lit(1.96) * rad) / den).alias(
+            "wilson_lo"
+        ),
+        ((ph + z2 / (F.lit(2.0) * nd) + F.lit(1.96) * rad) / den).alias(
+            "wilson_hi"
+        ),
+    )
