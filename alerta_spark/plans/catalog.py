@@ -10521,3 +10521,158 @@ def abtest_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wilson_hi"
         ),
     )
+
+
+@register(
+    "tokenizer_fertility_report",
+    # Tokenizer fertility (chars per token) per source x lang under
+    # the BPE-ish pre-tokenizer — exact integer masses, one division.
+    oracle="""
+    SELECT source, lang,
+           CAST(sum(length(text)) AS BIGINT) AS chars_mass,
+           CAST(sum(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS token_mass,
+           CAST(sum(length(text)) AS DOUBLE)
+             / CAST(sum(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+             AS chars_per_token
+    FROM documents GROUP BY source, lang
+    """,
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141 tokenizer fertility: chars-per-token by source x lang
+    under the BPE-ish pre-tokenizer — the compression-ratio readout
+    that flags languages/sources a tokenizer serves badly (fertility
+    drives real training cost per character). One aggregate."""
+    from alerta_spark.ops.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.sum(F.length("text")).cast("long").alias("chars_mass"),
+        F.sum(F.size(bpe_ish_tokens(F.col("text"))))
+        .cast("long")
+        .alias("token_mass"),
+        (
+            F.sum(F.length("text")).cast("double")
+            / F.sum(F.size(bpe_ish_tokens(F.col("text")))).cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "dedup_threshold_sweep",
+    # Threshold-sensitivity in ONE pass: exact Jaccard computed once
+    # per candidate pair (tau=0.5 recall floor), then counted into
+    # cumulative >= 0.5/0.6/0.7/0.8/0.9 bands — the curve that picks
+    # the production threshold.
+    oracle="""
+    WITH s AS (SELECT doc_id, {DS} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT t.tau,
+           CAST(count(*) FILTER (WHERE j >= t.tau) AS BIGINT) AS n_pairs
+    FROM pairs CROSS JOIN
+         (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS tau) t
+    GROUP BY t.tau
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142 dedup threshold sweep: near-dup pair counts at tau = 0.5
+    ... 0.9 from ONE Jaccard pass (inverted-index candidates at the
+    0.5 floor, then cumulative band counts) — the sensitivity curve
+    that justifies the production 0.8 instead of guessing it."""
+    from alerta_spark.ops.dedupe import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=5, threshold=0.5,
+        max_doc_freq=1000,
+    )
+    taus = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    return (
+        pairs.select("jaccard", F.explode(taus).alias("tau"))
+        .where(F.col("jaccard") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    # Zipf coverage: share of total token mass covered by the top
+    # 10/30/100 terms — exact masses, the top-k cut on (tf desc,
+    # term) is total-ordered.
+    oracle="""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT unnest(list_filter(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 t -> t <> '')) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    r AS (
+      SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rnk FROM tf
+    ),
+    t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+    SELECT k.k,
+           CAST(sum(r.tf) FILTER (WHERE r.rnk <= k.k) AS BIGINT) AS mass_topk,
+           max(t.total) AS total_mass,
+           CAST(sum(r.tf) FILTER (WHERE r.rnk <= k.k) AS DOUBLE)
+             / CAST(max(t.total) AS DOUBLE) AS coverage
+    FROM r CROSS JOIN (SELECT unnest([10, 30, 100]) AS k) k CROSS JOIN t
+    GROUP BY k.k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 vocabulary coverage curve: token-mass share of the top
+    10/30/100 terms (the Zipf readout that sizes vocabularies and
+    stop-lists). Rank window over the vocab-sized frame only."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    one = F.pmod(F.col("tf"), F.lit(1))
+    r = tf.select(
+        "tf",
+        F.row_number().over(
+            W.partitionBy(one).orderBy(F.desc("tf"), F.asc("term"))
+        ).alias("rnk"),
+    )
+    t = tf.agg(F.sum("tf").cast("long").alias("total"))
+    ks = F.explode(F.array(F.lit(10), F.lit(30), F.lit(100))).alias("k")
+    return (
+        r.select("tf", "rnk", ks)
+        .crossJoin(F.broadcast(t))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("tf")))
+            .cast("long")
+            .alias("mass_topk"),
+            F.max("total").alias("total_mass"),
+            (
+                F.sum(
+                    F.when(F.col("rnk") <= F.col("k"), F.col("tf"))
+                ).cast("double")
+                / F.max("total").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+QUERIES["dedup_threshold_sweep"]["oracle"] = QUERIES["dedup_threshold_sweep"][
+    "oracle"
+].replace("{DS}", _DUCK_SHINGLES)
