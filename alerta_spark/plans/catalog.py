@@ -10676,3 +10676,165 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_threshold_sweep"]["oracle"] = QUERIES["dedup_threshold_sweep"][
     "oracle"
 ].replace("{DS}", _DUCK_SHINGLES)
+
+
+@register(
+    "trending_rank_movement",
+    # Rank-movement report between the two corpus halves (by doc_id):
+    # per term in either top-20, its rank then vs now and the delta;
+    # entered/exited flagged via NULLs. Rank cuts are total-ordered.
+    oracle="""
+    WITH a AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT unnest(list_filter(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 t -> t <> '')) AS term
+        FROM documents WHERE doc_id % 2 = 0
+      ) GROUP BY term
+    ),
+    b AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT unnest(list_filter(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 t -> t <> '')) AS term
+        FROM documents WHERE doc_id % 2 = 1
+      ) GROUP BY term
+    ),
+    ra AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS r
+           FROM a QUALIFY r <= 20),
+    rb AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS r
+           FROM b QUALIFY r <= 20)
+    SELECT coalesce(ra.term, rb.term) AS term,
+           CAST(ra.r AS BIGINT) AS rank_prev,
+           CAST(rb.r AS BIGINT) AS rank_now,
+           CAST(ra.r - rb.r AS BIGINT) AS moved_up_by
+    FROM ra FULL OUTER JOIN rb ON ra.term = rb.term
+    """,
+)
+def trending_rank_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144 top-term rank movement between two corpus snapshots
+    (halves by doc_id): rank then vs now, movement delta, entries and
+    exits as NULL sides — the leaderboard-churn view that pairs with
+    the count-lift trending entry. Rank windows run over top-20-cut
+    vocab frames only."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def side(pred):
+        tf = (
+            docs.where(pred)
+            .select(
+                F.explode(
+                    F.filter(
+                        tokenize(F.col("text")), lambda t: t != F.lit("")
+                    )
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        one = F.pmod(F.col("tf"), F.lit(1))
+        return tf.select(
+            "term",
+            F.row_number()
+            .over(W.partitionBy(one).orderBy(F.desc("tf"), F.asc("term")))
+            .alias("r"),
+        ).where(F.col("r") <= 20)
+
+    ra = side(F.col("doc_id") % 2 == 0).select(
+        F.col("term").alias("ta"), F.col("r").alias("rank_prev")
+    )
+    rb = side(F.col("doc_id") % 2 == 1).select(
+        F.col("term").alias("tb"), F.col("r").alias("rank_now")
+    )
+    j = ra.join(rb, ra["ta"] == rb["tb"], "full_outer")
+    return j.select(
+        F.coalesce("ta", "tb").alias("term"),
+        F.col("rank_prev").cast("long").alias("rank_prev"),
+        F.col("rank_now").cast("long").alias("rank_now"),
+        (F.col("rank_prev") - F.col("rank_now"))
+        .cast("long")
+        .alias("moved_up_by"),
+    )
+
+
+@register(
+    "funnel_step_latency",
+    # Time-to-next-step percentiles for converted users: per user the
+    # FIRST signup -> first view AFTER it -> first purchase AFTER
+    # that (the funnel's own ordering rule), exact integer µs deltas,
+    # exact interpolated percentiles per step pair.
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'view' AND epoch_us(e.ts) > f.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t2
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT 'signup->view' AS step, (v.t2 - f.t1) AS dt
+      FROM f JOIN v USING (user_id)
+      UNION ALL
+      SELECT 'view->purchase', (p.t3 - v.t2)
+      FROM v JOIN p USING (user_id)
+    )
+    SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+           quantile_cont(dt, 0.50) AS p50_us,
+           quantile_cont(dt, 0.90) AS p90_us
+    FROM d GROUP BY step
+    """,
+)
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145 funnel step latency: p50/p90 time between adjacent funnel
+    steps for users who progressed (first signup, first view after
+    it, first purchase after that) — the drop-off-timing numbers next
+    to the conversion counts. Three bounded per-user aggregates
+    sharing the user clustering + one percentile over user-sized
+    deltas."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t1")
+    ).where(F.col("t1").isNotNull())
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(f, "user_id")
+        .where(us > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min(us).alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v.select("user_id", "t2"), "user_id")
+        .where(us > F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min(us).alias("t3"))
+    )
+    d = v.select(
+        F.lit("signup->view").alias("step"),
+        (F.col("t2") - F.col("t1")).alias("dt"),
+    ).unionByName(
+        p.select(
+            F.lit("view->purchase").alias("step"),
+            (F.col("t3") - F.col("t2")).alias("dt"),
+        )
+    )
+    return d.groupBy("step").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.percentile("dt", F.lit(0.50)).alias("p50_us"),
+        F.percentile("dt", F.lit(0.90)).alias("p90_us"),
+    )
