@@ -10838,3 +10838,181 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("dt", F.lit(0.50)).alias("p50_us"),
         F.percentile("dt", F.lit(0.90)).alias("p90_us"),
     )
+
+
+@register(
+    "dedup_source_mix",
+    # Corpus forensics: are near-dups within one source (boilerplate)
+    # or cross-source (syndication)? Classification over the exact
+    # pair set; counts only.
+    oracle="""
+    WITH s AS (SELECT doc_id, source, {DS} AS sh FROM documents),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    )
+    SELECT CASE WHEN sa = sb THEN 'within_source'
+                ELSE 'cross_source' END AS pair_kind,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def dedup_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146 near-dup provenance mix: within-source (boilerplate) vs
+    cross-source (syndication/mirroring) pair counts — the forensic
+    split that decides whether dedup belongs in per-source ingest or
+    the global pass. Joins sources onto the existing pair machinery;
+    counts only."""
+    from alerta_spark.ops.dedupe import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return j.groupBy(
+        F.when(F.col("sa") == F.col("sb"), "within_source")
+        .otherwise("cross_source")
+        .alias("pair_kind")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@register(
+    "daily_peak_hours",
+    # argmax via min over (-n, hod) structs: the earliest
+    # highest-count hour per (day, type) — total-ordered, exact.
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT day, event_type,
+           -- composite order in one BIGINT: max (n, then earliest
+           -- hour) == arg-max of n*100 - hod (hod < 24, unique/group)
+           CAST(max_by(hod, n * 100 - hod) AS BIGINT) AS peak_hour,
+           CAST(max(n) AS BIGINT) AS peak_count
+    FROM c GROUP BY day, event_type
+    """,
+)
+def daily_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147 daily peak hour per event type (earliest hour on count
+    ties — a total order, so argmax is engine-exact): the capacity-
+    planning readout. Two aggregates under one clustering."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return c.groupBy("day", "event_type").agg(
+        F.max_by("hod", F.col("n") * 100 - F.col("hod"))
+        .cast("long")
+        .alias("peak_hour"),
+        F.max("n").cast("long").alias("peak_count"),
+    )
+
+
+@register(
+    "inventory_running_balance_floor",
+    # The floor-at-zero running balance b_t = max(0, b_{t-1} + x_t) is
+    # a NON-associative fold (like EWMA) — but it linearizes by the
+    # prefix identity b_t = P_t - min(0, min_{s<=t} P_s) with
+    # P = plain prefix sum: TWO order-free window aggregates in exact
+    # integers, no recursion, engine-exact.
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id,
+             -- debit = a quarter of the cents via TRUNCATING integer
+             -- div (DuckDB's decimal->BIGINT cast rounds, Spark's
+             -- truncates — never cast a fractional decimal to int in
+             -- a checked output)
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                  ELSE -(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+                         // 4)
+             END AS delta
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    pf AS (
+      SELECT user_id, t, event_id, delta,
+             CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pfx
+      FROM x
+    ),
+    p AS (
+      SELECT user_id, event_id, delta, pfx,
+             CAST(min(pfx) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS minpfx
+      FROM pf
+    )
+    SELECT user_id, event_id, delta,
+           CAST(pfx - least(0, minpfx) AS BIGINT) AS balance_cents
+    FROM p
+    """,
+)
+def inventory_running_balance_floor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X148 floor-at-zero running balance (credits from purchases,
+    debits from errors, balance never negative): the classic
+    NON-associative fold b_t = max(0, b_{t-1}+x_t), linearized by the
+    prefix identity b_t = P_t − min(0, min_{s≤t} P_s) into two
+    order-free exact-integer windows sharing one user exchange —
+    the same linearize-the-recursion move as the EWMA entry."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(14,2)") * 100).cast("long"),
+        ).otherwise(
+            -F.expr(
+                "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) div 4"
+            )
+        ).alias("delta"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = x.select(
+        "user_id",
+        "t",
+        "event_id",
+        "delta",
+        F.sum("delta").over(w).cast("long").alias("pfx"),
+    ).withColumn("minpfx", F.min("pfx").over(w).cast("long"))
+    return p.select(
+        "user_id",
+        "event_id",
+        "delta",
+        (F.col("pfx") - F.least(F.lit(0).cast("long"), F.col("minpfx")))
+        .cast("long")
+        .alias("balance_cents"),
+    )
+
+
+QUERIES["dedup_source_mix"]["oracle"] = QUERIES["dedup_source_mix"][
+    "oracle"
+].replace("{DS}", _DUCK_SHINGLES)
