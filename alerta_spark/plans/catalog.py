@@ -11016,3 +11016,185 @@ def inventory_running_balance_floor(
 QUERIES["dedup_source_mix"]["oracle"] = QUERIES["dedup_source_mix"][
     "oracle"
 ].replace("{DS}", _DUCK_SHINGLES)
+
+
+@register(
+    "timeseries_autocorr_24h",
+    # Daily-cycle strength: Pearson between the hourly series and its
+    # 24h-lagged self on the zero-filled dense grid, from exact
+    # moments (the X62/X138 discipline; cents are exact BIGINTs).
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                  AS BIGINT) AS hr,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM h GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM span
+    ),
+    dense AS (
+      SELECT g.event_type, g.hr, coalesce(h.x, 0) AS x
+      FROM grid g LEFT JOIN h ON g.event_type = h.event_type
+                             AND g.hr = h.hr
+    ),
+    lagd AS (
+      SELECT event_type, x,
+             lag(x, 24) OVER (PARTITION BY event_type ORDER BY hr) AS y
+      FROM dense
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS DECIMAL(30,0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(30,0)) AS sxx,
+             CAST(sum(y * y) AS DECIMAL(30,0)) AS syy
+      FROM lagd WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                 AS VARCHAR) AS DOUBLE)
+           / sqrt(
+               CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxx
+                     - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                     AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(CAST(n AS DECIMAL(8,0)) * syy
+                     - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                     AS VARCHAR) AS DOUBLE)
+             ) AS autocorr_24h
+    FROM m
+    """,
+)
+def timeseries_autocorr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149 lag-24h autocorrelation of hourly value totals per type —
+    the daily-cycle strength number that justifies (or falsifies) the
+    seasonal-naive screen's 24/168h lags. Dense grid + one lag window
+    + exact moments, bit-reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.unix_micros("ts") - F.unix_micros(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        ((d - d % 3_600_000_000) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("hr"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    from alerta_spark.ops.timeseries import seasonal_residual
+
+    lagd = seasonal_residual(
+        hourly, ["event_type"], "hr", "x_cents", period_hours=24
+    ).select(
+        "event_type", F.col("x_q").alias("x"), F.col("baseline_q").alias("y")
+    )
+    m = lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(30,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(30,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(30,0)").alias("syy"),
+    )
+    n8 = F.col("n").cast("decimal(8,0)")
+    sx19 = F.col("sx").cast("decimal(19,0)")
+    sy19 = F.col("sy").cast("decimal(19,0)")
+    cov = (n8 * F.col("sxy") - sx19 * sy19).cast("string").cast("double")
+    vx = (n8 * F.col("sxx") - sx19 * sx19).cast("string").cast("double")
+    vy = (n8 * F.col("syy") - sy19 * sy19).cast("string").cast("double")
+    return m.select(
+        "event_type", "n", (cov / F.sqrt(vx * vy)).alias("autocorr_24h")
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    # Two-sample Kolmogorov-Smirnov statistic computed EXACTLY: the
+    # max CDF gap over the combined support compares
+    # |cum_a * n_b - cum_b * n_a| as BIGINTs (cross-multiplication —
+    # no float CDFs); only the final D = gap / (n_a*n_b) is a single
+    # division.
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+             event_type = 'purchase' AS is_a
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pts AS (
+      SELECT x,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM v GROUP BY x
+    ),
+    t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM pts
+    ),
+    cum AS (
+      SELECT x,
+             CAST(sum(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cumb
+      FROM pts
+    )
+    SELECT max(t.na) AS n_a, max(t.nb) AS n_b,
+           CAST(max(abs(cuma * t.nb - cumb * t.na)) AS BIGINT) AS gap_num,
+           CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE)
+             / CAST(max(t.na) * max(t.nb) AS DOUBLE) AS ks_d
+    FROM cum, t
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150 exact two-sample Kolmogorov-Smirnov D between purchase and
+    view value distributions: the max empirical-CDF gap with every
+    comparison an integer cross-multiplication (float CDFs would tie-
+    break differently per engine); distribution-shift testing joins
+    the JSD/χ²-style screens. Support-sized frames only after one
+    value aggregate; the cumsum runs over the distinct-value frame
+    (column-derived constant partition key)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = ev.select(
+        (F.col("value").cast("decimal(14,2)") * 100).cast("long").alias("x"),
+        (F.col("event_type") == "purchase").alias("is_a"),
+    )
+    pts = v.groupBy("x").agg(
+        F.sum(F.col("is_a").cast("long")).cast("long").alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).cast("long").alias("cb"),
+    )
+    t = pts.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    one = F.pmod(F.col("x"), F.lit(1))
+    wcum = (
+        W.partitionBy(one)
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = pts.select(
+        "x",
+        F.sum("ca").over(wcum).cast("long").alias("cuma"),
+        F.sum("cb").over(wcum).cast("long").alias("cumb"),
+    )
+    j = cum.crossJoin(F.broadcast(t))
+    gap = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    return j.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.max(gap).cast("long").alias("gap_num"),
+        (
+            F.max(gap).cast("double")
+            / (F.max("na") * F.max("nb")).cast("double")
+        ).alias("ks_d"),
+    )
