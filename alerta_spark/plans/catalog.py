@@ -11198,3 +11198,141 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("na") * F.max("nb")).cast("double")
         ).alias("ks_d"),
     )
+
+
+@register(
+    "stats_chi2_type_daypart",
+    # Chi-square independence (event type x daypart): each cell's
+    # term (O*N - R*C)^2 / (R*C*N) has an ALL-INTEGER numerator;
+    # terms are fixed-point-quantized BIGINTs before the sum (a float
+    # sum over cells would be partition-order ulp-dependent), one
+    # double division at the end.
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN EXTRACT(hour FROM ts) < 6 THEN 'night'
+                  WHEN EXTRACT(hour FROM ts) < 12 THEN 'morning'
+                  WHEN EXTRACT(hour FROM ts) < 18 THEN 'afternoon'
+                  ELSE 'evening' END AS daypart,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+    k AS (SELECT daypart, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+    terms AS (
+      SELECT CAST(floor(
+               CAST((c.o * t.n - r.rt * k.ct)
+                    * (c.o * t.n - r.rt * k.ct) AS DOUBLE)
+               / CAST(r.rt * k.ct AS DOUBLE) / CAST(t.n AS DOUBLE)
+               * 1048576.0) AS BIGINT) AS tq
+      FROM c JOIN r USING (event_type) JOIN k USING (daypart), t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(tq) AS BIGINT) AS chi2_q,
+           CAST(sum(tq) AS DOUBLE) / 1048576.0 AS chi2
+    FROM terms
+    """,
+)
+def stats_chi2_type_daypart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 chi-square independence test (event type x daypart): is
+    activity mix time-of-day dependent? Cell terms have all-integer
+    numerators ((O·N − R·C)²), are quantized to BIGINT before the sum
+    (cells arrive in partition order — a float sum would drift), and
+    cross to double once. Contingency frames are category-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daypart = (
+        F.when(F.hour("ts") < 6, "night")
+        .when(F.hour("ts") < 12, "morning")
+        .when(F.hour("ts") < 18, "afternoon")
+        .otherwise("evening")
+    )
+    c = ev.groupBy("event_type", daypart.alias("daypart")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    r = c.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    k = c.groupBy("daypart").agg(F.sum("o").cast("long").alias("ct"))
+    t = c.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        c.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(k), "daypart")
+        .crossJoin(F.broadcast(t))
+    )
+    num = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    tq = F.floor(
+        (num * num).cast("double")
+        / (F.col("rt") * F.col("ct")).cast("double")
+        / F.col("n").cast("double")
+        * F.lit(1048576.0)
+    ).cast("long")
+    return j.select(tq.alias("tq")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("tq").cast("long").alias("chi2_q"),
+        (F.sum("tq").cast("double") / F.lit(1048576.0)).alias("chi2"),
+    )
+
+
+@register(
+    "rules_selectivity_report",
+    # Rule observability: per criteria, matched rows / total — the
+    # selectivity that predicts scan cost and flags dead rules (0
+    # matches) before they page nobody forever. Criteria compile
+    # through the Trino shim; one conditional aggregate for ALL rules
+    # (the fused-threshold scan shape).
+    oracle="""
+    SELECT r.rule_name,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS n_scanned,
+           CAST(CASE r.rule_name
+             WHEN 'big_purchases' THEN
+               (SELECT count(*) FROM events
+                WHERE event_type = 'purchase'
+                  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 50)
+             WHEN 'error_watch' THEN
+               (SELECT count(*) FROM events WHERE event_type = 'error')
+             WHEN 'dead_rule' THEN
+               (SELECT count(*) FROM events
+                WHERE event_type = 'no_such_type')
+           END AS BIGINT) AS n_matched
+    FROM (SELECT unnest(['big_purchases', 'error_watch', 'dead_rule'])
+            AS rule_name) r
+    """,
+)
+def rules_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152 rule selectivity report: matched-row counts per rule
+    criteria in ONE shared scan (conditional aggregates — the fused-
+    threshold shape) — flags dead rules and predicts per-rule scan
+    cost for scheduling. Criteria compile through the Trino dialect
+    shim exactly as the engine runs them."""
+    from alerta_spark.dialect import trino_to_spark
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = {
+        "big_purchases": (
+            "event_type='purchase' AND "
+            "CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 50"
+        ),
+        "error_watch": "event_type='error'",
+        "dead_rule": "event_type='no_such_type'",
+    }
+    flags = ev.select(
+        *[
+            F.expr(trino_to_spark(crit)).alias(f"_m_{name}")
+            for name, crit in rules.items()
+        ]
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scanned"),
+        *[
+            F.sum(F.col(f"_m_{n}").cast("long")).cast("long").alias(f"_c_{n}")
+            for n in rules
+        ],
+    )
+    out = None
+    for n in rules:
+        row = agg.select(
+            F.lit(n).alias("rule_name"),
+            "n_scanned",
+            F.col(f"_c_{n}").alias("n_matched"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
