@@ -11336,3 +11336,220 @@ def rules_selectivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "bootstrap_median_ci",
+    # Deterministic binomial bootstrap: resample multiplicities come
+    # from two md5 bits per (row, resample) — {0,1,2} with mean 1 —
+    # so every replicate is a pure function of the data (rerun- and
+    # engine-stable; RNG bootstraps are neither). Exact discrete
+    # median per replicate (k-th smallest), spread across B=20
+    # replicates reported.
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+    m AS (
+      SELECT b.b, d.v,
+             CASE substr(md5(CAST(d.doc_id AS VARCHAR) || 'boot'
+                             || CAST(b.b AS VARCHAR)), 1, 1)
+               WHEN '0' THEN 0 WHEN '1' THEN 0 WHEN '2' THEN 0
+               WHEN '3' THEN 0
+               WHEN '4' THEN 2 WHEN '5' THEN 2 WHEN '6' THEN 2
+               WHEN '7' THEN 2
+               ELSE 1 END AS mult
+      FROM d CROSS JOIN (SELECT unnest(generate_series(1, 20)) AS b) b
+    ),
+    ex AS (
+      SELECT b, v FROM m, (SELECT unnest([1, 2]) AS i) ii
+      WHERE ii.i <= mult
+    ),
+    med AS (
+      SELECT b, v AS med FROM (
+        SELECT b, v,
+               row_number() OVER (PARTITION BY b ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY b) AS n
+        FROM ex
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(min(med) AS BIGINT) AS ci_lo,
+           CAST(max(med) AS BIGINT) AS ci_hi,
+           CAST(median(med) AS DOUBLE) AS med_of_meds
+    FROM med
+    """,
+)
+def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153 deterministic bootstrap CI for the median doc length:
+    B=20 binomial resamples whose multiplicities {0,1,2} come from
+    md5 bits (pure row function — replicates are identical across
+    engines, reruns, and retries, which an RNG bootstrap never is);
+    exact k-th-smallest median per replicate, min/max spread = the
+    CI. Fan-out bounded at 2·|docs|·B."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.explode(F.sequence(F.lit(1), F.lit(20))).alias("b")
+    m = docs.select(
+        F.col("doc_id"), F.col("n_chars").cast("long").alias("v"), b
+    ).select(
+        "b",
+        "v",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "1", "2", "3"),
+            0,
+        )
+        .when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin("4", "5", "6", "7"),
+            2,
+        )
+        .otherwise(1)
+        .alias("mult"),
+    )
+    ex = m.select(
+        "b", "v", F.explode(F.sequence(F.lit(1), F.lit(2))).alias("i")
+    ).where(F.col("i") <= F.col("mult"))
+    w = W.partitionBy("b").orderBy("v")
+    med = (
+        ex.select(
+            "b",
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("b")).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("b", F.col("v").alias("med"))
+    )
+    return med.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.min("med").cast("long").alias("ci_lo"),
+        F.max("med").cast("long").alias("ci_hi"),
+        F.expr("percentile(med, 0.5)").alias("med_of_meds"),
+    )
+
+
+@register(
+    "abtest_cuped_adjusted",
+    # CUPED variance reduction: adjusted metric Y - theta*(X - E[X])
+    # with theta = cov(X,Y)/var(X) from exact-decimal moments; the
+    # per-arm adjusted means assemble from exact sums in ONE fixed
+    # tree, so both engines agree bit-for-bit.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'ab'), 1, 1)
+                       < '8' THEN 'A' ELSE 'B' END AS arm,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                           THEN CAST(value AS DECIMAL(14,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN CAST(value AS DECIMAL(14,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS DECIMAL(30,0)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(30,0)) AS sxx
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx, sy,
+             CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy
+                   - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                   AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxx
+                   - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                   AS VARCHAR) AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+      FROM g
+    )
+    SELECT u.arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(u.y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_y,
+           (CAST(sum(u.y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             - max(th.theta)
+               * ((CAST(sum(u.x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  - max(th.mean_x)) AS mean_y_cuped
+    FROM u, th
+    GROUP BY u.arm
+    """,
+)
+def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154 CUPED variance reduction (Deng et al. 2013): per-arm
+    experiment metric adjusted by the pre-period covariate,
+    Y − θ(X − E[X]) with θ = cov/var from exact-decimal moments —
+    the standard sensitivity boost for online experiments, here
+    bit-reproducible (moments exact, one double crossing per
+    quantity, fixed expression trees)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.col("value").cast("decimal(14,2)") * 100
+    pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(F.lit(0))).cast("long").alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(F.lit(0))).cast("long").alias("y"),
+    ).select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab"))),
+                1,
+                1,
+            )
+            < "8",
+            "A",
+        ).otherwise("B").alias("arm"),
+        "x",
+        "y",
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(30,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(30,0)").alias("sxx"),
+    )
+    n8 = F.col("n").cast("decimal(8,0)")
+    sx19 = F.col("sx").cast("decimal(19,0)")
+    sy19 = F.col("sy").cast("decimal(19,0)")
+    th = g.select(
+        (
+            (n8 * F.col("sxy") - sx19 * sy19).cast("string").cast("double")
+            / (n8 * F.col("sxx") - sx19 * sx19).cast("string").cast("double")
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_x"
+        ),
+    )
+    per_arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("asx"),
+        F.sum("y").cast("long").alias("asy"),
+    )
+    j = per_arm.crossJoin(F.broadcast(th))
+    mean_y = F.col("asy").cast("double") / F.col("n_users").cast("double")
+    mean_x = F.col("asx").cast("double") / F.col("n_users").cast("double")
+    return j.select(
+        "arm",
+        "n_users",
+        mean_y.alias("mean_y"),
+        (mean_y - F.col("theta") * (mean_x - F.col("mean_x"))).alias(
+            "mean_y_cuped"
+        ),
+    )
