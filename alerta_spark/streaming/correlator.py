@@ -149,12 +149,23 @@ class SlotMachine:
         sample_count: int = 3,
         lifespan_ms: int = 0,
         slot_windows_ms: list[int | None] | None = None,
+        strict_event_deadline: bool = False,
     ):
         self.kinds = slot_kinds
         self.thresholds = slot_thresholds
         self.n = len(slot_kinds)
         self.sample_count = sample_count
         self.lifespan_ms = lifespan_ms
+        # eventTime mode only: events and the fixed deadline share the
+        # DATA clock, so a match whose ts is already past the deadline
+        # must not advance the machine — otherwise completion depends
+        # on whether the timeout callback ran before the late event's
+        # micro-batch (batch-boundary nondeterminism, breaking the
+        # mode's replay-determinism promise). processingTime mode keeps
+        # the reference's racy semantics (wall-clock reap vs arrival,
+        # alerta.py:240-248) — there the bases differ and the check
+        # would be meaningless.
+        self.strict_event_deadline = strict_event_deadline
         # None window = "absence for the REMAINDER of the sequence's
         # life": fires at the fixed deadline iff the match budget was
         # never exceeded (over-budget latches failure). An explicit
@@ -174,6 +185,15 @@ class SlotMachine:
         counts = list(counts)
         samples = list(samples)
         for ts_ms, eid, matches in events:
+            if (
+                self.strict_event_deadline
+                and self.lifespan_ms
+                and first_ms is not None
+                and ts_ms > deadline_ms
+            ):
+                # past the data-clock deadline: the instance is due to
+                # expire; this event belongs to no slot
+                continue
             first_ms = first_ms or ts_ms
             last_ms = ts_ms
             if slot_index < self.n and matches[slot_index]:
@@ -321,7 +341,8 @@ def sequence_correlator(
     n_slots = len(slots)
     alert_name = str(rule.get("alert_name", "unnamed"))
     machine = SlotMachine(
-        slot_kinds, slot_thresholds, sample_count, lifespan_ms, slot_windows
+        slot_kinds, slot_thresholds, sample_count, lifespan_ms, slot_windows,
+        strict_event_deadline=event_time,
     )
 
     def _emit(corr, st, expired: bool) -> pd.DataFrame:

@@ -741,3 +741,100 @@ def test_stream_static_enrichment_broadcast_join(spark, tmp_path, events):
         .collect()
     }
     assert got == want and len(got) == events.count()
+
+
+def test_correlator_expiry_is_not_followed_by(spark):
+    """Coherence pin #2: a 2-slot sequence (purchase -> view, lifespan
+    1 hour) driven in EVENT-TIME mode must expire exactly the users
+    the batch negative-CEP formulation flags as 'purchase not followed
+    by a view within 1h' — the streaming flagship and the analytic
+    NOT EXISTS are one semantics. One purchase per user keeps the
+    instance/occurrence mapping 1:1."""
+    rule = {
+        "alert_name": "abandoned",
+        "alert_type": "sequence",
+        "lifespan": "1 hours",
+        "slots": [
+            {
+                "alert_name": "buy",
+                "alert_type": "threshold",
+                "criteria": "json_extract_scalar(details,'$.et')='purchase'",
+                "aggregation_key": "details.user",
+                "threshold": 1,
+            },
+            {
+                "alert_name": "look",
+                "alert_type": "threshold",
+                "criteria": "json_extract_scalar(details,'$.et')='view'",
+                "aggregation_key": "details.user",
+                "threshold": 1,
+            },
+        ],
+    }
+    rows = []
+    # alice: view 30m after purchase -> completes
+    rows.append((1, {"et": "purchase", "user": "alice"}))
+    rows.append((1.5, {"et": "view", "user": "alice"}))
+    # bob: view 2h after -> expired (outside lifespan)
+    rows.append((2, {"et": "purchase", "user": "bob"}))
+    rows.append((4, {"et": "view", "user": "bob"}))
+    # carol: never views -> expired
+    rows.append((3, {"et": "purchase", "user": "carol"}))
+    # sentinel far ahead advances the watermark past every expiry
+    rows.append((20, {"et": "noop", "user": "zzz"}))
+
+    import json as _json
+
+    data = [
+        {
+            "event_id": i,
+            "ts": f"2026-01-01 {int(h):02d}:{int(h * 60) % 60:02d}:00",
+            "source": "s",
+            "details": _json.dumps(d),
+        }
+        for i, (h, d) in enumerate(rows)
+    ]
+    ev = (
+        spark.createDataFrame(data)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .select("event_id", "ts", "source", "details")
+    )
+    out = _run_stream(
+        spark,
+        ev,
+        lambda s: sequence_correlator(
+            s, rule, "details.user", time_mode="eventTime"
+        ),
+        "cep_seq_out",
+    ).collect()
+    got = {r["correlation_value"]: r["expired"] for r in out}
+
+    # batch negative-CEP over the same frame: purchases with no view
+    # by the same user within the following hour
+    et = F.get_json_object("details", "$.et")
+    user = F.get_json_object("details", "$.user")
+    base = ev.select(
+        user.alias("u"), et.alias("et"), F.unix_micros("ts").alias("t")
+    ).where(F.col("et").isin("purchase", "view"))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("u")
+        .orderBy("t")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = base.withColumn(
+        "nv", F.min(F.when(F.col("et") == "view", F.col("t"))).over(w)
+    )
+    abandoned = {
+        r["u"]
+        for r in nxt.where(F.col("et") == "purchase")
+        .where(
+            F.col("nv").isNull()
+            | (F.col("nv") > F.col("t") + 3_600_000_000)
+        )
+        .collect()
+    }
+    assert abandoned == {"bob", "carol"}
+    assert {u for u, exp in got.items() if exp} == abandoned
+    assert got.get("alice") is False
