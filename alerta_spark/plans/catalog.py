@@ -11553,3 +11553,160 @@ def abtest_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_y_cuped"
         ),
     )
+
+
+@register(
+    "orders_backlog_aging",
+    # Open-order backlog aging vs the dataset horizon: exact integer
+    # day ages bucketed by fixed edges; money exact in DECIMAL.
+    oracle="""
+    WITH h AS (SELECT max(o_orderdate) AS horizon FROM orders),
+    o AS (
+      SELECT o_orderkey, o_orderstatus,
+             date_diff('day', o_orderdate, h.horizon) AS age_days,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders, h WHERE o_orderstatus <> 'F'
+    )
+    SELECT CASE WHEN age_days < 30 THEN '0-29'
+                WHEN age_days < 90 THEN '30-89'
+                WHEN age_days < 180 THEN '90-179'
+                ELSE '180+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(price) AS DOUBLE) AS backlog_value
+    FROM o GROUP BY 1
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 open-order backlog aging: non-filled orders bucketed by
+    age against the dataset horizon with exact-DECIMAL value mass —
+    the operations readout behind TPC-H Q4's priority counts. One
+    broadcast horizon + one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.agg(F.max("o_orderdate").alias("horizon"))
+    j = (
+        o.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.datediff(F.col("horizon"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+    return j.groupBy(
+        F.when(F.col("age_days") < 30, "0-29")
+        .when(F.col("age_days") < 90, "30-89")
+        .when(F.col("age_days") < 180, "90-179")
+        .otherwise("180+")
+        .alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price").cast("double").alias("backlog_value"),
+    )
+
+
+@register(
+    "discount_band_effectiveness",
+    # Revenue and volume by discount band: exact DECIMAL revenue, the
+    # integer band key from exact cents (never bucket a raw double).
+    oracle="""
+    WITH l AS (
+      SELECT CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT)
+               AS disc_pct,
+             CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,2))) AS rev
+      FROM lineitem
+    )
+    SELECT disc_pct,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(qty) AS DOUBLE) AS total_qty,
+           CAST(sum(CAST(rev AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+    FROM l GROUP BY disc_pct
+    """,
+)
+def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 discount-band effectiveness: items, quantity, and
+    discounted revenue per discount percentage (the Q19-adjacent
+    pricing readout); the band key is derived from exact DECIMAL
+    cents — bucketing a raw double discount would band-flip at the
+    ulp. One aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l2 = li.select(
+        (F.col("l_discount").cast("decimal(6,2)") * 100)
+        .cast("long")
+        .alias("disc_pct"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(6,2)"))
+        ).alias("rev"),
+    )
+    return l2.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("qty").cast("double").alias("total_qty"),
+        F.sum(F.col("rev").cast("decimal(24,4)")).cast("double").alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    # Herfindahl-Hirschman concentration of supplier revenue: each
+    # share² term is quantized to BIGINT before the cross-supplier
+    # sum (float share² sums drift with partition order); HHI on the
+    # standard 0-10000 scale via one final division.
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(6,2))))
+                  AS DECIMAL(24,4)) AS rev
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT CAST(sum(rev) AS DECIMAL(30,4)) AS total FROM r),
+    q AS (
+      SELECT CAST(floor(
+               (CAST(CAST(r.rev AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(t.total AS VARCHAR) AS DOUBLE))
+               * (CAST(CAST(r.rev AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(t.total AS VARCHAR) AS DOUBLE))
+               * 10000.0 * 1048576.0) AS BIGINT) AS hq
+      FROM r, t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(hq) AS BIGINT) AS hhi_q,
+           CAST(sum(hq) AS DOUBLE) / 1048576.0 AS hhi
+    FROM q
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 supplier concentration (HHI, 0-10000 scale): sum of
+    squared revenue shares with each term fixed-point-quantized
+    before the sum — the antitrust-style market-structure readout,
+    bit-reproducible. Supplier-sized frames after one fact
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(6,2)"))
+        ).cast("decimal(24,4)").alias("rev")
+    )
+    t = r.agg(F.sum("rev").cast("decimal(30,4)").alias("total"))
+    share = F.col("rev").cast("string").cast("double") / F.col("total").cast(
+        "string"
+    ).cast("double")
+    hq = F.floor(share * share * F.lit(10000.0) * F.lit(1048576.0)).cast(
+        "long"
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(hq.alias("hq"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("hq").cast("long").alias("hhi_q"),
+            (F.sum("hq").cast("double") / F.lit(1048576.0)).alias("hhi"),
+        )
+    )
