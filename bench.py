@@ -99,6 +99,12 @@ HEADLINE = [
     # round-3 batch 17 (no earlier baseline; tracked from r03 on)
     "cep_not_followed_by",
     "twa_user_daily_value",
+    # round-3 final batches (no earlier baseline; tracked from r03 on)
+    "scd2_point_in_time_join",
+    "stats_ks_two_sample",
+    "inventory_running_balance_floor",
+    "similarity_pq_pinned",
+    "text_kwic_snippets",
 ]
 
 
