@@ -11710,3 +11710,131 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("hq").cast("double") / F.lit(1048576.0)).alias("hhi"),
         )
     )
+
+
+@register(
+    "corpus_novelty_rate",
+    # Crawl-saturation readout: per ingestion bucket (50 docs by id),
+    # the share of shingles whose FIRST occurrence is in that bucket.
+    # First occurrence = min(doc_id) per shingle — one aggregate, no
+    # ordered scan; counts exact.
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest({DS}) AS sh FROM documents
+      )
+    ),
+    f AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh),
+    occ AS (
+      SELECT s.doc_id // 50 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+               AS n_novel
+      FROM s JOIN f USING (sh) GROUP BY 1
+    )
+    SELECT bucket, n_shingles, n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+             AS novelty_rate
+    FROM occ
+    """,
+)
+def corpus_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 corpus novelty curve: per 50-doc ingestion bucket, the
+    share of (doc, shingle) occurrences that are the shingle's FIRST
+    appearance — the crawl-saturation signal (falling novelty says
+    more of the same source adds nothing). First occurrence is one
+    min(doc_id) aggregate on the shared shingle frame — no ordered
+    scan, no running set."""
+    from alerta_spark.ops.dedupe import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = shingle_rows(docs, "text", "doc_id", 5).select(
+        F.col("_id").alias("doc_id"), F.col("shingle").alias("sh")
+    )
+    f = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    occ = (
+        s.join(f, "sh")
+        .groupBy(F.expr("doc_id div 50").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return occ.select(
+        "bucket",
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "corpus_heaps_vocab_growth",
+    # Heaps'-law curve: cumulative distinct vocabulary after each
+    # 50-doc bucket — cumulative count of terms whose first bucket is
+    # <= b, from the same one-aggregate first-occurrence frame.
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 x -> x <> '')) AS term
+        FROM documents
+      )
+    ),
+    f AS (SELECT term, min(doc_id) // 50 AS first_bucket FROM t GROUP BY term),
+    nb AS (
+      SELECT first_bucket AS bucket, CAST(count(*) AS BIGINT) AS new_terms
+      FROM f GROUP BY 1
+    )
+    SELECT bucket, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM nb
+    """,
+)
+def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 Heaps'-law vocabulary growth: new and cumulative distinct
+    terms per 50-doc ingestion bucket (sublinear growth is the
+    expected law; a kink flags a source/domain shift). Bucket-sized
+    cumsum under a column-derived constant partition key."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokenize(F.col("text")), lambda x: x != F.lit(""))
+        ).alias("term"),
+    ).distinct()
+    f = t.groupBy("term").agg(
+        F.expr("min(doc_id) div 50").alias("first_bucket")
+    )
+    nb = f.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    one = F.pmod(F.col("bucket"), F.lit(1))
+    return nb.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms")
+        .over(
+            W.partitionBy(one)
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long")
+        .alias("cum_vocab"),
+    )
+
+
+QUERIES["corpus_novelty_rate"]["oracle"] = QUERIES["corpus_novelty_rate"][
+    "oracle"
+].replace("{DS}", _DUCK_SHINGLES)
