@@ -1218,38 +1218,66 @@ def pq_topk_pinned(
     sd = dim // n_sub
     qv = quantize_vec(vec_col, scale)
 
-    def sub_dists(s: int) -> list[Column]:
-        xs = F.slice(qv, s * sd + 1, sd)
-        return [
-            F.aggregate(
-                F.zip_with(
-                    xs,
-                    F.array(*[F.lit(w).cast("long") for w in B[s][c]]),
-                    lambda x, w: (x - w) * (x - w),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in range(n_codes)
-        ]
+    # AGGREGATION shape, not 128 projection lanes: the per-(sub, code)
+    # distances come from ONE posexplode + a broadcast codebook join +
+    # a codegen'd hash aggregate. The lane form (16 codes x 8 subs of
+    # aggregate(zip_with(...))) is interpreted per element — measured
+    # 8.9s at sf0.1 vs ~2s for this shape (the README's MinHash
+    # projection-collapse lesson, third occurrence).
+    from alerta_spark.ops.dedupe import _persist
 
-    code_cols = []
-    lut_cols = []
-    for s in range(n_sub):
-        ds = sub_dists(s)
-        darr = F.array(*ds)
-        code_cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
-        )
-        lut_cols.append(darr)
+    spark = df.sparkSession
+    cb_rows = [
+        (s_, c_, i_, int(w_))
+        for s_ in range(n_sub)
+        for c_ in range(n_codes)
+        for i_, w_ in enumerate(B[s_][c_])
+    ]
+    cb = spark.createDataFrame(cb_rows, "sub int, code int, i int, w long")
 
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.array(*code_cols).alias("codes"),
+    comp = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(qv).alias("_p", "_x")
+    ).select(
+        "_id",
+        F.expr("_p div " + str(sd)).cast("int").alias("sub"),
+        F.expr(f"_p % {sd}").cast("int").alias("i"),
+        F.col("_x").alias("_x"),
     )
-    queries = df.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.array(*lut_cols).alias("lut"),
+    d = (
+        comp.join(F.broadcast(cb), ["sub", "i"])
+        .groupBy("_id", "sub", "code")
+        .agg(
+            F.sum((F.col("_x") - F.col("w")) * (F.col("_x") - F.col("w")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    # per (id, sub): code = argmin (dist, code); lut = dists in code
+    # order — both from sorted collects (deterministic total orders)
+    per_sub = d.groupBy("_id", "sub").agg(
+        F.min(F.struct("dist", "code")).getField("code").alias("_code"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "dist"))),
+            lambda st: st["dist"],
+        ).alias("_lut"),
+    )
+    staged = _persist(
+        per_sub.groupBy("_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "_code"))),
+                lambda st: st["_code"].cast("long"),
+            ).alias("codes"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "_lut"))),
+                lambda st: st["_lut"],
+            ).alias("lut"),
+        )
+    )
+    corpus = staged.select(
+        F.col("_id").alias("neighbor_id"), "codes"
+    )
+    queries = staged.where(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), "lut"
     )
     joined = corpus.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
