@@ -19,12 +19,14 @@ immaterial for clustering — and buys bit-reproducibility across
 engines, retries, and partitionings, which a 100 TB pipeline needs
 for cache reuse and incremental re-clustering.
 
-Scale shape per iteration: one map-only assignment pass (k×dim
-literal comparisons per row, no shuffle) + one (cluster, dim)-keyed
-partial aggregate for the update; centroids (k×dim BIGINTs) collect
-to the driver between iterations — the standard bounded-state
-iterative pattern (cf. ops/graph.py PageRank). Empty clusters simply
-drop out (both engines derive the same drop).
+Scale shape per iteration: distances come from one posexplode + a
+BROADCAST centroid join + a codegen'd hash aggregate (aggregation
+shape — k×dim literal projection lanes are interpreted higher-order
+functions and measured ~2x slower even at k=8), then an argmin
+aggregate and one (cluster, dim)-keyed update aggregate; centroids
+(k×dim BIGINTs) collect to the driver between iterations — the
+standard bounded-state iterative pattern (cf. ops/graph.py PageRank).
+Empty clusters simply drop out (both engines derive the same drop).
 
 Reference provenance: no analogue; training-data extension (the
 production IVF trainer `ops/similarity._train_centroids` stays
@@ -67,33 +69,40 @@ def kmeans_pinned(
         (i, list(r["_xq"])) for i, r in enumerate(seed_rows)
     ]
 
+    spark = df.sparkSession
+    comp = q.select("_id", F.posexplode("_xq").alias("pos", "x"))
+
     assigned = None
     for _ in range(iters):
-        dcols = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("_xq"),
-                    F.array(*[F.lit(int(c)).cast("long") for c in cvec]),
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for _cid, cvec in cents
-        ]
-        darr = F.array(*dcols)
-        idarr = F.array(*[F.lit(cid).cast("long") for cid, _ in cents])
-        best = F.element_at(
-            idarr, F.array_position(darr, F.array_min(darr)).cast("int")
+        # aggregation shape, not k literal projection lanes: distances
+        # via a broadcast centroid join + codegen'd hash aggregate
+        # (interpreted higher-order lanes measured ~2x slower even at
+        # k=8 — same lesson as the PQ encode)
+        cents_df = spark.createDataFrame(
+            [
+                (int(cid), int(pos), int(c))
+                for cid, cvec in cents
+                for pos, c in enumerate(cvec)
+            ],
+            "cluster long, pos int, c long",
         )
-        assigned = _persist(
-            q.select(
-                "_id",
-                "_xq",
-                best.alias("cluster"),
-                F.array_min(darr).alias("dist_q"),
+        d = (
+            comp.join(F.broadcast(cents_df), "pos")
+            .groupBy("_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                ).cast("long").alias("dist")
             )
         )
+        best = d.groupBy("_id").agg(
+            F.min(F.struct("dist", "cluster")).alias("_m")
+        ).select(
+            "_id",
+            F.col("_m.cluster").alias("cluster"),
+            F.col("_m.dist").alias("dist_q"),
+        )
+        assigned = _persist(q.join(best, "_id"))
         upd = (
             assigned.select(
                 "cluster", F.posexplode("_xq").alias("pos", "x")
