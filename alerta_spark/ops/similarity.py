@@ -1063,6 +1063,34 @@ def semantic_dedup(
     """
     from alerta_spark.ops.dedupe import _persist
 
+    # cell assignment in AGGREGATION shape (posexplode + broadcast
+    # centroid join + hash agg + argmax) — the 16 interpreted
+    # higher-order dot lanes of pinned_cell are the PQ/kmeans lesson
+    # again. Argmax = max(struct(dot, -cent)) so ties still go to the
+    # LOWEST centroid index, matching pinned_cell/the oracle exactly.
+    spark = df.sparkSession
+    C = pinned_centroids(dim, n_centroids)
+    cw = spark.createDataFrame(
+        [
+            (c_, p_, int(w_))
+            for c_, wts in enumerate(C)
+            for p_, w_ in enumerate(wts)
+        ],
+        "cent long, pos int, w long",
+    )
+    comp = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(quantize_vec(vec_col)).alias("pos", "xq"),
+    )
+    cells = (
+        comp.join(F.broadcast(cw), "pos")
+        .groupBy("_id", "cent")
+        .agg(F.sum(F.col("xq") * F.col("w")).cast("long").alias("dot"))
+        .groupBy("_id")
+        .agg(F.max(F.struct(F.col("dot"), (-F.col("cent")).alias("nc"))).alias("_m"))
+        .select("_id", (-F.col("_m.nc")).cast("long").alias("cell"))
+    )
+
     # norms are computed ONCE per vector here, not per pair — the
     # within-cell join below evaluates |cell|^2/2 cosines and would
     # otherwise re-derive both norms for every pair (3x the aggregate
@@ -1073,8 +1101,7 @@ def semantic_dedup(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nm"),
-            pinned_cell(vec_col, dim, n_centroids).alias("cell"),
-        )
+        ).join(cells, "_id")
     )
     a = assigned.select(
         F.col("_id").alias("_ka"),
