@@ -134,18 +134,31 @@ def decontaminate_embedding(
     round(6) so the column is engine-portable; NULL = the vector was
     never within any eval pair's reach, i.e. eval side empty).
     """
-    from alerta_spark.ops.similarity import cosine
+    from alerta_spark.ops.similarity import _dot, _norm
 
+    # norms hoisted OUT of the |train| x |eval| fan-out: each side's
+    # norm is computed once per VECTOR (the pair loop would re-derive
+    # both per pair — 3x the interpreted-HOF work; the semantic-dedup
+    # lesson). sqrt-then-multiply keeps the float tree identical to
+    # cosine()'s, so the round-6 outputs are unchanged.
     ev = eval_emb.select(
-        F.col(id_col).alias("_eid"), F.col(vec_col).alias("_ev")
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_ev"),
+        _norm(F.col(vec_col)).alias("_en"),
     )
     pairs = train_emb.select(
-        F.col(id_col).alias("_tid"), F.col(vec_col).alias("_tv")
+        F.col(id_col).alias("_tid"),
+        F.col(vec_col).alias("_tv"),
+        _norm(F.col(vec_col)).alias("_tn"),
     ).join(F.broadcast(ev) if broadcast_eval else ev)
     mx = pairs.groupBy("_tid").agg(
-        F.round(F.max(cosine(F.col("_tv"), F.col("_ev"))), 6).alias(
-            "max_eval_cos"
-        )
+        F.round(
+            F.max(
+                _dot(F.col("_tv"), F.col("_ev"))
+                / (F.col("_tn") * F.col("_en"))
+            ),
+            6,
+        ).alias("max_eval_cos")
     )
     return (
         train_emb.join(
