@@ -74,13 +74,25 @@ def cosine_topk(
     neighbor_id asc).
     """
     q = df.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    joined = df.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("query_id"))
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_cn")
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    # norms once per vector (query norms would otherwise re-derive per
+    # corpus row); same float tree as cosine()
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cos"),
+        F.round(
+            _dot(F.col("qv"), F.col(vec_col)) / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -623,14 +635,18 @@ def cosine_pairs(
 
     -> [id_a, id_b, cos] with id_a < id_b.
     """
+    # norms once per vector, not per pair (identical float tree to
+    # cosine() — sqrt early, multiply in the pair)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     )
     on = [F.col("id_a") < F.col("id_b")]
@@ -639,7 +655,12 @@ def cosine_pairs(
     )
     return (
         joined.select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
