@@ -11838,3 +11838,161 @@ def corpus_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["corpus_novelty_rate"]["oracle"] = QUERIES["corpus_novelty_rate"][
     "oracle"
 ].replace("{DS}", _DUCK_SHINGLES)
+
+
+@register(
+    "spc_error_rate_control_chart",
+    # p-chart (SPC): daily error share vs 3-sigma binomial control
+    # limits around the overall rate. Limits are one fixed IEEE tree
+    # of exact counts; the out-of-control flag compares the daily
+    # rate against them (same tree both engines).
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS k
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(k) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS pbar
+      FROM d
+    )
+    SELECT day, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_day,
+           t.pbar - 3.0 * sqrt(t.pbar * (1.0 - t.pbar) / n) AS lcl,
+           t.pbar + 3.0 * sqrt(t.pbar * (1.0 - t.pbar) / n) AS ucl,
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+              > t.pbar + 3.0 * sqrt(t.pbar * (1.0 - t.pbar) / n))
+           OR (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               < t.pbar - 3.0 * sqrt(t.pbar * (1.0 - t.pbar) / n))
+             AS out_of_control
+    FROM d, t
+    """,
+)
+def spc_error_rate_control_chart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X160 statistical process control (p-chart): daily error share
+    vs 3σ binomial limits around the process mean — the ops-review
+    chart that separates noise from signal before anyone tunes a
+    threshold. One daily aggregate + broadcast overall rate; all
+    comparisons identical fixed float trees."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("k"),
+    )
+    t = d.agg(
+        (
+            F.sum("k").cast("double") / F.sum("n").cast("double")
+        ).alias("pbar")
+    )
+    j = d.crossJoin(F.broadcast(t))
+    pd_ = F.col("k").cast("double") / F.col("n").cast("double")
+    sig = F.sqrt(
+        F.col("pbar") * (F.lit(1.0) - F.col("pbar")) / F.col("n")
+    )
+    lcl = F.col("pbar") - F.lit(3.0) * sig
+    ucl = F.col("pbar") + F.lit(3.0) * sig
+    return j.select(
+        "day",
+        "n",
+        "k",
+        pd_.alias("p_day"),
+        lcl.alias("lcl"),
+        ucl.alias("ucl"),
+        ((pd_ > ucl) | (pd_ < lcl)).alias("out_of_control"),
+    )
+
+
+@register(
+    "corpus_zipf_fit",
+    # Zipf exponent: OLS slope of quantized-ln(freq) on quantized-
+    # ln(rank) over the vocab frame — both logs fixed-point BIGINTs
+    # (the lnq discipline), the regression from exact integer moments
+    # (the X88 discipline), so the fitted slope is engine-exact.
+    oracle="""
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT unnest(list_filter(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                 x -> x <> '')) AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    r AS (
+      SELECT CAST(floor(ln(CAST(row_number()
+                     OVER (ORDER BY tf DESC, term) AS DOUBLE))
+                   * 1048576.0) AS BIGINT) AS lr,
+             CAST(floor(ln(CAST(tf AS DOUBLE)) * 1048576.0) AS BIGINT) AS lf
+      FROM tf
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lf) AS BIGINT) AS sy,
+             CAST(sum(lr * lf) AS DECIMAL(32,0)) AS sxy,
+             CAST(sum(lr * lr) AS DECIMAL(32,0)) AS sxx
+      FROM r
+    )
+    SELECT n,
+           CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxx
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                 AS VARCHAR) AS DOUBLE) AS zipf_slope
+    FROM m
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161 Zipf-law fit: OLS slope of log-frequency on log-rank over
+    the vocabulary (natural text ~ -1; strong deviation flags
+    templated/synthetic corpora) — every log fixed-point-quantized,
+    the regression from exact moments. Vocab-sized frames only."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(tokenize(F.col("text")), lambda x: x != F.lit(""))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    one = F.pmod(F.col("tf"), F.lit(1))
+    r = tf.select(
+        F.floor(
+            F.log(
+                F.row_number()
+                .over(W.partitionBy(one).orderBy(F.desc("tf"), F.asc("term")))
+                .cast("double")
+            )
+            * F.lit(1048576.0)
+        ).cast("long").alias("lr"),
+        F.floor(F.log(F.col("tf").cast("double")) * F.lit(1048576.0))
+        .cast("long")
+        .alias("lf"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lr").cast("long").alias("sx"),
+        F.sum("lf").cast("long").alias("sy"),
+        F.sum(F.col("lr") * F.col("lf")).cast("decimal(32,0)").alias("sxy"),
+        F.sum(F.col("lr") * F.col("lr")).cast("decimal(32,0)").alias("sxx"),
+    )
+    n8 = F.col("n").cast("decimal(8,0)")
+    sx19 = F.col("sx").cast("decimal(19,0)")
+    sy19 = F.col("sy").cast("decimal(19,0)")
+    return m.select(
+        "n",
+        (
+            (n8 * F.col("sxy") - sx19 * sy19).cast("string").cast("double")
+            / (n8 * F.col("sxx") - sx19 * sx19).cast("string").cast("double")
+        ).alias("zipf_slope"),
+    )
