@@ -11996,3 +11996,118 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n8 * F.col("sxx") - sx19 * sx19).cast("string").cast("double")
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "dedup_url_canonical",
+    # Web-dedup's first move: canonicalize URLs (lowercase scheme+host,
+    # strip fragment, drop tracking query params, trim trailing slash)
+    # then group exact. Variants are planted from the X85 URL builder:
+    # per base URL an ?utm_source tracked copy, a #fragment copy, and
+    # an uppercase-host copy — all must collapse to one canonical
+    # group. Pure string ops, identical regex semantics pinned.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             'https://' || source || '/'
+               || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS url
+      FROM documents
+    ),
+    variants AS (
+      SELECT doc_id, url FROM base
+      UNION ALL
+      SELECT doc_id + 10000, url || '?utm_source=feed&utm_campaign=x'
+      FROM base WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000, url || '#section-2'
+      FROM base WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 30000, replace(url, 'https://', 'HTTPS://')
+      FROM base WHERE doc_id % 11 = 0
+    ),
+    canon AS (
+      SELECT doc_id,
+             rtrim(
+               regexp_replace(
+                 regexp_replace(
+                   lower(split_part(split_part(url, '#', 1), '?', 1)),
+                   '^http://', 'https://'),
+                 '//+$', ''),
+               '/') AS curl
+      FROM variants
+    )
+    SELECT curl,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM canon GROUP BY curl HAVING count(*) > 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162 URL canonicalization dedup: lowercase, strip fragment and
+    query string, trim trailing slashes, then exact-group — the
+    mandatory first pass of any web-crawl pipeline (tracking params
+    and fragments mint infinite aliases of one page). Planted
+    ?utm/#fragment/case variants must collapse onto their base URL;
+    groups >1 reported with the min-id canonical. Map-only
+    normalization + one digest-style aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        ).alias("url"),
+    )
+    variants = (
+        base
+        .unionByName(
+            base.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 10000).alias("doc_id"),
+                F.concat(
+                    "url", F.lit("?utm_source=feed&utm_campaign=x")
+                ).alias("url"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat("url", F.lit("#section-2")).alias("url"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 30000).alias("doc_id"),
+                F.regexp_replace("url", "^https://", "HTTPS://").alias("url"),
+            )
+        )
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(
+                    F.split_part(
+                        F.split_part(F.col("url"), F.lit("#"), F.lit(1)),
+                        F.lit("?"),
+                        F.lit(1),
+                    )
+                ),
+                "^http://",
+                "https://",
+            ),
+            "//+$",
+            "",
+        ),
+        "/+$",  # pyspark rtrim has no trim-set arg; regex equivalent
+        "",
+    )
+    canon = variants.select("doc_id", curl.alias("curl"))
+    return (
+        canon.groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
