@@ -12111,3 +12111,126 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_variants") > 1)
     )
+
+
+@register(
+    "privacy_l_diversity",
+    # k-anonymity's complement: a combo can be large yet reveal the
+    # sensitive attribute if every member shares it — flag quasi
+    # combos whose DISTINCT sensitive-value count is below L. Exact
+    # counts only.
+    oracle="""
+    SELECT source,
+           CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive_values
+    FROM documents
+    GROUP BY 1, 2
+    HAVING count(DISTINCT lang) < 3
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163 l-diversity screen (l=3, sensitive attribute = lang):
+    quasi-identifier combos whose members expose fewer than 3 distinct
+    sensitive values — the leak k-anonymity misses (a big group that
+    is ALL one language still reveals the language). One distinct
+    aggregate on the combo key."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "source", F.expr("n_chars div 200").cast("long").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("lang").cast("long").alias("n_sensitive_values"),
+    )
+    return g.where(F.col("n_sensitive_values") < 3)
+
+
+@register(
+    "corpus_dup_token_inflation",
+    # Dedup ROI in TOKENS: total token mass vs mass surviving the
+    # canonical near-dup cut — the share of training compute duplicate
+    # text would have burned. Composes the recursive-closure oracle.
+    oracle="""
+    WITH RECURSIVE s AS (SELECT doc_id, {DS} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    m AS (
+      SELECT t.doc_id, t.nt,
+             coalesce(c.cluster_id, t.doc_id) = t.doc_id AS survives
+      FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id
+    )
+    SELECT CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN survives THEN nt ELSE 0 END) AS BIGINT)
+             AS surviving_tokens,
+           CAST(sum(CASE WHEN NOT survives THEN nt ELSE 0 END) AS BIGINT)
+             AS duplicate_tokens,
+           CAST(sum(CASE WHEN NOT survives THEN nt ELSE 0 END) AS DOUBLE)
+             / CAST(sum(nt) AS DOUBLE) AS inflation_share
+    FROM m
+    """,
+)
+def corpus_dup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164 dedup ROI in tokens: the token mass the canonical near-dup
+    cut removes — i.e. the share of training compute duplicates would
+    have burned (the number that justifies the dedup stage's cost).
+    Composes the cluster cut with one token aggregate."""
+    from alerta_spark.ops.dedupe import dup_clusters, ngram_jaccard_pairs
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+    clusters = dup_clusters(pairs)
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+        ).cast("long").alias("nt"),
+    )
+    m = toks.join(clusters, "doc_id", "left").select(
+        "nt",
+        (
+            F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
+        ).alias("survives"),
+    )
+    return m.agg(
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("survives"), F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("surviving_tokens"),
+        F.sum(F.when(~F.col("survives"), F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("duplicate_tokens"),
+        (
+            F.sum(
+                F.when(~F.col("survives"), F.col("nt")).otherwise(0)
+            ).cast("double")
+            / F.sum("nt").cast("double")
+        ).alias("inflation_share"),
+    )
+
+
+QUERIES["corpus_dup_token_inflation"]["oracle"] = QUERIES[
+    "corpus_dup_token_inflation"
+]["oracle"].replace("{DS}", _DUCK_SHINGLES)
