@@ -12234,3 +12234,125 @@ def corpus_dup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["corpus_dup_token_inflation"]["oracle"] = QUERIES[
     "corpus_dup_token_inflation"
 ]["oracle"].replace("{DS}", _DUCK_SHINGLES)
+
+
+@register(
+    "users_value_gini",
+    # Gini coefficient from the sorted-rank identity
+    # G = (2*Σ i*x_i)/(n*Σx) - (n+1)/n over values sorted ascending:
+    # both Σ terms are exact BIGINTs (cents x rank), the final
+    # expression one fixed float tree. Completes the concentration
+    # family (Pareto 80/20, HHI).
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT x,
+             CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+      FROM u
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS total_cents,
+           CAST(sum(i * x) AS BIGINT) AS weighted_sum,
+           (2.0 * CAST(sum(i * x) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+             - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+             AS gini
+    FROM r
+    """,
+)
+def users_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165 Gini coefficient of per-user value concentration — the
+    inequality number beside Pareto-80/20 and HHI; the rank identity
+    keeps every accumulation an exact BIGINT (rank window over the
+    user-sized frame under a column-derived constant key)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("x")
+    )
+    one = F.pmod(F.col("user_id"), F.lit(1))
+    r = u.select(
+        "x",
+        F.row_number()
+        .over(W.partitionBy(one).orderBy("x", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    return r.agg(
+        n.alias("n_users"),
+        F.sum("x").cast("long").alias("total_cents"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("weighted_sum"),
+        (
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("x")).cast("double"))
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("x").cast("double")
+            )
+            - (F.count(F.lit(1)).cast("double") + F.lit(1.0))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "session_depth_distribution",
+    # Histogram of events-per-session over the pinned sessionizer —
+    # the engagement-shape readout beside bounce rate; exact counts.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new,
+             epoch_us(ts) AS t
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM o
+    ),
+    depth AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events <= 3 THEN '2-3'
+                WHEN n_events <= 10 THEN '4-10'
+                ELSE '11+' END AS depth_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events_total
+    FROM depth GROUP BY 1
+    """,
+)
+def session_depth_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166 session-depth histogram (events per session, bucketed) —
+    the engagement-shape readout next to bounce rate; one user
+    exchange shared by the sessionizer window and the per-session
+    count, then a tiny bucket aggregate."""
+    from alerta_spark.ops.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    depth = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return depth.groupBy(
+        F.when(F.col("n_events") == 1, "1")
+        .when(F.col("n_events") <= 3, "2-3")
+        .when(F.col("n_events") <= 10, "4-10")
+        .otherwise("11+")
+        .alias("depth_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events_total"),
+    )
