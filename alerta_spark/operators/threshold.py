@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from alerta_spark.dialect import trino_to_spark
@@ -56,20 +56,39 @@ def grouped_events(
     -> DataFrame[value: string, count: long, events: array<struct>]
     Events are ordered deterministically by (ts, id) and capped at
     `max_events` per group (skew guard).
+
+    Shape: row_number over a (key) window caps each group BEFORE the
+    collect, so a hot key never materializes more than ``max_events``
+    rows in any aggregation buffer — the window sort spills to disk
+    (UnsafeExternalSorter), collect_list buffers do not. The exact
+    ``count`` rides the same exchange as a whole-partition window
+    count, so the plan still has exactly one shuffle on the key.
     """
     key = path_col(df, aggregation_key).cast("string")
     event = F.struct(*[F.col(c) for c in df.columns])
-    tagged = F.struct(
-        F.col(ts_col).alias("_o1"), F.col(id_col).alias("_o2"), event.alias("e")
-    )
-    return (
+    w_rank = Window.partitionBy("_k").orderBy(F.col("_o1").asc(), F.col("_o2").asc())
+    w_all = Window.partitionBy("_k")
+    ranked = (
         df.where(key.isNotNull())
-        .groupBy(key.alias("value"))
+        .select(
+            key.alias("_k"),
+            F.col(ts_col).alias("_o1"),
+            F.col(id_col).alias("_o2"),
+            event.alias("_e"),
+        )
+        .select(
+            "*",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_total"),
+        )
+    )
+    tagged = F.struct(F.col("_o1"), F.col("_o2"), F.col("_e").alias("e"))
+    return (
+        ranked.where(F.col("_rn") <= max_events)
+        .groupBy(F.col("_k").alias("value"))
         .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.slice(
-                F.array_sort(F.collect_list(tagged), _sort_cmp), 1, max_events
-            ).alias("_tagged"),
+            F.max("_total").alias("count"),
+            F.array_sort(F.collect_list(tagged), _sort_cmp).alias("_tagged"),
         )
         .withColumn("events", F.expr("transform(_tagged, x -> x.e)"))
         .drop("_tagged")
@@ -205,16 +224,36 @@ def fused_grouped(
         event.alias("e"),
         F.explode(F.filter(matches, lambda m: m.isNotNull())).alias("m"),
     )
+    # Same hot-key guard as grouped_events: rank-cap per (rule, key)
+    # BEFORE collecting, exact count from the whole-partition window —
+    # one shuffle on (rule_idx, value), no unbounded agg buffer. The
+    # keys are projected to plain columns FIRST so the window's output
+    # partitioning satisfies the aggregate's requirement (grouping on
+    # m.rule_idx directly re-extracts the field and costs a second
+    # exchange).
+    flat = tagged.select(
+        F.col("m.rule_idx").alias("rule_idx"),
+        F.col("m.value").alias("value"),
+        "_o1",
+        "_o2",
+        "e",
+    )
+    w_rank = Window.partitionBy("rule_idx", "value").orderBy(
+        F.col("_o1").asc(), F.col("_o2").asc()
+    )
+    w_all = Window.partitionBy("rule_idx", "value")
+    ranked = flat.select(
+        "*",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_total"),
+    )
     row = F.struct(F.col("_o1"), F.col("_o2"), F.col("e"))
     grouped = (
-        tagged.groupBy(
-            F.col("m.rule_idx").alias("rule_idx"), F.col("m.value").alias("value")
-        )
+        ranked.where(F.col("_rn") <= max_events)
+        .groupBy("rule_idx", "value")
         .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.slice(
-                F.array_sort(F.collect_list(row), _sort_cmp), 1, max_events
-            ).alias("_tagged"),
+            F.max("_total").alias("count"),
+            F.array_sort(F.collect_list(row), _sort_cmp).alias("_tagged"),
         )
         .withColumn("events", F.expr("transform(_tagged, x -> x.e)"))
         .drop("_tagged")

@@ -151,14 +151,34 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail goes to a file: at 79+ queries the detail dict
+    # overflows the driver's stdout tail window and the round's official
+    # record ends up unparseable (BENCH_r03 "parsed": null). The stdout
+    # line stays compact so the LAST line is always complete JSON.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": timings,
+                "sf": sf_val,
+            },
+            indent=1,
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "sf": sf_val,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

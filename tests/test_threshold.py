@@ -188,3 +188,48 @@ def test_fused_rules_single_scan_single_exchange(events):
     )
     assert plan.count("FileScan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hot_key_capped_before_collect(spark):
+    """Skew guard: a key with >> max_events rows keeps an EXACT count but
+    never materializes more than max_events rows in any aggregation
+    buffer — the rank-cap happens before collect_list (plan-guarded:
+    row_number window feeds the aggregate, and the executed plan carries
+    no slice-after-collect)."""
+    from alerta_spark.operators.threshold import grouped_events, threshold_alerts_fused
+
+    n_hot = 5000
+    df = spark.range(n_hot + 3).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < n_hot, "hot").otherwise("cold").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    out = {
+        r["value"]: r
+        for r in grouped_events(df, "user_id", max_events=10).collect()
+    }
+    assert out["hot"]["count"] == n_hot  # exact, not capped
+    assert len(out["hot"]["events"]) == 10  # capped
+    assert [e.event_id for e in out["hot"]["events"]] == list(range(10))  # first by (ts,id)
+    assert out["cold"]["count"] == 3 and len(out["cold"]["events"]) == 3
+
+    plan = (
+        grouped_events(df, "user_id", max_events=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "row_number()" in plan, plan
+    assert "slice(" not in plan, plan  # no collect-then-slice
+
+    # fused path: same guard, same exactness
+    rules = [
+        {"alert_name": "a", "criteria": "", "aggregation_key": "user_id",
+         "threshold": 1}
+    ]
+    fused = {
+        r["value"]: r
+        for r in threshold_alerts_fused(df, rules, max_events=10).collect()
+    }
+    assert fused["hot"]["count"] == n_hot and len(fused["hot"]["events"]) == 10
