@@ -73,17 +73,34 @@ class Engine:
         from alerta_spark.rules import rule_suppressed, utcnow
 
         now = eval_time or utcnow()
-        suppressed = [
-            r for r in rules if rule_suppressed(r, now)
-        ]
-        if suppressed:
-            import logging
+        # Per-rule failure isolation applies here too: ONE rule with a
+        # malformed suppress window must not abort the whole pass (the
+        # scan path below already swallows per-rule criteria errors).
+        # A rule whose window cannot be parsed is treated as
+        # NOT suppressed — failing open matches the reference's
+        # log-and-continue posture, and a mis-typed window silently
+        # muting a production alert is the worse failure mode.
+        import logging
 
-            logging.getLogger(__name__).info(
+        log = logging.getLogger(__name__)
+        active, suppressed = [], []
+        for r in rules:
+            try:
+                (suppressed if rule_suppressed(r, now) else active).append(r)
+            except (ValueError, TypeError, KeyError) as exc:
+                log.warning(
+                    "rule %s: malformed suppress window (%s); treating as "
+                    "not suppressed",
+                    r.get("alert_name"),
+                    exc,
+                )
+                active.append(r)
+        if suppressed:
+            log.info(
                 "suppressed rules this run: %s",
                 [r.get("alert_name") for r in suppressed],
             )
-            rules = [r for r in rules if not rule_suppressed(r, now)]
+        rules = active
 
         if fuse_thresholds:
             thr = [

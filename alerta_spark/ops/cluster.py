@@ -56,6 +56,11 @@ def kmeans_pinned(
     from alerta_spark.ops.dedupe import _persist
     from alerta_spark.ops.similarity import quantize_vec
 
+    if iters < 1:
+        # the final stats aggregate reads the last round's assignment;
+        # with zero rounds there is none (and `assigned` would be None)
+        raise ValueError("kmeans_pinned requires iters >= 1")
+
     q = _persist(
         df.select(
             F.col(id_col).alias("_id"),

@@ -45,6 +45,7 @@ def forget_users(
     if not touched_vals:
         return {
             "partitions_rewritten": 0,
+            "partitions_deleted": 0,
             "rows_dropped": 0,
             "rows_kept_in_rewritten": 0,
         }
@@ -54,18 +55,44 @@ def forget_users(
     kept = slice_df.where(~subjects).localCheckpoint(eager=True)
     n_kept = kept.count()
 
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        kept.write.mode("overwrite").partitionBy(partition_col).parquet(
-            lake_path
-        )
-    finally:
-        spark.conf.set(mode_key, prev)
+    # Dynamic partitionOverwriteMode only replaces partitions PRESENT in
+    # the written frame. A touched partition whose every row belongs to a
+    # subject has no surviving rows, is absent from `kept`, and its old
+    # files would silently survive — a deletion attested but not
+    # performed. Those partitions must be deleted explicitly.
+    surviving = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    emptied_vals = [v for v in touched_vals if v not in surviving]
+
+    if surviving:
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            kept.write.mode("overwrite").partitionBy(partition_col).parquet(
+                lake_path
+            )
+        finally:
+            spark.conf.set(mode_key, prev)
+
+    if emptied_vals:
+        # Hadoop FileSystem delete works uniformly across local/HDFS/S3A.
+        # Partition dir naming matches Spark's writer for scalar values
+        # (day=2024-01-01); exotic values needing escaping should use an
+        # escaped partition column upstream.
+        jvm = spark._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for v in emptied_vals:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{lake_path}/{partition_col}={v}"
+            )
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)
 
     return {
-        "partitions_rewritten": len(touched_vals),
+        "partitions_rewritten": len(touched_vals) - len(emptied_vals),
+        "partitions_deleted": len(emptied_vals),
         "rows_dropped": n_before - n_kept,
         "rows_kept_in_rewritten": n_kept,
     }

@@ -156,9 +156,24 @@ def ewma_binary(
     """
     w = W.partitionBy(*key_cols).orderBy(order_col)
     rn = F.row_number().over(w)
+    # Runtime guard, not just a docstring contract: Spark's shiftleft
+    # masks the shift amount mod 64, so at rn >= 66 the 2^(rn-2) term
+    # silently WRAPS (rn=66 shifts by 0) and every later ewma is garbage
+    # with no error. Fail loudly at the budget edge instead.
     out = df.withColumn("rn", rn).withColumn(
         "_term",
-        F.when(F.col("rn") == 1, F.col(value_q_col)).otherwise(
+        F.when(
+            F.col("rn") > 60,
+            F.raise_error(
+                F.lit(
+                    "ewma_binary: series longer than 60 steps exceeds the "
+                    "63-bit exact budget (shiftleft would wrap); window "
+                    "the series per key first"
+                )
+            ).cast("bigint"),
+        )
+        .when(F.col("rn") == 1, F.col(value_q_col))
+        .otherwise(
             F.col(value_q_col)
             * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rn - 2 AS INT))")
         ),

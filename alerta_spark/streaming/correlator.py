@@ -189,8 +189,13 @@ class SlotMachine:
                 self.strict_event_deadline
                 and self.lifespan_ms
                 and first_ms is not None
-                and ts_ms > deadline_ms
+                and ts_ms >= deadline_ms
             ):
+                # >= not >: on_timeout expires at now >= deadline_ms, so
+                # an event stamped exactly AT the deadline must also be
+                # rejected or the boundary instant would depend on
+                # whether the timeout callback ran first — the very
+                # batch-boundary nondeterminism this flag removes.
                 # past the data-clock deadline: the instance is due to
                 # expire; this event belongs to no slot
                 continue

@@ -61,3 +61,15 @@ def test_kmeans_pinned_matches_python_replay(spark):
             ",".join(str(x) for x in cents[c]).encode()
         ).hexdigest()
         assert out[c]["centroid_digest"] == want
+
+
+def test_kmeans_pinned_rejects_zero_iters(spark):
+    import pytest as _pytest
+
+    from alerta_spark.ops.cluster import kmeans_pinned
+
+    df = spark.range(10).selectExpr(
+        "id as vec_id", "array(cast(id as double), 1.0d) as embedding"
+    )
+    with _pytest.raises(ValueError, match="iters >= 1"):
+        kmeans_pinned(df, k=2, iters=0)

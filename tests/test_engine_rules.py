@@ -291,6 +291,39 @@ def test_malformed_suppress_window_raises(spark):
     assert not rule_suppressed({}, now)
 
 
+def test_malformed_suppress_window_isolated_per_rule(spark, tmp_path, events):
+    """One rule with a broken suppress window must not abort the pass:
+    the broken rule fails OPEN (not suppressed, still evaluated) and
+    every other rule runs normally."""
+    from datetime import datetime, timezone
+
+    from alerta_spark.engine import Engine
+
+    broken = {
+        "alert_name": "broken_win",
+        "criteria": "event_type='purchase'",
+        "threshold": 1,
+        "aggregation_key": "user_id",
+        "suppress": ["not-an-interval"],
+    }
+    # disjoint criteria: the engine's F8 dedup is global by event_id,
+    # so overlapping rules would mask the isolation being tested
+    healthy = {
+        "alert_name": "healthy",
+        "criteria": "event_type='error'",
+        "threshold": 1,
+        "aggregation_key": "user_id",
+    }
+    e = Engine(spark, str(tmp_path / "iso"))
+    e.run_once(
+        events, [broken, healthy],
+        eval_time=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    names = {d["alert_name"] for d in e.alerts.docs()}
+    assert "healthy" in names
+    assert "broken_win" in names  # failed open: evaluated, not muted
+
+
 def test_survey_audit_passes():
     """Docs and catalog stay in sync: every entry indexed, no phantom
     entry names in the docs."""

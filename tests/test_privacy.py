@@ -43,7 +43,10 @@ def test_forget_users_rewrites_only_touched_partitions(spark, tmp_path, events):
     n_drop = ev.where(F.col("user_id").isin(subjects)).count()
 
     audit = forget_users(spark, lake, subjects)
-    assert audit["partitions_rewritten"] == len(touched_days)
+    assert (
+        audit["partitions_rewritten"] + audit["partitions_deleted"]
+        == len(touched_days)
+    )
     assert audit["rows_dropped"] == n_drop
 
     after = spark.read.parquet(lake)
@@ -65,3 +68,37 @@ def test_forget_users_rewrites_only_touched_partitions(spark, tmp_path, events):
     # idempotent: forgetting again touches nothing
     audit2 = forget_users(spark, lake, subjects)
     assert audit2["partitions_rewritten"] == 0 and audit2["rows_dropped"] == 0
+
+
+def test_forget_users_deletes_all_subject_partition(spark, tmp_path):
+    """A partition where EVERY row belongs to subjects has no surviving
+    rows, so dynamic overwrite alone would leave its old files on disk —
+    the engine must delete the partition directory and the audit must
+    reflect on-disk reality."""
+    from alerta_spark.ops.privacy import forget_users
+
+    lake = str(tmp_path / "lake2")
+    rows = [
+        (1, 7, "d1"), (2, 7, "d1"),          # d1: only subject 7
+        (3, 7, "d2"), (4, 8, "d2"),          # d2: mixed
+        (5, 9, "d3"),                         # d3: untouched
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, day string"
+    ).write.mode("overwrite").partitionBy("day").parquet(lake)
+
+    audit = forget_users(spark, lake, [7])
+    assert audit["rows_dropped"] == 3
+    assert audit["partitions_deleted"] == 1
+    assert audit["partitions_rewritten"] == 1
+    assert not os.path.isdir(f"{lake}/day=d1")  # gone from disk
+
+    after = spark.read.parquet(lake)
+    assert after.where(F.col("user_id") == 7).count() == 0
+    got = {tuple(r) for r in after.select("event_id", "user_id").collect()}
+    assert got == {(4, 8), (5, 9)}
+
+    # degenerate: forgetting the ONLY remaining user of every partition
+    audit2 = forget_users(spark, lake, [8, 9])
+    assert audit2["partitions_deleted"] == 2 and audit2["partitions_rewritten"] == 0
+    assert not os.path.isdir(f"{lake}/day=d2") and not os.path.isdir(f"{lake}/day=d3")

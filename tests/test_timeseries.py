@@ -3,6 +3,7 @@
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from alerta_spark.ops.timeseries import resample_ffill
 
@@ -143,3 +144,36 @@ def test_seasonal_residual_surfaces_outage_hours(spark):
     assert out[3]["resid_q"] == 10
     assert out[4]["x_q"] == 0 and out[4]["resid_q"] == -100  # outage hour
     assert out[5]["resid_q"] == -10
+
+
+def test_ewma_binary_guards_long_series(spark):
+    """shiftleft wraps mod 64, so past the exact budget the EWMA would be
+    silently wrong — the op must raise instead of emitting garbage."""
+    import pytest as _pytest
+
+    from alerta_spark.ops.timeseries import ewma_binary
+
+    # vq=1 keeps every multiply below the ANSI overflow check, so
+    # without the guard the shift itself would wrap SILENTLY — exactly
+    # the failure mode under test (large vq already trips ANSI
+    # ARITHMETIC_OVERFLOW before the wrap).
+    df = spark.range(70).select(
+        F.lit("k").alias("k"), F.col("id").alias("t"),
+        F.lit(1).cast("bigint").alias("vq"),
+    )
+    with _pytest.raises(Exception, match="63-bit|budget|wrap"):
+        ewma_binary(df, ["k"], "t", "vq").collect()
+
+    # at/below the budget the exact recursion still holds
+    ok = ewma_binary(
+        spark.range(60).select(
+            F.lit("k").alias("k"), F.col("id").alias("t"),
+            F.lit(1).cast("bigint").alias("vq"),
+        ),
+        ["k"], "t", "vq",
+    ).orderBy("rn").collect()
+    assert len(ok) == 60
+    expect = None
+    for r in ok:
+        expect = 1.0 if expect is None else (1 + expect) / 2
+        assert r["ewma"] == expect
