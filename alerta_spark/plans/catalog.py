@@ -4212,6 +4212,108 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pinned_oracle(rounds: int) -> str:
+    """Unroll ``rounds`` BPE merge rounds as DuckDB CTEs — the
+    kmeans/PQ precedent (X98/X107) applied to iterative tokenizer
+    training. Each round: freq-weighted adjacent-pair count -> top-1
+    (n DESC, a, b) with the min_pair_freq=2 stop folded in as a WHERE
+    (an empty top row empties every later round, mirroring the
+    learner's early stop) -> greedy left-to-right rewrite. The greedy
+    fold is expressed relationally: overlapping matches only occur in
+    runs of identical symbols, so gaps-and-islands (grp = i - rn) +
+    odd parity rank picks exactly the merges the sequential algorithm
+    takes; position i+1 of a selected merge is dropped via an
+    anti-join on (word, i-1)."""
+    sql = ["""WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''
+        )) AS word
+        FROM documents
+      ) GROUP BY word
+    ), s0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_append(
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)),
+               '</w>') AS syms
+      FROM words
+    )"""]
+    for r in range(1, rounds + 1):
+        p = f"s{r-1}"
+        sql.append(f""", p{r} AS MATERIALIZED (
+      SELECT struct_extract(z, 1) AS a, struct_extract(z, 2) AS b,
+             sum(freq) AS n FROM (
+        SELECT freq,
+               unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+        FROM {p} WHERE len(syms) >= 2
+      ) GROUP BY 1, 2
+    ), m{r} AS MATERIALIZED (
+      SELECT a, b, n FROM p{r} WHERE n >= 2
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ), f{r} AS MATERIALIZED (
+      SELECT e.word, e.freq, e.i, e.syms[e.i] AS sym,
+             CASE WHEN e.i < len(e.syms)
+                       AND e.syms[e.i] = m.a AND e.syms[e.i + 1] = m.b
+                  THEN 1 ELSE 0 END AS mt
+      FROM (
+        SELECT word, freq, syms,
+               unnest(generate_series(1, len(syms))) AS i
+        FROM {p}
+      ) e, m{r} m
+    ), g{r} AS MATERIALIZED (
+      SELECT word, freq, i, sym, mt,
+             CASE WHEN mt = 1 THEN
+               row_number() OVER (PARTITION BY word, grp ORDER BY i)
+             END AS k
+      FROM (
+        SELECT *, i - row_number() OVER (PARTITION BY word, mt ORDER BY i)
+                 AS grp
+        FROM f{r}
+      )
+    ), sel{r} AS MATERIALIZED (
+      SELECT word, i FROM g{r} WHERE mt = 1 AND (k % 2) = 1
+    ), s{r} AS MATERIALIZED (
+      SELECT word, freq, list(out_sym ORDER BY i) AS syms FROM (
+        SELECT f.word, f.freq, f.i,
+               CASE WHEN sh.i IS NOT NULL
+                    THEN f.sym || (SELECT b FROM m{r})
+                    ELSE f.sym END AS out_sym
+        FROM f{r} f
+        LEFT JOIN sel{r} sh ON f.word = sh.word AND f.i = sh.i
+        LEFT JOIN sel{r} sp ON f.word = sp.word AND f.i = sp.i + 1
+        WHERE sp.i IS NULL
+      ) GROUP BY word, freq
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r - 1} AS merge_rank, a AS \"left\", b AS \"right\", "
+        f"CAST(n AS BIGINT) AS pair_freq FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    sql.append(
+        f"\n    SELECT * FROM (\n      {unions}\n    ) ORDER BY merge_rank"
+    )
+    return "".join(sql)
+
+
+@register("bpe_learn_merges_pinned", oracle=_bpe_pinned_oracle(8))
+def bpe_learn_merges_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 hash-checked twin of bpe_learn_merges: 8 pinned merge
+    rounds, DuckDB oracle replays the full algorithm via unrolled CTEs
+    (see _bpe_pinned_oracle). Proves the distributed trainer — the one
+    corpus aggregate, the freq-weighted pair counts, the deterministic
+    tie-break, AND the greedy overlapping-run fold — against an
+    independent relational replay, not just a pytest pin."""
+    from alerta_spark.ops.bpe import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank INT, left STRING, right STRING, pair_freq BIGINT",
+    )
+
+
 @register(
     "agg_stats_moments",
     oracle="""

@@ -205,7 +205,26 @@ def test_batched_slot_advance_many_docs(spark, engine):
     from pyspark.sql import functions as F
 
     ev2 = ev2.withColumn("event_id", F.col("event_id") + 500)
-    engine.run_once(ev2, [SEQ_RULE])
+
+    # pin the ROUTE, not just the result: the batched semi-join path
+    # must serve every one of these docs (leftover == []); the
+    # per-document loop stays a compatibility fallback only
+    import alerta_spark.operators.sequence as seqmod
+
+    orig = seqmod.process_sequence_slot_batched
+    batched_calls = []
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        batched_calls.append(out)
+        return out
+
+    seqmod.process_sequence_slot_batched = spy
+    try:
+        engine.run_once(ev2, [SEQ_RULE])
+    finally:
+        seqmod.process_sequence_slot_batched = orig
+    assert batched_calls and all(lo == [] for lo in batched_calls)
 
     done = engine.alerts.docs()
     assert {d["slots"][0]["metadata"]["value"] for d in done} == hit
