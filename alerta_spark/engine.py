@@ -119,6 +119,14 @@ class Engine:
 
         for rule in rules:
             kind = rule.get("alert_type", "threshold")
+            if rule.get("debug"):
+                # reference README:68 `debug` flag: verbose logging
+                # only, no engine behavior change
+                log.debug(
+                    "rule %s (%s): evaluating [debug]",
+                    rule.get("alert_name"),
+                    kind,
+                )
             if kind == "threshold":
                 # reference swallows scan failures here too
                 # (alerta.py:470-473): a broken criteria logs and yields

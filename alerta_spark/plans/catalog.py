@@ -3770,6 +3770,133 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q17_small_qty_revenue",
+    # Q17 shape (testdata part has no p_container; the brand predicate
+    # alone selects the part family). The correlated 0.2*avg(quantity)
+    # threshold is division-free: qty < sum/(5*cnt) <=> qty*5*cnt < sum
+    # (positive operands), so both engines compare exact DECIMALs and
+    # the only float is the final avg_yearly division.
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS sq,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                    ) AS BIGINT) AS total_cents,
+           count(*) AS n_lines,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                         ) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pq.cnt < pq.sq
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    part family. The correlated per-part average becomes ONE grouped
+    aggregate on l_partkey joined back to the scan (shared shuffle
+    key); the part-family filter broadcasts. Division-free threshold
+    compare keeps everything exact DECIMAL until the final integer
+    div."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    fam = part.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    total = F.sum(dec("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(F.broadcast(fam), li["l_partkey"] == fam["p_partkey"])
+        .join(pq, "l_partkey")
+        .where(dec("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            total.alias("total_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+            total.cast("long").alias("_t"),
+        )
+        .select(
+            "total_cents",
+            "n_lines",
+            F.expr("_t div 7").cast("long").alias("avg_yearly_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    # Q22 shape (testdata customer has no c_phone; country grouping is
+    # the nation name). Above-average-positive-balance compare is
+    # division-free: bal > total/n <=> bal*n > total. NOT EXISTS
+    # (orders) is a left_anti join.
+    oracle="""
+    WITH posavg AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total,
+             count(*) AS n
+      FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0
+    )
+    SELECT n.n_name AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    CROSS JOIN posavg
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * posavg.n > posavg.total
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no RECENT orders (the
+    reference query's "no orders in 7 years" window, cut at
+    2000-01-01 for this data's 1995-2001 span), by country.
+    The global positive-balance average is a 1-row broadcast cross
+    join (division-free compare), NOT EXISTS is a broadcast-able
+    left_anti on o_custkey, nation dim broadcasts — the customer scan
+    shuffles once, for the final country aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    posavg = cust.where(dec("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cust.crossJoin(F.broadcast(posavg))
+        .where(dec("c_acctbal") * F.col("n") > F.col("total"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            cust["c_custkey"] == orders["o_custkey"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal") * 100).cast("long").alias(
+                "totacctbal_cents"
+            ),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@register(
     "text_unigram_nll",
     # Fixed-point discipline: ln(count) is quantized per TERM
     # (floor(ln(c)*1e9) — identical per-row doubles on both engines),

@@ -1,0 +1,171 @@
+"""Measure (don't assert) how the superlinear-risk dedup family scales.
+
+Everything in the repo is proven correct at sf0.01 and timed at sf0.1;
+this harness adds the missing empirical scale axis: replicate the sf0.1
+`documents`/`embeddings` tables Nx and record wall time, output rows,
+and (where the op exposes it) candidate-pair counts at 1x / 3x / 10x,
+then fit a log-log growth exponent per operator.
+
+Replicas are made DISTINCT, not copied: each replica's text goes
+through a per-replica letter rotation (a Caesar-style `translate`),
+which preserves token lengths, whitespace/punct structure, and document
+sizes while producing disjoint shingle sets — so the corpus grows
+without manufacturing artificial 10x duplicate clusters (a copied
+corpus would measure hot-key pathology, not scaling). Replica 0 is the
+original, so every planted dup pair survives in each replica's rotated
+form too (rotation is a bijection on tokens: near-dup relations are
+preserved WITHIN a replica, broken ACROSS replicas — exactly the
+structure a 10x-bigger real corpus has).
+
+Usage:  python tools/scale_bench.py [--scales 1,3,10]
+Writes SCALE_BENCH.json and prints one summary line per op.
+Scaled parquet is cached under .scale/x{N}/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+BASE_SF = "/root/testdata/sf0.1"
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+FAMILY = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_winnow_pairs",
+    "dedup_fuzzy_levenshtein",
+    "dedup_semantic_clusters",
+]
+
+
+def ensure_scaled(spark, n: int) -> str:
+    """Materialize the Nx corpus under .scale/x{n} (idempotent)."""
+    from pyspark.sql import functions as F
+
+    out = REPO / ".scale" / f"x{n}"
+    if (out / "_OK").exists():
+        return str(out)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    reps = []
+    for r in range(n):
+        rot = ALPHA[r:] + ALPHA[:r]
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * max_doc)).alias("doc_id"),
+                F.translate("text", ALPHA, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    scaled_docs = reps[0]
+    for d in reps[1:]:
+        scaled_docs = scaled_docs.unionByName(d)
+    scaled_docs.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    # embeddings: deterministic per-replica perturbation of one dim +
+    # renorm keeps vectors unit-ish and breaks cross-replica near-dups
+    ereps = []
+    for r in range(n):
+        v = F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == F.lit(r % 8), x + F.lit(0.37 + 0.11 * r)
+            ).otherwise(x),
+        )
+        nrm = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+        )
+        ereps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * max_vec)).alias("vec_id"),
+                F.transform(v, lambda x: (x / nrm).cast("float")).alias(
+                    "embedding"
+                ),
+                "label",
+            )
+        )
+    scaled_emb = ereps[0]
+    for e in ereps[1:]:
+        scaled_emb = scaled_emb.unionByName(e)
+    scaled_emb.write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet")
+    )
+    (out / "_OK").write_text("ok")
+    return str(out)
+
+
+def main() -> None:
+    scales = [1, 3, 10]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from alerta_spark.plans import catalog
+    from alerta_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "") or str(os.cpu_count() or 8)
+    spark = get_spark(
+        "alerta-scale-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = catalog.queries()
+    results: dict[str, dict] = {name: {} for name in FAMILY}
+
+    for n in scales:
+        sf_dir = ensure_scaled(spark, n)
+        for name in FAMILY:
+            from alerta_spark.ops.dedupe import release_cached
+
+            release_cached()
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            rows = df.count()
+            dt = round(time.perf_counter() - t0, 3)
+            release_cached()
+            results[name][str(n)] = {"sec": dt, "out_rows": rows}
+            print(f"x{n:<3} {name:<28} {dt:>8.2f}s  rows={rows}")
+
+    # log-log growth exponent between the smallest and largest scale
+    lo, hi = str(scales[0]), str(scales[-1])
+    import math
+
+    for name, r in results.items():
+        if lo != hi and lo in r and hi in r and r[lo]["sec"] > 0:
+            ratio = r[hi]["sec"] / r[lo]["sec"]
+            r["time_exponent"] = round(
+                math.log(ratio) / math.log(int(hi) / int(lo)), 2
+            )
+            base_rows = r[lo]["out_rows"]
+            if base_rows > 0:
+                r["rows_exponent"] = round(
+                    math.log(max(r[hi]["out_rows"], 1) / base_rows)
+                    / math.log(int(hi) / int(lo)),
+                    2,
+                )
+
+    out_path = REPO / "SCALE_BENCH.json"
+    out_path.write_text(json.dumps({"base": BASE_SF, "results": results}, indent=1))
+    print(f"wrote {out_path}")
+    for name, r in results.items():
+        print(
+            f"{name:<28} time_exp={r.get('time_exponent')} "
+            f"rows_exp={r.get('rows_exponent')}"
+        )
+
+
+if __name__ == "__main__":
+    main()
