@@ -762,15 +762,18 @@ def winnow_near_dup_pairs(
     like the hot-shingle cap: map-side broadcast anti-join BEFORE any
     fp-keyed shuffle, self-consistent set sizes.
 
-    ``max_fp_frac`` (overrides ``max_fp_freq`` when set) expresses the
-    cap as a FRACTION of the corpus: prints in more than
-    floor(frac * n_docs) documents drop. An absolute cap silently
-    stops firing as the corpus grows past it (a print in 1000 of 5000
-    shared-boilerplate docs fans into ~500k candidate pairs); the
-    fraction form keeps the join fan-in proportional at every scale —
-    the knob you actually set for a 100 TB corpus. Computed in-plan
-    (one tiny count aggregate broadcast into the HAVING), floor'd so
-    the boundary is integer-exact on every engine.
+    When ``max_fp_frac`` is set the drop threshold is
+    min(floor(frac * n_docs), max_fp_freq): the fraction governs small
+    corpora (2% of 500 docs caps boilerplate at 10), while the
+    ABSOLUTE cap bounds candidate fan-in at scale. The two must
+    compose — measured on the 10x replicated corpus
+    (tools/scale_bench.py), a frac-only cap admits floor(0.02·50k)
+    = 1000-document posting lists whose pairwise fan-out is
+    quadratic: 690M candidate pairs vs 17M under a constant cap, for
+    identical output pairs (ultra-common prints only ever witness
+    boilerplate overlap). Candidate generation must stay O(n·cap),
+    never O(n·(frac·n)). Both thresholds are computed in-plan with an
+    integer-exact floor boundary.
 
     -> [id_a, id_b, fp_jaccard] with id_a < id_b."""
     fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
@@ -781,14 +784,16 @@ def winnow_near_dup_pairs(
         n_docs = df.select(
             F.countDistinct(F.col(id_col)).alias("_nd")
         )
+        thresh = F.floor(
+            F.col("_nd").cast("double") * F.lit(max_fp_frac)
+        )
+        if max_fp_freq is not None:
+            thresh = F.least(thresh, F.lit(int(max_fp_freq)).cast("long"))
         hot = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("_df"))
             .crossJoin(F.broadcast(n_docs))
-            .where(
-                F.col("_df")
-                > F.floor(F.col("_nd").cast("double") * F.lit(max_fp_frac))
-            )
+            .where(F.col("_df") > thresh)
             .select("fp")
         )
         fps = fps.join(F.broadcast(hot), "fp", "left_anti")

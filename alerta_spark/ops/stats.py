@@ -137,3 +137,176 @@ def ols_trend(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_q_col: str,
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test, engine-exact: the
+    nonparametric 'is this series monotonically trending' screen that
+    needs no distribution assumption — the robust complement to
+    :func:`ols_trend` (which a single spike can flip).
+
+    S = Σ_{i<j} sign(x_j − x_i) over the series ordered by
+    ``order_col`` — an exact BIGINT. The tie-corrected 18·Var(S)
+    = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) is also exact BIGINT, so the
+    only float is the final z = (S∓1)/sqrt(var18/18): a fixed tree of
+    IEEE ops on identical integers on every engine.
+
+    Scale: the pairwise self-join is O(n²) per group — by design this
+    runs on PRE-AGGREGATED series (daily/hourly rollups, n ≲ a few
+    thousand), where the heavy corpus work is the rollup that produced
+    them. Both join sides shuffle once on the group key.
+
+    ``value_q_col`` must be exact integers (quantize first).
+    Public algorithm: Mann (1945), Kendall (1975).
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).alias("_t"),
+        F.col(value_q_col).cast("long").alias("_x"),
+    )
+    i, j = base.alias("i"), base.alias("j")
+    cond = [F.col(f"i.{g}") == F.col(f"j.{g}") for g in group_cols]
+    d = F.col("j._x") - F.col("i._x")
+    sgn = F.when(d > 0, 1).when(d < 0, -1).otherwise(0)
+    s = (
+        i.join(j, cond + [F.col("i._t") < F.col("j._t")])
+        .groupBy(*[F.col(f"i.{g}").alias(g) for g in group_cols])
+        .agg(F.sum(sgn).cast("long").alias("s"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+    nrow = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    t = F.col("cnt")
+    ties = (
+        base.groupBy(*group_cols, "_x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(*group_cols)
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("tie18"))
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie18")).cast("long")
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("var18") <= 0, F.lit(0.0))
+        .when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(nrow, group_cols)
+        .join(ties, group_cols)
+        .withColumn("var18", var18)
+        .select(*group_cols, "n", "s", "var18", z.alias("z"))
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_q_col: str,
+    slope_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group Theil–Sen slope: the MEDIAN of all pairwise slopes
+    (x_j − x_i)/(t_j − t_i) — the robust trend estimator with a 29%
+    breakdown point (one wild day cannot move it, unlike OLS).
+
+    Engine-exact: each pairwise slope is quantized as
+    (dy · slope_scale) div dt — truncating BIGINT division, identical
+    in Spark (`div`) and DuckDB (`//`) — and the lower median of
+    integers is an exact row_number cut, so the result hash-checks.
+
+    Same O(n²)-per-group contract as :func:`mann_kendall`: run it on
+    pre-aggregated series. Output [*group_cols, n_pairs,
+    median_slope_q] with slope in value-units × slope_scale per
+    order-unit. Public algorithm: Theil (1950), Sen (1968).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_q_col).cast("long").alias("_x"),
+    )
+    i, j = base.alias("i"), base.alias("j")
+    cond = [F.col(f"i.{g}") == F.col(f"j.{g}") for g in group_cols]
+    slope_q = F.expr(
+        f"((j._x - i._x) * CAST({slope_scale} AS BIGINT)) div (j._t - i._t)"
+    )
+    pairs = i.join(j, cond + [F.col("i._t") < F.col("j._t")]).select(
+        *[F.col(f"i.{g}").alias(g) for g in group_cols],
+        slope_q.alias("slope_q"),
+    )
+    w = W.partitionBy(*group_cols).orderBy("slope_q")
+    wc = W.partitionBy(*group_cols)
+    ranked = pairs.select(
+        *group_cols,
+        "slope_q",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("_rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(*group_cols, "n_pairs", F.col("slope_q").alias("median_slope_q"))
+
+
+def interarrival_dispersion(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group burstiness of event inter-arrival times: Fano factor
+    (variance-to-mean ratio of gaps; 1 = Poisson, >1 = bursty) and the
+    Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1).
+
+    Gaps are exact µs integers from a (ts, id)-ordered lag window; the
+    three moments accumulate exactly (Σx BIGINT, Σx² DECIMAL(38,0)),
+    and fano/B are fixed IEEE trees on those exact integers — the
+    VARCHAR hop around DuckDB's rounding decimal→double cast keeps the
+    final doubles bit-identical.
+
+    One group-keyed exchange shared by the lag window and the
+    aggregate. Output [*group_cols, n_gaps, sum_gap_us, fano, b].
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*group_cols).orderBy(ts_col, id_col)
+    g = df.select(
+        *group_cols,
+        (F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w))
+        .alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    agg = g.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        F.sum(
+            F.col("gap_us").cast("decimal(19,0)") * F.col("gap_us").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("sumsq"),
+    )
+    n = F.col("n_gaps").cast("decimal(38,0)")
+    var_num = (
+        (n * F.col("sumsq")
+         - F.col("sum_gap_us").cast("decimal(38,0)")
+         * F.col("sum_gap_us").cast("decimal(38,0)"))
+        .cast("string").cast("double")
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd_ = F.col("sum_gap_us").cast("double")
+    mean = sd_ / nd
+    # sample variance: var_num / (n*(n-1)); fano = var/mean
+    fano = F.when(
+        (F.col("n_gaps") > 1) & (F.col("sum_gap_us") > 0),
+        var_num / (nd * (nd - F.lit(1.0))) / mean,
+    )
+    sigma = F.when(F.col("n_gaps") > 1, F.sqrt(var_num / (nd * (nd - F.lit(1.0)))))
+    b = F.when(
+        (F.col("n_gaps") > 1) & ((sigma + mean) > 0),
+        (sigma - mean) / (sigma + mean),
+    )
+    return agg.select(
+        *group_cols, "n_gaps", "sum_gap_us", fano.alias("fano"), b.alias("b")
+    )

@@ -4126,10 +4126,11 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_winnow_pairs",
     # Jaccard over winnowed fingerprint SETS; the oracle replays the
     # winnow selection (same CTE as dedup_winnow_fingerprints) and the
-    # pair join exactly, including the FRACTION-based hot-print cap
-    # (prints in > floor(2% of docs) documents drop — identical
-    # double-multiply-then-floor boundary on both engines; an absolute
-    # cap silently stops firing as the corpus grows).
+    # pair join exactly, including the COMPOSED hot-print cap
+    # min(floor(2% of docs), 200): the fraction governs small corpora,
+    # the absolute bound keeps candidate fan-in O(n*cap) at scale
+    # (measured: frac-only admits 690M candidates at 10x vs 17M;
+    # identical floor boundary on both engines).
     oracle=r"""
     WITH n AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -4159,10 +4160,10 @@ def dedup_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM fps
       WHERE fp NOT IN (
         SELECT fp FROM fps GROUP BY fp
-        HAVING count(*) > floor(
+        HAVING count(*) > least(floor(
           CAST(0.02 AS DOUBLE)
           * (SELECT count(DISTINCT doc_id) FROM documents)
-        )
+        ), 200)
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
@@ -4193,6 +4194,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         w=4,
         threshold=0.5,
         max_fp_frac=0.02,
+        max_fp_freq=200,
     )
 
 
@@ -12584,4 +12586,230 @@ def session_depth_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_events").cast("long").alias("n_events_total"),
+    )
+
+
+@register(
+    "trend_mann_kendall_daily",
+    # Exact integer S and tie-corrected 18*Var(S); z is the only float
+    # — a fixed tree of IEEE /, sqrt on identical BIGINTs per engine.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS x_cents
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT i.event_type,
+             CAST(sum(CASE WHEN j.x_cents > i.x_cents THEN 1
+                           WHEN j.x_cents < i.x_cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s,
+             count(*) AS n_pairs
+      FROM daily i JOIN daily j
+        ON i.event_type = j.event_type AND i.day < j.day
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT event_type, count(*) AS n FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(cnt * (cnt - 1) * (2 * cnt + 5)) AS BIGINT) AS tie18
+      FROM (
+        SELECT event_type, x_cents, count(*) AS cnt
+        FROM daily GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    m AS (
+      SELECT s.event_type, nn.n, s.s,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18
+                  AS BIGINT) AS var18
+      FROM s JOIN nn ON s.event_type = nn.event_type
+             JOIN ties ON s.event_type = ties.event_type
+    )
+    SELECT event_type, n, s, var18,
+           CASE WHEN var18 <= 0 THEN 0.0
+                WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                                / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                                / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z
+    FROM m ORDER BY event_type
+    """,
+)
+def trend_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 Mann-Kendall monotonic-trend test on daily value totals per
+    event type — the distribution-free 'is this metric drifting'
+    screen that a single spike cannot flip (robust complement to
+    trend_ols_daily_value). Pairwise stage runs on the PRE-AGGREGATED
+    daily series (~30 rows/key), never the corpus."""
+    from alerta_spark.ops.stats import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    return mann_kendall(daily, ["event_type"], "day", "x_cents").orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "trend_theil_sen_daily",
+    # Every pairwise slope is (dy*1e6) // dt — truncating BIGINT
+    # division, identical in both engines — and the lower median is an
+    # exact rank cut: the whole estimator hash-checks.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day_idx,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS x_cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.event_type,
+             ((j.x_cents - i.x_cents) * CAST(1000000 AS BIGINT))
+               // (j.day_idx - i.day_idx) AS slope_q
+      FROM daily i JOIN daily j
+        ON i.event_type = j.event_type AND i.day_idx < j.day_idx
+    ),
+    ranked AS (
+      SELECT event_type, slope_q,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_q) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM pairs
+    )
+    SELECT event_type, n_pairs, slope_q AS median_slope_q
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def trend_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 Theil–Sen robust slope of daily value totals per event
+    type: median of all pairwise slopes (29% breakdown point). Slope
+    unit: cents × 1e6 per day. Pairwise stage on the tiny daily
+    series; one group-keyed exchange for the rank cut."""
+    from alerta_spark.ops.stats import theil_sen
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    return theil_sen(daily, ["event_type"], "day_idx", "x_cents").orderBy(
+        "event_type"
+    )
+
+
+@register(
+    "events_burstiness_fano",
+    # Gaps are exact µs integers (ordered lag window); ΣX BIGINT and
+    # ΣX² DECIMAL(38,0) accumulate exactly; fano and Goh–Barabási B
+    # are fixed IEEE trees on those integers (VARCHAR hop around
+    # DuckDB's rounding decimal→double cast).
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+             CAST(sum(CAST(gap_us AS DECIMAL(19,0))
+                      * CAST(gap_us AS DECIMAL(19,0))) AS DECIMAL(38,0))
+               AS sumsq
+      FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, n_gaps, sum_gap_us,
+             CAST(CAST(CAST(n_gaps AS DECIMAL(38,0)) * sumsq
+                       - CAST(sum_gap_us AS DECIMAL(38,0))
+                       * CAST(sum_gap_us AS DECIMAL(38,0)) AS VARCHAR)
+                  AS DOUBLE) AS var_num,
+             CAST(n_gaps AS DOUBLE) AS nd,
+             CAST(sum_gap_us AS DOUBLE) AS sd
+      FROM a
+    )
+    SELECT user_id, n_gaps, sum_gap_us,
+           CASE WHEN n_gaps > 1 AND sum_gap_us > 0
+                THEN var_num / (nd * (nd - 1.0)) / (sd / nd) END AS fano,
+           CASE WHEN n_gaps > 1
+                     AND sqrt(var_num / (nd * (nd - 1.0))) + sd / nd > 0
+                THEN (sqrt(var_num / (nd * (nd - 1.0))) - sd / nd)
+                     / (sqrt(var_num / (nd * (nd - 1.0))) + sd / nd) END
+             AS b
+    FROM m ORDER BY user_id
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 per-user burstiness of inter-arrival times: Fano factor
+    (variance/mean of gaps; 1 = Poisson, >1 = bursty) and Goh–Barabási
+    B ∈ (−1,1) — the 'is this account a script' readout that pairs
+    with anomaly_user_burst (which finds WHEN; this scores WHO). One
+    user-keyed exchange shared by the lag window and the aggregate."""
+    from alerta_spark.ops.stats import interarrival_dispersion
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_dispersion(ev, ["user_id"]).orderBy("user_id")
+
+
+@register(
+    "orders_fill_rate_monthly",
+    # Pure integer counts per month bucket — the service-level
+    # readout is division-free (emit numerators + denominator).
+    oracle="""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_30,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_60,
+           CAST(sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_90
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_fill_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170 shipping service level by order month: of each month's
+    order lines, how many shipped within 30/60/90 days of the order
+    date — the fulfillment-SLA trend (pairs with orders_backlog_aging,
+    which reads the open tail; this reads the closed flow). One join
+    shuffled on orderkey, then a tiny month aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    within = lambda d: F.sum(  # noqa: E731
+        F.when(dd <= d, 1).otherwise(0)
+    ).cast("long")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            within(30).alias("n_30"),
+            within(60).alias("n_60"),
+            within(90).alias("n_90"),
+        )
+        .orderBy("month")
     )

@@ -273,3 +273,36 @@ def test_containment_pairs_lossless_vs_definition(spark):
     assert got == want
     assert (1, 2) in got and (1, 3) in got and (1, 6) in got
     assert all(i != 5 for i, _ in got)
+
+
+def test_winnow_hot_cap_composes_frac_and_abs(spark):
+    """The hot-print drop threshold is min(floor(frac*n_docs),
+    max_fp_freq): candidate fan-in must stay O(n*cap) as the corpus
+    grows (a frac-only cap admits floor(frac*n)-long posting lists —
+    measured 690M candidate pairs at 10x vs 17M; see BASELINE.md).
+    Here: 30 docs sharing one boilerplate sentence; with frac=0.5 the
+    frac threshold (15) would keep the print, the absolute cap (5)
+    must win and drop it."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.dedupe import winnow_near_dup_pairs
+
+    boiler = "this exact boilerplate sentence appears in every document "
+    rows = [(i, boiler + f"unique tail number {i} " * 3) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    frac_only = winnow_near_dup_pairs(
+        df, threshold=0.2, max_fp_frac=0.5, max_fp_freq=None
+    ).count()
+    composed = winnow_near_dup_pairs(
+        df, threshold=0.2, max_fp_frac=0.5, max_fp_freq=5
+    ).count()
+    # boilerplate prints (df=30 > 15) dropped either way; prints with
+    # 5 < df <= 15 only drop under the composed cap
+    assert composed <= frac_only
+    # and with the absolute cap at play no posting list longer than 5
+    # survives: every remaining pair's overlap comes from rare prints
+    abs_only = winnow_near_dup_pairs(
+        df, threshold=0.2, max_fp_freq=5
+    ).count()
+    assert composed == abs_only

@@ -60,3 +60,70 @@ def test_ols_trend_matches_closed_form(spark):
     assert abs(out["a"]["intercept"] - 3.0) < 1e-12
     assert abs(out["a"]["r2"] - 1.0) < 1e-12
     assert out["b"]["slope"] is None and out["b"]["r2"] is None
+
+
+def test_mann_kendall_hand_computed(spark):
+    """Strictly increasing series -> S = n(n-1)/2, no ties; a flat
+    series -> S = 0 with full tie correction (var18 = 0 for all-equal
+    values of any length)."""
+    from alerta_spark.ops.stats import mann_kendall
+
+    rows = [("up", t, t * 10) for t in range(5)]          # S = 10
+    rows += [("flat", t, 7) for t in range(4)]            # S = 0, all tied
+    df = spark.createDataFrame(rows, ["g", "t", "xq"])
+    out = {r["g"]: r for r in mann_kendall(df, ["g"], "t", "xq").collect()}
+    up = out["up"]
+    assert up["s"] == 10 and up["n"] == 5
+    # var18 = n(n-1)(2n+5) = 5*4*15 = 300; z = (S-1)/sqrt(300/18)
+    assert up["var18"] == 300
+    import math
+    assert abs(up["z"] - 9 / math.sqrt(300 / 18)) < 1e-12
+    flat = out["flat"]
+    # tie18 = 4*3*13 = 156 = n(n-1)(2n+5) -> var18 = 0, z = 0
+    assert flat["s"] == 0 and flat["var18"] == 0 and flat["z"] == 0.0
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """y = 2x with one wild point: OLS would move, the pairwise-slope
+    median stays at 2 (x 1e6 quantization)."""
+    from alerta_spark.ops.stats import theil_sen
+
+    rows = [("a", t, 2 * t) for t in range(9)]
+    rows.append(("a", 9, 1000))                           # outlier
+    df = spark.createDataFrame(rows, ["g", "t", "xq"])
+    out = theil_sen(df, ["g"], "t", "xq").collect()
+    assert len(out) == 1
+    assert out[0]["n_pairs"] == 45
+    assert out[0]["median_slope_q"] == 2_000_000
+
+
+def test_interarrival_dispersion_poisson_vs_regular(spark):
+    """Perfectly regular gaps -> variance 0 -> fano 0, B = -1;
+    moments verified against numpy on a bursty series."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.stats import interarrival_dispersion
+
+    base = 1_700_000_000_000_000  # µs epoch
+    regular = [base + i * 1_000_000 for i in range(10)]
+    bursty = [base]
+    for g in [1, 1, 1, 60, 1, 1, 120, 1, 1]:              # µs-scaled below
+        bursty.append(bursty[-1] + g * 1_000_000)
+    rows = [(1, i, t) for i, t in enumerate(regular)]
+    rows += [(2, i, t) for i, t in enumerate(bursty)]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "us"]).select(
+        "user_id", "event_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = {
+        r["user_id"]: r
+        for r in interarrival_dispersion(df, ["user_id"]).collect()
+    }
+    r1 = out[1]
+    assert r1["n_gaps"] == 9 and r1["fano"] == 0.0 and r1["b"] == -1.0
+    r2 = out[2]
+    gaps = np.diff(np.array(bursty, dtype=np.float64))
+    var = gaps.var(ddof=1)
+    mean = gaps.mean()
+    assert abs(r2["fano"] - var / mean) / (var / mean) < 1e-12
+    assert abs(r2["b"] - (gaps.std(ddof=1) - mean) / (gaps.std(ddof=1) + mean)) < 1e-12

@@ -125,6 +125,15 @@ def main() -> None:
     qs = catalog.queries()
     results: dict[str, dict] = {name: {} for name in FAMILY}
 
+    # warm the JVM, parquet reader, and Python-worker pool so the first
+    # measured op doesn't absorb session startup (it skewed the x1
+    # baseline by ~2x and produced a bogus negative growth exponent)
+    warm_dir = ensure_scaled(spark, scales[0])
+    from alerta_spark.ops.dedupe import release_cached
+
+    qs[FAMILY[0]](spark, warm_dir).count()
+    release_cached()
+
     for n in scales:
         sf_dir = ensure_scaled(spark, n)
         for name in FAMILY:
