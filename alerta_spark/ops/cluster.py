@@ -153,3 +153,77 @@ def kmeans_pinned(
             F.element_at(dig_map, F.col("cluster")).alias("centroid_digest"),
         )
     )
+
+
+def pca_power_pinned(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Dominant principal direction of an embedding table by TWO
+    pinned, unnormalized power-iteration rounds over the exact integer
+    Gram matrix — engine-exact end to end, the eigen-analysis
+    companion to :func:`kmeans_pinned` (is this embedding space
+    collapsing onto one axis? what fraction of energy is the top
+    direction eating?).
+
+    Everything is relational aggregation, no linear-algebra library:
+
+      S[i,j] = Σ_v xq_i·xq_j   one (pos,pos)-grouped aggregate over a
+                               vec_id self-join (8M tiny rows at d=64)
+      v1 = S·1  = row sums     one aggregate
+      v2 = S·v1                one join + aggregate, DECIMAL(38,0)
+
+    Skipping the usual per-round normalization is what keeps every
+    intermediate an exact integer: xq ≤ 2^20, S ≤ 2^51, v1 ≤ 2^57,
+    v2 ≤ 2^114 < 10^38. The direction is reported scale-free as
+    v2 / v2[argmax |v2|] and the per-component Rayleigh quotient
+    v2/v1 (→ the dominant eigenvalue as iteration converges) — each a
+    single IEEE division of identical exact operands on every engine.
+
+    Output: [pos, v1_q, dir_ratio, lambda_est] one row per dimension.
+    Public algorithm: power iteration (von Mises & Pollaczek-Geiringer
+    1929)."""
+    from alerta_spark.ops.similarity import quantize_vec
+
+    q = df.select(
+        F.col(id_col).alias("_v"),
+        F.posexplode(quantize_vec(vec_col, scale)).alias("pos", "xq"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    s = (
+        a.join(b, F.col("a._v") == F.col("b._v"))
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum(F.col("a.xq") * F.col("b.xq")).cast("long").alias("s"))
+    )
+    s = s.persist()
+    v1 = s.groupBy("j").agg(F.sum("s").cast("long").alias("v1"))
+    v2 = (
+        s.join(v1.select(F.col("j").alias("i"), F.col("v1").alias("v1_i")), "i")
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("v1_i"))
+            .cast("decimal(38,0)")
+            .alias("v2")
+        )
+    )
+    joined = v2.join(v1, "j")
+    vmax = (
+        joined.orderBy(F.abs(F.col("v2")).desc(), F.col("j").asc())
+        .limit(1)
+        .select(F.col("v2").alias("vmax"))
+    )
+    v2d = F.col("v2").cast("string").cast("double")
+    return (
+        joined.crossJoin(F.broadcast(vmax))
+        .select(
+            F.col("j").alias("pos"),
+            F.col("v1").alias("v1_q"),
+            (v2d / F.col("vmax").cast("string").cast("double")).alias(
+                "dir_ratio"
+            ),
+            (v2d / F.col("v1").cast("double")).alias("lambda_est"),
+        )
+        .orderBy("pos")
+    )

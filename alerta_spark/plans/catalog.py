@@ -12813,3 +12813,136 @@ def orders_fill_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "quality_expectations_report",
+    # One row per contract rule; row-local rules are conditional sums
+    # of a single aggregate (adding a rule adds a column, not a scan),
+    # unique rules are count-minus-countDistinct. Pure integers.
+    oracle="""
+    WITH t AS (SELECT * FROM events),
+    rl AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v0,
+             CAST(sum(CASE WHEN value IS NOT NULL
+                            AND NOT (value >= 0 AND value <= 1000)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                                ('click','view','purchase','signup')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN props IS NOT NULL
+                            AND NOT regexp_matches(props, '^\\{')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(sum(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-01')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v4
+      FROM t
+    ),
+    u5 AS (
+      SELECT count(*) AS n, count(*) - count(DISTINCT event_id) AS v
+      FROM t WHERE event_id IS NOT NULL
+    ),
+    u6 AS (
+      SELECT count(*) AS n, count(*) - count(DISTINCT user_id) AS v
+      FROM t WHERE user_id IS NOT NULL
+    )
+    SELECT * FROM (
+      SELECT 0 AS rule_idx, 'not_null' AS kind, 'user_id' AS col,
+             n AS n_checked, v0 AS n_violations, v0 = 0 AS pass FROM rl
+      UNION ALL SELECT 1, 'range', 'value', n, v1, v1 = 0 FROM rl
+      UNION ALL SELECT 2, 'in_set', 'event_type', n, v2, v2 = 0 FROM rl
+      UNION ALL SELECT 3, 'regex', 'props', n, v3, v3 = 0 FROM rl
+      UNION ALL SELECT 4, 'expr', 'ts', n, v4, v4 = 0 FROM rl
+      UNION ALL SELECT 5, 'unique', 'event_id', n,
+                        CAST(v AS BIGINT), v = 0 FROM u5
+      UNION ALL SELECT 6, 'unique', 'user_id', n,
+                        CAST(v AS BIGINT), v = 0 FROM u6
+    ) ORDER BY rule_idx
+    """,
+)
+def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 declarative data-contract validation: a rule LIST (the
+    contract is data, not code) proved in one corpus pass — not_null,
+    range, set-membership, regex, free-expr rules share ONE aggregate;
+    unique rules add one grouped aggregate each. The gate an ingest
+    orchestrator runs before a partition lands; pairs with
+    quality_fk_integrity_audit (cross-table) and profile_column_stats
+    (distributions). The in_set rule deliberately omits 'error' so a
+    live violation count is exercised."""
+    from alerta_spark.ops.expectations import validate_expectations
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        {"kind": "not_null", "col": "user_id"},
+        {"kind": "range", "col": "value", "lo": 0, "hi": 1000},
+        {
+            "kind": "in_set",
+            "col": "event_type",
+            "values": ["click", "view", "purchase", "signup"],
+        },
+        {"kind": "regex", "col": "props", "pattern": "^\\{"},
+        {"kind": "expr", "col": "ts", "expr": "ts >= TIMESTAMP '2024-01-01'"},
+        {"kind": "unique", "col": "event_id"},
+        {"kind": "unique", "col": "user_id"},
+    ]
+    return validate_expectations(ev, rules)
+
+
+@register(
+    "embedding_pca_power_pinned",
+    # Two unnormalized power-iteration rounds over the exact integer
+    # Gram matrix, all relational aggregation (see ops/cluster
+    # docstring for the overflow budget); dir_ratio and lambda_est are
+    # single IEEE divisions of identical exact operands (VARCHAR hop
+    # around DuckDB's rounding decimal->double cast).
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS v, pos,
+             CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xq
+      FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+      )
+    ),
+    s AS MATERIALIZED (
+      SELECT a.pos - 1 AS i, b.pos - 1 AS j,
+             CAST(sum(a.xq * b.xq) AS BIGINT) AS s
+      FROM q a JOIN q b ON a.v = b.v
+      GROUP BY 1, 2
+    ),
+    v1 AS (SELECT j, CAST(sum(s) AS BIGINT) AS v1 FROM s GROUP BY j),
+    v2 AS (
+      SELECT s.j,
+             CAST(sum(CAST(s.s AS DECIMAL(38,0))
+                      * CAST(vi.v1 AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS v2
+      FROM s JOIN v1 vi ON vi.j = s.i
+      GROUP BY s.j
+    ),
+    joined AS (SELECT v2.j, v2.v2, v1.v1 FROM v2 JOIN v1 ON v1.j = v2.j),
+    mx AS (
+      SELECT v2 AS vmax FROM joined ORDER BY abs(v2) DESC, j ASC LIMIT 1
+    )
+    SELECT j AS pos, v1 AS v1_q,
+           CAST(CAST(v2 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(vmax AS VARCHAR) AS DOUBLE) AS dir_ratio,
+           CAST(CAST(v2 AS VARCHAR) AS DOUBLE) / CAST(v1 AS DOUBLE)
+             AS lambda_est
+    FROM joined, mx ORDER BY pos
+    """,
+)
+def embedding_pca_power_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172 dominant principal direction of the embedding table —
+    two pinned power-iteration rounds over the exact integer Gram
+    matrix, entirely in aggregation shape (no linear-algebra library,
+    no float accumulation): the 'is this embedding space collapsing'
+    observability readout beside embedding_label_centroids and the
+    int8 quantization report."""
+    from alerta_spark.ops.cluster import pca_power_pinned
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_pinned(emb)
