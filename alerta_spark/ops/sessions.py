@@ -353,3 +353,137 @@ def cohort_retention(
         (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
         .alias("retention"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_horizon_days: int = 30,
+    ln_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Kaplan-Meier user-retention curve with right-censoring — the
+    churn readout growth_accounting_daily cannot give (it counts state
+    transitions; this estimates the SURVIVAL FUNCTION when lifetimes
+    are still in progress).
+
+    Lifetime T_u = days between a user's first and last event. A user
+    whose last event is more than ``churn_horizon_days`` before the
+    dataset's max timestamp CHURNED at T_u; everyone else is censored
+    at T_u (still alive — their lifetime only contributes to the risk
+    sets). Per distinct lifetime t with at least one churn:
+
+        n_at_risk(t) = #users with T >= t
+        d(t)         = churns at exactly t
+        S(t)         = Π_{t' <= t} (1 - d/n)
+
+    Engine-exactness: the product is carried as a CUMULATIVE SUM of
+    per-term floor(ln((n-d)/n) · ln_scale) BIGINTs — (n-d)/n is one
+    IEEE division of exact integers, the quantization is the repo's
+    standard fixed-point-ln discipline, and the cumsum is exact — so
+    the curve hash-checks; S(t) = exp(survival_lnq / ln_scale).
+
+    Plan: one user aggregate (first/last), a broadcast 1-row max-ts,
+    one lifetime aggregate (distinct-T-sized, ≤ observation span in
+    days), then the risk-set/cumsum windows over that TINY frame with
+    a column-derived constant partition key (single partition,
+    deliberate and warning-free). The corpus is scanned once.
+
+    Output: [t_days, n_at_risk, d_churned, survival_lnq, s_lnq_scaled]
+    rows where d_churned > 0, ordered by t_days.
+    Public algorithm: Kaplan & Meier (1958)."""
+    spans = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    mx = df.agg(F.max(ts_col).alias("_mx"))
+    life = (
+        spans.crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.col("_last").cast("date"), F.col("_first").cast("date")
+            ).cast("long").alias("t_days"),
+            (
+                F.col("_last").cast("date")
+                <= F.date_sub(F.col("_mx").cast("date"), churn_horizon_days)
+            ).alias("_churned"),
+        )
+    )
+    return km_curve(life, "t_days", "_churned", ln_scale)
+
+
+def km_curve(
+    life: DataFrame,
+    t_col: str,
+    event_col: str,
+    ln_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """The Kaplan-Meier estimator itself, over a prepared
+    one-row-per-subject frame [t_col: integer lifetime, event_col:
+    TRUE = event observed at t, FALSE = right-censored at t]. See
+    :func:`km_survival` for the exactness and plan discipline; this
+    entry point lets any framing (churn lifetimes, time-to-conversion
+    with an observation window, time-to-failure) reuse the curve."""
+    life = life.select(
+        F.col(t_col).cast("long").alias("t_days"),
+        F.col(event_col).alias("_churned"),
+    )
+    per_t = life.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        F.sum(F.when(F.col("_churned"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_churned"),
+    )
+    one = F.pmod(F.col("t_days"), F.lit(1))
+    w_desc = W.partitionBy(one).orderBy(F.desc("t_days"))
+    w_asc = W.partitionBy(one).orderBy(F.asc("t_days"))
+    risked = per_t.select(
+        "t_days",
+        "d_churned",
+        F.sum("_c")
+        .over(w_desc.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    term = (
+        F.when(
+            (F.col("d_churned") > 0)
+            & (F.col("n_at_risk") > F.col("d_churned")),
+            F.floor(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d_churned")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * F.lit(float(ln_scale))
+            ).cast("long"),
+        )
+        # every remaining user churned: S drops to 0 and ln is -inf;
+        # pin the sentinel -100·scale (e^-100 ≈ 0) instead of flooring
+        # -Infinity — deterministic on both engines
+        .when(
+            (F.col("d_churned") > 0)
+            & (F.col("n_at_risk") == F.col("d_churned")),
+            F.lit(-100 * ln_scale).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    curve = risked.select(
+        "t_days",
+        "n_at_risk",
+        "d_churned",
+        F.sum(term)
+        .over(w_asc.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("survival_lnq"),
+    )
+    return (
+        curve.where(F.col("d_churned") > 0)
+        .select(
+            "t_days",
+            "n_at_risk",
+            "d_churned",
+            "survival_lnq",
+            (F.col("survival_lnq").cast("double") / F.lit(float(ln_scale)))
+            .alias("s_lnq_scaled"),
+        )
+        .orderBy("t_days")
+    )

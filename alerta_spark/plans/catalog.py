@@ -12946,3 +12946,101 @@ def embedding_pca_power_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_pinned(emb)
+
+
+@register(
+    "km_time_to_purchase",
+    # Right-censored Kaplan-Meier over time-to-first-purchase with a
+    # 48h observation window (synthetic users never churn, so lifetime
+    # KM is degenerate here; conversion-time KM exercises real
+    # censoring). Risk sets and event counts are exact integers; the
+    # survival product rides as a cumsum of per-term
+    # floor(ln((n-d)/n)*1e9); the n==d terminal point pins the
+    # -100*scale sentinel instead of flooring -Infinity.
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS f0 FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT user_id, min(epoch_us(ts)) AS p0 FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    life AS (
+      SELECT CASE WHEN p.p0 IS NOT NULL
+                   AND (p.p0 - f.f0) // 3600000000 <= 48
+                  THEN (p.p0 - f.f0) // 3600000000
+                  ELSE 48 END AS t_days,
+             (p.p0 IS NOT NULL
+              AND (p.p0 - f.f0) // 3600000000 <= 48) AS churned
+      FROM f LEFT JOIN p USING (user_id)
+    ),
+    per_t AS (
+      SELECT t_days, count(*) AS c,
+             CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_churned
+      FROM life GROUP BY t_days
+    ),
+    risked AS (
+      SELECT t_days, d_churned,
+             CAST(sum(c) OVER (ORDER BY t_days DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_at_risk
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t_days, d_churned, n_at_risk,
+             CASE
+               WHEN d_churned > 0 AND n_at_risk > d_churned THEN
+                 CAST(floor(ln(CAST(n_at_risk - d_churned AS DOUBLE)
+                               / CAST(n_at_risk AS DOUBLE))
+                            * 1000000000.0) AS BIGINT)
+               WHEN d_churned > 0 AND n_at_risk = d_churned THEN
+                 CAST(-100000000000 AS BIGINT)
+               ELSE CAST(0 AS BIGINT)
+             END AS term
+      FROM risked
+    ),
+    curve AS (
+      SELECT t_days, n_at_risk, d_churned,
+             CAST(sum(term) OVER (ORDER BY t_days ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS survival_lnq
+      FROM terms
+    )
+    SELECT t_days AS t_hours, n_at_risk, d_churned, survival_lnq,
+           CAST(survival_lnq AS DOUBLE) / 1000000000.0 AS s_lnq_scaled
+    FROM curve WHERE d_churned > 0 ORDER BY t_hours
+    """,
+)
+def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174 Kaplan-Meier time-to-conversion: survival curve of hours
+    from a user's first event to their first purchase, right-censored
+    at a 48h observation window — the statistically honest conversion
+    readout when some users are still mid-window (a plain average of
+    observed conversion times is biased toward the fast ones). One
+    corpus scan + user aggregate; the estimator windows run over the
+    hour-distribution frame (<= 49 rows)."""
+    from alerta_spark.ops.sessions import km_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    f0 = ev.groupBy("user_id").agg(F.min(us).alias("f0"))
+    p0 = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("p0"))
+    )
+    hours = F.expr("(p0 - f0) div 3600000000")
+    converted = F.col("p0").isNotNull() & (hours <= 48)
+    life = (
+        f0.join(p0, "user_id", "left")
+        .select(
+            F.when(converted, hours).otherwise(F.lit(48)).alias("t"),
+            converted.alias("ev"),
+        )
+    )
+    return (
+        km_curve(life, "t", "ev")
+        .withColumnRenamed("t_days", "t_hours")
+        .orderBy("t_hours")
+    )

@@ -255,3 +255,51 @@ def test_funnel_within_deadline_semantics(spark):
     # no deadline -> user 2 and 3 convert too
     loose = {r.step: r.n_users for r in funnel_counts(ev, steps).collect()}
     assert loose == {"signup": 3, "view": 3}
+
+
+def test_km_curve_hand_computed(spark):
+    """Textbook KM: subjects with lifetimes/events
+    (1,e)(2,c)(3,e)(3,e)(4,c)(5,e): risk sets 6,4,2 at t=1,3,5;
+    S(1)=5/6, S(3)=5/6*2/4, S(5)=0 (terminal n==d sentinel)."""
+    import math
+
+    from alerta_spark.ops.sessions import km_curve
+
+    life = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (3, True), (4, False), (5, True)],
+        "t long, ev boolean",
+    )
+    rows = {r["t_days"]: r for r in km_curve(life, "t", "ev").collect()}
+    assert set(rows) == {1, 3, 5}
+    assert rows[1]["n_at_risk"] == 6 and rows[1]["d_churned"] == 1
+    assert rows[3]["n_at_risk"] == 4 and rows[3]["d_churned"] == 2
+    assert rows[5]["n_at_risk"] == 1 and rows[5]["d_churned"] == 1
+    q = 1_000_000_000
+    t1 = math.floor(math.log(5 / 6) * q)
+    t3 = math.floor(math.log(2 / 4) * q)
+    assert rows[1]["survival_lnq"] == t1
+    assert rows[3]["survival_lnq"] == t1 + t3
+    assert rows[5]["survival_lnq"] == t1 + t3 - 100 * q  # S -> 0 sentinel
+    # censored-only times never emit a curve row
+    assert 2 not in rows and 4 not in rows
+
+
+def test_km_survival_churn_framing(spark):
+    """The churn wrapper: user A active till the end (censored), user
+    B quiet for 40 days before the dataset edge (churned)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.sessions import km_survival
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base), ("a", base + dt.timedelta(days=60)),      # censored
+        ("b", base), ("b", base + dt.timedelta(days=20)),      # churned @20
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = km_survival(df, churn_horizon_days=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["t_days"] == 20 and r["d_churned"] == 1 and r["n_at_risk"] == 2
