@@ -13044,3 +13044,176 @@ def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("t_days", "t_hours")
         .orderBy("t_hours")
     )
+
+
+@register(
+    "sessions_episode_pairs",
+    # Ordered within-session episode (a -> b with positional gap <= 4):
+    # the rank self-join fans out at most 4 rows per event, session
+    # membership is a distinct count — all exact integers.
+    oracle="""
+    WITH se AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(sum(CASE WHEN prev_us IS NULL
+                            OR epoch_us(ts) - prev_us > 1800000000
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+      FROM (
+        SELECT *, lag(epoch_us(ts)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+      )
+    ),
+    ranked AS (
+      SELECT user_id, session_idx, event_type,
+             row_number() OVER (PARTITION BY user_id, session_idx
+                                ORDER BY ts, event_id) AS rn
+      FROM se
+    ),
+    tot AS (
+      SELECT count(*) AS n_sessions FROM (
+        SELECT DISTINCT user_id, session_idx FROM ranked
+      )
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(DISTINCT a.user_id || '#' || a.session_idx)
+               AS n_sessions_with
+      FROM ranked a JOIN ranked b
+        ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+       AND b.rn - a.rn BETWEEN 1 AND 4
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_sessions_with,
+           CAST(n_sessions AS BIGINT) AS n_sessions_total
+    FROM pairs, tot
+    ORDER BY type_a, type_b
+    """,
+)
+def sessions_episode_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 sequential episode mining: for every ordered event-type
+    pair (a, b), the number of sessions where b follows a within 4
+    session positions — the gapped-sequence complement to the Markov
+    matrix (strictly adjacent) and co-occurrence lift (unordered).
+    Rank self-join fans out <= 4 rows/event; session ids from the
+    pinned sessionizer; one user exchange reused end to end."""
+    from alerta_spark.ops.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    se = sessionize(ev, gap_minutes=30)
+    w = W.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    ranked = se.select(
+        "user_id", "session_idx", "event_type", F.row_number().over(w).alias("rn")
+    )
+    tot = ranked.select("user_id", "session_idx").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions_total")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_idx") == F.col("b.session_idx"))
+            & (F.col("b.rn") - F.col("a.rn") >= 1)
+            & (F.col("b.rn") - F.col("a.rn") <= 4),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.countDistinct(
+                F.concat_ws("#", F.col("a.user_id"), F.col("a.session_idx"))
+            ).alias("n_sessions_with")
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select("type_a", "type_b", "n_sessions_with", "n_sessions_total")
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "basket_brand_lift",
+    # Market-basket over order lines: per-order distinct brands,
+    # bounded pairwise fan-out inside each order; lift is ONE final
+    # IEEE expression of four exact counts.
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+    ba AS (SELECT brand, count(*) AS n_b FROM ob GROUP BY brand),
+    pr AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             count(*) AS n_ab
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+           ba1.n_b AS n_a, ba2.n_b AS n_b,
+           CAST(n.n_orders AS BIGINT) AS n_orders,
+           CAST(pr.n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(ba1.n_b AS DOUBLE) * CAST(ba2.n_b AS DOUBLE)) AS lift
+    FROM pr
+    JOIN ba ba1 ON ba1.brand = pr.brand_a
+    JOIN ba ba2 ON ba2.brand = pr.brand_b
+    CROSS JOIN n
+    WHERE pr.n_ab >= 5
+    ORDER BY brand_a, brand_b
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 market-basket affinity on the orders domain: brand pairs
+    bought in the same order, with exact support counts and lift =
+    P(ab)/(P(a)P(b)) as one final IEEE expression of four exact
+    integers — events_cooccurrence_lift's shape applied to baskets.
+    The pair join fans out only within an order (distinct brands per
+    order, bounded by order size); brand marginals broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    ob = ob.persist()
+    n = ob.select(F.countDistinct("ok").cast("long").alias("n_orders"))
+    ba = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    ba1 = ba.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    ba2 = ba.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("n_b"))
+    return (
+        pr.join(F.broadcast(ba1), "brand_a")
+        .join(F.broadcast(ba2), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            (
+                F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

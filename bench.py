@@ -105,6 +105,19 @@ HEADLINE = [
     "inventory_running_balance_floor",
     "similarity_pq_pinned",
     "text_kwic_snippets",
+    # round-4 additions (no earlier baseline; tracked from r04 on)
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "trend_mann_kendall_daily",
+    "trend_theil_sen_daily",
+    "events_burstiness_fano",
+    "orders_fill_rate_monthly",
+    "quality_expectations_report",
+    "embedding_pca_power_pinned",
+    "km_time_to_purchase",
+    "sessions_episode_pairs",
+    "basket_brand_lift",
+    "bpe_learn_merges_pinned",
 ]
 
 
