@@ -483,13 +483,19 @@ def dup_clusters(
     recomputing the run, which is acceptable for a bounded-round batch
     job and documented here deliberately.
     """
+    # localCheckpoint (not just persist): edges arrive carrying the
+    # WHOLE candidate-join lineage (q-gram aggregates, prefix joins),
+    # and every propagation round re-embeds that subtree in the labels
+    # plan — at 10x corpus scale the analyzer tree alone OOMed the
+    # driver before any data moved. Truncating here bounds every
+    # round's plan to edges + k label rounds regardless of caller.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -520,11 +526,10 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
-        if (i + 1) % 5 == 0:
+        if (i + 1) % 3 == 0:
             # truncate the logical lineage (see docstring); the frame
             # is already materialized by the `changed` count
             labels = labels.localCheckpoint()
-    edges.unpersist()
     # the returned frame reads the final round's cache; register it so
     # release_cached() frees it once the caller has consumed the result
     _CACHED.append(labels)

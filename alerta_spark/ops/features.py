@@ -1,0 +1,120 @@
+"""Point-in-time feature-store snapshot over an event stream.
+
+The table every churn/propensity model trains on: one row per entity
+with trailing-window behavioral aggregates AS OF a cutoff instant.
+The classic implementation sin is one scan per window per feature;
+the Spark-first shape is ONE scan with every (window, feature) pair a
+conditional aggregate column — `sum(CASE WHEN ts >= cutoff - w ...)`
+— so a 40-feature snapshot costs exactly one exchange on the entity
+key, and Catalyst prunes the scan to the referenced columns.
+
+Leakage discipline: every aggregate is bounded by ``ts < cutoff``
+(events AT or AFTER the cutoff are the label horizon, never
+features). Pair with scd2_point_in_time_join for dimension features;
+this op is the behavioral side.
+
+Reference provenance: no analogue; training-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: Column | str,
+    id_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row's category encoded as
+    the mean target of the OTHER rows in its category — the standard
+    high-cardinality categorical feature that a naive whole-category
+    mean would leak (a row would see its own label). All sums/counts
+    exact BIGINT window aggregates sharing ONE category exchange; the
+    mean is a single final IEEE division. Categories of size 1 emit
+    NULL (no peers to average).
+
+    -> [id_col, cat_col, target(0/1 long), loo_enc double]."""
+    from pyspark.sql import Window as W
+
+    t = (
+        target_col
+        if isinstance(target_col, Column)
+        else F.col(target_col)
+    ).cast("long")
+    w = W.partitionBy(cat_col)
+    base = df.select(F.col(id_col), F.col(cat_col), t.alias("target"))
+    return base.select(
+        id_col,
+        cat_col,
+        "target",
+        F.when(
+            F.count(F.lit(1)).over(w) > 1,
+            (F.sum("target").over(w) - F.col("target")).cast("double")
+            / (F.count(F.lit(1)).over(w) - 1).cast("double"),
+        ).alias("loo_enc"),
+    )
+
+
+def feature_snapshot(
+    df: DataFrame,
+    cutoff,
+    windows_days: list[int] = [7, 30],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per ``key_col`` with trailing-window features as of
+    ``cutoff`` (exclusive). Per window w: event count, exact value sum
+    in cents, distinct active days, distinct event types; plus global
+    recency (days since last pre-cutoff event) and tenure (days since
+    first). All counts exact integers; value sums exact DECIMAL→cents.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    base = df.where(F.col(ts_col) < cut)
+
+    def in_w(w: int) -> Column:
+        return F.col(ts_col) >= F.date_sub(cut, w)
+
+    aggs: list[Column] = []
+    for w in windows_days:
+        flag = in_w(w)
+        aggs += [
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias(f"n_{w}d"),
+            F.sum(
+                F.when(flag, F.col(value_col).cast("decimal(14,2)")).otherwise(
+                    F.lit(0).cast("decimal(14,2)")
+                )
+            ).cast("decimal(18,2)").alias(f"_v{w}"),
+            F.countDistinct(
+                F.when(flag, F.col(ts_col).cast("date"))
+            ).cast("long").alias(f"active_days_{w}d"),
+            F.countDistinct(
+                F.when(flag, F.col(type_col))
+            ).cast("long").alias(f"n_types_{w}d"),
+        ]
+    aggs += [
+        F.max(ts_col).alias("_last"),
+        F.min(ts_col).alias("_first"),
+    ]
+    snap = base.groupBy(key_col).agg(*aggs)
+    out_cols: list[Column] = [F.col(key_col)]
+    for w in windows_days:
+        out_cols += [
+            F.col(f"n_{w}d"),
+            (F.col(f"_v{w}") * 100).cast("long").alias(f"value_cents_{w}d"),
+            F.col(f"active_days_{w}d"),
+            F.col(f"n_types_{w}d"),
+        ]
+    out_cols += [
+        F.datediff(cut.cast("date"), F.col("_last").cast("date"))
+        .cast("long")
+        .alias("days_since_last"),
+        F.datediff(cut.cast("date"), F.col("_first").cast("date"))
+        .cast("long")
+        .alias("tenure_days"),
+    ]
+    return snap.select(*out_cols)

@@ -379,3 +379,82 @@ def dsir_select(
         )
     )
     return scored.orderBy(F.col("score_q").desc(), F.col(id_col)).limit(k)
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random OTHER rows chosen by
+    md5(anchor || slot || salt) mod n over a rank-indexed corpus —
+    rerun/engine-stable (the md5 discipline of
+    :func:`shuffled_order`), so a resumed training job regenerates
+    byte-identical pairs. Self-collisions re-roll to (pick+1) mod n,
+    guaranteeing anchor != negative for n >= 2.
+
+    Scale shape: the rank index is one window over the corpus frame
+    (md5-banded exchange via shuffled_order's shard trick would also
+    work; here ranks must be GLOBAL and dense, so the window runs over
+    a column-derived constant partition — the index is (id, rank),
+    2 columns, and the two pick joins shuffle on the dense rank, a
+    perfectly uniform key). Fan-out is exactly k rows per anchor.
+
+    -> [anchor_id, slot, neg_id]."""
+    from pyspark.sql import Window as W
+
+    one = F.pmod(F.length(F.col("_nid").cast("string")), F.lit(1))
+    wr = W.partitionBy(one).orderBy("_nid")
+    idx = df.select(F.col(id_col).alias("_nid")).distinct().select(
+        "_nid", (F.row_number().over(wr) - 1).cast("long").alias("_r")
+    )
+    n = idx.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+
+    anchors = (
+        df.select(F.col(id_col).alias("anchor_id"))
+        .distinct()
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("slot"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                    F.lit(":"),
+                    F.lit(salt),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    picked = anchors.select(
+        "anchor_id",
+        "slot",
+        "_n",
+        F.pmod(h, F.col("_n")).alias("_p1"),
+    ).withColumn("_p2", F.pmod(F.col("_p1") + 1, F.col("_n")))
+    j1 = idx.select(F.col("_r").alias("_p1"), F.col("_nid").alias("_c1"))
+    j2 = idx.select(F.col("_r").alias("_p2"), F.col("_nid").alias("_c2"))
+    return (
+        picked.join(j1, "_p1")
+        .join(j2, "_p2")
+        .select(
+            "anchor_id",
+            "slot",
+            F.when(F.col("_c1") == F.col("anchor_id"), F.col("_c2"))
+            .otherwise(F.col("_c1"))
+            .alias("neg_id"),
+        )
+    )

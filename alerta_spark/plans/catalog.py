@@ -13217,3 +13217,112 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+@register(
+    "features_user_snapshot",
+    # One scan, every (window, feature) a conditional aggregate; value
+    # sums exact DECIMAL -> cents; countDistinct over CASE arguments
+    # gives per-window distincts without extra scans.
+    oracle="""
+    WITH base AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-25' - INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-25' - INTERVAL 7 DAY
+                         THEN CAST(value AS DECIMAL(14,2))
+                         ELSE CAST(0 AS DECIMAL(14,2)) END) * 100 AS BIGINT)
+             AS value_cents_7d,
+           CAST(count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-25'
+                                         - INTERVAL 7 DAY
+                                    THEN CAST(ts AS DATE) END) AS BIGINT)
+             AS active_days_7d,
+           CAST(count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-25'
+                                         - INTERVAL 7 DAY
+                                    THEN event_type END) AS BIGINT)
+             AS n_types_7d,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-25' - INTERVAL 30 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+           CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-25' - INTERVAL 30 DAY
+                         THEN CAST(value AS DECIMAL(14,2))
+                         ELSE CAST(0 AS DECIMAL(14,2)) END) * 100 AS BIGINT)
+             AS value_cents_30d,
+           CAST(count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-25'
+                                         - INTERVAL 30 DAY
+                                    THEN CAST(ts AS DATE) END) AS BIGINT)
+             AS active_days_30d,
+           CAST(count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-25'
+                                         - INTERVAL 30 DAY
+                                    THEN event_type END) AS BIGINT)
+             AS n_types_30d,
+           CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '2024-01-25')
+                AS BIGINT) AS days_since_last,
+           CAST(date_diff('day', CAST(min(ts) AS DATE), DATE '2024-01-25')
+                AS BIGINT) AS tenure_days
+    FROM base GROUP BY user_id ORDER BY user_id
+    """,
+)
+def features_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 point-in-time feature-store snapshot: per-user trailing
+    7d/30d behavioral features AS OF a cutoff, leakage-safe (only
+    ts < cutoff contributes) and computed in ONE scan + one user
+    exchange — the training-table producer that pairs with
+    scd2_point_in_time_join (dimension side) and km/growth readouts
+    (label side)."""
+    from alerta_spark.ops.features import feature_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    return feature_snapshot(ev, "2024-01-25 00:00:00").orderBy("user_id")
+
+
+@register(
+    "sample_negative_pairs",
+    # md5-mod picks over a dense rank index; self-collisions re-roll
+    # to (pick+1) mod n — all integer/hex-exact on both engines.
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id AS nid,
+             row_number() OVER (ORDER BY doc_id) - 1 AS r
+      FROM (SELECT DISTINCT doc_id FROM documents)
+    ),
+    n AS (SELECT count(*) AS n FROM idx),
+    anchors AS (
+      SELECT d.doc_id AS anchor_id, s.slot, n.n
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS slot) s
+      CROSS JOIN n
+    ),
+    picked AS (
+      SELECT anchor_id, slot, n,
+             CAST('0x' || substring(md5(CAST(anchor_id AS VARCHAR) || ':'
+                  || CAST(slot AS VARCHAR) || ':neg0'), 1, 15) AS BIGINT)
+               % n AS p1
+      FROM anchors
+    ),
+    cand AS (
+      SELECT p.anchor_id, p.slot,
+             i1.nid AS c1, i2.nid AS c2
+      FROM picked p
+      JOIN idx i1 ON i1.r = p.p1
+      JOIN idx i2 ON i2.r = (p.p1 + 1) % p.n
+    )
+    SELECT anchor_id, slot,
+           CASE WHEN c1 = anchor_id THEN c2 ELSE c1 END AS neg_id
+    FROM cand ORDER BY anchor_id, slot
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178 deterministic negative sampling for contrastive training:
+    4 md5-keyed pseudo-random negatives per anchor document, identical
+    across engines/retries/partitionings (resumable training pairs),
+    anchor != negative guaranteed by the (pick+1) re-roll. Fan-out is
+    exactly k rows per anchor; pick joins shuffle on a dense uniform
+    rank key."""
+    from alerta_spark.ops.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_samples(docs, k=4, salt="neg0").orderBy(
+        "anchor_id", "slot"
+    )

@@ -1,0 +1,45 @@
+"""Feature snapshot + negative sampling semantics."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_feature_snapshot_leakage_safe(spark):
+    from alerta_spark.ops.features import feature_snapshot
+
+    cut = dt.datetime(2024, 2, 1)
+    rows = [
+        # user 1: 2 events in 7d window, 1 more in 30d, 1 AFTER cutoff
+        (1, cut - dt.timedelta(days=2), "click", 10.0),
+        (1, cut - dt.timedelta(days=3), "view", 5.5),
+        (1, cut - dt.timedelta(days=20), "click", 1.0),
+        (1, cut + dt.timedelta(days=1), "purchase", 99.0),   # leakage probe
+        # user 2: only old events (outside both windows)
+        (2, cut - dt.timedelta(days=40), "click", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in feature_snapshot(df, cut).collect()}
+    u1 = out[1]
+    assert u1["n_7d"] == 2 and u1["n_30d"] == 3
+    assert u1["value_cents_7d"] == 1550       # 10.00 + 5.50, no future 99
+    assert u1["value_cents_30d"] == 1650
+    assert u1["n_types_7d"] == 2 and u1["active_days_7d"] == 2
+    assert u1["days_since_last"] == 2 and u1["tenure_days"] == 20
+    u2 = out[2]
+    assert u2["n_30d"] == 0 and u2["days_since_last"] == 40
+
+
+def test_negative_samples_deterministic_and_disjoint(spark):
+    from alerta_spark.ops.sampling import negative_samples
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    a = negative_samples(df, k=4, salt="s").collect()
+    b = negative_samples(df, k=4, salt="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    assert len(a) == 50 * 4
+    assert all(r["neg_id"] != r["anchor_id"] for r in a)   # never self
+    c = negative_samples(df, k=4, salt="other").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # salt re-rolls

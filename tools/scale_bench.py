@@ -43,6 +43,16 @@ FAMILY = [
     "dedup_winnow_pairs",
     "dedup_fuzzy_levenshtein",
     "dedup_semantic_clusters",
+    # round-4 widening: the other families with superlinear risk or
+    # headline cost — exact dedup (linear reference point), brute ANN
+    # (O(corpus) per query vector), inverted-index retrieval, tf-idf
+    # (corpus-sized vocab join), and the entity-resolution capstone
+    # (fuzzy join + iterative label propagation, slowest bench query)
+    "dedup_exact",
+    "similarity_cosine_topk",
+    "text_bm25_topk",
+    "text_tfidf_top_terms",
+    "pipeline_entity_resolution",
 ]
 
 
