@@ -36,24 +36,32 @@ def target_encode_loo(
     mean is a single final IEEE division. Categories of size 1 emit
     NULL (no peers to average).
 
-    -> [id_col, cat_col, target(0/1 long), loo_enc double]."""
-    from pyspark.sql import Window as W
+    Shape note: NOT a window over the category — a category column
+    worth encoding has few distinct values, so partitionBy(cat) makes
+    one giant partition per category (the classic window-skew trap at
+    100 TB). The per-category totals are a tiny partial-aggregated
+    frame broadcast back onto the rows: map-side combine + broadcast
+    join, zero row-frame shuffle.
 
+    -> [id_col, cat_col, target(0/1 long), loo_enc double]."""
     t = (
         target_col
         if isinstance(target_col, Column)
         else F.col(target_col)
     ).cast("long")
-    w = W.partitionBy(cat_col)
     base = df.select(F.col(id_col), F.col(cat_col), t.alias("target"))
-    return base.select(
+    tot = base.groupBy(cat_col).agg(
+        F.sum("target").cast("long").alias("_cat_sum"),
+        F.count(F.lit(1)).cast("long").alias("_cat_n"),
+    )
+    return base.join(F.broadcast(tot), cat_col).select(
         id_col,
         cat_col,
         "target",
         F.when(
-            F.count(F.lit(1)).over(w) > 1,
-            (F.sum("target").over(w) - F.col("target")).cast("double")
-            / (F.count(F.lit(1)).over(w) - 1).cast("double"),
+            F.col("_cat_n") > 1,
+            (F.col("_cat_sum") - F.col("target")).cast("double")
+            / (F.col("_cat_n") - 1).cast("double"),
         ).alias("loo_enc"),
     )
 

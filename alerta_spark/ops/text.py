@@ -552,6 +552,92 @@ def clean_lines(
     )
 
 
+# Small public English stopword list for RAKE phrase boundaries
+# (Rose et al. 2010's method uses any stopword lexicon; this is the
+# usual high-frequency core, deterministic and regex-embeddable).
+RAKE_STOPWORDS: list[str] = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "on", "for", "with", "as", "that", "it",
+    "at", "by", "this", "from", "but", "not", "have", "has",
+]
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    max_words: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs between stopwords/punctuation; each word scores
+    degree/freq over ALL phrase occurrences (degree = sum of the
+    lengths of phrases it appears in); a phrase scores the sum of its
+    words' scores. Cross-engine exactness: the per-word ratio is
+    quantized to BIGINT via integral division (degree·1e6 DIV freq)
+    BEFORE the phrase sum, so no float accumulation order exists.
+
+    Scale shape: two corpus scans' worth of map-side splitting, one
+    vocab-sized word aggregate, one phrase aggregate, one join on the
+    word key — no quadratic anywhere; phrase/vocab frames are
+    token-sized, not corpus-sized.
+
+    -> top-k [phrase, n_words, phrase_freq, score_q] by score desc.
+    """
+    sw = stopwords or RAKE_STOPWORDS
+    pat = r"\b(?:%s)\b" % "|".join(sw)
+    s = F.regexp_replace(F.lower(_c(text_col)), "[^a-z0-9 ]+", "|")
+    s = F.regexp_replace(s, pat, "|")
+    ph = (
+        df.select(F.explode(F.split(s, r"\|")).alias("p"))
+        .select(F.trim(F.regexp_replace("p", " +", " ")).alias("phrase"))
+        .where(
+            (F.col("phrase") != "")
+            & (F.size(F.split("phrase", " ")) <= max_words)
+        )
+    )
+    pw = ph.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wq = (
+        pw.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .select(
+            "w",
+            F.expr(
+                "(degree * CAST(1000000 AS BIGINT)) div freq"
+            ).alias("sq"),
+        )
+    )
+    dp = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_freq")
+    )
+    dpw = dp.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    ps = (
+        dpw.join(wq, "w")
+        .groupBy("phrase")
+        .agg(F.sum("sq").cast("long").alias("score_q"))
+    )
+    return (
+        ps.join(dp, "phrase")
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+            "phrase_freq",
+            "score_q",
+        )
+        .orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(k)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

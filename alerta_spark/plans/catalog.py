@@ -13326,3 +13326,531 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(docs, k=4, salt="neg0").orderBy(
         "anchor_id", "slot"
     )
+
+
+@register(
+    "graph_triangle_stats",
+    # Ordered-edge triangle enumeration: a<b<c means each triangle is
+    # produced exactly once; per-node counts unioned from the three
+    # corners; clustering = one final division of exact ints.
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    e AS (
+      SELECT a.brand AS a, b.brand AS b
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT a AS brand FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (SELECT brand, count(*) AS n_triangles FROM corners GROUP BY 1),
+    ends AS (
+      SELECT a AS brand FROM e UNION ALL SELECT b FROM e
+    ),
+    deg AS (SELECT brand, count(*) AS degree FROM ends GROUP BY 1)
+    SELECT d.brand, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+             CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           END AS clustering
+    FROM deg d LEFT JOIN tcnt t USING (brand)
+    ORDER BY brand
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 triangle counting + local clustering coefficient on the
+    brand co-purchase graph (edges = brand pairs in >= 5 common
+    orders, from basket_brand_lift's bounded per-order fan-out). The
+    classic a<b<c ordered-edge join enumerates each triangle once —
+    the join-orientation trick that keeps the intermediate bounded by
+    the edge orientation instead of degree^2; per-node counts come
+    from unioning the three corners. Clustering coefficient is one
+    final IEEE division of exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    oa, obb = ob.alias("x"), ob.alias("y")
+    e = (
+        oa.join(
+            obb,
+            (F.col("x.ok") == F.col("y.ok"))
+            & (F.col("x.brand") < F.col("y.brand")),
+        )
+        .groupBy(F.col("x.brand").alias("a"), F.col("y.brand").alias("b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 5)
+        .select("a", "b")
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("brand"))
+        .unionByName(tri.select(F.col("b").alias("brand")))
+        .unionByName(tri.select(F.col("c").alias("brand")))
+    )
+    tcnt = corners.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    ends = e.select(F.col("a").alias("brand")).unionByName(
+        e.select(F.col("b").alias("brand"))
+    )
+    deg = ends.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return (
+        deg.join(tcnt, "brand", "left")
+        .select(
+            "brand",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).alias("clustering"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "features_target_encoding_loo",
+    # LOO mean = (cat_sum - own) / (cat_n - 1): exact ints, one final
+    # division; singleton categories NULL.
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderkey,
+             c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS target
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    tot AS (
+      SELECT segment, CAST(sum(target) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY segment
+    )
+    SELECT b.o_orderkey, b.segment, CAST(b.target AS BIGINT) AS target,
+           CASE WHEN t.n > 1 THEN
+             CAST(t.s - b.target AS DOUBLE) / CAST(t.n - 1 AS DOUBLE)
+           END AS loo_enc
+    FROM base b JOIN tot t USING (segment)
+    ORDER BY o_orderkey
+    """,
+)
+def features_target_encoding_loo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X180 leave-one-out target encoding: each order's market segment
+    encoded as the urgent-order rate of the OTHER orders in that
+    segment — the standard leakage-free categorical feature (a plain
+    category mean would let a row see its own label). Category totals
+    are a broadcast frame, not a window (see
+    ops/features.target_encode_loo for the skew rationale)."""
+    from alerta_spark.ops.features import target_encode_loo
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("_t"),
+    )
+    return target_encode_loo(
+        base, "segment", F.col("_t"), "o_orderkey"
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "split_temporal_embargo",
+    # Purged time split: train < cutoff, purged [cutoff, cutoff+e),
+    # test >= cutoff+e; leak surface = users active on both sides.
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                  WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 'purged'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM tagged GROUP BY user_id
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM tagged WHERE split = 'train')
+        AS n_train,
+      (SELECT CAST(count(*) AS BIGINT) FROM tagged WHERE split = 'purged')
+        AS n_purged,
+      (SELECT CAST(count(*) AS BIGINT) FROM tagged WHERE split = 'test')
+        AS n_test,
+      CAST(sum(in_train) AS BIGINT) AS users_train,
+      CAST(sum(in_test) AS BIGINT) AS users_test,
+      CAST(sum(in_train * in_test) AS BIGINT) AS users_in_both,
+      CAST(sum(in_train * in_test) AS DOUBLE)
+        / CAST(sum(in_test) AS DOUBLE) AS leak_share
+    FROM u
+    """,
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181 purged temporal split with embargo: train strictly before
+    the cutoff, a 3-day embargo gap discarded, test after — the
+    standard guard against trailing-window features leaking across
+    the boundary (the embargo must exceed the longest feature
+    window, cf. features_user_snapshot). The report quantifies the
+    remaining entity-level leak surface: users appearing on BOTH
+    sides (for whom per-user features still straddle). One scan +
+    one user-key exchange + a 1-row global fold."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    end = F.lit("2024-01-23 00:00:00").cast("timestamp")
+    tagged = ev.select(
+        "user_id",
+        F.when(F.col("ts") < cut, "train")
+        .when(F.col("ts") < end, "purged")
+        .otherwise("test")
+        .alias("split"),
+    )
+    u = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "in_test"
+        ),
+    )
+    counts = tagged.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "purged", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purged"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    overlap = u.agg(
+        F.sum("in_train").cast("long").alias("users_train"),
+        F.sum("in_test").cast("long").alias("users_test"),
+        F.sum(F.col("in_train") * F.col("in_test"))
+        .cast("long")
+        .alias("users_in_both"),
+    )
+    return counts.crossJoin(F.broadcast(overlap)).select(
+        "n_train",
+        "n_purged",
+        "n_test",
+        "users_train",
+        "users_test",
+        "users_in_both",
+        (
+            F.col("users_in_both").cast("double")
+            / F.col("users_test").cast("double")
+        ).alias("leak_share"),
+    )
+
+
+@register("stats_cohens_kappa", oracle=None)  # oracle set below
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182 Cohen's kappa between the heuristic language ID and the
+    ground-truth labels — chance-corrected agreement, the number you
+    quote alongside text_langid_confusion's raw matrix. Algebra kept
+    exact: kappa = (n·agree − Σ row_k·col_k) / (n² − Σ row_k·col_k),
+    ONE final IEEE division of two exact BIGINTs (no intermediate
+    p_o/p_e floats to accumulate). Marginals are class-sized frames;
+    the only corpus-scale work is the prediction scan."""
+    from alerta_spark.ops.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(language_id(docs).select("doc_id", "lang_pred"), "doc_id")
+        .persist()
+    )
+    tot = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    rows = joined.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    cols = joined.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pe = (
+        rows.join(cols, "cls", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce("r", F.lit(0)) * F.coalesce("c", F.lit(0))
+            )
+            .cast("long")
+            .alias("pe_num")
+        )
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "n_agree",
+        "pe_num",
+        (
+            (F.col("n") * F.col("n_agree") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double")
+        ).alias("kappa"),
+    )
+
+
+QUERIES["stats_cohens_kappa"]["oracle"] = f"""
+    WITH pred AS ({_lang_oracle()}),
+    joined AS (
+      SELECT d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM joined
+    ),
+    r AS (SELECT lang AS cls, count(*) AS r FROM joined GROUP BY 1),
+    c AS (SELECT lang_pred AS cls, count(*) AS c FROM joined GROUP BY 1),
+    pe AS (
+      SELECT CAST(sum(COALESCE(r.r, 0) * COALESCE(c.c, 0)) AS BIGINT)
+               AS pe_num
+      FROM r FULL OUTER JOIN c USING (cls)
+    )
+    SELECT n, n_agree, pe_num,
+           CAST(n * n_agree - pe_num AS DOUBLE)
+             / CAST(n * n - pe_num AS DOUBLE) AS kappa
+    FROM tot CROSS JOIN pe
+    """
+
+
+@register(
+    "attribution_time_decay",
+    # Hyperbolic time-decay weights hl/(hl+dt) as exact integral
+    # divisions; credit split by weighted largest remainder so each
+    # purchase's cents are conserved EXACTLY.
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pt,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS cid, user_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+      SELECT p.pid, p.cents, c.cid,
+             (CAST(1800000000 AS BIGINT) * CAST(1000000 AS BIGINT))
+               // (CAST(1800000000 AS BIGINT) + (p.pt - c.ct)) AS wq
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ct < p.pt AND c.ct >= p.pt - 3600000000
+    ),
+    ranked AS (
+      SELECT pid, cents, cid, wq,
+             CAST(sum(wq) OVER (PARTITION BY pid) AS BIGINT) AS swq,
+             row_number() OVER (PARTITION BY pid ORDER BY wq DESC, cid)
+               AS rn
+      FROM touch
+    ),
+    based AS (
+      SELECT pid, cents, cid, rn,
+             (cents * wq) // swq AS base,
+             CAST(sum((cents * wq) // swq) OVER (PARTITION BY pid)
+                  AS BIGINT) AS sbase
+      FROM ranked
+    ),
+    credit AS (
+      SELECT cid,
+             base + CASE WHEN rn <= cents - sbase THEN 1 ELSE 0 END AS cr
+      FROM based
+    )
+    SELECT cid AS click_event_id,
+           CAST(count(*) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(cr) AS BIGINT) AS credit_cents
+    FROM credit GROUP BY cid
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183 time-decay multi-touch attribution: purchase cents split
+    over the prior-hour clicks proportionally to a hyperbolic decay
+    kernel w = hl/(hl+Δt) (30-min half-weight), with EXACT credit
+    conservation — weights are integral divisions (BIGINT), each
+    click's base credit is cents·w DIV Σw, and the remainder cents go
+    to the highest-weight (most recent) touches first: the weighted
+    largest-remainder extension of attribution_linear_multi_touch.
+    Range join bounded by the 1h window; windows run per purchase
+    over its bounded touch set."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.unix_micros("ts").alias("pt"),
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.unix_micros("ts").alias("ct"),
+    )
+    touch = (
+        p.join(c, "user_id")
+        .where(
+            (F.col("ct") < F.col("pt"))
+            & (F.col("ct") >= F.col("pt") - 3_600_000_000)
+        )
+        .select(
+            "pid",
+            "cents",
+            "cid",
+            F.expr(
+                "(CAST(1800000000 AS BIGINT) * CAST(1000000 AS BIGINT))"
+                " div (CAST(1800000000 AS BIGINT) + (pt - ct))"
+            ).alias("wq"),
+        )
+    )
+    wp = W.partitionBy("pid")
+    ranked = touch.select(
+        "pid",
+        "cents",
+        "cid",
+        "wq",
+        F.sum("wq").over(wp).cast("long").alias("swq"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("wq"), F.asc("cid")))
+        .alias("rn"),
+    )
+    based = ranked.select(
+        "pid",
+        "cents",
+        "cid",
+        "rn",
+        F.expr("(cents * wq) div swq").alias("base"),
+        F.sum(F.expr("(cents * wq) div swq"))
+        .over(wp)
+        .cast("long")
+        .alias("sbase"),
+    )
+    return (
+        based.select(
+            "cid",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rn") <= F.col("cents") - F.col("sbase"), 1
+                ).otherwise(0)
+            ).alias("cr"),
+        )
+        .groupBy(F.col("cid").alias("click_event_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases_touched"),
+            F.sum("cr").cast("long").alias("credit_cents"),
+        )
+    )
+
+
+@register("text_rake_keyphrases", oracle=None)  # oracle set below
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184 RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal runs between stopwords/punctuation; word
+    score = degree/freq quantized to BIGINT BEFORE the phrase sum
+    (no float accumulation); top-20 phrases by score. Complements
+    tf-idf (single terms) and PMI (pairs) with multi-word unit
+    extraction. Map-side splitting + vocab-sized aggregates only."""
+    from alerta_spark.ops.text import rake_keyphrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, k=20)
+
+
+def _rake_oracle() -> str:
+    from alerta_spark.ops.text import RAKE_STOPWORDS
+
+    pat = r"\b(?:%s)\b" % "|".join(RAKE_STOPWORDS)
+    return f"""
+    WITH norm AS (
+      SELECT regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]+', '|', 'g'),
+               '{pat}', '|', 'g') AS s
+      FROM documents
+    ),
+    ph0 AS (
+      SELECT trim(regexp_replace(unnest(string_split_regex(s, '\\|')),
+                                 ' +', ' ', 'g')) AS phrase
+      FROM norm
+    ),
+    ph AS (
+      SELECT phrase FROM ph0
+      WHERE phrase <> ''
+        AND len(string_split(phrase, ' ')) <= 4
+    ),
+    pw AS (
+      SELECT phrase,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM ph
+    ),
+    wq AS (
+      SELECT w,
+             (CAST(sum(plen) AS BIGINT) * 1000000)
+               // CAST(count(*) AS BIGINT) AS sq
+      FROM pw GROUP BY w
+    ),
+    dp AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS phrase_freq
+      FROM ph GROUP BY phrase
+    ),
+    dpw AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dp
+    ),
+    ps AS (
+      SELECT d.phrase, CAST(sum(q.sq) AS BIGINT) AS score_q
+      FROM dpw d JOIN wq q USING (w) GROUP BY d.phrase
+    )
+    SELECT p.phrase,
+           CAST(len(string_split(p.phrase, ' ')) AS BIGINT) AS n_words,
+           dp.phrase_freq, p.score_q
+    FROM ps p JOIN dp USING (phrase)
+    ORDER BY score_q DESC, phrase LIMIT 20
+    """
+
+
+QUERIES["text_rake_keyphrases"]["oracle"] = _rake_oracle()

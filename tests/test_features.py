@@ -43,3 +43,18 @@ def test_negative_samples_deterministic_and_disjoint(spark):
     assert all(r["neg_id"] != r["anchor_id"] for r in a)   # never self
     c = negative_samples(df, k=4, salt="other").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # salt re-rolls
+
+
+def test_target_encode_loo_excludes_self(spark):
+    from alerta_spark.ops.features import target_encode_loo
+
+    rows = [
+        (1, "a", 1), (2, "a", 0), (3, "a", 1),   # cat a: sum=2, n=3
+        (4, "b", 1),                               # singleton -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, t long")
+    out = {r["id"]: r for r in target_encode_loo(df, "cat", "t", "id").collect()}
+    assert out[1]["loo_enc"] == (2 - 1) / 2        # peers: 0,1
+    assert out[2]["loo_enc"] == (2 - 0) / 2        # peers: 1,1
+    assert out[3]["loo_enc"] == (2 - 1) / 2
+    assert out[4]["loo_enc"] is None               # no peers
