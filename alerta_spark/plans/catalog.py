@@ -13338,10 +13338,12 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     ),
+    no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
     e AS (
       SELECT a.brand AS a, b.brand AS b
       FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
-      GROUP BY 1, 2 HAVING count(*) >= 5
+      GROUP BY 1, 2
+      HAVING count(*) * 1000 >= (SELECT n_orders FROM no) * 22
     ),
     tri AS (
       SELECT e1.a AS a, e1.b AS b, e2.b AS c
@@ -13371,8 +13373,10 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X179 triangle counting + local clustering coefficient on the
-    brand co-purchase graph (edges = brand pairs in >= 5 common
-    orders, from basket_brand_lift's bounded per-order fan-out). The
+    brand co-purchase graph (edges = brand pairs co-bought in >=2.2%
+    of orders — a RELATIVE support cut, exact integer
+    cross-multiply, so the graph stays comparably sparse at every
+    corpus scale; from basket_brand_lift's bounded per-order fan-out). The
     classic a<b<c ordered-edge join enumerates each triangle once —
     the join-orientation trick that keeps the intermediate bounded by
     the edge orientation instead of degree^2; per-node counts come
@@ -13385,6 +13389,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
     )
+    no = ob.select(F.countDistinct("ok").cast("long").alias("n_orders"))
     oa, obb = ob.alias("x"), ob.alias("y")
     e = (
         oa.join(
@@ -13393,8 +13398,9 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.brand") < F.col("y.brand")),
         )
         .groupBy(F.col("x.brand").alias("a"), F.col("y.brand").alias("b"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 5)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .crossJoin(F.broadcast(no))
+        .where(F.col("_n") * 1000 >= F.col("n_orders") * 22)
         .select("a", "b")
         .persist()
     )
@@ -13854,3 +13860,640 @@ def _rake_oracle() -> str:
 
 
 QUERIES["text_rake_keyphrases"]["oracle"] = _rake_oracle()
+
+
+def _bh_thresholds(m: int = 5, alpha: float = 0.05) -> list[float]:
+    """|z| critical values for Benjamini-Hochberg at ranks 1..m:
+    Phi^-1(1 - (i*alpha/m)/2). Computed once from the stdlib normal
+    inverse CDF and embedded as IDENTICAL double literals in both the
+    Spark plan and the DuckDB oracle — the comparison is then exact on
+    both engines (no erf needed at query time)."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [nd.inv_cdf(1.0 - (i * alpha / m) / 2.0) for i in range(1, m + 1)]
+
+
+@register("abtest_bh_fdr", oracle=None)  # oracle set below
+def abtest_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185 Benjamini-Hochberg FDR across a family of A/B tests: one
+    two-proportion z per event type (arm = md5 band, conversion =
+    high-k purchase), then the BH step-up on |z| — since p is
+    monotone in |z|, p_(i) <= i*alpha/m is equivalent to |z|_(i) >=
+    Phi^-1(1 - i*alpha/(2m)), so the procedure runs on precomputed
+    double-literal thresholds and never evaluates erf in-engine.
+    Reject ranks 1..k where k is the largest passing rank (the
+    step-up: a type can be rejected on the strength of types below
+    it). Family-sized frames after one events scan."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("exp1"))),
+                1,
+                8,
+            )
+            < "80000000",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    conv = (
+        ev.where(F.get_json_object("props", "$.k").cast("int") > 90)
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    typed = ev.select("event_type", "user_id").distinct()
+    cell = (
+        typed.join(F.broadcast(assign), "user_id")
+        .join(F.broadcast(conv), ["event_type", "user_id"], "left")
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("_c", F.lit(0))).cast("long").alias("x"),
+        )
+    )
+    wide = cell.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n"))).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == "A", F.col("x"))).cast("long").alias("xa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n"))).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == "B", F.col("x"))).cast("long").alias("xb"),
+    )
+    z = (
+        F.col("xa").cast("double") / F.col("na").cast("double")
+        - F.col("xb").cast("double") / F.col("nb").cast("double")
+    ) / F.sqrt(
+        ((F.col("xa") + F.col("xb")).cast("double") / (F.col("na") + F.col("nb")).cast("double"))
+        * (
+            F.lit(1.0)
+            - (F.col("xa") + F.col("xb")).cast("double")
+            / (F.col("na") + F.col("nb")).cast("double")
+        )
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    scored = wide.select("event_type", "na", "xa", "nb", "xb", z.alias("z"))
+    rn = F.row_number().over(
+        W.orderBy(F.desc(F.abs(F.col("z"))), F.asc("event_type"))
+    )
+    th = F.lit(None).cast("double")
+    crit = _bh_thresholds()
+    expr = None
+    for i, c in enumerate(crit, start=1):
+        expr = (
+            F.when(F.col("bh_rank") == i, F.lit(c))
+            if expr is None
+            else expr.when(F.col("bh_rank") == i, F.lit(c))
+        )
+    ranked = scored.select("*", rn.alias("bh_rank")).select(
+        "*", expr.alias("z_crit")
+    )
+    kmax = ranked.agg(
+        F.max(
+            F.when(F.abs(F.col("z")) >= F.col("z_crit"), F.col("bh_rank"))
+        ).alias("_k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "na",
+            "xa",
+            "nb",
+            "xb",
+            "z",
+            "bh_rank",
+            "z_crit",
+            (F.col("bh_rank") <= F.coalesce("_k", F.lit(0))).alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
+
+
+def _bh_oracle() -> str:
+    crit = _bh_thresholds()
+    case = " ".join(
+        f"WHEN {i} THEN {c!r}" for i, c in enumerate(crit, start=1)
+    )
+    return f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 8)
+                       < '80000000' THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    ),
+    conv AS (SELECT DISTINCT event_type, user_id, 1 AS c FROM events
+             WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90),
+    typed AS (SELECT DISTINCT event_type, user_id FROM events),
+    cell AS (
+      SELECT t.event_type, a.arm, count(*) AS n,
+             CAST(sum(COALESCE(c.c, 0)) AS BIGINT) AS x
+      FROM typed t JOIN assign a USING (user_id)
+      LEFT JOIN conv c ON c.event_type = t.event_type
+                      AND c.user_id = t.user_id
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN arm = 'A' THEN x END) AS BIGINT) AS xa,
+             CAST(sum(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN arm = 'B' THEN x END) AS BIGINT) AS xb
+      FROM cell GROUP BY event_type
+    ),
+    scored AS (
+      SELECT *,
+             (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / sqrt(
+                 (CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                 * (1.0 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                 * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+               ) AS z
+      FROM wide
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY abs(z) DESC, event_type) AS bh_rank
+      FROM scored
+    ),
+    crit AS (
+      SELECT *, CAST(CASE bh_rank {case} END AS DOUBLE) AS z_crit FROM ranked
+    ),
+    k AS (
+      SELECT max(CASE WHEN abs(z) >= z_crit THEN bh_rank END) AS kk
+      FROM crit
+    )
+    SELECT event_type, na, xa, nb, xb, z, bh_rank, z_crit,
+           bh_rank <= COALESCE(k.kk, 0) AS rejected
+    FROM crit CROSS JOIN k
+    ORDER BY bh_rank
+    """
+
+
+QUERIES["abtest_bh_fdr"]["oracle"] = _bh_oracle()
+
+
+@register(
+    "stats_mann_whitney_u",
+    # Rank-sum with doubled midranks: r2 = lo_rank + hi_rank stays
+    # BIGINT (no .5 floats), tie correction sum(t^3 - t) exact; the
+    # z statistic is one fixed expression at the very end.
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 8)
+                       < '80000000' THEN 'A' ELSE 'B' END AS arm
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a
+      FROM pv GROUP BY cents
+    ),
+    r AS (
+      SELECT *,
+             CAST(sum(n_all) OVER (ORDER BY cents) AS BIGINT) AS hi,
+             CAST(sum(n_all) OVER (ORDER BY cents) AS BIGINT) - n_all + 1
+               AS lo
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS n1,
+             CAST(sum(n_all - n_a) AS BIGINT) AS n2,
+             CAST(sum(n_a * (lo + hi)) AS BIGINT) AS r1_2,
+             CAST(sum(n_all * n_all * n_all - n_all) AS BIGINT) AS ties
+      FROM r
+    )
+    SELECT n1, n2, r1_2, ties,
+           r1_2 - n1 * (n1 + 1) AS u1_2,
+           CAST(r1_2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+           / (2.0 * sqrt(
+               (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                  - CAST(ties AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+             )) AS z
+    FROM s
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186 Mann-Whitney U (Wilcoxon rank-sum) on purchase value by
+    experiment arm — the nonparametric complement to the KS test
+    (X150) and the z/CUPED family. Exactness discipline: midranks are
+    kept as DOUBLED integers (lo+hi of each tie run), so rank sums,
+    U, and the tie correction sum(t³−t) are all exact BIGINTs; the
+    normal-approximation z is ONE final fixed expression. The global
+    rank cumsum runs over the DISTINCT-VALUE frame (value-sized, not
+    row-sized) — same shape as the KS/Gini readouts."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = ev.where(F.col("event_type") == "purchase").select(
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("exp1"))),
+                1,
+                8,
+            )
+            < "80000000",
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    g = pv.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+    )
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = g.select(
+        "*",
+        F.sum("n_all").over(wc).cast("long").alias("hi"),
+        (F.sum("n_all").over(wc) - F.col("n_all") + 1)
+        .cast("long")
+        .alias("lo"),
+    )
+    s = r.agg(
+        F.sum("n_a").cast("long").alias("n1"),
+        F.sum(F.col("n_all") - F.col("n_a")).cast("long").alias("n2"),
+        F.sum(F.col("n_a") * (F.col("lo") + F.col("hi")))
+        .cast("long")
+        .alias("r1_2"),
+        F.sum(
+            F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all")
+        )
+        .cast("long")
+        .alias("ties"),
+    )
+    return s.select(
+        "n1",
+        "n2",
+        "r1_2",
+        "ties",
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2"),
+        (
+            (
+                F.col("r1_2")
+                - F.col("n1") * (F.col("n1") + 1)
+                - F.col("n1") * F.col("n2")
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    (
+                        F.col("n1").cast("double")
+                        * F.col("n2").cast("double")
+                        / F.lit(12.0)
+                    )
+                    * (
+                        (F.col("n1") + F.col("n2") + 1).cast("double")
+                        - F.col("ties").cast("double")
+                        / (
+                            (F.col("n1") + F.col("n2")).cast("double")
+                            * (F.col("n1") + F.col("n2") - 1).cast("double")
+                        )
+                    )
+                )
+            )
+        ).alias("z"),
+    )
+
+
+@register(
+    "graph_link_prediction_aa",
+    # Wedge join through the shared neighbor; Adamic-Aalen-free exact
+    # discipline: 1/ln(deg) quantized as 10^12 DIV lnq(deg), BIGINT
+    # end to end; existing edges removed by anti-join.
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+    e AS (
+      SELECT a.brand AS a, b.brand AS b
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2
+      HAVING count(*) * 1000 >= (SELECT n_orders FROM no) * 22
+    ),
+    adj AS (
+      SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    dq AS (
+      SELECT v,
+             CAST(1000000000000 AS BIGINT)
+               // CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT)
+               AS aa_q
+      FROM deg WHERE d >= 2
+    ),
+    wedge AS (
+      SELECT x.u AS u, y.u AS w, x.v AS v
+      FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+    ),
+    cand AS (
+      SELECT wg.u, wg.w,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(dq.aa_q) AS BIGINT) AS adamic_adar_q
+      FROM wedge wg JOIN dq ON dq.v = wg.v
+      GROUP BY wg.u, wg.w
+    )
+    SELECT c.u AS brand_u, c.w AS brand_w, c.common_neighbors,
+           c.adamic_adar_q
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.w)
+    ORDER BY adamic_adar_q DESC, brand_u, brand_w
+    LIMIT 25
+    """,
+)
+def graph_link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187 link prediction on the brand co-purchase graph:
+    common-neighbor count and Adamic-Adar score for NON-adjacent
+    pairs (the edges a recommender would propose next). The wedge
+    join goes through the shared neighbor — cost Σ deg(v)², bounded
+    by the degree cap the support threshold imposes, never all-pairs.
+    1/ln(deg) is quantized via the repo's ln-fixed-point discipline
+    (10^12 DIV floor(ln·10^6)) so scores are exact BIGINTs on both
+    engines; existing edges drop via anti-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    no = ob.select(F.countDistinct("ok").cast("long").alias("n_orders"))
+    oa, obb = ob.alias("x"), ob.alias("y")
+    e = (
+        oa.join(
+            obb,
+            (F.col("x.ok") == F.col("y.ok"))
+            & (F.col("x.brand") < F.col("y.brand")),
+        )
+        .groupBy(F.col("x.brand").alias("a"), F.col("y.brand").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .crossJoin(F.broadcast(no))
+        .where(F.col("_n") * 1000 >= F.col("n_orders") * 22)
+        .select("a", "b")
+        .persist()
+    )
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        e.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dq = deg.where(F.col("d") >= 2).select(
+        "v",
+        F.expr(
+            "CAST(1000000000000 AS BIGINT) div "
+            "CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("aa_q"),
+    )
+    x, y = adj.alias("wx"), adj.alias("wy")
+    wedge = x.join(
+        y,
+        (F.col("wx.v") == F.col("wy.v")) & (F.col("wx.u") < F.col("wy.u")),
+    ).select(
+        F.col("wx.u").alias("u"), F.col("wy.u").alias("w"), F.col("wx.v").alias("v")
+    )
+    cand = (
+        wedge.join(F.broadcast(dq), "v")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("aa_q").cast("long").alias("adamic_adar_q"),
+        )
+    )
+    return (
+        cand.join(
+            e,
+            (cand["u"] == e["a"]) & (cand["w"] == e["b"]),
+            "left_anti",
+        )
+        .select(
+            F.col("u").alias("brand_u"),
+            F.col("w").alias("brand_w"),
+            "common_neighbors",
+            "adamic_adar_q",
+        )
+        .orderBy(F.desc("adamic_adar_q"), "brand_u", "brand_w")
+        .limit(25)
+    )
+
+
+@register(
+    "recs_item_item_cosine",
+    # Co-occurrence cosine n_ab/sqrt(n_a*n_b); ranking by exact
+    # integer cross-multiplication n_ab^2 * n_a' * n_b' so the top-3
+    # cut never depends on float rounding; cosine itself is one final
+    # IEEE expression per emitted row.
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ba AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY brand),
+    pr AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand <> b.brand
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    sc AS (
+      SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+             b1.n_b AS n_a, b2.n_b AS n_bb
+      FROM pr
+      JOIN ba b1 ON b1.brand = pr.brand_a
+      JOIN ba b2 ON b2.brand = pr.brand_b
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY brand_a
+               ORDER BY CAST(n_ab AS HUGEINT) * n_ab * 1000000
+                        / (CAST(n_a AS HUGEINT) * n_bb) DESC,
+                        brand_b) AS rn
+      FROM sc
+    )
+    SELECT brand_a, brand_b, n_ab, n_a, n_bb AS n_b,
+           CAST(n_ab AS DOUBLE)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_bb AS DOUBLE)) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= 3
+    ORDER BY brand_a, rn
+    """,
+)
+def recs_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188 item-item collaborative filtering: top-3 'customers who
+    bought X also bought Y' per brand by co-occurrence cosine
+    n_ab/√(n_a·n_b) — the recommendation face of the basket family
+    (lift ranks association strength; cosine normalizes for item
+    popularity). The top-3 cut ranks by the exact integer quantity
+    n_ab²·10⁶/(n_a·n_b) (DECIMAL intermediate, integral division),
+    NOT the float cosine, so the cut is bit-identical on both
+    engines; the reported cosine is one final IEEE expression.
+    Per-order bounded pair fan-out; marginals broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()
+    )
+    ba = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") != F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    b1 = ba.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    b2 = ba.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("n_bb"))
+    sc = pr.join(F.broadcast(b1), "brand_a").join(F.broadcast(b2), "brand_b")
+    key = F.expr(
+        "CAST(n_ab AS DECIMAL(38,0)) * n_ab * 1000000"
+        " div (CAST(n_a AS DECIMAL(38,0)) * n_bb)"
+    )
+    rk = sc.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("brand_a").orderBy(key.desc(), F.asc("brand_b")))
+        .alias("rn"),
+    )
+    return (
+        rk.where(F.col("rn") <= 3)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            F.col("n_bb").alias("n_b"),
+            (
+                F.col("n_ab").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_bb").cast("double"))
+            ).alias("cosine"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("brand_a", "rank")
+    )
+
+
+@register(
+    "abtest_diff_in_diff",
+    # 2x2 cell sums exact (cents), four means as single divisions,
+    # DiD one fixed arithmetic expression of the four.
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 8)
+                       < '80000000' THEN 'T' ELSE 'C' END AS grp,
+             CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM tagged GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        (SELECT s FROM cell WHERE grp='T' AND period='pre')  AS st_pre,
+        (SELECT n FROM cell WHERE grp='T' AND period='pre')  AS nt_pre,
+        (SELECT s FROM cell WHERE grp='T' AND period='post') AS st_post,
+        (SELECT n FROM cell WHERE grp='T' AND period='post') AS nt_post,
+        (SELECT s FROM cell WHERE grp='C' AND period='pre')  AS sc_pre,
+        (SELECT n FROM cell WHERE grp='C' AND period='pre')  AS nc_pre,
+        (SELECT s FROM cell WHERE grp='C' AND period='post') AS sc_post,
+        (SELECT n FROM cell WHERE grp='C' AND period='post') AS nc_post
+    )
+    SELECT st_pre, nt_pre, st_post, nt_post,
+           sc_pre, nc_pre, sc_post, nc_post,
+           (CAST(st_post AS DOUBLE) / CAST(nt_post AS DOUBLE)
+            - CAST(st_pre AS DOUBLE) / CAST(nt_pre AS DOUBLE))
+           - (CAST(sc_post AS DOUBLE) / CAST(nc_post AS DOUBLE)
+              - CAST(sc_pre AS DOUBLE) / CAST(nc_pre AS DOUBLE))
+             AS did_cents
+    FROM wide
+    """,
+)
+def abtest_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189 difference-in-differences readout: mean purchase cents per
+    (treatment-band, pre/post) cell and the DiD estimate
+    (ΔT − ΔC) — the quasi-experimental companion to the z/CUPED/
+    stratified A/B family. Cell sums are exact BIGINT cents from ONE
+    scan; the four means are each a single division and DiD is one
+    fixed arithmetic expression of them (identical tree both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("exp1"))),
+                1,
+                8,
+            )
+            < "80000000",
+            "T",
+        )
+        .otherwise("C")
+        .alias("grp"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"),
+            "post",
+        )
+        .otherwise("pre")
+        .alias("period"),
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cell = tagged.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    wide = cell.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("grp") == g) & (F.col("period") == p), F.col(c)
+                )
+            )
+            .cast("long")
+            .alias(f"{'s' if c == 's' else 'n'}{g.lower()}_{p}")
+            for g in ("T", "C")
+            for p in ("pre", "post")
+            for c in ("s", "n")
+        ]
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    return wide.select(
+        F.col("st_pre"),
+        F.col("nt_pre"),
+        F.col("st_post"),
+        F.col("nt_post"),
+        F.col("sc_pre"),
+        F.col("nc_pre"),
+        F.col("sc_post"),
+        F.col("nc_post"),
+        (
+            (mean("st_post", "nt_post") - mean("st_pre", "nt_pre"))
+            - (mean("sc_post", "nc_post") - mean("sc_pre", "nc_pre"))
+        ).alias("did_cents"),
+    )

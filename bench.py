@@ -118,6 +118,20 @@ HEADLINE = [
     "sessions_episode_pairs",
     "basket_brand_lift",
     "bpe_learn_merges_pinned",
+    # round-4 batch 2 (no earlier baseline; tracked from r04 on)
+    "features_user_snapshot",
+    "sample_negative_pairs",
+    "graph_triangle_stats",
+    "features_target_encoding_loo",
+    "split_temporal_embargo",
+    "stats_cohens_kappa",
+    "attribution_time_decay",
+    "text_rake_keyphrases",
+    "abtest_bh_fdr",
+    "stats_mann_whitney_u",
+    "graph_link_prediction_aa",
+    "recs_item_item_cosine",
+    "abtest_diff_in_diff",
 ]
 
 

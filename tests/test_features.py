@@ -58,3 +58,13 @@ def test_target_encode_loo_excludes_self(spark):
     assert out[2]["loo_enc"] == (2 - 0) / 2        # peers: 1,1
     assert out[3]["loo_enc"] == (2 - 1) / 2
     assert out[4]["loo_enc"] is None               # no peers
+
+
+def test_bh_thresholds_match_normal_inverse():
+    from alerta_spark.plans.catalog import _bh_thresholds
+    from statistics import NormalDist
+
+    th = _bh_thresholds(m=5, alpha=0.05)
+    assert len(th) == 5
+    assert th == sorted(th, reverse=True)          # step-up monotone
+    assert th[4] == NormalDist().inv_cdf(1 - 0.025)  # rank m is plain alpha
