@@ -126,3 +126,156 @@ def feature_snapshot(
         .alias("tenure_days"),
     ]
     return snap.select(*out_cols)
+
+
+def feature_partials(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Mergeable day-grain partials for the incremental feature store:
+    one row per (key, day, event_type) with exact count + cent sum.
+    Every snapshot feature is an algebra over this grain — counts and
+    cents are sums, active_days is countDistinct(day), n_types is
+    countDistinct(type), recency/tenure are max/min(day) — so two
+    stores built from any split of the input merge by simple
+    aggregation, and a daily update touches only the new day's rows
+    (O(delta), the X28/X63 append-only discipline)."""
+    return df.groupBy(
+        F.col(key_col),
+        F.col(ts_col).cast("date").alias("day"),
+        F.col(type_col).alias("event_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col(value_col).cast("decimal(14,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def update_feature_store(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    **partial_kwargs,
+) -> int:
+    """Append a batch's day-grain partials to the persistent store
+    (append-only parquet; reads aggregate, updates never
+    read-modify-overwrite — same exactly-once caveat as
+    ops/drift.incremental_drift_monitor: a crash between sink writes
+    can double-append on redelivery). Returns partial rows written."""
+    p = feature_partials(batch, **partial_kwargs).localCheckpoint(
+        eager=True
+    )
+    p.write.mode("append").parquet(store_path)
+    return p.count()
+
+
+def feature_snapshot_from_store(
+    spark,
+    store_path: str,
+    cutoff,
+    windows_days: list[int] = [7, 30],
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Point-in-time snapshot served FROM the partial store — same
+    output schema and (at day-boundary cutoffs) identical values to
+    the batch :func:`feature_snapshot` over the raw events, pinned by
+    test_features. Day grain means cutoffs resolve to midnight; the
+    trailing windows are day-range filters over partials, so serving
+    cost scales with (keys x days x types), not raw event volume."""
+    cut = F.lit(cutoff).cast("timestamp")
+    cut_day = cut.cast("date")
+    store = (
+        spark.read.parquet(store_path)
+        .groupBy(key_col, "day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .where(F.col("day") < cut_day)
+    )
+
+    aggs = []
+    for w in windows_days:
+        flag = F.col("day") >= F.date_sub(cut_day, w)
+        aggs += [
+            F.sum(F.when(flag, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"n_{w}d"),
+            F.sum(F.when(flag, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias(f"value_cents_{w}d"),
+            F.countDistinct(F.when(flag, F.col("day")))
+            .cast("long")
+            .alias(f"active_days_{w}d"),
+            F.countDistinct(F.when(flag, F.col("event_type")))
+            .cast("long")
+            .alias(f"n_types_{w}d"),
+        ]
+    aggs += [F.max("day").alias("_last"), F.min("day").alias("_first")]
+    snap = store.groupBy(key_col).agg(*aggs)
+    out = [F.col(key_col)]
+    for w in windows_days:
+        out += [
+            F.col(f"n_{w}d"),
+            F.col(f"value_cents_{w}d"),
+            F.col(f"active_days_{w}d"),
+            F.col(f"n_types_{w}d"),
+        ]
+    out += [
+        F.datediff(cut_day, F.col("_last")).cast("long").alias(
+            "days_since_last"
+        ),
+        F.datediff(cut_day, F.col("_first")).cast("long").alias(
+            "tenure_days"
+        ),
+    ]
+    return snap.select(*out)
+
+
+def stream_feature_updates(
+    spark,
+    input_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema,
+    fmt: str = "json",
+    available_now: bool = True,
+    **partial_kwargs,
+):
+    """Streaming face: each arriving event-file batch folds into the
+    partial store via foreachBatch append — one feature-store
+    implementation shared by backfills and the live stream (the
+    drift-monitor pairing, X63)."""
+    stream = spark.readStream.format(fmt).schema(schema).load(input_path)
+
+    def _epoch(df, epoch_id):
+        update_feature_store(spark, store_path, df, **partial_kwargs)
+
+    writer = stream.writeStream.foreachBatch(_epoch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_feature_store(spark, store_path: str) -> int:
+    """Offline compaction: rewrite the append-only partials as one
+    aggregated (key, day, type) snapshot. Returns row count after."""
+    agg = (
+        spark.read.parquet(store_path)
+        .groupBy("user_id", "day", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    agg.write.mode("overwrite").parquet(store_path)
+    return agg.count()

@@ -14497,3 +14497,316 @@ def abtest_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (mean("sc_post", "nc_post") - mean("sc_pre", "nc_pre"))
         ).alias("did_cents"),
     )
+
+
+@register("classifier_calibration_bins", oracle=None)  # oracle set below
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190 classifier reliability diagram: the heuristic langid's
+    integer confidence score (stopword-marker hits) binned against
+    empirical accuracy — the calibration readout you consult before
+    thresholding lang_score in a filter pipeline. Scores are already
+    exact integers so bins need no quantile pass; accuracy is one
+    final division per bin. Completes the classifier-observability
+    family (X69 confusion, X182 kappa)."""
+    from alerta_spark.ops.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return (
+        joined.groupBy(F.col("lang_score"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("lang_score").cast("long").alias("lang_score"),
+            "n_docs",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("lang_score")
+    )
+
+
+QUERIES["classifier_calibration_bins"]["oracle"] = f"""
+    WITH pred AS ({{LANG}}),
+    joined AS (
+      SELECT d.lang, p.lang_pred, p.lang_score
+      FROM documents d JOIN pred p USING (doc_id)
+    )
+    SELECT CAST(lang_score AS BIGINT) AS lang_score,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+    FROM joined GROUP BY lang_score ORDER BY lang_score
+    """.replace("{LANG}", _lang_oracle())
+
+
+@register(
+    "features_woe_iv",
+    # WOE via quantized-ln difference of exact integer products,
+    # IV as a BIGINT dot product with ONE final division.
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // 2000000 AS band,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t
+      FROM orders
+    ),
+    cell AS (
+      SELECT band, CAST(sum(t) AS BIGINT) AS n_urgent,
+             CAST(count(*) - sum(t) AS BIGINT) AS n_other
+      FROM base GROUP BY band
+    ),
+    tot AS (
+      SELECT CAST(sum(n_urgent) AS BIGINT) AS tu,
+             CAST(sum(n_other) AS BIGINT) AS tn
+      FROM cell
+    ),
+    woe AS (
+      SELECT band, n_urgent, n_other,
+             CAST(floor(ln(CAST(n_urgent * tot.tn AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             - CAST(floor(ln(CAST(n_other * tot.tu AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS woe_q,
+             tot.tu, tot.tn
+      FROM cell CROSS JOIN tot
+      WHERE n_urgent > 0 AND n_other > 0
+    ),
+    iv AS (
+      SELECT CAST(sum((n_urgent * tn - n_other * tu) * woe_q) AS BIGINT)
+               AS ivq,
+             max(tu) AS tu, max(tn) AS tn
+      FROM woe
+    )
+    SELECT w.band, w.n_urgent, w.n_other, w.woe_q,
+           CAST(i.ivq AS DOUBLE)
+             / (CAST(i.tu AS DOUBLE) * CAST(i.tn AS DOUBLE) * 1000000.0)
+             AS iv_total
+    FROM woe w CROSS JOIN iv i
+    ORDER BY w.band
+    """,
+)
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X191 weight-of-evidence binning + information value: the
+    credit-scoring feature transform — order price banded (exact cent
+    integer division, no quantile pass), per-band WOE =
+    ln(urgent_share/other_share) computed as a DIFFERENCE of
+    quantized-ln BIGINTs of exact integer products (the repo's ln
+    discipline: never subtract floats), IV = Σ(p_u−p_o)·WOE as an
+    exact BIGINT dot product with ONE final division. Zero-sided
+    bands are excluded (standard WOE practice; at production scale,
+    merge or Laplace-smooth them)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " div 2000000"
+        ).alias("band"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("t"),
+    )
+    cell = base.groupBy("band").agg(
+        F.sum("t").cast("long").alias("n_urgent"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("n_other"),
+    )
+    tot = cell.agg(
+        F.sum("n_urgent").cast("long").alias("tu"),
+        F.sum("n_other").cast("long").alias("tn"),
+    )
+    woe = (
+        cell.crossJoin(F.broadcast(tot))
+        .where((F.col("n_urgent") > 0) & (F.col("n_other") > 0))
+        .select(
+            "band",
+            "n_urgent",
+            "n_other",
+            (
+                F.floor(
+                    F.log((F.col("n_urgent") * F.col("tn")).cast("double"))
+                    * 1000000
+                ).cast("long")
+                - F.floor(
+                    F.log((F.col("n_other") * F.col("tu")).cast("double"))
+                    * 1000000
+                ).cast("long")
+            ).alias("woe_q"),
+            "tu",
+            "tn",
+        )
+    )
+    iv = woe.agg(
+        F.sum(
+            (F.col("n_urgent") * F.col("tn") - F.col("n_other") * F.col("tu"))
+            * F.col("woe_q")
+        )
+        .cast("long")
+        .alias("ivq"),
+        F.max("tu").alias("tu"),
+        F.max("tn").alias("tn"),
+    )
+    return (
+        woe.select("band", "n_urgent", "n_other", "woe_q")
+        .crossJoin(F.broadcast(iv))
+        .select(
+            "band",
+            "n_urgent",
+            "n_other",
+            "woe_q",
+            (
+                F.col("ivq").cast("double")
+                / (
+                    F.col("tu").cast("double")
+                    * F.col("tn").cast("double")
+                    * F.lit(1000000.0)
+                )
+            ).alias("iv_total"),
+        )
+        .orderBy("band")
+    )
+
+
+def _sprt_constants(
+    p0: float = 0.3, p1: float = 0.4, alpha: float = 0.05, beta: float = 0.05
+) -> dict[str, int]:
+    """Wald SPRT increments and boundaries as quantized-ln BIGINT
+    literals, computed ONCE in Python (math.log) and embedded
+    identically in the Spark plan and the DuckDB oracle — the
+    sequential scan then runs on exact integer arithmetic only."""
+    import math
+
+    q = 1_000_000
+    return {
+        "w1": math.floor(math.log(p1 / p0) * q),          # success increment
+        "w0": math.floor(math.log((1 - p1) / (1 - p0)) * q),  # failure (neg)
+        "a": math.floor(math.log((1 - beta) / alpha) * q),    # reject H0 at >=
+        "b": math.floor(math.log(beta / (1 - alpha)) * q),    # accept H0 at <=
+    }
+
+
+@register("abtest_sprt_sequential", oracle=None)  # oracle set below
+def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X193 Wald sequential probability-ratio test, one monitor per
+    event type: each event's high-k outcome adds a precomputed
+    quantized-ln increment to the type's log-likelihood ratio; the
+    test stops at the FIRST boundary crossing (reject_h0 at A,
+    accept_h0 at B) — the always-valid alternative to the fixed-n z
+    family (X65/X185), and the op an alerting engine would run
+    streaming. All arithmetic after the Python-literal constants is
+    exact BIGINT; the crossing index is found with one min-over-
+    flagged-rows aggregate sharing the cumsum's type-key exchange."""
+    k = _sprt_constants()
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.get_json_object("props", "$.k").cast("int") > 90, 1
+        )
+        .otherwise(0)
+        .alias("x"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    run = tagged.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.sum(
+            F.col("x") * F.lit(k["w1"]) + (1 - F.col("x")) * F.lit(k["w0"])
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("llr_q"),
+    )
+    crossed = run.select(
+        "*",
+        (
+            (F.col("llr_q") >= F.lit(k["a"]))
+            | (F.col("llr_q") <= F.lit(k["b"]))
+        ).alias("hit"),
+    )
+    first = crossed.where("hit").groupBy("event_type").agg(
+        F.min("rn").cast("long").alias("n_at_decision")
+    )
+    tot = crossed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        tot.join(first, "event_type", "left")
+        .join(
+            crossed.select(
+                "event_type", F.col("rn").alias("n_at_decision"), "llr_q"
+            ),
+            ["event_type", "n_at_decision"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_at_decision",
+            F.col("llr_q").alias("llr_q_at_decision"),
+            F.when(F.col("llr_q") >= F.lit(k["a"]), "reject_h0")
+            .when(F.col("llr_q") <= F.lit(k["b"]), "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sprt_oracle() -> str:
+    k = _sprt_constants()
+    return f"""
+    WITH tagged AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       > 90 THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    run AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             CAST(sum(x * ({k['w1']}) + (1 - x) * ({k['w0']}))
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr_q
+      FROM tagged
+    ),
+    crossed AS (
+      SELECT *,
+             llr_q >= {k['a']} OR llr_q <= {k['b']} AS hit
+      FROM run
+    ),
+    first AS (
+      SELECT event_type, CAST(min(rn) AS BIGINT) AS n_at_decision
+      FROM crossed WHERE hit GROUP BY event_type
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+      FROM crossed GROUP BY event_type
+    )
+    SELECT t.event_type, t.n_total, f.n_at_decision,
+           c.llr_q AS llr_q_at_decision,
+           CASE WHEN c.llr_q >= {k['a']} THEN 'reject_h0'
+                WHEN c.llr_q <= {k['b']} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM tot t
+    LEFT JOIN first f USING (event_type)
+    LEFT JOIN crossed c
+      ON c.event_type = t.event_type AND c.rn = f.n_at_decision
+    ORDER BY t.event_type
+    """
+
+
+QUERIES["abtest_sprt_sequential"]["oracle"] = _sprt_oracle()

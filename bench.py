@@ -132,6 +132,9 @@ HEADLINE = [
     "graph_link_prediction_aa",
     "recs_item_item_cosine",
     "abtest_diff_in_diff",
+    "classifier_calibration_bins",
+    "features_woe_iv",
+    "abtest_sprt_sequential",
 ]
 
 

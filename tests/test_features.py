@@ -68,3 +68,109 @@ def test_bh_thresholds_match_normal_inverse():
     assert len(th) == 5
     assert th == sorted(th, reverse=True)          # step-up monotone
     assert th[4] == NormalDist().inv_cdf(1 - 0.025)  # rank m is plain alpha
+
+
+def test_feature_store_incremental_matches_batch(spark, tmp_path):
+    """Two incremental updates + store snapshot == one-shot batch
+    snapshot over the raw events (day-boundary cutoff), and offline
+    compaction preserves the snapshot exactly."""
+    import datetime as dt
+
+    from alerta_spark.ops.features import (
+        compact_feature_store,
+        feature_snapshot,
+        feature_snapshot_from_store,
+        update_feature_store,
+    )
+
+    cut = dt.datetime(2024, 2, 1)
+    rows = [
+        (1, cut - dt.timedelta(days=2, hours=3), "click", 10.0),
+        (1, cut - dt.timedelta(days=3), "view", 5.5),
+        (1, cut - dt.timedelta(days=20), "click", 1.0),
+        (1, cut + dt.timedelta(days=1), "purchase", 99.0),  # after cutoff
+        (2, cut - dt.timedelta(days=40), "click", 3.0),
+        (2, cut - dt.timedelta(days=1), "purchase", 7.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    store = str(tmp_path / "fstore")
+    # split the stream arbitrarily across two updates
+    update_feature_store(spark, store, df.where("user_id = 1"))
+    update_feature_store(spark, store, df.where("user_id = 2"))
+
+    want = sorted(
+        map(tuple, feature_snapshot(df, cut).collect())
+    )
+    got = sorted(
+        map(tuple, feature_snapshot_from_store(spark, store, cut).collect())
+    )
+    assert got == want
+
+    n = compact_feature_store(spark, store)
+    assert n > 0
+    got2 = sorted(
+        map(tuple, feature_snapshot_from_store(spark, store, cut).collect())
+    )
+    assert got2 == want
+
+
+def test_feature_store_streaming_face(spark, tmp_path):
+    """The availableNow streaming wrapper folds event files into the
+    same store; snapshot matches the batch computation."""
+    import datetime as dt
+    import json as _json
+
+    from alerta_spark.ops.features import (
+        feature_snapshot,
+        feature_snapshot_from_store,
+        stream_feature_updates,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    cut = dt.datetime(2024, 2, 1)
+    rows = [
+        (1, "2024-01-30T04:00:00", "click", 10.0),
+        (1, "2024-01-12T00:00:00", "view", 5.5),
+        (2, "2024-01-31T12:00:00", "purchase", 7.25),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "batch.json", "w") as f:
+        for u, ts, et, v in rows:
+            f.write(
+                _json.dumps(
+                    {"user_id": u, "ts": ts, "event_type": et, "value": v}
+                )
+                + "\n"
+            )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    store = str(tmp_path / "fstore")
+    q = stream_feature_updates(
+        spark, str(src), store, str(tmp_path / "ckpt"), schema
+    )
+    q.awaitTermination(60)
+    df = spark.createDataFrame(
+        [(u, dt.datetime.fromisoformat(ts), et, v) for u, ts, et, v in rows],
+        schema,
+    )
+    want = sorted(map(tuple, feature_snapshot(df, cut).collect()))
+    got = sorted(
+        map(tuple, feature_snapshot_from_store(spark, store, cut).collect())
+    )
+    assert got == want
