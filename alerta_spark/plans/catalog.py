@@ -14067,8 +14067,8 @@ QUERIES["abtest_bh_fdr"]["oracle"] = _bh_oracle()
     s AS (
       SELECT CAST(sum(n_a) AS BIGINT) AS n1,
              CAST(sum(n_all - n_a) AS BIGINT) AS n2,
-             CAST(sum(n_a * (lo + hi)) AS BIGINT) AS r1_2,
-             CAST(sum(n_all * n_all * n_all - n_all) AS BIGINT) AS ties
+             sum(CAST(n_a AS HUGEINT) * (lo + hi)) AS r1_2,
+             sum(CAST(n_all AS HUGEINT) * n_all * n_all - n_all) AS ties
       FROM r
     )
     SELECT n1, n2, r1_2, ties,
@@ -14126,14 +14126,16 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = r.agg(
         F.sum("n_a").cast("long").alias("n1"),
         F.sum(F.col("n_all") - F.col("n_a")).cast("long").alias("n2"),
-        F.sum(F.col("n_a") * (F.col("lo") + F.col("hi")))
-        .cast("long")
-        .alias("r1_2"),
         F.sum(
-            F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all")
-        )
-        .cast("long")
-        .alias("ties"),
+            F.col("n_a").cast("decimal(38,0)")
+            * (F.col("lo") + F.col("hi"))
+        ).alias("r1_2"),
+        F.sum(
+            F.col("n_all").cast("decimal(38,0)")
+            * F.col("n_all")
+            * F.col("n_all")
+            - F.col("n_all")
+        ).alias("ties"),
     )
     return s.select(
         "n1",
@@ -14584,7 +14586,7 @@ QUERIES["classifier_calibration_bins"]["oracle"] = f"""
       WHERE n_urgent > 0 AND n_other > 0
     ),
     iv AS (
-      SELECT CAST(sum((n_urgent * tn - n_other * tu) * woe_q) AS BIGINT)
+      SELECT sum((CAST(n_urgent AS HUGEINT) * tn - CAST(n_other AS HUGEINT) * tu) * woe_q)
                AS ivq,
              max(tu) AS tu, max(tn) AS tn
       FROM woe
@@ -14648,10 +14650,12 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     iv = woe.agg(
         F.sum(
-            (F.col("n_urgent") * F.col("tn") - F.col("n_other") * F.col("tu"))
+            (
+                F.col("n_urgent").cast("decimal(38,0)") * F.col("tn")
+                - F.col("n_other").cast("decimal(38,0)") * F.col("tu")
+            )
             * F.col("woe_q")
         )
-        .cast("long")
         .alias("ivq"),
         F.max("tu").alias("tu"),
         F.max("tn").alias("tn"),
@@ -14810,3 +14814,298 @@ def _sprt_oracle() -> str:
 
 
 QUERIES["abtest_sprt_sequential"]["oracle"] = _sprt_oracle()
+
+
+@register(
+    "labels_churn_horizon",
+    # The label side of the training table: churned = no activity in
+    # (cutoff, cutoff+horizon]; features may only read ts < cutoff
+    # (features_user_snapshot), labels only the horizon — the same
+    # cutoff literal on both sides makes the join leakage-safe by
+    # construction.
+    oracle="""
+    WITH pre AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+    ),
+    act AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        AND ts < TIMESTAMP '2024-01-30 00:00:00'
+    )
+    SELECT p.user_id,
+           CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END AS churned
+    FROM pre p LEFT JOIN act a USING (user_id)
+    ORDER BY p.user_id
+    """,
+)
+def labels_churn_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X194 churn label builder: for every user active BEFORE the
+    cutoff, churned = zero events in the (cutoff, cutoff+5d] horizon —
+    the label column that joins 1:1 onto features_user_snapshot (same
+    cutoff) to form the supervised training table; the horizon is the
+    label's exclusive territory, mirroring the snapshot's ts < cutoff
+    discipline. Two distinct-user semi-aggregates + one left join on
+    the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    end = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    pre = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    act = (
+        ev.where((F.col("ts") >= cut) & (F.col("ts") < end))
+        .select("user_id")
+        .distinct()
+        .withColumn("_a", F.lit(1))
+    )
+    return (
+        pre.join(act, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("_a").isNull(), 1).otherwise(0).alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "features_psi_drift",
+    # PSI = sum (p_i - q_i) ln(p_i/q_i): per band an exact BIGINT
+    # cross product (a_i*tb - b_i*ta) times the quantized-ln
+    # difference, ONE final division — the WOE/IV algebra applied to
+    # distribution monitoring.
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // 1000 AS band,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 'a' ELSE 'b' END AS period
+      FROM events
+    ),
+    cell AS (
+      SELECT band,
+             CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM tagged GROUP BY band
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+             CAST(sum(n_b) AS BIGINT) AS tb
+      FROM cell
+    ),
+    woe AS (
+      SELECT band, n_a, n_b,
+             CAST(floor(ln(CAST(n_a * tot.tb AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             - CAST(floor(ln(CAST(n_b * tot.ta AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS lr_q,
+             tot.ta, tot.tb
+      FROM cell CROSS JOIN tot
+      WHERE n_a > 0 AND n_b > 0
+    ),
+    psi AS (
+      SELECT sum((CAST(n_a AS HUGEINT) * tb - CAST(n_b AS HUGEINT) * ta) * lr_q) AS psiq,
+             max(ta) AS ta, max(tb) AS tb,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM woe
+    )
+    SELECT n_bands, ta AS n_baseline, tb AS n_current,
+           CAST(psiq AS DOUBLE)
+             / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) * 1000000.0)
+             AS psi
+    FROM psi
+    """,
+)
+def features_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X195 population stability index between the pre/post-Jan-15
+    value distributions — the standard deployed-model drift monitor
+    (PSI > 0.2 = retrain). Same exactness algebra as features_woe_iv:
+    band shares never materialize as floats; PSI is an exact BIGINT
+    dot product of cross-count differences with quantized-ln ratios,
+    ONE final division. One scan + band-sized frames."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) div 1000"
+        ).alias("band"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"),
+            "a",
+        )
+        .otherwise("b")
+        .alias("period"),
+    )
+    cell = tagged.groupBy("band").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    tot = cell.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    woe = (
+        cell.crossJoin(F.broadcast(tot))
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "n_a",
+            "n_b",
+            "ta",
+            "tb",
+            (
+                F.floor(
+                    F.log((F.col("n_a") * F.col("tb")).cast("double"))
+                    * 1000000
+                ).cast("long")
+                - F.floor(
+                    F.log((F.col("n_b") * F.col("ta")).cast("double"))
+                    * 1000000
+                ).cast("long")
+            ).alias("lr_q"),
+        )
+    )
+    return woe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+        F.max("ta").cast("long").alias("n_baseline"),
+        F.max("tb").cast("long").alias("n_current"),
+        (
+            F.sum(
+                (
+                    F.col("n_a").cast("decimal(38,0)") * F.col("tb")
+                    - F.col("n_b").cast("decimal(38,0)") * F.col("ta")
+                )
+                * F.col("lr_q")
+            ).cast("double")
+            / (
+                F.max("ta").cast("double")
+                * F.max("tb").cast("double")
+                * F.lit(1000000.0)
+            )
+        ).alias("psi"),
+    ).select("n_bands", "n_baseline", "n_current", "psi")
+
+
+def _ndcg_discounts(k: int = 10) -> list[int]:
+    """Quantized DCG position discounts floor(1e9/log2(i+1)) for
+    i=1..k — Python-literal constants embedded identically in both
+    engines, so DCG is an exact BIGINT dot product."""
+    import math
+
+    return [math.floor(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+@register("retrieval_ndcg_eval", oracle=None)  # oracle set below
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X196 ranking-quality evaluation of the IVF ANN path against
+    brute-force ground truth: per query, recall@10 (exact overlap
+    count) and nDCG@10 with graded relevance rel = 11 − true_rank.
+    The log2 position discounts are quantized Python literals, DCG is
+    an exact BIGINT dot product, IDCG a precomputed constant, and
+    nDCG ONE final division — so the eval is hash-exact even though
+    it scores float-ranked lists. The eval-harness face of the ANN
+    family: run it after retraining centroids to catch recall
+    regressions before serving."""
+    from alerta_spark.ops.similarity import cosine_topk, ivf_topk_pinned
+
+    k = 10
+    disc = _ndcg_discounts(k)
+    idcg = sum((k + 1 - i) * d for i, d in enumerate(disc, start=1))
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def ranked(df, rank_name):
+        return df.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number()
+            .over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("neighbor_id")
+                )
+            )
+            .alias(rank_name),
+        )
+
+    truth = ranked(cosine_topk(emb, _TOPK_QUERY_IDS, k=k), "true_rank")
+    sys = ranked(ivf_topk_pinned(emb, _TOPK_QUERY_IDS, k=k), "sys_rank")
+    dcase = None
+    for i, d in enumerate(disc, start=1):
+        lit = F.lit(d).cast("long")
+        dcase = (
+            F.when(F.col("sys_rank") == i, lit)
+            if dcase is None
+            else dcase.when(F.col("sys_rank") == i, lit)
+        )
+    joined = sys.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "sys_rank",
+        F.coalesce(F.lit(k + 1) - F.col("true_rank"), F.lit(0))
+        .cast("long")
+        .alias("rel"),
+        dcase.alias("disc_q"),
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("hits_at_10"),
+            F.sum(F.col("rel") * F.col("disc_q")).cast("long").alias("dcg_q"),
+        )
+        .select(
+            "query_id",
+            "hits_at_10",
+            "dcg_q",
+            (F.col("dcg_q").cast("double") / F.lit(float(idcg))).alias(
+                "ndcg_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ndcg_oracle() -> str:
+    k = 10
+    disc = _ndcg_discounts(k)
+    idcg = sum((k + 1 - i) * d for i, d in enumerate(disc, start=1))
+    dcase = " ".join(f"WHEN {i} THEN {d}" for i, d in enumerate(disc, 1))
+    truth_sql = QUERIES["similarity_cosine_topk"]["oracle"]
+    sys_sql = QUERIES["similarity_ivf_pinned"]["oracle"]
+    return f"""
+    WITH truth0 AS ({truth_sql}),
+    sys0 AS ({sys_sql}),
+    truth AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id)
+               AS true_rank
+      FROM truth0
+    ),
+    sys AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id)
+               AS sys_rank
+      FROM sys0
+    ),
+    joined AS (
+      SELECT s.query_id, s.sys_rank,
+             COALESCE({k + 1} - t.true_rank, 0) AS rel,
+             CASE s.sys_rank {dcase} END AS disc_q
+      FROM sys s LEFT JOIN truth t
+        ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_10,
+           CAST(sum(rel * disc_q) AS BIGINT) AS dcg_q,
+           CAST(sum(rel * disc_q) AS DOUBLE) / {float(idcg)!r}
+             AS ndcg_at_10
+    FROM joined GROUP BY query_id ORDER BY query_id
+    """
+
+
+QUERIES["retrieval_ndcg_eval"]["oracle"] = _ndcg_oracle()

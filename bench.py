@@ -135,6 +135,9 @@ HEADLINE = [
     "classifier_calibration_bins",
     "features_woe_iv",
     "abtest_sprt_sequential",
+    "labels_churn_horizon",
+    "features_psi_drift",
+    "retrieval_ndcg_eval",
 ]
 
 
