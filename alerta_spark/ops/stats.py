@@ -310,3 +310,180 @@ def interarrival_dispersion(
     return agg.select(
         *group_cols, "n_gaps", "sum_gap_us", fano.alias("fano"), b.alias("b")
     )
+
+
+def sprt_constants(
+    p0: float = 0.3, p1: float = 0.4, alpha: float = 0.05, beta: float = 0.05
+) -> dict:
+    """Wald SPRT increments/boundaries as quantized-ln BIGINT
+    literals (math.log once, embedded identically everywhere the test
+    runs — batch catalog query, incremental monitor, oracle SQL)."""
+    import math
+
+    q = 1_000_000
+    return {
+        "w1": math.floor(math.log(p1 / p0) * q),
+        "w0": math.floor(math.log((1 - p1) / (1 - p0)) * q),
+        "a": math.floor(math.log((1 - beta) / alpha) * q),
+        "b": math.floor(math.log(beta / (1 - alpha)) * q),
+    }
+
+
+def sprt_scan(
+    df: DataFrame,
+    k: dict | None = None,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    x_col: str = "x",
+    llr_offset: DataFrame | None = None,
+) -> DataFrame:
+    """One SPRT pass per key over a 0/1 outcome stream: BIGINT LLR
+    cumsum in event order, decision at the first boundary crossing.
+    ``llr_offset`` (key, llr0, n0) shifts the cumsum — the resume
+    hook the incremental monitor uses so a continued stream decides
+    at the same event as a single scan would.
+
+    -> [key, n_total, n_at_decision, llr_q_at_decision, llr_q_final,
+        decision]."""
+    from pyspark.sql import Window as W
+
+    k = k or sprt_constants()
+    w = W.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = df.select(
+        F.col(key_col),
+        F.row_number().over(w).alias("rn"),
+        F.sum(
+            F.col(x_col) * F.lit(k["w1"])
+            + (1 - F.col(x_col)) * F.lit(k["w0"])
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("llr_raw"),
+    )
+    if llr_offset is not None:
+        run = (
+            run.join(F.broadcast(llr_offset), key_col, "left")
+            .select(
+                key_col,
+                (F.col("rn") + F.coalesce("n0", F.lit(0))).alias("rn"),
+                (F.col("llr_raw") + F.coalesce("llr0", F.lit(0))).alias(
+                    "llr_q"
+                ),
+            )
+        )
+    else:
+        run = run.select(key_col, "rn", F.col("llr_raw").alias("llr_q"))
+    crossed = run.select(
+        "*",
+        (
+            (F.col("llr_q") >= F.lit(k["a"]))
+            | (F.col("llr_q") <= F.lit(k["b"]))
+        ).alias("hit"),
+    )
+    first = crossed.where("hit").groupBy(key_col).agg(
+        F.min("rn").cast("long").alias("n_at_decision")
+    )
+    tot = crossed.groupBy(key_col).agg(
+        F.max("rn").cast("long").alias("n_total"),
+        F.max_by("llr_q", "rn").cast("long").alias("llr_q_final"),
+    )
+    return (
+        tot.join(first, key_col, "left")
+        .join(
+            crossed.select(
+                key_col, F.col("rn").alias("n_at_decision"), "llr_q"
+            ),
+            [key_col, "n_at_decision"],
+            "left",
+        )
+        .select(
+            key_col,
+            "n_total",
+            "n_at_decision",
+            F.col("llr_q").alias("llr_q_at_decision"),
+            "llr_q_final",
+            F.when(F.col("llr_q") >= F.lit(k["a"]), "reject_h0")
+            .when(F.col("llr_q") <= F.lit(k["b"]), "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+    )
+
+
+def incremental_sprt_monitor(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    k: dict | None = None,
+    **scan_kwargs,
+) -> DataFrame:
+    """Sequential-testing face of the incremental-store pattern: the
+    tiny per-key state (llr total, events seen, first decision) is a
+    key-sized OVERWRITE snapshot (unlike the append-only count
+    stores, SPRT state is order-dependent, so partials don't merge —
+    but the state IS a prefix summary, so resuming with the stored
+    (llr0, n0) offset decides at exactly the event a single scan
+    would; pinned in test_stats). Keys already decided stay frozen —
+    Wald's stopping rule, enforced across batches."""
+    from pyspark.errors import AnalysisException
+
+    k = k or sprt_constants()
+    key_col = scan_kwargs.get("key_col", "event_type")
+    try:
+        prev = spark.read.parquet(store_path)
+        have = True
+    except AnalysisException:
+        prev = None
+        have = False
+    offset = (
+        prev.select(
+            key_col,
+            F.col("llr_q_final").alias("llr0"),
+            F.col("n_total").alias("n0"),
+        )
+        if have
+        else None
+    )
+    scanned = sprt_scan(batch, k, llr_offset=offset, **scan_kwargs)
+    if have:
+        # frozen keys keep their first decision; undecided keys take
+        # the continued scan's result; new keys append
+        dec = prev.where(F.col("decision") != "continue")
+        merged = scanned.join(
+            dec.select(key_col).withColumn("_d", F.lit(1)), key_col, "left"
+        ).where(F.col("_d").isNull()).drop("_d").unionByName(dec)
+    else:
+        merged = scanned
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(store_path)
+    return merged
+
+
+def stream_sprt_monitor(
+    spark,
+    input_path: str,
+    store_path: str,
+    checkpoint: str,
+    schema,
+    k: dict | None = None,
+    fmt: str = "json",
+    available_now: bool = True,
+    **scan_kwargs,
+):
+    """Streaming face: each arriving micro-batch advances the
+    monitors via foreachBatch (X63/X192 pairing). Note the
+    batch-boundary semantics: decisions are evaluated on the ordered
+    stream WITHIN each batch continuation, identical to one scan when
+    batches arrive time-ordered."""
+    stream = spark.readStream.format(fmt).schema(schema).load(input_path)
+
+    def _epoch(df, epoch_id):
+        incremental_sprt_monitor(spark, store_path, df, k, **scan_kwargs)
+
+    writer = stream.writeStream.foreachBatch(_epoch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

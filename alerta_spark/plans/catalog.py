@@ -14681,22 +14681,10 @@ def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sprt_constants(
-    p0: float = 0.3, p1: float = 0.4, alpha: float = 0.05, beta: float = 0.05
-) -> dict[str, int]:
-    """Wald SPRT increments and boundaries as quantized-ln BIGINT
-    literals, computed ONCE in Python (math.log) and embedded
-    identically in the Spark plan and the DuckDB oracle — the
-    sequential scan then runs on exact integer arithmetic only."""
-    import math
+def _sprt_constants(**kw) -> dict:
+    from alerta_spark.ops.stats import sprt_constants
 
-    q = 1_000_000
-    return {
-        "w1": math.floor(math.log(p1 / p0) * q),          # success increment
-        "w0": math.floor(math.log((1 - p1) / (1 - p0)) * q),  # failure (neg)
-        "a": math.floor(math.log((1 - beta) / alpha) * q),    # reject H0 at >=
-        "b": math.floor(math.log(beta / (1 - alpha)) * q),    # accept H0 at <=
-    }
+    return sprt_constants(**kw)
 
 
 @register("abtest_sprt_sequential", oracle=None)  # oracle set below
@@ -14710,7 +14698,8 @@ def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming. All arithmetic after the Python-literal constants is
     exact BIGINT; the crossing index is found with one min-over-
     flagged-rows aggregate sharing the cumsum's type-key exchange."""
-    k = _sprt_constants()
+    from alerta_spark.ops.stats import sprt_scan
+
     ev = load_table(spark, sf_dir, "events")
     tagged = ev.select(
         "event_type",
@@ -14722,49 +14711,9 @@ def abtest_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("x"),
     )
-    w = W.partitionBy("event_type").orderBy("ts", "event_id")
-    run = tagged.select(
-        "event_type",
-        F.row_number().over(w).alias("rn"),
-        F.sum(
-            F.col("x") * F.lit(k["w1"]) + (1 - F.col("x")) * F.lit(k["w0"])
-        )
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("long")
-        .alias("llr_q"),
-    )
-    crossed = run.select(
-        "*",
-        (
-            (F.col("llr_q") >= F.lit(k["a"]))
-            | (F.col("llr_q") <= F.lit(k["b"]))
-        ).alias("hit"),
-    )
-    first = crossed.where("hit").groupBy("event_type").agg(
-        F.min("rn").cast("long").alias("n_at_decision")
-    )
-    tot = crossed.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total")
-    )
     return (
-        tot.join(first, "event_type", "left")
-        .join(
-            crossed.select(
-                "event_type", F.col("rn").alias("n_at_decision"), "llr_q"
-            ),
-            ["event_type", "n_at_decision"],
-            "left",
-        )
-        .select(
-            "event_type",
-            "n_total",
-            "n_at_decision",
-            F.col("llr_q").alias("llr_q_at_decision"),
-            F.when(F.col("llr_q") >= F.lit(k["a"]), "reject_h0")
-            .when(F.col("llr_q") <= F.lit(k["b"]), "accept_h0")
-            .otherwise("continue")
-            .alias("decision"),
-        )
+        sprt_scan(tagged, _sprt_constants())
+        .drop("llr_q_final")
         .orderBy("event_type")
     )
 

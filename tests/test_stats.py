@@ -127,3 +127,73 @@ def test_interarrival_dispersion_poisson_vs_regular(spark):
     mean = gaps.mean()
     assert abs(r2["fano"] - var / mean) / (var / mean) < 1e-12
     assert abs(r2["b"] - (gaps.std(ddof=1) - mean) / (gaps.std(ddof=1) + mean)) < 1e-12
+
+
+def _sprt_events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=i), "t%d" % key, x)
+            for i, (key, x) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, event_type string, x int",
+    )
+
+
+def test_sprt_scan_decides_at_first_crossing(spark):
+    from alerta_spark.ops.stats import sprt_constants, sprt_scan
+
+    k = sprt_constants()
+    # key t1: all successes -> llr climbs by w1 each event; crossing at
+    # the first rn where rn*w1 >= a (computable closed-form)
+    import math
+
+    need = math.ceil(k["a"] / k["w1"])
+    rows = [(1, 1)] * (need + 3) + [(2, 0)] * 5
+    out = {
+        r["event_type"]: r
+        for r in sprt_scan(_sprt_events(spark, rows), k).collect()
+    }
+    t1 = out["t1"]
+    assert t1["decision"] == "reject_h0"
+    assert t1["n_at_decision"] == need
+    assert t1["llr_q_at_decision"] == need * k["w1"]
+    assert t1["n_total"] == need + 3
+    # key t2: 5 failures is not enough to accept H0 (|w0| small), so
+    # the monitor continues
+    assert out["t2"]["decision"] == "continue"
+    assert out["t2"]["n_at_decision"] is None
+
+
+def test_incremental_sprt_matches_single_scan(spark, tmp_path):
+    """Two time-ordered batches through the store == one scan, and a
+    decided key stays frozen even if later data would re-cross."""
+    from alerta_spark.ops.stats import (
+        incremental_sprt_monitor,
+        sprt_constants,
+        sprt_scan,
+    )
+
+    k = sprt_constants()
+    import math
+
+    need = math.ceil(k["a"] / k["w1"])
+    rows = [(1, 1)] * (need + 5) + [(2, 0), (2, 1)] * 10
+    df = _sprt_events(spark, rows).orderBy("ts")
+    store = str(tmp_path / "sprt")
+    half = df.count() // 2
+    b1 = df.orderBy("ts", "event_id").limit(half)
+    b2 = df.join(b1.select("event_id"), "event_id", "left_anti")
+    incremental_sprt_monitor(spark, store, b1, k)
+    got = {
+        r["event_type"]: r
+        for r in incremental_sprt_monitor(spark, store, b2, k).collect()
+    }
+    want = {
+        r["event_type"]: r for r in sprt_scan(df, k).collect()
+    }
+    for key in want:
+        assert got[key]["decision"] == want[key]["decision"], key
+        assert got[key]["n_at_decision"] == want[key]["n_at_decision"], key

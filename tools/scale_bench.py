@@ -53,6 +53,16 @@ FAMILY = [
     "text_bm25_topk",
     "text_tfidf_top_terms",
     "pipeline_entity_resolution",
+    # round-4 widening 2: the user-keyed event family — sessionization
+    # (user exchange + ordered fold), deadline funnels, the bounded
+    # range-join attribution, the conditional-aggregate feature
+    # snapshot, and the 7d sliding-distinct window (the heaviest
+    # window shape in the catalog)
+    "sessionize_events",
+    "funnel_signup_view_purchase",
+    "attribution_time_decay",
+    "features_user_snapshot",
+    "rolling_7d_active_users",
 ]
 
 
@@ -61,7 +71,8 @@ def ensure_scaled(spark, n: int) -> str:
     from pyspark.sql import functions as F
 
     out = REPO / ".scale" / f"x{n}"
-    if (out / "_OK").exists():
+    # v2 marker: v1 dirs lack the replicated events table
+    if (out / "_OK").exists() and (out / "events.parquet").exists():
         return str(out)
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
@@ -113,6 +124,31 @@ def ensure_scaled(spark, n: int) -> str:
     scaled_emb.write.mode("overwrite").parquet(
         str(out / "embeddings.parquet")
     )
+    # events: shift user_id/event_id per replica so the user population
+    # grows linearly with identical per-user behavior (the structure a
+    # 10x-bigger event lake has); ts/value/props untouched so window
+    # spans and value distributions are preserved
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    bounds = ev.agg(
+        F.max("user_id").alias("mu"), F.max("event_id").alias("me")
+    ).collect()[0]
+    max_user, max_ev = bounds["mu"] + 1, bounds["me"] + 1
+    vreps = []
+    for r in range(n):
+        vreps.append(
+            ev.select(
+                (F.col("event_id") + F.lit(r * max_ev)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(r * max_user)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    scaled_ev = vreps[0]
+    for v in vreps[1:]:
+        scaled_ev = scaled_ev.unionByName(v)
+    scaled_ev.write.mode("overwrite").parquet(str(out / "events.parquet"))
     (out / "_OK").write_text("ok")
     return str(out)
 
