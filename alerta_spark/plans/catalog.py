@@ -15058,3 +15058,419 @@ def _ndcg_oracle() -> str:
 
 
 QUERIES["retrieval_ndcg_eval"]["oracle"] = _ndcg_oracle()
+
+
+@register(
+    "privacy_t_closeness",
+    # EMD for an ordered sensitive attribute = mean |cumulative share
+    # gap|: cumsums of exact cross-multiplied counts, ONE final
+    # division per group.
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               // 2000000 AS band
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    bands AS (SELECT DISTINCT band FROM base),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bands),
+    segs AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n_g FROM base
+      GROUP BY segment
+    ),
+    gl AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS t_j FROM base GROUP BY band
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM base),
+    cell AS (
+      SELECT segment, band, CAST(count(*) AS BIGINT) AS n_gj FROM base
+      GROUP BY segment, band
+    ),
+    grid AS (
+      SELECT s.segment, b.band, s.n_g,
+             COALESCE(c.n_gj, 0) AS n_gj, g.t_j
+      FROM segs s CROSS JOIN bands b
+      JOIN gl g ON g.band = b.band
+      LEFT JOIN cell c ON c.segment = s.segment AND c.band = b.band
+    ),
+    cum AS (
+      SELECT segment, band, n_g,
+             sum(CAST(n_gj AS HUGEINT) * (SELECT t FROM tot)
+                 - CAST(n_g AS HUGEINT) * t_j)
+               OVER (PARTITION BY segment ORDER BY band
+                     ROWS UNBOUNDED PRECEDING) AS gap
+      FROM grid
+    )
+    SELECT segment, CAST(max(n_g) AS BIGINT) AS n_rows,
+           CAST(sum(abs(gap)) AS DOUBLE)
+             / (CAST(max(n_g) AS DOUBLE)
+                * CAST((SELECT t FROM tot) AS DOUBLE)
+                * CAST((SELECT m - 1 FROM m) AS DOUBLE)) AS t_closeness
+    FROM cum GROUP BY segment ORDER BY segment
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X198 t-closeness screen — the third privacy guarantee after
+    k-anonymity (X95) and l-diversity (X163): per quasi-identifier
+    group (market segment), the earth-mover distance between its
+    ordered sensitive-attribute distribution (price bands) and the
+    global one, via the ordered-EMD identity EMD = mean |cumulative
+    share gap|. Shares never materialize: the cumsum runs over exact
+    cross-multiplied counts (HUGEINT/DECIMAL38) and each group pays
+    ONE final division. Frames are (groups x bands)-sized after one
+    scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            " div 2000000"
+        ).alias("band"),
+    )
+    base = base.persist()
+    bands = base.select("band").distinct()
+    m = bands.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    segs = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    glob = base.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("t_j")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    cell = base.groupBy("segment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gj")
+    )
+    grid = (
+        segs.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(glob), "band")
+        .join(cell, ["segment", "band"], "left")
+        .select(
+            "segment",
+            "band",
+            "n_g",
+            F.coalesce("n_gj", F.lit(0)).alias("n_gj"),
+            "t_j",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+    )
+    wc = (
+        W.partitionBy("segment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "segment",
+        "n_g",
+        "t",
+        "m",
+        F.sum(
+            F.col("n_gj").cast("decimal(38,0)") * F.col("t")
+            - F.col("n_g").cast("decimal(38,0)") * F.col("t_j")
+        )
+        .over(wc)
+        .alias("gap"),
+    )
+    return (
+        cum.groupBy("segment")
+        .agg(
+            F.max("n_g").cast("long").alias("n_rows"),
+            (
+                F.sum(F.abs(F.col("gap"))).cast("double")
+                / (
+                    F.max("n_g").cast("double")
+                    * F.max("t").cast("double")
+                    * (F.max("m") - 1).cast("double")
+                )
+            ).alias("t_closeness"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register("bandit_ucb_scores", oracle=None)  # oracle set below
+def bandit_ucb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X199 UCB1 bandit readout over event-type arms: pulls, exact
+    success counts, and the UCB1 index mean + sqrt(2 ln N / n) — the
+    deterministic bandit policy (Thompson would need RNG; UCB1 is
+    pure arithmetic, so it oracles exactly). ln N is quantized ONCE
+    on the scalar total, the per-arm score is one fixed expression,
+    and the chosen arm is the (score DESC, arm ASC) argmax. Arm-sized
+    frames after one scan."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("pulls"),
+        F.sum(
+            F.when(
+                F.get_json_object("props", "$.k").cast("int") > 90, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("wins"),
+    )
+    tot = arm.agg(
+        F.floor(F.log(F.sum("pulls").cast("double")) * 1000000)
+        .cast("long")
+        .alias("ln_n_q")
+    )
+    scored = arm.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "pulls",
+        "wins",
+        (
+            F.col("wins").cast("double") / F.col("pulls").cast("double")
+            + F.sqrt(
+                F.lit(2.0)
+                * (F.col("ln_n_q").cast("double") / F.lit(1000000.0))
+                / F.col("pulls").cast("double")
+            )
+        ).alias("ucb1"),
+    )
+    wr = W.orderBy(F.desc("ucb1"), F.asc("event_type"))
+    return (
+        scored.select(
+            "*", (F.row_number().over(wr) == 1).alias("chosen")
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["bandit_ucb_scores"]["oracle"] = """
+    WITH arm AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS pulls,
+             CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                     AS INTEGER) > 90
+                           THEN 1 ELSE 0 END) AS BIGINT) AS wins
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(floor(ln(CAST(sum(pulls) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS ln_n_q
+      FROM arm
+    ),
+    scored AS (
+      SELECT event_type, pulls, wins,
+             CAST(wins AS DOUBLE) / CAST(pulls AS DOUBLE)
+             + sqrt(2.0 * (CAST(ln_n_q AS DOUBLE) / 1000000.0)
+                    / CAST(pulls AS DOUBLE)) AS ucb1
+      FROM arm CROSS JOIN tot
+    )
+    SELECT event_type, pulls, wins, ucb1,
+           row_number() OVER (ORDER BY ucb1 DESC, event_type) = 1
+             AS chosen
+    FROM scored ORDER BY event_type
+    """
+
+
+@register(
+    "text_textrank_sentences",
+    # TextRank (Mihalcea 2004) with the X98/X107 pinned-iteration
+    # discipline: 2 unrolled weighted-PageRank rounds, every rank an
+    # integer chain (shares and damping as integral divisions), so an
+    # iterative graph algorithm hash-checks end to end.
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks,
+             CAST(ceil(len(toks) / 10.0) AS INTEGER) AS nch
+      FROM tk WHERE len(toks) >= 1
+    ),
+    sents AS (
+      SELECT doc_id, cid + 1 AS sid,
+             array_to_string(list_slice(toks, cid * 10 + 1, cid * 10 + 10),
+                             ' ') AS sent
+      FROM sized, unnest(generate_series(0, nch - 1)) AS g(cid)
+    ),
+    st AS (
+      SELECT DISTINCT doc_id, sid,
+             unnest(string_split(sent, ' ')) AS tok
+      FROM sents
+    ),
+    slen AS (
+      SELECT doc_id, sid, CAST(count(*) AS BIGINT) AS n_tok
+      FROM st GROUP BY doc_id, sid
+    ),
+    shared AS (
+      SELECT a.doc_id, a.sid AS i, b.sid AS j,
+             CAST(count(*) AS BIGINT) AS sh
+      FROM st a JOIN st b
+        ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sid <> b.sid
+      GROUP BY a.doc_id, a.sid, b.sid
+    ),
+    w AS (
+      SELECT s.doc_id, s.i, s.j,
+             (s.sh * 2000000) // (la.n_tok + lb.n_tok) AS wq
+      FROM shared s
+      JOIN slen la ON la.doc_id = s.doc_id AND la.sid = s.i
+      JOIN slen lb ON lb.doc_id = s.doc_id AND lb.sid = s.j
+      WHERE (s.sh * 2000000) // (la.n_tok + lb.n_tok) > 0
+    ),
+    outw AS (
+      SELECT doc_id, i AS j, CAST(sum(wq) AS BIGINT) AS wj
+      FROM w GROUP BY doc_id, i
+    ),
+    share AS (
+      SELECT w.doc_id, w.i, w.j, (w.wq * 1000000) // o.wj AS sq
+      FROM w JOIN outw o ON o.doc_id = w.doc_id AND o.j = w.j
+    ),
+    r1 AS (
+      SELECT doc_id, i,
+             150000 + (850000 * CAST(sum(sq) AS BIGINT)) // 1000000
+               AS r
+      FROM share GROUP BY doc_id, i
+    ),
+    r2 AS (
+      SELECT s.doc_id, s.i,
+             150000 + (850000 * CAST(sum((COALESCE(r1.r, 150000) * s.sq)
+                                         // 1000000) AS BIGINT)) // 1000000
+               AS r
+      FROM share s
+      LEFT JOIN r1 ON r1.doc_id = s.doc_id AND r1.i = s.j
+      GROUP BY s.doc_id, s.i
+    )
+    SELECT doc_id, CAST(sid AS BIGINT) AS sentence_idx,
+           CAST(r AS BIGINT) AS rank_q,
+           substring(sent, 1, 60) AS snippet
+    FROM (
+      SELECT se.doc_id, se.sid, se.sent, r2.r,
+             row_number() OVER (PARTITION BY se.doc_id
+                                ORDER BY r2.r DESC, se.sid) AS rn
+      FROM r2 JOIN sents se ON se.doc_id = r2.doc_id AND se.sid = r2.i
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def text_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X200 TextRank extractive summarization (Mihalcea & Tarau 2004):
+    per document, sentences form a graph weighted by normalized
+    shared-token count; TWO weighted-PageRank rounds (damping 0.85)
+    run UNROLLED with every rank an exact integer chain — edge weight
+    2e6·shared DIV (len_i+len_j), neighbor share wq·1e6 DIV W_j,
+    damping 850000·Σ DIV 1e6 — the pinned-iteration discipline that
+    oracled k-means (X98) and PQ (X107) applied to a graph algorithm.
+    The top sentence per doc is the summary pick. All joins are
+    within-document (sentence counts are document-bounded); the token
+    self-join is the only quadratic and it is per-doc-bounded, never
+    cross-corpus."""
+    from alerta_spark.ops.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pseudo-sentences: 10-token windows (the synthetic corpus has no
+    # sentence punctuation; on punctuated text swap in a [.!?] split —
+    # everything downstream is segmentation-agnostic)
+    sents = (
+        chunk_documents(
+            docs.select("doc_id", F.lower("text").alias("text")),
+            chunk_size=10,
+            overlap=0,
+        )
+        .select(
+            "doc_id",
+            (F.col("chunk_id") + 1).cast("int").alias("sid"),
+            F.col("chunk_text").alias("sent"),
+        )
+        .persist()
+    )
+    st = sents.select(
+        "doc_id", "sid", F.explode(F.split("sent", " ")).alias("tok")
+    ).distinct()
+    slen = st.groupBy("doc_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sid") != F.col("b.sid")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sid").alias("i"),
+            F.col("b.sid").alias("j"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sh"))
+    )
+    la = slen.select(
+        F.col("doc_id"), F.col("sid").alias("i"), F.col("n_tok").alias("ni")
+    )
+    lb = slen.select(
+        F.col("doc_id"), F.col("sid").alias("j"), F.col("n_tok").alias("nj")
+    )
+    w = (
+        shared.join(la, ["doc_id", "i"])
+        .join(lb, ["doc_id", "j"])
+        .select(
+            "doc_id",
+            "i",
+            "j",
+            F.expr("(sh * 2000000) div (ni + nj)").alias("wq"),
+        )
+        .where(F.col("wq") > 0)
+        .persist()
+    )
+    outw = w.groupBy("doc_id", F.col("i").alias("j")).agg(
+        F.sum("wq").cast("long").alias("wj")
+    )
+    share = w.join(outw, ["doc_id", "j"]).select(
+        "doc_id", "i", "j", F.expr("(wq * 1000000) div wj").alias("sq")
+    )
+    r1 = share.groupBy("doc_id", "i").agg(
+        (
+            F.lit(150000)
+            + F.expr("(850000 * CAST(sum(sq) AS BIGINT)) div 1000000")
+        ).alias("r")
+    )
+    r1j = r1.select(
+        "doc_id", F.col("i").alias("j"), F.col("r").alias("rj")
+    )
+    r2 = (
+        share.join(r1j, ["doc_id", "j"], "left")
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                "(COALESCE(rj, 150000) * sq) div 1000000"
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            (
+                F.lit(150000)
+                + F.expr(
+                    "(850000 * CAST(sum(contrib) AS BIGINT)) div 1000000"
+                )
+            ).alias("r")
+        )
+    )
+    ranked = (
+        r2.join(
+            sents.select("doc_id", F.col("sid").alias("i"), "sent"),
+            ["doc_id", "i"],
+        )
+        .select(
+            "doc_id",
+            "i",
+            "r",
+            F.row_number()
+            .over(
+                W.partitionBy("doc_id").orderBy(F.desc("r"), F.asc("i"))
+            )
+            .alias("rn"),
+            "sent",
+        )
+        .where(F.col("rn") == 1)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("i").cast("long").alias("sentence_idx"),
+        F.col("r").cast("long").alias("rank_q"),
+        F.substring("sent", 1, 60).alias("snippet"),
+    ).orderBy("doc_id")

@@ -138,6 +138,9 @@ HEADLINE = [
     "labels_churn_horizon",
     "features_psi_drift",
     "retrieval_ndcg_eval",
+    "privacy_t_closeness",
+    "bandit_ucb_scores",
+    "text_textrank_sentences",
 ]
 
 
