@@ -15474,3 +15474,288 @@ def text_textrank_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("rank_q"),
         F.substring("sent", 1, 60).alias("snippet"),
     ).orderBy("doc_id")
+
+
+@register(
+    "process_transition_latency",
+    # Process-mining bottleneck view: the Markov edge counts (X105)
+    # joined with exact-interpolation p50/p90 of the transition gap
+    # (Spark `percentile` == DuckDB `quantile_cont`, pinned).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER w AS next_type,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY from_type, to_type
+    """,
+)
+def process_transition_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X201 process-mining bottleneck map: for every directly-follows
+    transition in the per-user event sequence, the traversal count
+    AND the p50/p90 latency of that edge — the where-do-cases-stall
+    readout that turns the Markov graph (X105) into a performance
+    diagram. One user-keyed window shared by the lead() pair and the
+    gap; percentiles are the pinned exact-interpolation pair."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    ).where(F.col("to_type").isNotNull())
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.percentile("gap_us", F.lit(0.5)).alias("p50_gap_us"),
+            F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "forecast_backtest_mape",
+    # Seasonal-naive backtest: forecast(d) = actual(d-7); absolute
+    # errors stay exact cents, sMAPE's per-day ratio quantized via
+    # integral division, ONE final division per type for each metric.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    paired AS (
+      SELECT a.event_type, a.day, a.cents AS actual, f.cents AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.day = a.day - 7
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(actual) AS BIGINT) AS sum_actual,
+           CAST(sum(abs(actual - forecast)) AS DOUBLE)
+             / CAST(sum(actual) AS DOUBLE) AS wape,
+           CAST(sum((abs(actual - forecast) * 1000000)
+                    // (actual + forecast)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 500000.0) AS smape
+    FROM paired GROUP BY event_type ORDER BY event_type
+    """,
+)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202 forecast backtesting: the seasonal-naive baseline
+    (forecast(d) = actual(d−7), the forecast every fancier model must
+    beat) scored with WAPE and sMAPE per event type. Error sums stay
+    exact cents; sMAPE's per-day ratio is an integral division
+    (abs_err·1e6 DIV (a+f)) summed exactly, each reported metric ONE
+    final division — float error never accumulates across days. Day
+    frames are (type x day)-sized after one scan; the 7-day self-join
+    is calendar-keyed."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(14,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.alias("a")
+    f = daily.select(
+        F.col("event_type"),
+        F.date_add("day", 7).alias("day"),
+        F.col("cents").alias("forecast"),
+    ).alias("f")
+    paired = a.join(f, ["event_type", "day"]).select(
+        "event_type", "day", F.col("cents").alias("actual"), "forecast"
+    )
+    return (
+        paired.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.abs(F.col("actual") - F.col("forecast")))
+            .cast("long")
+            .alias("sum_abs_err"),
+            F.sum("actual").cast("long").alias("sum_actual"),
+            (
+                F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast(
+                    "double"
+                )
+                / F.sum("actual").cast("double")
+            ).alias("wape"),
+            (
+                F.sum(
+                    F.expr(
+                        "(abs(actual - forecast) * CAST(1000000 AS BIGINT))"
+                        " div (actual + forecast)"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(500000.0))
+            ).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_join_cardinality",
+    # The planner's estimate done exactly: |A join B on k| =
+    # sum_k a_k * b_k over the key-frequency histograms — then
+    # verified against the actual join count in the same query.
+    oracle="""
+    WITH ha AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS a
+      FROM orders GROUP BY o_custkey
+    ),
+    hb AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS b
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT sum(CAST(ha.a AS HUGEINT) * hb.b) AS predicted
+      FROM ha JOIN hb USING (k)
+    ),
+    act AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual
+      FROM orders o JOIN events e ON e.user_id = o.o_custkey
+    )
+    SELECT CAST(predicted AS BIGINT) AS predicted_rows,
+           actual AS actual_rows,
+           CAST(predicted AS BIGINT) = actual AS exact_match
+    FROM est CROSS JOIN act
+    """,
+)
+def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X203 join-cardinality estimation, the histogram dot product a
+    cost-based planner runs before picking a join strategy:
+    |A ⋈ B on k| = Σ_k a_k·b_k over the two key-frequency
+    histograms — computed EXACTLY here (histograms are aggregates,
+    the dot product a key join over them) and verified against the
+    actual join count in the same query. The two histogram frames
+    are key-cardinality-sized; the verification join is the only
+    row-scale work, and a production planner would drop it and keep
+    the (cheap) estimate side."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ha = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    hb = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("b")
+    )
+    est = ha.join(hb, "k").agg(
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias(
+            "_pred"
+        )
+    )
+    act = o.join(ev, o["o_custkey"] == ev["user_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("actual_rows")
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        F.col("_pred").cast("long").alias("predicted_rows"),
+        "actual_rows",
+        (F.col("_pred").cast("long") == F.col("actual_rows")).alias(
+            "exact_match"
+        ),
+    )
+
+
+@register(
+    "corpus_source_ablation",
+    # Leave-one-group-out data valuation: remove each source and see
+    # how the corpus quality mean moves — deltas from ONE pass of
+    # per-source exact sums, each reported mean a single division.
+    oracle="""
+    WITH scored AS (
+      SELECT source, n_chars,
+             CAST(length(text) - length(replace(text, ' ', ''))
+                  + 1 AS BIGINT) AS toks
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tok_sum
+      FROM scored GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+             CAST(sum(tok_sum) AS BIGINT) AS ts
+      FROM per
+    )
+    SELECT p.source, p.n_docs, p.tok_sum,
+           CAST(p.tok_sum AS DOUBLE) / CAST(t.ts AS DOUBLE)
+             AS token_share,
+           CAST(t.ts AS DOUBLE) / CAST(t.nd AS DOUBLE)
+             AS mean_tokens_overall,
+           CAST(t.ts - p.tok_sum AS DOUBLE)
+             / CAST(t.nd - p.n_docs AS DOUBLE)
+             AS mean_tokens_without,
+           CAST(t.ts - p.tok_sum AS DOUBLE)
+             / CAST(t.nd - p.n_docs AS DOUBLE)
+           - CAST(t.ts AS DOUBLE) / CAST(t.nd AS DOUBLE)
+             AS ablation_delta
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def corpus_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X204 leave-one-group-out data valuation: for each corpus
+    source, what happens to the corpus-level mean token count if that
+    source is removed — the group-level ablation readout that guides
+    mixture curation (the cheap complement to DSIR's example-level
+    scores, X90). LOGO needs NO per-group rescans: every
+    without-group mean is (total−group)/(n−n_g) from ONE pass of
+    exact per-source sums; each mean one final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("toks"),
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tok_sum"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("nd"),
+        F.sum("tok_sum").cast("long").alias("ts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tok_sum",
+            (F.col("tok_sum").cast("double") / F.col("ts").cast("double"))
+            .alias("token_share"),
+            (F.col("ts").cast("double") / F.col("nd").cast("double"))
+            .alias("mean_tokens_overall"),
+            (
+                (F.col("ts") - F.col("tok_sum")).cast("double")
+                / (F.col("nd") - F.col("n_docs")).cast("double")
+            ).alias("mean_tokens_without"),
+            (
+                (F.col("ts") - F.col("tok_sum")).cast("double")
+                / (F.col("nd") - F.col("n_docs")).cast("double")
+                - F.col("ts").cast("double") / F.col("nd").cast("double")
+            ).alias("ablation_delta"),
+        )
+        .orderBy("source")
+    )

@@ -141,6 +141,10 @@ HEADLINE = [
     "privacy_t_closeness",
     "bandit_ucb_scores",
     "text_textrank_sentences",
+    "process_transition_latency",
+    "forecast_backtest_mape",
+    "stats_join_cardinality",
+    "corpus_source_ablation",
 ]
 
 
