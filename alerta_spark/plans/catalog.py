@@ -15759,3 +15759,188 @@ def corpus_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "abtest_uplift_by_band",
+    # Heterogeneous treatment effect readout: pre-period activity
+    # bands (log2 width, scale-safe — no global rank needed), per-band
+    # treat/control conversion from exact counts, uplift one fixed
+    # expression.
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_pre
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id
+    ),
+    banded AS (
+      SELECT user_id,
+             CAST(floor(ln(CAST(n_pre AS DOUBLE)) / ln(2.0)) AS BIGINT)
+               AS band,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || 'exp1'), 1, 8)
+                       < '80000000' THEN 'T' ELSE 'C' END AS grp
+      FROM pre
+    ),
+    conv AS (
+      SELECT DISTINCT user_id, 1 AS c FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        AND event_type = 'purchase'
+        AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+    ),
+    cell AS (
+      SELECT b.band, b.grp, count(*) AS n,
+             CAST(sum(COALESCE(c.c, 0)) AS BIGINT) AS x
+      FROM banded b LEFT JOIN conv c USING (user_id)
+      GROUP BY b.band, b.grp
+    ),
+    wide AS (
+      SELECT band,
+             CAST(sum(CASE WHEN grp = 'T' THEN n END) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN grp = 'T' THEN x END) AS BIGINT) AS xt,
+             CAST(sum(CASE WHEN grp = 'C' THEN n END) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN grp = 'C' THEN x END) AS BIGINT) AS xc
+      FROM cell GROUP BY band
+    )
+    SELECT band, nt, xt, nc, xc,
+           CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+           - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) AS uplift
+    FROM wide
+    WHERE nt IS NOT NULL AND nc IS NOT NULL
+    ORDER BY band
+    """,
+)
+def abtest_uplift_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X205 heterogeneous-treatment-effect readout: uplift
+    (treat − control post-period conversion) per PRE-period activity
+    band — the who-does-the-treatment-help view behind targeting
+    policies. Bands are log2-width on the pre-period event count
+    (scale-safe: no global rank/ntile window over the user
+    population, which would be a single-partition sort at 1e9 users);
+    conversions come from the label horizon only, mirroring the
+    X181/X194 leakage discipline. Exact counts end to end, uplift one
+    fixed expression per band."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    pre = (
+        ev.where(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pre"))
+    )
+    banded = pre.select(
+        "user_id",
+        F.floor(F.log(F.col("n_pre").cast("double")) / F.log(F.lit(2.0)))
+        .cast("long")
+        .alias("band"),
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("exp1"))),
+                1,
+                8,
+            )
+            < "80000000",
+            "T",
+        )
+        .otherwise("C")
+        .alias("grp"),
+    )
+    conv = (
+        ev.where(
+            (F.col("ts") >= cut)
+            & (F.col("event_type") == "purchase")
+            & (F.get_json_object("props", "$.k").cast("int") > 90)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    cell = (
+        banded.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("band", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.coalesce("_c", F.lit(0))).cast("long").alias("x"),
+        )
+    )
+    wide = cell.groupBy("band").agg(
+        F.sum(F.when(F.col("grp") == "T", F.col("n"))).cast("long").alias("nt"),
+        F.sum(F.when(F.col("grp") == "T", F.col("x"))).cast("long").alias("xt"),
+        F.sum(F.when(F.col("grp") == "C", F.col("n"))).cast("long").alias("nc"),
+        F.sum(F.when(F.col("grp") == "C", F.col("x"))).cast("long").alias("xc"),
+    )
+    return (
+        wide.where(F.col("nt").isNotNull() & F.col("nc").isNotNull())
+        .select(
+            "band",
+            "nt",
+            "xt",
+            "nc",
+            "xc",
+            (
+                F.col("xt").cast("double") / F.col("nt").cast("double")
+                - F.col("xc").cast("double") / F.col("nc").cast("double")
+            ).alias("uplift"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "features_quantile_transform",
+    # Rank-based feature scaling without a row-scale global sort: the
+    # doubled-midrank machinery from Mann-Whitney (X186) reused as a
+    # transform — cumsum over the DISTINCT-value frame, broadcast
+    # back onto rows, quantile = one division.
+    oracle="""
+    WITH pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM pre GROUP BY v),
+    r AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS hi
+      FROM g
+    ),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g)
+    SELECT p.user_id, p.v AS feature_value,
+           CAST(2 * r.hi - r.c + 1 AS BIGINT) AS midrank_2,
+           CAST(2 * r.hi - r.c + 1 AS DOUBLE)
+             / (2.0 * CAST(n.n AS DOUBLE)) AS quantile
+    FROM pre p JOIN r ON r.v = p.v CROSS JOIN n
+    ORDER BY p.user_id
+    """,
+)
+def features_quantile_transform(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X206 rank-based quantile feature transform (the scaler that
+    makes any feature uniform[0,1] for tree-free models): each user's
+    activity count mapped to its midrank quantile. Scale discipline:
+    NO global sort over the row frame — the rank cumsum runs on the
+    DISTINCT-value frame (value-sized, the X186 doubled-midrank
+    machinery), then broadcasts back onto rows; midrank_2 = lo+hi
+    stays integer, the quantile is one final division per row."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    g = pre.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = g.select("v", "c", F.sum("c").over(wc).cast("long").alias("hi"))
+    n = g.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        pre.join(F.broadcast(r), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            F.col("v").alias("feature_value"),
+            (2 * F.col("hi") - F.col("c") + 1)
+            .cast("long")
+            .alias("midrank_2"),
+            (
+                (2 * F.col("hi") - F.col("c") + 1).cast("double")
+                / (F.lit(2.0) * F.col("n").cast("double"))
+            ).alias("quantile"),
+        )
+        .orderBy("user_id")
+    )

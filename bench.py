@@ -145,6 +145,8 @@ HEADLINE = [
     "forecast_backtest_mape",
     "stats_join_cardinality",
     "corpus_source_ablation",
+    "abtest_uplift_by_band",
+    "features_quantile_transform",
 ]
 
 

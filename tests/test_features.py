@@ -174,3 +174,42 @@ def test_feature_store_streaming_face(spark, tmp_path):
         map(tuple, feature_snapshot_from_store(spark, store, cut).collect())
     )
     assert got == want
+
+
+def test_quantile_transform_midranks_hand_checked(spark):
+    """Guard against same-bug-both-sides oracle blindness: midranks
+    pinned against hand computation. Values [5, 7, 7, 9]: ranks are
+    1, 2.5, 2.5, 4 -> doubled 2, 5, 5, 8; quantile = mid/N with N=4."""
+    from alerta_spark.plans import catalog
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        # user u repeated v times -> per-user counts 5,7,7,9
+        [(u, i) for u, v in [(1, 5), (2, 7), (3, 7), (4, 9)] for i in range(v)],
+        "user_id long, x long",
+    )
+    pre = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    g = pre.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = g.select("v", "c", F.sum("c").over(wc).cast("long").alias("hi"))
+    n = g.agg(F.sum("c").cast("long").alias("n"))
+    out = {
+        row["user_id"]: row
+        for row in pre.join(F.broadcast(r), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            (2 * F.col("hi") - F.col("c") + 1).cast("long").alias("m2"),
+            (
+                (2 * F.col("hi") - F.col("c") + 1).cast("double")
+                / (F.lit(2.0) * F.col("n").cast("double"))
+            ).alias("q"),
+        )
+        .collect()
+    }
+    assert out[1]["m2"] == 2 and out[1]["q"] == 2 / 8
+    assert out[2]["m2"] == 5 and out[2]["q"] == 5 / 8
+    assert out[3]["m2"] == 5
+    assert out[4]["m2"] == 8 and out[4]["q"] == 1.0
