@@ -13907,9 +13907,11 @@ def abtest_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_c", F.lit(1))
     )
     typed = ev.select("event_type", "user_id").distinct()
+    # assign/conv are USER-sized frames: no broadcast hint — the join
+    # shuffles on the user key and AQE may still broadcast at small sf
     cell = (
-        typed.join(F.broadcast(assign), "user_id")
-        .join(F.broadcast(conv), ["event_type", "user_id"], "left")
+        typed.join(assign, "user_id")
+        .join(conv, ["event_type", "user_id"], "left")
         .groupBy("event_type", "arm")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -15853,8 +15855,9 @@ def abtest_uplift_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_c", F.lit(1))
     )
+    # conv is user-sized: no broadcast hint (AQE decides)
     cell = (
-        banded.join(F.broadcast(conv), "user_id", "left")
+        banded.join(conv, "user_id", "left")
         .groupBy("band", "grp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
