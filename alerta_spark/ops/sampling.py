@@ -458,3 +458,76 @@ def negative_samples(
             .alias("neg_id"),
         )
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal, public 2-approximation): seed at the lowest id, then k-1
+    rounds each adding the point FARTHEST from the current set — the
+    diversity-maximizing data-selection rule (cover the embedding
+    space with k exemplars; the complement of dedup: keep the spread,
+    not the mode).
+
+    Engine-exact: distances are squared-L2 over fixed-point quantized
+    vectors (BIGINT), argmax ties break on lowest id, so the chosen
+    set is bit-stable across engines/retries.
+
+    Distribution of labor (the kmeans/IVF discipline): the corpus
+    keeps a persisted running min-distance column; each round ships
+    ONE chosen vector back as a literal expression (a single 1-row
+    collect), updates min-dist map-only, and takes the next argmax
+    via TakeOrdered — k bounded driver rounds, no pair join, no
+    corpus shuffle anywhere.
+
+    -> [rank, vec_id, sel_d2_q] (sel_d2_q = squared distance to the
+    previously-chosen set at selection time; 0 for the seed).
+    """
+    from alerta_spark.ops.dedupe import _persist
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+    cur = _persist(
+        df.select(F.col(id_col).alias("_id"), q.alias("_q")).withColumn(
+            "_mind2", F.lit(None).cast("long")
+        )
+    )
+    seed = cur.orderBy("_id").limit(1).collect()[0]
+    chosen: list[tuple[int, int, int]] = [(1, seed["_id"], 0)]
+    last_vec = list(seed["_q"])
+    for r in range(2, k + 1):
+        lit_arr = "array(" + ",".join(f"{int(w)}L" for w in last_vec) + ")"
+        d2_new = F.expr(
+            f"aggregate(zip_with(_q, {lit_arr}, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        nxt = _persist(
+            cur.select(
+                "_id",
+                "_q",
+                F.when(F.col("_mind2").isNull(), d2_new)
+                .otherwise(F.least("_mind2", d2_new))
+                .alias("_mind2"),
+            )
+        )
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+        top = (
+            cur.orderBy(F.desc("_mind2"), F.asc("_id")).limit(1).collect()[0]
+        )
+        chosen.append((r, top["_id"], int(top["_mind2"])))
+        last_vec = list(top["_q"])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        chosen, "rank long, vec_id long, sel_d2_q long"
+    )

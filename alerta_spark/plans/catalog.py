@@ -15947,3 +15947,1328 @@ def features_quantile_transform(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "embedding_lof_outliers",
+    # LOF replayed relationally: pinned-centroid cells, within-cell
+    # kNN on quantized squared-L2 (BIGINT), reach-dist/lrd/LOF all
+    # integer (each LOF term an integral division in HUGEINT), the
+    # top-20 cut ranked on lof_q — engine-exact end to end.
+    oracle="""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(v, x -> x * 3.0)
+      FROM base WHERE vec_id % 100 = 0
+    ),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(v[pos] * 1000000.0) AS BIGINT) AS c
+      FROM e, idx
+    ),
+    w AS (
+      SELECT cent, pos, wts[pos] AS wv
+      FROM (VALUES {C_VALUES}) cw(cent, wts), idx
+    ),
+    dots AS (
+      SELECT vec_id, cent, sum(c * wv) AS d
+      FROM q JOIN w USING (pos) GROUP BY vec_id, cent
+    ),
+    cells AS (
+      SELECT vec_id, cent AS cell FROM (
+        SELECT vec_id, cent,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cent ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    d2 AS (
+      SELECT ca.cell, ca.vec_id AS a, cb.vec_id AS b,
+             sum((qa.c - qb.c) * (qa.c - qb.c)) AS d2
+      FROM cells ca JOIN cells cb
+        ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+      JOIN q qa ON qa.vec_id = ca.vec_id
+      JOIN q qb ON qb.vec_id = cb.vec_id AND qb.pos = qa.pos
+      GROUP BY 1, 2, 3
+    ),
+    knn AS (
+      SELECT * FROM (
+        SELECT cell, a, b, d2,
+               row_number() OVER (PARTITION BY a ORDER BY d2, b) AS rn
+        FROM d2
+      ) WHERE rn <= 5
+    ),
+    stats AS (
+      SELECT a, CAST(max(d2) AS BIGINT) AS kdist_q,
+             CAST(count(*) AS BIGINT) AS n_nb, min(cell) AS cell
+      FROM knn GROUP BY a
+    ),
+    reach AS (
+      SELECT k.a, k.b, greatest(s.kdist_q, k.d2) AS reach_q
+      FROM knn k JOIN stats s ON s.a = k.b
+    ),
+    den AS (SELECT a, CAST(sum(reach_q) AS BIGINT) AS den_q
+            FROM reach GROUP BY a),
+    pt AS (
+      SELECT s.a, s.kdist_q, s.n_nb, s.cell, d.den_q
+      FROM stats s JOIN den d USING (a)
+    ),
+    terms AS (
+      SELECT k.a,
+             CAST((CAST(pb.n_nb AS HUGEINT) * pa.den_q * 1000000)
+                  // (CAST(pb.den_q AS HUGEINT) * pa.n_nb) AS BIGINT)
+               AS term_q
+      FROM knn k JOIN pt pa ON pa.a = k.a JOIN pt pb ON pb.a = k.b
+    ),
+    lof AS (SELECT a, CAST(sum(term_q) AS BIGINT) AS lof_q
+            FROM terms GROUP BY a)
+    SELECT p.a AS vec_id, CAST(p.cell AS BIGINT) AS cell, p.n_nb,
+           p.kdist_q, p.den_q, l.lof_q,
+           CAST(l.lof_q AS DOUBLE)
+             / (CAST(p.n_nb AS DOUBLE) * 1000000.0) AS lof
+    FROM pt p JOIN lof l USING (a)
+    ORDER BY l.lof_q DESC, vec_id LIMIT 20
+    """.replace("{C_VALUES}", _ivf_centroid_values()),
+)
+def embedding_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X207 Local Outlier Factor screen over the embedding corpus
+    (ops/similarity.embedding_lof): density-relative outliers that a
+    distance-to-centroid cut misses. Off-manifold vectors are planted
+    (every 100th vector scaled x3 under +1M ids) — the corrupted-
+    embedding regime the screen exists for; they must dominate the
+    top-20. Cell-confined kNN (pinned-centroid partition key, Σ|cell|²
+    work), every LOF ratio an integral division — see the op docstring
+    for the exactness discipline."""
+    from alerta_spark.ops.similarity import embedding_lof
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    planted = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias(
+            "embedding"
+        ),
+    )
+    return embedding_lof(emb.unionByName(planted))
+
+
+@register(
+    "stats_permutation_test",
+    # 200 pinned md5 re-assignments; the extreme-count compare is
+    # cross-multiplied HUGEINT (|ad-cb|·BD vs |AD-CB|·bd), p one
+    # final division. No RNG, no float stats until the last line.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS x_cents
+      FROM events GROUP BY user_id
+    ),
+    assign AS (
+      SELECT b, user_id, x_cents,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)
+                                      || 'perm' || CAST(b AS VARCHAR)),
+                                 1, 8) < '80000000'
+                  THEN 1 ELSE 0 END AS t
+      FROM u, (SELECT unnest(generate_series(0, 200)) AS b)
+    ),
+    cell AS (
+      SELECT b,
+             CAST(sum(t) AS BIGINT) AS nt,
+             CAST(sum(t * x_cents) AS BIGINT) AS xt,
+             CAST(count(*) - sum(t) AS BIGINT) AS nc,
+             CAST(sum((1 - t) * x_cents) AS BIGINT) AS xc
+      FROM assign GROUP BY b
+    ),
+    obs AS (SELECT nt, xt, nc, xc FROM cell WHERE b = 0),
+    perms AS (SELECT * FROM cell WHERE b >= 1),
+    ext AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_extreme
+      FROM perms p CROSS JOIN obs o
+      WHERE abs(CAST(p.xt AS HUGEINT) * p.nc - CAST(p.xc AS HUGEINT) * p.nt)
+              * (CAST(o.nt AS HUGEINT) * o.nc)
+            >= abs(CAST(o.xt AS HUGEINT) * o.nc - CAST(o.xc AS HUGEINT) * o.nt)
+              * (CAST(p.nt AS HUGEINT) * p.nc)
+    )
+    SELECT o.nt, o.xt, o.nc, o.xc, e.n_extreme,
+           CAST(1 + e.n_extreme AS DOUBLE) / 201.0 AS p_value
+    FROM obs o CROSS JOIN ext e
+    """,
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X208 deterministic permutation test for the difference in mean
+    per-user spend between two md5-derived arms: 200 pinned md5
+    re-labelings (b=0 is the observed split) replace the analytic null
+    — the assumption-free companion to the z/Wilson/CUPED family that
+    stays valid under heavy-tailed spend. Exactness: per-user cents
+    exact, each permutation cell an integer 4-tuple, the
+    "|diff_b| >= |diff_obs|" compare cross-multiplied in DECIMAL(38)
+    (never a float mean), p-value ONE final division.
+
+    Scale shape: the 201-way explode happens on the USER-sized frame
+    (rows x 201, one shuffle to 201 cells, partial-aggregated
+    map-side); the corpus is touched once for the per-user sums.
+    DECIMAL(38) headroom: |x|·n·n'·n'' needs < 1e38 — holds through
+    ~1e9 users x 1e15 cents; beyond that, band the compare."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    assign = u.select(
+        "user_id",
+        "x_cents",
+        F.explode(F.sequence(F.lit(0), F.lit(200))).alias("b"),
+    ).select(
+        "b",
+        "x_cents",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("perm"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            )
+            < "80000000",
+            1,
+        )
+        .otherwise(0)
+        .alias("t"),
+    )
+    cell = assign.groupBy("b").agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.col("t") * F.col("x_cents")).cast("long").alias("xt"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("nc"),
+        F.sum((1 - F.col("t")) * F.col("x_cents"))
+        .cast("long")
+        .alias("xc"),
+    )
+    obs = cell.where(F.col("b") == 0).select("nt", "xt", "nc", "xc")
+    perms = cell.where(F.col("b") >= 1).select(
+        F.col("nt").alias("pnt"),
+        F.col("xt").alias("pxt"),
+        F.col("nc").alias("pnc"),
+        F.col("xc").alias("pxc"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    ext = (
+        perms.crossJoin(F.broadcast(obs))
+        .where(
+            F.abs(d38("pxt") * F.col("pnc") - d38("pxc") * F.col("pnt"))
+            * (d38("nt") * F.col("nc"))
+            >= F.abs(d38("xt") * F.col("nc") - d38("xc") * F.col("nt"))
+            * (d38("pnt") * F.col("pnc"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_extreme"))
+    )
+    return obs.crossJoin(F.broadcast(ext)).select(
+        "nt",
+        "xt",
+        "nc",
+        "xc",
+        "n_extreme",
+        ((1 + F.col("n_extreme")).cast("double") / F.lit(201.0)).alias(
+            "p_value"
+        ),
+    )
+
+
+@register(
+    "text_good_turing",
+    # Freq-of-freqs table + the (r+1)·N_{r+1}/N_r adjusted counts as
+    # exact integer numerator/denominator; p0 and r* each ONE final
+    # division. Broadcast self-join on r+1, no window.
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''
+      ) AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT z[1] || ' ' || z[2] AS bigram FROM (
+          SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+          FROM toks
+        )
+      ) GROUP BY bigram
+    ),
+    nr AS (
+      SELECT freq AS r, CAST(count(*) AS BIGINT) AS n_r
+      FROM words GROUP BY freq
+    ),
+    tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM nr
+    )
+    SELECT a.r, a.n_r, b.n_r AS n_r_next,
+           CAST((a.r + 1) * b.n_r AS BIGINT) AS r_star_num,
+           CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+             AS r_star,
+           CAST(t.n1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS p0
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    CROSS JOIN tot t
+    WHERE a.r <= 20
+    ORDER BY a.r
+    """,
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209 Good-Turing frequency smoothing over the corpus bigram
+    vocabulary (Good 1953, public): the freq-of-freqs table N_r, the
+    unseen-mass estimate p0 = N_1/N, and adjusted counts
+    r* = (r+1)·N_{r+1}/N_r for r <= 20 — the language-model smoothing
+    readout that says how much probability a corpus owes to n-grams
+    it has never seen (the data-scaling companion to Heaps/Zipf: a
+    high p0 says the corpus is still vocabulary-hungry). Bigrams, not
+    unigrams: the synthetic corpus has a closed 31-word vocab, so the
+    singleton tail that Good-Turing exists for only appears at the
+    bigram level (real corpora hit it at both). One corpus aggregate
+    -> type-sized freq table -> a TINY freq-of-freqs frame; the r+1
+    lookup is a broadcast self-join, r* exact integer num/den with
+    one final division per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    words = (
+        docs.select(toks.alias("ws"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    nr = words.groupBy(F.col("freq").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        nr.where(F.col("r") <= 20)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            "n_r_next",
+            ((F.col("r") + 1) * F.col("n_r_next"))
+            .cast("long")
+            .alias("r_star_num"),
+            (
+                ((F.col("r") + 1) * F.col("n_r_next")).cast("double")
+                / F.col("n_r").cast("double")
+            ).alias("r_star"),
+            (F.col("n1").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("p0"),
+        )
+        .orderBy("r")
+    )
+
+
+@register(
+    "anomaly_dow_median_residual",
+    # Exact doubled-median per (type, dow) — med2 = lo+hi middle
+    # ranks, all BIGINT cents; residual stays doubled-integer and the
+    # top-20 cut ranks on it. One day-grain aggregate, one
+    # (type,dow)-partitioned rank window.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS x_cents
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, day, x_cents,
+             CAST(dayofweek(day) AS BIGINT) AS dow,
+             row_number() OVER (PARTITION BY event_type, dayofweek(day)
+                                ORDER BY x_cents, day) AS rn,
+             count(*) OVER (PARTITION BY event_type, dayofweek(day))
+               AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT event_type, dow,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                           THEN x_cents ELSE 0 END)
+                  * CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 2 ELSE 1
+                    END AS BIGINT) AS med2_q
+      FROM ranked
+      GROUP BY event_type, dow, n
+    )
+    SELECT r.event_type, r.day, r.dow, r.x_cents, m.med2_q,
+           CAST(2 * r.x_cents - m.med2_q AS BIGINT) AS resid2_q,
+           CAST(2 * r.x_cents - m.med2_q AS DOUBLE) / 200.0 AS residual
+    FROM ranked r JOIN med m
+      ON m.event_type = r.event_type AND m.dow = r.dow
+    ORDER BY abs(2 * r.x_cents - m.med2_q) DESC, r.event_type, r.day
+    LIMIT 20
+    """,
+)
+def anomaly_dow_median_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X210 day-of-week median-residual anomaly screen: each day's
+    value total vs the EXACT median of its (event_type, weekday)
+    peers — the robust seasonal baseline that, unlike the seasonal-
+    naive lag (X102), doesn't inherit last week's own anomaly, and
+    unlike a mean baseline isn't dragged by the outliers it is
+    hunting. Exactness: medians in doubled form (med2 = lo+hi of the
+    middle ranks — never a float midpoint), residuals stay doubled
+    BIGINT cents, the top-20 cut ranks on integers, ONE final
+    division renders the residual in currency units.
+
+    Scale: one day-grain aggregate (corpus-sized shuffle), then a
+    rank window over the (type, dow)-partitioned DAY frame
+    (365·types rows/year — trivially bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    # Spark dayofweek() == DuckDB dayofweek()+1 (Sun=1 vs Sun=0):
+    # subtract 1 for an engine-identical 0-based dow
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "x_cents",
+        (F.dayofweek("day") - 1).cast("long").alias("dow"),
+    )
+    wr = W.partitionBy("event_type", "dow").orderBy("x_cents", "day")
+    ranked = ranked.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("event_type", "dow"))
+    )
+    med = ranked.groupBy("event_type", "dow", "n").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("rn") == F.expr("(n + 1) div 2"))
+                    | (F.col("rn") == F.expr("(n + 2) div 2")),
+                    F.col("x_cents"),
+                ).otherwise(0)
+            )
+            * F.when(
+                F.expr("(n + 1) div 2") == F.expr("(n + 2) div 2"), 2
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("med2_q")
+    ).drop("n")
+    out = ranked.join(med, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "dow",
+        "x_cents",
+        "med2_q",
+        (2 * F.col("x_cents") - F.col("med2_q"))
+        .cast("long")
+        .alias("resid2_q"),
+        (
+            (2 * F.col("x_cents") - F.col("med2_q")).cast("double") / 200.0
+        ).alias("residual"),
+    )
+    return out.orderBy(
+        F.abs(F.col("resid2_q")).desc(), "event_type", "day"
+    ).limit(20)
+
+
+@register(
+    "multimodal_frame_schedule",
+    # Pure-integer schedule arithmetic: duration from byte length,
+    # uniform stride + md5-derived deterministic jitter, 1->N
+    # explode/generate_series on both engines.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) * 40 AS BIGINT)
+               AS duration_ms
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, duration_ms,
+             unnest(generate_series(
+               0, CAST(duration_ms - 1 AS BIGINT), 1000)) AS slot_ms
+      FROM m WHERE duration_ms > 0
+    )
+    SELECT doc_id, duration_ms,
+           CAST(slot_ms // 1000 AS BIGINT) AS frame_idx,
+           CAST(slot_ms + (CAST(CAST('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(slot_ms // 1000 AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS BIGINT) % 1000) AS BIGINT) AS frame_ms,
+           CAST((duration_ms + 999) // 1000 AS BIGINT) AS n_frames
+    FROM frames
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X214 video frame-sampling schedule over the media column: each
+    media row expands to its decode work-list — one frame per 1000 ms
+    stride with a DETERMINISTIC md5 jitter inside the stride (the
+    sampling-diversity trick that avoids always grabbing the scene
+    cut at slot boundaries, without RNG so retries resample the same
+    frames). Media is the synthesized binary column (duration derived
+    from byte length; real decoders slot into the mapInPandas stage —
+    ops/multimodal.sample_frames/extract_features). Map-only 1->N
+    explode: the schedule IS the shard-able work queue for a
+    100 TB decode pass — no shuffle anywhere."""
+    from alerta_spark.ops.multimodal import attach_fake_media
+
+    docs = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    m = docs.select(
+        "doc_id",
+        (F.length(F.col("media.data")) * 40)
+        .cast("long")
+        .alias("duration_ms"),
+    ).where(F.col("duration_ms") > 0)
+    frames = m.select(
+        "doc_id",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("duration_ms") - 1,
+                F.lit(1000).cast("long"),
+            )
+        ).alias("slot_ms"),
+    )
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.expr("slot_ms div 1000").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return frames.select(
+        "doc_id",
+        "duration_ms",
+        F.expr("slot_ms div 1000").cast("long").alias("frame_idx"),
+        (F.col("slot_ms") + jitter).cast("long").alias("frame_ms"),
+        F.expr("(duration_ms + 999) div 1000")
+        .cast("long")
+        .alias("n_frames"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "events_entropy_rate",
+    # Conditional entropy per source state as an exact BIGINT dot
+    # product of counts with quantized-ln DIFFERENCES (never float
+    # probabilities), ONE division per row; same (ts, event_id)
+    # transition order as X105.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM t GROUP BY src),
+    q AS (
+      SELECT t.src, t.n, tot.n_src,
+             CAST(floor(ln(CAST(t.n AS DOUBLE)) * 1000000) AS BIGINT)
+               AS qln_n,
+             CAST(floor(ln(CAST(tot.n_src AS DOUBLE)) * 1000000) AS BIGINT)
+               AS qln_src
+      FROM t JOIN tot USING (src)
+    ),
+    h AS (
+      SELECT src, CAST(max(n_src) AS BIGINT) AS n_src,
+             CAST(-sum(n * (qln_n - qln_src)) AS BIGINT) AS h_q
+      FROM q GROUP BY src
+    ),
+    gt AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total FROM h)
+    SELECT h.src, h.n_src, h.h_q,
+           CAST(h.h_q AS DOUBLE)
+             / (CAST(h.n_src AS DOUBLE) * 1000000.0) AS h_cond_nats,
+           CAST(h.n_src AS DOUBLE) / CAST(g.n_total AS DOUBLE)
+             AS weight
+    FROM h CROSS JOIN gt g
+    ORDER BY h.src
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X213 Markov entropy rate (plug-in estimator): per source state,
+    the conditional next-event entropy H(next|src) =
+    −Σ_j (c_ij/c_i)·ln(c_ij/c_i) — how PREDICTABLE each state's
+    successor is (h→0: deterministic flows a sequence rule can
+    exploit; h→ln(k): the state tells you nothing). The weighted sum
+    over rows is the chain's entropy rate — the compressibility /
+    anomaly-budget readout over the X105 transition matrix. Exactness:
+    each term is c_ij·(qln(c_ij) − qln(c_i)) — an exact BIGINT dot
+    product of counts with quantized-ln DIFFERENCES (the WOE/PSI ln
+    discipline), one division per row. Same shuffle shape as X105:
+    one user-keyed window + a |types|²-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = t.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    qln = lambda c: F.floor(  # noqa: E731
+        F.log(F.col(c).cast("double")) * 1000000
+    ).cast("long")
+    q = t.join(F.broadcast(tot), "src").select(
+        "src",
+        "n",
+        "n_src",
+        qln("n").alias("qln_n"),
+        qln("n_src").alias("qln_src"),
+    )
+    h = q.groupBy("src").agg(
+        F.max("n_src").cast("long").alias("n_src"),
+        (-F.sum(F.col("n") * (F.col("qln_n") - F.col("qln_src"))))
+        .cast("long")
+        .alias("h_q"),
+    )
+    gt = h.agg(F.sum("n_src").cast("long").alias("n_total"))
+    return (
+        h.crossJoin(F.broadcast(gt))
+        .select(
+            "src",
+            "n_src",
+            "h_q",
+            (
+                F.col("h_q").cast("double")
+                / (F.col("n_src").cast("double") * F.lit(1000000.0))
+            ).alias("h_cond_nats"),
+            (
+                F.col("n_src").cast("double") / F.col("n_total").cast("double")
+            ).alias("weight"),
+        )
+        .orderBy("src")
+    )
+
+
+@register(
+    "privacy_dp_noised_counts",
+    # Laplace inverse-CDF from a pinned md5 uniform: fold k into the
+    # odd integer t (sign by half-space), magnitude = QLN_M − qln(t)
+    # in micro-nats — integers end to end, ONE division at the edge.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT event_type, day, n,
+             CAST(CAST('0x' || substring(
+               md5('dp1:' || event_type || ':' || CAST(day AS VARCHAR)),
+               1, 8) AS BIGINT) AS BIGINT) AS k
+      FROM c
+    ),
+    s AS (
+      SELECT event_type, day, n,
+             CASE WHEN k < 2147483648 THEN 1 ELSE -1 END AS sign,
+             CASE WHEN k < 2147483648 THEN 2 * k + 1
+                  ELSE 2 * (4294967296 - k) - 1 END AS t
+      FROM u
+    )
+    SELECT event_type, day, n,
+           CAST(n * 1000000 + sign *
+                (22180709 - CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS noised_q,
+           CAST(n * 1000000 + sign *
+                (22180709 - CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000)
+                                 AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS noised
+    FROM s
+    ORDER BY event_type, day
+    """,
+)
+def privacy_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X212 differential-privacy release plumbing: per-(type, day)
+    counts with Laplace(b=1/ε, ε=1) noise via the inverse CDF — the
+    noise pipeline of a DP histogram release (sensitivity 1 per count,
+    noise magnitude −b·ln(t/2³²) with the sign from the uniform's
+    half-space). The uniform is a PINNED md5 of the cell key, so the
+    release is test-deterministic and cross-engine exact — production
+    swaps the md5 for a real RNG stream and keeps every other line.
+    Exactness: the fold to the odd integer t keeps ln's argument an
+    integer; magnitude = QLN_M − qln(t) in micro-nats (the quantized-
+    ln discipline), noised_q pure BIGINT, ONE final division. True n
+    is emitted here for the oracle check — a production release
+    projects it away. Map-only after one day-grain aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("dp1:"),
+                    F.col("event_type"),
+                    F.lit(":"),
+                    F.col("day").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    s = c.select(
+        "event_type",
+        "day",
+        "n",
+        F.when(k < 2147483648, 1).otherwise(-1).alias("sign"),
+        F.when(k < 2147483648, 2 * k + 1)
+        .otherwise(2 * (F.lit(4294967296) - k) - 1)
+        .alias("t"),
+    )
+    qln_t = F.floor(F.log(F.col("t").cast("double")) * 1000000).cast("long")
+    noised_q = (
+        F.col("n") * 1000000 + F.col("sign") * (F.lit(22180709) - qln_t)
+    ).cast("long")
+    return s.select(
+        "event_type",
+        "day",
+        "n",
+        noised_q.alias("noised_q"),
+        (noised_q.cast("double") / 1000000.0).alias("noised"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "forecast_holt_linear",
+    # The smoothing recursion replayed with a recursive CTE; every
+    # level/trend value an exact BIGINT (alpha=0.2, beta=0.1 as
+    # integral x10 divisions, toward-zero on BOTH engines), the
+    # 7-day-ahead forecast pure integer arithmetic.
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS x_cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    dense AS (
+      SELECT g.event_type, g.day,
+             CAST(row_number() OVER (PARTITION BY g.event_type
+                                     ORDER BY g.day) AS BIGINT) AS i,
+             coalesce(d.x_cents, 0) AS x
+      FROM grid g LEFT JOIN daily d
+        ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM dense GROUP BY 1
+    ),
+    rec AS (
+      SELECT a.event_type, CAST(1 AS BIGINT) AS i,
+             a.x AS l, b2.x - a.x AS b
+      FROM dense a JOIN dense b2
+        ON b2.event_type = a.event_type AND b2.i = 2
+      WHERE a.i = 1
+      UNION ALL
+      SELECT r.event_type, r.i + 1,
+             (2 * d.x + 8 * (r.l + r.b)) // 10,
+             (((2 * d.x + 8 * (r.l + r.b)) // 10) - r.l + 9 * r.b) // 10
+      FROM rec r JOIN dense d
+        ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT r.event_type, n.n_days,
+           CAST(r.l AS BIGINT) AS level_q,
+           CAST(r.b AS BIGINT) AS trend_q,
+           CAST(r.l + 7 * r.b AS BIGINT) AS fc7_q,
+           CAST(r.l + 7 * r.b AS DOUBLE) / 100.0 AS forecast_7d
+    FROM rec r JOIN n ON n.event_type = r.event_type AND r.i = n.n_days
+    ORDER BY r.event_type
+    """,
+)
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X211 Holt's linear-trend forecast (double exponential
+    smoothing, public algorithm) per event type, PINNED to integer
+    arithmetic: level/trend updates l' = (2x + 8(l+b)) div 10,
+    b' = ((l'−l) + 9b) div 10 — alpha=0.2/beta=0.1 as integral
+    toward-zero divisions (identical on both engines), over the
+    zero-filled dense day grid. The Spark side folds each type's
+    day-ordered value array with a SQL `aggregate` lambda (state =
+    one struct — the X98/X107 pinned-iteration discipline applied to
+    a recurrence); the oracle replays the recursion with a recursive
+    CTE. State is span-bounded (days, not rows): collect_list here
+    holds ~10² elements per type at any corpus size — the X99 EWMA
+    caveat family, documented. 7-day-ahead forecast = l + 7b, exact
+    BIGINT, ONE final division to currency units."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("x_cents", F.lit(0)).cast("long").alias("x"),
+    )
+    series = dense.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    holt = F.expr(
+        """
+        aggregate(
+          slice(xs, 2, CAST(n_days - 1 AS INT)),
+          named_struct(
+            'l', CAST(element_at(xs, 1) AS BIGINT),
+            'b', CAST(element_at(xs, 2) - element_at(xs, 1) AS BIGINT)),
+          (acc, x) -> named_struct(
+            'l', (2 * x + 8 * (acc.l + acc.b)) div 10,
+            'b', (((2 * x + 8 * (acc.l + acc.b)) div 10) - acc.l
+                  + 9 * acc.b) div 10))
+        """
+    )
+    return (
+        series.where(F.col("n_days") >= 2)
+        .select("event_type", "n_days", holt.alias("_h"))
+        .select(
+            "event_type",
+            "n_days",
+            F.col("_h.l").alias("level_q"),
+            F.col("_h.b").alias("trend_q"),
+            (F.col("_h.l") + 7 * F.col("_h.b")).cast("long").alias("fc7_q"),
+            (
+                (F.col("_h.l") + 7 * F.col("_h.b")).cast("double") / 100.0
+            ).alias("forecast_7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_spearman_corr",
+    # Pearson on DOUBLED midranks: every rank, sum, and moment an
+    # exact BIGINT (HUGEINT intermediates), r = num/(sqrt·sqrt) with
+    # both sqrt args exact integers < 2^53 — bit-identical IEEE.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS y
+      FROM events GROUP BY user_id
+    ),
+    gx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY x),
+    rx AS (
+      SELECT v, CAST(2 * sum(c) OVER (ORDER BY v) - c + 1 AS BIGINT)
+               AS r2
+      FROM gx
+    ),
+    gy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY y),
+    ry AS (
+      SELECT v, CAST(2 * sum(c) OVER (ORDER BY v) - c + 1 AS BIGINT)
+               AS r2
+      FROM gy
+    ),
+    j AS (
+      SELECT rx.r2 AS a, ry.r2 AS b FROM u
+      JOIN rx ON rx.v = u.x JOIN ry ON ry.v = u.y
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+             CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+             CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab
+      FROM j
+    )
+    SELECT n,
+           CAST(n * sab - CAST(sa AS HUGEINT) * sb AS BIGINT) AS num_q,
+           CAST(n * saa - CAST(sa AS HUGEINT) * sa AS BIGINT) AS denx_q,
+           CAST(n * sbb - CAST(sb AS HUGEINT) * sb AS BIGINT) AS deny_q,
+           CAST(n * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+             / (sqrt(CAST(CAST(n * saa - CAST(sa AS HUGEINT) * sa
+                               AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(n * sbb - CAST(sb AS HUGEINT) * sb
+                                 AS BIGINT) AS DOUBLE))) AS spearman_rho
+    FROM m
+    """,
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X215 Spearman rank correlation between per-user activity count
+    and per-user spend — the monotone-association readout that is
+    immune to the heavy spend tail Pearson chokes on. Tie-correct via
+    Pearson on DOUBLED midranks (the X186/X206 machinery: midrank_2 =
+    lo+hi is always integer): every sum/moment exact BIGINT with
+    DECIMAL(38) intermediates, rho = one numerator over two sqrt's
+    whose arguments are exact integers (< 2^53 through ~10⁶ users —
+    beyond that, band the ranks). Rank cumsums run on the DISTINCT-
+    value frames (no row-scale global sort), broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def ranks(col: str):
+        g = u.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        return g.select(
+            "v",
+            (2 * F.sum("c").over(wc) - F.col("c") + 1)
+            .cast("long")
+            .alias("r2"),
+        )
+
+    rx = ranks("x").select(
+        F.col("v").alias("x"), F.col("r2").alias("a")
+    )
+    ry = ranks("y").select(
+        F.col("v").alias("y"), F.col("r2").alias("b")
+    )
+    j = u.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(d38("a") * F.col("a")).cast("decimal(38,0)").alias("saa"),
+        F.sum(d38("b") * F.col("b")).cast("decimal(38,0)").alias("sbb"),
+        F.sum(d38("a") * F.col("b")).cast("decimal(38,0)").alias("sab"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa").cast("decimal(38,0)") * F.col("sb")).cast("long")
+    denx = (F.col("n") * F.col("saa") - F.col("sa").cast("decimal(38,0)") * F.col("sa")).cast("long")
+    deny = (F.col("n") * F.col("sbb") - F.col("sb").cast("decimal(38,0)") * F.col("sb")).cast("long")
+    return m.select(
+        "n",
+        num.alias("num_q"),
+        denx.alias("denx_q"),
+        deny.alias("deny_q"),
+        (
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "cohort_ltv_curves",
+    # First-touch week cohorts, exact cent sums, cohort-partitioned
+    # cumulative window, LTV one division per row.
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM first GROUP BY cohort_week
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE))
+                  AS BIGINT) AS age_week,
+             CAST(sum(CAST(e.value AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM events e JOIN first f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_week, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                                       ORDER BY age_week) AS BIGINT)
+               AS cum_rev_cents
+      FROM rev
+    )
+    SELECT c.cohort_week, c.age_week, s.n_users, c.rev_cents,
+           c.cum_rev_cents,
+           CAST(c.cum_rev_cents AS DOUBLE)
+             / (CAST(s.n_users AS DOUBLE) * 100.0) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    ORDER BY c.cohort_week, c.age_week
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X216 cohort lifetime-value curves: users grouped by first-touch
+    week, purchase revenue accumulated by cohort age — the LTV payback
+    readout that retention counts (X51) only hint at. Exact cents
+    everywhere, the cumulative window runs over the (cohort, age)
+    frame (weeks² rows, not users), LTV-per-user ONE division per
+    row. Corpus touched twice (first-touch and revenue aggregates,
+    both key-partial); the user->cohort join shuffles on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(14,2)") * 100)
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    wc = W.partitionBy("cohort_week").orderBy("age_week")
+    cum = rev.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(wc).cast("long")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            "rev_cents",
+            "cum_rev_cents",
+            (
+                F.col("cum_rev_cents").cast("double")
+                / (F.col("n_users").cast("double") * 100.0)
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+@register(
+    "layout_compaction_bins",
+    # Start-offset binning: bin = running-start div target inside
+    # each source partition — pure integers, one partitioned window.
+    oracle="""
+    WITH files AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes
+      FROM documents
+    ),
+    placed AS (
+      SELECT source, doc_id, bytes,
+             CAST(coalesce(sum(bytes) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_off
+      FROM files
+    )
+    SELECT source, CAST(start_off // 16384 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM placed
+    GROUP BY source, start_off // 16384
+    ORDER BY source, bin
+    """,
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X217 small-files compaction planner: assign each file (here:
+    documents standing in for a file listing, n_chars as bytes) to a
+    target-sized output group by its running START offset div target
+    — the deterministic in-order packing every lakehouse OPTIMIZE
+    job runs before rewriting small files. Groups are computed PER
+    source partition (the window never crosses partition dirs — no
+    global sort, matching how compaction actually shards at 100 TB);
+    output is the rewrite manifest: files per bin, exact byte totals,
+    id span. All integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("bytes"),
+    ).withColumn(
+        "start_off",
+        F.coalesce(F.sum("bytes").over(ws), F.lit(0)).cast("long"),
+    )
+    return (
+        placed.groupBy(
+            "source", F.expr("start_off div 16384").cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unroll k-1 farthest-point rounds as CTEs (the X98/X107/X37
+    pinned-iteration discipline): each round joins the quantized
+    component table against the single newly-chosen row, keeps the
+    running min-distance, and picks the next center by
+    (min-dist DESC, id ASC)."""
+    sql = ["""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(v[pos] * 1000000.0) AS BIGINT) AS c
+      FROM e, idx
+    ),
+    c1 AS (SELECT min(vec_id) AS id FROM e),
+    m1 AS (
+      SELECT qa.vec_id,
+             CAST(sum((qa.c - qb.c) * (qa.c - qb.c)) AS BIGINT) AS d2
+      FROM q qa JOIN q qb
+        ON qb.vec_id = (SELECT id FROM c1) AND qb.pos = qa.pos
+      GROUP BY qa.vec_id
+    )"""]
+    for r in range(2, k + 1):
+        p = r - 1
+        sql.append(f""", c{r} AS (
+      SELECT vec_id AS id, d2 FROM m{p}
+      ORDER BY d2 DESC, vec_id ASC LIMIT 1
+    ), m{r} AS (
+      SELECT m.vec_id, least(m.d2, CAST(sum(
+               (qa.c - qb.c) * (qa.c - qb.c)) AS BIGINT)) AS d2
+      FROM m{p} m
+      JOIN q qa ON qa.vec_id = m.vec_id
+      JOIN q qb ON qb.vec_id = (SELECT id FROM c{r}) AND qb.pos = qa.pos
+      GROUP BY m.vec_id, m.d2
+    )""")
+    unions = "\n      UNION ALL ".join(
+        ["SELECT 1 AS rank, id AS vec_id, CAST(0 AS BIGINT) AS sel_d2_q"
+         " FROM c1"]
+        + [
+            f"SELECT {r} AS rank, id AS vec_id, CAST(d2 AS BIGINT)"
+            f" AS sel_d2_q FROM c{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    sql.append(
+        f"\n    SELECT CAST(rank AS BIGINT) AS rank, vec_id, sel_d2_q"
+        f" FROM (\n      {unions}\n    ) ORDER BY rank"
+    )
+    return "".join(sql)
+
+
+@register("sample_kcenter_coreset", oracle=_kcenter_oracle(5))
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X218 greedy k-center coreset over the embedding corpus
+    (ops/sampling.kcenter_coreset): 5 exemplars by farthest-point
+    traversal — the diversity-sampling rule for training-data
+    selection (keep the spread, not the mode; the complement of
+    SemDeDup). Engine-exact quantized squared-L2, ties to lowest id;
+    the oracle replays every round via unrolled CTEs. Corpus-side
+    cost: k map-only min-dist updates + k TakeOrdered argmaxes, no
+    pair join, no corpus shuffle."""
+    from alerta_spark.ops.sampling import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=5)
+
+
+@register(
+    "recs_als_rank1_pinned",
+    # Two alternating closed-form rank-1 updates unrolled as CTEs:
+    # every factor an integral division of exact BIGINT dot products
+    # (x10^6 fixed point), predictions pure integer products.
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    u1 AS (
+      SELECT user_id,
+             CAST((sum(n * 1000000) * 1000000)
+                  // (count(*) * CAST(1000000 AS BIGINT) * 1000000)
+                  AS BIGINT) AS u
+      FROM r GROUP BY user_id
+    ),
+    v1 AS (
+      SELECT r.event_type,
+             CAST((sum(r.n * u1.u) * 1000000)
+                  // sum(u1.u * u1.u) AS BIGINT) AS v
+      FROM r JOIN u1 USING (user_id) GROUP BY r.event_type
+    ),
+    u2 AS (
+      SELECT r.user_id,
+             CAST((sum(r.n * v1.v) * 1000000)
+                  // sum(v1.v * v1.v) AS BIGINT) AS u
+      FROM r JOIN v1 USING (event_type) GROUP BY r.user_id
+    ),
+    v2 AS (
+      SELECT r.event_type,
+             CAST((sum(r.n * u2.u) * 1000000)
+                  // sum(u2.u * u2.u) AS BIGINT) AS v
+      FROM r JOIN u2 USING (user_id) GROUP BY r.event_type
+    ),
+    pred AS (
+      SELECT u2.user_id, v2.event_type,
+             CAST((u2.u * v2.v) // 1000000 AS BIGINT) AS pred_q,
+             coalesce(r.n, 0) AS observed
+      FROM u2 CROSS JOIN v2
+      LEFT JOIN r ON r.user_id = u2.user_id
+                 AND r.event_type = v2.event_type
+    ),
+    top AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY pred_q DESC, user_id)
+               AS rnk
+      FROM pred
+    )
+    SELECT t.event_type, v2.v AS v_q, t.user_id, t.pred_q,
+           CAST(t.observed AS BIGINT) AS observed,
+           CAST(t.rnk AS BIGINT) AS rnk
+    FROM top t JOIN v2 USING (event_type)
+    WHERE t.rnk <= 3
+    ORDER BY t.event_type, t.rnk
+    """,
+)
+def recs_als_rank1_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X219 rank-1 ALS matrix factorization over the user x event-type
+    interaction counts, PINNED: init v=1 (x10^6 fixed point), then two
+    alternating CLOSED-FORM least-squares updates — rank-1 makes each
+    update u_i = <r_i,v>/<v,v> an integral division of exact BIGINT
+    dot products, so training is engine-exact with no RNG and no
+    float accumulation (the factorization companion to the item-item
+    cosine recs, X188). Emits each type's factor and its top-3 users
+    by predicted affinity (the recommendation readout), with the
+    observed count alongside. Each update is one key-partial
+    aggregate; the only fan-out is the |users| x |types| prediction
+    join, bounded by the type dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    M = F.lit(1000000).cast("long")
+    u1 = r.groupBy("user_id").agg(
+        F.expr(
+            "CAST((sum(n * 1000000) * 1000000) div"
+            " (count(*) * CAST(1000000 AS BIGINT) * 1000000) AS BIGINT)"
+        ).alias("u")
+    )
+    v1 = (
+        r.join(u1, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST((sum(n * u) * 1000000) div sum(u * u) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    u2 = (
+        r.join(F.broadcast(v1), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST((sum(n * v) * 1000000) div sum(v * v) AS BIGINT)"
+            ).alias("u")
+        )
+    )
+    v2 = (
+        r.join(u2, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "CAST((sum(n * u) * 1000000) div sum(u * u) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    pred = (
+        u2.crossJoin(F.broadcast(v2))
+        .join(r, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("CAST((u * v) div 1000000 AS BIGINT)").alias("pred_q"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("observed"),
+        )
+    )
+    wt = W.partitionBy("event_type").orderBy(
+        F.desc("pred_q"), F.asc("user_id")
+    )
+    return (
+        pred.withColumn("rnk", F.row_number().over(wt).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .join(F.broadcast(v2.select("event_type", F.col("v").alias("v_q"))), "event_type")
+        .select("event_type", "v_q", "user_id", "pred_q", "observed", "rnk")
+        .orderBy("event_type", "rnk")
+    )

@@ -147,6 +147,19 @@ HEADLINE = [
     "corpus_source_ablation",
     "abtest_uplift_by_band",
     "features_quantile_transform",
+    "embedding_lof_outliers",
+    "stats_permutation_test",
+    "text_good_turing",
+    "anomaly_dow_median_residual",
+    "forecast_holt_linear",
+    "privacy_dp_noised_counts",
+    "events_entropy_rate",
+    "multimodal_frame_schedule",
+    "stats_spearman_corr",
+    "cohort_ltv_curves",
+    "layout_compaction_bins",
+    "sample_kcenter_coreset",
+    "recs_als_rank1_pinned",
 ]
 
 

@@ -163,3 +163,31 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert out[0]["doc_id"] == 10
     assert out[0]["score_q"] > out[1]["score_q"]
     assert {r["doc_id"] for r in out} == {10, 11, 12}
+
+
+def test_kcenter_coreset_hand_traversal(spark):
+    """Farthest-point traversal on a 1-D line 0..9 (embedded in the
+    first component): seed=lowest id (x=0), then 9 (d2=81), then the
+    4/5 tie -> 4, then the 2/6/7 tie (d2=4) -> 2, then 6."""
+    from alerta_spark.ops.sampling import kcenter_coreset
+
+    rows = [(i, [float(i)] + [0.0] * 63) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["rank"], r["vec_id"], r["sel_d2_q"])
+        for r in kcenter_coreset(df, k=5).orderBy("rank").collect()
+    ]
+    m = 1_000_000 * 1_000_000  # quantized d2 units
+    assert got == [
+        (1, 0, 0),
+        (2, 9, 81 * m),
+        (3, 4, 16 * m),
+        (4, 2, 4 * m),
+        (5, 6, 4 * m),
+    ]
+    # rerun-stable
+    again = [
+        (r["rank"], r["vec_id"], r["sel_d2_q"])
+        for r in kcenter_coreset(df, k=5).orderBy("rank").collect()
+    ]
+    assert again == got

@@ -369,3 +369,30 @@ def test_mmr_rerank_matches_python_replay_and_diversifies(spark, emb):
         remaining.remove(pick)
     assert [r["vec_id"] for r in out] == want
     assert out[0]["vec_id"] == max(rel, key=lambda i: (rel[i], -i))
+
+
+def test_embedding_lof_planted_outlier(spark):
+    """A point far off a tight cluster must get the top LOF score
+    (>1); the uniform cluster's members stay near 1. Also pins the
+    deterministic top-k cut and rerun stability."""
+    import pyspark.sql.functions as F
+
+    from alerta_spark.ops.similarity import embedding_lof
+
+    # 30 clustered points on a small grid + one far outlier, all in
+    # the first two components
+    rows = [
+        (i, [0.001 * (i % 6), 0.001 * (i // 6)] + [0.0] * 62)
+        for i in range(30)
+    ]
+    rows.append((99, [0.5, 0.5] + [0.0] * 62))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_lof(df, k=3).collect()
+    assert out, "non-empty"
+    top = max(out, key=lambda r: r["lof_q"])
+    assert top["vec_id"] == 99 and top["lof"] > 1.5
+    others = [r["lof"] for r in out if r["vec_id"] != 99]
+    assert all(l < top["lof"] for l in others)
+    assert all(r["n_nb"] <= 3 for r in out)
+    again = embedding_lof(df, k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
