@@ -17272,3 +17272,656 @@ def recs_als_rank1_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "v_q", "user_id", "pred_q", "observed", "rnk")
         .orderBy("event_type", "rnk")
     )
+
+
+@register(
+    "corpus_source_overlap_matrix",
+    # Posting-list pair counting: distinct (source, shingle) rows,
+    # |A∩B| via the per-shingle source-pair join (fan-out bounded by
+    # #sources, never a doc-pair join), Jaccard/containment one
+    # division each.
+    oracle=f"""
+    WITH s0 AS (
+      SELECT d.source, sh.sh AS shingle
+      FROM documents d, unnest({{SH}}) AS sh(sh)
+    ),
+    s AS (SELECT DISTINCT source, shingle FROM s0),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+      FROM s GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM s a JOIN s b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) AS jaccard,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY i.n_common DESC, i.src_a, i.src_b
+    LIMIT 30
+    """.replace("{SH}", _DUCK_SHINGLES),
+)
+def corpus_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X220 source-level 5-gram overlap matrix: for every source pair,
+    the exact distinct-shingle intersection with Jaccard and
+    containment — the corpus-governance readout that finds mirrored /
+    scraped-from-each-other SOURCES before doc-level dedup even runs
+    (a source pair with high containment means one feed wholesale
+    republishes the other; X48 drift and X30 composition see nothing).
+    Plan: distinct (source, shingle) rows (one aggregate), then the
+    per-shingle source-pair join — fan-out bounded by #sources per
+    shingle, NEVER a document-pair join; top-30 by intersection size
+    (integer-ranked cut). At 100 TB the posting list per shingle is
+    capped by source count, so the pair count is #sources², not
+    docs²."""
+    from alerta_spark.ops.dedupe import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        shingle_rows(docs, "text", "doc_id", 5)
+        .join(docs.select(F.col("doc_id").alias("_id"), "source"), "_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = s.select(F.col("source").alias("src_a"), "shingle")
+    b = s.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("n_common"), "src_a", "src_b")
+        .limit(30)
+    )
+
+
+@register(
+    "finance_duplicate_payment_screen",
+    # Customer-keyed self-join (per-key order fan-out, never global),
+    # cents compared with integer cross-multiplication (|a-b|*200 <=
+    # a+b per a 1% band), date window in days; dedup by (lo, hi).
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS cust,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.cust,
+           a.k AS order_a, b.k AS order_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           CAST(abs(a.cents - b.cents) AS BIGINT) AS diff_cents,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS gap_days
+    FROM o a JOIN o b
+      ON a.cust = b.cust AND a.k < b.k
+     AND b.d >= a.d - INTERVAL 7 DAY AND b.d <= a.d + INTERVAL 7 DAY
+     AND abs(a.cents - b.cents) * 200 <= (a.cents + b.cents)
+    ORDER BY a.cust, order_a, order_b
+    """,
+)
+def finance_duplicate_payment_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X221 duplicate-payment audit screen: order pairs from the SAME
+    customer within 7 days whose totals agree to 1% — the classic
+    accounts-payable double-billing detector (the business-domain
+    face of the dedup family: fuzzy match on amount+date instead of
+    shingles). The 1% band is integer cross-multiplied
+    (|a−b|·200 <= a+b — no float tolerance), the window a date
+    interval, pairs deduped by key order. Plan: ONE customer-keyed
+    self-join — fan-out bounded by per-customer order count (the
+    natural partition key at 100 TB), never a global pair join."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("cust"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        "cust",
+        F.col("k").alias("order_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("d").alias("d_a"),
+    )
+    b = o.select(
+        "cust",
+        F.col("k").alias("order_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("d_b"),
+    )
+    return (
+        a.join(b, "cust")
+        .where(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.col("d_b") >= F.date_sub("d_a", 7))
+            & (F.col("d_b") <= F.date_add("d_a", 7))
+            & (
+                F.abs(F.col("cents_a") - F.col("cents_b")) * 200
+                <= F.col("cents_a") + F.col("cents_b")
+            )
+        )
+        .select(
+            "cust",
+            "order_a",
+            "order_b",
+            "cents_a",
+            "cents_b",
+            F.abs(F.col("cents_a") - F.col("cents_b"))
+            .cast("long")
+            .alias("diff_cents"),
+            F.datediff("d_b", "d_a").cast("long").alias("gap_days"),
+        )
+        .orderBy("cust", "order_a", "order_b")
+    )
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    # k-minimum-values: rank the distinct 60-bit md5 hashes per key,
+    # keep the kth smallest; estimate = (k-1)*2^60 / h_k, ONE
+    # division. The ALL row is the merged (union) sketch.
+    oracle="""
+    WITH h0 AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                         1, 15) AS BIGINT) AS BIGINT)
+               AS h
+      FROM events
+    ),
+    h AS (
+      SELECT event_type, h FROM h0
+      UNION ALL
+      SELECT 'ALL', h FROM (SELECT DISTINCT h FROM h0)
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM h
+    )
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN n_exact >= 64 THEN max(
+             CASE WHEN rn = 64 THEN h END) END AS BIGINT) AS h_k,
+           CASE WHEN n_exact >= 64
+                THEN 63.0 * 1152921504606846976.0
+                     / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                ELSE CAST(n_exact AS DOUBLE) END AS est_distinct
+    FROM ranked
+    GROUP BY event_type, n_exact
+    ORDER BY event_type
+    """,
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222 KMV (k-minimum-values) distinct sketch per event type plus
+    the merged union row — the third member of the cardinality-sketch
+    family (portable HLL X89 estimates via register harmonics; KMV
+    via order statistics: the kth-smallest of the distinct 60-bit md5
+    hashes, est = (k−1)·2⁶⁰/h_k). KMV's edge: sketches MERGE by
+    keeping the k smallest of the union (the ALL row exercises it),
+    and intersections follow by inclusion-exclusion — the
+    set-algebra distinct counter. Engine-exact: hashes and the kth
+    order statistic are integers; under-filled sketches (n < k)
+    report exactly. One distinct aggregate + a key-partitioned rank
+    window over the (bounded) distinct-hash frame."""
+    ev = load_table(spark, sf_dir, "events")
+    h0 = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    h = h0.unionByName(
+        h0.select(F.lit("ALL").alias("event_type"), "h").distinct()
+    )
+    wr = W.partitionBy("event_type").orderBy("h")
+    ranked = (
+        h.withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "n_exact", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+        )
+    )
+    hk = F.max(F.when(F.col("rn") == 64, F.col("h")))
+    return (
+        ranked.groupBy("event_type", "n_exact")
+        .agg(
+            F.when(F.col("n_exact") >= 64, hk).cast("long").alias("h_k"),
+            F.when(
+                F.col("n_exact") >= 64,
+                F.lit(63.0)
+                * F.lit(1152921504606846976.0)
+                / hk.cast("double"),
+            )
+            .otherwise(F.col("n_exact").cast("double"))
+            .alias("est_distinct"),
+        )
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "h_k",
+            "est_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_mix_shift_decomposition",
+    # Exact integer cells; each effect a fixed scalar expression over
+    # them (single IEEE divisions, fixed subtraction order) — row
+    # math, not aggregation-order float sums.
+    oracle="""
+    WITH cell AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_post,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(14,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS x_pre,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(14,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS x_post
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_pre, n_post, x_pre, x_post,
+           CAST(x_post - x_pre AS BIGINT) AS delta_cents,
+           CAST((n_post - n_pre) * x_pre AS DOUBLE)
+             / CAST(n_pre AS DOUBLE) AS volume_effect,
+           CAST(CAST(n_pre AS HUGEINT) * x_post AS DOUBLE)
+             / CAST(n_post AS DOUBLE) - CAST(x_pre AS DOUBLE)
+             AS rate_effect,
+           CAST(x_post - x_pre AS DOUBLE)
+             - CAST((n_post - n_pre) * x_pre AS DOUBLE)
+               / CAST(n_pre AS DOUBLE)
+             - (CAST(CAST(n_pre AS HUGEINT) * x_post AS DOUBLE)
+                / CAST(n_post AS DOUBLE) - CAST(x_pre AS DOUBLE))
+             AS interaction
+    FROM cell WHERE n_pre > 0 AND n_post > 0
+    ORDER BY event_type
+    """,
+)
+def events_mix_shift_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X224 period-over-period mix-shift decomposition per event type:
+    Δrevenue = volume effect (count change at old rate) + rate effect
+    (per-event value change at old volume) + interaction — the
+    classic BI bridge that says WHY the total moved, not just that it
+    did (complements X189 diff-in-diff, which needs an assignment;
+    this needs only two periods). Exactness: the 2x2 cells are exact
+    BIGINT cents/counts from ONE scan; each effect is a fixed scalar
+    expression over them — single IEEE divisions in a pinned order,
+    so cross-engine bit-identical without any quantization."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.col("value").cast("decimal(14,2)") * 100
+    cell = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pre"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_post"),
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+        .cast("long")
+        .alias("x_pre"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+        .cast("long")
+        .alias("x_post"),
+    )
+    vol = (
+        ((F.col("n_post") - F.col("n_pre")) * F.col("x_pre")).cast("double")
+        / F.col("n_pre").cast("double")
+    )
+    rate = (
+        (F.col("n_pre").cast("decimal(38,0)") * F.col("x_post")).cast(
+            "double"
+        )
+        / F.col("n_post").cast("double")
+        - F.col("x_pre").cast("double")
+    )
+    return (
+        cell.where((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+        .select(
+            "event_type",
+            "n_pre",
+            "n_post",
+            "x_pre",
+            "x_post",
+            (F.col("x_post") - F.col("x_pre"))
+            .cast("long")
+            .alias("delta_cents"),
+            vol.alias("volume_effect"),
+            rate.alias("rate_effect"),
+            (
+                (F.col("x_post") - F.col("x_pre")).cast("double")
+                - vol
+                - rate
+            ).alias("interaction"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_brown_forsythe",
+    # Doubled group medians -> integer |deviation| scores -> micro-
+    # quantized group means -> exact HUGEINT/DECIMAL(38) squared-sum
+    # moments; F one final division (VARCHAR hop for DuckDB's wide-
+    # decimal->double).
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS x,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+                           THEN x ELSE 0 END)
+                  * CASE WHEN (n + 1) // 2 = (n + 2) // 2 THEN 2
+                         ELSE 1 END AS BIGINT) AS med2
+      FROM ranked GROUP BY event_type, n
+    ),
+    z AS (
+      SELECT v.event_type, abs(2 * v.x - m.med2) AS z
+      FROM v JOIN med m USING (event_type)
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z) AS BIGINT) AS s_g
+      FROM z GROUP BY event_type
+    ),
+    gq AS (
+      SELECT event_type, n_g, s_g,
+             CAST((s_g * 1000000) // n_g AS BIGINT) AS zbar_q
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST((sum(s_g) * 1000000) // sum(n_g) AS BIGINT) AS zbar_all_q
+      FROM g
+    ),
+    between_ AS (
+      SELECT CAST(sum(CAST(n_g AS HUGEINT)
+                      * (zbar_q - t.zbar_all_q)
+                      * (zbar_q - t.zbar_all_q)) AS HUGEINT) AS b_q
+      FROM gq CROSS JOIN tot t
+    ),
+    within_ AS (
+      SELECT CAST(sum(CAST(z.z * 1000000 - gq.zbar_q AS HUGEINT)
+                      * (z.z * 1000000 - gq.zbar_q)) AS HUGEINT) AS w_q
+      FROM z JOIN gq USING (event_type)
+    )
+    SELECT gq.event_type, gq.n_g, gq.s_g, gq.zbar_q,
+           CAST(CAST((t.n - t.k) * b.b_q AS VARCHAR) AS DOUBLE)
+             / CAST(CAST((t.k - 1) * w.w_q AS VARCHAR) AS DOUBLE)
+             AS f_stat
+    FROM gq CROSS JOIN tot t CROSS JOIN between_ b CROSS JOIN within_ w
+    ORDER BY gq.event_type
+    """,
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223 Brown-Forsythe variance-homogeneity test across event
+    types (Levene's test with the MEDIAN center — robust to the heavy
+    tails that break plain Levene): do the groups differ in SPREAD,
+    not location — the pre-flight check the mean-comparison family
+    (z/MW/permutation) silently assumes away. Exactness pipeline:
+    doubled exact medians (lo+hi ranks) -> integer deviation scores
+    z = |2x − med2| -> micro-quantized group means (x10⁶ integral
+    division, the documented quantization point) -> between/within
+    squared-sum moments in DECIMAL(38) -> F as ONE division (DuckDB
+    side hops wide decimals through VARCHAR; Spark's decimal→double
+    is correctly rounded). Per-group rows carry the group stats, the
+    F statistic broadcast onto each."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        "event_id",
+    )
+    wr = W.partitionBy("event_type").orderBy("x", "event_id")
+    ranked = v.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    )
+    med = ranked.groupBy("event_type", "n").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("rn") == F.expr("(n + 1) div 2"))
+                    | (F.col("rn") == F.expr("(n + 2) div 2")),
+                    F.col("x"),
+                ).otherwise(0)
+            )
+            * F.when(
+                F.expr("(n + 1) div 2") == F.expr("(n + 2) div 2"), 2
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("med2")
+    ).drop("n")
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("x") - F.col("med2")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s_g"),
+    )
+    gq = g.select(
+        "event_type",
+        "n_g",
+        "s_g",
+        F.expr("CAST((s_g * 1000000) div n_g AS BIGINT)").alias("zbar_q"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(
+            "CAST((sum(s_g) * 1000000) div sum(n_g) AS BIGINT)"
+        ).alias("zbar_all_q"),
+    )
+    btw = (
+        gq.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_g").cast("decimal(38,0)")
+                * (F.col("zbar_q") - F.col("zbar_all_q"))
+                * (F.col("zbar_q") - F.col("zbar_all_q"))
+            )
+            .cast("decimal(38,0)")
+            .alias("b_q")
+        )
+    )
+    within = (
+        z.join(F.broadcast(gq), "event_type")
+        .agg(
+            F.sum(
+                (F.col("z") * 1000000 - F.col("zbar_q")).cast(
+                    "decimal(38,0)"
+                )
+                * (F.col("z") * 1000000 - F.col("zbar_q"))
+            )
+            .cast("decimal(38,0)")
+            .alias("w_q")
+        )
+    )
+    return (
+        gq.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btw))
+        .crossJoin(F.broadcast(within))
+        .select(
+            "event_type",
+            "n_g",
+            "s_g",
+            "zbar_q",
+            (
+                ((F.col("n") - F.col("k")) * F.col("b_q")).cast("double")
+                / ((F.col("k") - 1) * F.col("w_q")).cast("double")
+            ).alias("f_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_term_dispersion",
+    # DP = 0.5·Σ_i |v_i − s_i| with the all-sources sum folded to the
+    # observed rows only (missing-source terms contribute f·t_i, so
+    # Σ = Σ_obs(|c·T − f·t| − f·t) + f·T) — exact integers, ONE
+    # division per term.
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''
+      )) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT term, source, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    src AS (SELECT source, CAST(count(*) AS BIGINT) AS t_i
+            FROM toks GROUP BY source),
+    tw AS (SELECT term, CAST(sum(c) AS BIGINT) AS f_w FROM c GROUP BY term),
+    tot AS (SELECT CAST(sum(t_i) AS BIGINT) AS t FROM src),
+    obs AS (
+      SELECT c.term,
+             CAST(sum(abs(c.c * tt.t - tw.f_w * s.t_i)
+                      - tw.f_w * s.t_i) AS BIGINT) AS part
+      FROM c
+      JOIN src s USING (source)
+      JOIN tw USING (term)
+      CROSS JOIN tot tt
+      GROUP BY c.term
+    )
+    SELECT o.term, tw.f_w,
+           CAST(o.part + tw.f_w * tt.t AS BIGINT) AS dp_num,
+           CAST(o.part + tw.f_w * tt.t AS DOUBLE)
+             / (2.0 * CAST(tw.f_w AS DOUBLE) * CAST(tt.t AS DOUBLE))
+             AS dispersion
+    FROM obs o JOIN tw USING (term) CROSS JOIN tot tt
+    ORDER BY o.term
+    """,
+)
+def text_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X225 corpus term dispersion (Gries' DP, public): per term, half
+    the L1 distance between its across-source distribution and the
+    source size distribution — 0 = the term spreads exactly like the
+    corpus, →1 = it lives in one source (a burst/boilerplate/topic
+    marker the frequency column can't see; the per-term complement of
+    X48's corpus-level drift). Exactness: the all-sources sum folds
+    to observed rows only (a missing source contributes f·t_i, so
+    Σ = Σ_obs(|c·T − f·t_i| − f·t_i) + f·T — no zero-fill join),
+    every term exact BIGINT, ONE division per term. Vocab-sized
+    aggregates; the per-(term, source) frame is the only corpus-
+    keyed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    c = toks.groupBy("term", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("t_i")
+    )
+    tw = c.groupBy("term").agg(F.sum("c").cast("long").alias("f_w"))
+    tot = src.agg(F.sum("t_i").cast("long").alias("t"))
+    obs = (
+        c.join(F.broadcast(src), "source")
+        .join(F.broadcast(tw), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c") * F.col("t")
+                    - F.col("f_w") * F.col("t_i")
+                )
+                - F.col("f_w") * F.col("t_i")
+            )
+            .cast("long")
+            .alias("part")
+        )
+    )
+    return (
+        obs.join(F.broadcast(tw), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "f_w",
+            (F.col("part") + F.col("f_w") * F.col("t"))
+            .cast("long")
+            .alias("dp_num"),
+            (
+                (F.col("part") + F.col("f_w") * F.col("t")).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.col("f_w").cast("double")
+                    * F.col("t").cast("double")
+                )
+            ).alias("dispersion"),
+        )
+        .orderBy("term")
+    )

@@ -160,6 +160,12 @@ HEADLINE = [
     "layout_compaction_bins",
     "sample_kcenter_coreset",
     "recs_als_rank1_pinned",
+    "corpus_source_overlap_matrix",
+    "finance_duplicate_payment_screen",
+    "sketch_kmv_distinct_users",
+    "stats_brown_forsythe",
+    "events_mix_shift_decomposition",
+    "text_term_dispersion",
 ]
 
 
