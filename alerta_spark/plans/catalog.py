@@ -17925,3 +17925,121 @@ def text_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register(
+    "rules_cofire_matrix",
+    # All predicates evaluated in ONE scan, pair overlap via
+    # conditional sums in ONE aggregate (no join anywhere); Jaccard
+    # one division per pair.
+    oracle="""
+    WITH f AS (
+      SELECT
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r_a,
+        CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+             THEN 1 ELSE 0 END AS r_b,
+        CASE WHEN value > 100 THEN 1 ELSE 0 END AS r_c,
+        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS r_d
+      FROM events
+    ),
+    agg AS (
+      SELECT CAST(sum(r_a) AS BIGINT) AS n_a,
+             CAST(sum(r_b) AS BIGINT) AS n_b,
+             CAST(sum(r_c) AS BIGINT) AS n_c,
+             CAST(sum(r_d) AS BIGINT) AS n_d,
+             CAST(sum(r_a * r_b) AS BIGINT) AS ab,
+             CAST(sum(r_a * r_c) AS BIGINT) AS ac,
+             CAST(sum(r_a * r_d) AS BIGINT) AS ad,
+             CAST(sum(r_b * r_c) AS BIGINT) AS bc,
+             CAST(sum(r_b * r_d) AS BIGINT) AS bd,
+             CAST(sum(r_c * r_d) AS BIGINT) AS cd
+      FROM f
+    )
+    SELECT p.rule_a, p.rule_b, p.n_x AS n_a, p.n_y AS n_b, p.n_both,
+           CASE WHEN p.n_x + p.n_y - p.n_both > 0
+                THEN CAST(p.n_both AS DOUBLE)
+                     / CAST(p.n_x + p.n_y - p.n_both AS DOUBLE)
+                ELSE 0.0 END AS jaccard
+    FROM agg, LATERAL (
+      SELECT * FROM (VALUES
+        ('purchases', 'hot_props', n_a, n_b, ab),
+        ('purchases', 'big_values', n_a, n_c, ac),
+        ('purchases', 'errors', n_a, n_d, ad),
+        ('hot_props', 'big_values', n_b, n_c, bc),
+        ('hot_props', 'errors', n_b, n_d, bd),
+        ('big_values', 'errors', n_c, n_d, cd)
+      ) t(rule_a, rule_b, n_x, n_y, n_both)
+    ) p
+    ORDER BY p.rule_a, p.rule_b
+    """,
+)
+def rules_cofire_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X226 rule co-fire overlap matrix: for every pair of rule
+    criteria, how many events match BOTH — the rule-governance
+    readout that finds redundant rules (Jaccard→1: one rule is the
+    other plus noise — merge them) and shadowed rules before they
+    double-page the on-call (complements X152's per-rule selectivity
+    with the PAIRWISE structure). Criteria go through the reference's
+    Trino dialect shim (dialect.trino_to_spark, the S1/F1 path);
+    all predicates evaluate in ONE corpus scan and the pair counts
+    come from conditional sums in ONE aggregate — no join, no second
+    scan, rules² cells from a frame of ONE row."""
+    from itertools import combinations
+
+    from alerta_spark.dialect import trino_to_spark
+
+    rules = [
+        ("purchases", "event_type = 'purchase'"),
+        (
+            "hot_props",
+            "CAST(json_extract_scalar(props, '$.k') AS INTEGER) > 50",
+        ),
+        ("big_values", "value > 100"),
+        ("errors", "event_type = 'error'"),
+    ]
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.select(
+        *[
+            F.when(F.expr(trino_to_spark(crit)), 1)
+            .otherwise(0)
+            .alias(f"r_{name}")
+            for name, crit in rules
+        ]
+    )
+    aggs = []
+    for name, _ in rules:
+        aggs.append(F.sum(f"r_{name}").cast("long").alias(f"n_{name}"))
+    for (na, _), (nb, _) in combinations(rules, 2):
+        aggs.append(
+            F.sum(F.col(f"r_{na}") * F.col(f"r_{nb}"))
+            .cast("long")
+            .alias(f"both_{na}_{nb}")
+        )
+    wide = flags.agg(*aggs)
+    pair_rows = []
+    for (na, _), (nb, _) in combinations(rules, 2):
+        pair_rows.append(
+            F.struct(
+                F.lit(na).alias("rule_a"),
+                F.lit(nb).alias("rule_b"),
+                F.col(f"n_{na}").alias("n_a"),
+                F.col(f"n_{nb}").alias("n_b"),
+                F.col(f"both_{na}_{nb}").alias("n_both"),
+            )
+        )
+    exploded = wide.select(
+        F.explode(F.array(*pair_rows)).alias("p")
+    ).select("p.*")
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return exploded.select(
+        "rule_a",
+        "rule_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(
+            denom > 0, F.col("n_both").cast("double") / denom.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    ).orderBy("rule_a", "rule_b")

@@ -166,6 +166,7 @@ HEADLINE = [
     "stats_brown_forsythe",
     "events_mix_shift_decomposition",
     "text_term_dispersion",
+    "rules_cofire_matrix",
 ]
 
 

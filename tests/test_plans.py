@@ -598,3 +598,39 @@ def test_dynamic_partition_pruning_fires_on_partitioned_lake(spark, tmp_path, ev
     joined = fact.join(dim, "day").groupBy("day").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_lof_pair_join_is_salted_hash_join(spark):
+    """embedding_lof's within-cell pair join must stay a hash join on
+    (cell, salt) — never a nested-loop/cartesian — and the rule-pair
+    co-fire matrix must be join-free (one aggregate)."""
+    plan = _plan(spark, "embedding_lof_outliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_salt" in plan  # the skew salt reached the physical join
+
+
+def test_cofire_matrix_is_join_free_single_scan(spark):
+    plan = _plan(spark, "rules_cofire_matrix")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_kcenter_rounds_are_map_only(spark):
+    """Each k-center round is a map-only min-dist update + TakeOrdered:
+    the final frame must contain no join and no hash-agg exchange."""
+    import pyspark.sql.functions as F
+
+    from alerta_spark.ops.sampling import kcenter_coreset
+    from alerta_spark.sources.lake import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    out = kcenter_coreset(emb, k=3)
+    assert out.count() == 3  # driver-built result frame
+
+
+def test_source_overlap_posting_join_bounded(spark):
+    """The source-pair intersection must come from the shingle posting
+    join (hash join), not a source-pair cartesian."""
+    plan = _plan(spark, "corpus_source_overlap_matrix")
+    assert "CartesianProduct" not in plan

@@ -63,6 +63,14 @@ FAMILY = [
     "attribution_time_decay",
     "features_user_snapshot",
     "rolling_7d_active_users",
+    # round-4 widening 3: the new embedding/text ops with quadratic
+    # risk — LOF (Σ|cell|² pair work at FIXED n_centroids: expected
+    # exponent ~2 here, the √N-centroids rule is the scale mitigation
+    # the docstring prescribes), k-center (k linear passes), and the
+    # source-overlap posting join (pairs bounded by #sources²)
+    "embedding_lof_outliers",
+    "sample_kcenter_coreset",
+    "corpus_source_overlap_matrix",
 ]
 
 
