@@ -18043,3 +18043,988 @@ def rules_cofire_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("jaccard"),
     ).orderBy("rule_a", "rule_b")
+
+
+@register(
+    "funnel_max_depth_window",
+    # Chained per-anchor min-timestamp joins (all user-keyed), depth
+    # from timestamp nullness, per-user max, integer histogram.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts AS t1 FROM events WHERE event_type = 'signup'
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.t1, min(v.ts) AS t2
+      FROM s1 LEFT JOIN events v
+        ON v.user_id = s1.user_id AND v.event_type = 'view'
+       AND v.ts > s1.t1 AND v.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY s1.user_id, s1.t1
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t1, s2.t2, min(c.ts) AS t3
+      FROM s2 LEFT JOIN events c
+        ON c.user_id = s2.user_id AND c.event_type = 'click'
+       AND s2.t2 IS NOT NULL AND c.ts > s2.t2
+       AND c.ts <= s2.t1 + INTERVAL 24 HOUR
+      GROUP BY s2.user_id, s2.t1, s2.t2
+    ),
+    s4 AS (
+      SELECT s3.user_id, s3.t1, s3.t2, s3.t3, min(p.ts) AS t4
+      FROM s3 LEFT JOIN events p
+        ON p.user_id = s3.user_id AND p.event_type = 'purchase'
+       AND s3.t3 IS NOT NULL AND p.ts > s3.t3
+       AND p.ts <= s3.t1 + INTERVAL 24 HOUR
+      GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3
+    ),
+    depth AS (
+      SELECT user_id,
+             max(CASE WHEN t4 IS NOT NULL THEN 4
+                      WHEN t3 IS NOT NULL THEN 3
+                      WHEN t2 IS NOT NULL THEN 2
+                      ELSE 1 END) AS max_depth
+      FROM s4 GROUP BY user_id
+    )
+    SELECT CAST(max_depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY max_depth ORDER BY depth
+    """,
+)
+def funnel_max_depth_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X227 windowFunnel-style max ordered depth: for each user, the
+    deepest prefix of signup -> view -> click -> purchase completed
+    with STRICTLY increasing timestamps inside 24h of the anchoring
+    signup (every signup anchors its own window; the user keeps their
+    best run) — the ClickHouse `windowFunnel` semantics, reproduced
+    relationally. Each step is a per-anchor min-timestamp LEFT join,
+    all user-keyed (per-user fan-out only — at 100 TB the chain
+    shuffles on user_id once per step, never globally); the readout
+    is the integer depth histogram."""
+    ev = load_table(spark, sf_dir, "events")
+    ev24 = F.col("t1") + F.expr("interval 24 hours")
+
+    def step(prev, etype, t_prev, t_new):
+        e = ev.where(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        cond = (
+            (F.col(t_prev).isNotNull())
+            & (F.col("_ts") > F.col(t_prev))
+            & (F.col("_ts") <= ev24)
+        )
+        keys = [c for c in prev.columns]
+        return (
+            prev.join(e, "user_id", "left")
+            .select(*keys, F.when(cond, F.col("_ts")).alias("_cand"))
+            .groupBy(*keys)
+            .agg(F.min("_cand").alias(t_new))
+        )
+
+    s1 = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    s2 = step(s1, "view", "t1", "t2")
+    s3 = step(s2, "click", "t2", "t3")
+    s4 = step(s3, "purchase", "t3", "t4")
+    depth = s4.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("t4").isNotNull(), 4)
+            .when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+        ).alias("max_depth")
+    )
+    return (
+        depth.groupBy(F.col("max_depth").cast("long").alias("depth"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("depth")
+    )
+
+
+@register(
+    "timeseries_haar_energy",
+    # Unnormalized Haar details (first-half sum minus second-half sum
+    # per dyadic block) stay pure BIGINT; absent hours contribute 0
+    # without a zero-fill join; energy share one division per row.
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                  AS BIGINT) AS idx
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) < 512
+    ),
+    lv AS (SELECT unnest(generate_series(1, 4)) AS level),
+    d AS (
+      SELECT h.event_type, lv.level,
+             idx // (1 << level) AS block,
+             CAST(sum(CASE WHEN (idx // (1 << (level - 1))) % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS detail
+      FROM h CROSS JOIN lv
+      GROUP BY 1, 2, 3
+    ),
+    e AS (
+      SELECT event_type, CAST(level AS BIGINT) AS level,
+             CAST(sum(detail * detail) AS BIGINT) AS energy_q
+      FROM d GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(energy_q) AS BIGINT) AS total_q
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_type, e.level, e.energy_q,
+           CAST(e.energy_q AS DOUBLE) / CAST(t.total_q AS DOUBLE)
+             AS energy_share
+    FROM e JOIN tot t USING (event_type)
+    ORDER BY e.event_type, e.level
+    """,
+)
+def timeseries_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X229 Haar wavelet energy spectrum of the hourly event-count
+    signal (levels 1-4: 2h/4h/8h/16h timescales over the first 512
+    hours): per type, WHERE the count variance lives — level-1-heavy
+    means minute-to-minute churn (alert on rate), level-4-heavy means
+    slow regime swings (alert on trend); the timescale-selection
+    readout behind choosing a hop-window size (T2) or an EWMA
+    half-life (X99). Exactness: unnormalized Haar details (first-half
+    minus second-half block sums) are integer event counts — no
+    averaging, no floats; absent hours contribute zero WITHOUT a
+    dense-grid fill; energy = Σdetail², share one division. Plan:
+    map-only 4x level explode -> one (type, level, block) aggregate
+    -> a levels-sized frame."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    idx = F.floor(
+        (F.unix_micros("ts") - F.unix_micros(t0)) / F.lit(3600000000)
+    ).cast("long")
+    h = ev.where(F.col("ts") >= t0).select(
+        "event_type", idx.alias("idx")
+    ).where(F.col("idx") < 512)
+    d = (
+        h.select(
+            "event_type",
+            "idx",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("level"),
+        )
+        .groupBy(
+            "event_type",
+            "level",
+            F.expr("idx div (1 << level)").alias("block"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(idx div (1 << (level - 1))) % 2") == 0, 1
+                ).otherwise(-1)
+            )
+            .cast("long")
+            .alias("detail")
+        )
+    )
+    e = d.groupBy("event_type", F.col("level").cast("long").alias("level")).agg(
+        F.sum(F.col("detail") * F.col("detail"))
+        .cast("long")
+        .alias("energy_q")
+    )
+    tot = e.groupBy("event_type").agg(
+        F.sum("energy_q").cast("long").alias("total_q")
+    )
+    return (
+        e.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "level",
+            "energy_q",
+            (
+                F.col("energy_q").cast("double")
+                / F.col("total_q").cast("double")
+            ).alias("energy_share"),
+        )
+        .orderBy("event_type", "level")
+    )
+
+
+@register(
+    "supply_bullwhip_ratio",
+    # CV² per stage as exact integer num/den pairs; the ratio is one
+    # division of cross-multiplied DECIMAL(38) products (VARCHAR hop
+    # on the DuckDB side for the wide-decimal->double cast).
+    oracle="""
+    WITH up AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    down AS (
+      SELECT date_trunc('month', l_shipdate) AS m,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1
+    ),
+    mu AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+      FROM up
+    ),
+    md AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+      FROM down
+    )
+    SELECT mu.n AS n_months_up, md.n AS n_months_down,
+           CAST(mu.n * mu.ss - CAST(mu.s AS HUGEINT) * mu.s AS VARCHAR)
+             AS cv2_up_num,
+           CAST(md.n * md.ss - CAST(md.s AS HUGEINT) * md.s AS VARCHAR)
+             AS cv2_down_num,
+           CAST(CAST((mu.n * mu.ss - CAST(mu.s AS HUGEINT) * mu.s)
+                     * (CAST(md.s AS HUGEINT) * md.s) AS VARCHAR)
+                AS DOUBLE)
+           / CAST(CAST((md.n * md.ss - CAST(md.s AS HUGEINT) * md.s)
+                       * (CAST(mu.s AS HUGEINT) * mu.s) AS VARCHAR)
+                  AS DOUBLE) AS bullwhip
+    FROM mu CROSS JOIN md
+    """,
+)
+def supply_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228 bullwhip-effect ratio (Lee et al. 1997, public): variance
+    amplification up the supply chain — CV² of monthly ORDER revenue
+    over CV² of monthly SHIPPED quantity; > 1 means order volatility
+    exceeds demand volatility (the batching/panic-ordering signature
+    planners damp with smaller, more frequent orders). Unit-free by
+    construction (CV² cancels scale, so cents vs quantity compare
+    legally). Exactness: each CV² is an exact integer numerator /
+    denominator (n·Σx² − (Σx)² over (Σx)², DECIMAL(38)); the ratio
+    cross-multiplies both exactly and divides ONCE; the giant exact
+    numerators travel as strings (both engines print integers
+    identically; DuckDB's wide-decimal->double would double-round)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    up = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x")
+    )
+    down = li.groupBy(F.date_trunc("month", "l_shipdate").alias("m")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("x")
+    )
+
+    def mom(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("decimal(38,0)")
+            .alias("ss"),
+        )
+
+    mu = mom(up).select(
+        F.col("n").alias("nu"), F.col("s").alias("su"), F.col("ss").alias("ssu")
+    )
+    md = mom(down).select(
+        F.col("n").alias("nd"), F.col("s").alias("sd"), F.col("ss").alias("ssd")
+    )
+    num_u = F.col("nu") * F.col("ssu") - F.col("su").cast("decimal(38,0)") * F.col("su")
+    num_d = F.col("nd") * F.col("ssd") - F.col("sd").cast("decimal(38,0)") * F.col("sd")
+    return mu.crossJoin(md).select(
+        F.col("nu").alias("n_months_up"),
+        F.col("nd").alias("n_months_down"),
+        num_u.cast("decimal(38,0)").cast("string").alias("cv2_up_num"),
+        num_d.cast("decimal(38,0)").cast("string").alias("cv2_down_num"),
+        (
+            (num_u * (F.col("sd").cast("decimal(38,0)") * F.col("sd")))
+            .cast("double")
+            / (num_d * (F.col("su").cast("decimal(38,0)") * F.col("su")))
+            .cast("double")
+        ).alias("bullwhip"),
+    )
+
+
+@register(
+    "text_kneser_ney_bigrams",
+    # Interpolated KN with d=3/4 folded into ONE exact fraction:
+    # P(w|v) = [B·max(4c(vw)−3,0) + 3·N1+(v·)·N1+(·w)] / (4·c(v)·B);
+    # the within-context top-3 ranks on the integer numerator.
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT z[1] AS v, z[2] AS w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
+        FROM toks
+      ) GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS c_v,
+             CAST(count(*) AS BIGINT) AS n1_fwd
+      FROM bg GROUP BY v
+    ),
+    cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1_bwd
+             FROM bg GROUP BY w),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg),
+    p AS (
+      SELECT bg.v, bg.w, bg.c,
+             CAST(b.b_types * greatest(4 * bg.c - 3, 0)
+                  + 3 * ctx.n1_fwd * cont.n1_bwd AS BIGINT) AS num_q,
+             CAST(4 * ctx.c_v * b.b_types AS BIGINT) AS den_q
+      FROM bg JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN b
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY v
+                                   ORDER BY num_q DESC, w) AS rnk
+      FROM p
+    )
+    SELECT v, w, c, num_q, den_q,
+           CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE) AS p_kn,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY v, rnk
+    """,
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X230 interpolated Kneser-Ney bigram model (Kneser & Ney 1995,
+    the standard n-gram smoothing) over the corpus: absolute
+    discounting (d=3/4) with CONTINUATION-count backoff — the part
+    plain MLE and even Good-Turing (X209) miss: a word's backoff mass
+    follows how many contexts it completes, not how often it occurs.
+    Exactness: with d=3/4 the whole interpolated probability folds
+    into ONE integer fraction, P(w|v) = [B·max(4c−3,0) +
+    3·N1+(v·)·N1+(·w)] / (4·c(v)·B) — no float smoothing anywhere;
+    the per-context top-3 ranks on the integer numerator (denominator
+    constant within v), p one division at the edge. All frames
+    vocab-sized after ONE corpus bigram aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    bg = (
+        docs.select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("v"), y.alias("w")),
+                )
+            ).alias("z")
+        )
+        .groupBy(F.col("z.v").alias("v"), F.col("z.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ctx = bg.groupBy("v").agg(
+        F.sum("c").cast("long").alias("c_v"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    cont = bg.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_bwd")
+    )
+    b = bg.agg(F.count(F.lit(1)).cast("long").alias("b_types"))
+    p = (
+        bg.join(F.broadcast(ctx), "v")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "v",
+            "w",
+            "c",
+            (
+                F.col("b_types")
+                * F.greatest(4 * F.col("c") - 3, F.lit(0))
+                + 3 * F.col("n1_fwd") * F.col("n1_bwd")
+            )
+            .cast("long")
+            .alias("num_q"),
+            (4 * F.col("c_v") * F.col("b_types"))
+            .cast("long")
+            .alias("den_q"),
+        )
+    )
+    wr = W.partitionBy("v").orderBy(F.desc("num_q"), F.asc("w"))
+    return (
+        p.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "v",
+            "w",
+            "c",
+            "num_q",
+            "den_q",
+            (F.col("num_q").cast("double") / F.col("den_q").cast("double"))
+            .alias("p_kn"),
+            "rnk",
+        )
+        .orderBy("v", "rnk")
+    )
+
+
+@register(
+    "events_evt_tail_index",
+    # Exceedance moments exact BIGINT; ξ and σ single fixed
+    # expressions over them (pinned IEEE order), no quantization.
+    oracle="""
+    WITH exc AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 - 10000 AS BIGINT)
+               AS y
+      FROM events
+      WHERE CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) > 10000
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS ss
+      FROM exc GROUP BY event_type
+    )
+    SELECT event_type, n, s, ss,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_excess,
+           0.5 * (1.0 - CAST(CAST(s AS HUGEINT) * s * (n - 1) AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT)
+                               * (n * ss - CAST(s AS HUGEINT) * s)
+                               AS DOUBLE)) AS xi_hat
+    FROM m WHERE n >= 2
+    ORDER BY event_type
+    """,
+)
+def events_evt_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X232 peak-over-threshold extreme-value screen: for values
+    exceeding the 100.00 threshold, the mean excess and the GPD
+    moment estimator ξ̂ = ½(1 − m²/s²) per event type — ξ > 0 means a
+    heavy tail where the 'once-a-year' alert level is much further
+    out than a normal fit claims (the principled way to place the
+    static thresholds X117 tunes empirically). Exactness: exceedance
+    moments are exact BIGINT sums; ξ̂ is a single fixed expression
+    over them (cross-multiplied numerator/denominator, pinned IEEE
+    order) — no quantization needed. One filtered aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(14,2)") * 100).cast("long")
+    exc = ev.where(cents > 10000).select(
+        "event_type", (cents - 10000).alias("y")
+    )
+    m = exc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("long")
+        .alias("ss"),
+    )
+    s38 = F.col("s").cast("decimal(38,0)")
+    return (
+        m.where(F.col("n") >= 2)
+        .select(
+            "event_type",
+            "n",
+            "s",
+            "ss",
+            (
+                F.col("s").cast("double") / F.col("n").cast("double") / 100.0
+            ).alias("mean_excess"),
+            (
+                0.5
+                * (
+                    F.lit(1.0)
+                    - (s38 * F.col("s") * (F.col("n") - 1)).cast("double")
+                    / (
+                        F.col("n").cast("decimal(38,0)")
+                        * (F.col("n") * F.col("ss") - s38 * F.col("s"))
+                    ).cast("double")
+                )
+            ).alias("xi_hat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "sessions_expected_steps_to_purchase",
+    # 16 quantized value-iteration rounds over the (types²)-sized
+    # transition matrix; each round E' = 1e6 + (Σ c_ij·E_j) div c_i —
+    # pure BIGINT, replayed by a recursive CTE.
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM t GROUP BY src),
+    states AS (SELECT src FROM tot WHERE src <> 'purchase'),
+    it AS (
+      SELECT src, CAST(0 AS BIGINT) AS e_q, 0 AS r FROM states
+      UNION ALL
+      SELECT s.src,
+             CAST(1000000 + coalesce((
+               SELECT sum(t.n * p.e_q) FROM t JOIN it p
+                 ON p.src = t.dst AND p.r = i.r
+               WHERE t.src = s.src AND t.dst <> 'purchase'
+                 AND p.src = t.dst
+             ), 0) // tot.n_src AS BIGINT),
+             i.r + 1
+      FROM states s JOIN tot ON tot.src = s.src
+      JOIN (SELECT DISTINCT r FROM it) i ON i.r < 16
+      JOIN it ii ON ii.src = s.src AND ii.r = i.r
+    )
+    SELECT it.src, tot.n_src,
+           CAST(it.e_q AS BIGINT) AS e_steps_q,
+           CAST(it.e_q AS DOUBLE) / 1000000.0 AS e_steps
+    FROM it JOIN tot USING (src)
+    WHERE it.r = 16
+    ORDER BY it.src
+    """,
+)
+def sessions_expected_steps_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X231 expected steps to purchase (absorbing-chain value
+    iteration): from each non-purchase state, the expected number of
+    transitions until the user's next purchase under the X105 Markov
+    model, truncated at 16 rounds — the 'how far is each state from
+    converting' companion to the transition matrix and entropy rate
+    (X213). Exactness: each value-iteration round is
+    E'_i = 1 + Σ_j c_ij·E_j / c_i computed as a micro-quantized
+    integral division (the X98 pinned-iteration discipline); the
+    oracle replays all 16 rounds with a recursive CTE. Distribution
+    of labor: the corpus produces the |types|²-row transition matrix
+    (one window + one aggregate); the 16 rounds run driver-side on
+    that BOUNDED summary — the same driver-holds-tiny-state shape as
+    kmeans/BPE."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = (
+        seq.groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    n_src: dict[str, int] = {}
+    edges: dict[str, list[tuple[str, int]]] = {}
+    for r in t:
+        n_src[r["src"]] = n_src.get(r["src"], 0) + int(r["n"])
+        edges.setdefault(r["src"], []).append((r["dst"], int(r["n"])))
+    states = sorted(s for s in n_src if s != "purchase")
+    e_q = {s: 0 for s in states}
+    for _ in range(16):
+        nxt = {}
+        for s in states:
+            acc = sum(
+                n * e_q[d]
+                for d, n in edges.get(s, [])
+                if d != "purchase" and d in e_q
+            )
+            nxt[s] = 1000000 + acc // n_src[s]
+        e_q = nxt
+    rows = [(s, n_src[s], e_q[s], e_q[s] / 1000000.0) for s in states]
+    return spark.createDataFrame(
+        rows, "src string, n_src long, e_steps_q long, e_steps double"
+    )
+
+
+@register(
+    "parts_abc_xyz_classification",
+    # ABC by exact cumulative-revenue cross-compare (cum·5 vs tot·4 /
+    # cum·20 vs tot·19), XYZ by CV² integer band compares — no float
+    # thresholds anywhere; output is the 3x3 class grid.
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS part,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS rev,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS sqq
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT *, CAST(sum(rev) OVER (ORDER BY rev DESC, part) AS BIGINT)
+               AS cum,
+             CAST(sum(rev) OVER () AS BIGINT) AS tot
+      FROM pr
+    ),
+    cls AS (
+      SELECT part, n, sq, sqq,
+             CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN n < 2 THEN 'Z'
+                  WHEN (n * sqq - CAST(sq AS HUGEINT) * sq) * 100
+                       <= CAST(sq AS HUGEINT) * sq * (n - 1) THEN 'X'
+                  WHEN (n * sqq - CAST(sq AS HUGEINT) * sq) * 4
+                       <= CAST(sq AS HUGEINT) * sq * (n - 1) THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM ranked
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+    FROM cls GROUP BY abc, xyz ORDER BY abc, xyz
+    """,
+)
+def parts_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X233 ABC/XYZ inventory classification: parts bucketed by
+    cumulative revenue share (A: first 80%, B: to 95%, C: rest) and
+    by per-order quantity variability (X: CV <= 0.1, Y: CV <= 0.5,
+    Z: else — the plan-by-forecast / plan-by-buffer / plan-on-demand
+    split every S&OP process runs). Exactness: the ABC cut compares
+    exact cumulative cents cross-multiplied against the total (the
+    X106 Pareto discipline); the CV bands compare n·Σq²−(Σq)² against
+    (Σq)²·(n−1) scaled by band constants — squared-CV thresholds as
+    pure integer inequalities, no division anywhere until none is
+    needed. One part-grain aggregate + one revenue-ordered cumsum
+    window over the PART frame (bounded), 3x3 output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.sum(
+            F.col("l_quantity").cast("decimal(38,0)")
+            * F.col("l_quantity").cast("long")
+        )
+        .cast("long")
+        .alias("sqq"),
+    )
+    wc = W.orderBy(F.desc("rev"), F.asc("part")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = pr.withColumn(
+        "cum", F.sum("rev").over(wc).cast("long")
+    ).withColumn(
+        "tot",
+        F.sum("rev").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).cast("long"),
+    )
+    sq38 = F.col("sq").cast("decimal(38,0)")
+    var_num = F.col("n") * F.col("sqq") - sq38 * F.col("sq")
+    var_den = sq38 * F.col("sq") * (F.col("n") - 1)
+    cls = ranked.select(
+        "part",
+        "n",
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("n") < 2, "Z")
+        .when(var_num * 100 <= var_den, "X")
+        .when(var_num * 4 <= var_den, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        cls.groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("abc", "xyz")
+    )
+
+
+@register(
+    "clustering_silhouette_pinned",
+    # Simplified silhouette on quantized squared-L2 to the pinned
+    # centroids: a = own-cell distance, b = min other-cell distance,
+    # s = ((b−a)·10⁶) div max(a,b) — integers end to end, one final
+    # division per cell.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    q AS (
+      SELECT vec_id, pos, CAST(floor(v[pos] * 1000000.0) AS BIGINT) AS c
+      FROM e, idx
+    ),
+    w AS (
+      SELECT cent, pos, wts[pos] AS wv
+      FROM (VALUES {C_VALUES}) cw(cent, wts), idx
+    ),
+    dist AS (
+      SELECT q.vec_id, w.cent,
+             CAST(sum((q.c - w.wv) * (q.c - w.wv)) AS BIGINT) AS d2
+      FROM q JOIN w USING (pos) GROUP BY q.vec_id, w.cent
+    ),
+    dots AS (
+      SELECT q.vec_id, w.cent, sum(q.c * w.wv) AS d
+      FROM q JOIN w USING (pos) GROUP BY q.vec_id, w.cent
+    ),
+    cells AS (
+      SELECT vec_id, cent AS cell FROM (
+        SELECT vec_id, cent,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cent ASC) AS rn
+        FROM dots
+      ) WHERE rn = 1
+    ),
+    ab AS (
+      SELECT d.vec_id, c.cell,
+             max(CASE WHEN d.cent = c.cell THEN d.d2 END) AS a,
+             min(CASE WHEN d.cent <> c.cell THEN d.d2 END) AS b
+      FROM dist d JOIN cells c USING (vec_id)
+      GROUP BY d.vec_id, c.cell
+    ),
+    s AS (
+      SELECT cell,
+             CAST((CAST(b - a AS HUGEINT) * 1000000)
+                  // greatest(greatest(a, b), 1) AS BIGINT) AS s_q
+      FROM ab
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s_q) AS BIGINT) AS s_sum_q,
+           CAST(sum(s_q) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_silhouette
+    FROM s GROUP BY cell ORDER BY cell
+    """.replace("{C_VALUES}", _ivf_centroid_values()),
+)
+def clustering_silhouette_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X234 simplified silhouette per pinned-centroid cell (centroid-
+    distance variant of Rousseeuw 1987): a = squared distance to the
+    OWN cell's centroid, b = min over other centroids,
+    s = (b−a)/max(a,b) — the cluster-quality observability the
+    kmeans/IVF/SemDeDup family reports after any retrain (cells with
+    mean s near 0 are boundary mush: raise n_centroids or merge).
+    Exactness: distances are quantized squared-L2 BIGINTs; per-point
+    s is a x10⁶ integral division; per-cell mean ONE final division.
+    Plan: the (point x centroid) distances come from ONE posexplode +
+    broadcast centroid join + hash agg (the aggregation-shape
+    lesson), then two point-keyed aggregates — no pair joins at
+    all."""
+    from alerta_spark.ops.similarity import pinned_centroids, quantize_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    spark_ = emb.sparkSession
+    C = pinned_centroids(64, 16)
+    cw = spark_.createDataFrame(
+        [
+            (c_, p_ + 1, int(w_))
+            for c_, wts in enumerate(C)
+            for p_, w_ in enumerate(wts)
+        ],
+        "cent long, pos int, wv long",
+    )
+    q = emb.select(
+        "vec_id", F.posexplode(quantize_vec("embedding")).alias("pos0", "c")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "c")
+    joined = q.join(F.broadcast(cw), "pos")
+    per = joined.groupBy("vec_id", "cent").agg(
+        F.sum((F.col("c") - F.col("wv")) * (F.col("c") - F.col("wv")))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.col("c") * F.col("wv")).cast("long").alias("dot"),
+    )
+    best = per.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("dot"), (-F.col("cent")).alias("nc"))).alias(
+            "_m"
+        )
+    ).select("vec_id", (-F.col("_m.nc")).alias("cell"))
+    ab = (
+        per.join(best, "vec_id")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.max(
+                F.when(F.col("cent") == F.col("cell"), F.col("d2"))
+            ).alias("a"),
+            F.min(
+                F.when(F.col("cent") != F.col("cell"), F.col("d2"))
+            ).alias("b"),
+        )
+    )
+    s = ab.select(
+        "cell",
+        F.expr(
+            "CAST((CAST(b - a AS DECIMAL(38,0)) * 1000000) div"
+            " greatest(greatest(a, b), 1L) AS BIGINT)"
+        ).alias("s_q"),
+    )
+    return (
+        s.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("s_q").cast("long").alias("s_sum_q"),
+        )
+        .select(
+            "cell",
+            "n",
+            "s_sum_q",
+            (
+                F.col("s_sum_q").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0))
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "orders_otif_service_level",
+    # Per-order all-lines conjunction as min() of 0/1 flags; OTIF
+    # share one division per month.
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_orderkey AS k,
+             CAST(min(CASE WHEN l.l_returnflag <> 'R'
+                            AND l.l_shipdate <= o.o_orderdate
+                                               + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in_full_on_time
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey
+    ),
+    o AS (
+      SELECT date_trunc('month', o_orderdate) AS m, l.in_full_on_time
+      FROM orders JOIN lines l ON l.k = o_orderkey
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(in_full_on_time) AS BIGINT) AS n_otif,
+           CAST(sum(in_full_on_time) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS otif_rate
+    FROM o GROUP BY m ORDER BY month
+    """,
+)
+def orders_otif_service_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235 OTIF (on-time-in-full) service level by order month: an
+    order counts only if EVERY line item shipped clean (not returned)
+    and on time (within 90 days of the order date — the testdata
+    schema has no commit/receipt dates, so the SLA is ship-latency
+    based; swap the predicate when those columns exist) — the
+    all-lines conjunction computed as min() of 0/1 flags in the
+    line-grain aggregate (one shuffle on orderkey), then a
+    month-grain rate with ONE division. The supply-chain SLA readout
+    alongside fill-rate (X?) and backlog aging (X155)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lines = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("l_returnflag") != "R")
+                    & (
+                        F.col("l_shipdate")
+                        <= F.col("o_orderdate")
+                        + F.expr("interval 90 days")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("in_full_on_time")
+        )
+    )
+    j = o.join(lines, o["o_orderkey"] == lines["k"]).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "in_full_on_time",
+    )
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("in_full_on_time").cast("long").alias("n_otif"),
+        )
+        .select(
+            "month",
+            "n_orders",
+            "n_otif",
+            (
+                F.col("n_otif").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("otif_rate"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "text_readability_scores",
+    # Vowel-run syllable counting and 10-token pseudo-sentences keep
+    # W/S/Syl integers; the FK grade is a fixed two-division
+    # expression with literal coefficients — pinned IEEE order.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST((len(ws) + 9) // 10 AS BIGINT) AS n_sents,
+             CAST(list_sum(list_transform(ws, w -> greatest(1,
+               len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                               t -> t <> ''))))) AS BIGINT) AS n_syll
+      FROM d WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+           + 11.8 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+           - 15.59 AS fk_grade
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X236 Flesch-Kincaid grade level per document (public formula):
+    the readability feature of the text-quality family (X11's
+    length/punct ratios say HOW MUCH text; this says how hard it
+    reads — a standard pretraining-quality signal). Deterministic
+    sub-metrics on the unpunctuated synthetic corpus: syllables =
+    vowel-letter runs per word (min 1, the standard heuristic),
+    sentences = 10-token pseudo-sentences (the X200 TextRank
+    convention; swap for [.!?] splitting on punctuated text). W, S,
+    Syl stay integers; the grade is a fixed literal-coefficient
+    expression with two divisions in pinned order. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    syll = lambda w: F.greatest(  # noqa: E731
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(w, "[^aeiouy]+"), lambda t: t != F.lit("")
+            )
+        ),
+    )
+    m = (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.expr("CAST((size(ws) + 9) div 10 AS BIGINT)").alias(
+                "n_sents"
+            ),
+            F.aggregate(
+                F.transform(F.col("ws"), syll),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            )
+            .cast("long")
+            .alias("n_syll"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        (
+            F.lit(0.39)
+            * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+            + F.lit(11.8)
+            * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+            - F.lit(15.59)
+        ).alias("fk_grade"),
+    ).orderBy("doc_id")

@@ -167,6 +167,16 @@ HEADLINE = [
     "events_mix_shift_decomposition",
     "text_term_dispersion",
     "rules_cofire_matrix",
+    "funnel_max_depth_window",
+    "supply_bullwhip_ratio",
+    "timeseries_haar_energy",
+    "text_kneser_ney_bigrams",
+    "sessions_expected_steps_to_purchase",
+    "events_evt_tail_index",
+    "parts_abc_xyz_classification",
+    "clustering_silhouette_pinned",
+    "orders_otif_service_level",
+    "text_readability_scores",
 ]
 
 
