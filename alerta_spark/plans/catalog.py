@@ -19028,3 +19028,184 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(15.59)
         ).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+@register(
+    "graph_kcore_brands",
+    # Round-indexed peeling fixpoint (10 rounds, monotone) replayed
+    # with a recursive CTE; the corpus produces the bounded
+    # brand-pair edge list, the peel runs on that summary.
+    oracle="""
+    WITH RECURSIVE co AS (
+      SELECT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a.b AS u, c.b AS v, CAST(count(*) AS BIGINT) AS w
+      FROM co a JOIN co c ON a.ok = c.ok AND a.b < c.b
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    alive AS (
+      SELECT 0 AS r, u AS node FROM (SELECT DISTINCT u FROM sym)
+      UNION ALL
+      SELECT a.r + 1, a.node
+      FROM alive a
+      WHERE a.r < 10
+        AND (SELECT count(*) FROM sym s
+             JOIN alive a2 ON a2.node = s.v AND a2.r = a.r
+             WHERE s.u = a.node) >= 6
+    )
+    SELECT a.node AS brand,
+           CAST((SELECT count(*) FROM sym s
+                 JOIN alive a2 ON a2.node = s.v AND a2.r = 10
+                 WHERE s.u = a.node) AS BIGINT) AS core_degree
+    FROM alive a WHERE a.r = 10
+    ORDER BY brand
+    """,
+)
+def graph_kcore_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X237 k-core decomposition of the brand co-purchase graph
+    (k=6 over edges with >= 3 shared orders): the densely-connected
+    brand community that survives iterative peeling — the
+    cross-merchandising core that degree or triangle counts (X?)
+    overstate (a hub with leaf neighbors has high degree but no
+    core). Peeling is a monotone fixpoint: 10 rounds of 'keep nodes
+    with >= k alive-neighbors', replayed round-indexed by the
+    oracle's recursive CTE. Distribution of labor: the corpus builds
+    the BOUNDED brand-pair edge list (one basket join, brands² max);
+    the peel runs driver-side on that summary (the kmeans/BPE/X231
+    shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    co = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = co.select(F.col("ok"), F.col("b").alias("u"))
+    c = co.select(F.col("ok"), F.col("b").alias("v"))
+    edges = (
+        a.join(c, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .where(F.col("w") >= 3)
+        .collect()
+    )
+    adj: dict[str, set] = {}
+    for r in edges:
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    alive = set(adj)
+    for _ in range(10):
+        alive = {n for n in alive if len(adj[n] & alive) >= 6}
+    rows = sorted((n, len(adj[n] & alive)) for n in alive)
+    return spark.createDataFrame(
+        rows or [("__none__", 0)][:0], "brand string, core_degree long"
+    )
+
+
+def _greedy_cover_oracle(k: int) -> str:
+    """Unroll k greedy max-coverage rounds as CTEs: each round scores
+    every remaining source by its count of not-yet-covered shingles
+    (anti-join), picks (gain DESC, source ASC), and extends the
+    covered set."""
+    sql = [f"""WITH s AS (
+      SELECT DISTINCT d.source, sh.sh AS shingle
+      FROM documents d, unnest({{SH}}) AS sh(sh)
+    ),
+    g1 AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS gain
+      FROM s GROUP BY source
+    ),
+    c1 AS (SELECT source, gain FROM g1
+           ORDER BY gain DESC, source LIMIT 1),
+    cov1 AS (SELECT DISTINCT shingle FROM s
+             WHERE source IN (SELECT source FROM c1))"""]
+    for r in range(2, k + 1):
+        p = r - 1
+        chosen = " UNION ALL ".join(
+            f"SELECT source FROM c{i}" for i in range(1, r)
+        )
+        sql.append(f""",
+    g{r} AS (
+      SELECT s.source, CAST(count(*) AS BIGINT) AS gain
+      FROM s
+      WHERE s.source NOT IN ({chosen})
+        AND s.shingle NOT IN (SELECT shingle FROM cov{p})
+      GROUP BY s.source
+    ),
+    c{r} AS (SELECT source, gain FROM g{r}
+             ORDER BY gain DESC, source LIMIT 1),
+    cov{r} AS (
+      SELECT shingle FROM cov{p}
+      UNION
+      SELECT DISTINCT shingle FROM s
+      WHERE source IN (SELECT source FROM c{r})
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS rank, source, gain,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM cov{r}) AS covered"
+        f" FROM c{r}"
+        for r in range(1, k + 1)
+    )
+    sql.append(
+        f"\n    SELECT CAST(rank AS BIGINT) AS rank, source, gain,"
+        f" covered FROM (\n      {unions}\n    ) ORDER BY rank"
+    )
+    return "".join(sql).replace("{SH}", _DUCK_SHINGLES)
+
+
+@register("corpus_greedy_source_cover", oracle=_greedy_cover_oracle(5))
+def corpus_greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X238 greedy maximum-coverage source selection (facility-
+    location greedy, the 1-1/e approximation): pick 5 sources that
+    together cover the most distinct 5-gram shingles — the
+    data-mixture selection rule for 'which feeds buy the most
+    diversity per dollar' (the SOURCE-grain complement of the
+    k-center coreset X218; DSIR X90 weights toward a target, this
+    maximizes coverage with no target). Each round: one anti-join of
+    the (source, shingle) posting frame against the covered set +
+    one source-grain argmax (TakeOrdered) — k bounded rounds, no
+    pair joins; the oracle unrolls all rounds as CTEs."""
+    from alerta_spark.ops.dedupe import _persist, shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = _persist(
+        shingle_rows(docs, "text", "doc_id", 5)
+        .join(docs.select(F.col("doc_id").alias("_id"), "source"), "_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    chosen: list[tuple[int, str, int, int]] = []
+    picked: list[str] = []
+    for r in range(1, 6):
+        remaining = s.where(~F.col("source").isin(picked)) if picked else s
+        if picked:
+            cov = s.where(F.col("source").isin(picked)).select(
+                "shingle"
+            ).distinct()
+            gains = (
+                remaining.join(cov, "shingle", "left_anti")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            )
+        else:
+            gains = remaining.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("gain")
+            )
+        top = gains.orderBy(F.desc("gain"), F.asc("source")).limit(1).collect()
+        if not top:
+            break
+        picked.append(top[0]["source"])
+        # covered is the running sum of gains: each round's gain IS
+        # the count of newly covered shingles (no recount pass)
+        covered = (chosen[-1][3] if chosen else 0) + int(top[0]["gain"])
+        chosen.append((r, top[0]["source"], int(top[0]["gain"]), covered))
+    return spark.createDataFrame(
+        chosen, "rank long, source string, gain long, covered long"
+    )

@@ -177,6 +177,8 @@ HEADLINE = [
     "clustering_silhouette_pinned",
     "orders_otif_service_level",
     "text_readability_scores",
+    "graph_kcore_brands",
+    "corpus_greedy_source_cover",
 ]
 
 
