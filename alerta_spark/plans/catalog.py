@@ -19209,3 +19209,297 @@ def corpus_greedy_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, "rank long, source string, gain long, covered long"
     )
+
+
+@register(
+    "layout_skipping_effectiveness",
+    # Zone-map simulation over both layouts from the SAME scan:
+    # bucket spans (integer min/max), 8 data-derived integer range
+    # predicates, hit = span-overlap test; skip rates one division.
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, user_id AS x,
+             CAST(date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)
+                  AS BIGINT) AS y
+      FROM events
+    ),
+    zb AS (
+      SELECT ({_zorder_duck_expr('x', 'y')}) >> 26 AS bucket,
+             min(x) AS min_x, max(x) AS max_x
+      FROM q GROUP BY 1
+    ),
+    lb AS (
+      SELECT event_id // 4096 AS bucket,
+             min(x) AS min_x, max(x) AS max_x
+      FROM q GROUP BY 1
+    ),
+    um AS (SELECT CAST(max(x) AS BIGINT) AS umax FROM q),
+    preds AS (
+      SELECT i,
+             CAST((i * um.umax) // 8 AS BIGINT) AS lo,
+             CAST((i * um.umax) // 8 + um.umax // 16 AS BIGINT) AS hi
+      FROM (SELECT unnest(generate_series(0, 7)) AS i), um
+    )
+    SELECT CAST(p.i AS BIGINT) AS pred_idx, p.lo, p.hi,
+           CAST((SELECT count(*) FROM zb
+                 WHERE zb.min_x <= p.hi AND zb.max_x >= p.lo) AS BIGINT)
+             AS z_hit,
+           CAST((SELECT count(*) FROM zb) AS BIGINT) AS z_total,
+           CAST((SELECT count(*) FROM lb
+                 WHERE lb.min_x <= p.hi AND lb.max_x >= p.lo) AS BIGINT)
+             AS lin_hit,
+           CAST((SELECT count(*) FROM lb) AS BIGINT) AS lin_total,
+           1.0 - CAST((SELECT count(*) FROM zb
+                 WHERE zb.min_x <= p.hi AND zb.max_x >= p.lo) AS DOUBLE)
+               / CAST((SELECT count(*) FROM zb) AS DOUBLE) AS z_skip_rate,
+           1.0 - CAST((SELECT count(*) FROM lb
+                 WHERE lb.min_x <= p.hi AND lb.max_x >= p.lo) AS DOUBLE)
+               / CAST((SELECT count(*) FROM lb) AS DOUBLE)
+             AS lin_skip_rate
+    FROM preds p
+    ORDER BY pred_idx
+    """,
+)
+def layout_skipping_effectiveness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X239 zone-map skipping effectiveness: simulate parquet min/max
+    pruning for 8 user-range predicates under TWO layouts — the
+    Z-order bucketing (X93) vs arrival order (event_id blocks) — and
+    report the fraction of file-buckets each layout lets the scanner
+    SKIP. This is the observability that justifies an OPTIMIZE
+    ZORDER pass with a number ('z skips 80% of files on a user
+    predicate, arrival order skips 0%') instead of faith. All spans
+    and predicates are exact integers (predicates derived from
+    max(user_id) by integral division, so the readout is
+    data-derived but engine-exact); skip rates are one division
+    each. One scan builds both bucket span frames."""
+    from alerta_spark.ops.layout import zorder_layout_report
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.unix_micros("ts") - F.unix_micros(
+        F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    minutes = ((d - d % 60_000_000) / F.lit(60_000_000)).cast("long")
+    zb = zorder_layout_report(ev, F.col("user_id"), minutes).select(
+        "bucket", "min_x", "max_x"
+    )
+    lb = (
+        ev.select(
+            F.expr("event_id div 4096").alias("bucket"),
+            F.col("user_id").cast("long").alias("x"),
+        )
+        .groupBy("bucket")
+        .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"))
+    )
+    um = ev.agg(F.max("user_id").cast("long").alias("umax"))
+    preds = um.select(
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"), "umax"
+    ).select(
+        F.col("i").cast("long").alias("pred_idx"),
+        F.expr("CAST((i * umax) div 8 AS BIGINT)").alias("lo"),
+        F.expr(
+            "CAST((i * umax) div 8 + umax div 16 AS BIGINT)"
+        ).alias("hi"),
+    )
+    zc = zb.count()  # bounded bucket frames (keyspace-derived)
+    lc = lb.count()
+    zhit = (
+        preds.join(
+            F.broadcast(zb),
+            (zb["min_x"] <= preds["hi"]) & (zb["max_x"] >= preds["lo"]),
+            "left",
+        )
+        .groupBy("pred_idx", "lo", "hi")
+        .agg(F.count(F.col("bucket")).cast("long").alias("z_hit"))
+    )
+    lhit = (
+        preds.join(
+            F.broadcast(lb),
+            (lb["min_x"] <= preds["hi"]) & (lb["max_x"] >= preds["lo"]),
+            "left",
+        )
+        .groupBy("pred_idx")
+        .agg(F.count(F.col("bucket")).cast("long").alias("lin_hit"))
+    )
+    return (
+        zhit.join(lhit, "pred_idx")
+        .select(
+            "pred_idx",
+            "lo",
+            "hi",
+            "z_hit",
+            F.lit(zc).cast("long").alias("z_total"),
+            "lin_hit",
+            F.lit(lc).cast("long").alias("lin_total"),
+            (
+                F.lit(1.0)
+                - F.col("z_hit").cast("double") / F.lit(float(zc))
+            ).alias("z_skip_rate"),
+            (
+                F.lit(1.0)
+                - F.col("lin_hit").cast("double") / F.lit(float(lc))
+            ).alias("lin_skip_rate"),
+        )
+        .orderBy("pred_idx")
+    )
+
+
+@register(
+    "privacy_generalization_ladder",
+    # One explode over 5 generalization levels -> one grouped count
+    # per (level, band, month) -> level-grain min/count; pure
+    # integers, no division at all.
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             date_trunc('month', o_orderdate) AS m
+      FROM orders
+    ),
+    lv AS (SELECT unnest(generate_series(0, 4)) AS level),
+    g AS (
+      SELECT lv.level, b.m,
+             b.cents // (2000000 * (1 << lv.level)) AS band,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base b CROSS JOIN lv
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(2000000 * (1 << level) AS BIGINT) AS band_width_cents,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n) AS BIGINT) AS min_group,
+           CAST(CASE WHEN min(n) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS k5_ok
+    FROM g GROUP BY level ORDER BY level
+    """,
+)
+def privacy_generalization_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X240 k-anonymity generalization ladder: the quasi-identifier
+    (price band, order month) coarsened through 5 doubling band
+    widths, reporting each level's group count and MINIMUM group size
+    — the release planner's view: pick the FIRST level whose min
+    group reaches k (here k=5), i.e. the least information loss that
+    satisfies the X95 screen (which only says pass/fail at one
+    level). Pure integer banding (cents div width), one explode +
+    one grouped count + a level-grain aggregate; no divisions
+    anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+    )
+    g = (
+        base.select(
+            "cents",
+            "m",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("level"),
+        )
+        .groupBy(
+            "level",
+            "m",
+            F.expr("cents div (2000000 * (1 << level))").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        g.groupBy(F.col("level").cast("long").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("n").cast("long").alias("min_group"),
+        )
+        .select(
+            "level",
+            F.expr("CAST(2000000 * (1 << level) AS BIGINT)").alias(
+                "band_width_cents"
+            ),
+            "n_groups",
+            "min_group",
+            F.when(F.col("min_group") >= 5, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("k5_ok"),
+        )
+        .orderBy("level")
+    )
+
+
+QUERIES_MCNEMAR_ORACLE = """
+    WITH pred AS ({LANG}),
+    paired AS (
+      SELECT CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN 'en' = d.lang THEN 1 ELSE 0 END AS b_ok
+      FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cell AS (
+      SELECT CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS b,
+             CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS c,
+             CAST(sum(a_ok * b_ok) AS BIGINT) AS both_ok,
+             CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS both_bad
+      FROM paired
+    )
+    SELECT b, c, both_ok, both_bad,
+           CASE WHEN b + c > 0
+                THEN CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                     / CAST(b + c AS DOUBLE)
+                ELSE 0.0 END AS mcnemar_chi2
+    FROM cell
+    """
+
+
+@register("stats_mcnemar_langid", oracle=None)
+def stats_mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X241 McNemar's paired test: the n-gram language-ID classifier
+    (X10) vs the always-'en' baseline on the SAME documents —
+    discordant-pair counts b (only the model right) and c (only the
+    baseline right), χ² = (|b−c|−1)²/(b+c) with continuity
+    correction. The PAIRED comparison accuracy deltas can't give
+    (two models can share an accuracy yet disagree doc-by-doc; only
+    b vs c says which to ship) — completing the classifier-eval
+    family (X69 confusion, X190 calibration, X182 kappa). Exact
+    integer cells from ONE joined aggregate, χ² one division."""
+    from alerta_spark.ops.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    paired = docs.select("doc_id", "lang").join(pred, "doc_id").select(
+        F.when(F.col("lang_pred") == F.col("lang"), 1)
+        .otherwise(0)
+        .alias("a_ok"),
+        F.when(F.lit("en") == F.col("lang"), 1).otherwise(0).alias("b_ok"),
+    )
+    cell = paired.agg(
+        F.sum(F.col("a_ok") * (1 - F.col("b_ok")))
+        .cast("long")
+        .alias("b"),
+        F.sum((1 - F.col("a_ok")) * F.col("b_ok"))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.col("a_ok") * F.col("b_ok")).cast("long").alias("both_ok"),
+        F.sum((1 - F.col("a_ok")) * (1 - F.col("b_ok")))
+        .cast("long")
+        .alias("both_bad"),
+    )
+    diff = F.abs(F.col("b") - F.col("c")) - 1
+    return cell.select(
+        "b",
+        "c",
+        "both_ok",
+        "both_bad",
+        F.when(
+            F.col("b") + F.col("c") > 0,
+            (diff * diff).cast("double")
+            / (F.col("b") + F.col("c")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mcnemar_chi2"),
+    )
+
+
+QUERIES["stats_mcnemar_langid"]["oracle"] = QUERIES_MCNEMAR_ORACLE.replace(
+    "{LANG}", _lang_oracle()
+)

@@ -179,6 +179,9 @@ HEADLINE = [
     "text_readability_scores",
     "graph_kcore_brands",
     "corpus_greedy_source_cover",
+    "layout_skipping_effectiveness",
+    "privacy_generalization_ladder",
+    "stats_mcnemar_langid",
 ]
 
 
