@@ -19503,3 +19503,202 @@ def stats_mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["stats_mcnemar_langid"]["oracle"] = QUERIES_MCNEMAR_ORACLE.replace(
     "{LANG}", _lang_oracle()
 )
+
+
+@register(
+    "orders_seasonal_index_monthly",
+    # Centered 12-month window sums (exact cents, full windows only);
+    # the index is cents·12 / window-sum — cross-multiplied exact
+    # integers with ONE division per row; calendar-month averages of
+    # the doubled-integer form stay exact.
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT mon, cents,
+             CAST(sum(cents) OVER (ORDER BY mon
+                 ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+               AS win,
+             count(*) OVER (ORDER BY mon
+                 ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS nwin
+      FROM m
+    ),
+    idx AS (
+      SELECT CAST(month(mon) AS BIGINT) AS cal_month,
+             cents, win
+      FROM w WHERE nwin = 12
+    )
+    SELECT cal_month,
+           CAST(count(*) AS BIGINT) AS n_years,
+           CAST(sum(CAST(cents AS HUGEINT) * 12000000 // win) AS BIGINT)
+             AS idx_sum_q,
+           CAST(sum(CAST(cents AS HUGEINT) * 12000000 // win) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS seasonal_index
+    FROM idx GROUP BY cal_month ORDER BY cal_month
+    """,
+)
+def orders_seasonal_index_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X242 ratio-to-moving-average seasonal indices: each month's
+    revenue over its centered 12-month window sum (x12, so a flat
+    series indexes at 1.0), averaged by calendar month across years —
+    the classical decomposition's seasonal factor table, the
+    deseasonalizing divisor a forecaster applies before trend fitting
+    (X88/X211 fit trend; this isolates the seasonal shape). Exact:
+    cents and window sums are BIGINT; each ratio is a x10⁶ integral
+    division (HUGEINT cross-multiply) so the per-calendar-month mean
+    is an exact integer sum with ONE final division. One month-grain
+    aggregate + one 12-row window over the MONTH frame."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    ww = W.orderBy("mon").rowsBetween(-6, 5)
+    w = m.select(
+        "mon",
+        "cents",
+        F.sum("cents").over(ww).cast("long").alias("win"),
+        F.count(F.lit(1)).over(ww).alias("nwin"),
+    )
+    idx = w.where(F.col("nwin") == 12).select(
+        F.month("mon").cast("long").alias("cal_month"),
+        F.expr(
+            "CAST(CAST(cents AS DECIMAL(38,0)) * 12000000 div win"
+            " AS BIGINT)"
+        ).alias("r_q"),
+    )
+    return (
+        idx.groupBy("cal_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_years"),
+            F.sum("r_q").cast("long").alias("idx_sum_q"),
+        )
+        .select(
+            "cal_month",
+            "n_years",
+            "idx_sum_q",
+            (
+                F.col("idx_sum_q").cast("double")
+                / (F.col("n_years").cast("double") * F.lit(1000000.0))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("cal_month")
+    )
+
+
+@register(
+    "users_power_curve",
+    # Two grouped counts: distinct active days per user, then the
+    # k-days histogram — integers only.
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS active_days
+      FROM events GROUP BY user_id
+    )
+    SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+    FROM ud GROUP BY active_days ORDER BY active_days
+    """,
+)
+def users_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X243 power-user curve: the distribution of distinct active
+    days per user over the observation window — the engagement-depth
+    histogram (a right-shifted curve is a habit product; a spike at
+    1 is drive-by traffic) that DAU-style counts (X58/X137) average
+    away. Two grouped counts, all integers; the per-user distinct is
+    the only corpus-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("long")
+        .alias("active_days")
+    )
+    return (
+        ud.groupBy("active_days")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("active_days")
+    )
+
+
+@register(
+    "text_char_entropy",
+    # H = ln N − (1/N)Σc·ln c via quantized-ln BIGINT dot products:
+    # h_q = N·qln(N) − Σ c_i·qln(c_i), ONE division per doc.
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+      FROM documents WHERE length(text) > 0
+    ),
+    cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+      FROM ch GROUP BY doc_id, c
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s_q
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct,
+           CAST(n_chars * CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+                               AS BIGINT) - s_q AS BIGINT) AS h_q,
+           CAST(n_chars * CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+                               AS BIGINT) - s_q AS DOUBLE)
+             / (CAST(n_chars AS DOUBLE) * 1000000.0) AS char_entropy_nats
+    FROM agg ORDER BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X244 per-document character entropy: the byte-level randomness
+    feature of the quality family — natural language sits ~2.5-3.2
+    nats, base64/minified/encrypted junk pushes toward ln(alphabet),
+    single-char spam collapses to 0; the cheap first-pass filter
+    before any tokenizer runs (complements X36's corpus-level token
+    entropy with a per-doc, sub-token signal). Exactness: the
+    plug-in entropy folds to H_q = N·qln(N) − Σ c·qln(c) — a BIGINT
+    dot product of counts with quantized-ln values (the WOE/PSI/X213
+    discipline), ONE division per doc. One explode + two grouped
+    aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), ""), lambda c: c != F.lit("")
+            )
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    qln = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * 1000000
+    ).cast("long")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n") * qln(F.col("n"))).cast("long").alias("s_q"),
+    )
+    h_q = (
+        F.col("n_chars") * qln(F.col("n_chars")) - F.col("s_q")
+    ).cast("long")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        h_q.alias("h_q"),
+        (
+            h_q.cast("double")
+            / (F.col("n_chars").cast("double") * F.lit(1000000.0))
+        ).alias("char_entropy_nats"),
+    ).orderBy("doc_id")

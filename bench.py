@@ -182,6 +182,9 @@ HEADLINE = [
     "layout_skipping_effectiveness",
     "privacy_generalization_ladder",
     "stats_mcnemar_langid",
+    "orders_seasonal_index_monthly",
+    "users_power_curve",
+    "text_char_entropy",
 ]
 
 
