@@ -19702,3 +19702,300 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_chars").cast("double") * F.lit(1000000.0))
         ).alias("char_entropy_nats"),
     ).orderBy("doc_id")
+
+
+@register(
+    "events_next_event_prediction_eval",
+    # Train/test split by time; per-src argmax on (n DESC, dst);
+    # accuracy exact counts + one division.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    train AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq
+      WHERE next_type IS NOT NULL AND next_ts < TIMESTAMP '2024-01-16'
+      GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT src, dst AS pred FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY n DESC, dst) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (
+      SELECT event_type AS src, next_type AS actual
+      FROM seq
+      WHERE next_type IS NOT NULL AND next_ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT t.src, m.pred,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.actual = m.pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN t.actual = m.pred THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+    FROM test t JOIN model m USING (src)
+    GROUP BY t.src, m.pred ORDER BY t.src
+    """,
+)
+def events_next_event_prediction_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X245 next-event prediction eval: the X105 Markov argmax
+    trained on the FIRST half of the window and scored on the second
+    — per source state, the majority-successor prediction and its
+    out-of-sample accuracy (vs the in-sample transition probabilities
+    X105 reports; the gap between them is the drift X61/X195 watch
+    for). Leakage-safe by the same time-cut discipline as X194/X205:
+    a transition belongs to train iff its SUCCESSOR precedes the
+    cut. Exact counts, argmax on (n DESC, dst), accuracy one
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_type").isNotNull())
+    train = (
+        seq.where(F.col("next_ts") < cut)
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wr = W.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    model = (
+        train.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("pred"))
+    )
+    test = seq.where(F.col("next_ts") >= cut).select(
+        F.col("event_type").alias("src"),
+        F.col("next_type").alias("actual"),
+    )
+    return (
+        test.join(F.broadcast(model), "src")
+        .groupBy("src", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("actual") == F.col("pred"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            "src",
+            "pred",
+            "n_test",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("src")
+    )
+
+
+@register(
+    "users_segment_migration_matrix",
+    # Integer spend-band segments per period; the matrix is one
+    # grouped count over the user frame.
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(14,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS p1,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(14,2)) * 100
+                           ELSE 0 END) AS BIGINT) AS p2
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT user_id,
+             CASE WHEN p1 <= 0 THEN 'none'
+                  WHEN p1 < 130000 THEN 'low'
+                  WHEN p1 < 190000 THEN 'mid'
+                  ELSE 'high' END AS seg_p1,
+             CASE WHEN p2 <= 0 THEN 'none'
+                  WHEN p2 < 130000 THEN 'low'
+                  WHEN p2 < 190000 THEN 'mid'
+                  ELSE 'high' END AS seg_p2
+      FROM spend
+    )
+    SELECT seg_p1, seg_p2, CAST(count(*) AS BIGINT) AS n_users
+    FROM seg GROUP BY seg_p1, seg_p2 ORDER BY seg_p1, seg_p2
+    """,
+)
+def users_segment_migration_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X246 customer segment migration matrix: spend-band segment
+    (none/low/mid/high, fixed cent thresholds pinned near the
+    period-1 quartiles) in the first half vs
+    the second half of the window — the upgrade/downgrade/churn flow
+    behind the static RFM snapshot (X104) and the growth-accounting
+    aggregate (X137: that says HOW MANY churned; this says FROM
+    WHICH tier). Exact cents, integer band cuts, one user-grain
+    aggregate + one 4x4 count."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.col("value").cast("decimal(14,2)") * 100
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+        .cast("long")
+        .alias("p1"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+        .cast("long")
+        .alias("p2"),
+    )
+
+    def seg(c):
+        return (
+            F.when(F.col(c) <= 0, "none")
+            .when(F.col(c) < 130000, "low")
+            .when(F.col(c) < 190000, "mid")
+            .otherwise("high")
+        )
+
+    return (
+        spend.select(
+            seg("p1").alias("seg_p1"), seg("p2").alias("seg_p2")
+        )
+        .groupBy("seg_p1", "seg_p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("seg_p1", "seg_p2")
+    )
+
+
+@register(
+    "abtest_effect_size_cohens_d",
+    # Exact per-arm moments; d and g are fixed scalar expressions
+    # over six BIGINTs (pinned IEEE order, row math not float sums).
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS x,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || 'perm0'),
+                                 1, 8) < '80000000'
+                  THEN 1 ELSE 0 END AS t
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(sum(t) AS BIGINT) AS nt,
+             CAST(sum(t * x) AS BIGINT) AS st,
+             CAST(sum(t * x * x) AS BIGINT) AS sst,
+             CAST(count(*) - sum(t) AS BIGINT) AS nc,
+             CAST(sum((1 - t) * x) AS BIGINT) AS sc,
+             CAST(sum((1 - t) * x * x) AS BIGINT) AS ssc
+      FROM u
+    )
+    SELECT nt, st, sst, nc, sc, ssc,
+           (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+            - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+           / sqrt(((CAST(nt AS DOUBLE) * CAST(sst AS DOUBLE)
+                    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                     / CAST(nt AS DOUBLE)
+                   + (CAST(nc AS DOUBLE) * CAST(ssc AS DOUBLE)
+                      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                     / CAST(nc AS DOUBLE))
+                  / CAST(nt + nc - 2 AS DOUBLE)) AS cohens_d,
+           ((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+             - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+            / sqrt(((CAST(nt AS DOUBLE) * CAST(sst AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                      / CAST(nt AS DOUBLE)
+                    + (CAST(nc AS DOUBLE) * CAST(ssc AS DOUBLE)
+                       - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                      / CAST(nc AS DOUBLE))
+                   / CAST(nt + nc - 2 AS DOUBLE)))
+           * (1.0 - 3.0 / CAST(4 * (nt + nc) - 9 AS DOUBLE))
+             AS hedges_g
+    FROM m
+    """,
+)
+def abtest_effect_size_cohens_d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X247 effect size for the experiment family: Cohen's d (pooled
+    SD standardized mean difference) and the small-sample Hedges g
+    correction on per-user spend between the pinned md5 arms — the
+    MAGNITUDE readout the significance tests (z X65, MW X186,
+    permutation X208) leave out: p says whether, d says how much, in
+    units a power calculation can consume. Exactness: per-arm
+    moments are exact BIGINTs (sums fit: x·x ~ 1e11, user-summed);
+    d and g are fixed scalar expressions over those six integers —
+    pinned IEEE order, bit-identical without quantization."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x")
+    ).select(
+        "x",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("perm0"))),
+                1,
+                8,
+            )
+            < "80000000",
+            1,
+        )
+        .otherwise(0)
+        .alias("t"),
+    )
+    m = u.agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(F.col("t") * F.col("x")).cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("sst"),
+        (F.count(F.lit(1)) - F.sum("t")).cast("long").alias("nc"),
+        F.sum((1 - F.col("t")) * F.col("x")).cast("long").alias("sc"),
+        F.sum((1 - F.col("t")) * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("ssc"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_diff = dbl("st") / dbl("nt") - dbl("sc") / dbl("nc")
+    pooled = (
+        (
+            (dbl("nt") * dbl("sst") - dbl("st") * dbl("st")) / dbl("nt")
+            + (dbl("nc") * dbl("ssc") - dbl("sc") * dbl("sc")) / dbl("nc")
+        )
+        / (F.col("nt") + F.col("nc") - 2).cast("double")
+    )
+    d = mean_diff / F.sqrt(pooled)
+    return m.select(
+        "nt",
+        "st",
+        "sst",
+        "nc",
+        "sc",
+        "ssc",
+        d.alias("cohens_d"),
+        (
+            d
+            * (
+                F.lit(1.0)
+                - F.lit(3.0)
+                / (4 * (F.col("nt") + F.col("nc")) - 9).cast("double")
+            )
+        ).alias("hedges_g"),
+    )

@@ -185,6 +185,9 @@ HEADLINE = [
     "orders_seasonal_index_monthly",
     "users_power_curve",
     "text_char_entropy",
+    "events_next_event_prediction_eval",
+    "users_segment_migration_matrix",
+    "abtest_effect_size_cohens_d",
 ]
 
 
