@@ -396,6 +396,47 @@ def unigram_nll(
     )
 
 
+def unigram_nll_totals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """The exact-integer face of :func:`unigram_nll`: per document,
+    the TOTAL quantized NLL (nll_total_q = n·qln(N) − Σ qln(c_t),
+    nano-nats x n) and the token count, WITHOUT the final float
+    division — so downstream consumers (tier cuts, weighted sums) can
+    compare means by integer cross-multiplication (nll_q < T·n)
+    instead of materializing a per-doc float. Same plan shape as
+    unigram_nll."""
+    from alerta_spark.ops.dedupe import _persist
+
+    toks = _lm_terms(df, text_col, id_col)
+    vocab = _persist(toks.groupBy("term").agg(F.count("*").alias("_c")))
+    total = vocab.agg(F.sum("_c").alias("_n_corpus"))
+    q = F.floor(F.log(F.col("_c").cast("double")) * F.lit(float(quant))).cast(
+        "long"
+    )
+    scored = (
+        toks.join(vocab.select("term", q.alias("_q")), "term")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("_q").cast("long").alias("_sq"),
+        )
+    )
+    lnN_q = F.floor(
+        F.log(F.col("_n_corpus").cast("double")) * F.lit(float(quant))
+    ).cast("long")
+    return scored.crossJoin(F.broadcast(total)).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") * lnN_q - F.col("_sq"))
+        .cast("long")
+        .alias("nll_total_q"),
+    )
+
+
 def token_entropy(
     df: DataFrame,
     text_col: str = "text",

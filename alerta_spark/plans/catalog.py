@@ -19999,3 +19999,85 @@ def abtest_effect_size_cohens_d(
             )
         ).alias("hedges_g"),
     )
+
+
+@register(
+    "corpus_quality_buckets_ccnet",
+    # The per-doc NLL total stays an exact nano-nat BIGINT; bucket
+    # cuts are integer cross-compares against pinned thresholds x n —
+    # never a float mean; counts/token totals exact.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text),
+                                                   '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM vocab),
+    q AS (
+      SELECT term,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS qv
+      FROM vocab
+    ),
+    nll AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) * (SELECT CAST(floor(ln(CAST(n_corpus AS DOUBLE))
+                                   * 1000000000) AS BIGINT) FROM tot)
+                  - sum(q.qv) AS BIGINT) AS nll_q
+      FROM toks t JOIN q USING (term) GROUP BY t.doc_id
+    ),
+    b AS (
+      SELECT d.lang, n.n,
+             CASE WHEN n.nll_q < 3399700000 * n.n THEN 'head'
+                  WHEN n.nll_q < 3404100000 * n.n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM nll n JOIN documents d USING (doc_id)
+    )
+    SELECT bucket, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM b GROUP BY bucket, lang ORDER BY bucket, lang
+    """,
+)
+def corpus_quality_buckets_ccnet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X248 CCNet-style head/middle/tail quality bucketing (Wenzek et
+    al. 2020, arXiv:1911.00359): documents split by unigram-LM NLL
+    into the three perplexity tiers CCNet feeds downstream at
+    different sampling rates — the corpus-curation cut that X35
+    scores but never materializes. Thresholds are PINNED nano-nat
+    literals (production recomputes per language/snapshot); the
+    bucket cut is an integer cross-compare nll_q < T·n — the per-doc
+    float mean never exists, so the tier assignment is engine-exact.
+    Output: tier x lang doc and token counts (the sampling-budget
+    table)."""
+    from alerta_spark.ops.text import unigram_nll_totals
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = unigram_nll_totals(docs)
+    b = nll.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tokens",
+        F.when(
+            F.col("nll_total_q") < 3399700000 * F.col("n_tokens"), "head"
+        )
+        .when(
+            F.col("nll_total_q") < 3404100000 * F.col("n_tokens"),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("bucket", "lang")
+    )

@@ -188,6 +188,7 @@ HEADLINE = [
     "events_next_event_prediction_eval",
     "users_segment_migration_matrix",
     "abtest_effect_size_cohens_d",
+    "corpus_quality_buckets_ccnet",
 ]
 
 

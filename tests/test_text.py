@@ -27,3 +27,20 @@ def test_rake_keyphrases_scores(spark):
         for p in out
         for w in p.split(" ")
     )
+
+
+def test_unigram_nll_totals_matches_mean(spark):
+    """nll_total_q/(1e9*n) must equal unigram_nll's mean_nll exactly
+    (same quantized machinery, division deferred vs applied)."""
+    from alerta_spark.ops.text import unigram_nll, unigram_nll_totals
+    from alerta_spark.sources.lake import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    mean = {
+        r["doc_id"]: r["mean_nll"] for r in unigram_nll(docs).collect()
+    }
+    tot = unigram_nll_totals(docs).collect()
+    assert len(tot) == len(mean)
+    for r in tot:
+        recon = (r["nll_total_q"] / 1e9) / r["n_tokens"]
+        assert recon == mean[r["doc_id"]], r["doc_id"]
