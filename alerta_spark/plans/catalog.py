@@ -20081,3 +20081,290 @@ def corpus_quality_buckets_ccnet(
         )
         .orderBy("bucket", "lang")
     )
+
+
+@register(
+    "timeseries_variance_ratio",
+    # Dense day grid, exact integer diff sums for k in {2,5,7}; VR is
+    # one cross-multiplied division of exact HUGEINT products.
+    oracle="""
+    WITH daily0 AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1
+      FROM daily0 GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                  AS DATE) AS day
+      FROM span
+    ),
+    dense AS (
+      SELECT g.event_type, g.day,
+             CAST(row_number() OVER (PARTITION BY g.event_type
+                                     ORDER BY g.day) AS BIGINT) AS i,
+             coalesce(d.x, 0) AS x
+      FROM grid g LEFT JOIN daily0 d
+        ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    ks AS (SELECT unnest([2, 5, 7]) AS k),
+    diffs AS (
+      SELECT a.event_type, ks.k,
+             CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(CAST(a.x - b.x AS HUGEINT) * (a.x - b.x))
+                  AS HUGEINT) AS ss1
+      FROM dense a JOIN dense b
+        ON b.event_type = a.event_type AND b.i = a.i - 1
+      CROSS JOIN ks
+      GROUP BY 1, 2
+    ),
+    diffk AS (
+      SELECT a.event_type, ks.k,
+             CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(CAST(a.x - b.x AS HUGEINT) * (a.x - b.x))
+                  AS HUGEINT) AS ssk
+      FROM dense a
+      CROSS JOIN ks
+      JOIN dense b
+        ON b.event_type = a.event_type AND b.i = a.i - ks.k
+      GROUP BY 1, 2
+    )
+    SELECT d1.event_type, CAST(d1.k AS BIGINT) AS k,
+           d1.n1, CAST(d1.ss1 AS VARCHAR) AS ss1,
+           dk.nk, CAST(dk.ssk AS VARCHAR) AS ssk,
+           CAST(CAST(d1.n1 * dk.ssk AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(d1.k * dk.nk * d1.ss1 AS VARCHAR) AS DOUBLE)
+             AS variance_ratio
+    FROM diffs d1 JOIN diffk dk
+      ON dk.event_type = d1.event_type AND dk.k = d1.k
+    ORDER BY d1.event_type, k
+    """,
+)
+def timeseries_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X249 Lo-MacKinlay-style variance-ratio test (no-drift variant)
+    of the daily value series per event type: VR(k) =
+    (n₁·Σd_k²)/(k·n_k·Σd₁²) for k ∈ {2,5,7} — VR≈1 is a random walk
+    (variance scales linearly with horizon), VR<1 mean reversion
+    (spikes self-correct: alert on LEVEL), VR>1 momentum (drifts
+    compound: alert on TREND); the principled router between the X99
+    EWMA and the X61 CUSUM families. Exactness: diff squared-sums
+    are HUGEINT/DECIMAL(38), VR one cross-multiplied division with
+    the VARCHAR hop around wide-decimal→double; diffs from the
+    zero-filled dense grid (X211's machinery)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    wi = W.partitionBy("event_type").orderBy("day")
+    dense = dense.withColumn("i", F.row_number().over(wi).cast("long"))
+    ks = [2, 5, 7]
+    lagged = dense.select(
+        "event_type",
+        "i",
+        "x",
+        F.lag("x", 1).over(wi).alias("x1"),
+        *[F.lag("x", k).over(wi).alias(f"x{k}") for k in ks],
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rows = []
+    base = lagged.select(
+        "event_type",
+        F.explode(
+            F.array(*[F.lit(k) for k in ks])
+        ).alias("k"),
+        "x",
+        "x1",
+        *[F.col(f"x{k}") for k in ks],
+    )
+    kcol = F.col("k")
+    xk = None
+    for k in ks:
+        xk = (
+            F.when(kcol == k, F.col(f"x{k}"))
+            if xk is None
+            else xk.when(kcol == k, F.col(f"x{k}"))
+        )
+    agg = base.groupBy("event_type", "k").agg(
+        F.sum(F.when(F.col("x1").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                F.col("x1").isNotNull(),
+                d38(F.col("x") - F.col("x1")) * (F.col("x") - F.col("x1")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("ss1"),
+        F.sum(F.when(xk.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nk"),
+        F.sum(
+            F.when(
+                xk.isNotNull(), d38(F.col("x") - xk) * (F.col("x") - xk)
+            ).otherwise(F.lit(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("ssk"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        "n1",
+        F.col("ss1").cast("string").alias("ss1"),
+        "nk",
+        F.col("ssk").cast("string").alias("ssk"),
+        (
+            (F.col("n1") * F.col("ssk")).cast("double")
+            / (F.col("k") * F.col("nk") * F.col("ss1")).cast("double")
+        ).alias("variance_ratio"),
+    ).orderBy("event_type", "k")
+
+
+@register(
+    "graph_assortativity_brands",
+    # Pearson over directed edge endpoints' degrees: exact HUGEINT
+    # moments, r = one numerator over two sqrt's of exact integers.
+    oracle="""
+    WITH co AS (
+      SELECT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ew AS (
+      SELECT a.b AS u, c.b AS v, CAST(count(*) AS BIGINT) AS w
+      FROM co a JOIN co c ON a.ok = c.ok AND a.b < c.b
+      GROUP BY 1, 2
+    ),
+    wm AS (SELECT CAST(max(w) AS BIGINT) AS wmax FROM ew),
+    edges AS (
+      SELECT u, v FROM ew CROSS JOIN wm WHERE w * 100 >= 70 * wmax
+    ),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY u),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym s JOIN deg du ON du.node = s.u
+      JOIN deg dv ON dv.node = s.v
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy
+      FROM pairs
+    )
+    SELECT n, sx, sxx, sxy,
+           CASE WHEN (n * sxx - CAST(sx AS HUGEINT) * sx) > 0
+                 AND (n * syy - CAST(sy AS HUGEINT) * sy) > 0
+                THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (sqrt(CAST(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                       AS BIGINT) AS DOUBLE))
+                        * sqrt(CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                         AS BIGINT) AS DOUBLE)))
+           END AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X250 degree assortativity (Newman 2002) of the brand
+    co-purchase graph: Pearson correlation of endpoint degrees over
+    directed edges — r > 0 means hubs link to hubs (a rich-club
+    merchandising core, consistent with the X237 k-core), r < 0 a
+    hub-and-spoke catalog. Completes the graph-metrics family
+    (triangles, k-core, AA, PageRank) with the mixing-pattern
+    scalar. Exact HUGEINT moments over the bounded edge frame; r is
+    one numerator over two sqrt's of exact integers (< 2^53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    co = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = co.select("ok", F.col("b").alias("u"))
+    c = co.select("ok", F.col("b").alias("v"))
+    ew = (
+        a.join(c, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wm = ew.agg(F.max("w").cast("long").alias("wmax"))
+    # RELATIVE support cut (the X187 discipline): w >= 70% of the max
+    # edge weight — scale-stable (an absolute cut saturates to a
+    # complete graph as the corpus grows, and a complete graph has
+    # zero degree variance -> r undefined)
+    edges = (
+        ew.crossJoin(F.broadcast(wm))
+        .where(F.col("w") * 100 >= 70 * F.col("wmax"))
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    pairs = (
+        sym.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
+        .select("x", "y")
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(d38("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(d38("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(d38("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - d38("sx") * F.col("sy")).cast("long")
+    dx = (F.col("n") * F.col("sxx") - d38("sx") * F.col("sx")).cast("long")
+    dy = (F.col("n") * F.col("syy") - d38("sy") * F.col("sy")).cast("long")
+    # a degenerate graph (all degrees equal, e.g. the cut saturated
+    # to a complete graph at some sf) has zero variance: r undefined
+    # -> NULL, never a divide-by-zero
+    return m.select(
+        "n",
+        "sx",
+        "sxx",
+        "sxy",
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+        ).alias("assortativity"),
+    )

@@ -189,6 +189,8 @@ HEADLINE = [
     "users_segment_migration_matrix",
     "abtest_effect_size_cohens_d",
     "corpus_quality_buckets_ccnet",
+    "timeseries_variance_ratio",
+    "graph_assortativity_brands",
 ]
 
 
