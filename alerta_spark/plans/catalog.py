@@ -20374,3 +20374,136 @@ def graph_assortativity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
         ).alias("assortativity"),
     )
+
+
+@register(
+    "users_bot_regularity_screen",
+    # Gap moments exact (micros); the CV² <= 1/100 flag is the pure
+    # integer inequality 100·n·(n·SS − S²) <= (n−1)·S² in HUGEINT;
+    # output ranks on integers.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) AS BIGINT) AS gap
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS ss
+      FROM seq WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n, s,
+           CAST(CAST(ss AS VARCHAR) AS VARCHAR) AS ss,
+           CAST(CASE WHEN 100 * n * (n * ss - CAST(s AS HUGEINT) * s)
+                          <= (n - 1) * CAST(s AS HUGEINT) * s
+                     THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+    FROM g
+    WHERE n >= 20
+    ORDER BY user_id
+    """,
+)
+def users_bot_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X251 bot-regularity screen: users whose inter-event gaps are
+    TOO regular — gap CV² <= 1/100 (a 10% coefficient of variation;
+    cron-driven clients and replay scripts sit far below it, humans
+    far above) over users with >= 20 gaps. The timing-side
+    complement of the burst screen (X132: too many too fast; this:
+    too evenly spaced at any rate) — a detection rule the reference's
+    threshold family cannot express. Exactness: exact microsecond gap
+    moments; the flag is the pure integer inequality
+    100·n·(n·SS − S²) <= (n−1)·S² in DECIMAL(38) — no float CV ever
+    exists. One user-keyed window + one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    g = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    s38 = F.col("s").cast("decimal(38,0)")
+    return (
+        g.where(F.col("n") >= 20)
+        .select(
+            "user_id",
+            "n",
+            "s",
+            F.col("ss").cast("string").alias("ss"),
+            F.when(
+                100 * F.col("n") * (F.col("n") * F.col("ss") - s38 * F.col("s"))
+                <= (F.col("n") - 1) * s38 * F.col("s"),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "rules_threshold_sweep_volume",
+    # ONE (user, day) aggregate, thresholds applied as conditional
+    # sums over the cell frame — the N-threshold sweep costs one
+    # corpus shuffle total, not N.
+    oracle="""
+    WITH cell AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    th AS (SELECT unnest(generate_series(2, 8)) AS t)
+    SELECT CAST(th.t AS BIGINT) AS threshold,
+           CAST(sum(CASE WHEN cell.n >= th.t THEN 1 ELSE 0 END)
+                AS BIGINT) AS alerts,
+           CAST(count(DISTINCT CASE WHEN cell.n >= th.t
+                                    THEN cell.user_id END) AS BIGINT)
+             AS distinct_users
+    FROM cell CROSS JOIN th
+    GROUP BY th.t ORDER BY threshold
+    """,
+)
+def rules_threshold_sweep_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X252 threshold backtest sweep: for every candidate threshold
+    t ∈ [2, 8], how many (user, day) alert instances — and distinct
+    paged users — the error-count rule WOULD have fired; the
+    alert-volume curve an on-call lead reads before setting the
+    threshold (X117 suggests a point; this shows the whole curve and
+    its elbow). Cost discipline: the corpus is aggregated ONCE to
+    the (user, day) cell frame; the 7 thresholds are conditional
+    sums over that bounded frame — one shuffle total, not one per
+    candidate threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    th = spark.range(2, 9).select(F.col("id").alias("t"))
+    return (
+        cell.crossJoin(F.broadcast(th))
+        .groupBy(F.col("t").cast("long").alias("threshold"))
+        .agg(
+            F.sum(F.when(F.col("n") >= F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("alerts"),
+            F.countDistinct(
+                F.when(F.col("n") >= F.col("t"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("distinct_users"),
+        )
+        .orderBy("threshold")
+    )

@@ -191,6 +191,8 @@ HEADLINE = [
     "corpus_quality_buckets_ccnet",
     "timeseries_variance_ratio",
     "graph_assortativity_brands",
+    "users_bot_regularity_screen",
+    "rules_threshold_sweep_volume",
 ]
 
 
