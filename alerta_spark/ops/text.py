@@ -954,33 +954,21 @@ def bigram_nll(
     )
 
 
-def naive_bayes_source(
+def nb_class_scores(
     df: DataFrame,
     label_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
     quant: int = 1_000_000,
 ) -> DataFrame:
-    """Multinomial Naive Bayes trained on the corpus's own labels and
-    applied back to every document — the classic source/domain
-    classifier as a pure DataFrame train+predict loop (no MLlib, no
-    Python): score(d, c) = lnq P(c) + Σ_t lnq P(t|c) with add-one
-    smoothing, argmax with label-asc tie-break.
+    """Full per-(document, class) quantized Naive-Bayes log-score
+    table — the training half of `naive_bayes_source` without the
+    argmax, exposed so consumers that need the whole score matrix
+    (confident-learning label-noise screens, calibration readouts)
+    don't retrain. Semantics and exactness identical to
+    `naive_bayes_source` (which is now its argmax).
 
-    Every probability is a ratio of exact BIGINTs (class doc counts /
-    N; (c_tc + 1) / (T_c + V)), so each lnq is quantized once on the
-    (class x term) vocab frame, per-document scores accumulate as
-    exact BIGINTs, and the argmax — one (doc)-keyed min_by on the
-    (negated score, label) struct — is engine-identical.
-
-    Two bounded driver-side scalars (corpus doc count, vocab size)
-    are computed eagerly — each is one aggregate job returning one
-    number, the NB smoothing constants.
-
-    Plan: one (label, term) count aggregate + tiny per-class totals
-    broadcast; the scoring join fans each token instance out to
-    n_classes rows (bounded small multiplier), one doc-keyed argmax
-    aggregate. -> [doc_id, pred_source, best_score].
+    -> [_id, _cls, _score] (score quantized x`quant`, exact BIGINT).
     """
     from alerta_spark.ops.dedupe import _persist
 
@@ -1028,13 +1016,44 @@ def naive_bayes_source(
     # the class dimension: the xN_classes join input shrinks from corpus
     # token count to distinct (doc, term) pairs
     dtc = toks.groupBy("_id", "term").agg(F.count("*").alias("_n"))
-    scored = (
+    return (
         dtc.join(full, "term")
         .groupBy("_id", "_cls")
         .agg(F.sum(F.col("_n") * F.col("_lq")).alias("_sl"))
         .join(F.broadcast(prior_q), "_cls")
         .select("_id", "_cls", (F.col("_sl") + F.col("_pq")).alias("_score"))
     )
+
+
+def naive_bayes_source(
+    df: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own labels and
+    applied back to every document — the classic source/domain
+    classifier as a pure DataFrame train+predict loop (no MLlib, no
+    Python): score(d, c) = lnq P(c) + Σ_t lnq P(t|c) with add-one
+    smoothing, argmax with label-asc tie-break.
+
+    Every probability is a ratio of exact BIGINTs (class doc counts /
+    N; (c_tc + 1) / (T_c + V)), so each lnq is quantized once on the
+    (class x term) vocab frame, per-document scores accumulate as
+    exact BIGINTs, and the argmax — one (doc)-keyed min_by on the
+    (negated score, label) struct — is engine-identical.
+
+    Two bounded driver-side scalars (corpus doc count, vocab size)
+    are computed eagerly — each is one aggregate job returning one
+    number, the NB smoothing constants.
+
+    Plan: one (label, term) count aggregate + tiny per-class totals
+    broadcast; the scoring join fans each token instance out to
+    n_classes rows (bounded small multiplier), one doc-keyed argmax
+    aggregate. -> [doc_id, pred_source, best_score].
+    """
+    scored = nb_class_scores(df, label_col, text_col, id_col, quant)
     # argmax with label-ASC tie-break: min_by over the struct
     # (negated score, label) — struct comparison is lexicographic, so
     # the minimum is the highest score, then the smallest label.

@@ -20507,3 +20507,603 @@ def rules_threshold_sweep_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "stats_trimmed_winsorized_value",
+    # Order statistics via one per-type rank window on quantized
+    # micros; trim cut k = n//10; winsorized sum = trimmed sum +
+    # k·(v_lo + v_hi). All integer until the final two divisions.
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(floor(value * 1000000) AS BIGINT),
+                                         event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    k AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+                 CAST(n // 10 AS BIGINT) AS k
+          FROM q GROUP BY event_type, n),
+    core AS (
+      SELECT q.event_type,
+             CAST(sum(CASE WHEN q.rn > k.k AND q.rn <= q.n - k.k
+                           THEN q.v END) AS BIGINT) AS s_trim,
+             CAST(sum(CASE WHEN q.rn > k.k AND q.rn <= q.n - k.k
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+             CAST(max(CASE WHEN q.rn = k.k + 1 THEN q.v END) AS BIGINT)
+               AS v_lo,
+             CAST(max(CASE WHEN q.rn = q.n - k.k THEN q.v END) AS BIGINT)
+               AS v_hi
+      FROM q JOIN k USING (event_type) GROUP BY q.event_type
+    )
+    SELECT c.event_type, k.n, k.k AS k_cut, c.s_trim, c.n_trim,
+           c.v_lo, c.v_hi,
+           CAST(c.s_trim AS DOUBLE) / CAST(c.n_trim AS DOUBLE) / 1000000.0
+             AS trimmed_mean,
+           CAST(c.s_trim + k.k * (c.v_lo + c.v_hi) AS DOUBLE)
+             / CAST(k.n AS DOUBLE) / 1000000.0 AS winsorized_mean
+    FROM core c JOIN k USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def stats_trimmed_winsorized_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X253 robust location estimates: 10%-trimmed and winsorized
+    means of `value` per event type — the robust-stats family's
+    answer to heavy-tailed metric columns (MAD/X73 screens outliers;
+    these SUMMARIZE the center without them). Trimming drops the k =
+    n//10 smallest and largest observations; winsorizing clamps them
+    to the surviving extremes (trimmed_sum + k·(v_lo+v_hi)).
+    Exactness: values quantized to integer micros, ONE per-type rank
+    window (ties broken by event_id), exact BIGINT sums; the only
+    floats are the two final divisions of exact integers. Cost: one
+    partition-keyed sort window + one aggregate — at 100 TB the
+    window shuffles once on event_type (add a salt-and-merge pass if
+    a single type dominates; the order statistics compose via
+    per-salt rank offsets)."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+        "event_id",
+    )
+    w = W.partitionBy("event_type")
+    q = q.select(
+        "event_type",
+        "v",
+        F.row_number().over(w.orderBy("v", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    q = q.withColumn("k", F.expr("n div 10"))
+    core = q.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k_cut"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias("s_trim"),
+        F.sum(
+            F.when(
+                (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_trim"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v")))
+        .cast("long")
+        .alias("v_lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v")))
+        .cast("long")
+        .alias("v_hi"),
+    )
+    return core.select(
+        "event_type",
+        "n",
+        "k_cut",
+        "s_trim",
+        "n_trim",
+        "v_lo",
+        "v_hi",
+        (
+            F.col("s_trim").cast("double")
+            / F.col("n_trim").cast("double")
+            / F.lit(1000000.0)
+        ).alias("trimmed_mean"),
+        (
+            (F.col("s_trim") + F.col("k_cut") * (F.col("v_lo") + F.col("v_hi")))
+            .cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1000000.0)
+        ).alias("winsorized_mean"),
+    ).orderBy("event_type")
+
+
+@register(
+    "bandit_offpolicy_ips",
+    # Logged-bandit off-policy evaluation from two aggregates: the
+    # even-id half fits propensities + greedy target policy, the odd
+    # half is scored. Deterministic target policy => one rational
+    # weight per segment; every estimate an exact HUGEINT floor-div.
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id % 4 AS seg, event_type AS act,
+             CAST(floor(value * 1000000) AS BIGINT) AS r,
+             event_id % 2 AS half
+      FROM events
+    ),
+    loga AS (
+      SELECT seg, act, CAST(count(*) AS BIGINT) AS n_sa,
+             CAST(sum(r) AS BIGINT) AS sum_r
+      FROM ev WHERE half = 0 GROUP BY seg, act
+    ),
+    logs AS (
+      SELECT seg, CAST(sum(n_sa) AS BIGINT) AS n_s FROM loga GROUP BY seg
+    ),
+    mq AS (
+      SELECT seg, act, n_sa,
+             CAST((CAST(sum_r AS HUGEINT) * 1000000) // n_sa AS BIGINT)
+               AS mean_q
+      FROM loga
+    ),
+    greedy AS (
+      SELECT seg, act AS a_star, n_sa AS n_sa_star
+      FROM (SELECT seg, act, n_sa,
+                   row_number() OVER (PARTITION BY seg
+                                      ORDER BY mean_q DESC, act ASC) AS rn
+            FROM mq)
+      WHERE rn = 1
+    ),
+    eval_all AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_eval
+      FROM ev WHERE half = 1 GROUP BY seg
+    ),
+    matched AS (
+      SELECT e.seg, CAST(count(*) AS BIGINT) AS n_match,
+             CAST(sum(e.r) AS BIGINT) AS sum_match
+      FROM ev e JOIN greedy g ON g.seg = e.seg AND g.a_star = e.act
+      WHERE e.half = 1 GROUP BY e.seg
+    )
+    SELECT g.seg AS segment, g.a_star AS greedy_action,
+           s.n_s AS n_log, a.n_eval,
+           COALESCE(m.n_match, 0) AS n_match,
+           g.n_sa_star AS propensity_n,
+           CAST((CAST(COALESCE(m.sum_match, 0) AS HUGEINT) * s.n_s)
+                // (CAST(g.n_sa_star AS HUGEINT) * a.n_eval) AS BIGINT)
+             AS ips_micros,
+           CAST(CASE WHEN COALESCE(m.n_match, 0) > 0
+                     THEN m.sum_match // m.n_match END AS BIGINT)
+             AS snips_micros
+    FROM greedy g
+    JOIN logs s USING (seg)
+    JOIN eval_all a ON a.seg = g.seg
+    LEFT JOIN matched m ON m.seg = g.seg
+    ORDER BY segment
+    """,
+)
+def bandit_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X254 off-policy evaluation (IPS / self-normalized IPS) over
+    logged bandit data: events replayed as (context = user_id%4
+    segment, action = event_type, reward = value micros). The
+    even-event_id half fits the logging propensities p(a|s) =
+    n_sa/n_s and the greedy target policy π(s) = argmax empirical
+    mean reward (quantized integer mean, action-asc tie-break); the
+    odd half is evaluated: IPS = Σ r·1{a=π(s)} / (p·n_eval). The
+    estimator behind X?-bandit readouts (UCB scores rank arms ON
+    policy; IPS answers 'what WOULD the greedy policy have earned').
+    Exactness: a deterministic target policy makes the IPS weight
+    constant per segment, so each estimate is ONE HUGEINT
+    cross-multiplied floor division — no per-event float weights;
+    SNIPS likewise reduces to the matched-reward integer mean (noted
+    in-row, the self-normalization cancels). Cost: two aggregates
+    over the corpus + a broadcast of the 4-row policy table; at
+    100 TB both halves aggregate map-side into (seg, act) cells."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("seg"),
+        F.col("event_type").alias("act"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("r"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    loga = (
+        ev.where(F.col("half") == 0)
+        .groupBy("seg", "act")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sa"),
+            F.sum("r").cast("long").alias("sum_r"),
+        )
+    )
+    logs = loga.groupBy("seg").agg(F.sum("n_sa").cast("long").alias("n_s"))
+    mq = loga.select(
+        "seg",
+        "act",
+        "n_sa",
+        F.floor(d38(F.col("sum_r")) * 1000000 / F.col("n_sa"))
+        .cast("long")
+        .alias("mean_q"),
+    )
+    greedy = (
+        mq.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("seg").orderBy(F.desc("mean_q"), F.asc("act"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("seg", F.col("act").alias("a_star"), F.col("n_sa").alias("n_sa_star"))
+    )
+    eval_all = (
+        ev.where(F.col("half") == 1)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval"))
+    )
+    gg = greedy.select(
+        F.col("seg").alias("g_seg"), "a_star", "n_sa_star"
+    )
+    matched = (
+        ev.where(F.col("half") == 1)
+        .join(
+            F.broadcast(gg),
+            (F.col("seg") == F.col("g_seg")) & (F.col("act") == F.col("a_star")),
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_match"),
+            F.sum("r").cast("long").alias("sum_match"),
+        )
+    )
+    out = (
+        greedy.join(logs, "seg")
+        .join(eval_all, "seg")
+        .join(matched, "seg", "left")
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("a_star").alias("greedy_action"),
+            F.col("n_s").alias("n_log"),
+            "n_eval",
+            F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
+            F.col("n_sa_star").alias("propensity_n"),
+            F.floor(
+                d38(F.coalesce(F.col("sum_match"), F.lit(0)))
+                * F.col("n_s")
+                / (d38(F.col("n_sa_star")) * F.col("n_eval"))
+            )
+            .cast("long")
+            .alias("ips_micros"),
+            F.when(
+                F.coalesce(F.col("n_match"), F.lit(0)) > 0,
+                F.floor(d38(F.col("sum_match")) / F.col("n_match")),
+            )
+            .cast("long")
+            .alias("snips_micros"),
+        )
+    )
+    return out.orderBy("segment")
+
+
+@register(
+    "graph_pagerank_brands",
+    # 5 damped power-iteration rounds in pure integer arithmetic
+    # (ranks x1e9, per-edge share = rank // deg, damping as
+    # (85·S)//100), replayed round-indexed by a recursive CTE.
+    oracle="""
+    WITH RECURSIVE co AS (
+      SELECT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT a.b AS u, c.b AS v
+      FROM co a JOIN co c ON a.ok = c.ok AND a.b < c.b
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ),
+    pr AS (
+      SELECT 0 AS r, node, CAST(1000000000 AS BIGINT) AS rk FROM deg
+      UNION ALL
+      SELECT p.r + 1, p.node,
+             CAST(150000000 + (85 * (
+               SELECT COALESCE(sum(p2.rk // d2.d), 0)
+               FROM sym s
+               JOIN pr p2 ON p2.node = s.v AND p2.r = p.r
+               JOIN deg d2 ON d2.node = s.v
+               WHERE s.u = p.node)) // 100 AS BIGINT)
+      FROM pr p WHERE p.r < 5
+    )
+    SELECT node AS brand, rk AS rank_q,
+           CAST(rk AS DOUBLE) / 1000000000.0 AS pagerank
+    FROM pr WHERE r = 5
+    ORDER BY rank_q DESC, brand
+    """,
+)
+def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X255 PageRank centrality of the brand co-purchase graph (the
+    influence scalar the graph family was missing: degree/X250 count
+    neighbors, triangles/X171 count closure, k-core/X237 finds the
+    dense community — PageRank weighs neighbors BY their own weight).
+    Damping 0.85, 5 pinned power-iteration rounds on the symmetric
+    >= 3-shared-orders edge cut. Exactness: ranks are integers x1e9;
+    each round is rk' = 0.15·1e9 + (85·Σ_u rk(u)//deg(u))//100 —
+    every operation an integer floor, so both engines replay the
+    identical trajectory (the X98/X107 pinned-iteration discipline;
+    no float sums exist). Distribution of labor (the X237 shape): the
+    corpus builds the BOUNDED brand-pair edge list — one basket join,
+    brands² max — and the 5 rounds run driver-side on that summary;
+    at web-graph scale the same integer rounds run as 5 joins on a
+    (node, rank) frame with localCheckpoint between rounds
+    (reference: Page et al. 1999, public)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    co = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a = co.select("ok", F.col("b").alias("u"))
+    c = co.select("ok", F.col("b").alias("v"))
+    edges = (
+        a.join(c, "ok")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 3)
+        .select("u", "v")
+        .collect()
+    )
+    adj: dict[str, list] = {}
+    for row in edges:
+        adj.setdefault(row["u"], []).append(row["v"])
+        adj.setdefault(row["v"], []).append(row["u"])
+    deg = {n: len(vs) for n, vs in adj.items()}
+    rk = {n: 1_000_000_000 for n in adj}
+    for _ in range(5):
+        share = {n: rk[n] // deg[n] for n in adj}
+        rk = {
+            n: 150_000_000 + (85 * sum(share[u] for u in adj[n])) // 100
+            for n in adj
+        }
+    rows = sorted(((n, q) for n, q in rk.items()), key=lambda t: (-t[1], t[0]))
+    out = [(n, q, q / 1e9) for n, q in rows]
+    return spark.createDataFrame(
+        out, "brand string, rank_q long, pagerank double"
+    )
+
+
+@register(
+    "dedup_lsh_collision_curve",
+    # The s-curve 1-(1-s^r)^b for every banding of 64 minhashes,
+    # evaluated in pinned integer arithmetic: s^r and (1-p)^b as
+    # chains of x1e9-scaled floor multiplications (recursive CTE /
+    # F.aggregate) — both engines replay identical digits.
+    oracle="""
+    WITH RECURSIVE cfg(bands, rpb) AS (
+      VALUES (64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64)
+    ),
+    grid AS (
+      SELECT bands, rpb, g.k AS k
+      FROM cfg, generate_series(1, 19) AS g(k)
+    ),
+    ph1 AS (
+      SELECT bands, rpb, k, 0 AS i, CAST(1000000000 AS BIGINT) AS p
+      FROM grid
+      UNION ALL
+      SELECT bands, rpb, k, i + 1,
+             (p * (CAST(k AS BIGINT) * 50000000)) // 1000000000
+      FROM ph1 WHERE i < rpb
+    ),
+    p1 AS (SELECT bands, rpb, k, p FROM ph1 WHERE i = rpb),
+    ph2 AS (
+      SELECT bands, rpb, k, 0 AS i, CAST(1000000000 AS BIGINT) AS acc,
+             1000000000 - p AS q
+      FROM p1
+      UNION ALL
+      SELECT bands, rpb, k, i + 1, (acc * q) // 1000000000, q
+      FROM ph2 WHERE i < bands
+    )
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rpb AS BIGINT) AS rows_per_band,
+           CAST(k AS DOUBLE) / 20.0 AS jaccard_s,
+           CAST(1000000000 - acc AS BIGINT) AS coll_q,
+           CAST(1000000000 - acc AS DOUBLE) / 1000000000.0 AS p_candidate
+    FROM ph2 WHERE i = bands
+    ORDER BY bands DESC, k
+    """,
+)
+def dedup_lsh_collision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X256 LSH banding planner: the candidate-collision probability
+    curve p(s) = 1 − (1 − s^r)^b for EVERY banding (b, r) of the
+    64-permutation minhash budget, over the Jaccard grid s = k/20.
+    This is the tuning table behind X3's (16 bands × 4 rows) choice:
+    it shows the threshold where each curve crosses 1/2
+    ((1/b)^(1/r)) and the false-positive mass below the target
+    similarity — the parameter a platform picks BEFORE paying for a
+    100 TB banding pass, from arithmetic, not a dry run. Exactness:
+    both powers are chains of x1e9-scaled integer floor
+    multiplications (s quantized as k·5e7), so the 133-row table is
+    engine-exact to the digit — the F.aggregate fold and the
+    oracle's step-indexed recursive CTE replay the same integers.
+    Cost: constant — no corpus scan (the one catalog entry that
+    reads nothing and saves the most)."""
+    cfg = spark.createDataFrame(
+        [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64)],
+        "bands int, rpb int",
+    )
+    grid = cfg.crossJoin(
+        spark.range(1, 20).select(F.col("id").cast("int").alias("k"))
+    )
+    out = grid.select(
+        F.col("bands").cast("long").alias("bands"),
+        F.col("rpb").cast("long").alias("rows_per_band"),
+        (F.col("k").cast("double") / F.lit(20.0)).alias("jaccard_s"),
+        F.expr(
+            """
+            CAST(1000000000 -
+              aggregate(sequence(1, bands), CAST(1000000000 AS BIGINT),
+                (acc, x) -> (acc * (1000000000 -
+                   aggregate(sequence(1, rpb), CAST(1000000000 AS BIGINT),
+                     (p, y) -> (p * (CAST(k AS BIGINT) * 50000000))
+                              div 1000000000)))
+                 div 1000000000)
+            AS BIGINT)
+            """
+        ).alias("coll_q"),
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "jaccard_s",
+        "coll_q",
+        (F.col("coll_q").cast("double") / F.lit(1000000000.0)).alias(
+            "p_candidate"
+        ),
+    ).orderBy(F.desc("bands"), F.asc("jaccard_s"))
+
+
+@register(
+    "labels_confident_noise_screen",
+    # Cleanlab-style confident learning on the X67 NB score matrix:
+    # per-class self-confidence thresholds as integer cross-compares
+    # (score·n_j >= Σscore_j — the mean never exists as a float),
+    # confident argmax, (given x predicted) joint counts.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    priors AS (SELECT source AS cls, count(*) AS docs FROM documents GROUP BY source),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    labeled AS (
+      SELECT t.doc_id, d.source AS cls, t.term
+      FROM toks t JOIN documents d USING (doc_id)
+    ),
+    ct AS (SELECT cls, term, count(*) AS ctc FROM labeled GROUP BY cls, term),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ct),
+    ctot AS (SELECT cls, CAST(sum(ctc) AS BIGINT) AS tc FROM ct GROUP BY cls),
+    terms AS (SELECT DISTINCT term FROM ct),
+    lik AS (
+      SELECT p.cls, t.term,
+             CAST(floor(ln(
+               CAST(COALESCE(ct.ctc, 0) + 1 AS DOUBLE)
+               / CAST(ctot.tc + (SELECT v FROM vocab) AS DOUBLE))
+               * 1000000) AS BIGINT) AS lq
+      FROM terms t CROSS JOIN priors p
+      JOIN ctot ON ctot.cls = p.cls
+      LEFT JOIN ct ON ct.cls = p.cls AND ct.term = t.term
+    ),
+    pq AS (
+      SELECT cls, CAST(floor(ln(CAST(docs AS DOUBLE)
+                 / CAST((SELECT n FROM ndocs) AS DOUBLE)) * 1000000) AS BIGINT)
+               AS pqv
+      FROM priors
+    ),
+    scored AS (
+      SELECT tk.doc_id, l.cls, CAST(sum(l.lq) AS BIGINT) AS sl
+      FROM toks tk JOIN lik l USING (term)
+      GROUP BY tk.doc_id, l.cls
+    ),
+    sc AS (
+      SELECT s.doc_id, s.cls, CAST(s.sl + p.pqv AS BIGINT) AS score
+      FROM scored s JOIN pq p ON p.cls = s.cls
+    ),
+    given AS (SELECT doc_id, source AS g FROM documents),
+    selfconf AS (
+      SELECT sc.cls, CAST(count(*) AS BIGINT) AS n_j,
+             CAST(sum(sc.score) AS BIGINT) AS sum_j
+      FROM sc JOIN given ON given.doc_id = sc.doc_id AND given.g = sc.cls
+      GROUP BY sc.cls
+    ),
+    cand AS (
+      SELECT sc.doc_id, sc.cls, sc.score
+      FROM sc JOIN selfconf t ON t.cls = sc.cls
+      WHERE CAST(sc.score AS HUGEINT) * t.n_j >= CAST(t.sum_j AS HUGEINT)
+    ),
+    chosen AS (
+      SELECT doc_id, cls AS pred
+      FROM (SELECT doc_id, cls,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cls ASC) AS rn
+            FROM cand)
+      WHERE rn = 1
+    )
+    SELECT g.g AS given_source, c.pred AS pred_source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN g.g <> c.pred THEN 1 ELSE 0 END AS BIGINT)
+             AS suspect
+    FROM chosen c JOIN given g USING (doc_id)
+    GROUP BY g.g, c.pred
+    ORDER BY given_source, pred_source
+    """,
+)
+def labels_confident_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X257 confident-learning label-noise screen (Northcutt et al.,
+    arXiv:1911.00068): estimate the (given label x true label) joint
+    from the X67 Naive-Bayes score matrix — a doc counts in cell
+    (i, j) when its class-j score clears class j's self-confidence
+    threshold t_j (mean score of docs GIVEN label j) and j is the
+    argmax among clearing classes. Off-diagonal cells are suspected
+    mislabels — the rows a training pipeline routes to re-annotation
+    before the corpus ships. Exactness: scores are the X67 exact
+    BIGINTs; the threshold compare is the integer cross-multiply
+    score·n_j >= Σ_j (the mean never exists as a float); argmax via
+    (score DESC, cls ASC). Cost: the score matrix is one (doc x
+    n_classes) frame (X67's plan, retrained once via
+    `nb_class_scores`); thresholds are a 5-row broadcast; the matrix
+    is one grouped count."""
+    from alerta_spark.ops.text import nb_class_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    sc = nb_class_scores(docs, "source", "text", "doc_id")
+    given = docs.select(F.col("doc_id").alias("_id"), F.col("source").alias("g"))
+    selfconf = (
+        sc.join(given, "_id")
+        .where(F.col("g") == F.col("_cls"))
+        .groupBy("_cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_j"),
+            F.sum("_score").cast("long").alias("sum_j"),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cand = sc.join(F.broadcast(selfconf), "_cls").where(
+        d38(F.col("_score")) * F.col("n_j") >= d38(F.col("sum_j"))
+    )
+    chosen = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("_id").orderBy(F.desc("_score"), F.asc("_cls"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("_id", F.col("_cls").alias("pred"))
+    )
+    return (
+        chosen.join(given, "_id")
+        .groupBy(F.col("g").alias("given_source"), F.col("pred").alias("pred_source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "given_source",
+            "pred_source",
+            "n_docs",
+            F.when(F.col("given_source") != F.col("pred_source"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("suspect"),
+        )
+        .orderBy("given_source", "pred_source")
+    )

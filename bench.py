@@ -193,6 +193,11 @@ HEADLINE = [
     "graph_assortativity_brands",
     "users_bot_regularity_screen",
     "rules_threshold_sweep_volume",
+    "stats_trimmed_winsorized_value",
+    "bandit_offpolicy_ips",
+    "graph_pagerank_brands",
+    "dedup_lsh_collision_curve",
+    "labels_confident_noise_screen",
 ]
 
 
