@@ -8675,10 +8675,14 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X106 Pareto concentration: the smallest top-revenue customer
     set covering >= 80% of revenue. Fact aggregate first (customer-
-    sized frame), THEN the ranking window over that small frame (a
-    column-derived constant partition key keeps the deliberate
-    single partition warning-free); the 80% cutoff is exact integer
-    cross-multiplication on DECIMAL cents — no float compare."""
+    sized frame), then the global rank + running sum via the
+    distributed two-phase prefix sum (ops/prefix.py) — range shuffle,
+    per-partition cumsum, broadcast offsets — so no single-partition
+    window ever sees the customer frame; the 80% cutoff is exact
+    integer cross-multiplication on DECIMAL cents — no float
+    compare."""
+    from alerta_spark.ops.prefix import global_rank_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     r = (
@@ -8691,16 +8695,13 @@ def pareto_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(24,4)").alias("rev")
         )
     )
-    one = F.pmod(F.col("custkey"), F.lit(1))
-    wr = W.partitionBy(one).orderBy(F.desc("rev"), F.asc("custkey"))
-    ranked = r.select(
+    ranked = global_rank_cumsum(
+        r, [F.desc("rev"), F.asc("custkey")], "rev"
+    ).select(
         "custkey",
         "rev",
-        F.row_number().over(wr).cast("long").alias("rnk"),
-        F.sum("rev")
-        .over(wr.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("decimal(30,4)")
-        .alias("cum"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("cum").cast("decimal(30,4)").alias("cum"),
     )
     tot = r.agg(
         F.sum("rev").cast("decimal(30,4)").alias("total"),
@@ -10863,7 +10864,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X143 vocabulary coverage curve: token-mass share of the top
     10/30/100 terms (the Zipf readout that sizes vocabularies and
-    stop-lists). Rank window over the vocab-sized frame only."""
+    stop-lists). Only ranks <= 100 are ever read, so the global rank
+    window is replaced by a distributed orderBy+limit (Spark's
+    TakeOrdered — per-partition top-100 then a 100-row merge) and the
+    row_number runs over the 100-row frame."""
     from alerta_spark.ops.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -10876,8 +10880,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    top = tf.orderBy(F.desc("tf"), F.asc("term")).limit(100)
     one = F.pmod(F.col("tf"), F.lit(1))
-    r = tf.select(
+    r = top.select(
         "tf",
         F.row_number().over(
             W.partitionBy(one).orderBy(F.desc("tf"), F.asc("term"))
@@ -12497,36 +12502,46 @@ QUERIES["corpus_dup_token_inflation"]["oracle"] = QUERIES[
 )
 def users_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X165 Gini coefficient of per-user value concentration — the
-    inequality number beside Pareto-80/20 and HHI; the rank identity
-    keeps every accumulation an exact BIGINT (rank window over the
-    user-sized frame under a column-derived constant key)."""
+    inequality number beside Pareto-80/20 and HHI. Scale discipline:
+    Σ i·x is within-tie-order invariant (x constant across a tie run,
+    Σi over the run = (lo+hi)·t/2, an exact integer), so the global
+    rank cumsum runs over the DISTINCT-cents frame (X186 doubled-
+    midrank machinery) instead of a single-partition row_number over
+    the user-sized frame; every accumulation stays an exact BIGINT."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
         .cast("long")
         .alias("x")
     )
-    one = F.pmod(F.col("user_id"), F.lit(1))
-    r = u.select(
+    g = u.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = g.select(
         "x",
-        F.row_number()
-        .over(W.partitionBy(one).orderBy("x", "user_id"))
-        .cast("long")
-        .alias("i"),
+        "t",
+        F.sum("t").over(wc).cast("long").alias("hi"),
+    ).select(
+        "x",
+        "t",
+        # Σ ranks over the tie run: (lo+hi)*t/2 with lo = hi-t+1;
+        # (2*hi-t+1)*t is always even, so the halving is exact
+        ((F.lit(2) * F.col("hi") - F.col("t") + F.lit(1)) * F.col("t"))
+        .alias("rank2_sum"),
     )
-    n = F.count(F.lit(1)).cast("long")
     return r.agg(
-        n.alias("n_users"),
-        F.sum("x").cast("long").alias("total_cents"),
-        F.sum(F.col("i") * F.col("x")).cast("long").alias("weighted_sum"),
+        F.sum("t").cast("long").alias("n_users"),
+        F.sum(F.col("x") * F.col("t")).cast("long").alias("total_cents"),
+        (F.sum(F.col("x") * F.col("rank2_sum")) / F.lit(2))
+        .cast("long")
+        .alias("weighted_sum"),
         (
-            (F.lit(2.0) * F.sum(F.col("i") * F.col("x")).cast("double"))
+            F.sum(F.col("x") * F.col("rank2_sum")).cast("double")
             / (
-                F.count(F.lit(1)).cast("double")
-                * F.sum("x").cast("double")
+                F.sum("t").cast("double")
+                * F.sum(F.col("x") * F.col("t")).cast("double")
             )
-            - (F.count(F.lit(1)).cast("double") + F.lit(1.0))
-            / F.count(F.lit(1)).cast("double")
+            - (F.sum("t").cast("double") + F.lit(1.0))
+            / F.sum("t").cast("double")
         ).alias("gini"),
     )
 
@@ -15271,7 +15286,7 @@ QUERIES["bandit_ucb_scores"]["oracle"] = """
     # discipline: 2 unrolled weighted-PageRank rounds, every rank an
     # integer chain (shares and damping as integral divisions), so an
     # iterative graph algorithm hash-checks end to end.
-    oracle="""
+    oracle=r"""
     WITH tk AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'),
@@ -21106,4 +21121,400 @@ def labels_confident_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("suspect"),
         )
         .orderBy("given_source", "pred_source")
+    )
+
+
+@register(
+    "ml_conformal_interval",
+    # Split-conformal: qhat is the ceil((n+1)(1-alpha))-th smallest
+    # calibration residual — an EXACT order statistic, found via the
+    # distinct-residual cumsum (X186 machinery, windows partitioned by
+    # event_type); k = (9(n+1)+9)//10 stays integer (no 0.9 float),
+    # coverage is the single final division.
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+             substr(md5(CAST(user_id AS VARCHAR) || 'conf'), 1, 8)
+               < '80000000' AS is_cal
+      FROM events
+    ),
+    pred AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS pred_cents
+      FROM ev WHERE is_cal GROUP BY 1
+    ),
+    resid AS (
+      SELECT e.event_type, abs(e.cents - p.pred_cents) AS r
+      FROM ev e JOIN pred p USING (event_type)
+      WHERE e.is_cal
+    ),
+    rg AS (
+      SELECT event_type, r, CAST(count(*) AS BIGINT) AS c
+      FROM resid GROUP BY 1, 2
+    ),
+    rc AS (
+      SELECT event_type, r,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY r)
+                  AS BIGINT) AS cum
+      FROM rg
+    ),
+    q AS (
+      SELECT rc.event_type, min(rc.r) AS qhat_cents
+      FROM rc JOIN pred p ON rc.event_type = p.event_type
+      WHERE rc.cum >= (9 * (p.n_cal + 1) + 9) // 10
+      GROUP BY 1
+    )
+    SELECT e.event_type, max(p.n_cal) AS n_cal,
+           max(p.pred_cents) AS pred_cents,
+           max(q.qhat_cents) AS qhat_cents,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(e.cents - p.pred_cents) <= q.qhat_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           CAST(sum(CASE WHEN abs(e.cents - p.pred_cents) <= q.qhat_cents
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS coverage
+    FROM ev e JOIN pred p USING (event_type) JOIN q USING (event_type)
+    WHERE NOT e.is_cal
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X258 split-conformal prediction intervals (Vovk et al.; the
+    distribution-free coverage guarantee every model-eval pipeline
+    ships): md5-keyed calibration/test split, per-type integer-mean
+    predictor, qhat = exact ceil((n+1)(1-alpha)) order statistic of
+    calibration residuals at alpha=0.1, then measured coverage on the
+    held-out half. Scale discipline: the order statistic comes from
+    the distinct-residual cumsum partitioned by event_type (never a
+    row-sized global window), k is pure integer arithmetic, and
+    coverage is the one final division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit("conf"))
+                ),
+                1,
+                8,
+            )
+            < "80000000"
+        ).alias("is_cal"),
+    )
+    cal = ev.where("is_cal")
+    pred = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.expr("sum(cents) div count(*)").cast("long").alias("pred_cents"),
+    )
+    resid = (
+        cal.join(F.broadcast(pred), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("r"),
+        )
+        .groupBy("event_type", "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("r")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rc = resid.select(
+        "event_type", "r", F.sum("c").over(wc).cast("long").alias("cum")
+    )
+    q = (
+        rc.join(F.broadcast(pred), "event_type")
+        .where(
+            # integer ceil((n+1)*0.9): cum >= (9(n+1)+9) div 10
+            F.col("cum")
+            >= F.expr("(9 * (n_cal + 1) + 9) div 10")
+        )
+        .groupBy("event_type")
+        .agg(F.min("r").alias("qhat_cents"))
+    )
+    test = ev.where(~F.col("is_cal"))
+    hit = F.when(
+        F.abs(F.col("cents") - F.col("pred_cents")) <= F.col("qhat_cents"),
+        1,
+    ).otherwise(0)
+    return (
+        test.join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("pred_cents").alias("pred_cents"),
+            F.max("qhat_cents").alias("qhat_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(hit).cast("long").alias("covered"),
+            (
+                F.sum(hit).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "attribution_shapley_channels",
+    # Exact 3-channel Shapley: v(S) = converters whose pre-purchase
+    # touch set is a subset of S (bitmask containment against an
+    # 8-row literal subset table); phi x6 uses the closed-form
+    # |S|!(2-|S|)! weights {2,1,1,2} so every marginal stays BIGINT;
+    # the share divides once at the end by v(C) - v(empty).
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, min(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touch AS (
+      SELECT f.user_id,
+             CAST(max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+               + 4 * max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS mask
+      FROM fp f
+      LEFT JOIN events e
+        ON e.user_id = f.user_id AND e.ts < f.first_purchase
+       AND e.event_type IN ('click', 'view', 'signup')
+      GROUP BY 1
+    ),
+    mc AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n FROM touch GROUP BY 1
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    v AS (
+      SELECT s.s,
+             CAST(COALESCE(sum(CASE WHEN (mc.mask & s.s) = mc.mask
+                                    THEN mc.n END), 0) AS BIGINT) AS v
+      FROM subs s LEFT JOIN mc ON (mc.mask & s.s) = mc.mask
+      GROUP BY 1
+    ),
+    ch AS (
+      SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                            ('view', CAST(2 AS BIGINT)),
+                            ('signup', CAST(4 AS BIGINT))) t(channel, m)
+    ),
+    phi AS (
+      SELECT ch.channel,
+             CAST(sum((CASE WHEN bit_count(s.s) IN (0, 2) THEN 2 ELSE 1 END)
+                      * (vw.v - vo.v)) AS BIGINT) AS phi_x6
+      FROM ch
+      JOIN subs s ON (s.s & ch.m) = 0
+      JOIN v vo ON vo.s = s.s
+      JOIN v vw ON vw.s = (s.s | ch.m)
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT v FROM v WHERE s = 7)
+             - (SELECT v FROM v WHERE s = 0) AS span
+    )
+    SELECT p.channel, p.phi_x6,
+           CASE WHEN t.span > 0
+                THEN CAST(p.phi_x6 AS DOUBLE) / (6.0 * CAST(t.span AS DOUBLE))
+                ELSE 0.0 END AS share
+    FROM phi p CROSS JOIN tot t
+    ORDER BY p.channel
+    """,
+)
+def attribution_shapley_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X259 Shapley-value channel attribution (the game-theoretic
+    credit split beside linear X139 and time-decay X193): channels =
+    {click, view, signup} touched strictly before a user's first
+    purchase, coalition worth v(S) = converters whose touch set is
+    contained in S. With 3 channels the Shapley weights are the
+    closed-form {2,1,1,2}/6, so phi x6 is an exact BIGINT over the
+    8-row v table; only the final share divides. Scale shape: one
+    events scan -> converter-sized touch agg -> 8-row literal lattice
+    (broadcast), everything after the user agg is constant-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    pre = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select("user_id", "event_type", "ts")
+    touch = (
+        fp.join(
+            pre,
+            (fp.user_id == pre.user_id)
+            & (pre.ts < fp.first_purchase),
+            "left",
+        )
+        .groupBy(fp.user_id)
+        .agg(
+            (
+                F.max(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                )
+                + 2
+                * F.max(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                )
+                + 4
+                * F.max(
+                    F.when(F.col("event_type") == "signup", 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("mask")
+        )
+    )
+    mc = touch.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    subs = spark.range(8).select(F.col("id").cast("long").alias("s"))
+    v = (
+        subs.join(
+            F.broadcast(mc),
+            F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4)], "channel string, m long"
+    )
+    vo = v.select(F.col("s").alias("s_o"), F.col("v").alias("v_o"))
+    vw = v.select(F.col("s").alias("s_w"), F.col("v").alias("v_w"))
+    weight = F.when(F.bit_count("s_o").isin(0, 2), 2).otherwise(1)
+    phi = (
+        ch.join(F.broadcast(vo), F.col("s_o").bitwiseAND(F.col("m")) == 0)
+        .join(
+            F.broadcast(vw),
+            F.col("s_w") == F.col("s_o").bitwiseOR(F.col("m")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("v_w") - F.col("v_o")))
+            .cast("long")
+            .alias("phi_x6")
+        )
+    )
+    span = (
+        v.agg(
+            (
+                F.sum(F.when(F.col("s") == 7, F.col("v")).otherwise(0))
+                - F.sum(F.when(F.col("s") == 0, F.col("v")).otherwise(0))
+            )
+            .cast("long")
+            .alias("span")
+        )
+    )
+    return (
+        phi.crossJoin(F.broadcast(span))
+        .select(
+            "channel",
+            "phi_x6",
+            F.when(
+                F.col("span") > 0,
+                F.col("phi_x6").cast("double")
+                / (F.lit(6.0) * F.col("span").cast("double")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "stats_kendall_tau_daily",
+    # Tau-b from exact pair counts over the day-sized frame: the
+    # pairwise self-join is quadratic in CALENDAR DAYS (span-bounded,
+    # corpus-size independent), nc/nd/tie counts are BIGINTs, and the
+    # denominator sqrt runs once on doubles cast per factor.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    c AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS nc,
+        CAST(sum(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS nd,
+        CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM p
+    )
+    SELECT n0, nc, nd, n1, n2,
+           CAST(nc - nd AS DOUBLE)
+             / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+             AS tau_b
+    FROM c
+    """,
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X260 Kendall tau-b rank correlation between the daily purchase
+    and error counts — the robust ordinal complement to Pearson
+    (X138) and Spearman (X198): concordant/discordant/tie pair counts
+    are exact BIGINTs from a self-join that is quadratic only in
+    CALENDAR DAYS (bounded by the time span, independent of corpus
+    size; ~66k pairs even for a full year), and tau_b is one final
+    float expression with per-factor double casts mirrored by the
+    oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    a = d.select(
+        F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = d.select(
+        F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2")
+    )
+    p = a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+    sgn = (F.col("x1") - F.col("x2")) * (F.col("y1") - F.col("y2"))
+    c = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when(F.col("x1") == F.col("x2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("y1") == F.col("y2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return c.select(
+        "n0",
+        "nc",
+        "nd",
+        "n1",
+        "n2",
+        (
+            (F.col("nc") - F.col("nd")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n2")).cast("double")
+            )
+        ).alias("tau_b"),
     )

@@ -198,6 +198,9 @@ HEADLINE = [
     "graph_pagerank_brands",
     "dedup_lsh_collision_curve",
     "labels_confident_noise_screen",
+    "ml_conformal_interval",
+    "attribution_shapley_channels",
+    "stats_kendall_tau_daily",
 ]
 
 
