@@ -21518,3 +21518,510 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+@register(
+    "timeseries_xcorr_lag",
+    # Lead-lag scan: 15 integer lags x day frame (span-bounded), all
+    # five sums exact BIGINTs per lag, r one final float expression
+    # with per-factor double casts.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS di,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+    j AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN d a ON true
+      JOIN d b ON b.di = a.di + l.lag
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM s
+    ORDER BY lag
+    """,
+)
+def timeseries_xcorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X261 lead-lag cross-correlation: Pearson r between the daily
+    purchase series and the error series shifted by each lag in
+    [-7, +7] — the readout that answers "do errors lead purchases or
+    trail them?" beside autocorrelation (X149) and the correlation
+    matrix (X138). All five sums per lag are exact BIGINTs over the
+    day frame (span-bounded: 15 lags x calendar days, corpus-size
+    independent); r is one final float expression per lag."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("di")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = d.select(F.col("di").alias("dia"), "x")
+    b = d.select(F.col("di").alias("dib"), "y")
+    j = (
+        lags.crossJoin(a)
+        .join(F.broadcast(b), F.col("dib") == F.col("dia") + F.col("lag"))
+    )
+    s = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "lag",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                * (
+                    F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                ).cast("double")
+            )
+        ).alias("r"),
+    ).orderBy("lag")
+
+
+@register(
+    "classifier_auc_roc",
+    # Exact tie-aware ROC-AUC from the X186 doubled-midrank identity:
+    # AUC = (R+ - n+(n+1)) / (2 n+ n-) with R+ the doubled positive
+    # rank-sum over the distinct-cents frame; one final division.
+    oracle="""
+    WITH pv AS (
+      SELECT CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    g AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(pos) AS BIGINT) AS n_p
+      FROM pv GROUP BY cents
+    ),
+    r AS (
+      SELECT *,
+             CAST(sum(n_all) OVER (ORDER BY cents) AS BIGINT) AS hi,
+             CAST(sum(n_all) OVER (ORDER BY cents) AS BIGINT) - n_all + 1
+               AS lo
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(n_p) AS BIGINT) AS n_pos,
+             CAST(sum(n_all - n_p) AS BIGINT) AS n_neg,
+             sum(CAST(n_p AS HUGEINT) * (lo + hi)) AS r_pos_2
+      FROM r
+    )
+    SELECT n_pos, n_neg, CAST(r_pos_2 AS DOUBLE) AS rank_sum_pos_2,
+           CAST(r_pos_2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM s
+    """,
+)
+def classifier_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X262 exact tie-aware ROC-AUC of "event value predicts
+    purchase" — the ranking-quality scalar beside calibration bins
+    (X181), kappa (X192), and nDCG (X172). AUC equals the normalized
+    Mann-Whitney U, so the X186 doubled-midrank machinery gives it
+    exactly: positive rank-sum (x2, BIGINT-safe via DECIMAL(38))
+    over the DISTINCT-cents frame, ties contributing their midrank
+    (the trapezoid rule), one final division."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = ev.select(
+        (F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    g = pv.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("n_p"),
+    )
+    wc = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = g.select(
+        "*",
+        F.sum("n_all").over(wc).cast("long").alias("hi"),
+    ).withColumn("lo", F.col("hi") - F.col("n_all") + 1)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = r.agg(
+        F.sum("n_p").cast("long").alias("n_pos"),
+        F.sum(F.col("n_all") - F.col("n_p")).cast("long").alias("n_neg"),
+        F.sum(d38(F.col("n_p")) * (F.col("lo") + F.col("hi"))).alias(
+            "r_pos_2"
+        ),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.col("r_pos_2").cast("double").alias("rank_sum_pos_2"),
+        (
+            (F.col("r_pos_2") - d38(F.col("n_pos")) * (F.col("n_pos") + 1))
+            .cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            )
+        ).alias("auc"),
+    )
+
+
+@register(
+    "sketch_kmv_set_ops",
+    # Theta-style set algebra on the X222 KMV sketches: theta = the
+    # 64th-smallest hash of the A-union-B sketch, intersection
+    # estimate = matches-below-theta scaled by 2^60/theta; exact
+    # counterparts sit beside the estimates for error accounting.
+    oracle="""
+    WITH ua AS (
+      SELECT DISTINCT CAST(CAST('0x' || substring(
+               md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)
+               AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    ub AS (
+      SELECT DISTINCT CAST(CAST('0x' || substring(
+               md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)
+               AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM ua ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM ub ORDER BY h LIMIT 64),
+    un AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+    ),
+    theta AS (SELECT max(CASE WHEN rn = 64 THEN h END) AS th FROM un),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS matches
+      FROM ka JOIN kb USING (h) CROSS JOIN theta
+      WHERE ka.h < theta.th
+    ),
+    ex AS (
+      SELECT CAST((SELECT count(*) FROM ua) AS BIGINT) AS n_a,
+             CAST((SELECT count(*) FROM ub) AS BIGINT) AS n_b,
+             CAST((SELECT count(*) FROM ua JOIN ub USING (h))
+                  AS BIGINT) AS n_inter
+    )
+    SELECT ex.n_a, ex.n_b, ex.n_inter, t.th AS theta, m.matches,
+           CAST(m.matches AS DOUBLE) * 1152921504606846976.0
+             / CAST(t.th AS DOUBLE) AS est_intersection,
+           CAST(m.matches AS DOUBLE) / 64.0 AS est_jaccard
+    FROM ex CROSS JOIN theta t CROSS JOIN m
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X263 KMV/theta-sketch set operations: the intersection and
+    Jaccard estimates that the mergeable-sketch family (Bloom X82,
+    HLL X89, KMV X222, CMS, histogram X100) was missing. Sketch A =
+    64 smallest distinct user-hashes among clickers, B = purchasers;
+    theta = 64th-smallest of the merged sketch, est_inter =
+    matches-below-theta x 2^60/theta (the Apache DataSketches theta
+    estimator, public), est_jaccard = matches/64. Exact counterparts
+    computed beside (eval-report discipline of X120). Everything is
+    integer order statistics on 60-bit md5 prefixes — engine-exact;
+    the per-set top-64 is a distributed orderBy+limit, never a
+    global window."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def hashes(et: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == et)
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .distinct()
+        )
+
+    ua, ub = hashes("click"), hashes("purchase")
+    ka = ua.orderBy("h").limit(64)
+    kb = ub.orderBy("h").limit(64)
+    un = (
+        ka.union(kb)
+        .distinct()
+        .select(
+            "h",
+            F.row_number()
+            .over(W.partitionBy(F.pmod(F.col("h"), F.lit(1))).orderBy("h"))
+            .alias("rn"),
+        )
+    )
+    theta = un.agg(
+        F.max(F.when(F.col("rn") == 64, F.col("h"))).alias("th")
+    )
+    m = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).cast("long").alias("matches"))
+    )
+    ex = (
+        ua.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+        .crossJoin(ub.agg(F.count(F.lit(1)).cast("long").alias("n_b")))
+        .crossJoin(
+            ua.join(ub, "h")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        )
+    )
+    return (
+        ex.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.col("th").alias("theta"),
+            "matches",
+            (
+                F.col("matches").cast("double")
+                * F.lit(1152921504606846976.0)
+                / F.col("th").cast("double")
+            ).alias("est_intersection"),
+            (F.col("matches").cast("double") / F.lit(64.0)).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters additive-weekly recursion as a recursive CTE —
+    the X211 replay discipline with 7 seasonal lanes carried as
+    columns (no list mutation needed on either engine)."""
+    x7a = "+".join(f"max(CASE WHEN rn = {i} THEN x END)" for i in range(1, 8))
+    x7b = "+".join(
+        f"max(CASE WHEN rn = {i} THEN x END)" for i in range(8, 15)
+    )
+    l0 = f"(({x7a}) // 7)"
+    b0 = f"((({x7b}) // 7 - {l0}) // 7)"
+    s_init = ", ".join(
+        f"CAST(max(CASE WHEN rn = {i + 1} THEN x END) - {l0} AS BIGINT)"
+        f" AS s{i}"
+        for i in range(7)
+    )
+    si = (
+        "(CASE CAST((s.t - 1) % 7 AS INT) "
+        + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(7))
+        + " END)"
+    )
+    ln = f"((2 * (d.x - {si}) + 8 * (s.l + s.b)) // 10)"
+    bn = f"(({ln} - s.l + 9 * s.b) // 10)"
+    sn = f"(((d.x - {ln}) + 9 * {si}) // 10)"
+    s_step = ", ".join(
+        f"CAST(CASE WHEN (s.t - 1) % 7 = {j} THEN {sn} ELSE s.s{j} END"
+        f" AS BIGINT) AS s{j}"
+        for j in range(7)
+    )
+    fc = ", ".join(
+        "CAST(s.l + {m} * s.b + (CASE CAST((s.t - 2 + {m}) % 7 AS INT) "
+        .format(m=m)
+        + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(7))
+        + f" END) AS BIGINT) AS f{m}"
+        for m in range(1, 8)
+    )
+    fsum = " + ".join(
+        "(s.l + {m} * s.b + (CASE CAST((s.t - 2 + {m}) % 7 AS INT) "
+        .format(m=m)
+        + " ".join(f"WHEN {j} THEN s.s{j}" for j in range(7))
+        + " END))"
+        for m in range(1, 8)
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS xc
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(day) AS d0, max(day) AS d1,
+             CAST(max(day) - min(day) + 1 AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, n_days,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day, d0
+      FROM span
+    ),
+    dense AS (
+      SELECT g.event_type, g.day - g.d0 + 1 AS rn,
+             CAST(COALESCE(d.xc, 0) AS BIGINT) AS x, g.n_days
+      FROM grid g LEFT JOIN daily d
+        ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    init AS (
+      SELECT event_type, max(n_days) AS n_days,
+             CAST({l0} AS BIGINT) AS l0, CAST({b0} AS BIGINT) AS b0,
+             {s_init}
+      FROM dense WHERE rn <= 14
+      GROUP BY event_type
+      HAVING max(n_days) >= 14
+    ),
+    step AS (
+      SELECT event_type, n_days, CAST(8 AS BIGINT) AS t,
+             l0 AS l, b0 AS b, s0, s1, s2, s3, s4, s5, s6
+      FROM init
+      UNION ALL
+      SELECT s.event_type, s.n_days, s.t + 1,
+             CAST({ln} AS BIGINT), CAST({bn} AS BIGINT),
+             {s_step}
+      FROM step s
+      JOIN dense d ON d.event_type = s.event_type AND d.rn = s.t
+      WHERE s.t <= s.n_days
+    )
+    SELECT s.event_type, s.n_days, s.l AS level_cents, s.b AS trend_cents,
+           {fc},
+           CAST(({fsum}) AS DOUBLE) / 100.0 AS forecast_week_usd
+    FROM step s
+    WHERE s.t = s.n_days + 1
+    ORDER BY s.event_type
+    """
+
+
+@register("forecast_holt_winters_weekly", oracle=_hw_oracle())
+def forecast_holt_winters_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X264 Holt-Winters additive forecast with weekly seasonality
+    (triple exponential smoothing, public algorithm) per event type —
+    the seasonal upgrade of Holt X211. Pinned-integer discipline:
+    alpha=0.2 / beta=gamma=0.1 as x10 trunc divisions (identical on
+    both engines), state = (level, trend, 7 seasonal lanes) carried
+    as named_struct fields through a SQL `aggregate` fold over the
+    zero-filled dense day array; the oracle replays the recursion
+    with a recursive CTE carrying the same 10 columns. Init: level =
+    week-1 mean, trend = (week-2 mean − week-1 mean)/7, seasonals =
+    week-1 residuals. State is span-bounded (days, not rows). The
+    7-day-ahead forecasts are exact BIGINT cents; ONE final division
+    to currency."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x_cents")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(
+            "day"
+        ),
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("x_cents", F.lit(0)).cast("long").alias("x"),
+    )
+    series = dense.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    x7a = "+".join(f"element_at(xs, {i})" for i in range(1, 8))
+    x7b = "+".join(f"element_at(xs, {i})" for i in range(8, 15))
+    l0 = f"(({x7a}) div 7)"
+    b0 = f"((({x7b}) div 7 - {l0}) div 7)"
+    s_init = ", ".join(
+        f"'s{i}', CAST(element_at(xs, {i + 1}) - {l0} AS BIGINT)"
+        for i in range(7)
+    )
+    si = (
+        "(CASE CAST((acc.t - 1) % 7 AS INT) "
+        + " ".join(f"WHEN {j} THEN acc.s{j}" for j in range(7))
+        + " END)"
+    )
+    ln = f"((2 * (x - {si}) + 8 * (acc.l + acc.b)) div 10)"
+    bn = f"(({ln} - acc.l + 9 * acc.b) div 10)"
+    sn = f"(((x - {ln}) + 9 * {si}) div 10)"
+    s_step = ", ".join(
+        f"'s{j}', CAST(CASE WHEN (acc.t - 1) % 7 = {j} THEN {sn}"
+        f" ELSE acc.s{j} END AS BIGINT)"
+        for j in range(7)
+    )
+    hw = F.expr(
+        f"""
+        aggregate(
+          slice(xs, 8, CAST(n_days - 7 AS INT)),
+          named_struct(
+            'l', CAST({l0} AS BIGINT), 'b', CAST({b0} AS BIGINT),
+            't', CAST(8 AS BIGINT), {s_init}),
+          (acc, x) -> named_struct(
+            'l', CAST({ln} AS BIGINT), 'b', CAST({bn} AS BIGINT),
+            't', acc.t + 1, {s_step}))
+        """
+    )
+    out = series.where(F.col("n_days") >= 14).select(
+        "event_type", "n_days", hw.alias("_h")
+    )
+    fexprs = []
+    for m in range(1, 8):
+        sidx = (
+            f"(CASE CAST((_h.t - 2 + {m}) % 7 AS INT) "
+            + " ".join(f"WHEN {j} THEN _h.s{j}" for j in range(7))
+            + " END)"
+        )
+        fexprs.append(
+            F.expr(f"CAST(_h.l + {m} * _h.b + {sidx} AS BIGINT)").alias(
+                f"f{m}"
+            )
+        )
+    fsum = " + ".join(
+        f"(_h.l + {m} * _h.b + (CASE CAST((_h.t - 2 + {m}) % 7 AS INT) "
+        + " ".join(f"WHEN {j} THEN _h.s{j}" for j in range(7))
+        + " END))"
+        for m in range(1, 8)
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.col("_h.l").alias("level_cents"),
+        F.col("_h.b").alias("trend_cents"),
+        *fexprs,
+        F.expr(f"CAST(({fsum}) AS DOUBLE) / 100.0").alias(
+            "forecast_week_usd"
+        ),
+    ).orderBy("event_type")

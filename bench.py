@@ -201,6 +201,10 @@ HEADLINE = [
     "ml_conformal_interval",
     "attribution_shapley_channels",
     "stats_kendall_tau_daily",
+    "timeseries_xcorr_lag",
+    "classifier_auc_roc",
+    "sketch_kmv_set_ops",
+    "forecast_holt_winters_weekly",
 ]
 
 
