@@ -12528,14 +12528,17 @@ def users_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.lit(2) * F.col("hi") - F.col("t") + F.lit(1)) * F.col("t"))
         .alias("rank2_sum"),
     )
+    # x·rank2_sum can exceed BIGINT at 10^9-user scale — accumulate
+    # the dot product in DECIMAL(38) (overflow-proof pattern), one
+    # narrowing cast on the way out
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xr = d38(F.col("x")) * F.col("rank2_sum")
     return r.agg(
         F.sum("t").cast("long").alias("n_users"),
         F.sum(F.col("x") * F.col("t")).cast("long").alias("total_cents"),
-        (F.sum(F.col("x") * F.col("rank2_sum")) / F.lit(2))
-        .cast("long")
-        .alias("weighted_sum"),
+        (F.sum(xr) / F.lit(2)).cast("long").alias("weighted_sum"),
         (
-            F.sum(F.col("x") * F.col("rank2_sum")).cast("double")
+            F.sum(xr).cast("double")
             / (
                 F.sum("t").cast("double")
                 * F.sum(F.col("x") * F.col("t")).cast("double")
@@ -22025,3 +22028,289 @@ def forecast_holt_winters_weekly(
             "forecast_week_usd"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "users_value_theil",
+    # Theil T with the corpus quantized-ln discipline: qln(x) =
+    # floor(ln(x)·1e9) BIGINT per distinct cents value, numerator
+    # Σ x·(qln(x) − qln(Sx) + qln(n)) accumulated in DECIMAL(38);
+    # the index is one final double division by (1e9·Sx).
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS t FROM u WHERE x > 0
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(CAST(x AS HUGEINT) * t) AS HUGEINT) AS sx,
+             CAST(sum(t) AS BIGINT) AS n
+      FROM g
+    ),
+    q AS (
+      SELECT g.x, g.t,
+             CAST(floor(ln(CAST(g.x AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS qx
+      FROM g
+    )
+    SELECT t.n AS n_users, CAST(t.sx AS BIGINT) AS total_cents,
+           CAST(sum(CAST(q.x AS HUGEINT) * q.t
+                    * (q.qx
+                       - CAST(floor(ln(CAST(t.sx AS DOUBLE))
+                                    * 1000000000.0) AS BIGINT)
+                       + CAST(floor(ln(CAST(t.n AS DOUBLE))
+                                    * 1000000000.0) AS BIGINT)))
+                AS VARCHAR) AS theil_num_q,
+           CAST(CAST(sum(CAST(q.x AS HUGEINT) * q.t
+                    * (q.qx
+                       - CAST(floor(ln(CAST(t.sx AS DOUBLE))
+                                    * 1000000000.0) AS BIGINT)
+                       + CAST(floor(ln(CAST(t.n AS DOUBLE))
+                                    * 1000000000.0) AS BIGINT)))
+                AS VARCHAR) AS DOUBLE)
+             / (1000000000.0 * CAST(CAST(t.sx AS VARCHAR) AS DOUBLE))
+             AS theil
+    FROM q CROSS JOIN tot t
+    GROUP BY t.n, t.sx
+    """,
+)
+def users_value_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265 Theil-T inequality index of per-user value — the
+    entropy-based member of the concentration family (Gini X165,
+    Pareto X106, HHI X157): T = (1/Sx)·Σ x·(ln x − ln μ),
+    decomposable across subgroups where Gini is not. Cross-engine
+    exactness via the corpus quantized-ln discipline (X35 family):
+    every ln is floor(ln·1e9) BIGINT on identical integer inputs,
+    the numerator dot product accumulates in DECIMAL(38) (routed
+    through VARCHAR on the DuckDB side — HUGEINT→DOUBLE rounds
+    differently), and the index divides once at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x")
+    )
+    g = (
+        u.where(F.col("x") > 0)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tot = g.agg(
+        F.sum(d38(F.col("x")) * F.col("t")).alias("sx"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    Q = 1_000_000_000.0
+    qln = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(Q)
+    ).cast("long")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "t",
+            "sx",
+            "n",
+            (
+                d38(F.col("x")) * F.col("t")
+                * (
+                    qln(F.col("x"))
+                    - qln(F.col("sx"))
+                    + qln(F.col("n"))
+                )
+            ).alias("term"),
+        )
+        .groupBy("n", "sx")
+        .agg(F.sum("term").alias("num"))
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("sx").cast("long").alias("total_cents"),
+            F.col("num").cast("decimal(38,0)").cast("string").alias(
+                "theil_num_q"
+            ),
+            (
+                F.col("num").cast("double")
+                / (F.lit(Q) * F.col("sx").cast("double"))
+            ).alias("theil"),
+        )
+    )
+
+
+@register(
+    "quality_freshness_sla",
+    # Data-ops freshness audit: per-table max business date and
+    # days-behind the freshest table (anchor), pure date/count
+    # arithmetic — the operational readout beside the FK-integrity
+    # audit and the expectations report.
+    oracle="""
+    WITH per AS (
+      SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             max(CAST(ts AS DATE)) AS max_date
+      FROM events
+      UNION ALL
+      SELECT 'orders', CAST(count(*) AS BIGINT),
+             max(CAST(o_orderdate AS DATE))
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             max(CAST(l_shipdate AS DATE))
+      FROM lineitem
+    ),
+    anchor AS (SELECT max(max_date) AS a FROM per)
+    SELECT p.tbl, p.n_rows,
+           CAST(p.max_date AS VARCHAR) AS max_date,
+           CAST(a.a - p.max_date AS BIGINT) AS days_behind,
+           a.a - p.max_date <= 7 AS within_sla_7d
+    FROM per p CROSS JOIN anchor a
+    ORDER BY p.tbl
+    """,
+)
+def quality_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266 cross-table freshness SLA audit — the data-ops readout
+    beside the FK-integrity audit (X119) and the expectations report
+    (X168): per table, row count, max business date, and days-behind
+    the freshest table (the deterministic anchor — never wall-clock
+    now(), which would be unhashable). Three map-side scans of one
+    date/count column each, a 3-row union, one broadcast anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        ev.agg(
+            F.lit("events").alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max(F.col("ts").cast("date")).alias("max_date"),
+        )
+        .unionByName(
+            o.agg(
+                F.lit("orders").alias("tbl"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+            )
+        )
+        .unionByName(
+            li.agg(
+                F.lit("lineitem").alias("tbl"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.max(F.col("l_shipdate").cast("date")).alias("max_date"),
+            )
+        )
+    )
+    anchor = per.agg(F.max("max_date").alias("a"))
+    return (
+        per.crossJoin(F.broadcast(anchor))
+        .select(
+            "tbl",
+            "n_rows",
+            F.col("max_date").cast("string").alias("max_date"),
+            F.datediff(F.col("a"), F.col("max_date"))
+            .cast("long")
+            .alias("days_behind"),
+            (F.datediff(F.col("a"), F.col("max_date")) <= 7).alias(
+                "within_sla_7d"
+            ),
+        )
+        .orderBy("tbl")
+    )
+
+
+@register(
+    "stats_poisson_rate_test",
+    # Two-sample Poisson rate z: error counts in the first vs second
+    # half of the span (integer midpoint split), exposures in whole
+    # days, z one final float expression on integer operands.
+    oracle="""
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    halves AS (
+      SELECT d0, d1,
+             d0 + CAST((d1 - d0) / 2 AS INTEGER) AS mid,
+             CAST(CAST((d1 - d0) / 2 AS INTEGER) + 1 AS BIGINT) AS t1,
+             CAST(d1 - (d0 + CAST((d1 - d0) / 2 AS INTEGER)) AS BIGINT)
+               AS t2
+      FROM span
+    ),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN CAST(e.ts AS DATE) <= h.mid
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN CAST(e.ts AS DATE) > h.mid
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        max(h.t1) AS t1, max(h.t2) AS t2
+      FROM events e CROSS JOIN halves h
+      WHERE e.event_type = 'error'
+    )
+    SELECT c1, c2, t1, t2,
+           CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE) AS rate1,
+           CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE) AS rate2,
+           (CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+            - CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+           / sqrt(CAST(c1 AS DOUBLE) / (CAST(t1 AS DOUBLE)
+                                        * CAST(t1 AS DOUBLE))
+                  + CAST(c2 AS DOUBLE) / (CAST(t2 AS DOUBLE)
+                                          * CAST(t2 AS DOUBLE))) AS z
+    FROM c
+    """,
+)
+def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267 two-sample Poisson rate test on the error stream — "did
+    the error RATE change between the first and second half of the
+    window?", the count-process complement to the proportion z-test
+    (X65) and the SPC chart (X160). The span splits at the integer
+    midpoint day, exposures are whole days, counts exact BIGINTs;
+    the Wald z on the rate difference is one final float expression
+    on integer operands (identical IEEE tree both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("ts").cast("date").alias("day")
+    )
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    halves = span.select(
+        "d0",
+        "d1",
+        F.date_add(
+            F.col("d0"),
+            (F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+        ).alias("mid"),
+    ).select(
+        (F.datediff(F.col("mid"), F.col("d0")) + 1)
+        .cast("long")
+        .alias("t1"),
+        F.datediff(F.col("d1"), F.col("mid")).cast("long").alias("t2"),
+        "mid",
+    )
+    c = err.crossJoin(F.broadcast(halves)).agg(
+        F.sum(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("day") > F.col("mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+    )
+    dd = lambda c_: c_.cast("double")  # noqa: E731
+    return c.select(
+        "c1",
+        "c2",
+        "t1",
+        "t2",
+        (dd(F.col("c1")) / dd(F.col("t1"))).alias("rate1"),
+        (dd(F.col("c2")) / dd(F.col("t2"))).alias("rate2"),
+        (
+            (dd(F.col("c1")) / dd(F.col("t1")) - dd(F.col("c2")) / dd(F.col("t2")))
+            / F.sqrt(
+                dd(F.col("c1")) / (dd(F.col("t1")) * dd(F.col("t1")))
+                + dd(F.col("c2")) / (dd(F.col("t2")) * dd(F.col("t2")))
+            )
+        ).alias("z"),
+    )

@@ -205,6 +205,9 @@ HEADLINE = [
     "classifier_auc_roc",
     "sketch_kmv_set_ops",
     "forecast_holt_winters_weekly",
+    "users_value_theil",
+    "quality_freshness_sla",
+    "stats_poisson_rate_test",
 ]
 
 
