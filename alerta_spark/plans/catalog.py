@@ -22314,3 +22314,368 @@ def stats_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     )
+
+
+@register(
+    "stats_runs_test_daily",
+    # Wald-Wolfowitz runs test on the daily up/down value sequence:
+    # runs counted by lag comparison over the day frame (partitioned
+    # window per sign series is span-bounded), n1/n2/runs exact
+    # BIGINTs, the normal z one final float expression.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT day, x,
+             CASE WHEN x - lag(x) OVER (ORDER BY day) > 0 THEN 1
+                  WHEN x - lag(x) OVER (ORDER BY day) < 0 THEN 0
+             END AS up
+      FROM d
+    ),
+    f AS (SELECT day, up FROM s WHERE up IS NOT NULL),
+    r AS (
+      SELECT up,
+             CASE WHEN up = lag(up) OVER (ORDER BY day) THEN 0 ELSE 1 END
+               AS is_new
+      FROM f
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN up = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN up = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(COALESCE(is_new, 1)) AS BIGINT) AS runs
+      FROM r
+    )
+    SELECT n1, n2, runs,
+           1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / CAST(n1 + n2 AS DOUBLE) AS mu_runs,
+           (CAST(runs AS DOUBLE)
+            - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / CAST(n1 + n2 AS DOUBLE)))
+           / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     - CAST(n1 + n2 AS DOUBLE))
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
+    FROM c
+    """,
+)
+def stats_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268 Wald-Wolfowitz runs test on the daily-revenue up/down
+    sequence — "is the day-over-day direction random or streaky?",
+    the randomness screen beside the variance-ratio test (X243) and
+    autocorrelation (X149). Flat days drop (classic two-category
+    form); n1/n2/runs are exact BIGINTs from lag comparisons over the
+    span-bounded day frame; the normal approximation z is one final
+    float expression."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("x")
+    )
+    one = F.pmod(F.dayofmonth("day"), F.lit(1))
+    wd = W.partitionBy(one).orderBy("day")
+    s = d.select(
+        "day",
+        F.when(F.col("x") - F.lag("x").over(wd) > 0, 1)
+        .when(F.col("x") - F.lag("x").over(wd) < 0, 0)
+        .alias("up"),
+    ).where(F.col("up").isNotNull())
+    r = s.select(
+        "up",
+        F.when(F.col("up") == F.lag("up").over(wd), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    c = r.agg(
+        F.sum(F.when(F.col("up") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("up") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.coalesce(F.col("is_new"), F.lit(1)))
+        .cast("long")
+        .alias("runs"),
+    )
+    dd = lambda c_: c_.cast("double")  # noqa: E731
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = F.lit(1.0) + F.lit(2.0) * dd(n1) * dd(n2) / dd(n1 + n2)
+    var = (
+        F.lit(2.0)
+        * dd(n1)
+        * dd(n2)
+        * (F.lit(2.0) * dd(n1) * dd(n2) - dd(n1 + n2))
+        / (dd(n1 + n2) * dd(n1 + n2) * dd(n1 + n2 - 1))
+    )
+    return c.select(
+        "n1",
+        "n2",
+        "runs",
+        mu.alias("mu_runs"),
+        ((dd(runs) - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+@register(
+    "stats_cramers_v",
+    # Effect size for the X151 chi2: V = sqrt(chi2 / (N*(k-1))) —
+    # the quantized chi2_q divides by integer operands inside one
+    # final sqrt; category counts from the same contingency frame.
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CASE WHEN EXTRACT(hour FROM ts) < 6 THEN 'night'
+                  WHEN EXTRACT(hour FROM ts) < 12 THEN 'morning'
+                  WHEN EXTRACT(hour FROM ts) < 18 THEN 'afternoon'
+                  ELSE 'evening' END AS daypart,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+    k AS (SELECT daypart, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+    terms AS (
+      SELECT CAST(floor(
+               CAST((c.o * t.n - r.rt * k.ct)
+                    * (c.o * t.n - r.rt * k.ct) AS DOUBLE)
+               / CAST(r.rt * k.ct AS DOUBLE) / CAST(t.n AS DOUBLE)
+               * 1048576.0) AS BIGINT) AS tq
+      FROM c JOIN r USING (event_type) JOIN k USING (daypart), t
+    ),
+    dims AS (
+      SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows_cat,
+             CAST((SELECT count(*) FROM k) AS BIGINT) AS n_cols_cat,
+             (SELECT n FROM t) AS n
+    )
+    SELECT d.n_rows_cat, d.n_cols_cat, d.n,
+           CAST(sum(tq) AS BIGINT) AS chi2_q,
+           sqrt(CAST(sum(tq) AS DOUBLE) / 1048576.0
+                / (CAST(d.n AS DOUBLE)
+                   * CAST(CASE WHEN d.n_rows_cat < d.n_cols_cat
+                               THEN d.n_rows_cat ELSE d.n_cols_cat END - 1
+                          AS DOUBLE))) AS cramers_v
+    FROM terms CROSS JOIN dims d
+    GROUP BY d.n_rows_cat, d.n_cols_cat, d.n
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269 Cramer's V association strength for the (event type x
+    daypart) contingency — the bounded [0,1] effect size the raw X151
+    chi2 lacks (chi2 grows with N; V answers "how strong", not "how
+    significant"). Reuses the X151 quantized-term discipline: cell
+    terms integer-numerator and BIGINT-quantized before the sum, V =
+    one final sqrt over integer-derived operands."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            F.when(F.hour("ts") < 6, "night")
+            .when(F.hour("ts") < 12, "morning")
+            .when(F.hour("ts") < 18, "afternoon")
+            .otherwise("evening")
+            .alias("daypart"),
+        )
+        .groupBy("event_type", "daypart")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    r = c.groupBy("event_type").agg(F.sum("o").cast("long").alias("rt"))
+    k = c.groupBy("daypart").agg(F.sum("o").cast("long").alias("ct"))
+    t = c.agg(F.sum("o").cast("long").alias("n"))
+    num = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    tq = F.floor(
+        (num * num).cast("double")
+        / (F.col("rt") * F.col("ct")).cast("double")
+        / F.col("n").cast("double")
+        * F.lit(1048576.0)
+    ).cast("long")
+    terms = (
+        c.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(k), "daypart")
+        .crossJoin(F.broadcast(t))
+        .select(tq.alias("tq"), "n")
+    )
+    dims = (
+        r.agg(F.count(F.lit(1)).cast("long").alias("n_rows_cat"))
+        .crossJoin(k.agg(F.count(F.lit(1)).cast("long").alias("n_cols_cat")))
+    )
+    mind = F.least(F.col("n_rows_cat"), F.col("n_cols_cat"))
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("tq").cast("long").alias("chi2_q"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_rows_cat",
+            "n_cols_cat",
+            "n",
+            "chi2_q",
+            F.sqrt(
+                F.col("chi2_q").cast("double")
+                / F.lit(1048576.0)
+                / (
+                    F.col("n").cast("double")
+                    * (mind - 1).cast("double")
+                )
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "text_burrows_delta",
+    # Stylometric Delta over the top-30 corpus terms: relative
+    # frequencies quantized to BIGINT ((c*1e9) div N_s), z-scores as
+    # the integer-rational (n*qf - S)/sqrt(n*Q - S^2) quantized again
+    # (floor(z*1e6)) so the pairwise L1 sums are exact; zero-variance
+    # terms drop by an integer predicate; one final division.
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '')) AS term
+      FROM documents
+    ),
+    top AS (
+      SELECT term FROM toks GROUP BY term
+      ORDER BY count(*) DESC, term LIMIT 30
+    ),
+    ns AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM toks GROUP BY 1
+    ),
+    cst AS (
+      SELECT t.source, t.term, CAST(count(*) AS BIGINT) AS c
+      FROM toks t JOIN top USING (term) GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT ns.source, top.term,
+             (COALESCE(c.c, 0) * 1000000000) // ns.n_s AS qf
+      FROM ns CROSS JOIN top
+      LEFT JOIN cst c ON c.source = ns.source AND c.term = top.term
+    ),
+    stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qf) AS BIGINT) AS s,
+             CAST(sum(CAST(qf AS HUGEINT) * qf) AS HUGEINT) AS q
+      FROM dense GROUP BY 1
+    ),
+    z AS (
+      SELECT d.source, d.term,
+             CAST(floor(
+               CAST(st.n * d.qf - st.s AS DOUBLE)
+               / sqrt(CAST(CAST(st.n * st.q - CAST(st.s AS HUGEINT) * st.s
+                                AS VARCHAR) AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS qz
+      FROM dense d JOIN stats st USING (term)
+      WHERE st.n * st.q - CAST(st.s AS HUGEINT) * st.s > 0
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(abs(a.qz - b.qz)) AS BIGINT) AS l1_q
+      FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_terms, l1_q,
+           CAST(l1_q AS DOUBLE) / (CAST(n_terms AS DOUBLE) * 1000000.0)
+             AS delta
+    FROM pairs
+    ORDER BY src_a, src_b
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X270 Burrows' Delta stylometric distance between sources
+    (Burrows 2002; the authorship/provenance fingerprint beside the
+    shingle overlap matrix X220): mean |z_a - z_b| over the top-30
+    corpus terms' relative frequencies. Exactness: frequencies are
+    BIGINT fixed-point ((c*1e9) div N_s), each z is the
+    integer-rational (n*qf - S)/sqrt(n*Q - S**2) computed on identical
+    integer operands then floor-quantized (*1e6), so the pairwise L1
+    aggregation is exact; zero-variance terms drop by an integer
+    predicate; ONE final division. Scale shape: tokens scan -> term
+    top-30 (TakeOrdered) -> source x 30 dense frame (source-bounded),
+    pair join bounded by sources squared."""
+    from alerta_spark.ops.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(tokenize(F.col("text")), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(30)
+        .select("term")
+    )
+    ns = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    cst = (
+        toks.join(F.broadcast(top), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dense = (
+        ns.crossJoin(F.broadcast(top))
+        .join(cst, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.expr("(COALESCE(c, 0) * 1000000000) div n_s").alias("qf"),
+        )
+    )
+    d38 = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
+    stats = dense.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qf").cast("long").alias("s"),
+        F.sum(d38(F.col("qf")) * F.col("qf")).alias("q"),
+    )
+    var_num = d38(F.col("n")) * F.col("q") - d38(F.col("s")) * F.col("s")
+    z = (
+        dense.join(F.broadcast(stats), "term")
+        .where(var_num > 0)
+        .select(
+            "source",
+            "term",
+            F.floor(
+                (F.col("n") * F.col("qf") - F.col("s")).cast("double")
+                / F.sqrt(var_num.cast("double"))
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("qz"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "term", F.col("qz").alias("qz_a")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "term", F.col("qz").alias("qz_b")
+    )
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.abs(F.col("qz_a") - F.col("qz_b")))
+            .cast("long")
+            .alias("l1_q"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_terms",
+        "l1_q",
+        (
+            F.col("l1_q").cast("double")
+            / (F.col("n_terms").cast("double") * F.lit(1000000.0))
+        ).alias("delta"),
+    ).orderBy("src_a", "src_b")

@@ -208,6 +208,9 @@ HEADLINE = [
     "users_value_theil",
     "quality_freshness_sla",
     "stats_poisson_rate_test",
+    "stats_runs_test_daily",
+    "stats_cramers_v",
+    "text_burrows_delta",
 ]
 
 
