@@ -22679,3 +22679,471 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_terms").cast("double") * F.lit(1000000.0))
         ).alias("delta"),
     ).orderBy("src_a", "src_b")
+
+
+@register(
+    "survival_logrank_abtest",
+    # Log-rank test between the two deterministic experiment arms
+    # (user_id parity, the X19 split discipline) on time-to-first-
+    # purchase (48h censor, same life table as the X174 KM curve).
+    # Risk sets at each conversion hour come from a tiny (<=49x2 grid)
+    # range join; per-time expectation and variance terms are
+    # HUGEINT-exact integer divisions quantized at 1e9, the z only
+    # one final float expression over BIGINT operands.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(epoch_us(ts)) AS f0,
+             CAST(user_id % 2 AS BIGINT) AS grp,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS p0
+      FROM events GROUP BY 1, 3
+    ),
+    life AS (
+      SELECT grp,
+             CASE WHEN p0 IS NOT NULL AND (p0 - f0) // 3600000000 <= 48
+                  THEN (p0 - f0) // 3600000000 ELSE 48 END AS t_h,
+             (p0 IS NOT NULL AND (p0 - f0) // 3600000000 <= 48) AS ev
+      FROM u
+    ),
+    per_gt AS (
+      SELECT grp, t_h, count(*) AS c,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM life GROUP BY 1, 2
+    ),
+    times AS (
+      SELECT t_h AS t FROM per_gt GROUP BY 1 HAVING sum(d) > 0
+    ),
+    rg AS (
+      SELECT times.t, g.grp,
+             CAST(COALESCE(sum(p.c), 0) AS BIGINT) AS n_risk,
+             CAST(COALESCE(sum(CASE WHEN p.t_h = times.t THEN p.d END), 0)
+                  AS BIGINT) AS d_t
+      FROM times CROSS JOIN (SELECT DISTINCT grp FROM per_gt) g
+      LEFT JOIN per_gt p ON p.grp = g.grp AND p.t_h >= times.t
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT t,
+             CAST(sum(CASE WHEN grp = 1 THEN n_risk ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN grp = 1 THEN d_t ELSE 0 END) AS BIGINT)
+               AS da,
+             CAST(sum(CASE WHEN grp = 0 THEN n_risk ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN grp = 0 THEN d_t ELSE 0 END) AS BIGINT)
+               AS db
+      FROM rg GROUP BY t
+    ),
+    terms AS (
+      SELECT da,
+             CAST((CAST(da + db AS HUGEINT) * na * 1000000000)
+                  // (na + nb) AS BIGINT) AS eq,
+             CAST((CAST(da + db AS HUGEINT) * na * nb
+                   * (na + nb - da - db) * 1000000000)
+                  // (CAST(na + nb AS HUGEINT) * (na + nb)
+                      * (na + nb - 1)) AS BIGINT) AS vq
+      FROM w WHERE na + nb > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_times,
+           CAST(sum(da) AS BIGINT) AS o_a,
+           CAST(sum(eq) AS BIGINT) AS e_a_q,
+           CAST(sum(vq) AS BIGINT) AS v_q,
+           (CAST(sum(da) * 1000000000 - sum(eq) AS DOUBLE) / 1000000000.0)
+             / sqrt(CAST(sum(vq) AS DOUBLE) / 1000000000.0) AS z
+    FROM terms
+    """,
+)
+def survival_logrank_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X271 log-rank test: does the treatment arm convert to first
+    purchase faster than control? The hypothesis test beside the X174
+    KM curve — KM draws the two survival curves, log-rank says whether
+    they differ, honoring right-censoring a mean-conversion-time
+    comparison would bias. Arms are the deterministic user_id-parity
+    split (the X19 discipline: rerun-stable, no RNG); risk sets at each conversion hour come from a broadcast range
+    join over the <=49-row hour distribution, so the full-table work
+    is exactly one user-level aggregate. Expectation/variance terms
+    are HUGEINT-exact integer divisions quantized at 1e9; z is one
+    final float expression."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("f0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("p0"),
+        F.pmod(F.first("user_id"), F.lit(2)).cast("long").alias("grp"),
+    )
+    hours = F.expr("(p0 - f0) div 3600000000")
+    conv = F.col("p0").isNotNull() & (hours <= 48)
+    life = u.select(
+        "grp",
+        F.when(conv, hours).otherwise(F.lit(48)).alias("t_h"),
+        conv.alias("ev"),
+    )
+    per_gt = life.groupBy("grp", "t_h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    times = (
+        per_gt.groupBy("t_h")
+        .agg(F.sum("d").alias("dt"))
+        .where(F.col("dt") > 0)
+        .select(F.col("t_h").alias("t"))
+    )
+    grps = per_gt.select("grp").distinct()
+    rg = (
+        times.crossJoin(F.broadcast(grps))
+        .join(
+            F.broadcast(per_gt).withColumnRenamed("grp", "pgrp"),
+            (F.col("pgrp") == F.col("grp")) & (F.col("t_h") >= F.col("t")),
+            "left",
+        )
+        .groupBy("t", "grp")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_risk"),
+            F.coalesce(
+                F.sum(F.when(F.col("t_h") == F.col("t"), F.col("d"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("d_t"),
+        )
+    )
+    w = rg.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == 1, F.col("d_t")).otherwise(0))
+        .cast("long")
+        .alias("da"),
+        F.sum(F.when(F.col("grp") == 0, F.col("n_risk")).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("grp") == 0, F.col("d_t")).otherwise(0))
+        .cast("long")
+        .alias("db"),
+    )
+    terms = w.where(F.col("na") + F.col("nb") > 1).select(
+        "da",
+        F.expr(
+            "CAST((CAST(da + db AS DECIMAL(38,0)) * na * 1000000000)"
+            " div (na + nb) AS BIGINT)"
+        ).alias("eq"),
+        F.expr(
+            "CAST((CAST(da + db AS DECIMAL(38,0)) * na * nb"
+            " * (na + nb - da - db) * 1000000000)"
+            " div (CAST(na + nb AS DECIMAL(38,0)) * (na + nb)"
+            " * (na + nb - 1)) AS BIGINT)"
+        ).alias("vq"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("da").cast("long").alias("o_a"),
+        F.sum("eq").cast("long").alias("e_a_q"),
+        F.sum("vq").cast("long").alias("v_q"),
+    )
+    return agg.select(
+        "n_times",
+        "o_a",
+        "e_a_q",
+        "v_q",
+        (
+            (F.col("o_a") * 1000000000 - F.col("e_a_q")).cast("double")
+            / F.lit(1000000000.0)
+            / F.sqrt(F.col("v_q").cast("double") / F.lit(1000000000.0))
+        ).alias("z"),
+    )
+
+
+@register(
+    "stats_anova_f_value_by_type",
+    # One-way ANOVA F of event value across the 5 event types: exact
+    # integer cents, per-group sum/sumsq in DECIMAL(38), SSB/SST as
+    # 1e6-quantized integer rationals (floor of HUGEINT division), F
+    # = ONE float division of cross-multiplied DECIMAL(38) products
+    # (VARCHAR hop for DuckDB's wide-decimal->double cast).
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS HUGEINT) AS s_g,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS HUGEINT)
+                      * CAST(CAST(value AS DECIMAL(14,2)) * 100 AS HUGEINT))
+                  AS HUGEINT) AS q_g
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS HUGEINT) AS s,
+             CAST(sum(q_g) AS HUGEINT) AS q,
+             CAST(sum((s_g * s_g * 1000000) // n_g) AS HUGEINT) AS ssb_raw
+      FROM g
+    ),
+    f AS (
+      SELECT k, n,
+             ssb_raw - (s * s * 1000000) // n AS ssb_q,
+             q * 1000000 - ssb_raw AS ssw_q
+      FROM t
+    )
+    SELECT k, n,
+           CAST(CAST(ssb_q AS VARCHAR) AS DOUBLE) / 1000000.0 AS ssb,
+           CAST(CAST(ssw_q AS VARCHAR) AS DOUBLE) / 1000000.0 AS ssw,
+           CAST(CAST(ssb_q * (n - k) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(ssw_q * (k - 1) AS VARCHAR) AS DOUBLE) AS f_stat
+    FROM f
+    """,
+)
+def stats_anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X272 one-way ANOVA F: does mean event value differ across the
+    five event types? The classical mean-difference omnibus test
+    beside Brown-Forsythe (X231's robust variance-based screen) and
+    the pairwise Mann-Whitney (X200). Decomposition is exact: integer
+    cents, per-group sum/sumsq in DECIMAL(38) (one map-side combine +
+    a 5-row reduce), SSB/SST 1e6-quantized integer rationals, F = one
+    float division of cross-multiplied DECIMAL(38) products. Scale:
+    single hash aggregate over the corpus; everything after is a
+    5-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    g = ev.select(
+        "event_type", cents.alias("x")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("decimal(38,0)").alias("s_g"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x")
+        ).cast("decimal(38,0)").alias("q_g"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("q_g").cast("decimal(38,0)").alias("q"),
+        F.sum(F.expr("(s_g * s_g * 1000000) div n_g"))
+        .cast("decimal(38,0)")
+        .alias("ssb_raw"),
+    )
+    f = t.select(
+        "k",
+        "n",
+        F.expr("ssb_raw - (s * s * 1000000) div n").alias("ssb_q"),
+        F.expr("q * 1000000 - ssb_raw").alias("ssw_q"),
+    )
+    return f.select(
+        "k",
+        "n",
+        (F.col("ssb_q").cast("double") / F.lit(1000000.0)).alias("ssb"),
+        (F.col("ssw_q").cast("double") / F.lit(1000000.0)).alias("ssw"),
+        (
+            F.expr("CAST(ssb_q * (n - k) AS DOUBLE)")
+            / F.expr("CAST(ssw_q * (k - 1) AS DOUBLE)")
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "stats_cochran_armitage_activity",
+    # Cochran-Armitage trend test: purchase-leaning (purchase share
+    # above the uniform 1/5 expectation — "ever purchased" saturates
+    # on this corpus) across the four activity-rank bands, scores
+    # 0..3 from a deterministic ntile over (n_events, user_id). All
+    # moments exact BIGINTs; z =
+    # numerator * sqrt(N) over one sqrt of a DECIMAL(38) product
+    # (VARCHAR hop on the DuckDB side).
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+             CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) > count(*)
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT conv,
+             CAST(ntile(4) OVER (ORDER BY n_ev, user_id) - 1 AS BIGINT)
+               AS t
+      FROM u
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS r,
+             CAST(sum(t) AS BIGINT) AS sum_tn,
+             CAST(sum(t * conv) AS BIGINT) AS sum_tr,
+             CAST(sum(t * t) AS BIGINT) AS sum_t2n
+      FROM b
+    )
+    SELECT n, r, sum_tn, sum_tr, sum_t2n,
+           CAST(n * sum_tr - r * sum_tn AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+             / sqrt(CAST(CAST(CAST(r AS HUGEINT) * (n - r)
+                    * (n * sum_t2n - sum_tn * sum_tn)
+                    AS VARCHAR) AS DOUBLE)) AS z
+    FROM m
+    """,
+)
+def stats_cochran_armitage_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X273 Cochran-Armitage trend test: does purchase-leaning rise
+    monotonically with user activity band? The dose-response screen a
+    plain chi2 (X151) can't give — chi2 sees "different", CA sees
+    "ordered". Outcome is purchase share above the uniform 1/5
+    expectation (a scale-free binary; "ever purchased" saturates to
+    all-1 on this corpus). Bands are a deterministic ntile over (event count,
+    user_id) so the split is rerun-stable under ties; all moments are
+    exact BIGINT sums over the user frame; z is one final float
+    expression (sqrt of a DECIMAL(38) product). Scale: one user-level
+    aggregate; the ntile runs over the user frame, orders of magnitude
+    smaller than the event corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    b = u.select(
+        "conv",
+        (
+            F.ntile(4).over(
+                W.partitionBy(F.pmod(F.col("user_id"), F.lit(1))).orderBy(
+                    "n_ev", "user_id"
+                )
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("r"),
+        F.sum("t").cast("long").alias("sum_tn"),
+        F.sum(F.col("t") * F.col("conv")).cast("long").alias("sum_tr"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sum_t2n"),
+    )
+    return m.select(
+        "n",
+        "r",
+        "sum_tn",
+        "sum_tr",
+        "sum_t2n",
+        (
+            (F.col("n") * F.col("sum_tr") - F.col("r") * F.col("sum_tn"))
+            .cast("double")
+            * F.sqrt(F.col("n").cast("double"))
+            / F.sqrt(
+                F.expr(
+                    "CAST(CAST(r AS DECIMAL(38,0)) * (n - r)"
+                    " * (n * sum_t2n - sum_tn * sum_tn) AS DOUBLE)"
+                )
+            )
+        ).alias("z"),
+    )
+
+
+@register(
+    "stats_grubbs_daily_value",
+    # Grubbs outlier statistic for the most extreme daily revenue:
+    # deviations as exact BIGINT |n*x - S| (no mean rounding), sumsq
+    # in DECIMAL(38), G = maxdev * sqrt(n-1) / sqrt(n * (n*Q - S^2))
+    # — IEEE-exact sqrt/mul/div over integer-derived operands; the
+    # argmax day tie-breaks by earliest day.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM d
+    ),
+    dev AS (
+      SELECT d.day, d.x, t.n, t.s, t.q,
+             abs(t.n * d.x - t.s) AS dev,
+             row_number() OVER (ORDER BY abs(t.n * d.x - t.s) DESC, d.day)
+               AS rn
+      FROM d CROSS JOIN t
+    )
+    SELECT n AS n_days, day AS peak_day, x AS day_cents,
+           CAST(dev AS BIGINT) AS dev_scaled,
+           CAST(dev AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE))
+             / (CAST(n AS DOUBLE)
+                * sqrt(CAST(CAST(n * q - CAST(s AS HUGEINT) * s
+                       AS VARCHAR) AS DOUBLE))) AS grubbs_g
+    FROM dev WHERE rn = 1
+    """,
+)
+def stats_grubbs_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274 Grubbs test statistic: is the single most extreme daily
+    revenue an outlier? The parametric single-outlier screen beside
+    the robust MAD sweep (X73) — MAD flags many, Grubbs formally
+    tests the worst one. Deviations are exact BIGINT |n*x - S| (mean
+    never rounded), Q in DECIMAL(38); G = one composition of
+    IEEE-exact sqrt/mul/div over integer-derived operands. Scale: one
+    day-level aggregate; the argmax window runs over the <=31-row
+    day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("long").alias("x")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    dev = F.abs(F.col("n") * F.col("x") - F.col("s"))
+    ranked = (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "day",
+            "x",
+            "n",
+            "s",
+            "q",
+            dev.alias("dev"),
+            F.row_number()
+            .over(
+                W.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+                    dev.desc(), F.asc("day")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return ranked.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("peak_day"),
+        F.col("x").alias("day_cents"),
+        F.col("dev").cast("long").alias("dev_scaled"),
+        (
+            F.col("dev").cast("double")
+            * F.sqrt((F.col("n") - 1).cast("double"))
+            / (
+                F.col("n").cast("double")
+                * F.sqrt(
+                    F.expr(
+                        "CAST(n * q - CAST(s AS DECIMAL(38,0)) * s"
+                        " AS DOUBLE)"
+                    )
+                )
+            )
+        ).alias("grubbs_g"),
+    )

@@ -211,6 +211,10 @@ HEADLINE = [
     "stats_runs_test_daily",
     "stats_cramers_v",
     "text_burrows_delta",
+    "survival_logrank_abtest",
+    "stats_anova_f_value_by_type",
+    "stats_cochran_armitage_activity",
+    "stats_grubbs_daily_value",
 ]
 
 
