@@ -23147,3 +23147,492 @@ def stats_grubbs_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grubbs_g"),
     )
+
+
+@register(
+    "embedding_jl_projection",
+    # Johnson-Lindenstrauss sign projection 64d -> 8d with Rademacher
+    # signs pinned by md5 parity (hex char < '8' <=> top bit 0, exact
+    # 50/50) — rerun/engine stable, no RNG. Components floor-quantized
+    # to BIGINT at 1e6 so projections and norms are exact integers;
+    # the distortion ratio is ONE float division per vector.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    comp AS (
+      SELECT vec_id, t.d,
+             CAST(floor(v[CAST(t.d + 1 AS INTEGER)] * 1000000) AS BIGINT)
+               AS q
+      FROM e CROSS JOIN range(64) t(d)
+    ),
+    signs AS (
+      SELECT dd.d, pp.p,
+             CASE WHEN substr(md5('jl_' || dd.d || '_' || pp.p), 1, 1) < '8'
+                  THEN 1 ELSE -1 END AS s
+      FROM range(64) dd(d) CROSS JOIN range(8) pp(p)
+    ),
+    proj AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p = 0 THEN q * s END) AS BIGINT) AS y0,
+             CAST(sum(CASE WHEN p = 1 THEN q * s END) AS BIGINT) AS y1,
+             CAST(sum(CASE WHEN p = 2 THEN q * s END) AS BIGINT) AS y2,
+             CAST(sum(CASE WHEN p = 3 THEN q * s END) AS BIGINT) AS y3,
+             CAST(sum(CASE WHEN p = 4 THEN q * s END) AS BIGINT) AS y4,
+             CAST(sum(CASE WHEN p = 5 THEN q * s END) AS BIGINT) AS y5,
+             CAST(sum(CASE WHEN p = 6 THEN q * s END) AS BIGINT) AS y6,
+             CAST(sum(CASE WHEN p = 7 THEN q * s END) AS BIGINT) AS y7,
+             CAST(sum(CASE WHEN p = 0 THEN q * q END) AS BIGINT) AS norm2_q
+      FROM comp JOIN signs USING (d)
+      GROUP BY 1
+    )
+    SELECT vec_id, y0, y1, y2, y3, y4, y5, y6, y7, norm2_q,
+           y0*y0 + y1*y1 + y2*y2 + y3*y3
+             + y4*y4 + y5*y5 + y6*y6 + y7*y7 AS proj_norm2_q,
+           CAST(y0*y0 + y1*y1 + y2*y2 + y3*y3
+                + y4*y4 + y5*y5 + y6*y6 + y7*y7 AS DOUBLE)
+             / (8.0 * CAST(norm2_q AS DOUBLE)) AS distortion
+    FROM proj
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275 Johnson-Lindenstrauss random sign projection: 64d
+    embeddings down to 8d with Rademacher +-1 signs pinned by md5
+    parity (the X18/X19 hash-band discipline applied to the
+    projection matrix — same matrix on every run and every engine, no
+    RNG). The cheap dimensionality-reduction stage in front of the
+    ANN/dedup family: LSH and IVF over 8d cost ~8x less. Components
+    floor-quantize to BIGINT at 1e6 so projections and both norms are
+    exact integers; per-vector distortion ||y||^2/(k*||x||^2) is one
+    final float division. Scale: map-only per vector after a 512-row
+    broadcast sign table — no shuffle on the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    signs = (
+        spark.range(64)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(8).select(F.col("id").alias("p")))
+        .select(
+            "d",
+            "p",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("jl_"),
+                            F.col("d").cast("string"),
+                            F.lit("_"),
+                            F.col("p").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    ys = [
+        F.sum(F.when(F.col("p") == i, F.col("q") * F.col("s")))
+        .cast("long")
+        .alias(f"y{i}")
+        for i in range(8)
+    ]
+    proj = (
+        comp.join(F.broadcast(signs), "d")
+        .groupBy("vec_id")
+        .agg(
+            *ys,
+            F.sum(F.when(F.col("p") == 0, F.col("q") * F.col("q")))
+            .cast("long")
+            .alias("norm2_q"),
+        )
+    )
+    pn = sum(F.col(f"y{i}") * F.col(f"y{i}") for i in range(8))
+    return proj.select(
+        "vec_id",
+        *[f"y{i}" for i in range(8)],
+        "norm2_q",
+        pn.alias("proj_norm2_q"),
+        (
+            pn.cast("double") / (F.lit(8.0) * F.col("norm2_q").cast("double"))
+        ).alias("distortion"),
+    )
+
+
+@register(
+    "embedding_triplet_mining",
+    # Hardest-positive / hardest-negative mining per anchor: exact
+    # integer dot products over 1e6-floor-quantized components (each
+    # q*q sum < 2^53, so DuckDB's double list_dot_product is exact
+    # too); cosine from IEEE-exact sqrt/div over identical integers,
+    # floor-quantized at 1e6; ranking tie-breaks by candidate id.
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv
+      FROM e
+    ),
+    n AS (
+      SELECT vec_id, label, qv,
+             list_dot_product(qv, qv) AS n2
+      FROM q
+    ),
+    p AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             (a.label = b.label) AS same,
+             CAST(floor(list_dot_product(a.qv, b.qv)
+                        / (sqrt(CAST(a.n2 AS DOUBLE))
+                           * sqrt(CAST(b.n2 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS cq
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    pos AS (
+      SELECT aid, bid AS pos_id, cq AS cos_pos_q,
+             row_number() OVER (PARTITION BY aid ORDER BY cq DESC, bid)
+               AS rn
+      FROM p WHERE same
+    ),
+    neg AS (
+      SELECT aid, bid AS neg_id, cq AS cos_neg_q,
+             row_number() OVER (PARTITION BY aid ORDER BY cq DESC, bid)
+               AS rn
+      FROM p WHERE NOT same
+    )
+    SELECT pos.aid AS anchor_id, pos_id, neg_id,
+           cos_pos_q, cos_neg_q,
+           cos_pos_q - cos_neg_q AS margin_q
+    FROM pos JOIN neg ON pos.aid = neg.aid AND pos.rn = 1 AND neg.rn = 1
+    WHERE pos.rn = 1 AND neg.rn = 1
+    """,
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276 triplet hard-example mining: for every anchor, the
+    hardest positive (most-similar same-label vector — if THIS pair
+    scores low the metric is failing) and the hardest negative
+    (most-similar different-label vector — the one a contrastive loss
+    most needs), with the margin between them. The batch-mining
+    primitive of metric-learning pipelines; at corpus scale the
+    candidate set comes from the X8/X9 LSH/IVF generators instead of
+    all pairs — this is the within-batch exact form those feed.
+    Components floor-quantize at 1e6 so dot products are exact
+    integers (< 2^53, so double accumulation is exact on both
+    engines); cosine is IEEE-exact sqrt/div, floor-quantized; ranking
+    tie-breaks by candidate id. Scale: one broadcast of the quantized
+    frame against itself, top-1 via min/max aggregation shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
+        ).alias("qv"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n = q.select("vec_id", "label", "qv", dot(F.col("qv"), F.col("qv")).alias("n2"))
+    a = n.select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("la"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("bid"),
+        F.col("label").alias("lb"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("aid") != F.col("bid")).select(
+        "aid",
+        "bid",
+        (F.col("la") == F.col("lb")).alias("same"),
+        F.floor(
+            dot(F.col("qa"), F.col("qb")).cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("cq"),
+    )
+    wpos = W.partitionBy("aid").orderBy(F.desc("cq"), F.asc("bid"))
+    pos = (
+        pairs.where(F.col("same"))
+        .select(
+            "aid",
+            F.col("bid").alias("pos_id"),
+            F.col("cq").alias("cos_pos_q"),
+            F.row_number().over(wpos).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    neg = (
+        pairs.where(~F.col("same"))
+        .select(
+            "aid",
+            F.col("bid").alias("neg_id"),
+            F.col("cq").alias("cos_neg_q"),
+            F.row_number().over(wpos).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return pos.join(neg, "aid").select(
+        F.col("aid").alias("anchor_id"),
+        "pos_id",
+        "neg_id",
+        "cos_pos_q",
+        "cos_neg_q",
+        (F.col("cos_pos_q") - F.col("cos_neg_q")).alias("margin_q"),
+    )
+
+
+@register(
+    "revenue_retention_ndr",
+    # Net / gross dollar retention by month: per-(customer, month)
+    # revenue in exact cents, the base = customers active the prior
+    # month, NDR = their current revenue over their prior revenue and
+    # GRR caps each customer at their prior level (expansion doesn't
+    # mask churn). Month emitted as DATE on both engines; ratios are
+    # ONE float division each.
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    pair AS (
+      SELECT CAST(p.mon + INTERVAL 1 MONTH AS DATE) AS month,
+             p.cents AS prev_cents,
+             COALESCE(c.cents, 0) AS cur_cents
+      FROM m p LEFT JOIN m c
+        ON c.o_custkey = p.o_custkey
+       AND c.mon = CAST(p.mon + INTERVAL 1 MONTH AS DATE)
+    ),
+    agg AS (
+      SELECT month,
+             CAST(count(*) AS BIGINT) AS base_customers,
+             CAST(sum(prev_cents) AS BIGINT) AS base_cents,
+             CAST(sum(cur_cents) AS BIGINT) AS retained_cents,
+             CAST(sum(CASE WHEN cur_cents < prev_cents
+                           THEN cur_cents ELSE prev_cents END)
+                  AS BIGINT) AS floor_cents
+      FROM pair GROUP BY 1
+    )
+    SELECT month, base_customers, base_cents, retained_cents, floor_cents,
+           CAST(retained_cents AS DOUBLE) / CAST(base_cents AS DOUBLE)
+             AS ndr,
+           CAST(floor_cents AS DOUBLE) / CAST(base_cents AS DOUBLE)
+             AS grr
+    FROM agg
+    """,
+)
+def revenue_retention_ndr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277 net / gross dollar retention: for each month, take the
+    customers who spent the PRIOR month as the base; NDR = their
+    current spend over their prior spend (expansion can push it over
+    1), GRR caps every customer at their prior level so expansion
+    cannot mask churn — the standard SaaS-finance pair beside the
+    count-based cohort retention (X51) and growth accounting (X137).
+    Exact cents throughout; each ratio is one final float division.
+    Scale: one (customer, month) aggregate, then a self-join keyed on
+    (customer, month+1) — both sides shuffle once on the same key."""
+    od = load_table(spark, sf_dir, "orders")
+    m = od.groupBy(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("mon"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    p = m.select(
+        "o_custkey",
+        F.add_months("mon", 1).alias("month"),
+        F.col("cents").alias("prev_cents"),
+    )
+    c = m.select(
+        "o_custkey",
+        F.col("mon").alias("month"),
+        F.col("cents").alias("cur_cents"),
+    )
+    pair = p.join(c, ["o_custkey", "month"], "left").select(
+        "month",
+        "prev_cents",
+        F.coalesce("cur_cents", F.lit(0)).alias("cur_cents"),
+    )
+    agg = pair.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("base_customers"),
+        F.sum("prev_cents").cast("long").alias("base_cents"),
+        F.sum("cur_cents").cast("long").alias("retained_cents"),
+        F.sum(F.least("cur_cents", "prev_cents"))
+        .cast("long")
+        .alias("floor_cents"),
+    )
+    return agg.select(
+        "month",
+        "base_customers",
+        "base_cents",
+        "retained_cents",
+        "floor_cents",
+        (
+            F.col("retained_cents").cast("double")
+            / F.col("base_cents").cast("double")
+        ).alias("ndr"),
+        (
+            F.col("floor_cents").cast("double")
+            / F.col("base_cents").cast("double")
+        ).alias("grr"),
+    )
+
+
+@register(
+    "timeseries_seasonal_strength",
+    # STL-style seasonal/trend strength on daily revenue: trend = the
+    # centered 7-day window (kept as the exact integer numerator
+    # 7x - S7 over the constant denominator 7), day-of-week seasonal
+    # means as exact rationals, detrended/remainder floor-quantized at
+    # 1e6 from IEEE-exact divisions of integer operands; the strength
+    # ratios are cross-multiplied DECIMAL(38) with ONE division each.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+             CAST(sum(x) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+             count(*) OVER (ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM d
+    ),
+    det AS (
+      SELECT day, dayofweek(day) AS dow,
+             7 * x - s7 AS num
+      FROM w WHERE c7 = 7
+    ),
+    sea AS (
+      SELECT dow, CAST(sum(num) AS BIGINT) AS snum,
+             CAST(count(*) AS BIGINT) AS c
+      FROM det GROUP BY 1
+    ),
+    r AS (
+      SELECT det.day,
+             CAST(floor(CAST(num AS DOUBLE) / 7.0 * 1000000) AS BIGINT)
+               AS dq,
+             CAST(floor((CAST(num AS DOUBLE) / 7.0
+                         - CAST(snum AS DOUBLE) / (7.0 * CAST(c AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS rq
+      FROM det JOIN sea USING (dow)
+    ),
+    v AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dq) AS BIGINT) AS sd,
+             CAST(sum(CAST(dq AS HUGEINT) * dq) AS HUGEINT) AS qd,
+             CAST(sum(rq) AS BIGINT) AS sr,
+             CAST(sum(CAST(rq AS HUGEINT) * rq) AS HUGEINT) AS qr
+      FROM r
+    )
+    SELECT n,
+           CAST(CAST(n * qd - CAST(sd AS HUGEINT) * sd AS VARCHAR)
+                AS DOUBLE) / 1000000000000.0 AS var_detrended_n2,
+           CAST(CAST(n * qr - CAST(sr AS HUGEINT) * sr AS VARCHAR)
+                AS DOUBLE) / 1000000000000.0 AS var_remainder_n2,
+           1.0 - CAST(CAST(n * qr - CAST(sr AS HUGEINT) * sr AS VARCHAR)
+                      AS DOUBLE)
+                 / CAST(CAST(n * qd - CAST(sd AS HUGEINT) * sd AS VARCHAR)
+                        AS DOUBLE) AS seasonal_strength
+    FROM v
+    """,
+)
+def timeseries_seasonal_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X278 seasonal strength (STL discipline): decompose daily
+    revenue into trend (centered 7-day mean), day-of-week seasonal,
+    and remainder, and report 1 - Var(remainder)/Var(detrended) — the
+    standard [0,1] "how weekly is this series" readout that tells the
+    X102 seasonal-residual anomaly screen whether its seasonal model
+    is even warranted. The trend never rounds (kept as the exact
+    integer numerator 7x - S7); detrended/remainder floor-quantize at
+    1e6 from IEEE-exact divisions of integer operands; the final
+    ratio is one float division of exact DECIMAL(38) moments. Scale:
+    one day-level aggregate; windows run over the day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("long").alias("x")
+    )
+    one = F.pmod(F.dayofmonth("day"), F.lit(1))
+    wf = W.partitionBy(one).orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day",
+        "x",
+        F.sum("x").over(wf).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(wf).alias("c7"),
+    )
+    det = w.where(F.col("c7") == 7).select(
+        "day",
+        F.dayofweek("day").alias("dow"),
+        (F.lit(7) * F.col("x") - F.col("s7")).alias("num"),
+    )
+    sea = det.groupBy("dow").agg(
+        F.sum("num").cast("long").alias("snum"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    r = det.join(F.broadcast(sea), "dow").select(
+        F.floor(F.col("num").cast("double") / F.lit(7.0) * 1000000)
+        .cast("long")
+        .alias("dq"),
+        F.floor(
+            (
+                F.col("num").cast("double") / F.lit(7.0)
+                - F.col("snum").cast("double")
+                / (F.lit(7.0) * F.col("c").cast("double"))
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("rq"),
+    )
+    v = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dq").cast("long").alias("sd"),
+        F.sum(F.col("dq").cast("decimal(19,0)") * F.col("dq"))
+        .cast("decimal(38,0)")
+        .alias("qd"),
+        F.sum("rq").cast("long").alias("sr"),
+        F.sum(F.col("rq").cast("decimal(19,0)") * F.col("rq"))
+        .cast("decimal(38,0)")
+        .alias("qr"),
+    )
+    vd = F.expr("CAST(n * qd - CAST(sd AS DECIMAL(38,0)) * sd AS DOUBLE)")
+    vr = F.expr("CAST(n * qr - CAST(sr AS DECIMAL(38,0)) * sr AS DOUBLE)")
+    return v.select(
+        "n",
+        (vd / F.lit(1000000000000.0)).alias("var_detrended_n2"),
+        (vr / F.lit(1000000000000.0)).alias("var_remainder_n2"),
+        (F.lit(1.0) - vr / vd).alias("seasonal_strength"),
+    )

@@ -215,6 +215,10 @@ HEADLINE = [
     "stats_anova_f_value_by_type",
     "stats_cochran_armitage_activity",
     "stats_grubbs_daily_value",
+    "embedding_jl_projection",
+    "embedding_triplet_mining",
+    "revenue_retention_ndr",
+    "timeseries_seasonal_strength",
 ]
 
 
