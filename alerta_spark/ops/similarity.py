@@ -1584,3 +1584,104 @@ def embedding_lof(
         .where(F.col("_rn") <= 20)
         .drop("_rn")
     )
+
+
+def hard_triplets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hardest-positive / hardest-negative mining: for every anchor,
+    the most-similar same-label vector and the most-similar
+    different-label vector, with the margin between them — the batch
+    primitive of metric-learning pipelines.
+
+    Shape: the (bounded, in-batch) corpus broadcasts as one quantized
+    int64 matrix; anchors stream through an Arrow-batched numpy
+    kernel doing one integer matmul per batch (every |q| <= scale*0.6
+    and dim=64 keeps each dot < 2^53, so int64->float64 is exact and
+    the cosine is the same IEEE sqrt/div/floor sequence the SQL
+    oracle runs). Ranking tie-breaks by smallest candidate id via an
+    order-preserving composite key (cq * 2^32 - id). At corpus scale
+    the candidate set comes from the LSH/IVF generators (lsh_topk /
+    ivf_topk) instead of all pairs — this is the exact within-batch
+    form those feed.
+
+    -> [anchor_id, pos_id, neg_id, cos_pos_q, cos_neg_q, margin_q]
+    """
+    import numpy as np
+
+    from alerta_spark._ship import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+
+    rows = df.select(id_col, label_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = np.array([r[1] for r in rows], dtype=np.int64)
+    # floor(x * scale): float32 -> float64 is exact, mul/floor IEEE
+    Q = np.floor(
+        np.array([r[2] for r in rows], dtype=np.float64) * scale
+    ).astype(np.int64)
+    n2 = (Q * Q).sum(axis=1)  # < 2^53: exact in int64 AND float64
+    sb = np.sqrt(n2.astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids, labels, Q, n2, sb))
+
+    out_schema = (
+        "anchor_id long, pos_id long, neg_id long, "
+        "cos_pos_q long, cos_neg_q long, margin_q long"
+    )
+
+    def mine(batches):
+        import pandas as pd
+
+        cids, clabels, CQ, cn2, csb = bc.value
+        neg_inf = np.int64(-(1 << 62))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            aid = pdf["anchor_id"].to_numpy(dtype=np.int64)
+            A = np.floor(
+                np.vstack(
+                    pdf["vec"].map(
+                        lambda v: np.asarray(v, dtype=np.float64)
+                    )
+                )
+                * scale
+            ).astype(np.int64)
+            alab = pdf["lab"].to_numpy(dtype=np.int64)
+            an2 = (A * A).sum(axis=1)
+            sa = np.sqrt(an2.astype(np.float64))
+            dots = (A @ CQ.T).astype(np.float64)
+            cq = np.floor(
+                dots / (sa[:, None] * csb[None, :]) * scale
+            ).astype(np.int64)
+            # composite key: primary cq desc, tie-break smallest id.
+            # |cq| <= scale so cq << 32 dominates any id < 2^32.
+            key = (cq << np.int64(32)) - cids[None, :]
+            same = alab[:, None] == clabels[None, :]
+            self_mask = aid[:, None] == cids[None, :]
+            pos_key = np.where(same & ~self_mask, key, neg_inf)
+            neg_key = np.where(~same, key, neg_inf)
+            pi = np.argmax(pos_key, axis=1)
+            ni = np.argmax(neg_key, axis=1)
+            r = np.arange(len(aid))
+            yield pd.DataFrame(
+                {
+                    "anchor_id": aid,
+                    "pos_id": cids[pi],
+                    "neg_id": cids[ni],
+                    "cos_pos_q": cq[r, pi],
+                    "cos_neg_q": cq[r, ni],
+                    "margin_q": cq[r, pi] - cq[r, ni],
+                }
+            )
+
+    anchors = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("lab"),
+        F.col(vec_col).alias("vec"),
+    )
+    return anchors.mapInPandas(mine, out_schema)

@@ -23323,84 +23323,16 @@ def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive of metric-learning pipelines; at corpus scale the
     candidate set comes from the X8/X9 LSH/IVF generators instead of
     all pairs — this is the within-batch exact form those feed.
-    Components floor-quantize at 1e6 so dot products are exact
-    integers (< 2^53, so double accumulation is exact on both
-    engines); cosine is IEEE-exact sqrt/div, floor-quantized; ranking
-    tie-breaks by candidate id. Scale: one broadcast of the quantized
-    frame against itself, top-1 via min/max aggregation shape."""
+    Runs as ops/similarity.hard_triplets: one Arrow-batched int64
+    matmul per anchor batch against the broadcast quantized corpus
+    (every dot < 2^53 so int64->float64 is exact; the cosine is the
+    same IEEE sqrt/div/floor sequence the oracle runs). The
+    interpreted zip_with form measured 31s at sf0.1; the matmul form
+    ~1s — same hashes."""
+    from alerta_spark.ops.similarity import hard_triplets
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000000).cast("long"),
-        ).alias("qv"),
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    n = q.select("vec_id", "label", "qv", dot(F.col("qv"), F.col("qv")).alias("n2"))
-    a = n.select(
-        F.col("vec_id").alias("aid"),
-        F.col("label").alias("la"),
-        F.col("qv").alias("qa"),
-        F.col("n2").alias("na"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("bid"),
-        F.col("label").alias("lb"),
-        F.col("qv").alias("qb"),
-        F.col("n2").alias("nb"),
-    )
-    pairs = a.join(F.broadcast(b), F.col("aid") != F.col("bid")).select(
-        "aid",
-        "bid",
-        (F.col("la") == F.col("lb")).alias("same"),
-        F.floor(
-            dot(F.col("qa"), F.col("qb")).cast("double")
-            / (
-                F.sqrt(F.col("na").cast("double"))
-                * F.sqrt(F.col("nb").cast("double"))
-            )
-            * 1000000
-        )
-        .cast("long")
-        .alias("cq"),
-    )
-    wpos = W.partitionBy("aid").orderBy(F.desc("cq"), F.asc("bid"))
-    pos = (
-        pairs.where(F.col("same"))
-        .select(
-            "aid",
-            F.col("bid").alias("pos_id"),
-            F.col("cq").alias("cos_pos_q"),
-            F.row_number().over(wpos).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    neg = (
-        pairs.where(~F.col("same"))
-        .select(
-            "aid",
-            F.col("bid").alias("neg_id"),
-            F.col("cq").alias("cos_neg_q"),
-            F.row_number().over(wpos).alias("rn"),
-        )
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    return pos.join(neg, "aid").select(
-        F.col("aid").alias("anchor_id"),
-        "pos_id",
-        "neg_id",
-        "cos_pos_q",
-        "cos_neg_q",
-        (F.col("cos_pos_q") - F.col("cos_neg_q")).alias("margin_q"),
-    )
+    return hard_triplets(emb)
 
 
 @register(
