@@ -23568,3 +23568,670 @@ def timeseries_seasonal_strength(
         (vr / F.lit(1000000000000.0)).alias("var_remainder_n2"),
         (F.lit(1.0) - vr / vd).alias("seasonal_strength"),
     )
+
+
+@register(
+    "attribution_position_u",
+    # U-shaped (position-based) attribution in exact basis points:
+    # first touch 40%, last touch 40%, the middle 20% split by
+    # integral division with remainder points to the EARLIEST middles
+    # (same largest-remainder discipline as the linear model), so
+    # every purchase distributes exactly 10000 bp. 1-touch journeys
+    # get 100%, 2-touch 50/50.
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS tid, user_id, event_type AS channel,
+             epoch_us(ts) AS tt
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    touch AS (
+      SELECT p.pid, t.channel,
+             row_number() OVER (PARTITION BY p.pid ORDER BY t.tt, t.tid)
+               AS rn,
+             count(*) OVER (PARTITION BY p.pid) AS n
+      FROM p JOIN t
+        ON p.user_id = t.user_id
+       AND t.tt < p.pt AND t.tt >= p.pt - 3600000000
+    ),
+    credit AS (
+      SELECT pid, channel,
+             CASE
+               WHEN n = 1 THEN 10000
+               WHEN n = 2 THEN 5000
+               WHEN rn = 1 OR rn = n THEN 4000
+               ELSE 2000 // (n - 2)
+                    + CASE WHEN rn - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+             END AS bp
+      FROM touch
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+           CAST(sum(bp) AS BIGINT) AS credit_bp,
+           CAST(sum(bp) AS DOUBLE)
+             / CAST((SELECT sum(bp) FROM credit) AS DOUBLE) AS credit_share
+    FROM credit GROUP BY channel
+    """,
+)
+def attribution_position_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X279 U-shaped (position-based) attribution: 40% of each
+    purchase's credit to the first touch in the prior hour, 40% to
+    the last, 20% split over the middles — the position-aware
+    counterpart of the linear (X139) and time-decay (X220) models,
+    closing the classical attribution family alongside Shapley
+    (X247). Credits are exact integer basis points with
+    largest-remainder rounding to the earliest middles, so every
+    purchase distributes exactly 10000 bp and channel totals are
+    exact BIGINTs; the share is one final float division. Scale: one
+    time-bounded user join (same shape as X139), windows per
+    purchase journey."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        us.alias("pt"),
+    )
+    t = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        us.alias("tt"),
+    )
+    touch = p.join(
+        t,
+        (p["user_id"] == t["user_id"])
+        & (F.col("tt") < F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - 3600000000),
+    ).select(
+        "pid",
+        "channel",
+        F.row_number()
+        .over(W.partitionBy("pid").orderBy("tt", "tid"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("pid")).alias("n"),
+    )
+    bp = (
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 4000)
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(
+                F.col("rn") - 1 <= F.expr("2000 % (n - 2)"), 1
+            ).otherwise(0)
+        )
+    )
+    credit = touch.select("pid", "channel", bp.alias("bp"))
+    total = credit.agg(F.sum("bp").cast("long").alias("tot"))
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("pid").cast("long").alias("n_purchases_touched"),
+            F.sum("bp").cast("long").alias("credit_bp"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "n_touches",
+            "n_purchases_touched",
+            "credit_bp",
+            (
+                F.col("credit_bp").cast("double")
+                / F.col("tot").cast("double")
+            ).alias("credit_share"),
+        )
+    )
+
+
+@register(
+    "drift_page_hinkley_daily",
+    # Page-Hinkley change detector replayed over the daily-revenue
+    # series: per-day terms x_i - mean_i (mean as the exact prefix
+    # rational S_i/i, term floor-quantized at 1e6 from an IEEE-exact
+    # division), PH_t = cum - min-prefix(cum); reports the max
+    # excursion and its day. Windows over the <=31-row day frame.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, x,
+             CAST(sum(x) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s,
+             CAST(count(*) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS i
+      FROM d
+    ),
+    terms AS (
+      SELECT day,
+             CAST(floor(CAST(x * i - s AS DOUBLE) / CAST(i AS DOUBLE)
+                        * 1000000) AS BIGINT) AS tq
+      FROM pre
+    ),
+    cum0 AS (
+      SELECT day,
+             CAST(sum(tq) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS m
+      FROM terms
+    ),
+    cum AS (
+      SELECT day, m,
+             CAST(min(m) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS mn
+      FROM cum0
+    ),
+    ph AS (
+      SELECT day, m - mn AS ph_q,
+             row_number() OVER (ORDER BY m - mn DESC, day) AS rn
+      FROM cum
+    )
+    SELECT day AS peak_day,
+           CAST(ph_q AS BIGINT) AS ph_q,
+           CAST(ph_q AS DOUBLE) / 100000000.0 AS ph_dollars
+    FROM ph WHERE rn = 1
+    """,
+)
+def drift_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X280 Page-Hinkley change detection replayed over daily
+    revenue: the sequential upward-shift detector beside CUSUM (X61 —
+    fixed reference mean) and PSI (X215 — binned distribution
+    distance); PH tracks deviation from the RUNNING mean so it adapts
+    to slow drift and fires on abrupt level shifts. Terms are
+    floor-quantized at 1e6 from the exact prefix rational
+    (x_i*i - S_i)/i; PH = cumulative sum minus its running minimum;
+    reports the maximum excursion and its day. Scale: one day-level
+    aggregate; every window runs over the day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("long").alias("x")
+    )
+    one = F.pmod(F.dayofmonth("day"), F.lit(1))
+    wc = W.partitionBy(one).orderBy("day")
+    pre = d.select(
+        "day",
+        "x",
+        F.sum("x").over(wc).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("i"),
+    )
+    terms = pre.select(
+        "day",
+        F.floor(
+            (F.col("x") * F.col("i") - F.col("s")).cast("double")
+            / F.col("i").cast("double")
+            * 1000000
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    cum = terms.select(
+        "day",
+        F.sum("tq").over(wc).cast("long").alias("m"),
+    ).select(
+        "day",
+        "m",
+        F.min("m").over(wc).cast("long").alias("mn"),
+    )
+    ph = cum.select(
+        "day",
+        (F.col("m") - F.col("mn")).alias("ph_q"),
+        F.row_number()
+        .over(
+            W.partitionBy(F.pmod(F.dayofmonth("day"), F.lit(1))).orderBy(
+                (F.col("m") - F.col("mn")).desc(), F.asc("day")
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return ph.select(
+        F.col("day").alias("peak_day"),
+        F.col("ph_q").cast("long").alias("ph_q"),
+        (F.col("ph_q").cast("double") / F.lit(100000000.0)).alias(
+            "ph_dollars"
+        ),
+    )
+
+
+@register(
+    "text_dunning_llr",
+    # Dunning log-likelihood (G2) keywords of source src0 vs the rest
+    # of the corpus: every ln is ln(positive integer) floor-quantized
+    # at 1e9 (the JVM-vs-libm discipline), so each term's G2 is an
+    # exact BIGINT combination n*lq(n); top-30 cut deterministic on
+    # (g2 desc, term); 0*ln(0) terms drop via CASE guards.
+    oracle="""
+    WITH toks AS (
+      SELECT (source = 'src0') AS in_a,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tc AS (
+      SELECT term,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM toks GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ra, CAST(sum(b) AS BIGINT) AS rb
+      FROM tc
+    ),
+    g AS (
+      SELECT term, a, b, ra, rb,
+             2 * (
+               CASE WHEN a > 0 THEN a * CAST(floor(ln(CAST(a AS DOUBLE))
+                    * 1000000000) AS BIGINT) ELSE 0 END
+               + CASE WHEN b > 0 THEN b * CAST(floor(ln(CAST(b AS DOUBLE))
+                    * 1000000000) AS BIGINT) ELSE 0 END
+               + CASE WHEN ra - a > 0 THEN (ra - a)
+                    * CAST(floor(ln(CAST(ra - a AS DOUBLE))
+                    * 1000000000) AS BIGINT) ELSE 0 END
+               + CASE WHEN rb - b > 0 THEN (rb - b)
+                    * CAST(floor(ln(CAST(rb - b AS DOUBLE))
+                    * 1000000000) AS BIGINT) ELSE 0 END
+               + (ra + rb) * CAST(floor(ln(CAST(ra + rb AS DOUBLE))
+                    * 1000000000) AS BIGINT)
+               - ra * CAST(floor(ln(CAST(ra AS DOUBLE))
+                    * 1000000000) AS BIGINT)
+               - rb * CAST(floor(ln(CAST(rb AS DOUBLE))
+                    * 1000000000) AS BIGINT)
+               - (a + b) * CAST(floor(ln(CAST(a + b AS DOUBLE))
+                    * 1000000000) AS BIGINT)
+               - CASE WHEN ra + rb - a - b > 0 THEN (ra + rb - a - b)
+                    * CAST(floor(ln(CAST(ra + rb - a - b AS DOUBLE))
+                    * 1000000000) AS BIGINT) ELSE 0 END
+             ) AS g2q
+      FROM tc CROSS JOIN tot
+      WHERE a >= 5
+    ),
+    ranked AS (
+      SELECT term, a, b, g2q,
+             CASE WHEN a * rb > b * ra THEN 1 ELSE -1 END AS direction,
+             row_number() OVER (ORDER BY g2q DESC, term) AS rn
+      FROM g
+    )
+    SELECT term, a AS tf_src0, b AS tf_rest, g2q,
+           CAST(g2q AS DOUBLE) / 1000000000.0 AS g2,
+           CAST(direction AS BIGINT) AS direction,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 30
+    """,
+)
+def text_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X281 Dunning log-likelihood (G2) keyword extraction: which
+    terms distinguish source src0 from the rest of the corpus, with a
+    significance-aware score instead of the raw frequency ratios of
+    trending terms (X66) or PMI (X72) — G2 is the standard corpus-
+    linguistics keyness statistic, robust for rare terms where chi2
+    overshoots. Every ln is ln(positive integer) floor-quantized at
+    1e9, so each term's G2 is an exact BIGINT combination of n*lq(n)
+    products; direction (over/under-used in src0) is an exact integer
+    cross-product sign; the top-30 cut is deterministic on (g2 desc,
+    term). Scale: one token-count aggregate (term x in_src0), a 1-row
+    totals broadcast, map-side scoring — one shuffle on term."""
+    docs = load_table(spark, sf_dir, "documents")
+    term = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    toks = docs.select(
+        (F.col("source") == "src0").alias("in_a"), term.alias("term")
+    )
+    tc = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("b"),
+    )
+    tot = tc.agg(
+        F.sum("a").cast("long").alias("ra"),
+        F.sum("b").cast("long").alias("rb"),
+    )
+
+    def nlq(n):
+        return F.when(
+            n > 0,
+            n * F.floor(F.log(n.cast("double")) * 1000000000).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    a, b, ra, rb = F.col("a"), F.col("b"), F.col("ra"), F.col("rb")
+    g2q = 2 * (
+        nlq(a)
+        + nlq(b)
+        + nlq(ra - a)
+        + nlq(rb - b)
+        + nlq(ra + rb)
+        - nlq(ra)
+        - nlq(rb)
+        - nlq(a + b)
+        - nlq(ra + rb - a - b)
+    )
+    g = (
+        tc.crossJoin(F.broadcast(tot))
+        .where(a >= 5)
+        .select("term", "a", "b", "ra", "rb", g2q.alias("g2q"))
+    )
+    ranked = g.select(
+        "term",
+        "a",
+        "b",
+        "g2q",
+        F.when(a * rb > b * ra, 1).otherwise(-1).alias("direction"),
+        F.row_number()
+        .over(
+            W.partitionBy(F.pmod(F.length("term"), F.lit(1))).orderBy(
+                F.desc("g2q"), F.asc("term")
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") <= 30)
+    return ranked.select(
+        "term",
+        F.col("a").alias("tf_src0"),
+        F.col("b").alias("tf_rest"),
+        "g2q",
+        (F.col("g2q").cast("double") / F.lit(1000000000.0)).alias("g2"),
+        F.col("direction").cast("long").alias("direction"),
+        F.col("rn").cast("long").alias("rank"),
+    )
+
+
+_MK_CH = ["click", "view", "signup", "error"]
+_MK_K = 12  # pinned absorption horizon (documented, like X264's alpha)
+
+
+def _markov_oracle() -> str:
+    """Generate the DuckDB oracle for attribution_markov_removal: the
+    same 12-step 1e6-fixed-point absorption unroll the Spark side
+    runs, as chained CTEs (X264 recursive-replay discipline, X98/X107
+    unrolled-literal discipline)."""
+    ch = _MK_CH
+    srcs = ["start"] + ch
+    tgts = ch + ["purchase"]
+    qcols = []
+    for s in srcs:
+        for t in tgts:
+            qcols.append(
+                f"CAST(COALESCE(sum(CASE WHEN s = '{s}' AND t = '{t}' "
+                f"THEN c END), 0) * 1000000 // GREATEST(COALESCE("
+                f"sum(CASE WHEN s = '{s}' THEN c END), 0), 1) AS BIGINT)"
+                f" AS q_{s}_{t}"
+            )
+    scen = [("full", None)] + [(f"rc_{c}", c) for c in ch]
+    parts = []
+    for name, rc in scen:
+        init_cols = []
+        for t in ch:
+            v = "0" if t == rc else f"q_start_{t}"
+            init_cols.append(f"{v} AS p_{t}")
+        init_cols.append("q_start_purchase AS conv")
+        parts.append(
+            f"s_{name}_0 AS (SELECT {', '.join(init_cols)} FROM qrow)"
+        )
+        for k in range(1, _MK_K + 1):
+            step_cols = []
+            for t in ch:
+                if t == rc:
+                    step_cols.append(f"CAST(0 AS BIGINT) AS p_{t}")
+                else:
+                    acc = " + ".join(
+                        f"p_{s} * q.q_{s}_{t}" for s in ch
+                    )
+                    step_cols.append(
+                        f"CAST(({acc}) // 1000000 AS BIGINT) AS p_{t}"
+                    )
+            accp = " + ".join(f"p_{s} * q.q_{s}_purchase" for s in ch)
+            step_cols.append(
+                f"CAST(conv + ({accp}) // 1000000 AS BIGINT) AS conv"
+            )
+            parts.append(
+                f"s_{name}_{k} AS (SELECT {', '.join(step_cols)} "
+                f"FROM s_{name}_{k - 1} CROSS JOIN qrow q)"
+            )
+    res_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, f.conv AS conv_full_q, "
+        f"r.conv AS conv_removed_q "
+        f"FROM s_full_{_MK_K} f CROSS JOIN s_rc_{c}_{_MK_K} r"
+        for c in ch
+    )
+    denom = " + ".join(f"(f.conv - c{i}.conv)" for i in range(len(ch)))
+    denom_from = "s_full_%d f" % _MK_K + "".join(
+        f" CROSS JOIN s_rc_{c}_{_MK_K} c{i}" for i, c in enumerate(ch)
+    )
+    return f"""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN pus IS NULL OR us - pus > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    numbered AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    firstp AS (
+      SELECT user_id, sid, min(rn) AS prn
+      FROM numbered WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT n.user_id, n.sid, n.rn, n.event_type
+      FROM numbered n LEFT JOIN firstp f
+        ON n.user_id = f.user_id AND n.sid = f.sid
+      WHERE f.prn IS NULL OR n.rn <= f.prn
+    ),
+    seq AS (
+      SELECT user_id, sid, rn, event_type,
+             lag(event_type) OVER (PARTITION BY user_id, sid ORDER BY rn)
+               AS prev,
+             max(rn) OVER (PARTITION BY user_id, sid) AS maxrn
+      FROM kept
+    ),
+    edges AS (
+      SELECT COALESCE(prev, 'start') AS s, event_type AS t FROM seq
+      UNION ALL
+      SELECT event_type AS s, 'null' AS t FROM seq
+      WHERE rn = maxrn AND event_type <> 'purchase'
+    ),
+    cnt AS (SELECT s, t, CAST(count(*) AS BIGINT) AS c
+            FROM edges GROUP BY 1, 2),
+    qrow AS MATERIALIZED (SELECT {', '.join(qcols)} FROM cnt),
+    {','.join(parts)},
+    res AS ({res_rows}),
+    tot AS (SELECT CAST({denom} AS BIGINT) AS denom FROM {denom_from})
+    SELECT channel, conv_full_q, conv_removed_q,
+           CAST(conv_full_q - conv_removed_q AS DOUBLE)
+             / CAST(conv_full_q AS DOUBLE) AS removal_effect,
+           CAST(conv_full_q - conv_removed_q AS DOUBLE)
+             / CAST(denom AS DOUBLE) AS attribution_share
+    FROM res CROSS JOIN tot
+    """
+
+
+@register("attribution_markov_removal", oracle=_markov_oracle())
+def attribution_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X282 Markov removal-effect attribution: build the first-order
+    journey chain over sessionized event paths (30-min gap, cut at
+    first purchase, 'start' source and 'null' terminal), then for each
+    channel compute the absorption probability into purchase with that
+    channel knocked out (transitions into it become lost mass); its
+    removal effect 1 - P_conv(-c)/P_conv and the normalized
+    attribution share. The data-driven counterpart of the heuristic
+    models (linear X139, time-decay X220, U-shaped X279) and the
+    cheap stand-in for exact Shapley (X247). Transition probabilities
+    are 1e6-fixed-point integer divisions; absorption runs as a
+    pinned 12-step unroll (X264's recursive-replay discipline) in
+    exact BIGINT arithmetic, identically in the DuckDB oracle's
+    chained CTEs. Scale: the corpus work is one sessionize + one
+    (s,t) count; the chain solve touches a 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag(us).over(wu).isNull() | (us - F.lag(us).over(wu) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum("is_new").over(wu).alias("sid"),
+    )
+    ws = W.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    numbered = sess.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(ws).alias("rn"),
+    )
+    firstp = (
+        numbered.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "sid")
+        .agg(F.min("rn").alias("prn"))
+    )
+    kept = numbered.join(firstp, ["user_id", "sid"], "left").where(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    wk = W.partitionBy("user_id", "sid").orderBy("rn")
+    wka = W.partitionBy("user_id", "sid")
+    seq = kept.select(
+        "user_id",
+        "sid",
+        "rn",
+        "event_type",
+        F.lag("event_type").over(wk).alias("prev"),
+        F.max("rn").over(wka).alias("maxrn"),
+    )
+    edges = seq.select(
+        F.coalesce("prev", F.lit("start")).alias("s"),
+        F.col("event_type").alias("t"),
+    ).unionAll(
+        seq.where(
+            (F.col("rn") == F.col("maxrn"))
+            & (F.col("event_type") != "purchase")
+        ).select(F.col("event_type").alias("s"), F.lit("null").alias("t"))
+    )
+    cnt = edges.groupBy("s", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ch = _MK_CH
+    srcs = ["start"] + ch
+    tgts = ch + ["purchase"]
+    qexprs = []
+    for s in srcs:
+        for t in tgts:
+            qexprs.append(
+                F.expr(
+                    f"CAST(COALESCE(sum(CASE WHEN s = '{s}' AND t = '{t}' "
+                    f"THEN c END), 0) * 1000000 div GREATEST(COALESCE("
+                    f"sum(CASE WHEN s = '{s}' THEN c END), 0), 1) AS BIGINT)"
+                ).alias(f"q_{s}_{t}")
+            )
+    qrow = cnt.agg(*qexprs)
+
+    def run_chain(rc: str | None) -> DataFrame:
+        cur = qrow.select(
+            *[
+                (
+                    F.lit(0).cast("long")
+                    if t == rc
+                    else F.col(f"q_start_{t}")
+                ).alias(f"p_{t}")
+                for t in ch
+            ],
+            F.col("q_start_purchase").alias("conv"),
+        )
+        for _ in range(_MK_K):
+            j = cur.crossJoin(F.broadcast(qrow))
+            cols = []
+            for t in ch:
+                if t == rc:
+                    cols.append(F.lit(0).cast("long").alias(f"p_{t}"))
+                else:
+                    acc = " + ".join(f"p_{s} * q_{s}_{t}" for s in ch)
+                    cols.append(
+                        F.expr(f"CAST(({acc}) div 1000000 AS BIGINT)").alias(
+                            f"p_{t}"
+                        )
+                    )
+            accp = " + ".join(f"p_{s} * q_{s}_purchase" for s in ch)
+            cols.append(
+                F.expr(f"CAST(conv + ({accp}) div 1000000 AS BIGINT)").alias(
+                    "conv"
+                )
+            )
+            cur = j.select(*cols)
+        return cur
+
+    full = run_chain(None).select(F.col("conv").alias("conv_full_q"))
+    removed = [
+        run_chain(c).select(F.col("conv").alias(f"conv_rc_{c}")) for c in ch
+    ]
+    wide = full
+    for r in removed:
+        wide = wide.crossJoin(F.broadcast(r))
+    denom = sum(
+        F.col("conv_full_q") - F.col(f"conv_rc_{c}") for c in ch
+    ).cast("long")
+    rows = [
+        wide.select(
+            F.lit(c).alias("channel"),
+            F.col("conv_full_q"),
+            F.col(f"conv_rc_{c}").alias("conv_removed_q"),
+            denom.alias("denom"),
+        )
+        for c in ch
+    ]
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionAll(r)
+    return res.select(
+        "channel",
+        "conv_full_q",
+        "conv_removed_q",
+        (
+            (F.col("conv_full_q") - F.col("conv_removed_q")).cast("double")
+            / F.col("conv_full_q").cast("double")
+        ).alias("removal_effect"),
+        (
+            (F.col("conv_full_q") - F.col("conv_removed_q")).cast("double")
+            / F.col("denom").cast("double")
+        ).alias("attribution_share"),
+    )

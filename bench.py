@@ -219,6 +219,10 @@ HEADLINE = [
     "embedding_triplet_mining",
     "revenue_retention_ndr",
     "timeseries_seasonal_strength",
+    "attribution_position_u",
+    "drift_page_hinkley_daily",
+    "text_dunning_llr",
+    "attribution_markov_removal",
 ]
 
 
