@@ -24235,3 +24235,482 @@ def attribution_markov_removal(
             / F.col("denom").cast("double")
         ).alias("attribution_share"),
     )
+
+
+def _spectral_consts() -> list[tuple[int, float, float, float, float]]:
+    """cos/sin at the weekly (period 7) and half-week (period 3.5)
+    frequencies for day residues 0..6 — BOTH engines consume the same
+    Python-computed doubles (repr round-trip in the SQL literal,
+    native float in the Spark frame), so no libm-vs-JVM trig hazard
+    ever enters the plan."""
+    import math
+
+    out = []
+    for r in range(7):
+        out.append(
+            (
+                r,
+                math.cos(2 * math.pi * r / 7),
+                math.sin(2 * math.pi * r / 7),
+                math.cos(4 * math.pi * r / 7),
+                math.sin(4 * math.pi * r / 7),
+            )
+        )
+    return out
+
+
+def _spectral_oracle() -> str:
+    rows = ", ".join(
+        f"({r}, {c7!r}, {s7!r}, {c35!r}, {s35!r})"
+        for r, c7, s7, c35, s35 in _spectral_consts()
+    )
+    return f"""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+             min(day) AS d0
+      FROM d
+    ),
+    trig(r, c7, s7, c35, s35) AS (VALUES {rows}),
+    y AS (
+      SELECT d.day, t.n, t.s, t.q,
+             t.n * d.x - t.s AS yt,
+             datediff('day', t.d0, d.day) % 7 AS r
+      FROM d CROSS JOIN t
+    ),
+    terms AS (
+      SELECT n, s, q,
+             CAST(floor(CAST(yt AS DOUBLE) * c7 * 1000000.0) AS BIGINT)
+               AS a7,
+             CAST(floor(CAST(yt AS DOUBLE) * s7 * 1000000.0) AS BIGINT)
+               AS b7,
+             CAST(floor(CAST(yt AS DOUBLE) * c35 * 1000000.0) AS BIGINT)
+               AS a35,
+             CAST(floor(CAST(yt AS DOUBLE) * s35 * 1000000.0) AS BIGINT)
+               AS b35
+      FROM y JOIN trig ON trig.r = y.r
+    ),
+    agg AS (
+      SELECT n,
+             CAST(n * q - CAST(s AS HUGEINT) * s AS HUGEINT) AS var_n2,
+             CAST(sum(a7) AS BIGINT) AS a7, CAST(sum(b7) AS BIGINT) AS b7,
+             CAST(sum(a35) AS BIGINT) AS a35, CAST(sum(b35) AS BIGINT) AS b35
+      FROM terms GROUP BY n, q, s
+    )
+    SELECT 7.0 AS period_days, a7 AS a_q, b7 AS b_q,
+           2.0 * CAST(CAST(CAST(a7 AS HUGEINT) * a7
+                           + CAST(b7 AS HUGEINT) * b7 AS VARCHAR) AS DOUBLE)
+             / (1000000000000.0 * CAST(n AS DOUBLE)
+                * CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE)) AS power_share
+    FROM agg
+    UNION ALL
+    SELECT 3.5, a35, b35,
+           2.0 * CAST(CAST(CAST(a35 AS HUGEINT) * a35
+                           + CAST(b35 AS HUGEINT) * b35 AS VARCHAR) AS DOUBLE)
+             / (1000000000000.0 * CAST(n AS DOUBLE)
+                * CAST(CAST(var_n2 AS VARCHAR) AS DOUBLE))
+    FROM agg
+    """
+
+
+@register("spectral_weekly_power", oracle=_spectral_oracle())
+def spectral_weekly_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X283 spectral power at the weekly and half-week frequencies of
+    daily revenue — the frequency-domain twin of the time-domain
+    seasonal strength (X278) and 24h autocorrelation (X149): a direct
+    DFT projection answering "how much of the variance beats at 7
+    days". cos/sin values (period-7 residue table) are pinned
+    Python-computed doubles shared verbatim by both engines, so no
+    libm-vs-JVM trig enters; the series is mean-centered exactly
+    (n*x - S), per-term products floor-quantized at 1e6, and the
+    power share is ONE float division of DECIMAL(38)-exact operands.
+    Scale: one day-level aggregate + a 7-row broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("long").alias("x")
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+        F.min("day").alias("d0"),
+    )
+    trig = spark.createDataFrame(
+        _spectral_consts(), "r long, c7 double, s7 double, c35 double, s35 double"
+    )
+    y = d.crossJoin(F.broadcast(t)).select(
+        "n",
+        "s",
+        "q",
+        (F.col("n") * F.col("x") - F.col("s")).alias("yt"),
+        F.pmod(F.datediff("day", "d0"), F.lit(7)).cast("long").alias("r"),
+    )
+    fl = lambda c: F.floor(  # noqa: E731
+        F.col("yt").cast("double") * F.col(c) * F.lit(1000000.0)
+    ).cast("long")
+    terms = y.join(F.broadcast(trig), "r").select(
+        "n",
+        "s",
+        "q",
+        fl("c7").alias("a7"),
+        fl("s7").alias("b7"),
+        fl("c35").alias("a35"),
+        fl("s35").alias("b35"),
+    )
+    agg = terms.groupBy("n", "q", "s").agg(
+        F.sum("a7").cast("long").alias("a7"),
+        F.sum("b7").cast("long").alias("b7"),
+        F.sum("a35").cast("long").alias("a35"),
+        F.sum("b35").cast("long").alias("b35"),
+    ).select(
+        "n",
+        F.expr("CAST(n * q - CAST(s AS DECIMAL(38,0)) * s AS DECIMAL(38,0))")
+        .alias("var_n2"),
+        "a7",
+        "b7",
+        "a35",
+        "b35",
+    )
+
+    def share(a, b):
+        return (
+            F.lit(2.0)
+            * F.expr(
+                f"CAST(CAST({a} AS DECIMAL(38,0)) * {a}"
+                f" + CAST({b} AS DECIMAL(38,0)) * {b} AS DOUBLE)"
+            )
+            / (
+                F.lit(1000000000000.0)
+                * F.col("n").cast("double")
+                * F.expr("CAST(var_n2 AS DOUBLE)")
+            )
+        )
+
+    w7 = agg.select(
+        F.lit(7.0).alias("period_days"),
+        F.col("a7").alias("a_q"),
+        F.col("b7").alias("b_q"),
+        share("a7", "b7").alias("power_share"),
+    )
+    w35 = agg.select(
+        F.lit(3.5).alias("period_days"),
+        F.col("a35").alias("a_q"),
+        F.col("b35").alias("b_q"),
+        share("a35", "b35").alias("power_share"),
+    )
+    return w7.unionAll(w35)
+
+
+@register(
+    "orders_price_index_monthly",
+    # Laspeyres & Paasche monthly price indices over parts: per-part
+    # unit values are exact rationals (sum of extended cents over sum
+    # of quantity), every cross-period product cross-multiplied in
+    # DECIMAL(38) and floor-quantized at 1e6 per part (HUGEINT //),
+    # each index ONE float division; base = the first month.
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS pk,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS mon,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS e,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    b0 AS (SELECT min(mon) AS m0 FROM pm),
+    base AS (
+      SELECT pk, e AS e0, qty AS q0 FROM pm, b0 WHERE pm.mon = b0.m0
+    ),
+    j AS (
+      SELECT pm.mon, pm.pk, pm.e, pm.qty, base.e0, base.q0
+      FROM pm JOIN base USING (pk)
+    ),
+    terms AS (
+      SELECT mon,
+             CAST((CAST(e AS HUGEINT) * q0 * 1000000) // qty AS BIGINT)
+               AS lasp_num,
+             CAST((CAST(e0 AS HUGEINT) * qty * 1000000) // q0 AS BIGINT)
+               AS paas_den,
+             e AS cur_e, e0 AS base_e
+      FROM j
+    ),
+    agg AS (
+      SELECT mon,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(lasp_num) AS BIGINT) AS lasp_num,
+             CAST(sum(base_e) AS BIGINT) * 1000000 AS lasp_den,
+             CAST(sum(cur_e) AS BIGINT) * 1000000 AS paas_num,
+             CAST(sum(paas_den) AS BIGINT) AS paas_den
+      FROM terms GROUP BY 1
+    )
+    SELECT mon AS month, n_parts,
+           CAST(lasp_num AS DOUBLE) / CAST(lasp_den AS DOUBLE)
+             AS laspeyres,
+           CAST(paas_num AS DOUBLE) / CAST(paas_den AS DOUBLE)
+             AS paasche
+    FROM agg
+    """,
+)
+def orders_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X284 Laspeyres & Paasche price indices by ship month: the
+    classical econ/pricing readouts — Laspeyres holds the base-month
+    basket fixed ("what would month-0 purchases cost now"), Paasche
+    holds the current basket — over per-part unit values (exact cents
+    over exact quantities, never a rounded average price). Parts
+    absent from the base month drop (matched-model convention). Every
+    cross-period product is cross-multiplied in DECIMAL(38) and
+    floor-quantized at 1e6 per part; each index is one final float
+    division. Scale: one (part, month) aggregate, base month
+    broadcast, one month-level reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.trunc("l_shipdate", "month").alias("mon"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("e"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    b0 = pm.agg(F.min("mon").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(b0))
+        .where(F.col("mon") == F.col("m0"))
+        .select("pk", F.col("e").alias("e0"), F.col("qty").alias("q0"))
+    )
+    j = pm.join(base, "pk")
+    terms = j.select(
+        "mon",
+        F.expr(
+            "CAST((CAST(e AS DECIMAL(38,0)) * q0 * 1000000) div qty"
+            " AS BIGINT)"
+        ).alias("lasp_num"),
+        F.expr(
+            "CAST((CAST(e0 AS DECIMAL(38,0)) * qty * 1000000) div q0"
+            " AS BIGINT)"
+        ).alias("paas_den"),
+        F.col("e").alias("cur_e"),
+        F.col("e0").alias("base_e"),
+    )
+    agg = terms.groupBy("mon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("lasp_num").cast("long").alias("lasp_num"),
+        (F.sum("base_e").cast("long") * 1000000).alias("lasp_den"),
+        (F.sum("cur_e").cast("long") * 1000000).alias("paas_num"),
+        F.sum("paas_den").cast("long").alias("paas_den"),
+    )
+    return agg.select(
+        F.col("mon").alias("month"),
+        "n_parts",
+        (
+            F.col("lasp_num").cast("double") / F.col("lasp_den").cast("double")
+        ).alias("laspeyres"),
+        (
+            F.col("paas_num").cast("double") / F.col("paas_den").cast("double")
+        ).alias("paasche"),
+    )
+
+
+@register(
+    "recs_coverage_diversity",
+    # Offline eval of the X223 item-item recommender: catalog
+    # coverage@3, intra-list similarity (quantized per-pair cosines,
+    # pairs below the co-occurrence support floor count 0), and the
+    # popularity bias of recommended vs catalog items (quantized-ln
+    # means). Exact integers everywhere; each emitted mean is ONE
+    # float division.
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ba AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY brand),
+    pr AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand <> b.brand
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    sc AS (
+      SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+             b1.n_b AS n_a, b2.n_b AS n_bb
+      FROM pr
+      JOIN ba b1 ON b1.brand = pr.brand_a
+      JOIN ba b2 ON b2.brand = pr.brand_b
+    ),
+    rk AS (
+      SELECT brand_a, brand_b, n_bb,
+             row_number() OVER (
+               PARTITION BY brand_a
+               ORDER BY CAST(n_ab AS HUGEINT) * n_ab * 1000000
+                        / (CAST(n_a AS HUGEINT) * n_bb) DESC,
+                        brand_b) AS rn
+      FROM sc
+    ),
+    recs AS (SELECT brand_a, brand_b, n_bb FROM rk WHERE rn <= 3),
+    pairs AS (
+      SELECT r1.brand_a, r1.brand_b AS bi, r2.brand_b AS bj
+      FROM recs r1 JOIN recs r2
+        ON r1.brand_a = r2.brand_a AND r1.brand_b < r2.brand_b
+    ),
+    psim AS (
+      SELECT p.brand_a,
+             COALESCE(CAST(floor(CAST(s.n_ab AS DOUBLE)
+                 / sqrt(CAST(s.n_a AS DOUBLE) * CAST(s.n_bb AS DOUBLE))
+                 * 1000000) AS BIGINT), 0) AS simq
+      FROM pairs p LEFT JOIN sc s
+        ON s.brand_a = p.bi AND s.brand_b = p.bj
+    ),
+    cat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(floor(ln(CAST(n_b AS DOUBLE)) * 1000000000)
+                  AS BIGINT)) AS BIGINT) AS cat_lnq
+      FROM ba
+    ),
+    rec_stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_recs,
+             CAST(count(DISTINCT brand_b) AS BIGINT) AS n_recommended,
+             CAST(count(DISTINCT brand_a) AS BIGINT) AS n_lists,
+             CAST(sum(CAST(floor(ln(CAST(n_bb AS DOUBLE)) * 1000000000)
+                  AS BIGINT)) AS BIGINT) AS rec_lnq
+      FROM recs
+    ),
+    ils AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(COALESCE(sum(simq), 0) AS BIGINT) AS sim_sum_q
+      FROM psim
+    )
+    SELECT n_items, n_recommended, n_lists, n_recs, n_pairs,
+           CAST(n_recommended AS DOUBLE) / CAST(n_items AS DOUBLE)
+             AS coverage,
+           CAST(sim_sum_q AS DOUBLE)
+             / (CAST(n_pairs AS DOUBLE) * 1000000.0) AS mean_ils,
+           CAST(rec_lnq AS DOUBLE)
+             / (CAST(n_recs AS DOUBLE) * 1000000000.0) AS rec_mean_ln_pop,
+           CAST(cat_lnq AS DOUBLE)
+             / (CAST(n_items AS DOUBLE) * 1000000000.0) AS cat_mean_ln_pop
+    FROM rec_stats CROSS JOIN ils CROSS JOIN cat
+    """,
+)
+def recs_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X285 recommender eval beyond accuracy: catalog coverage@3 (what
+    share of items ever get recommended), intra-list similarity (low =
+    diverse lists; per-pair cosines floor-quantized at 1e6, pairs
+    below the support floor scored 0), and popularity bias (mean
+    quantized-ln popularity of recommended vs catalog items — the
+    long-tail readout). Completes the recs family: X223 builds the
+    lists, X226 (NDCG) scores relevance, this scores the catalog-level
+    health a pure accuracy metric hides. Exact integer sums
+    everywhere; each emitted mean is one final float division. Scale:
+    reuses the X223 pair aggregate; everything after is brand-frame
+    sized (bounded by distinct brands squared)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    ba = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    a = ob.select(F.col("ok"), F.col("brand").alias("brand_a"))
+    b = ob.select(F.col("ok"), F.col("brand").alias("brand_b"))
+    pr = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") != F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    b1 = ba.select(F.col("brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    b2 = ba.select(F.col("brand").alias("brand_b"), F.col("n_b").alias("n_bb"))
+    sc = pr.join(F.broadcast(b1), "brand_a").join(F.broadcast(b2), "brand_b")
+    key = F.expr(
+        "CAST(n_ab AS DECIMAL(38,0)) * n_ab * 1000000"
+        " div (CAST(n_a AS DECIMAL(38,0)) * n_bb)"
+    )
+    recs = (
+        sc.select(
+            "brand_a",
+            "brand_b",
+            "n_bb",
+            F.row_number()
+            .over(W.partitionBy("brand_a").orderBy(key.desc(), F.asc("brand_b")))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+    r1 = recs.select("brand_a", F.col("brand_b").alias("bi"))
+    r2 = recs.select("brand_a", F.col("brand_b").alias("bj"))
+    pairs = r1.join(r2, "brand_a").where(F.col("bi") < F.col("bj"))
+    simq = F.floor(
+        F.col("n_ab").cast("double")
+        / F.sqrt(F.col("n_a").cast("double") * F.col("n_bb").cast("double"))
+        * 1000000
+    ).cast("long")
+    scs = sc.select(
+        F.col("brand_a").alias("bi"),
+        F.col("brand_b").alias("bj"),
+        simq.alias("simq"),
+    )
+    psim = pairs.join(F.broadcast(scs), ["bi", "bj"], "left").select(
+        F.coalesce("simq", F.lit(0)).cast("long").alias("simq")
+    )
+    lnq = lambda c: F.floor(  # noqa: E731
+        F.log(F.col(c).cast("double")) * 1000000000
+    ).cast("long")
+    cat = ba.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(lnq("n_b")).cast("long").alias("cat_lnq"),
+    )
+    rec_stats = recs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_recs"),
+        F.countDistinct("brand_b").cast("long").alias("n_recommended"),
+        F.countDistinct("brand_a").cast("long").alias("n_lists"),
+        F.sum(lnq("n_bb")).cast("long").alias("rec_lnq"),
+    )
+    ils = psim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("simq"), F.lit(0)).cast("long").alias("sim_sum_q"),
+    )
+    return (
+        rec_stats.crossJoin(F.broadcast(ils))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_items",
+            "n_recommended",
+            "n_lists",
+            "n_recs",
+            "n_pairs",
+            (
+                F.col("n_recommended").cast("double")
+                / F.col("n_items").cast("double")
+            ).alias("coverage"),
+            (
+                F.col("sim_sum_q").cast("double")
+                / (F.col("n_pairs").cast("double") * F.lit(1000000.0))
+            ).alias("mean_ils"),
+            (
+                F.col("rec_lnq").cast("double")
+                / (F.col("n_recs").cast("double") * F.lit(1000000000.0))
+            ).alias("rec_mean_ln_pop"),
+            (
+                F.col("cat_lnq").cast("double")
+                / (F.col("n_items").cast("double") * F.lit(1000000000.0))
+            ).alias("cat_mean_ln_pop"),
+        )
+    )

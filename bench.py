@@ -223,6 +223,9 @@ HEADLINE = [
     "drift_page_hinkley_daily",
     "text_dunning_llr",
     "attribution_markov_removal",
+    "spectral_weekly_power",
+    "orders_price_index_monthly",
+    "recs_coverage_diversity",
 ]
 
 
