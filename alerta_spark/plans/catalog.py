@@ -24714,3 +24714,317 @@ def recs_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cat_mean_ln_pop"),
         )
     )
+
+
+@register(
+    "sessions_peak_concurrency_daily",
+    # Classic sweep-line concurrency: +1 at session start, -1 just
+    # after session end, running sum over the TOTAL order (us, delta,
+    # user_id, sid) — ends before starts at the same instant — then
+    # per-day max with earliest-peak tie-break. All integers.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN pus IS NULL OR us - pus > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    b AS (
+      SELECT user_id, sid,
+             CAST(min(us) AS BIGINT) AS s0, CAST(max(us) AS BIGINT) AS s1
+      FROM sess GROUP BY 1, 2
+    ),
+    points AS (
+      SELECT s0 AS us, 1 AS delta, user_id, sid FROM b
+      UNION ALL
+      SELECT s1 + 1, -1, user_id, sid FROM b
+    ),
+    sweep AS (
+      SELECT us,
+             CAST(sum(delta) OVER (ORDER BY us, delta, user_id, sid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS conc
+      FROM points
+    ),
+    daily AS (
+      SELECT CAST(make_timestamp(us) AS DATE) AS day, us, conc,
+             row_number() OVER (
+               PARTITION BY CAST(make_timestamp(us) AS DATE)
+               ORDER BY conc DESC, us) AS rn
+      FROM sweep
+    )
+    SELECT day, conc AS peak_concurrency, CAST(us AS BIGINT) AS peak_at_us
+    FROM daily WHERE rn = 1
+    """,
+)
+def sessions_peak_concurrency_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X286 peak concurrent sessions per day: the sweep-line classic —
+    +1 at each session start, -1 just after its end, running sum, max
+    per day — the capacity-planning readout beside session depth
+    (X166) and bounce rate (X78). The running sum uses the X246
+    distributed prefix-sum primitive (range shuffle + per-partition
+    cumsum + broadcast offsets), NOT a single-partition window, so
+    the sweep scales with the session frame; ends sort before starts
+    at the same instant (delta ascending) and the peak tie-breaks to
+    the earliest microsecond. All integers — hash-exact."""
+    from alerta_spark.ops.prefix import global_rank_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(wu).isNull() | (us - F.lag(us).over(wu) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("is_new")
+        .over(W.partitionBy("user_id").orderBy("us"))
+        .alias("sid"),
+    )
+    b = sess.groupBy("user_id", "sid").agg(
+        F.min("us").cast("long").alias("s0"),
+        F.max("us").cast("long").alias("s1"),
+    )
+    points = b.select(
+        F.col("s0").alias("us"), F.lit(1).alias("delta"), "user_id", "sid"
+    ).unionAll(
+        b.select(
+            (F.col("s1") + 1).alias("us"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "sid",
+        )
+    )
+    sweep = global_rank_cumsum(
+        points,
+        [F.asc("us"), F.asc("delta"), F.asc("user_id"), F.asc("sid")],
+        val_col="delta",
+        cum_col="conc",
+    ).select("us", F.col("conc").cast("long").alias("conc"))
+    day = F.timestamp_micros(F.col("us")).cast("date")
+    daily = sweep.select(
+        day.alias("day"),
+        "us",
+        "conc",
+        F.row_number()
+        .over(W.partitionBy(day).orderBy(F.desc("conc"), F.asc("us")))
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return daily.select(
+        "day",
+        F.col("conc").alias("peak_concurrency"),
+        F.col("us").cast("long").alias("peak_at_us"),
+    )
+
+
+@register(
+    "supply_safety_stock_z",
+    # Per-part safety stock over the last 52 ship weeks: weekly-demand
+    # moments exact (absent weeks are true zeros — n is pinned at 52,
+    # so S/Q from present weeks alone are the complete moments),
+    # sigma/SS/ROP one IEEE-exact float composition per part with
+    # pinned z=1.645 and a 2-week lead time; top-25 by total demand.
+    oracle="""
+    WITH mx AS (SELECT CAST(max(l_shipdate) AS DATE) AS dmax FROM lineitem),
+    wk AS (
+      SELECT l_partkey AS pk,
+             datediff('day', CAST(l_shipdate AS DATE), dmax) // 7 AS w,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem CROSS JOIN mx
+      WHERE datediff('day', CAST(l_shipdate AS DATE), dmax) < 364
+    ),
+    pw AS (
+      SELECT pk, w, CAST(sum(q) AS BIGINT) AS d
+      FROM wk GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT pk,
+             CAST(sum(d) AS BIGINT) AS s,
+             CAST(sum(CAST(d AS HUGEINT) * d) AS BIGINT) AS q2,
+             CAST(count(*) AS BIGINT) AS n_weeks_active
+      FROM pw GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY s DESC, pk) AS rn FROM m
+    )
+    SELECT pk AS partkey, n_weeks_active, s AS total_qty_52w,
+           52 * q2 - s * s AS var_num_q,
+           1.645 * sqrt(CAST(52 * q2 - s * s AS DOUBLE) / (52.0 * 51.0))
+             * sqrt(2.0) AS safety_stock,
+           2.0 * CAST(s AS DOUBLE) / 52.0
+             + 1.645 * sqrt(CAST(52 * q2 - s * s AS DOUBLE) / (52.0 * 51.0))
+               * sqrt(2.0) AS reorder_point
+    FROM ranked WHERE rn <= 25
+    """,
+)
+def supply_safety_stock_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X287 safety stock & reorder point for the 25 highest-demand
+    parts: weekly demand over the trailing 52 ship weeks (weeks with
+    no shipments are TRUE zeros — n is pinned at 52, so the moments
+    from active weeks alone are already complete; no dense grid is
+    materialized), sigma from exact integer moments, SS = z·sigma·
+    sqrt(LT) with pinned z=1.645 (95% service) and a 2-week lead
+    time, ROP = lead-time demand + SS. The inventory-policy readout
+    beside bullwhip (X235), OTIF (X239) and fill rate; one
+    (part, week) aggregate then a part-level reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("dmax"))
+    wk = (
+        li.crossJoin(F.broadcast(mx))
+        .where(F.datediff("dmax", F.col("l_shipdate").cast("date")) < 364)
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.expr(
+                "datediff(dmax, CAST(l_shipdate AS DATE)) div 7"
+            ).alias("w"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    )
+    pw = wk.groupBy("pk", "w").agg(F.sum("q").cast("long").alias("d"))
+    m = pw.groupBy("pk").agg(
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d").cast("decimal(19,0)") * F.col("d"))
+        .cast("long")
+        .alias("q2"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks_active"),
+    )
+    ranked = m.select(
+        "*",
+        F.row_number()
+        .over(
+            W.partitionBy(F.pmod(F.col("s"), F.lit(1))).orderBy(
+                F.desc("s"), F.asc("pk")
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") <= 25)
+    var_num = F.lit(52) * F.col("q2") - F.col("s") * F.col("s")
+    sigma = F.sqrt(var_num.cast("double") / F.lit(52.0 * 51.0))
+    ss = F.lit(1.645) * sigma * F.sqrt(F.lit(2.0))
+    return ranked.select(
+        F.col("pk").alias("partkey"),
+        "n_weeks_active",
+        F.col("s").alias("total_qty_52w"),
+        var_num.alias("var_num_q"),
+        ss.alias("safety_stock"),
+        (F.lit(2.0) * F.col("s").cast("double") / F.lit(52.0) + ss).alias(
+            "reorder_point"
+        ),
+    )
+
+
+@register(
+    "abtest_srm_check",
+    # Sample-ratio-mismatch chi2 for the X19 md5-band 80/10/10 split:
+    # observed arm sizes vs design proportions, per-cell terms
+    # (d*O - p*N)^2 * 1e6 // (p*d*N) as exact integer divisions
+    # (d=10), chi2 = one final scale-down; flag at the df=2 95%
+    # critical value.
+    oracle="""
+    WITH s AS (
+      SELECT CASE
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+            THEN 'train'
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+            THEN 'eval'
+          ELSE 'test' END AS split
+      FROM documents
+    ),
+    c AS (
+      SELECT
+        CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_train,
+        CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_eval,
+        CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_test,
+        CAST(count(*) AS BIGINT) AS n
+      FROM s
+    )
+    SELECT n_train, n_eval, n_test, n,
+           CAST(
+             (CAST((10 * n_train - 8 * n) AS HUGEINT)
+              * (10 * n_train - 8 * n) * 1000000) // (80 * n)
+             + (CAST((10 * n_eval - 1 * n) AS HUGEINT)
+                * (10 * n_eval - 1 * n) * 1000000) // (10 * n)
+             + (CAST((10 * n_test - 1 * n) AS HUGEINT)
+                * (10 * n_test - 1 * n) * 1000000) // (10 * n)
+             AS BIGINT) AS chi2_q,
+           (CAST(
+             (CAST((10 * n_train - 8 * n) AS HUGEINT)
+              * (10 * n_train - 8 * n) * 1000000) // (80 * n)
+             + (CAST((10 * n_eval - 1 * n) AS HUGEINT)
+                * (10 * n_eval - 1 * n) * 1000000) // (10 * n)
+             + (CAST((10 * n_test - 1 * n) AS HUGEINT)
+                * (10 * n_test - 1 * n) * 1000000) // (10 * n)
+             AS BIGINT) > 5991000000) AS srm_flag
+    FROM c
+    """,
+)
+def abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X288 sample-ratio-mismatch check: does the realized 80/10/10
+    md5-band split (X19) match its design proportions? The first gate
+    every experiment readout should run — a mismatched ratio
+    invalidates X65/X128/X154 downstream. chi2 terms are exact
+    integer divisions ((d*O - p*N)^2 scaled by 1e6 over p*d*N, d=10),
+    flagged against the df=2 95% critical value 5.991. One map-side
+    aggregate over the corpus; everything else is a 1-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(pref < "cccccccc", "train")
+        .when(pref < "e6666666", "eval")
+        .otherwise("test")
+    )
+    c = docs.select(split.alias("split")).agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    chi2_q = F.expr(
+        "CAST("
+        "(CAST((10 * n_train - 8 * n) AS DECIMAL(38,0))"
+        " * (10 * n_train - 8 * n) * 1000000) div (80 * n)"
+        " + (CAST((10 * n_eval - 1 * n) AS DECIMAL(38,0))"
+        " * (10 * n_eval - 1 * n) * 1000000) div (10 * n)"
+        " + (CAST((10 * n_test - 1 * n) AS DECIMAL(38,0))"
+        " * (10 * n_test - 1 * n) * 1000000) div (10 * n)"
+        " AS BIGINT)"
+    )
+    return c.select(
+        "n_train",
+        "n_eval",
+        "n_test",
+        "n",
+        chi2_q.alias("chi2_q"),
+        (chi2_q > 5991000000).alias("srm_flag"),
+    )

@@ -226,6 +226,9 @@ HEADLINE = [
     "spectral_weekly_power",
     "orders_price_index_monthly",
     "recs_coverage_diversity",
+    "sessions_peak_concurrency_daily",
+    "supply_safety_stock_z",
+    "abtest_srm_check",
 ]
 
 
