@@ -1668,14 +1668,19 @@ def hard_triplets(
             pi = np.argmax(pos_key, axis=1)
             ni = np.argmax(neg_key, axis=1)
             r = np.arange(len(aid))
+            # an anchor whose label has no OTHER member (or no
+            # different-label vector exists) has an all-masked key row;
+            # argmax would return a bogus index 0 — drop it, exactly as
+            # the SQL form's inner join does
+            ok = (pos_key[r, pi] > neg_inf) & (neg_key[r, ni] > neg_inf)
             yield pd.DataFrame(
                 {
-                    "anchor_id": aid,
-                    "pos_id": cids[pi],
-                    "neg_id": cids[ni],
-                    "cos_pos_q": cq[r, pi],
-                    "cos_neg_q": cq[r, ni],
-                    "margin_q": cq[r, pi] - cq[r, ni],
+                    "anchor_id": aid[ok],
+                    "pos_id": cids[pi[ok]],
+                    "neg_id": cids[ni[ok]],
+                    "cos_pos_q": cq[r[ok], pi[ok]],
+                    "cos_neg_q": cq[r[ok], ni[ok]],
+                    "margin_q": cq[r[ok], pi[ok]] - cq[r[ok], ni[ok]],
                 }
             )
 

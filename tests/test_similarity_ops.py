@@ -396,3 +396,66 @@ def test_embedding_lof_planted_outlier(spark):
     assert all(r["n_nb"] <= 3 for r in out)
     again = embedding_lof(df, k=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_hard_triplets_semantics(spark):
+    """Known geometry: pos = most-similar same-label (self excluded),
+    neg = most-similar other-label, margin = difference; duplicate
+    vectors tie-break to the smallest candidate id."""
+    from alerta_spark.ops.similarity import hard_triplets
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),   # closest same-label to 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.8, 0.2, 0.0, 0.0], 1),   # hardest negative for 1
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["anchor_id"]: r for r in hard_triplets(df).collect()}
+    assert got[1]["pos_id"] == 2
+    assert got[1]["neg_id"] == 4
+    assert got[1]["margin_q"] == got[1]["cos_pos_q"] - got[1]["cos_neg_q"]
+    # anchor 5 is far from everything but still gets its best-of-each
+    assert got[5]["pos_id"] == 4
+    assert len(got) == 5
+
+
+def test_hard_triplets_singleton_label_dropped(spark):
+    """An anchor whose label has no other member has no positive —
+    the row is dropped (inner-join semantics), not fabricated."""
+    from alerta_spark.ops.similarity import hard_triplets
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 7),   # singleton label
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["anchor_id"]: r for r in hard_triplets(df).collect()}
+    assert 3 not in got
+    assert set(got) == {1, 2}
+    assert got[1]["neg_id"] == 3
+
+
+def test_hard_triplets_tiebreak_smallest_id(spark):
+    """Two identical candidates: the smaller vec_id wins."""
+    from alerta_spark.ops.similarity import hard_triplets
+
+    rows = [
+        (10, [1.0, 0.0], 0),
+        (11, [0.6, 0.4], 0),
+        (12, [0.6, 0.4], 0),   # identical to 11 -> 11 must win
+        (20, [0.0, 1.0], 1),
+        (21, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["anchor_id"]: r for r in hard_triplets(df).collect()}
+    assert got[10]["pos_id"] == 11
+    assert got[10]["neg_id"] == 20
