@@ -25028,3 +25028,234 @@ def abtest_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2_q.alias("chi2_q"),
         (chi2_q > 5991000000).alias("srm_flag"),
     )
+
+
+@register(
+    "stats_welch_t_weekend",
+    # Welch's unequal-variance t on daily revenue, weekday vs weekend:
+    # exact integer moments per arm; t and the Welch-Satterthwaite df
+    # are single compositions of IEEE-exact ops over integer-derived
+    # operands (variance numerators cross-multiplied in DECIMAL(38),
+    # VARCHAR hop for DuckDB's wide cast).
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             (dayofweek(CAST(ts AS DATE)) IN (0, 6)) AS wknd,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT wknd,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM d GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN wknd THEN n END) AS n1,
+        max(CASE WHEN wknd THEN s END) AS s1,
+        max(CASE WHEN wknd THEN q END) AS q1,
+        max(CASE WHEN NOT wknd THEN n END) AS n2,
+        max(CASE WHEN NOT wknd THEN s END) AS s2,
+        max(CASE WHEN NOT wknd THEN q END) AS q2
+      FROM m
+    ),
+    v AS (
+      SELECT n1, n2, s1, s2,
+             CAST(CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1 AS VARCHAR)
+                  AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)
+                  * CAST(n1 AS DOUBLE)) AS se1,
+             CAST(CAST(n2 * q2 - CAST(s2 AS HUGEINT) * s2 AS VARCHAR)
+                  AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)
+                  * CAST(n2 AS DOUBLE)) AS se2
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+           CAST(s1 AS BIGINT) AS weekend_cents,
+           CAST(s2 AS BIGINT) AS weekday_cents,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(se1 + se2) AS t_stat,
+           (se1 + se2) * (se1 + se2)
+             / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+                + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+    FROM v
+    """,
+)
+def stats_welch_t_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X289 Welch's unequal-variance t-test: is weekend daily revenue
+    different from weekday? The parametric two-sample location test
+    the family was missing — Mann-Whitney (X200) is its rank
+    alternative, ANOVA (X272) its k-group extension; Welch never
+    assumes equal variances (the Behrens-Fisher-safe default). Arm
+    moments are exact integers; t and the Welch-Satterthwaite df are
+    single compositions of IEEE-exact ops (variance numerators
+    cross-multiplied in DECIMAL(38)). Scale: one day-level aggregate,
+    then 2-row frames."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    day = F.col("ts").cast("date")
+    d = ev.groupBy(
+        day.alias("day"),
+        F.dayofweek(day).isin(1, 7).alias("wknd"),
+    ).agg(F.sum(cents).cast("long").alias("x"))
+    m = d.groupBy("wknd").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("wknd"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("wknd"), F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("wknd"), F.col("q"))).alias("q1"),
+        F.max(F.when(~F.col("wknd"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("wknd"), F.col("s"))).alias("s2"),
+        F.max(F.when(~F.col("wknd"), F.col("q"))).alias("q2"),
+    )
+    se1 = F.expr(
+        "CAST(n1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+    ) / (
+        F.col("n1").cast("double")
+        * (F.col("n1") - 1).cast("double")
+        * F.col("n1").cast("double")
+    )
+    se2 = F.expr(
+        "CAST(n2 * q2 - CAST(s2 AS DECIMAL(38,0)) * s2 AS DOUBLE)"
+    ) / (
+        F.col("n2").cast("double")
+        * (F.col("n2") - 1).cast("double")
+        * F.col("n2").cast("double")
+    )
+    v = w.select("n1", "n2", "s1", "s2", se1.alias("se1"), se2.alias("se2"))
+    return v.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        F.col("s1").cast("long").alias("weekend_cents"),
+        F.col("s2").cast("long").alias("weekday_cents"),
+        (
+            (
+                F.col("s1").cast("double") / F.col("n1").cast("double")
+                - F.col("s2").cast("double") / F.col("n2").cast("double")
+            )
+            / F.sqrt(F.col("se1") + F.col("se2"))
+        ).alias("t_stat"),
+        (
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1).cast("double")
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1).cast("double")
+            )
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "changepoint_binseg_daily",
+    # One-split binary segmentation on daily revenue: for every split
+    # after day t, gain = (S1*n2 - S2*n1)^2 / (n1*n2*n) in exact
+    # integers (DECIMAL(38) cross-products, 1e6 floor-quantized), the
+    # argmax split deterministic on (gain desc, day); segment means
+    # emitted as one division each.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    pre AS (
+      SELECT day, x,
+             CAST(sum(x) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s1,
+             CAST(count(*) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n1,
+             CAST(sum(x) OVER () AS BIGINT) AS s,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM d
+    ),
+    gains AS (
+      SELECT day, n1, n - n1 AS n2, s1, s - s1 AS s2,
+             CAST((CAST(s1 * (n - n1) - (s - s1) * n1 AS HUGEINT)
+                   * (s1 * (n - n1) - (s - s1) * n1) * 1000000)
+                  // (CAST(n1 AS HUGEINT) * (n - n1) * n) AS BIGINT)
+               AS gain_q
+      FROM pre WHERE n1 < n
+    ),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY gain_q DESC, day) AS rn
+      FROM gains
+    )
+    SELECT day AS split_after_day, n1 AS n_left, n2 AS n_right, gain_q,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+             AS mean_left_dollars,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0
+             AS mean_right_dollars
+    FROM best WHERE rn = 1
+    """,
+)
+def changepoint_binseg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X290 binary-segmentation changepoint (one split) on daily
+    revenue: the offline level-shift ESTIMATOR beside the online
+    detectors — CUSUM (X61) and Page-Hinkley (X280) say "something
+    shifted", binseg says WHERE: the split maximizing the between-
+    segment variance gain n1*n2/n*(m1-m2)^2, computed as exact
+    DECIMAL(38) cross-products floor-quantized at 1e6, argmax
+    deterministic on (gain desc, day). Scale: one day-level aggregate;
+    prefix sums over the day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents).cast("long").alias("x")
+    )
+    one = F.pmod(F.dayofmonth("day"), F.lit(1))
+    wc = W.partitionBy(one).orderBy("day")
+    wa = W.partitionBy(one)
+    pre = d.select(
+        "day",
+        F.sum("x").over(wc).cast("long").alias("s1"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n1"),
+        F.sum("x").over(wa).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wa).cast("long").alias("n"),
+    )
+    gains = pre.where(F.col("n1") < F.col("n")).select(
+        "day",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        "s1",
+        (F.col("s") - F.col("s1")).alias("s2"),
+        F.expr(
+            "CAST((CAST(s1 * (n - n1) - (s - s1) * n1 AS DECIMAL(38,0))"
+            " * (s1 * (n - n1) - (s - s1) * n1) * 1000000)"
+            " div (CAST(n1 AS DECIMAL(38,0)) * (n - n1) * n) AS BIGINT)"
+        ).alias("gain_q"),
+    )
+    best = gains.select(
+        "*",
+        F.row_number()
+        .over(
+            W.partitionBy(F.pmod(F.col("n1"), F.lit(1))).orderBy(
+                F.desc("gain_q"), F.asc("day")
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        F.col("day").alias("split_after_day"),
+        F.col("n1").alias("n_left"),
+        F.col("n2").alias("n_right"),
+        "gain_q",
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double") / F.lit(100.0)
+        ).alias("mean_left_dollars"),
+        (
+            F.col("s2").cast("double") / F.col("n2").cast("double") / F.lit(100.0)
+        ).alias("mean_right_dollars"),
+    )

@@ -229,6 +229,8 @@ HEADLINE = [
     "sessions_peak_concurrency_daily",
     "supply_safety_stock_z",
     "abtest_srm_check",
+    "stats_welch_t_weekend",
+    "changepoint_binseg_daily",
 ]
 
 
