@@ -24164,7 +24164,12 @@ def attribution_markov_removal(
                     f"sum(CASE WHEN s = '{s}' THEN c END), 0), 1) AS BIGINT)"
                 ).alias(f"q_{s}_{t}")
             )
-    qrow = cnt.agg(*qexprs)
+    # localCheckpoint the 1-row transition table: every one of the 65
+    # step crossJoins references qrow, and WITHOUT truncation each one
+    # embeds the full sessionize lineage into the plan — measured 47s
+    # of pure plan-compile at any scale; with the checkpoint the chain
+    # compiles against a leaf (sub-second, scale-invariant).
+    qrow = cnt.agg(*qexprs).localCheckpoint(eager=True)
 
     def run_chain(rc: str | None) -> DataFrame:
         cur = qrow.select(

@@ -71,6 +71,16 @@ FAMILY = [
     "embedding_lof_outliers",
     "sample_kcenter_coreset",
     "corpus_source_overlap_matrix",
+    # round-4 widening 4: the session-4 additions with quadratic or
+    # shuffle-shape risk — triplet mining (one int64 matmul per anchor
+    # batch against the broadcast corpus: expected time_exp ~2 with
+    # tiny constants; the 100 TB path swaps in LSH/IVF candidates),
+    # Markov removal (sessionize + fixed 65-step chain solve on a
+    # 1-row frame: expect ~linear), and the sweep-line concurrency on
+    # the distributed prefix-sum primitive (expect ~linear)
+    "embedding_triplet_mining",
+    "attribution_markov_removal",
+    "sessions_peak_concurrency_daily",
 ]
 
 
@@ -163,9 +173,12 @@ def ensure_scaled(spark, n: int) -> str:
 
 def main() -> None:
     scales = [1, 3, 10]
+    only: set[str] = set()
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(","))
 
     from alerta_spark.plans import catalog
     from alerta_spark.session import get_spark
@@ -177,7 +190,8 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     qs = catalog.queries()
-    results: dict[str, dict] = {name: {} for name in FAMILY}
+    family = [n for n in FAMILY if not only or n in only]
+    results: dict[str, dict] = {name: {} for name in family}
 
     # warm the JVM, parquet reader, and Python-worker pool so the first
     # measured op doesn't absorb session startup (it skewed the x1
@@ -185,12 +199,12 @@ def main() -> None:
     warm_dir = ensure_scaled(spark, scales[0])
     from alerta_spark.ops.dedupe import release_cached
 
-    qs[FAMILY[0]](spark, warm_dir).count()
+    qs[family[0]](spark, warm_dir).count()
     release_cached()
 
     for n in scales:
         sf_dir = ensure_scaled(spark, n)
-        for name in FAMILY:
+        for name in family:
             from alerta_spark.ops.dedupe import release_cached
 
             release_cached()
@@ -221,7 +235,14 @@ def main() -> None:
                 )
 
     out_path = REPO / "SCALE_BENCH.json"
-    out_path.write_text(json.dumps({"base": BASE_SF, "results": results}, indent=1))
+    merged = results
+    if only and out_path.exists():
+        # --only runs MERGE into the existing record instead of
+        # clobbering the full-family measurements
+        prior = json.loads(out_path.read_text()).get("results", {})
+        prior.update(results)
+        merged = prior
+    out_path.write_text(json.dumps({"base": BASE_SF, "results": merged}, indent=1))
     print(f"wrote {out_path}")
     for name, r in results.items():
         print(
