@@ -25264,3 +25264,252 @@ def changepoint_binseg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2").cast("double") / F.col("n2").cast("double") / F.lit(100.0)
         ).alias("mean_right_dollars"),
     )
+
+
+@register(
+    "stats_jonckheere_terpstra",
+    # JT ordered-alternative test: J over the 4 activity bands from
+    # per-distinct-value group-count prefix sums (never a pairwise
+    # join), doubled (J2 = 2J) so tie halves stay integers; no-tie
+    # normal variance; z = one final float composition.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT x, CAST(ntile(4) OVER (ORDER BY n_ev, user_id) - 1 AS BIGINT)
+               AS g
+      FROM u
+    ),
+    v AS (
+      SELECT x,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+      FROM b GROUP BY x
+    ),
+    p AS (
+      SELECT x, c0, c1, c2, c3,
+             CAST(sum(c0) OVER w - c0 AS BIGINT) AS p0,
+             CAST(sum(c1) OVER w - c1 AS BIGINT) AS p1,
+             CAST(sum(c2) OVER w - c2 AS BIGINT) AS p2
+      FROM v WINDOW w AS (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    j AS (
+      SELECT CAST(sum(2 * (c1 * p0 + c2 * (p0 + p1) + c3 * (p0 + p1 + p2))
+                 + c1 * c0 + c2 * (c0 + c1) + c3 * (c0 + c1 + c2))
+                 AS BIGINT) AS j2
+      FROM p
+    ),
+    m AS (
+      SELECT CAST(sum(c0 + c1 + c2 + c3) AS BIGINT) AS n,
+             CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3
+      FROM v
+    )
+    SELECT j2, n,
+           n * n - (n0 * n0 + n1 * n1 + n2 * n2 + n3 * n3) AS mu2,
+           CAST(n AS HUGEINT) * n * (2 * n + 3)
+             - (CAST(n0 AS HUGEINT) * n0 * (2 * n0 + 3)
+                + CAST(n1 AS HUGEINT) * n1 * (2 * n1 + 3)
+                + CAST(n2 AS HUGEINT) * n2 * (2 * n2 + 3)
+                + CAST(n3 AS HUGEINT) * n3 * (2 * n3 + 3)) AS var72,
+           CAST(2 * j2 - (n * n - (n0 * n0 + n1 * n1 + n2 * n2 + n3 * n3))
+                AS DOUBLE)
+             / (4.0 * sqrt(CAST(CAST(
+                 CAST(n AS HUGEINT) * n * (2 * n + 3)
+                 - (CAST(n0 AS HUGEINT) * n0 * (2 * n0 + 3)
+                    + CAST(n1 AS HUGEINT) * n1 * (2 * n1 + 3)
+                    + CAST(n2 AS HUGEINT) * n2 * (2 * n2 + 3)
+                    + CAST(n3 AS HUGEINT) * n3 * (2 * n3 + 3))
+                 AS VARCHAR) AS DOUBLE) / 72.0)) AS z
+    FROM j CROSS JOIN m
+    """,
+)
+def stats_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X291 Jonckheere-Terpstra ordered-alternative test: does
+    per-user total VALUE rise monotonically across the activity
+    bands? The continuous-outcome sibling of Cochran-Armitage (X273:
+    binary outcome) and the ordered refinement of Kruskal-type
+    k-group rank tests — JT has power exactly when the alternative is
+    a trend. J comes from per-distinct-value group-count prefix sums
+    (one aggregate over the value frame; NEVER a pairwise join, so it
+    scales with distinct values, not users squared), doubled so the
+    tie half-credits stay integers; z uses the classical no-tie
+    variance (ties in integer cents are measure-zero here and the
+    divergence is documented). All moments exact BIGINTs; z is one
+    final float composition."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum(F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+        .cast("long")
+        .alias("x"),
+    )
+    b = u.select(
+        "x",
+        (
+            F.ntile(4).over(
+                W.partitionBy(F.pmod(F.col("user_id"), F.lit(1))).orderBy(
+                    "n_ev", "user_id"
+                )
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("g"),
+    )
+    v = b.groupBy("x").agg(
+        *[
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(4)
+        ]
+    )
+    wx = W.partitionBy(F.pmod(F.col("c0"), F.lit(1))).orderBy("x")
+    p = v.select(
+        "x",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        (F.sum("c0").over(wx) - F.col("c0")).cast("long").alias("p0"),
+        (F.sum("c1").over(wx) - F.col("c1")).cast("long").alias("p1"),
+        (F.sum("c2").over(wx) - F.col("c2")).cast("long").alias("p2"),
+    )
+    j = p.agg(
+        F.sum(
+            2
+            * (
+                F.col("c1") * F.col("p0")
+                + F.col("c2") * (F.col("p0") + F.col("p1"))
+                + F.col("c3") * (F.col("p0") + F.col("p1") + F.col("p2"))
+            )
+            + F.col("c1") * F.col("c0")
+            + F.col("c2") * (F.col("c0") + F.col("c1"))
+            + F.col("c3") * (F.col("c0") + F.col("c1") + F.col("c2"))
+        )
+        .cast("long")
+        .alias("j2")
+    )
+    m = v.agg(
+        F.sum(F.col("c0") + F.col("c1") + F.col("c2") + F.col("c3"))
+        .cast("long")
+        .alias("n"),
+        *[F.sum(f"c{i}").cast("long").alias(f"n{i}") for i in range(4)],
+    )
+    mu2 = F.expr("n * n - (n0 * n0 + n1 * n1 + n2 * n2 + n3 * n3)")
+    var72 = F.expr(
+        "CAST(n AS DECIMAL(38,0)) * n * (2 * n + 3)"
+        " - (CAST(n0 AS DECIMAL(38,0)) * n0 * (2 * n0 + 3)"
+        " + CAST(n1 AS DECIMAL(38,0)) * n1 * (2 * n1 + 3)"
+        " + CAST(n2 AS DECIMAL(38,0)) * n2 * (2 * n2 + 3)"
+        " + CAST(n3 AS DECIMAL(38,0)) * n3 * (2 * n3 + 3))"
+    )
+    return j.crossJoin(F.broadcast(m)).select(
+        "j2",
+        "n",
+        mu2.alias("mu2"),
+        var72.cast("decimal(38,0)").alias("var72"),
+        (
+            F.expr(
+                "CAST(2 * j2 - (n * n - (n0 * n0 + n1 * n1 + n2 * n2"
+                " + n3 * n3)) AS DOUBLE)"
+            )
+            / (
+                F.lit(4.0)
+                * F.sqrt(var72.cast("double") / F.lit(72.0))
+            )
+        ).alias("z"),
+    )
+
+
+@register(
+    "diagnostics_join_key_skew",
+    # Key-skew report for the events.user_id join/agg key: per-key
+    # counts, max / exact p99 / avg, the skew ratio, and the salting
+    # factor ceil(max/avg) a planner would apply — exact integers,
+    # percentile by deterministic rank cut, one float division.
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c, user_id) AS rn,
+             count(*) OVER () AS nk,
+             CAST(sum(c) OVER () AS BIGINT) AS total
+      FROM k
+    ),
+    s AS (
+      SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+             CAST(max(total) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_count,
+             CAST(max(CASE WHEN rn = (99 * nk + 99) // 100 THEN c END)
+                  AS BIGINT) AS p99_count
+      FROM r
+    )
+    SELECT n_keys, n_rows, max_count, p99_count,
+           CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE) AS skew_ratio,
+           CAST((max_count * n_keys + n_rows - 1) // n_rows AS BIGINT)
+             AS suggested_salt
+    FROM s
+    """,
+)
+def diagnostics_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X292 join-key skew diagnostic: the pre-flight report a planner
+    (or an engineer deciding between plain, broadcast, and salted
+    joins — the X17 salted top-k is this repo's mitigation) reads
+    before shuffling on a key. Per-key counts for events.user_id, the
+    max / exact-rank p99 / average, the skew ratio max/avg, and the
+    salting factor ceil(max/avg) that would level the hottest key.
+    Exact integers (percentile by deterministic ceil-rank cut, ceiling
+    division in integer math); one float division for the ratio.
+    Scale: one count aggregate on the key; the rank runs over the
+    key frame (use the X246 prefix-sum primitive when the KEY frame
+    itself is corpus-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    one = F.pmod(F.col("c"), F.lit(1))
+    r = k.select(
+        "c",
+        F.row_number()
+        .over(W.partitionBy(one).orderBy("c", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(one)).alias("nk"),
+        F.sum("c").over(W.partitionBy(one)).cast("long").alias("total"),
+    )
+    s = r.agg(
+        F.max("nk").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_count"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(99 * nk + 99) div 100"), F.col("c")
+            )
+        )
+        .cast("long")
+        .alias("p99_count"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        "p99_count",
+        (
+            F.col("max_count").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+        F.expr(
+            "CAST((max_count * n_keys + n_rows - 1) div n_rows AS BIGINT)"
+        ).alias("suggested_salt"),
+    )

@@ -231,6 +231,8 @@ HEADLINE = [
     "abtest_srm_check",
     "stats_welch_t_weekend",
     "changepoint_binseg_daily",
+    "stats_jonckheere_terpstra",
+    "diagnostics_join_key_skew",
 ]
 
 
