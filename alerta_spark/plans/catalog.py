@@ -25513,3 +25513,308 @@ def diagnostics_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((max_count * n_keys + n_rows - 1) div n_rows AS BIGINT)"
         ).alias("suggested_salt"),
     )
+
+
+@register(
+    "text_lm_heldout_perplexity",
+    # Held-out language-model quality: add-one-smoothed unigram model
+    # fit on the X19 train band, scored on the eval band. Per-term
+    # ln(c+1) and ln(denom) quantized at 1e9 (the X35 discipline), OOV
+    # terms take the c=0 lane exactly; per-doc accumulation is exact
+    # BIGINT; bits/token divides by a pinned ln2 literal.
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'eval'
+                  ELSE 'test' END AS band
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, band,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS term
+      FROM split WHERE band IN ('train', 'eval')
+    ),
+    vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE band = 'train' GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_train,
+             CAST(count(*) AS BIGINT) AS v_train
+      FROM vocab
+    ),
+    denomq AS (
+      SELECT n_train, v_train,
+             CAST(floor(ln(CAST(n_train + v_train + 1 AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS ld
+      FROM tot
+    ),
+    ev AS (
+      SELECT t.doc_id, t.term,
+             CAST(floor(ln(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS lq,
+             (v.term IS NULL) AS oov
+      FROM toks t LEFT JOIN vocab v USING (term)
+      WHERE t.band = 'eval'
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(count(*) * d.ld - sum(lq) AS DOUBLE) / 1000000000.0
+             / CAST(count(*) AS DOUBLE) AS mean_nll,
+           CAST(count(*) * d.ld - sum(lq) AS DOUBLE) / 1000000000.0
+             / CAST(count(*) AS DOUBLE) / 0.6931471805599453
+             AS bits_per_token
+    FROM ev e CROSS JOIN denomq d
+    GROUP BY e.doc_id, d.ld
+    """,
+)
+def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X293 held-out perplexity: fit an add-one-smoothed unigram LM on
+    the X19 train band and score every eval-band document — the
+    standard "is this data clean / in-domain" readout an LLM data
+    pipeline runs per source and per snapshot (in-corpus NLL X35
+    scores a document under ITS OWN corpus; this scores unseen text
+    under a FROZEN model, which is what generalizes). OOV terms take
+    the exact c=0 smoothing lane; per-term logs quantized at 1e9,
+    per-doc sums exact BIGINT, bits/token divides by a pinned ln2
+    literal. Scale: one token count on train, one broadcast-joined
+    scoring pass on eval — two shuffles total."""
+    docs = load_table(spark, sf_dir, "documents")
+    pref = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    band = (
+        F.when(pref < "cccccccc", "train")
+        .when(pref < "e6666666", "eval")
+        .otherwise("test")
+    )
+    term = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    toks = (
+        docs.select("doc_id", band.alias("band"), F.col("text"))
+        .where(F.col("band").isin("train", "eval"))
+        .select("doc_id", "band", term.alias("term"))
+    )
+    vocab = (
+        toks.where(F.col("band") == "train")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = vocab.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("v_train"),
+    )
+    denomq = tot.select(
+        "n_train",
+        "v_train",
+        F.floor(
+            F.log((F.col("n_train") + F.col("v_train") + 1).cast("double"))
+            * 1000000000
+        )
+        .cast("long")
+        .alias("ld"),
+    )
+    ev = (
+        toks.where(F.col("band") == "eval")
+        .join(F.broadcast(vocab), "term", "left")
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double"))
+                * 1000000000
+            )
+            .cast("long")
+            .alias("lq"),
+            F.col("c").isNull().alias("oov"),
+        )
+    )
+    g = (
+        ev.crossJoin(F.broadcast(denomq.select("ld")))
+        .groupBy("doc_id", "ld")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("oov"), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.sum("lq").cast("long").alias("slq"),
+        )
+    )
+    nll = (
+        (F.col("n_tokens") * F.col("ld") - F.col("slq")).cast("double")
+        / F.lit(1000000000.0)
+        / F.col("n_tokens").cast("double")
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        nll.alias("mean_nll"),
+        (nll / F.lit(0.6931471805599453)).alias("bits_per_token"),
+    )
+
+
+@register(
+    "revenue_bridge_monthly",
+    # Month-over-month revenue waterfall: new + expansion -
+    # contraction - churned == delta, all exact cents from one full
+    # outer join of adjacent (customer, month) revenue frames; the
+    # identity is emitted so the oracle hash PINS conservation.
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT o_custkey, CAST(mon + INTERVAL 1 MONTH AS DATE) AS mon,
+             cents AS prev FROM m
+    ),
+    j AS (
+      SELECT COALESCE(c.mon, p.mon) AS month,
+             COALESCE(c.cents, 0) AS cur,
+             COALESCE(p.prev, 0) AS prev
+      FROM m c FULL OUTER JOIN p
+        ON c.o_custkey = p.o_custkey AND c.mon = p.mon
+    )
+    SELECT month,
+           CAST(sum(CASE WHEN prev = 0 THEN cur ELSE 0 END) AS BIGINT)
+             AS new_cents,
+           CAST(sum(CASE WHEN cur > prev AND prev > 0
+                         THEN cur - prev ELSE 0 END) AS BIGINT)
+             AS expansion_cents,
+           CAST(sum(CASE WHEN cur < prev AND cur > 0
+                         THEN prev - cur ELSE 0 END) AS BIGINT)
+             AS contraction_cents,
+           CAST(sum(CASE WHEN cur = 0 THEN prev ELSE 0 END) AS BIGINT)
+             AS churned_cents,
+           CAST(sum(cur) - sum(prev) AS BIGINT) AS delta_cents,
+           (CAST(sum(CASE WHEN prev = 0 THEN cur ELSE 0 END)
+                 + sum(CASE WHEN cur > prev AND prev > 0
+                            THEN cur - prev ELSE 0 END)
+                 - sum(CASE WHEN cur < prev AND cur > 0
+                            THEN prev - cur ELSE 0 END)
+                 - sum(CASE WHEN cur = 0 THEN prev ELSE 0 END)
+                 AS BIGINT) = CAST(sum(cur) - sum(prev) AS BIGINT))
+             AS bridge_balances
+    FROM j GROUP BY month
+    """,
+)
+def revenue_bridge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X294 monthly revenue bridge (waterfall): decompose each
+    month-over-month revenue change into new + expansion -
+    contraction - churned — the finance twin of count-based growth
+    accounting (X137) and the decomposition NDR/GRR (X277) summarize.
+    Exact cents from one full outer join of adjacent (customer,
+    month) frames; the conservation identity is emitted as a column
+    so the oracle hash PINS that the bridge balances. Scale: one
+    (customer, month) aggregate + one co-partitioned full outer
+    join."""
+    od = load_table(spark, sf_dir, "orders")
+    m = od.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("mon")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    c = m.select("o_custkey", F.col("mon").alias("month"), F.col("cents").alias("cur"))
+    p = m.select(
+        "o_custkey",
+        F.add_months("mon", 1).alias("month"),
+        F.col("cents").alias("prev"),
+    )
+    j = c.join(p, ["o_custkey", "month"], "full_outer").select(
+        "month",
+        F.coalesce("cur", F.lit(0)).alias("cur"),
+        F.coalesce("prev", F.lit(0)).alias("prev"),
+    )
+    new_c = F.sum(F.when(F.col("prev") == 0, F.col("cur")).otherwise(0))
+    exp_c = F.sum(
+        F.when(
+            (F.col("cur") > F.col("prev")) & (F.col("prev") > 0),
+            F.col("cur") - F.col("prev"),
+        ).otherwise(0)
+    )
+    con_c = F.sum(
+        F.when(
+            (F.col("cur") < F.col("prev")) & (F.col("cur") > 0),
+            F.col("prev") - F.col("cur"),
+        ).otherwise(0)
+    )
+    chu_c = F.sum(F.when(F.col("cur") == 0, F.col("prev")).otherwise(0))
+    delta = F.sum("cur") - F.sum("prev")
+    return j.groupBy("month").agg(
+        new_c.cast("long").alias("new_cents"),
+        exp_c.cast("long").alias("expansion_cents"),
+        con_c.cast("long").alias("contraction_cents"),
+        chu_c.cast("long").alias("churned_cents"),
+        delta.cast("long").alias("delta_cents"),
+        ((new_c + exp_c - con_c - chu_c).cast("long") == delta.cast("long"))
+        .alias("bridge_balances"),
+    )
+
+
+@register(
+    "slo_apdex_daily",
+    # Apdex on the value column as a latency proxy (T=100, tolerating
+    # <= 4T): score = (2*satisfied + tolerating) / (2*n) — exact
+    # integer counts, one final division per day.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS satisfied,
+             CAST(sum(CASE WHEN value > 100 AND value <= 400
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tolerating
+      FROM events GROUP BY 1
+    )
+    SELECT day, n, satisfied, tolerating,
+           CAST(2 * satisfied + tolerating AS DOUBLE)
+             / CAST(2 * n AS DOUBLE) AS apdex
+    FROM d
+    """,
+)
+def slo_apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295 daily Apdex score: the SRE satisfaction index — satisfied
+    (value <= T=100) count full, tolerating (<= 4T) count half,
+    frustrated zero — beside the burn-rate (X122) and SPC (X160)
+    monitors; Apdex is the user-centric summary those alert on.
+    Computed as (2*satisfied + tolerating)/(2n) so the half-credit
+    stays integer; one map-side aggregate, one division per day."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") <= 100, 1).otherwise(0))
+        .cast("long")
+        .alias("satisfied"),
+        F.sum(
+            F.when((F.col("value") > 100) & (F.col("value") <= 400), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("tolerating"),
+    )
+    return d.select(
+        "day",
+        "n",
+        "satisfied",
+        "tolerating",
+        (
+            (F.lit(2) * F.col("satisfied") + F.col("tolerating")).cast("double")
+            / (F.lit(2) * F.col("n")).cast("double")
+        ).alias("apdex"),
+    )

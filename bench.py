@@ -233,6 +233,9 @@ HEADLINE = [
     "changepoint_binseg_daily",
     "stats_jonckheere_terpstra",
     "diagnostics_join_key_skew",
+    "text_lm_heldout_perplexity",
+    "revenue_bridge_monthly",
+    "slo_apdex_daily",
 ]
 
 
