@@ -25818,3 +25818,204 @@ def slo_apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("n")).cast("double")
         ).alias("apdex"),
     )
+
+
+@register(
+    "users_dau_mau_stickiness",
+    # DAU/MAU: the X58 contribute-explode makes the trailing-30d
+    # distinct exact without a sliding set union; stickiness is one
+    # division per day of exact counts.
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT user_id, d + CAST(o AS INTEGER) AS target_day
+      FROM ud, (SELECT unnest(generate_series(0, 29)) AS o)
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+    mau AS (
+      SELECT target_day AS d, CAST(count(*) AS BIGINT) AS mau
+      FROM contrib, bounds
+      WHERE target_day BETWEEN lo AND hi
+      GROUP BY target_day
+    )
+    SELECT dau.d AS day, dau.dau, mau.mau,
+           CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def users_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296 DAU/MAU stickiness: daily actives over trailing-30-day
+    actives — the canonical product-engagement ratio beside the 7d
+    sliding distinct (X58) and growth accounting (X137). The trailing
+    distinct uses the same contribute-explode shape as X58 (each
+    (user, day) contributes to the 30 target days, one distinct + one
+    count — never a per-day rescan); stickiness is one division of
+    exact counts. Scale: explode fan-out is a CONSTANT 30x on the
+    deduplicated (user, day) frame, then one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("o"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("o")).alias("target_day"))
+        .distinct()
+    )
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    mau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where(F.col("target_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("target_day").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    return dau.join(mau, "d").select(
+        F.col("d").alias("day"),
+        "dau",
+        "mau",
+        (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "spc_ewma_control_chart",
+    # EWMA(lambda=1/2) control chart on the daily error rate: rates
+    # quantized to BIGINT ppm, the EWMA fold linearized to the exact
+    # 2^t prefix sum (X99 discipline, runtime-guarded 63-bit budget),
+    # limits use the exact rational (4^t - 1)/(3*4^t) variance factor;
+    # breach compares identical IEEE doubles.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT day, (errs * 1000000) // n AS pq,
+             row_number() OVER (ORDER BY day) AS t
+      FROM d
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(pq) AS BIGINT) AS sp,
+             CAST(sum(CAST(pq AS HUGEINT) * pq) AS HUGEINT) AS qp
+      FROM p
+    ),
+    m AS (
+      SELECT day, t, pq,
+             CAST(sum(pq * CASE WHEN t = 1 THEN 2
+                               ELSE CAST(1 AS BIGINT) << (t - 1) END)
+                  OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS mnum
+      FROM p
+    )
+    SELECT m.day, m.pq,
+           CAST(m.mnum AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT) << m.t AS DOUBLE) AS ewma_ppm,
+           CAST(c.sp AS DOUBLE) / CAST(c.nd AS DOUBLE) AS center_ppm,
+           3.0 * sqrt(CAST(CAST(c.nd * c.qp - CAST(c.sp AS HUGEINT) * c.sp
+                     AS VARCHAR) AS DOUBLE)
+                 / (CAST(c.nd AS DOUBLE) * CAST(c.nd - 1 AS DOUBLE)))
+             * sqrt(CAST((CAST(1 AS BIGINT) << (2 * m.t)) - 1 AS DOUBLE)
+                    / (3.0 * CAST(CAST(1 AS BIGINT) << (2 * m.t)
+                                  AS DOUBLE))) AS limit_ppm,
+           (abs(CAST(m.mnum AS DOUBLE)
+                / CAST(CAST(1 AS BIGINT) << m.t AS DOUBLE)
+                - CAST(c.sp AS DOUBLE) / CAST(c.nd AS DOUBLE))
+            > 3.0 * sqrt(CAST(CAST(c.nd * c.qp - CAST(c.sp AS HUGEINT) * c.sp
+                     AS VARCHAR) AS DOUBLE)
+                 / (CAST(c.nd AS DOUBLE) * CAST(c.nd - 1 AS DOUBLE)))
+             * sqrt(CAST((CAST(1 AS BIGINT) << (2 * m.t)) - 1 AS DOUBLE)
+                    / (3.0 * CAST(CAST(1 AS BIGINT) << (2 * m.t)
+                                  AS DOUBLE)))) AS breach
+    FROM m CROSS JOIN c
+    """,
+)
+def spc_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X297 EWMA control chart on the daily error rate: the
+    small-shift-sensitive SPC monitor beside the Shewhart chart
+    (X160 — big shifts) and CUSUM (X61): EWMA(lambda=1/2) weights
+    recent days geometrically and its control limits widen with the
+    exact factor sqrt((4^t - 1)/(3*4^t)). Rates quantize to BIGINT
+    ppm; the EWMA fold is the X99 2^t linearization (exact integer
+    prefix sum — the one lambda whose float fold becomes order-free
+    arithmetic), runtime-guarded to the 63-bit budget; limits and
+    breach flags are compositions of IEEE-exact ops on identical
+    operands. Scale: one day-level aggregate; windows over the day
+    frame (31 rows — far inside the 2^63 budget the guard enforces)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    one = F.pmod(F.col("n"), F.lit(1))
+    p = d.select(
+        "day",
+        F.expr("(errs * 1000000) div n").alias("pq"),
+        F.row_number().over(W.partitionBy(one).orderBy("day")).alias("t"),
+    )
+    c = p.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("pq").cast("long").alias("sp"),
+        F.sum(F.col("pq").cast("decimal(19,0)") * F.col("pq"))
+        .cast("decimal(38,0)")
+        .alias("qp"),
+    )
+    guard = F.when(
+        F.col("t") > 30,
+        F.expr(
+            "raise_error('spc_ewma_control_chart: series longer than the"
+            " 63-bit exact budget (2^t linearization would wrap);"
+            " window the input to <= 30 points')"
+        ).cast("long"),
+    )
+    weight = F.coalesce(
+        guard,
+        F.when(F.col("t") == 1, F.lit(2).cast("long")).otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), t - 1)")
+        ),
+    )
+    wt = W.partitionBy(F.pmod(F.col("t"), F.lit(1))).orderBy("t")
+    m = p.select(
+        "day",
+        "t",
+        "pq",
+        F.sum(F.col("pq") * weight).over(wt).cast("long").alias("mnum"),
+    )
+    ewma = F.col("mnum").cast("double") / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), t) AS DOUBLE)"
+    )
+    center = F.col("sp").cast("double") / F.col("nd").cast("double")
+    sig = F.lit(3.0) * F.sqrt(
+        F.expr("CAST(nd * qp - CAST(sp AS DECIMAL(38,0)) * sp AS DOUBLE)")
+        / (F.col("nd").cast("double") * (F.col("nd") - 1).cast("double"))
+    ) * F.sqrt(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 2 * t) - 1 AS DOUBLE)")
+        / (
+            F.lit(3.0)
+            * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 2 * t) AS DOUBLE)")
+        )
+    )
+    return m.crossJoin(F.broadcast(c)).select(
+        "day",
+        "pq",
+        ewma.alias("ewma_ppm"),
+        center.alias("center_ppm"),
+        sig.alias("limit_ppm"),
+        (F.abs(ewma - center) > sig).alias("breach"),
+    )

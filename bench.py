@@ -236,6 +236,8 @@ HEADLINE = [
     "text_lm_heldout_perplexity",
     "revenue_bridge_monthly",
     "slo_apdex_daily",
+    "users_dau_mau_stickiness",
+    "spc_ewma_control_chart",
 ]
 
 
