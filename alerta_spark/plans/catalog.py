@@ -26019,3 +26019,205 @@ def spc_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.alias("limit_ppm"),
         (F.abs(ewma - center) > sig).alias("breach"),
     )
+
+
+@register(
+    "agg_grouping_sets_mixed",
+    # Arbitrary GROUPING SETS (not the cube/rollup lattices X55
+    # covers): ((type), (day), (type, day), ()) with grouping_id so
+    # every stratum is distinguishable; exact cents.
+    oracle="""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           CAST(grouping(event_type) * 2 + grouping(CAST(ts AS DATE))
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)),
+                            (event_type, CAST(ts AS DATE)), ())
+    """,
+)
+def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X298 arbitrary GROUPING SETS: the four strata ((type), (day),
+    (type, day), ()) in ONE pass with grouping_id labeling — the
+    general lattice the cube (X55) and rollup special-case; Spark
+    compiles it to a single Expand + hash aggregate, so the corpus is
+    scanned once for all four granularities. Exact counts/cents."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+    g = ev.select(
+        "event_type", day.alias("day"), cents.alias("c")
+    ).groupingSets(
+        [["event_type"], ["day"], ["event_type", "day"], []],
+        "event_type",
+        "day",
+    ).agg(
+        (F.grouping("event_type") * 2 + F.grouping("day"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("cents"),
+    )
+    return g.select("event_type", "day", "gid", "n", "cents")
+
+
+@register(
+    "asof_join_next_shipment",
+    # Forward as-of with tolerance: for each order, the FIRST ship
+    # date at/after the order date within 30 days (earliest ship,
+    # smallest line tie-break); orders with nothing inside the
+    # tolerance emit NULLs (left join semantics). Lag in whole days.
+    oracle="""
+    WITH cand AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             l.l_shipdate, l.l_linenumber,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY l.l_shipdate, l.l_linenumber) AS rn
+      FROM orders o JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate >= o.o_orderdate
+       AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    )
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(c.l_shipdate AS DATE) AS first_ship_date,
+           CAST(c.l_linenumber AS BIGINT) AS ship_linenumber,
+           CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(c.l_shipdate AS DATE)) AS BIGINT)
+             AS days_to_ship
+    FROM orders o LEFT JOIN cand c
+      ON c.o_orderkey = o.o_orderkey AND c.rn = 1
+    """,
+)
+def asof_join_next_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X299 forward as-of join with tolerance: each order matched to
+    its FIRST shipment at/after the order date within a 30-day
+    tolerance, NULLs past it — the forward twin of the backward as-of
+    (X-asof latest-order) and the tolerance semantics pandas
+    merge_asof calls `tolerance=`/`direction='forward'`. One
+    key+range join (co-partitioned on orderkey — the range predicate
+    prunes inside each key group, no cross-key fan-out), top-1 via
+    (shipdate, linenumber) window, left join preserves unmatched
+    orders."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cand = (
+        od.select("o_orderkey", "o_orderdate")
+        .join(
+            li.select("l_orderkey", "l_shipdate", "l_linenumber"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "l_shipdate",
+            "l_linenumber",
+            F.row_number()
+            .over(
+                W.partitionBy("o_orderkey").orderBy(
+                    "l_shipdate", "l_linenumber"
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return od.join(cand, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("l_shipdate").cast("date").alias("first_ship_date"),
+        F.col("l_linenumber").cast("long").alias("ship_linenumber"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("days_to_ship"),
+    )
+
+
+@register(
+    "anomaly_benford_chi2",
+    # chi2 companion of the X62 Benford TVD: per-type goodness-of-fit
+    # against the log10(1+1/d) expectation, as a FIXED-ORDER 9-term
+    # expression tree of identical doubles (never an aggregate over
+    # digit rows); flagged at the df=8 95% critical value 15.507.
+    oracle=(
+        lambda b=_benford_expected(): f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS dig
+      FROM events WHERE value >= 1
+    ),
+    c AS (
+      SELECT event_type, count(*) AS n,
+             {", ".join(f"count(*) FILTER (WHERE dig = {i}) AS c{i}" for i in range(1, 10))}
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ({" + ".join(
+               f"(CAST(c{i} AS DOUBLE) - CAST(n AS DOUBLE) * {b[i-1]!r})"
+               f" * (CAST(c{i} AS DOUBLE) - CAST(n AS DOUBLE) * {b[i-1]!r})"
+               f" / (CAST(n AS DOUBLE) * {b[i-1]!r})"
+               for i in range(1, 10)
+           )}) AS chi2,
+           (({" + ".join(
+               f"(CAST(c{i} AS DOUBLE) - CAST(n AS DOUBLE) * {b[i-1]!r})"
+               f" * (CAST(c{i} AS DOUBLE) - CAST(n AS DOUBLE) * {b[i-1]!r})"
+               f" / (CAST(n AS DOUBLE) * {b[i-1]!r})"
+               for i in range(1, 10)
+           )}) > 15.507) AS nonconformant
+    FROM c
+    """
+    )(),
+)
+def anomaly_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X300 Benford chi2 conformance test: the significance-bearing
+    companion of the X62 TVD screen — TVD ranks "how far from
+    Benford", chi2 says whether the deviation is statistically
+    surprising at the observed n, flagged at the df=8 95% critical
+    value. The 9 expectation constants are shared Python-computed
+    doubles; the statistic is a fixed-order 9-term expression tree of
+    identical IEEE doubles per event type (never a float aggregate
+    over digit rows). One map-side digit count; everything after is a
+    5-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    b = _benford_expected()
+    dig = F.substring(
+        F.floor(F.col("value")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        ev.where(F.col("value") >= 1)
+        .select("event_type", dig.alias("dig"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.count(F.when(F.col("dig") == i, 1)).alias(f"c{i}")
+                for i in range(1, 10)
+            ],
+        )
+    )
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for i in range(1, 10):
+        term = (
+            (F.col(f"c{i}").cast("double") - nd * F.lit(b[i - 1]))
+            * (F.col(f"c{i}").cast("double") - nd * F.lit(b[i - 1]))
+            / (nd * F.lit(b[i - 1]))
+        )
+        chi2 = term if chi2 is None else chi2 + term
+    return c.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(15.507)).alias("nonconformant"),
+    )

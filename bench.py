@@ -238,6 +238,9 @@ HEADLINE = [
     "slo_apdex_daily",
     "users_dau_mau_stickiness",
     "spc_ewma_control_chart",
+    "agg_grouping_sets_mixed",
+    "asof_join_next_shipment",
+    "anomaly_benford_chi2",
 ]
 
 
