@@ -26221,3 +26221,204 @@ def anomaly_benford_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(15.507)).alias("nonconformant"),
     )
+
+
+@register(
+    "security_odd_hours_screen",
+    # Night-activity anomaly screen: per-user night share vs the
+    # population rate, binomial z with an EXACT integer ranking key
+    # ((kN - nK)^2 * N * 1e6 // (n*K*(N-K)), sign carried separately)
+    # so the top-20 cut never depends on float rounding; z itself is
+    # one final float composition per emitted row.
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CASE WHEN EXTRACT(hour FROM ts) < 5 THEN 1 ELSE 0 END AS night
+      FROM events
+    ),
+    u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(night) AS BIGINT) AS k
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk
+      FROM u
+    ),
+    sc AS (
+      SELECT u.user_id, u.n, u.k, t.nn, t.kk,
+             u.k * t.nn - u.n * t.kk AS dev,
+             CAST((CAST(u.k * t.nn - u.n * t.kk AS HUGEINT)
+                   * (u.k * t.nn - u.n * t.kk) * 1000000)
+                  // (CAST(u.n AS HUGEINT) * t.kk * (t.nn - t.kk) * t.nn)
+                  AS BIGINT) AS z2q
+      FROM u CROSS JOIN t
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY z2q DESC, user_id) AS rn
+      FROM sc WHERE dev > 0
+    )
+    SELECT user_id, n AS n_events, k AS night_events, z2q,
+           CAST(dev AS DOUBLE) / CAST(nn AS DOUBLE)
+             / sqrt(CAST(n AS DOUBLE)
+                    * (CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))) AS z
+    FROM rk WHERE rn <= 20
+    """,
+)
+def security_odd_hours_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X301 odd-hours activity screen: which users are significantly
+    MORE nocturnal (00:00-05:00 UTC) than the population — the
+    classic SOC after-hours-access analytic beside the bot-regularity
+    screen (X238) and per-user burst detection (X132). Per-user
+    binomial z against the population night rate; ranking uses the
+    exact integer key (kN - nK)^2 * 1e6 / (n*K*(N-K)) (positive
+    deviations only) so the top-20 cut is float-free; z is one final
+    IEEE composition. Scale: one user-level aggregate + a 1-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        "user_id",
+        F.when(F.hour("ts") < 5, 1).otherwise(0).alias("night"),
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("night").cast("long").alias("k"),
+    )
+    t = u.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+    )
+    dev = F.col("k") * F.col("nn") - F.col("n") * F.col("kk")
+    sc = u.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "n",
+        "k",
+        "nn",
+        "kk",
+        dev.alias("dev"),
+        F.expr(
+            "CAST((CAST(k * nn - n * kk AS DECIMAL(38,0))"
+            " * (k * nn - n * kk) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * kk * (nn - kk) * nn)"
+            " AS BIGINT)"
+        ).alias("z2q"),
+    )
+    rk = (
+        sc.where(F.col("dev") > 0)
+        .select(
+            "*",
+            F.row_number()
+            .over(
+                W.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+                    F.desc("z2q"), F.asc("user_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 20)
+    )
+    pbar = F.col("kk").cast("double") / F.col("nn").cast("double")
+    return rk.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("night_events"),
+        "z2q",
+        (
+            F.col("dev").cast("double")
+            / F.col("nn").cast("double")
+            / F.sqrt(F.col("n").cast("double") * pbar * (F.lit(1.0) - pbar))
+        ).alias("z"),
+    )
+
+
+@register(
+    "security_first_seen_spike",
+    # New-entity monitoring: first-seen users per day, z against the
+    # expanding trailing baseline (mean/std of all PRIOR days, exact
+    # prefix moments, day >= 4 so the std is defined); one float
+    # composition per day.
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY 1
+    ),
+    alld AS (
+      SELECT t.day, CAST(COALESCE(d.new_users, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) t
+      LEFT JOIN d ON d.day = t.day
+    ),
+    pre AS (
+      SELECT day, x,
+             CAST(sum(x) OVER w - x AS BIGINT) AS ps,
+             CAST(sum(CAST(x AS HUGEINT) * x) OVER w - CAST(x AS HUGEINT) * x
+                  AS HUGEINT) AS pq,
+             CAST(count(*) OVER w - 1 AS BIGINT) AS pn
+      FROM alld WINDOW w AS (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x AS new_users, pn AS baseline_days,
+           CAST(pn * x - ps AS BIGINT) AS dev_scaled,
+           CAST(pn * x - ps AS DOUBLE)
+             / sqrt(CAST(pn AS DOUBLE))
+             / sqrt(CAST(CAST(pn * pq - CAST(ps AS HUGEINT) * ps
+                    AS VARCHAR) AS DOUBLE) / CAST(pn - 1 AS DOUBLE)) AS z
+    FROM pre WHERE pn >= 4
+    """,
+)
+def security_first_seen_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X302 first-seen-entity spike monitor: how many NEVER-before-
+    seen users appear each day, and is today's count anomalous
+    against the expanding baseline of all prior days — the new-entity
+    analytic every SOC runs for credential-stuffing / scraping waves
+    (and growth teams read as acquisition spikes), beside growth
+    accounting (X137) which classifies rather than alerts. First-seen
+    is an exact min-date aggregate; the baseline uses exact prefix
+    moments (prior days only — today never contaminates its own
+    baseline); z is one final IEEE composition, emitted once >= 4
+    baseline days exist. Scale: one user-level aggregate, then
+    day-frame windows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    f = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    alld = (
+        ev.select(day.alias("day"))
+        .distinct()
+        .join(d, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).cast("long").alias("x"))
+    )
+    wc = W.partitionBy(F.pmod(F.col("x"), F.lit(1))).orderBy("day")
+    pre = alld.select(
+        "day",
+        "x",
+        (F.sum("x").over(wc) - F.col("x")).cast("long").alias("ps"),
+        (
+            F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).over(wc)
+            - F.col("x").cast("decimal(19,0)") * F.col("x")
+        )
+        .cast("decimal(38,0)")
+        .alias("pq"),
+        (F.count(F.lit(1)).over(wc) - 1).cast("long").alias("pn"),
+    )
+    return pre.where(F.col("pn") >= 4).select(
+        "day",
+        F.col("x").alias("new_users"),
+        F.col("pn").alias("baseline_days"),
+        (F.col("pn") * F.col("x") - F.col("ps")).cast("long").alias("dev_scaled"),
+        (
+            (F.col("pn") * F.col("x") - F.col("ps")).cast("double")
+            / F.sqrt(F.col("pn").cast("double"))
+            / F.sqrt(
+                F.expr(
+                    "CAST(pn * pq - CAST(ps AS DECIMAL(38,0)) * ps AS DOUBLE)"
+                )
+                / (F.col("pn") - 1).cast("double")
+            )
+        ).alias("z"),
+    )

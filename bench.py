@@ -241,6 +241,8 @@ HEADLINE = [
     "agg_grouping_sets_mixed",
     "asof_join_next_shipment",
     "anomaly_benford_chi2",
+    "security_odd_hours_screen",
+    "security_first_seen_spike",
 ]
 
 
