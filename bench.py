@@ -243,6 +243,9 @@ HEADLINE = [
     "anomaly_benford_chi2",
     "security_odd_hours_screen",
     "security_first_seen_spike",
+    "setop_power_user_segments",
+    "unpivot_daily_type_metrics",
+    "graph_khop_recursive_cte",
 ]
 
 
