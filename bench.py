@@ -246,6 +246,8 @@ HEADLINE = [
     "setop_power_user_segments",
     "unpivot_daily_type_metrics",
     "graph_khop_recursive_cte",
+    "forecast_croston_intermittent",
+    "split_allocation_neyman",
 ]
 
 
