@@ -248,6 +248,8 @@ HEADLINE = [
     "graph_khop_recursive_cte",
     "forecast_croston_intermittent",
     "split_allocation_neyman",
+    "orders_trading_day_adjusted_growth",
+    "supply_eoq_classic",
 ]
 
 
