@@ -250,6 +250,8 @@ HEADLINE = [
     "split_allocation_neyman",
     "orders_trading_day_adjusted_growth",
     "supply_eoq_classic",
+    "timeseries_max_drawdown_daily",
+    "events_type_mix_entropy_daily",
 ]
 
 
