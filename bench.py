@@ -252,6 +252,8 @@ HEADLINE = [
     "supply_eoq_classic",
     "timeseries_max_drawdown_daily",
     "events_type_mix_entropy_daily",
+    "privacy_pii_inventory_by_source",
+    "embedding_quality_screen",
 ]
 
 
