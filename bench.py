@@ -254,6 +254,8 @@ HEADLINE = [
     "events_type_mix_entropy_daily",
     "privacy_pii_inventory_by_source",
     "embedding_quality_screen",
+    "abtest_mde_planner",
+    "dedup_cluster_cohesion_audit",
 ]
 
 
