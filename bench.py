@@ -256,6 +256,8 @@ HEADLINE = [
     "embedding_quality_screen",
     "abtest_mde_planner",
     "dedup_cluster_cohesion_audit",
+    "stats_ljung_box_daily",
+    "timeseries_hurst_rs_pinned",
 ]
 
 
