@@ -258,6 +258,7 @@ HEADLINE = [
     "dedup_cluster_cohesion_audit",
     "stats_ljung_box_daily",
     "timeseries_hurst_rs_pinned",
+    "multimodal_ahash_near_pairs",
 ]
 
 
