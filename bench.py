@@ -259,6 +259,7 @@ HEADLINE = [
     "stats_ljung_box_daily",
     "timeseries_hurst_rs_pinned",
     "multimodal_ahash_near_pairs",
+    "stats_sign_test_wow",
 ]
 
 
