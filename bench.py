@@ -260,6 +260,9 @@ HEADLINE = [
     "timeseries_hurst_rs_pinned",
     "multimodal_ahash_near_pairs",
     "stats_sign_test_wow",
+    "stats_cramer_von_mises",
+    "stats_kuiper_hour_of_day",
+    "timeseries_wasserstein_wow",
 ]
 
 
