@@ -50,6 +50,7 @@ class Engine:
         rules: list[dict[str, Any]],
         fuse_thresholds: bool = False,
         fuse_deadmen: bool = False,
+        fuse_sequences: bool = False,
         eval_time=None,
     ) -> None:
         """One engine pass (the cron body, alerta.py:481-515).
@@ -116,6 +117,30 @@ class Engine:
             if dm:
                 self._run_deadmen_fused(events_df, dm)
             rules = [r for r in rules if r.get("alert_type") != "deadman"]
+        if fuse_sequences:
+            seq = [r for r in rules if r.get("alert_type") == "sequence"]
+            if seq:
+                from alerta_spark.operators.sequence import (
+                    sequence_starts_fused,
+                )
+
+                # one conditional-aggregate scan starts every fusable
+                # sequence rule; unfusable ones (deadman slots,
+                # templated slot-0 criteria, broken criteria) fall
+                # through to the faithful per-rule loop below
+                leftover = sequence_starts_fused(
+                    events_df, seq, self.inflight, self.alerts,
+                    self.id_col, self.ts_col,
+                )
+                fused_names = {id(r) for r in seq} - {
+                    id(r) for r in leftover
+                }
+                rules = [
+                    r
+                    for r in rules
+                    if r.get("alert_type") != "sequence"
+                    or id(r) not in fused_names
+                ]
 
         for rule in rules:
             kind = rule.get("alert_type", "threshold")
@@ -182,6 +207,7 @@ class Engine:
         trigger: dict[str, Any] | None = None,
         fuse_thresholds: bool = False,
         fuse_deadmen: bool = False,
+        fuse_sequences: bool = False,
     ):
         """T1 as a first-class API: the cron body under a Structured
         Streaming trigger. Each micro-batch executes one full rule pass
@@ -203,6 +229,7 @@ class Engine:
                 rules,
                 fuse_thresholds=fuse_thresholds,
                 fuse_deadmen=fuse_deadmen,
+                fuse_sequences=fuse_sequences,
             )
 
         return (

@@ -264,3 +264,157 @@ def process_sequence_slot_batched(
         updates.append(inflight)
     inflight_store.upsert_many(updates)
     return leftover
+
+
+def sequence_slots_fused_frame(
+    events_df: DataFrame,
+    slot_shells: list[dict[str, Any]],
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The one-scan conditional-aggregate core of sequence-rule
+    fusion: every fusable slot's criteria + aggregation key evaluated
+    as columns of a single events projection, exploded and aggregated
+    by (rule_idx, value) — N sequence rules cost ONE corpus scan and
+    ONE exchange, exactly the :func:`~alerta_spark.operators.
+    threshold.fused_grouped` shape threshold rules already use.
+    Exposed separately so tests can plan-guard the single-scan
+    property. -> [rule_idx, value, count, events]."""
+    from alerta_spark.operators.threshold import fused_grouped
+
+    return fused_grouped(events_df, slot_shells, id_col, ts_col)
+
+
+def sequence_starts_fused(
+    events_df: DataFrame,
+    rules: list[dict[str, Any]],
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> list[dict[str, Any]]:
+    """Start N fresh sequence rules with ONE events scan (the fusion
+    upgrade the threshold/deadman families already have): each rule's
+    first unfilled slot — template-free threshold slots only — joins
+    one conditional-aggregate scan; fired groups spawn the same
+    in-flight documents :func:`process_sequence_alert` writes, in the
+    same per-rule order. Returns the rules it could NOT fuse (deadman
+    slots, templated slot criteria, or criteria that fail to
+    parse/resolve) — the caller runs those through the faithful
+    per-rule path.
+
+    Dedup: the store-level F8/F9 anti-join set is snapshotted once
+    and applied inside the single scan; the SEQUENTIAL loop's
+    intra-pass interaction — rule k's dedup also hides events captured
+    by rules 1..k-1 of the same pass — is replayed driver-side over
+    the persisted (tiny, post-aggregation) grouped frame, so alert
+    documents match the per-rule loop exactly (pytest-pinned in
+    tests/test_sequence.py). The one documented divergence: a group
+    that hit the 1000-event collection cap AND overlaps an earlier
+    rule's capture keeps the scan-time count (the uncollected tail is
+    not re-checkable without a second scan).
+    """
+    from pyspark.sql import functions as F
+
+    from alerta_spark.dialect import trino_to_spark
+    from alerta_spark.operators.dedup import remove_previously_alerted
+    from alerta_spark.operators.threshold import assemble_alerts
+    from alerta_spark.paths import path_col
+    from alerta_spark.rules import threshold_shell
+    from alerta_spark.templates import template_vars
+
+    fusable: list[tuple[dict, int, dict]] = []
+    leftover: list[dict] = []
+    for rule in rules:
+        doc = sequence_shell(deepcopy(rule))
+        idx, slot = first_unfilled_slot(doc)
+        if slot is None:
+            continue
+        crit = str(slot.get("criteria", ""))
+        if (
+            slot.get("alert_type", "threshold") != "threshold"
+            or template_vars(crit)
+        ):
+            leftover.append(rule)
+            continue
+        try:
+            p = threshold_shell(dict(slot))
+            if p["criteria"]:
+                # plan-time parse + resolve check; no job runs
+                events_df.where(
+                    F.expr(trino_to_spark(p["criteria"]))
+                ).schema
+            path_col(events_df, p["aggregation_key"])
+        except Exception:
+            leftover.append(rule)
+            continue
+        fusable.append((doc, idx, p))
+    if not fusable:
+        return leftover
+
+    dedup_ids = inflight_store.alerted_ids().unionByName(
+        alert_store.alerted_ids()
+    )
+    ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
+    grouped = sequence_slots_fused_frame(
+        ev, [p for _, _, p in fusable], id_col, ts_col
+    ).persist()
+    try:
+        extra_ids: set[str] = set()
+        for i, (doc, idx, p) in enumerate(fusable):
+            thr = int(p["threshold"])
+            # dedup only ever REMOVES events, so a group passing the
+            # threshold post-dedup necessarily passes pre-dedup — the
+            # scan-side filter is a lossless candidate cut
+            slice_ = grouped.where(
+                (F.col("rule_idx") == i) & (F.col("count") >= thr)
+            ).select("value", "count", "events")
+            if extra_ids:
+                # intra-pass F9 (sequential-loop semantics): drop
+                # events captured by EARLIER rules this pass from the
+                # collected sample; the count is recomputed exactly
+                # whenever the collection cap was not hit
+                ids_lit = F.array(*[F.lit(x) for x in sorted(extra_ids)])
+                kept = F.filter(
+                    F.col("events"),
+                    lambda e: ~F.array_contains(
+                        ids_lit, e[id_col].cast("string")
+                    ),
+                )
+                slice_ = (
+                    slice_.select(
+                        "value",
+                        "count",
+                        F.size("events").alias("_n0"),
+                        kept.alias("events"),
+                    )
+                    .select(
+                        "value",
+                        F.when(
+                            F.col("count") == F.col("_n0"),
+                            F.size("events").cast("long"),
+                        )
+                        .otherwise(F.col("count"))
+                        .alias("count"),
+                        "events",
+                    )
+                    .where(
+                        (F.col("count") >= thr) & (F.size("events") > 0)
+                    )
+                )
+            fired_docs = alerts_df_to_docs(
+                assemble_alerts(slice_, p, ev.schema)
+            )
+            updates = []
+            for fired_doc in fired_docs:
+                inflight = deepcopy(doc)
+                inflight["slots"][idx] = fired_doc
+                updates.append(inflight)
+                for evd in fired_doc.get("events") or []:
+                    eid = evd.get(id_col)
+                    if eid is not None:
+                        extra_ids.add(str(eid))
+            inflight_store.upsert_many(updates)
+    finally:
+        grouped.unpersist()
+    return leftover

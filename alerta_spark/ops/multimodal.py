@@ -2,14 +2,15 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas``.
 
-The decode step itself (JPEG/PNG/audio codecs) is STUBBED — the
-container has no imaging/audio libraries — behind
-``decoder="fake"`` (deterministic: derives pseudo-metadata and a
-feature vector from the bytes) or ``decoder="real"`` (raises
-NotImplementedError with the library it would use). Everything
-Spark-side is real and tested: the schema, the Arrow batch path, the
-partitioning, and the UDF signatures — swap the decode body on a
-cluster with codecs installed and nothing else changes.
+The decode step ships two bodies behind one seam: ``decoder="fake"``
+(deterministic: derives pseudo-metadata and a feature vector from the
+bytes — always available) and ``decoder="real"``, which probes for
+Pillow at call time (:func:`pil_available`) and routes through it when
+present; in this build sandbox no imaging/audio libraries exist, so
+"real" raises NotImplementedError here and the Pillow path is
+exercised only on clusters that have it. Everything Spark-side is real
+and tested either way: the schema, the Arrow batch path, the
+partitioning, and the UDF signatures.
 
 Schema convention:
 
@@ -55,6 +56,19 @@ def attach_fake_media(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("media", F.struct(data.alias("data"), meta.alias("meta")))
 
 
+def pil_available() -> bool:
+    """Probe for Pillow — the real-decoder seam. The sandbox this repo
+    is built in has no imaging libraries, so ``decoder="real"`` raises
+    NotImplementedError there; on a cluster with Pillow installed the
+    SAME call sites route through it with no code change."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 def _fake_decode(data: bytes) -> list[float]:
     """Deterministic stand-in for decode+feature-extract: FEATURE_DIM
     floats derived from the content digest."""
@@ -75,15 +89,20 @@ def extract_features(
     """Decode media and emit a feature vector per row via mapInPandas.
 
     Arrow moves the binary column in columnar batches; the pandas
-    function is the ONLY Python in the pipeline and is replaced
-    wholesale by a real decoder on a cluster with codecs.
+    function is the ONLY Python in the pipeline. ``decoder="real"``
+    routes through Pillow when it is importable (4x4 grayscale
+    thumbnail -> FEATURE_DIM floats in [0,1]) and raises
+    NotImplementedError when it is not (this build sandbox has no
+    imaging libraries); ``decoder="fake"`` is the deterministic
+    digest-derived stand-in either way.
     """
     if decoder == "real":
-        raise NotImplementedError(
-            "real decode requires an imaging/audio library (e.g. Pillow/"
-            "torchaudio) not present in this environment; use decoder='fake'"
-        )
-    if decoder != "fake":
+        if not pil_available():
+            raise NotImplementedError(
+                "real decode requires an imaging library (Pillow) not "
+                "present in this environment; use decoder='fake'"
+            )
+    elif decoder != "fake":
         raise ValueError(f"unknown decoder: {decoder}")
 
     from alerta_spark._ship import ensure_shipped
@@ -99,6 +118,7 @@ def extract_features(
     )
 
     dim = FEATURE_DIM
+    use_real = decoder == "real"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained (no alerta_spark import on the worker) so the
@@ -107,12 +127,26 @@ def extract_features(
 
         import pandas as _pd
 
-        def _decode(data: bytes) -> list[float]:
-            d = _hashlib.sha256(data or b"").digest()
-            return [
-                int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65535.0
-                for i in range(dim)
-            ]
+        if use_real:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            side = int(dim**0.5)  # FEATURE_DIM=16 -> 4x4 thumbnail
+
+            def _decode(data: bytes) -> list[float]:
+                im = _Image.open(_io.BytesIO(data)).convert("L")
+                px = im.resize((side, side)).getdata()
+                return [p / 255.0 for p in px]
+
+        else:
+
+            def _decode(data: bytes) -> list[float]:
+                d = _hashlib.sha256(data or b"").digest()
+                return [
+                    int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65535.0
+                    for i in range(dim)
+                ]
 
         for pdf in batches:
             datas = pdf["_data"]
@@ -177,17 +211,20 @@ def resize_images(
     decoder: str = "fake",
 ) -> DataFrame:
     """Image resize plumbing over mapInPandas: 1->1 rows, binary in /
-    binary out with updated metadata. The pixel work is stubbed
-    (`decoder='fake'` re-emits a deterministic digest-truncated payload
-    with the target dims; `decoder='real'` names the library it
-    needs) — the Arrow batch path, output schema and metadata rewrite
-    are the production shape."""
+    binary out with updated metadata. `decoder='fake'` re-emits a
+    deterministic digest-truncated payload with the target dims;
+    `decoder='real'` routes through Pillow when importable (decode ->
+    RGB resize -> PNG bytes) and raises NotImplementedError when not
+    (this build sandbox has no imaging libraries) — the Arrow batch
+    path, output schema and metadata rewrite are the production shape
+    either way."""
     if decoder == "real":
-        raise NotImplementedError(
-            "real resize requires an imaging library (e.g. Pillow) not "
-            "present in this environment; use decoder='fake'"
-        )
-    if decoder != "fake":
+        if not pil_available():
+            raise NotImplementedError(
+                "real resize requires an imaging library (Pillow) not "
+                "present in this environment; use decoder='fake'"
+            )
+    elif decoder != "fake":
         raise ValueError(f"unknown decoder: {decoder}")
 
     from alerta_spark._ship import ensure_shipped
@@ -210,15 +247,31 @@ def resize_images(
         ]
     )
 
+    use_real = decoder == "real"
+    out_format = "png" if use_real else "fake-resized"
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
         import pandas as _pd
 
-        def _resize(b):
-            b = bytes(b or b"")
-            # deterministic stand-in for decoded+resized pixels
-            return _hl.sha256(b).digest() * 4
+        if use_real:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def _resize(b):
+                im = _Image.open(_io.BytesIO(bytes(b or b"")))
+                buf = _io.BytesIO()
+                im.convert("RGB").resize((tw, th)).save(buf, format="PNG")
+                return buf.getvalue()
+
+        else:
+
+            def _resize(b):
+                b = bytes(b or b"")
+                # deterministic stand-in for decoded+resized pixels
+                return _hl.sha256(b).digest() * 4
 
         for pdf in batches:
             yield _pd.DataFrame(
@@ -229,7 +282,7 @@ def resize_images(
                             "data": _resize(d),
                             "meta": {
                                 "kind": "image",
-                                "format": "fake-resized",
+                                "format": out_format,
                                 "width": tw,
                                 "height": th,
                                 "duration_ms": None,

@@ -86,7 +86,14 @@ def global_rank_cumsum(
     # cluster) — the ONLY single-partition window in the plan, and a
     # deliberately tiny one
     totals = ranged.groupBy("_pp").agg(*aggs)
-    w_prev = W.orderBy("_pp").rowsBetween(W.unboundedPreceding, -1)
+    # constant partition key states that single-partition intent
+    # (Catalyst folds it away; the audited allowlist in
+    # tools/window_audit.py is the enforcement)
+    w_prev = (
+        W.partitionBy(F.lit(0))
+        .orderBy("_pp")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     off_proj = [
         F.col("_pp"),
         F.coalesce(F.sum("_n").over(w_prev), F.lit(0).cast("long")).alias(

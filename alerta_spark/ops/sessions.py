@@ -292,7 +292,8 @@ def funnel_counts(
         counts = row if counts is None else counts.unionByName(row)
     # bounded by construction: |steps| rows total, so the single-
     # partition window is deliberate; the constant partition key states
-    # that and silences WindowExec's no-partition warning
+    # that intent (Catalyst folds it away — the audited allowlist in
+    # tools/window_audit.py is the enforcement)
     w = (
         W.partitionBy(F.lit(0))
         .orderBy("step_idx")

@@ -228,6 +228,71 @@ def lsh_topk(
     )
 
 
+def lsh_topk_portable(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 4,
+    bands: int = 12,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """:func:`lsh_topk` with the PORTABLE integer bucketing of
+    :func:`lsh_buckets_portable`: sign bits of exact BIGINT dots
+    between floor(x*1e6) components and integer hyperplane numerators,
+    so the bucket assignment — the one float-fragile step of
+    hyperplane LSH — has a DuckDB twin and the whole candidate
+    pipeline (banding, candidate join, exact cosine re-rank, top-k
+    cut) is hash-checkable end to end.
+
+    Plan shape (the 100 TB contract): the corpus is scanned once to
+    produce the light (id, band, bucket) frame; the 5-query bucket
+    list and the candidate id set broadcast back against the corpus
+    scan for re-ranking — the corpus itself never shuffles. The
+    per-query window is bounded by the candidate fan-in per bucket.
+
+    -> [query_id, neighbor_id, cos] (same shape as cosine_topk).
+    """
+    from alerta_spark.ops.dedupe import _persist
+
+    b = _persist(
+        lsh_buckets_portable(
+            df, id_col, vec_col, dim, planes, bands, scale
+        ).withColumnRenamed(id_col, "_bid")
+    )
+    qb = b.where(F.col("_bid").isin(query_ids)).select(
+        F.col("_bid").alias("query_id"), "band", "bucket"
+    )
+    cand = (
+        b.join(F.broadcast(qb), ["band", "bucket"])
+        .where(F.col("_bid") != F.col("query_id"))
+        .select("query_id", F.col("_bid").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    scored = vecs.join(
+        F.broadcast(
+            cand.join(qv, cand["query_id"] == qv["_qid"]).drop("_qid")
+        ),
+        F.col("_vid") == F.col("neighbor_id"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def _train_centroids(
     df: DataFrame,
     n_centroids: int,
@@ -715,53 +780,45 @@ def lsh_buckets_portable(
     hash-checkable. |qx| <= scale·|x|, |w| <= 1e6, dim 64 ⇒ the dot
     stays far inside int64.
 
-    Aggregation shape (the MinHash lesson): posexplode the vector
-    once, quantize each component once, then bands*planes partial-
-    aggregated conditional sums — not bands*planes re-walks of the
-    array under Catalyst's projection collapse.
+    Implementation is the repo's documented genuinely-numeric case
+    (the ahash64 precedent): one Arrow-batched numpy matmul per batch,
+    which stays EXACT — floor(x_float64 * scale) reproduces the SQL
+    quantization bit-for-bit (float32→float64 is exact, mul/floor are
+    single IEEE ops), every product |q·w| <= 6e11 and every 64-term
+    partial sum <= 3.9e13 is an integer below 2^53, so the float64
+    BLAS accumulation cannot round and the sign bits equal the BIGINT
+    oracle's everywhere. The earlier per-plane conditional-sum column
+    fold computed the identical buckets but ran ~6x slower at sf0.1
+    (interpreted higher-order lambdas outside whole-stage codegen).
 
     -> [id_col, band, bucket] (bands rows per input row).
     """
+    import numpy as np
+    import pandas as _pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     total = bands * planes
-    ex = df.select(
-        F.col(id_col).alias("_pid"),
-        F.posexplode(quantize_vec(vec_col, scale)).alias("_pos", "_qc"),
-    )
-    dots = ex.groupBy("_pid").agg(
-        *[
-            F.sum(
-                F.col("_qc")
-                * F.element_at(
-                    F.array(
-                        *[F.lit(w).cast("long") for w in _int_hyperplane(dim, p)]
-                    ),
-                    F.col("_pos") + 1,
-                )
-            ).alias(f"_d{p}")
-            for p in range(total)
-        ]
-    )
-    band_buckets = F.array(
-        *[
-            F.aggregate(
-                F.array(
-                    *[
-                        F.when(
-                            F.col(f"_d{b * planes + p}") > 0,
-                            F.lit(1 << p).cast("long"),
-                        ).otherwise(F.lit(0).cast("long"))
-                        for p in range(planes)
-                    ]
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for b in range(bands)
-        ]
-    )
-    return dots.select(
-        F.col("_pid").alias(id_col),
-        F.posexplode(band_buckets).alias("band", "bucket"),
+    Wm = np.array(
+        [_int_hyperplane(dim, p) for p in range(total)], dtype=np.float64
+    ).T  # dim x total
+    bitw = (np.int64(1) << np.arange(planes, dtype=np.int64))
+
+    def _buckets(vecs):
+        X = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        Q = np.floor(X * float(scale))  # exact integers in float64
+        bits = (Q @ Wm > 0).astype(np.int64)
+        B = bits.reshape(len(X), bands, planes) @ bitw
+        return _pd.Series([row.tolist() for row in B])
+
+    _buckets.__annotations__ = {"vecs": _pd.Series, "return": _pd.Series}
+    buckets = pandas_udf(_buckets, "array<long>")
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(buckets(F.col(vec_col))).alias("band", "bucket"),
     )
 
 
@@ -1578,12 +1635,10 @@ def embedding_lof(
             ).alias("lof"),
         )
     )
-    wtop = W.orderBy(F.desc("lof_q"), F.asc(id_col))
-    return (
-        out.withColumn("_rn", F.row_number().over(wtop))
-        .where(F.col("_rn") <= 20)
-        .drop("_rn")
-    )
+    # top-20 via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # top-20, driver merge of 20-row heaps) — NOT a global row_number
+    # window, which would single-partition-shuffle every scored doc.
+    return out.orderBy(F.desc("lof_q"), F.asc(id_col)).limit(20)
 
 
 def hard_triplets(
@@ -1592,22 +1647,33 @@ def hard_triplets(
     vec_col: str = "embedding",
     label_col: str = "label",
     scale: int = 1_000_000,
+    max_ref: int = 65_536,
 ) -> DataFrame:
     """Hardest-positive / hardest-negative mining: for every anchor,
     the most-similar same-label vector and the most-similar
     different-label vector, with the margin between them — the batch
     primitive of metric-learning pipelines.
 
-    Shape: the (bounded, in-batch) corpus broadcasts as one quantized
-    int64 matrix; anchors stream through an Arrow-batched numpy
-    kernel doing one integer matmul per batch (every |q| <= scale*0.6
-    and dim=64 keeps each dot < 2^53, so int64->float64 is exact and
-    the cosine is the same IEEE sqrt/div/floor sequence the SQL
-    oracle runs). Ranking tie-breaks by smallest candidate id via an
-    order-preserving composite key (cq * 2^32 - id). At corpus scale
-    the candidate set comes from the LSH/IVF generators (lsh_topk /
-    ivf_topk) instead of all pairs — this is the exact within-batch
-    form those feed.
+    Shape: the reference set — the `max_ref` LOWEST-id vectors, an
+    EXPLICIT driver-memory cap (TakeOrderedAndProject, never a full
+    corpus collect; 65,536 x 64 x 8 B ≈ 32 MB broadcast) — ships as
+    one quantized int64 matrix; anchors stream through an
+    Arrow-batched numpy kernel doing one integer matmul per batch
+    (every |q| <= scale*0.6 and dim=64 keeps each dot < 2^53, so
+    int64->float64 is exact and the cosine is the same IEEE
+    sqrt/div/floor sequence the SQL oracle runs). Ranking tie-breaks
+    by smallest candidate id via an order-preserving composite key
+    (cq * 2^32 - id).
+
+    Capped-reference semantics: when the corpus fits under `max_ref`
+    the result is exact all-pairs mining (the oracle's form); beyond
+    it, the hardest pos/neg come from the fixed lowest-id memory bank
+    — the standard bounded-negative-pool regime of metric-learning
+    batches. At full corpus scale the candidate set instead comes
+    from the LSH/IVF generators (lsh_topk / ivf_topk), for which this
+    is the exact within-batch form; anchors always stream
+    distributed, so driver memory stays O(max_ref) regardless of
+    corpus size.
 
     -> [anchor_id, pos_id, neg_id, cos_pos_q, cos_neg_q, margin_q]
     """
@@ -1618,7 +1684,12 @@ def hard_triplets(
     spark = df.sparkSession
     ensure_shipped(spark)
 
-    rows = df.select(id_col, label_col, vec_col).collect()
+    rows = (
+        df.select(id_col, label_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_ref)
+        .collect()
+    )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     labels = np.array([r[1] for r in rows], dtype=np.int64)
     # floor(x * scale): float32 -> float64 is exact, mul/floor IEEE

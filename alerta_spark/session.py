@@ -43,4 +43,22 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's "No Partition Defined" warning cannot be silenced
+    # per-site on Spark 4.x: Catalyst folds constant partition keys
+    # (partitionBy(F.lit(0))) out of the window spec before the check
+    # runs. Every unpartitioned window in this repo is a deliberate,
+    # bounded-domain frame (distinct-cents / day / hour / 24-row /
+    # num_partitions spines — each commented at the site), and the
+    # enforcement mechanism is tools/window_audit.py + the allowlist
+    # pin in tests/test_plans.py, which catch ACCIDENTAL global
+    # windows far more reliably than a log line ever did. So the
+    # logger drops to ERROR here, once, with this paper trail.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 logging backend: keep the warning, not a crash
     return spark

@@ -298,11 +298,21 @@ def main() -> None:
     # persisted intermediates (shingle frames, banding frames) stay
     # cached ACROSS queries on purpose: Spark's cache manager matches
     # identical logical plans, so the dedup family legitimately shares
-    # one shingle materialization — releasing between queries was
+    # one shingle materialization — releasing between EVERY query was
     # measured NET-NEGATIVE (minhash 3.6s -> 6.4s vs ~5s saved
     # elsewhere). 128 GiB storage comfortably holds the sf0.1 frames.
+    # SPARK_GRAFT_BENCH_RELEASE=N (0=never) clears the cache every N
+    # queries — the bench-hygiene knob for measuring whether cache/plan
+    # accumulation across a 200+-query session drifts later entries
+    # (the `pareto_customer_revenue` creep investigation, round 5).
+    release_every = int(os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "0"))
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if release_every and i and i % release_every == 0:
+            from alerta_spark.ops.dedupe import release_cached
+
+            release_cached()
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -602,12 +602,17 @@ def test_dynamic_partition_pruning_fires_on_partitioned_lake(spark, tmp_path, ev
 
 def test_lof_pair_join_is_salted_hash_join(spark):
     """embedding_lof's within-cell pair join must stay a hash join on
-    (cell, salt) — never a nested-loop/cartesian — and the rule-pair
-    co-fire matrix must be join-free (one aggregate)."""
+    (cell, salt) — never a nested-loop/cartesian — and the final
+    top-20 cut must be TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a global row_number window whose
+    single-partition Exchange would funnel every scored doc through
+    one task."""
     plan = _plan(spark, "embedding_lof_outliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_salt" in plan  # the skew salt reached the physical join
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_cofire_matrix_is_join_free_single_scan(spark):
@@ -634,3 +639,54 @@ def test_source_overlap_posting_join_bounded(spark):
     join (hash join), not a source-pair cartesian."""
     plan = _plan(spark, "corpus_source_overlap_matrix")
     assert "CartesianProduct" not in plan
+
+
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # Every entry is a deliberate single-partition window over a
+    # BOUNDED-domain frame (commented at each site); Catalyst folds
+    # constant partition keys away on Spark 4.x, so this audited
+    # allowlist — not the WindowExec log line — is the enforcement
+    # against accidental corpus-sized global windows.
+    "abtest_bh_fdr",                 # |event_type| frame
+    "bandit_ucb_scores",             # |event_type| frame
+    "changepoint_cusum_daily",       # day-domain frame
+    "classifier_auc_roc",            # distinct-cents frame
+    "features_quantile_transform",   # distinct-value frame
+    "orders_seasonal_index_monthly", # month-domain frame
+    "pareto_customer_revenue",       # num_partitions offsets (prefix op)
+    "parts_abc_xyz_classification",  # |part| frame
+    "profile_key_skew",              # top-k distinct-key frame
+    "sessions_peak_concurrency_daily",  # num_partitions offsets
+    "stats_cramer_von_mises",        # day-domain frame
+    "stats_kuiper_hour_of_day",      # 24-row hour frame
+    "stats_mann_whitney_u",          # distinct-cents frame
+    "stats_spearman_corr",           # distinct-value frame
+    "timeseries_wasserstein_wow",    # distinct-cents frame
+    "users_value_gini",              # distinct-value frame
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(UNPARTITIONED_WINDOW_ALLOWLIST | {"embedding_lof_outliers", "text_bm25_topk"})
+)
+def test_unpartitioned_windows_match_audited_allowlist(spark, name):
+    """Pin the window audit: allowlisted queries keep their (bounded,
+    deliberate) unpartitioned windows; two corpus-scale queries that
+    MUST stay free of them are checked as canaries. Full-catalog sweep
+    = `python tools/window_audit.py`."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.window_audit import is_unpartitioned
+
+    plan = _plan(spark, name)
+    hits = [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip(" :+-").startswith("Window ")
+        and is_unpartitioned(ln.lstrip(" :+-"))
+    ]
+    if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+        assert hits, f"{name}: audited window disappeared — update allowlist"
+    else:
+        assert not hits, f"{name}: corpus-scale query grew a global window"

@@ -230,3 +230,127 @@ def test_batched_slot_advance_many_docs(spark, engine):
     assert {d["slots"][0]["metadata"]["value"] for d in done} == hit
     still = engine.inflight.docs()
     assert {d["slots"][0]["metadata"]["value"] for d in still} == set(users) - hit
+
+
+def _strip_volatile(doc):
+    """Drop generated ids/timestamps for doc equivalence comparison."""
+    d = json.loads(json.dumps(doc))
+
+    def walk(x):
+        if isinstance(x, dict):
+            x.pop("_id", None)
+            x.pop("utctimestamp", None)
+            x.pop("utcepoch", None)
+            x.pop("expiration", None)
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, list):
+            for v in x:
+                walk(v)
+
+    walk(d)
+    return d
+
+
+def _seq_rules():
+    """Three fusable sequence rules (template-free threshold slot 0,
+    overlapping criteria, different thresholds) plus one UNfusable
+    rule (deadman slot 0) to exercise the fallback route."""
+    rules = []
+    for name, score, thr in (
+        ("seq_low", 50, 1),
+        ("seq_mid", 80, 2),
+        ("seq_high", 99, 1),
+    ):
+        r = json.loads(json.dumps(SEQ_RULE))
+        r["alert_name"] = name
+        r["slots"][0]["criteria"] = (
+            "source='onelogin' AND CAST(json_extract_scalar("
+            f"details,'$.risk_score') as INTEGER)>{score}"
+        )
+        r["slots"][0]["threshold"] = thr
+        rules.append(r)
+    dm = json.loads(json.dumps(SEQ_RULE))
+    dm["alert_name"] = "seq_deadman_first"
+    dm["slots"][0] = {
+        "alert_name": "no_heartbeat",
+        "alert_type": "deadman",
+        "criteria": "source='heartbeat'",
+        "aggregation_key": "details.user_name",
+        "threshold": 0,
+        "summary": "no heartbeat",
+    }
+    rules.append(dm)
+    return rules
+
+
+def test_sequence_starts_fused_matches_sequential(spark, tmp_path):
+    """fuse_sequences=True must spawn the same in-flight documents as
+    the per-rule loop (modulo generated ids/timestamps) — including
+    the unfusable deadman-slot rule, which must route through the
+    faithful fallback."""
+    rows = [
+        dict(RISKY, user_name="alice", risk_score="95"),
+        dict(RISKY, user_name="alice", risk_score="85"),
+        dict(RISKY, user_name="bob", risk_score="60"),
+        dict(RISKY, user_name="carol", risk_score="100"),
+    ]
+    rules = _seq_rules()
+
+    seq_eng = Engine(spark, str(tmp_path / "seq"), id_col="event_id", ts_col="ts")
+    seq_eng.run_once(_onelogin_events(spark, rows), rules)
+    fus_eng = Engine(spark, str(tmp_path / "fus"), id_col="event_id", ts_col="ts")
+    fus_eng.run_once(
+        _onelogin_events(spark, rows), rules, fuse_sequences=True
+    )
+
+    def canon(docs):
+        return sorted(
+            (json.dumps(_strip_volatile(d), sort_keys=True) for d in docs)
+        )
+
+    assert canon(fus_eng.inflight.docs()) == canon(seq_eng.inflight.docs())
+    assert canon(fus_eng.alerts.docs()) == canon(seq_eng.alerts.docs())
+    # sanity on content, not just parity — the INTRA-PASS dedup
+    # interaction is the hard part of the equivalence: seq_low runs
+    # first and captures alice's, bob's, and carol's matching events,
+    # so seq_mid/seq_high (whose criteria overlap) find those events
+    # already in-flight and must NOT fire, exactly as the sequential
+    # loop behaves. The deadman-slot rule routes through the fallback
+    # and still spawns its shell.
+    vals = {
+        (d["alert_name"], d["slots"][0]["metadata"]["value"])
+        for d in fus_eng.inflight.docs()
+        if "metadata" in d["slots"][0]
+    }
+    assert ("seq_low", "alice") in vals
+    assert ("seq_low", "bob") in vals
+    assert ("seq_low", "carol") in vals
+    assert not any(n == "seq_mid" and v != "details.user_name" for n, v in vals)
+    assert not any(n == "seq_high" and v != "details.user_name" for n, v in vals)
+    assert any(n == "seq_deadman_first" for n, _ in vals)
+
+
+def test_sequence_fused_frame_is_single_scan(spark, events):
+    """N fused sequence slots must cost ONE parquet scan (the fusion
+    contract): the conditional-aggregate frame's physical plan reads
+    the events table exactly once, with no nested-loop join."""
+    from alerta_spark.operators.sequence import sequence_slots_fused_frame
+    from alerta_spark.rules import threshold_shell
+
+    shells = [
+        threshold_shell(
+            {
+                "alert_name": f"slot{i}",
+                "criteria": f"event_type='{et}'",
+                "aggregation_key": "user_id",
+                "threshold": 1,
+            }
+        )
+        for i, et in enumerate(["purchase", "error", "login"])
+    ]
+    frame = sequence_slots_fused_frame(events, shells)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

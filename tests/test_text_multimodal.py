@@ -64,10 +64,46 @@ def test_media_pipeline(docs):
     }
 
 
-def test_real_decoder_is_explicitly_stubbed(docs):
+def test_real_decoder_probe_seam(docs, spark):
+    """decoder='real' probes for Pillow: raises NotImplementedError
+    when it is absent (this sandbox), and actually decodes when it is
+    present (cluster with codecs) — both sides of the seam pinned."""
+    from alerta_spark.ops.multimodal import pil_available, resize_images
+
     media = attach_fake_media(docs)
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decoder="real")
+    if not pil_available():
+        with pytest.raises(NotImplementedError):
+            extract_features(media, decoder="real")
+        with pytest.raises(NotImplementedError):
+            resize_images(media, decoder="real")
+        return
+    # Pillow present: run the real path on a real 1-px PNG
+    import base64
+
+    from pyspark.sql import functions as F
+
+    png = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+        b"YGBgAAAABQABh6FO1AAAAABJRU5ErkJggg=="
+    )
+    one = spark.createDataFrame([(1, png)], "doc_id long, data binary").select(
+        "doc_id",
+        F.struct(
+            F.col("data"),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit("png").alias("format"),
+                F.lit(1).alias("width"),
+                F.lit(1).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    feats = extract_features(one, decoder="real").collect()
+    assert len(feats) == 1 and len(feats[0]["features"]) == FEATURE_DIM
+    out = resize_images(one, decoder="real", target=(8, 8)).collect()
+    assert out[0]["media"]["meta"]["format"] == "png"
+    assert out[0]["media"]["meta"]["width"] == 8
 
 
 def test_frame_sampling(spark):
