@@ -65,7 +65,7 @@ class Engine:
         rule's criteria/key resolution up front and dropping (logging)
         the broken ones, matching the swallow-and-continue semantics
         below."""
-        self._resume_inflight(events_df)
+        self._resume_inflight(events_df, fused=fuse_sequences)
         # maintenance windows: a rule whose `suppress` interval covers
         # this evaluation instant is skipped whole — including deadman
         # rules (a maintenance window is precisely when absence is
@@ -342,13 +342,16 @@ class Engine:
         finally:
             fired_all.unpersist()
 
-    def _resume_inflight(self, events_df: DataFrame) -> None:
+    def _resume_inflight(self, events_df: DataFrame, fused: bool = False) -> None:
         """Resume in-flight sequences (alerta.py:491, 210-215).
 
         Scale path first: documents of the same rule waiting on the
         same slot are advanced by ONE scan + semi-join on their
         captured values (SURVEY.md §7.4-1) — 10k in-flight alerts cost
-        a handful of Spark jobs, not 10k. Documents whose slot shape
+        a handful of Spark jobs, not 10k. With ``fused`` (the engine's
+        ``fuse_sequences`` flag) the per-group scans collapse further:
+        ALL fusable (rule, slot) groups share one conditional-aggregate
+        scan (`sequence_resume_fused`). Documents whose slot shape
         isn't batchable fall back to the faithful per-document path.
         """
         from collections import defaultdict
@@ -366,7 +369,18 @@ class Engine:
                 continue
             groups[(str(doc.get("alert_name", "")), idx)].append(doc)
 
-        for (_, idx), docs in groups.items():
+        group_items = list(groups.items())
+        if fused and group_items:
+            from alerta_spark.operators.sequence import sequence_resume_fused
+
+            unfused, stray = sequence_resume_fused(
+                events_df, groups, self.inflight, self.alerts,
+                self.id_col, self.ts_col,
+            )
+            singles.extend(stray)
+            group_items = unfused
+
+        for (_, idx), docs in group_items:
             leftover = process_sequence_slot_batched(
                 events_df, docs, idx, self.inflight, self.alerts,
                 self.id_col, self.ts_col,

@@ -266,6 +266,41 @@ def process_sequence_slot_batched(
     return leftover
 
 
+def _filter_slice_events(slice_, extra_ids, thr: int, id_col: str):
+    """Intra-pass F9 replay shared by the fused start/resume paths:
+    drop events captured by EARLIER groups this pass from the
+    collected sample, recompute the count exactly whenever the
+    collection cap was not hit, re-apply the threshold."""
+    from pyspark.sql import functions as F
+
+    if not extra_ids:
+        return slice_
+    ids_lit = F.array(*[F.lit(x) for x in sorted(extra_ids)])
+    kept = F.filter(
+        F.col("events"),
+        lambda e: ~F.array_contains(ids_lit, e[id_col].cast("string")),
+    )
+    return (
+        slice_.select(
+            "value",
+            "count",
+            F.size("events").alias("_n0"),
+            kept.alias("events"),
+        )
+        .select(
+            "value",
+            F.when(
+                F.col("count") == F.col("_n0"),
+                F.size("events").cast("long"),
+            )
+            .otherwise(F.col("count"))
+            .alias("count"),
+            "events",
+        )
+        .where((F.col("count") >= thr) & (F.size("events") > 0))
+    )
+
+
 def sequence_slots_fused_frame(
     events_df: DataFrame,
     slot_shells: list[dict[str, Any]],
@@ -283,6 +318,148 @@ def sequence_slots_fused_frame(
     from alerta_spark.operators.threshold import fused_grouped
 
     return fused_grouped(events_df, slot_shells, id_col, ts_col)
+
+
+def _templated_conjunct(criteria: str) -> str | None:
+    """The single templated conjunct of a slot criteria (None when the
+    criteria isn't the one-templated-equality batchable shape)."""
+    from alerta_spark.streaming.correlator import _split_top_and
+    from alerta_spark.templates import template_vars
+
+    conjuncts = [c.strip() for c in _split_top_and(criteria)]
+    t = [c for c in conjuncts if template_vars(c)]
+    return t[0] if len(t) == 1 else None
+
+
+def sequence_resume_fused(
+    events_df: DataFrame,
+    groups: dict[tuple[str, int], list[dict[str, Any]]],
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> tuple[list[tuple[tuple[str, int], list[dict]]], list[dict]]:
+    """Advance MANY (rule, slot) groups of in-flight sequence alerts
+    with ONE events scan — the cross-RULE fusion of
+    :func:`process_sequence_slot_batched` (which already collapses the
+    per-document fan-out within one group to one scan, but still costs
+    one scan per group): each fusable group's criteria compiles to
+    ``static AND CAST(<templated-lhs> AS STRING) IN (<captured
+    values>)`` and all groups share one conditional-aggregate scan
+    (:func:`sequence_slots_fused_frame`). Fired groups route back to
+    their documents by captured value; alert docs are assembled with
+    the same (static-criteria) shell the batched path uses, so the
+    written documents are identical.
+
+    Returns ``(unfused_groups, stray_docs)``: groups whose slot shape
+    isn't fusable (deadman slots, multi-templated criteria, key !=
+    aggregation key, criteria that fail to parse) for the caller's
+    per-group batched path, plus documents whose template value is
+    missing for the per-document path.
+
+    Intra-pass F9 replay: as in :func:`sequence_starts_fused`, events
+    captured by earlier groups THIS pass are filtered from later
+    groups' samples driver-side. Fusable groups process before
+    unfused ones, so when groups' captures overlap ACROSS the
+    fused/unfused boundary the pass order (not the result of any
+    single group) can differ from the strict dict-order loop — same
+    accepted divergence class as the fused threshold pass.
+    """
+    from pyspark.sql import functions as F
+
+    from alerta_spark.dialect import trino_to_spark
+    from alerta_spark.operators.dedup import remove_previously_alerted
+    from alerta_spark.operators.threshold import assemble_alerts
+    from alerta_spark.paths import path_col
+    from alerta_spark.rules import threshold_shell
+    from alerta_spark.templates import _lookup
+
+    fusable: list[tuple[int, dict, dict, dict]] = []
+    unfused: list[tuple[tuple[str, int], list[dict]]] = []
+    stray: list[dict] = []
+    for (name, idx), docs in groups.items():
+        slot = docs[0]["slots"][idx]
+        crit = str(slot.get("criteria", ""))
+        compiled = compile_templated_criteria(crit)
+        conjunct = _templated_conjunct(crit)
+        if (
+            slot.get("alert_type", "threshold") != "threshold"
+            or compiled is None
+            or conjunct is None
+            or str(slot.get("aggregation_key", "")) != compiled[1]
+        ):
+            unfused.append(((name, idx), docs))
+            continue
+        static, _key_path, tmpl_path = compiled
+        value_to_doc: dict[str, dict] = {}
+        group_stray: list[dict] = []
+        for doc in docs:
+            v = _lookup(doc, [p for p in tmpl_path.split(".") if p])
+            if v is None:
+                group_stray.append(doc)
+            else:
+                value_to_doc[str(v)] = doc
+        stray.extend(group_stray)
+        if not value_to_doc:
+            continue
+        # the templated conjunct's own left-hand side becomes the IN
+        # probe (cast to STRING to mirror the batched path's
+        # key.cast("string").isin(values) exactly)
+        lhs = conjunct.rsplit("=", 1)[0].strip()
+        vals = ", ".join(
+            "'" + v.replace("'", "''") + "'" for v in sorted(value_to_doc)
+        )
+        in_clause = f"CAST({lhs} AS STRING) IN ({vals})"
+        scan_criteria = f"({static}) AND {in_clause}" if static else in_clause
+        try:
+            p_scan = threshold_shell(dict(slot, criteria=scan_criteria))
+            # plan-time parse + resolve check; no job runs
+            events_df.where(F.expr(trino_to_spark(scan_criteria))).schema
+            path_col(events_df, p_scan["aggregation_key"])
+        except Exception:
+            unfused.append(((name, idx), docs))
+            continue
+        # docs are assembled with the batched path's shell (criteria =
+        # static only) so written documents are byte-identical to it
+        p_asm = threshold_shell(dict(slot, criteria=static))
+        fusable.append((idx, p_scan, p_asm, value_to_doc))
+    if not fusable:
+        return unfused, stray
+
+    dedup_ids = inflight_store.alerted_ids().unionByName(
+        alert_store.alerted_ids()
+    )
+    ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
+    grouped = sequence_slots_fused_frame(
+        ev, [p for _, p, _, _ in fusable], id_col, ts_col
+    ).persist()
+    try:
+        extra_ids: set[str] = set()
+        for i, (idx, _p_scan, p_asm, value_to_doc) in enumerate(fusable):
+            thr = int(p_asm["threshold"])
+            slice_ = grouped.where(
+                (F.col("rule_idx") == i) & (F.col("count") >= thr)
+            ).select("value", "count", "events")
+            slice_ = _filter_slice_events(slice_, extra_ids, thr, id_col)
+            fired_docs = alerts_df_to_docs(
+                assemble_alerts(slice_, p_asm, ev.schema)
+            )
+            updates = []
+            for fired_doc in fired_docs:
+                doc = value_to_doc.get(str(fired_doc["metadata"]["value"]))
+                if doc is None:
+                    continue
+                inflight = deepcopy(sequence_shell(doc))
+                inflight["slots"][idx] = fired_doc
+                updates.append(inflight)
+                for evd in fired_doc.get("events") or []:
+                    eid = evd.get(id_col)
+                    if eid is not None:
+                        extra_ids.add(str(eid))
+            inflight_store.upsert_many(updates)
+    finally:
+        grouped.unpersist()
+    return unfused, stray
 
 
 def sequence_starts_fused(
@@ -369,39 +546,9 @@ def sequence_starts_fused(
             slice_ = grouped.where(
                 (F.col("rule_idx") == i) & (F.col("count") >= thr)
             ).select("value", "count", "events")
-            if extra_ids:
-                # intra-pass F9 (sequential-loop semantics): drop
-                # events captured by EARLIER rules this pass from the
-                # collected sample; the count is recomputed exactly
-                # whenever the collection cap was not hit
-                ids_lit = F.array(*[F.lit(x) for x in sorted(extra_ids)])
-                kept = F.filter(
-                    F.col("events"),
-                    lambda e: ~F.array_contains(
-                        ids_lit, e[id_col].cast("string")
-                    ),
-                )
-                slice_ = (
-                    slice_.select(
-                        "value",
-                        "count",
-                        F.size("events").alias("_n0"),
-                        kept.alias("events"),
-                    )
-                    .select(
-                        "value",
-                        F.when(
-                            F.col("count") == F.col("_n0"),
-                            F.size("events").cast("long"),
-                        )
-                        .otherwise(F.col("count"))
-                        .alias("count"),
-                        "events",
-                    )
-                    .where(
-                        (F.col("count") >= thr) & (F.size("events") > 0)
-                    )
-                )
+            # intra-pass F9 (sequential-loop semantics): drop events
+            # captured by EARLIER rules this pass
+            slice_ = _filter_slice_events(slice_, extra_ids, thr, id_col)
             fired_docs = alerts_df_to_docs(
                 assemble_alerts(slice_, p, ev.schema)
             )

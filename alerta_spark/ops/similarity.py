@@ -1766,3 +1766,113 @@ def hard_triplets(
         F.col(vec_col).alias("vec"),
     )
     return anchors.mapInPandas(mine, out_schema)
+
+
+def hard_triplets_from_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fully DISTRIBUTED triplet mining from a candidate-pair frame —
+    the corpus-scale form :func:`hard_triplets`'s docstring prescribes:
+    candidates come from a blocking generator (LSH buckets, IVF cells,
+    :func:`pinned_cell` equality), so NOTHING broadcasts and NOTHING
+    collects; work is Σ|block|², driver memory O(1).
+
+    Each directed pair joins the quantized vectors by id and gets the
+    exact integer cosine cq = floor(dot / (|a|·|b|) · 1e6): the BIGINT
+    dot of floor(x·1e6) components stays < 2^53, so the double
+    division and floor are the same IEEE sequence the numpy matmul in
+    :func:`hard_triplets` and the SQL oracle run. Hardest positive /
+    negative per anchor are max_by aggregations on the UNIQUE
+    composite key cq·2^32 − cand_id (primary: cosine desc, tie-break:
+    smallest candidate id — hard_triplets' convention). Anchors
+    lacking a positive or a negative among their candidates drop,
+    exactly as the oracle's inner join does.
+
+    ``candidates``: DataFrame[id_a, id_b] undirected pairs (each is
+    mined in both directions).
+
+    -> [anchor_id, pos_id, neg_id, cos_pos_q, cos_neg_q, margin_q]
+    """
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lab"),
+        quantize_vec(vec_col, scale).alias("_q"),
+    ).withColumn(
+        "_n2",
+        F.aggregate(
+            F.transform(F.col("_q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    und = candidates.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("cand_id")
+    ).unionByName(
+        candidates.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("cand_id")
+        )
+    )
+    a = q.select(
+        F.col("_id").alias("anchor_id"),
+        F.col("_lab").alias("_lab_a"),
+        F.col("_q").alias("_qa"),
+        F.col("_n2").alias("_n2a"),
+    )
+    b = q.select(
+        F.col("_id").alias("cand_id"),
+        F.col("_lab").alias("_lab_b"),
+        F.col("_q").alias("_qb"),
+        F.col("_n2").alias("_n2b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cq = F.floor(
+        dot.cast("double")
+        / (F.sqrt(F.col("_n2a").cast("double")) * F.sqrt(F.col("_n2b").cast("double")))
+        * F.lit(float(scale))
+    ).cast("long")
+    scored = (
+        und.join(a, "anchor_id")
+        .join(b, "cand_id")
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("_lab_a") == F.col("_lab_b")).alias("_same"),
+            cq.alias("_cq"),
+        )
+        .withColumn(
+            "_k", F.col("_cq") * F.lit(1 << 32).cast("long") - F.col("cand_id")
+        )
+    )
+    pos = (
+        scored.where(F.col("_same"))
+        .groupBy("anchor_id")
+        .agg(
+            F.max_by("cand_id", "_k").alias("pos_id"),
+            F.max_by("_cq", "_k").alias("cos_pos_q"),
+        )
+    )
+    neg = (
+        scored.where(~F.col("_same"))
+        .groupBy("anchor_id")
+        .agg(
+            F.max_by("cand_id", "_k").alias("neg_id"),
+            F.max_by("_cq", "_k").alias("cos_neg_q"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "cos_pos_q",
+        "cos_neg_q",
+        (F.col("cos_pos_q") - F.col("cos_neg_q")).alias("margin_q"),
+    )

@@ -354,3 +354,65 @@ def test_sequence_fused_frame_is_single_scan(spark, events):
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_resume_fused_matches_sequential(spark, tmp_path):
+    """Pass 2 with fuse_sequences=True must advance MANY rules' slot-1
+    in-flight docs through ONE shared scan and write the same
+    documents as the per-group batched loop."""
+    import alerta_spark.operators.sequence as seqmod
+
+    def mk_rule(name):
+        r = json.loads(json.dumps(SEQ_RULE))
+        r["alert_name"] = name
+        return r
+
+    rules = [mk_rule("seq_r1"), mk_rule("seq_r2")]
+    users = ["u1", "u2", "u3", "u4"]
+    ev1 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in users]
+    )
+    from pyspark.sql import functions as F
+
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in ("u1", "u3")]
+    ).withColumn("event_id", F.col("event_id") + 500)
+
+    def run(mode):
+        eng = Engine(
+            spark, str(tmp_path / f"st_{mode}"), id_col="event_id", ts_col="ts"
+        )
+        eng.run_once(ev1, rules, fuse_sequences=mode)
+        eng.run_once(ev2, rules, fuse_sequences=mode)
+        return eng
+
+    calls = []
+    orig = seqmod.sequence_resume_fused
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        calls.append(out)
+        return out
+
+    seqmod.sequence_resume_fused = spy
+    try:
+        fus = run(True)
+    finally:
+        seqmod.sequence_resume_fused = orig
+    seq = run(False)
+
+    # the fused path actually served every group (nothing fell back)
+    assert calls and all(unfused == [] and stray == [] for unfused, stray in calls)
+
+    def canon(docs):
+        return sorted(
+            (json.dumps(_strip_volatile(d), sort_keys=True) for d in docs)
+        )
+
+    assert canon(fus.inflight.docs()) == canon(seq.inflight.docs())
+    assert canon(fus.alerts.docs()) == canon(seq.alerts.docs())
+    # content sanity: u1/u3 sequences completed, u2/u4 still waiting
+    done = {d["slots"][0]["metadata"]["value"] for d in fus.alerts.docs()}
+    assert done == {"u1", "u3"}
+    waiting = {d["slots"][0]["metadata"]["value"] for d in fus.inflight.docs()}
+    assert waiting == {"u2", "u4"}

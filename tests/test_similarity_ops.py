@@ -459,3 +459,50 @@ def test_hard_triplets_tiebreak_smallest_id(spark):
     got = {r["anchor_id"]: r for r in hard_triplets(df).collect()}
     assert got[10]["pos_id"] == 11
     assert got[10]["neg_id"] == 20
+
+
+def test_hard_triplets_from_candidates_matches_full(spark):
+    """With the all-pairs candidate frame, the distributed candidate
+    miner reproduces hard_triplets exactly (same cq quantization, same
+    composite-key tie-break, same inner-join drops); with a restricted
+    candidate frame, mining is confined to the supplied pairs."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.similarity import (
+        hard_triplets,
+        hard_triplets_from_candidates,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.8, 0.2, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    ids = df.select(F.col("vec_id").alias("id_a"))
+    allpairs = ids.crossJoin(
+        df.select(F.col("vec_id").alias("id_b"))
+    ).where(F.col("id_a") < F.col("id_b"))
+    got = sorted(
+        map(tuple, hard_triplets_from_candidates(df, allpairs).collect())
+    )
+    want = sorted(map(tuple, hard_triplets(df).collect()))
+    assert got == want
+
+    # restricted candidates: anchor 1 only sees 3 (same label) and 5
+    restricted = spark.createDataFrame(
+        [(1, 3), (1, 5)], "id_a long, id_b long"
+    )
+    r = {
+        x["anchor_id"]: x
+        for x in hard_triplets_from_candidates(df, restricted).collect()
+    }
+    assert r[1]["pos_id"] == 3 and r[1]["neg_id"] == 5
+    # anchors 3 and 5 see only anchor 1 -> no positive for 5? 5's label
+    # differs from 1 -> no positive -> dropped; 3 shares label with 1
+    # -> pos=1 but has no negative -> dropped
+    assert set(r) == {1}

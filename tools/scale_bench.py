@@ -81,6 +81,13 @@ FAMILY = [
     "embedding_triplet_mining",
     "attribution_markov_removal",
     "sessions_peak_concurrency_daily",
+    # round-5 widening: the integer-exact LSH paths promoted to the
+    # production names (banded self-join with quadratic risk in hot
+    # buckets — the 12-plane banding is the mitigation), and the
+    # capped-reference triplet miner (expect ~linear once the 65536
+    # reference cap binds at 3x/10x)
+    "dedup_embedding_lsh",
+    "similarity_lsh_topk",
 ]
 
 
