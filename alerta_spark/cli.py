@@ -23,6 +23,11 @@ Config keys (YAML, flat):
                        in ONE corpus scan (operators/threshold.
                        threshold_alerts_fused); identical alerts,
                        N-times fewer scans
+    fuse_sequences:    bool (default false) — one-scan fused sequence
+                       starts AND one-scan fused in-flight resume
+                       across rules (operators/sequence.
+                       sequence_starts_fused / sequence_resume_fused);
+                       identical documents, N-times fewer scans
 """
 
 from __future__ import annotations
@@ -61,10 +66,15 @@ def run_from_config(config: dict[str, Any], stream: bool = False):
     table = str(config.get("events_table", "events"))
     fuse = bool(config.get("fuse_thresholds", False))
     fuse_dm = bool(config.get("fuse_deadmen", False))
+    fuse_seq = bool(config.get("fuse_sequences", False))
     if not stream:
         events = load_table(spark, str(config["lake_dir"]), table)
         engine.run_once(
-            events, rules, fuse_thresholds=fuse, fuse_deadmen=fuse_dm
+            events,
+            rules,
+            fuse_thresholds=fuse,
+            fuse_deadmen=fuse_dm,
+            fuse_sequences=fuse_seq,
         )
         return None
     batch = load_table(spark, str(config["lake_dir"]), table)
@@ -78,6 +88,7 @@ def run_from_config(config: dict[str, Any], stream: bool = False):
         trigger=config.get("trigger"),
         fuse_thresholds=fuse,
         fuse_deadmen=fuse_dm,
+        fuse_sequences=fuse_seq,
     )
 
 

@@ -416,3 +416,38 @@ def test_sequence_resume_fused_matches_sequential(spark, tmp_path):
     assert done == {"u1", "u3"}
     waiting = {d["slots"][0]["metadata"]["value"] for d in fus.inflight.docs()}
     assert waiting == {"u2", "u4"}
+
+
+def test_engine_stream_fused_sequences_match_batch(spark, tmp_path):
+    """T1 parity with fusion on: run_stream(availableNow,
+    fuse_sequences=True) executes the same cron body per micro-batch —
+    one backlog batch must leave the same sequence state as a
+    sequential run_once over the same events."""
+    ev = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in ("a1", "a2", "a3")]
+    )
+    src = str(tmp_path / "lake")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    s_eng = Engine(
+        spark, str(tmp_path / "s_store"), id_col="event_id", ts_col="ts"
+    )
+    q = s_eng.run_stream(
+        stream, [SEQ_RULE], str(tmp_path / "ck"), fuse_sequences=True
+    )
+    q.awaitTermination(120)
+
+    b_eng = Engine(
+        spark, str(tmp_path / "b_store"), id_col="event_id", ts_col="ts"
+    )
+    b_eng.run_once(ev, [SEQ_RULE])
+
+    def canon(docs):
+        return sorted(
+            (json.dumps(_strip_volatile(d), sort_keys=True) for d in docs)
+        )
+
+    assert canon(s_eng.inflight.docs()) == canon(b_eng.inflight.docs())
+    assert canon(s_eng.alerts.docs()) == canon(b_eng.alerts.docs())
+    assert len(s_eng.inflight.docs()) == 3  # one in-flight doc per user
