@@ -514,6 +514,119 @@ def ivf_topk_pinned(
     )
 
 
+def ivf_index_write(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    scale: int = 1_000_000,
+) -> None:
+    """Write the corpus as a parquet IVF index PARTITIONED BY the
+    pinned cell id — the write-once index build: cell assignment is
+    map-only (no shuffle; each input partition appends to its cells'
+    directories), and every later ANN query prunes the read to its
+    probed cells' files (see :func:`ivf_topk_partitioned`). At 100 TB
+    this runs once per corpus snapshot and amortizes across all
+    queries — the persisted-index counterpart of the in-session
+    :func:`ivf_topk_pinned`."""
+    out = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        pinned_cell(vec_col, dim, n_centroids, scale).alias("cell"),
+    )
+    out.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+
+
+def ivf_topk_partitioned(
+    spark,
+    index_dir: str,
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ANN top-k against the PERSISTED partitioned index: probe cells
+    come from the (tiny) query frame, collect driver-side (bounded by
+    |queries| x n_probe), and become a STATIC IN-filter on the
+    partition column — Catalyst turns it into PartitionFilters, so the
+    index read touches only the probed cells' files
+    (n_probe/n_centroids of the data; plan-guarded in tests). Scoring
+    is the same broadcast-probe exact-cosine re-rank as
+    :func:`ivf_topk_pinned`, so results — and the DuckDB oracle — are
+    identical. Parquet round-trips float arrays losslessly, so the
+    re-ranked cosines match the in-session path bit-for-bit.
+
+    -> [query_id, neighbor_id, cos].
+    """
+    C = pinned_centroids(dim, n_centroids)
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{int(w)}L" for w in row) + ")" for row in C
+    ) + ")"
+    qv = quantize_vec(vec_col, scale)
+    darr = F.transform(
+        F.expr(cents_sql),
+        lambda c: F.aggregate(
+            F.zip_with(qv, c, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    qbase = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvv"),
+        darr.alias("darr"),
+    )
+    probe_structs = F.sort_array(
+        F.zip_with(
+            F.col("darr"),
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(n_centroids - 1).cast("long")
+            ),
+            lambda d, c: F.struct((-d).alias("nd"), c.alias("cent")),
+        )
+    )
+    probe_cells = F.transform(
+        F.slice(probe_structs, 1, n_probe), lambda s: s["cent"]
+    )
+    q = qbase.select(
+        "query_id", "qvv", F.explode(probe_cells).alias("cell")
+    )
+    # bounded driver collect (|queries| x n_probe cell ids): the static
+    # IN on the raw partition column is what makes the scan prunable
+    cells = sorted(
+        {int(r["cell"]) for r in q.select("cell").distinct().collect()}
+    )
+    idx = spark.read.parquet(index_dir).where(F.col("cell").isin(cells))
+    corpus = idx.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("cell").cast("long").alias("cell"),
+    )
+    cand = corpus.join(
+        F.broadcast(q),
+        (corpus["cell"] == q["cell"])
+        & (corpus["neighbor_id"] != q["query_id"]),
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvv"), F.col("nv")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def train_pq_codebooks(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1798,17 +1911,23 @@ def hard_triplets_from_candidates(
 
     -> [anchor_id, pos_id, neg_id, cos_pos_q, cos_neg_q, margin_q]
     """
-    q = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(label_col).alias("_lab"),
-        quantize_vec(vec_col, scale).alias("_q"),
-    ).withColumn(
-        "_n2",
-        F.aggregate(
-            F.transform(F.col("_q"), lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
+    from alerta_spark.ops.dedupe import _persist
+
+    # persisted: the quantized frame feeds BOTH pair sides — without it
+    # each side re-scans the corpus (the plan showed 12 file scans)
+    q = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).alias("_lab"),
+            quantize_vec(vec_col, scale).alias("_q"),
+        ).withColumn(
+            "_n2",
+            F.aggregate(
+                F.transform(F.col("_q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
     und = candidates.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("cand_id")

@@ -690,3 +690,29 @@ def test_unpartitioned_windows_match_audited_allowlist(spark, name):
         assert hits, f"{name}: audited window disappeared — update allowlist"
     else:
         assert not hits, f"{name}: corpus-scale query grew a global window"
+
+
+def test_ivf_partitioned_index_prunes_to_probed_cells(spark):
+    """The persisted IVF index query must reach the scan as
+    PartitionFilters on the cell partition column — each query reads
+    only its probed cells' files, the n_probe/n_centroids I/O story —
+    and the row result must equal the in-session pinned path."""
+    plan = _plan(spark, "similarity_ivf_partitioned")
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and ".ivf_index" in l
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert m and "cell" in m.group(1), scan[:300]
+    # and only the probed subset of files is read
+    import pyspark.sql.functions as F
+
+    from alerta_spark.plans import catalog
+
+    df = catalog.queries()["similarity_ivf_partitioned"](spark, SF)
+    part = catalog.queries()["similarity_ivf_topk"](spark, SF)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, part.collect())
+    )
