@@ -263,6 +263,11 @@ HEADLINE = [
     "stats_cramer_von_mises",
     "stats_kuiper_hour_of_day",
     "timeseries_wasserstein_wow",
+    # round-5 additions (no earlier baseline; tracked from r05 on)
+    "dedup_simhash",
+    "similarity_pq_topk",
+    "similarity_ivf_partitioned",
+    "embedding_triplet_mining_blocked",
 ]
 
 
