@@ -274,3 +274,34 @@ def test_jsd_symmetry_and_bounds(spark):
     assert abs(ab.jsd - ba.jsd) < 1e-7
     assert -1e-12 <= ab.jsd <= math.log(2.0) + 1e-12
     assert (ab.n_terms_a, ab.n_terms_b) == (ba.n_terms_b, ba.n_terms_a)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=64,
+        max_size=64,
+    ),
+    st.integers(min_value=0, max_value=71),
+)
+@settings(max_examples=300)
+def test_portable_lsh_sign_bits_numpy_equals_exact_ints(vec, plane):
+    """The exactness argument behind the Arrow-batched integer LSH
+    bucketing, fuzzed: floor(x_float64 * 1e6) components times integer
+    hyperplane weights summed by float64 BLAS must equal EXACT Python
+    integer arithmetic — every product < 2^53 so no accumulation can
+    round, hence identical sign bits on any input in range."""
+    import math
+
+    import numpy as np
+
+    from alerta_spark.ops.similarity import _int_hyperplane
+
+    w = _int_hyperplane(64, plane)
+    q_exact = [int(math.floor(x * 1_000_000.0)) for x in vec]
+    dot_exact = sum(q * wi for q, wi in zip(q_exact, w))
+
+    Q = np.floor(np.asarray(vec, dtype=np.float64) * 1_000_000.0)
+    dot_np = float(Q @ np.asarray(w, dtype=np.float64))
+    assert dot_np == float(dot_exact)
+    assert (dot_np > 0) == (dot_exact > 0)

@@ -506,3 +506,40 @@ def test_hard_triplets_from_candidates_matches_full(spark):
     # differs from 1 -> no positive -> dropped; 3 shares label with 1
     # -> pos=1 but has no negative -> dropped
     assert set(r) == {1}
+
+
+def test_hard_triplets_from_candidates_random_corpus_parity(spark):
+    """Seeded-random 40-vector corpus, all-pairs candidates: the
+    distributed miner and the broadcast-matmul miner must agree on
+    every anchor, id, and quantized cosine (the two paths share no
+    code beyond the quantization contract)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.similarity import (
+        hard_triplets,
+        hard_triplets_from_candidates,
+    )
+
+    rng = random.Random(20260815)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1.0, 1.0) for _ in range(16)],
+            rng.randrange(4),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    ids = df.select(F.col("vec_id").alias("id_a"))
+    allpairs = ids.crossJoin(
+        df.select(F.col("vec_id").alias("id_b"))
+    ).where(F.col("id_a") < F.col("id_b"))
+    got = sorted(
+        map(tuple, hard_triplets_from_candidates(df, allpairs).collect())
+    )
+    want = sorted(map(tuple, hard_triplets(df).collect()))
+    assert got == want and len(got) == 40
