@@ -1614,6 +1614,58 @@ def mmr_rerank(
     )
 
 
+def _cell_knn_arrow(base: DataFrame, k: int) -> DataFrame:
+    """Per-cell exact kNN via one Arrow kernel per cell: d2(a,b) =
+    n2a + n2b - 2·dot over the quantized int64 components, computed as
+    a float64 BLAS matmul — EXACT (every n2/dot is an integer < 2.8e14
+    < 2^53, and a+b-2c over exact integers cannot round), so the
+    emitted (cell, a, b, d2) rows are bit-identical to the BIGINT
+    join-path fold. Tie-break (d2 asc, id asc) via stable argsort over
+    id-sorted columns. Replaces a Σ|cell|²-row shuffle + interpreted
+    per-pair fold with |cells| matmuls; requires a cell's members to
+    fit in executor memory — the same √N-centroid sizing rule the
+    join path's Σ|cell|² cost already imposes.
+
+    base: [_id, _q, cell] -> [cell, a, b, d2] (<= k rows per point).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(base.sparkSession)
+    out_schema = "cell long, a long, b long, d2 long"
+
+    def fn(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["cell", "a", "b", "d2"])
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy(np.int64)
+        Q = np.vstack(
+            pdf["_q"].map(lambda v: np.asarray(v, dtype=np.float64))
+        )
+        n2 = (Q * Q).sum(axis=1)
+        D = n2[:, None] + n2[None, :] - 2.0 * (Q @ Q.T)
+        np.fill_diagonal(D, np.inf)
+        kk = min(k, n - 1)
+        # columns are in ascending-id order, so a STABLE argsort on d2
+        # breaks ties by smallest id — the join path's (d2, b) order
+        idx = np.argsort(D, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = idx.reshape(-1)
+        return pd.DataFrame(
+            {
+                "cell": np.int64(key[0]),
+                "a": ids[rows],
+                "b": ids[cols],
+                "d2": D[rows, cols].astype(np.int64),
+            }
+        )
+
+    return base.groupBy("cell").applyInPandas(fn, out_schema)
+
+
 def embedding_lof(
     df: DataFrame,
     k: int = 5,
@@ -1622,6 +1674,7 @@ def embedding_lof(
     dim: int = 64,
     n_centroids: int = 16,
     scale: int = 1_000_000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Local Outlier Factor (Breunig et al. 2000, public algorithm)
     over an embedding column, cell-confined and engine-exact.
@@ -1644,7 +1697,13 @@ def embedding_lof(
     Scale shape: kNN is confined to the pinned-centroid cell (the
     SemDeDup/IVF partition key — map-only assignment, Σ|cell|² pair
     work, √N centroids at 100 TB keeps cells bounded); every later
-    join is point-keyed. No global pair join anywhere.
+    join is point-keyed. No global pair join anywhere. Two kNN
+    implementations produce bit-identical rows: ``impl="arrow"``
+    (default — one BLAS matmul per cell via applyInPandas, exact by
+    the <2^53 integer argument; needs a cell to fit in executor
+    memory, the same √N sizing rule) and ``impl="join"`` (the salted
+    within-cell pair join + BIGINT fold — streams pairs, no per-cell
+    materialization).
 
     -> [vec_id, cell, n_nb, kdist_q, den_q, lof_q, lof] for the
     top-20 LOF scores (ties -> lowest id), integer-ordered cut.
@@ -1658,47 +1717,57 @@ def embedding_lof(
             pinned_cell(vec_col, dim, n_centroids, scale).alias("cell"),
         )
     )
-    # SALTED within-cell pair join: n_centroids alone gives too few
-    # join keys for a many-core shuffle (16 keys -> 16 live tasks and
-    # the hottest cell is the straggler — measured 8.3s vs ~2s at
-    # sf0.1/local[32]). The probe side carries salt = id mod S, the
-    # build side replicates S ways; output-invisible, bounded x8
-    # duplication of the (tiny) per-row payload.
-    n_salt = 8
-    a = base.select(
-        "cell",
-        F.col("_id").alias("a"),
-        F.col("_q").alias("qa"),
-        (F.col("_id") % n_salt).alias("_salt"),
-    )
-    b = base.select(
-        "cell",
-        F.col("_id").alias("b"),
-        F.col("_q").alias("qb"),
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
-        ).alias("_salt"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, ["cell", "_salt"])
-        .where(F.col("a") != F.col("b"))
-        .select("cell", "a", "b", d2.alias("d2"))
-    )
-    wk = W.partitionBy("a").orderBy(F.asc("d2"), F.asc("b"))
+    if impl == "arrow":
+        raw_knn = _cell_knn_arrow(base, k)
+    elif impl == "join":
+        # SALTED within-cell pair join: n_centroids alone gives too few
+        # join keys for a many-core shuffle (16 keys -> 16 live tasks
+        # and the hottest cell is the straggler — measured 8.3s vs ~2s
+        # at sf0.1/local[32]). The probe side carries salt = id mod S,
+        # the build side replicates S ways; output-invisible, bounded
+        # x8 duplication of the (tiny) per-row payload.
+        n_salt = 8
+        a = base.select(
+            "cell",
+            F.col("_id").alias("a"),
+            F.col("_q").alias("qa"),
+            (F.col("_id") % n_salt).alias("_salt"),
+        )
+        b = base.select(
+            "cell",
+            F.col("_id").alias("b"),
+            F.col("_q").alias("qb"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long")
+                )
+            ).alias("_salt"),
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("qa"), F.col("qb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        pairs = (
+            a.join(b, ["cell", "_salt"])
+            .where(F.col("a") != F.col("b"))
+            .select("cell", "a", "b", d2.alias("d2"))
+        )
+        wk = W.partitionBy("a").orderBy(F.asc("d2"), F.asc("b"))
+        raw_knn = (
+            pairs.withColumn("rn", F.row_number().over(wk))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+    else:
+        raise ValueError(f"unknown impl: {impl}")
     # knn is point-sized (<= k rows per point) and feeds FOUR
     # consumers (stats, reach, terms, and transitively den) — persist
-    # or the quadratic pair+d2 subtree re-evaluates per consumer
-    # (measured: the whole query drops 7.9s -> ~2s at sf0.1)
-    knn = _persist(
-        pairs.withColumn("rn", F.row_number().over(wk))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-    )
+    # or the kNN subtree re-evaluates per consumer (measured: the
+    # whole query drops 7.9s -> ~2s at sf0.1 on the join path)
+    knn = _persist(raw_knn)
     stats = knn.groupBy("a").agg(
         F.max("d2").cast("long").alias("kdist_q"),
         F.count(F.lit(1)).cast("long").alias("n_nb"),

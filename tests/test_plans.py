@@ -600,18 +600,39 @@ def test_dynamic_partition_pruning_fires_on_partitioned_lake(spark, tmp_path, ev
     assert "dynamicpruning" in plan.lower()
 
 
-def test_lof_pair_join_is_salted_hash_join(spark):
-    """embedding_lof's within-cell pair join must stay a hash join on
-    (cell, salt) — never a nested-loop/cartesian — and the final
-    top-20 cut must be TakeOrderedAndProject (per-partition heaps +
-    driver merge), never a global row_number window whose
-    single-partition Exchange would funnel every scored doc through
-    one task."""
+def test_lof_plan_shape(spark):
+    """embedding_lof (arrow default): the per-cell kNN runs as ONE
+    grouped Arrow kernel (FlatMapGroupsInPandas), never a
+    nested-loop/cartesian pair join, and the final top-20 cut must be
+    TakeOrderedAndProject (per-partition heaps + driver merge), never
+    a global row_number window whose single-partition Exchange would
+    funnel every scored doc through one task. The join impl keeps its
+    own guard below."""
     plan = _plan(spark, "embedding_lof_outliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "_salt" in plan  # the skew salt reached the physical join
+    assert "FlatMapGroupsInPandas" in plan  # the per-cell Arrow kernel
     assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_lof_join_impl_is_salted_hash_join(spark):
+    """embedding_lof(impl='join'): the within-cell pair join must stay
+    a hash join on (cell, salt) — never a nested-loop/cartesian."""
+    from alerta_spark.ops.dedupe import release_cached
+    from alerta_spark.ops.similarity import embedding_lof
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        embedding_lof(emb, impl="join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_cached()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_salt" in plan  # the skew salt reached the physical join
     assert "Exchange SinglePartition" not in plan
 
 
