@@ -280,8 +280,8 @@ class SlotMachine:
 
 def sequence_correlator(
     events: DataFrame,
-    rule: dict[str, Any],
-    correlation_key: str,
+    rule: dict[str, Any] | list[dict[str, Any]],
+    correlation_key: str | list[str],
     id_col: str = "event_id",
     ts_col: str = "ts",
     watermark: str = "2 hours",
@@ -295,6 +295,15 @@ def sequence_correlator(
     (or expired) sequence. Threshold slots advance when their running
     count reaches the slot threshold; deadman slots advance when the
     state times out with no matching events (absence confirmed).
+
+    FUSED ACROSS RULES (round 5): pass a LIST of rules (and a matching
+    list of correlation keys, or one shared key) and all of them run
+    in ONE streaming query with ONE state store — every rule's slot
+    predicates evaluate in a single projection, each event explodes
+    into one slim row per rule, and state keys by (rule_idx,
+    correlation value). N sequence rules cost one stream scan instead
+    of N queries; per-(rule, key) semantics are identical to N
+    single-rule correlators (pytest-pinned).
 
     ``time_mode='eventTime'`` drives timeouts from the WATERMARK
     instead of the wall clock: a deadman slot fires when the data's
@@ -313,21 +322,40 @@ def sequence_correlator(
 
     ensure_shipped(events.sparkSession)
 
-    slots = rule["slots"]
-    lifespan_ms = int(parse_timedelta(str(rule.get("lifespan", "3 days"))).total_seconds() * 1000)
+    rules = rule if isinstance(rule, list) else [rule]
+    keys = (
+        correlation_key
+        if isinstance(correlation_key, list)
+        else [correlation_key] * len(rules)
+    )
+    if len(keys) != len(rules):
+        raise ValueError("one correlation key per rule (or a single shared one)")
     event_time = time_mode.lower() == "eventtime"
 
-    key = path_col(events, correlation_key).cast("string").alias("_corr")
-    match_cols = [
-        F.expr(trino_to_spark(_static_criteria(s)) or "true").alias(f"_m{i}")
-        for i, s in enumerate(slots)
-    ]
+    # one projection evaluates EVERY rule's correlation value + slot
+    # predicates; explode -> one slim row per (event, rule)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("_ri"),
+                path_col(events, keys[i]).cast("string").alias("_corr"),
+                F.array(
+                    *[
+                        F.expr(
+                            trino_to_spark(_static_criteria(s)) or "true"
+                        ).cast("boolean")
+                        for s in r["slots"]
+                    ]
+                ).alias("_m"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
     slim = events.select(
-        key,
         F.col(id_col).cast("string").alias("_eid"),
         F.col(ts_col).alias("_ts"),
-        *match_cols,
-    )
+        F.explode(per_rule).alias("_r"),
+    ).select("_eid", "_ts", "_r._ri", "_r._corr", "_r._m")
     if not event_time:
         slim = slim.where(F.col("_corr").isNotNull())
 
@@ -335,32 +363,41 @@ def sequence_correlator(
     if is_streaming:
         slim = slim.withWatermark("_ts", watermark)
 
-    slot_kinds = [str(s.get("alert_type", "threshold")) for s in slots]
-    slot_thresholds = [int(s.get("threshold", 1)) for s in slots]
-    slot_windows = [
-        int(parse_timedelta(str(s["window"])).total_seconds() * 1000)
-        if s.get("window")
-        else None
-        for s in slots
+    names = [str(r.get("alert_name", "unnamed")) for r in rules]
+    n_slots_by_rule = [len(r["slots"]) for r in rules]
+    machines = [
+        SlotMachine(
+            [str(s.get("alert_type", "threshold")) for s in r["slots"]],
+            [int(s.get("threshold", 1)) for s in r["slots"]],
+            sample_count,
+            int(
+                parse_timedelta(
+                    str(r.get("lifespan", "3 days"))
+                ).total_seconds()
+                * 1000
+            ),
+            [
+                int(parse_timedelta(str(s["window"])).total_seconds() * 1000)
+                if s.get("window")
+                else None
+                for s in r["slots"]
+            ],
+            strict_event_deadline=event_time,
+        )
+        for r in rules
     ]
-    n_slots = len(slots)
-    alert_name = str(rule.get("alert_name", "unnamed"))
-    machine = SlotMachine(
-        slot_kinds, slot_thresholds, sample_count, lifespan_ms, slot_windows,
-        strict_event_deadline=event_time,
-    )
 
-    def _emit(corr, st, expired: bool) -> pd.DataFrame:
+    def _emit(ri: int, corr, st, expired: bool) -> pd.DataFrame:
         slot_index, counts, first_ms, last_ms, _deadline, _anchor, samples = st
         return pd.DataFrame(
             {
                 "correlation_value": [corr],
-                "alert_name": [alert_name],
-                "n_slots": [n_slots],
+                "alert_name": [names[ri]],
+                "n_slots": [n_slots_by_rule[ri]],
                 "slot_counts": [counts],
                 "first_event_ts": [pd.Timestamp(first_ms, unit="ms") if first_ms else None],
                 "last_event_ts": [pd.Timestamp(last_ms, unit="ms") if last_ms else None],
-                "sample_event_ids": [samples[: machine.sample_count]],
+                "sample_event_ids": [samples[: machines[ri].sample_count]],
                 "expired": [expired],
             }
         )
@@ -371,16 +408,13 @@ def sequence_correlator(
         rows = rows.sort_values(["_ts", "_eid"])
         ts = (rows["_ts"].astype("int64") // 1_000_000).tolist()
         eids = rows["_eid"].astype(str).tolist()
-        m = [
-            rows[f"_m{i}"].fillna(False).astype(bool).tolist()
-            for i in range(n_slots)
-        ]
+        flags = rows["_m"].tolist()
         return [
-            (ts[j], eids[j], [m[i][j] for i in range(n_slots)])
+            (ts[j], eids[j], [bool(x) for x in flags[j]])
             for j in range(len(ts))
         ]
 
-    def _arm(state: GroupState, st) -> None:
+    def _arm(state: GroupState, machine: SlotMachine, st) -> None:
         # wake at the earliest state-changing instant: pending deadman
         # window edge or the FIXED expiry deadline (never re-based on
         # activity — reference expiration = creation + lifespan)
@@ -398,7 +432,8 @@ def sequence_correlator(
     def fn(
         key_: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        corr = key_[0]
+        ri, corr = int(key_[0]), key_[1]
+        machine = machines[ri]
         if corr is None:
             # eventTime mode lets null-correlation rows through to keep
             # the watermark honest; they carry no state
@@ -424,10 +459,10 @@ def sequence_correlator(
             st, completed, expired = machine.on_timeout(st, now)
             if completed or expired:
                 state.remove()
-                yield _emit(corr, st, expired)
+                yield _emit(ri, corr, st, expired)
             else:
                 state.update(_pack(st))
-                _arm(state, st)
+                _arm(state, machine, st)
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
@@ -450,13 +485,13 @@ def sequence_correlator(
             st, completed = machine.on_events(st, _rows_to_events(rows))
         if completed:
             state.remove()
-            yield _emit(corr, st, False)
+            yield _emit(ri, corr, st, False)
             return
         state.update(_pack(st))
-        _arm(state, st)
+        _arm(state, machine, st)
 
     if is_streaming:
-        return slim.groupBy("_corr").applyInPandasWithState(
+        return slim.groupBy("_ri", "_corr").applyInPandasWithState(
             fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
             GroupStateTimeout.EventTimeTimeout
             if event_time
@@ -473,9 +508,11 @@ def sequence_correlator(
         corr = g["_corr"].iloc[0]
         if corr is None:
             return None
+        ri = int(g["_ri"].iloc[0])
+        machine = machines[ri]
         t0 = int(g["_ts"].min().value // 1_000_000)
         st, completed = machine.on_events(machine.initial(t0), _rows_to_events(g))
-        return _emit(corr, st, False) if completed else None
+        return _emit(ri, corr, st, False) if completed else None
 
     def partition_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: list[pd.DataFrame] = []
@@ -489,13 +526,16 @@ def sequence_correlator(
             # rows are sorted by key within the partition, but the LAST
             # key may continue in the next Arrow batch — hold it back
             last_key = pdf["_corr"].iloc[-1]
+            last_ri = pdf["_ri"].iloc[-1]
             if last_key is None:
-                tail_mask = pdf["_corr"].isna()
+                tail_mask = pdf["_corr"].isna() & (pdf["_ri"] == last_ri)
             else:
-                tail_mask = pdf["_corr"] == last_key
+                tail_mask = (pdf["_corr"] == last_key) & (
+                    pdf["_ri"] == last_ri
+                )
             carry = pdf[tail_mask]
             head = pdf[~tail_mask]
-            for _, g in head.groupby("_corr", sort=False, dropna=True):
+            for _, g in head.groupby(["_ri", "_corr"], sort=False, dropna=True):
                 r = _run_group(g)
                 if r is not None:
                     out.append(r)
@@ -507,8 +547,8 @@ def sequence_correlator(
             yield pd.concat(out, ignore_index=True)
 
     return (
-        slim.repartition("_corr")
-        .sortWithinPartitions("_corr", "_ts", "_eid")
+        slim.repartition("_ri", "_corr")
+        .sortWithinPartitions("_ri", "_corr", "_ts", "_eid")
         .mapInPandas(partition_fn, OUTPUT_SCHEMA)
     )
 

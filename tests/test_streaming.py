@@ -838,3 +838,71 @@ def test_correlator_expiry_is_not_followed_by(spark):
     assert abandoned == {"bob", "carol"}
     assert {u for u, exp in got.items() if exp} == abandoned
     assert got.get("alice") is False
+
+
+def test_sequence_correlator_fused_rules_match_singles(spark):
+    """N rules through ONE streaming query + state store (the fused
+    correlator) must emit exactly the union of N single-rule runs —
+    the streaming face of the engine's fuse_sequences."""
+    import json as _json
+
+    risky = lambda u, score=95: {"risk_score": str(score), "user_name": u}  # noqa: E731
+    rule_a = _json.loads(_json.dumps(RULE))
+    rule_a["alert_name"] = "seq_a"
+    rule_b = _json.loads(_json.dumps(RULE))
+    rule_b["alert_name"] = "seq_b"
+    # rule_b fires on a LOWER score bar and needs only 1 slot-0 event
+    rule_b["slots"][0]["criteria"] = (
+        "source='onelogin' AND "
+        "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>50"
+    )
+    rule_b["slots"][0]["threshold"] = 1
+
+    ev = _events(
+        spark,
+        [
+            (0, risky("alice")),
+            (1, risky("alice")),   # a: slot0 done; b: complete by now
+            (2, risky("alice")),   # a: complete
+            (3, risky("bob", score=60)),   # only b's slot0 matches
+            (4, risky("bob", score=60)),   # b: complete for bob
+            (5, risky("carol", score=10)),  # matches nothing
+        ],
+    )
+
+    def canon(rows):
+        return sorted(
+            (
+                r["alert_name"],
+                r["correlation_value"],
+                tuple(r["slot_counts"]),
+                r["expired"],
+            )
+            for r in rows
+        )
+
+    fused = canon(
+        _run_stream(
+            spark,
+            ev,
+            lambda s: sequence_correlator(
+                s, [rule_a, rule_b], "details.user_name"
+            ),
+            "seq_fused_out",
+        ).collect()
+    )
+    singles = []
+    for i, r in enumerate((rule_a, rule_b)):
+        singles.extend(
+            _run_stream(
+                spark,
+                ev,
+                lambda s, _r=r: sequence_correlator(
+                    s, _r, "details.user_name"
+                ),
+                f"seq_single_{i}_out",
+            ).collect()
+        )
+    assert fused == canon(singles)
+    names = {n for n, *_ in fused}
+    assert names == {"seq_a", "seq_b"}
