@@ -61,6 +61,13 @@ class Engine:
         of a scan per rule (the reference loop's shape). Alert documents
         are identical to the sequential path (pytest-pinned); only
         their append order in the store differs (all thresholds first).
+        ``fuse_sequences=True`` applies the same one-scan treatment to
+        sequence rules on BOTH phases of the pass: the in-flight resume
+        (`sequence_resume_fused` — all fusable (rule, slot) groups share
+        one conditional-aggregate scan) and the fresh starts
+        (`sequence_starts_fused`), with the sequential loop's intra-pass
+        dedup interaction replayed driver-side; unfusable shapes fall
+        back to the faithful per-group/per-document paths.
         Per-rule failure isolation is preserved by validating each
         rule's criteria/key resolution up front and dropping (logging)
         the broken ones, matching the swallow-and-continue semantics

@@ -54,8 +54,16 @@ def _events(spark, rows):
 
 
 def _run_stream(spark, events_df, builder, name):
-    """Round-trip a batch frame through a real file-source stream."""
+    """Round-trip a batch frame through a real file-source stream.
+
+    A stateful query with ProcessingTimeTimeout does NOT self-terminate
+    under availableNow while un-fired timers remain armed (e.g. a
+    7-day sequence expiry), so a bare awaitTermination(120) burns its
+    full budget on every such test (~2 min each, measured). Stop the
+    query explicitly once a batch processes zero input rows — all test
+    data is on disk before start, so a drained batch means done."""
     import tempfile
+    import time
 
     src = tempfile.mkdtemp(prefix="stream_src_")
     ck = tempfile.mkdtemp(prefix="stream_ck_")
@@ -70,7 +78,14 @@ def _run_stream(spark, events_df, builder, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    deadline = time.time() + 120
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(2)
+        lp = q.lastProgress
+        if lp and lp["numInputRows"] == 0:
+            q.stop()
+            break
+    q.awaitTermination(30)
     return spark.sql(f"SELECT * FROM {name}")
 
 
