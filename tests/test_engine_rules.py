@@ -337,3 +337,16 @@ def test_survey_audit_passes():
         text=True,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_bench_headline_names_all_exist():
+    """Every bench.py HEADLINE entry must be a registered catalog
+    query — a rename/removal must fail loudly here, not silently
+    shrink the driver's bench record."""
+    import bench
+
+    from alerta_spark.plans import catalog
+
+    missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
+    assert not missing, f"benched but unregistered: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate bench entries"
