@@ -270,35 +270,54 @@ def _filter_slice_events(slice_, extra_ids, thr: int, id_col: str):
     """Intra-pass F9 replay shared by the fused start/resume paths:
     drop events captured by EARLIER groups this pass from the
     collected sample, recompute the count exactly whenever the
-    collection cap was not hit, re-apply the threshold."""
+    collection cap was not hit, re-apply the threshold.
+
+    Shape: explode the (fired-groups-only, tiny) slice, broadcast
+    anti-join on event id, regroup preserving the original (ts, id)
+    array order via the carried position. A literal-array
+    `array_contains` here is O(|captured ids|) PER EVENT — after one
+    rule captures ~100k events the later rules' filters dominated the
+    whole fused pass (measured 55s vs 21s sequential at sf0.1 x 10
+    rules); the hash anti-join makes membership O(1)."""
     from pyspark.sql import functions as F
 
     if not extra_ids:
         return slice_
-    ids_lit = F.array(*[F.lit(x) for x in sorted(extra_ids)])
-    kept = F.filter(
-        F.col("events"),
-        lambda e: ~F.array_contains(ids_lit, e[id_col].cast("string")),
+    spark = slice_.sparkSession
+    ids_df = spark.createDataFrame(
+        [(x,) for x in sorted(extra_ids)], "alerted_event_id string"
     )
-    return (
-        slice_.select(
-            "value",
-            "count",
-            F.size("events").alias("_n0"),
-            kept.alias("events"),
-        )
-        .select(
-            "value",
-            F.when(
-                F.col("count") == F.col("_n0"),
-                F.size("events").cast("long"),
-            )
-            .otherwise(F.col("count"))
-            .alias("count"),
-            "events",
-        )
-        .where((F.col("count") >= thr) & (F.size("events") > 0))
+    ex = slice_.select(
+        "value",
+        "count",
+        F.size("events").alias("_n0"),
+        F.posexplode("events").alias("_pos", "_e"),
     )
+    kept = ex.join(
+        F.broadcast(ids_df),
+        ex["_e"][id_col].cast("string") == ids_df["alerted_event_id"],
+        "left_anti",
+    )
+    regrouped = kept.groupBy("value", "count", "_n0").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_pos").alias("p"), F.col("_e").alias("e"))
+                )
+            ),
+            lambda x: x["e"],
+        ).alias("events")
+    )
+    return regrouped.select(
+        "value",
+        F.when(
+            F.col("count") == F.col("_n0"),
+            F.size("events").cast("long"),
+        )
+        .otherwise(F.col("count"))
+        .alias("count"),
+        "events",
+    ).where((F.col("count") >= thr) & (F.size("events") > 0))
 
 
 def sequence_slots_fused_frame(
