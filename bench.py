@@ -268,6 +268,7 @@ HEADLINE = [
     "similarity_pq_topk",
     "similarity_ivf_partitioned",
     "embedding_triplet_mining_blocked",
+    "t3_sequence_correlator_fused",
 ]
 
 
