@@ -325,6 +325,7 @@ def sequence_slots_fused_frame(
     slot_shells: list[dict[str, Any]],
     id_col: str = "event_id",
     ts_col: str = "ts",
+    extra_preds: list | None = None,
 ) -> DataFrame:
     """The one-scan conditional-aggregate core of sequence-rule
     fusion: every fusable slot's criteria + aggregation key evaluated
@@ -333,21 +334,15 @@ def sequence_slots_fused_frame(
     ONE exchange, exactly the :func:`~alerta_spark.operators.
     threshold.fused_grouped` shape threshold rules already use.
     Exposed separately so tests can plan-guard the single-scan
-    property. -> [rule_idx, value, count, events]."""
+    property. -> [rule_idx, value, count, events]. ``extra_preds``
+    passes per-slot Column predicates through to
+    :func:`~alerta_spark.operators.threshold.fused_grouped` (the
+    resume path's captured-value IN probes)."""
     from alerta_spark.operators.threshold import fused_grouped
 
-    return fused_grouped(events_df, slot_shells, id_col, ts_col)
-
-
-def _templated_conjunct(criteria: str) -> str | None:
-    """The single templated conjunct of a slot criteria (None when the
-    criteria isn't the one-templated-equality batchable shape)."""
-    from alerta_spark.streaming.correlator import _split_top_and
-    from alerta_spark.templates import template_vars
-
-    conjuncts = [c.strip() for c in _split_top_and(criteria)]
-    t = [c for c in conjuncts if template_vars(c)]
-    return t[0] if len(t) == 1 else None
+    return fused_grouped(
+        events_df, slot_shells, id_col, ts_col, extra_preds=extra_preds
+    )
 
 
 def sequence_resume_fused(
@@ -362,13 +357,17 @@ def sequence_resume_fused(
     with ONE events scan — the cross-RULE fusion of
     :func:`process_sequence_slot_batched` (which already collapses the
     per-document fan-out within one group to one scan, but still costs
-    one scan per group): each fusable group's criteria compiles to
-    ``static AND CAST(<templated-lhs> AS STRING) IN (<captured
-    values>)`` and all groups share one conditional-aggregate scan
-    (:func:`sequence_slots_fused_frame`). Fired groups route back to
-    their documents by captured value; alert docs are assembled with
-    the same (static-criteria) shell the batched path uses, so the
-    written documents are identical.
+    one scan per group): each fusable group evaluates ``static`` as its
+    criteria plus a Column-built probe
+    ``path_col(key_path).cast("string").isin(<captured values>)`` —
+    the *same* key column and isin the batched path uses, built with
+    Column ops (never a SQL string literal, so captured values with
+    backslashes or quotes probe exactly) — and all groups share one
+    conditional-aggregate scan (:func:`sequence_slots_fused_frame`
+    via ``extra_preds``). Fired groups route back to their documents
+    by captured value; alert docs are assembled with the same
+    (static-criteria) shell the batched path uses, so the written
+    documents are identical.
 
     Returns ``(unfused_groups, stray_docs)``: groups whose slot shape
     isn't fusable (deadman slots, multi-templated criteria, key !=
@@ -393,23 +392,21 @@ def sequence_resume_fused(
     from alerta_spark.rules import threshold_shell
     from alerta_spark.templates import _lookup
 
-    fusable: list[tuple[int, dict, dict, dict]] = []
+    fusable: list[tuple[int, dict, Any, dict]] = []
     unfused: list[tuple[tuple[str, int], list[dict]]] = []
     stray: list[dict] = []
     for (name, idx), docs in groups.items():
         slot = docs[0]["slots"][idx]
         crit = str(slot.get("criteria", ""))
         compiled = compile_templated_criteria(crit)
-        conjunct = _templated_conjunct(crit)
         if (
             slot.get("alert_type", "threshold") != "threshold"
             or compiled is None
-            or conjunct is None
             or str(slot.get("aggregation_key", "")) != compiled[1]
         ):
             unfused.append(((name, idx), docs))
             continue
-        static, _key_path, tmpl_path = compiled
+        static, key_path, tmpl_path = compiled
         value_to_doc: dict[str, dict] = {}
         group_stray: list[dict] = []
         for doc in docs:
@@ -421,27 +418,28 @@ def sequence_resume_fused(
         stray.extend(group_stray)
         if not value_to_doc:
             continue
-        # the templated conjunct's own left-hand side becomes the IN
-        # probe (cast to STRING to mirror the batched path's
-        # key.cast("string").isin(values) exactly)
-        lhs = conjunct.rsplit("=", 1)[0].strip()
-        vals = ", ".join(
-            "'" + v.replace("'", "''") + "'" for v in sorted(value_to_doc)
-        )
-        in_clause = f"CAST({lhs} AS STRING) IN ({vals})"
-        scan_criteria = f"({static}) AND {in_clause}" if static else in_clause
         try:
-            p_scan = threshold_shell(dict(slot, criteria=scan_criteria))
-            # plan-time parse + resolve check; no job runs
-            events_df.where(F.expr(trino_to_spark(scan_criteria))).schema
-            path_col(events_df, p_scan["aggregation_key"])
+            # docs are assembled with the batched path's shell
+            # (criteria = static only) so written documents are
+            # byte-identical to it
+            p_asm = threshold_shell(dict(slot, criteria=static))
+            if static:
+                # plan-time parse + resolve check; no job runs
+                events_df.where(F.expr(trino_to_spark(static))).schema
+            # the captured values probe the SAME compiled key column
+            # the batched path semi-joins on — Column ops, not a SQL
+            # literal, so backslashes/quotes in values never hit the
+            # parser (and CAST-shaped templated conjuncts can't
+            # diverge on non-canonical values)
+            probe = (
+                path_col(events_df, key_path)
+                .cast("string")
+                .isin(sorted(value_to_doc))
+            )
         except Exception:
             unfused.append(((name, idx), docs))
             continue
-        # docs are assembled with the batched path's shell (criteria =
-        # static only) so written documents are byte-identical to it
-        p_asm = threshold_shell(dict(slot, criteria=static))
-        fusable.append((idx, p_scan, p_asm, value_to_doc))
+        fusable.append((idx, p_asm, probe, value_to_doc))
     if not fusable:
         return unfused, stray
 
@@ -450,11 +448,15 @@ def sequence_resume_fused(
     )
     ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
     grouped = sequence_slots_fused_frame(
-        ev, [p for _, p, _, _ in fusable], id_col, ts_col
+        ev,
+        [p for _, p, _, _ in fusable],
+        id_col,
+        ts_col,
+        extra_preds=[pr for _, _, pr, _ in fusable],
     ).persist()
     try:
         extra_ids: set[str] = set()
-        for i, (idx, _p_scan, p_asm, value_to_doc) in enumerate(fusable):
+        for i, (idx, p_asm, _probe, value_to_doc) in enumerate(fusable):
             thr = int(p_asm["threshold"])
             slice_ = grouped.where(
                 (F.col("rule_idx") == i) & (F.col("count") >= thr)

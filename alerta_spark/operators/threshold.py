@@ -198,15 +198,26 @@ def fused_grouped(
     id_col: str = "event_id",
     ts_col: str = "ts",
     max_events: int = 1000,
+    extra_preds: list[Column | None] | None = None,
 ) -> DataFrame:
     """The shared one-scan/one-exchange core of rule fusion: evaluate
     every rule's criteria + aggregation key as columns, explode one
     (rule_idx, value) struct per matching rule, aggregate by
-    (rule_idx, value) -> [rule_idx, value, count, events]."""
+    (rule_idx, value) -> [rule_idx, value, count, events].
+
+    ``extra_preds[i]`` (optional) is AND-ed onto shell i's criteria as
+    a Column — callers with value-carrying predicates (the sequence
+    resume's captured-value IN probe) build them with Column ops so
+    captured values never round-trip through the SQL parser (a
+    backslash in a string literal would be eaten as an escape)."""
     preds = [
         F.expr(trino_to_spark(p["criteria"]) or "true") if p["criteria"] else F.lit(True)
         for p in shells
     ]
+    if extra_preds is not None:
+        preds = [
+            (p & e) if e is not None else p for p, e in zip(preds, extra_preds)
+        ]
     keys = [path_col(df, p["aggregation_key"]).cast("string") for p in shells]
     matches = F.array(
         *[

@@ -418,6 +418,59 @@ def test_sequence_resume_fused_matches_sequential(spark, tmp_path):
     assert waiting == {"u2", "u4"}
 
 
+def test_sequence_resume_fused_special_char_values(spark, tmp_path):
+    """Captured values containing backslashes (DOMAIN\\user principals)
+    or quotes must advance under the fused path exactly like the
+    batched one. Regression: the fused probe used to render values
+    into a SQL IN literal where the parser ate backslash escapes, so
+    'DOM\\alice' silently never advanced."""
+    import alerta_spark.operators.sequence as seqmod
+
+    users = ["DOM\\alice", "o'brien", "plain_user"]
+    ev1 = _onelogin_events(spark, [dict(RISKY, user_name=u) for u in users])
+    from pyspark.sql import functions as F
+
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in users]
+    ).withColumn("event_id", F.col("event_id") + 500)
+
+    def run(mode):
+        eng = Engine(
+            spark, str(tmp_path / f"sc_{mode}"), id_col="event_id", ts_col="ts"
+        )
+        eng.run_once(ev1, [SEQ_RULE], fuse_sequences=mode)
+        eng.run_once(ev2, [SEQ_RULE], fuse_sequences=mode)
+        return eng
+
+    calls = []
+    orig = seqmod.sequence_resume_fused
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        calls.append(out)
+        return out
+
+    seqmod.sequence_resume_fused = spy
+    try:
+        fus = run(True)
+    finally:
+        seqmod.sequence_resume_fused = orig
+    seq = run(False)
+
+    # the fused path served the group (no fallback hid the bug)
+    assert calls and all(unfused == [] and stray == [] for unfused, stray in calls)
+    done = {d["slots"][0]["metadata"]["value"] for d in fus.alerts.docs()}
+    assert done == set(users)
+
+    def canon(docs):
+        return sorted(
+            (json.dumps(_strip_volatile(d), sort_keys=True) for d in docs)
+        )
+
+    assert canon(fus.alerts.docs()) == canon(seq.alerts.docs())
+    assert canon(fus.inflight.docs()) == canon(seq.inflight.docs())
+
+
 def test_engine_stream_fused_sequences_match_batch(spark, tmp_path):
     """T1 parity with fusion on: run_stream(availableNow,
     fuse_sequences=True) executes the same cron body per micro-batch —
