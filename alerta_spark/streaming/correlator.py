@@ -305,6 +305,14 @@ def sequence_correlator(
     of N queries; per-(rule, key) semantics are identical to N
     single-rule correlators (pytest-pinned).
 
+    CHECKPOINT COMPATIBILITY: the fused form keys state by
+    ``(_ri, _corr)`` for every caller — including single-rule ones —
+    where pre-fusion checkpoints keyed by ``(_corr)`` alone. A restart
+    of an existing query against an old checkpoint fails with a state
+    key schema mismatch: discard the checkpoint (replay the backlog —
+    semantics are deterministic in eventTime mode) before upgrading a
+    live correlator.
+
     ``time_mode='eventTime'`` drives timeouts from the WATERMARK
     instead of the wall clock: a deadman slot fires when the data's
     own clock passes last_event + lifespan — replayable and
@@ -577,7 +585,18 @@ def sequence_correlator_tws(
     Requires the ``protobuf`` package (the transformWithState Python
     state-server protocol is protobuf-framed); raises ImportError with
     a clear message where it is unavailable — sequence_correlator
-    (applyInPandasWithState) is the dependency-free fallback.
+    (applyInPandasWithState) is the dependency-free fallback. Also
+    requires a column-family-capable state store::
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    (the default HDFS-backed provider rejects transformWithState; the
+    RocksDB provider is bundled with Spark 4 and is the store this API
+    is designed for at scale). In the dev sandbox, protobuf is served
+    by tools/pyshim/sitecustomize.py — see its docstring.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401
@@ -681,6 +700,16 @@ def sequence_correlator_tws(
             ev_rows = (
                 pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
             )
+            if len(ev_rows):
+                # the tws Arrow path can deliver POSITIONAL column names
+                # (_0.._N, observed on Spark 4.1 when the grouping key is
+                # re-projected); the order is the slim projection's, so
+                # rebind names positionally — correct under either naming
+                ev_rows = ev_rows.set_axis(
+                    ["_corr", "_eid", "_ts"]
+                    + [f"_m{i}" for i in range(n_slots)],
+                    axis=1,
+                )
             # deadline origin: first event's data-clock in eventTime
             # mode, else the engine's processing clock
             if event_time and len(ev_rows):

@@ -1,11 +1,33 @@
 from __future__ import annotations
 
+import importlib.util
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Dev-sandbox protobuf shim (tools/pyshim/sitecustomize.py): makes the
+# transformWithStateInPandas protocol importable where no protobuf
+# distribution is installable. Two delivery channels, both no-ops when a
+# real protobuf exists: (1) execute it here for the DRIVER process;
+# (2) prepend it to PYTHONPATH BEFORE the spark fixture launches the
+# JVM, so Spark's Python WORKERS (separate processes) auto-import it as
+# their sitecustomize.
+_PYSHIM = Path(__file__).resolve().parent.parent / "tools" / "pyshim"
+try:
+    _spec = importlib.util.spec_from_file_location(
+        "_alerta_pbshim", _PYSHIM / "sitecustomize.py"
+    )
+    _mod = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    os.environ["PYTHONPATH"] = (
+        str(_PYSHIM) + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
+except Exception:
+    pass
 
 from alerta_spark.session import get_spark
 

@@ -128,7 +128,12 @@ def _has_protobuf() -> bool:
 )
 def test_sequence_correlator_tws_completes_per_key(spark):
     """transformWithStateInPandas (arbitrary-state v2) path produces
-    the same completions as the applyInPandasWithState path."""
+    the same completions as the applyInPandasWithState path.
+
+    transformWithState needs a state store with column families —
+    RocksDB (bundled rocksdbjni), not the default HDFS-backed one;
+    set per-test and restored so the legacy-path tests keep their
+    default provider."""
     risky = lambda u, score=95: {"risk_score": str(score), "user_name": u}  # noqa: E731
     ev = _events(
         spark,
@@ -140,22 +145,48 @@ def test_sequence_correlator_tws_completes_per_key(spark):
             (4, risky("carol", score=10)),
         ],
     )
-    out = _run_stream(
-        spark,
-        ev,
-        lambda s: sequence_correlator_tws(s, RULE, "details.user_name"),
-        "seq_tws_out",
-    ).collect()
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = _run_stream(
+            spark,
+            ev,
+            lambda s: sequence_correlator_tws(s, RULE, "details.user_name"),
+            "seq_tws_out",
+        ).collect()
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
     done = {r["correlation_value"]: r for r in out}
     assert "alice" in done and done["alice"]["expired"] is False
     assert list(done["alice"]["slot_counts"]) == [2, 1]
     assert "bob" not in done and "carol" not in done
 
 
-@pytest.mark.skipif(
-    _has_protobuf(), reason="guard only observable without protobuf"
-)
-def test_sequence_correlator_tws_requires_protobuf(spark):
+def test_sequence_correlator_tws_requires_protobuf(spark, monkeypatch):
+    """The tws variant must fail fast with a clear message where
+    protobuf is unavailable. Simulated by blocking the import (works
+    whether or not protobuf is actually present in this env)."""
+    import importlib.abc
+    import sys
+
+    class _Block(importlib.abc.MetaPathFinder):
+        def find_spec(self, name, path=None, target=None):
+            if name == "google" or name.startswith("google."):
+                raise ImportError("blocked for test")
+            return None
+
+    for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+        monkeypatch.delitem(sys.modules, mod, raising=False)
+    monkeypatch.setattr(sys, "meta_path", [_Block()] + sys.meta_path)
+
     ev = _events(spark, [(0, {"risk_score": "95", "user_name": "a"})])
     with pytest.raises(ImportError, match="protobuf"):
         sequence_correlator_tws(ev, RULE, "details.user_name")
