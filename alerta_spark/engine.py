@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from alerta_spark.operators.deadman import deadman_alerts
 from alerta_spark.operators.sequence import (
-    alerts_df_to_docs,
     create_sequence_alerts,
     expire_sequence_alerts,
     process_sequence_alert,
@@ -162,7 +161,11 @@ class Engine:
             if kind == "threshold":
                 # reference swallows scan failures here too
                 # (alerta.py:470-473): a broken criteria logs and yields
-                # no events -> no alert, the run continues
+                # no events -> no alert, the run continues. Emission is
+                # DISTRIBUTED (append_frame): fired-group cardinality
+                # grows with the corpus, so alert documents are
+                # assembled and written executor-side — the driver
+                # never materializes an alert row.
                 try:
                     fired = threshold_alerts(
                         events_df,
@@ -171,33 +174,32 @@ class Engine:
                         id_col=self.id_col,
                         ts_col=self.ts_col,
                     )
-                    docs = alerts_df_to_docs(fired)
+                    self.alerts.append_frame(fired, id_field=self.id_col)
                 except Exception:
                     import logging
 
                     logging.getLogger(__name__).exception(
                         "threshold scan failed for rule %r", rule.get("alert_name")
                     )
-                    docs = []
-                self.alerts.append(docs)
             elif kind == "deadman":
                 # reference failure semantics (alerta.py:417-420): a scan
                 # exception is swallowed and leaves events empty, so a
                 # broken criteria / unavailable lake FIRES the deadman
-                # (absence of evidence is the alarm condition)
+                # (absence of evidence is the alarm condition). The
+                # distributed write is the action that surfaces lazy
+                # scan errors, so it sits inside the try.
                 try:
                     fired = deadman_alerts(
                         events_df, rule, id_col=self.id_col, ts_col=self.ts_col
                     )
-                    docs = alerts_df_to_docs(fired)
+                    self.alerts.append_frame(fired, id_field=self.id_col)
                 except Exception:
                     empty = events_df.where(F.lit(False))
                     fired = deadman_alerts(
                         empty, dict(rule, criteria=""), id_col=self.id_col,
                         ts_col=self.ts_col,
                     )
-                    docs = alerts_df_to_docs(fired)
-                self.alerts.append(docs)
+                    self.alerts.append_frame(fired, id_field=self.id_col)
             elif kind == "sequence":
                 process_sequence_alert(
                     events_df, rule, self.inflight, self.alerts, self.id_col, self.ts_col
@@ -288,13 +290,17 @@ class Engine:
             ev, valid, id_col=self.id_col, ts_col=self.ts_col
         ).persist()
         try:
+            # per-rule writes off the persisted (tiny, post-aggregation)
+            # fired frame: keeps the sequential path's per-rule failure
+            # isolation while emission stays DISTRIBUTED (no collect)
             for rule in valid:
                 p = threshold_shell(rule)
                 slice_ = fired.where(
                     F.col("alert_name") == p["alert_name"]
                 ).select("value", "count", "events")
-                self.alerts.append(
-                    alerts_df_to_docs(assemble_alerts(slice_, p, ev.schema))
+                self.alerts.append_frame(
+                    assemble_alerts(slice_, p, ev.schema),
+                    id_field=self.id_col,
                 )
         finally:
             fired.unpersist()
@@ -329,7 +335,7 @@ class Engine:
                     empty, dict(rule, criteria=""), id_col=self.id_col,
                     ts_col=self.ts_col,
                 )
-                self.alerts.append(alerts_df_to_docs(fired))
+                self.alerts.append_frame(fired, id_field=self.id_col)
         if not valid:
             return
         fired_all = deadman_alerts_fused(
@@ -341,10 +347,9 @@ class Engine:
                 slice_ = fired_all.where(
                     F.col("alert_name") == p["alert_name"]
                 ).select("value", "count", "events")
-                self.alerts.append(
-                    alerts_df_to_docs(
-                        assemble_alerts(slice_, p, events_df.schema)
-                    )
+                self.alerts.append_frame(
+                    assemble_alerts(slice_, p, events_df.schema),
+                    id_field=self.id_col,
                 )
         finally:
             fired_all.unpersist()

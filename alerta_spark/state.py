@@ -94,6 +94,105 @@ def doc_to_row(doc: dict[str, Any]) -> dict[str, Any]:
     }
 
 
+def alert_docs_frame(alerts: DataFrame, id_field: str = "event_id") -> DataFrame:
+    """Executor-side :func:`doc_to_row`: turn an (unmaterialized) alert
+    frame into DOC_SCHEMA rows WITHOUT collecting — the distributed
+    emission path. Fired-group cardinality grows with the corpus
+    (one alert per aggregation-key value), so alert documents must be
+    assembled and written where they were computed, never on the
+    driver; the driver-side twin (``alerts_df_to_docs`` + ``append``)
+    remains only for the tiny in-flight sequence state tier.
+
+    Parity with doc_to_row (pytest-pinned in tests/test_state.py):
+    the parsed ``doc`` JSON, ``alerted_event_ids``, timestamps and
+    epochs are equal; the raw ``doc`` BYTES may differ (Jackson emits
+    UTF-8 and compact separators where json.dumps escapes non-ASCII
+    and spaces separators) — every consumer parses, none compare
+    bytes. Null fields are dropped by both writers (toJSON and
+    to_json share Jackson's ignoreNullFields default).
+    """
+    cols = alerts.columns
+    stamped = alerts.withColumn(
+        "_id",
+        # meteor-style 24-hex id, generated per row on the executor
+        # (generate_meteor_id takes uuid4().hex[:24])
+        F.lower(
+            F.substring(
+                F.replace(F.expr("uuid()"), F.lit("-"), F.lit("")), 1, 24
+            )
+        ),
+    )
+    now_iso = utcnow().isoformat()
+    ts_raw = (
+        F.col("utctimestamp").cast("string")
+        if "utctimestamp" in cols
+        else F.lit(None).cast("string")
+    )
+    # doc_to_row: empty/missing utctimestamp -> now (falsy-or semantics)
+    ts = F.when(
+        F.coalesce(ts_raw, F.lit("")) != "", ts_raw
+    ).otherwise(F.lit(now_iso))
+    stamped = stamped.withColumn("utctimestamp", ts)
+    epoch_fallback = int(utcnow().timestamp())
+    stamped = stamped.withColumn(
+        "utcepoch",
+        F.coalesce(
+            F.unix_timestamp(F.col("utctimestamp").cast("timestamp")),
+            F.lit(epoch_fallback),
+        ).cast("long"),
+    )
+
+    id_parts = []
+    if "events" in cols:
+        id_parts.append(
+            F.transform("events", lambda e: e[id_field].cast("string"))
+        )
+    if "slots" in cols:
+        id_parts.append(
+            F.flatten(
+                F.transform(
+                    "slots",
+                    lambda s: F.transform(
+                        s["events"], lambda e: e[id_field].cast("string")
+                    ),
+                )
+            )
+        )
+    if id_parts:
+        ids = id_parts[0]
+        for p in id_parts[1:]:
+            ids = F.concat(ids, p)
+        ids = F.filter(ids, lambda x: x.isNotNull())
+    else:
+        ids = F.array().cast("array<string>")
+
+    doc = F.to_json(F.struct(*[F.col(c) for c in stamped.columns]))
+    return stamped.select(
+        F.col("_id"),
+        (
+            F.coalesce(F.col("alert_name").cast("string"), F.lit("unnamed"))
+            if "alert_name" in cols
+            else F.lit("unnamed")
+        ).alias("alert_name"),
+        F.col("utctimestamp"),
+        F.col("utcepoch"),
+        (
+            F.col("expiration").cast("string")
+            if "expiration" in cols
+            else F.lit(None).cast("string")
+        ).alias("expiration"),
+        (
+            F.coalesce(F.col("summary").cast("string"), F.lit(""))
+            if "summary" in cols
+            else F.lit("")
+        ).alias("summary"),
+        F.coalesce(ids, F.array().cast("array<string>")).alias(
+            "alerted_event_ids"
+        ),
+        doc.alias("doc"),
+    )
+
+
 class DocStore:
     """A tiny document table over parquet (the Mongo stand-in)."""
 
@@ -126,12 +225,31 @@ class DocStore:
             "append"
         ).parquet(self.path)
 
+    def append_frame(self, alerts: DataFrame, id_field: str = "event_id") -> None:
+        """S7 distributed: append an ALERT FRAME without collecting —
+        the executor-side twin of ``append(alerts_df_to_docs(...))``.
+        Fired groups are assembled into documents and written where
+        they were computed; the driver never sees a row, so alert
+        cardinality (which grows with the corpus) never lands on
+        driver memory. Parquet's job-commit protocol keeps the append
+        atomic per call."""
+        alert_docs_frame(alerts, id_field).write.mode("append").parquet(
+            self.path
+        )
+
     def overwrite(self, docs: list[dict[str, Any]]) -> None:
         rows = [doc_to_row(d) for d in docs]
-        df = self.spark.createDataFrame(rows, DOC_SCHEMA)
-        # write-then-swap keeps readers consistent on local fs
+        self.overwrite_frame(self.spark.createDataFrame(rows, DOC_SCHEMA))
+
+    def overwrite_frame(self, df: DataFrame) -> None:
+        """Replace the table with a DOC_SCHEMA frame (write-then-swap
+        keeps readers consistent on a local fs, and materializing to
+        the tmp path first makes self-referential plans — frames built
+        FROM this store — safe to write back)."""
         tmp = self.path + ".tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        df.select([f.name for f in DOC_SCHEMA.fields]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         out = self.spark.read.schema(DOC_SCHEMA).parquet(tmp)
         out.coalesce(1).write.mode("overwrite").parquet(self.path)
         import shutil
@@ -146,7 +264,10 @@ class DocStore:
         """Batch insert-or-replace: ONE read + ONE write for any number
         of state changes (the reference pays a Mongo round-trip per
         upsert; a run that advances N in-flight alerts must not rewrite
-        the state table N times)."""
+        the state table N times). Set-based: existing rows stay
+        executor-side (anti-join on ``_id`` against the replacement
+        batch) — only the NEW documents pass through the driver, so a
+        large state table is never collected to apply a small delta."""
         if not new_docs:
             return
         new_docs = [dict(d) for d in new_docs]
@@ -155,12 +276,15 @@ class DocStore:
         # duplicate _ids within a batch: last wins (repeated Mongo
         # replace_one semantics)
         by_id = {d["_id"]: d for d in new_docs}
-        docs = [d for d in self.docs() if d.get("_id") not in by_id]
-        docs.extend(by_id.values())
-        self.overwrite(docs)
+        rows = [doc_to_row(d) for d in by_id.values()]
+        new_df = self.spark.createDataFrame(rows, DOC_SCHEMA)
+        kept = self.frame().join(
+            F.broadcast(new_df.select("_id")), "_id", "left_anti"
+        )
+        self.overwrite_frame(kept.unionByName(new_df))
 
     def delete(self, _id: str) -> None:
-        self.overwrite([d for d in self.docs() if d.get("_id") != _id])
+        self.overwrite_frame(self.frame().where(F.col("_id") != _id))
 
     def alerted_ids(self) -> DataFrame:
         """DataFrame[alerted_event_id] for anti-join dedup (F8/F9)."""

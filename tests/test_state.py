@@ -1,0 +1,119 @@
+"""DocStore emission tiers: the distributed alert-document writer
+(alert_docs_frame / append_frame) must produce the same documents as
+the driver-side doc_to_row path it replaces, and the set-based upsert
+must keep exact Mongo replace_one semantics (reference: save_alert
+alerta.py:76-89, save_inflight_alert alerta.py:92-111)."""
+
+import json
+
+import pytest
+
+from alerta_spark.operators.sequence import alerts_df_to_docs
+from alerta_spark.operators.threshold import threshold_alerts
+from alerta_spark.state import DocStore, alert_docs_frame, doc_to_row
+
+
+def _events(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2026-01-01 00:0{i % 10}:00",
+            "source": "onelogin",
+            "details": json.dumps(
+                {"risk_score": "95", "user_name": f"u{i % 3}"}
+            ),
+        }
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows)
+    return df.withColumn("ts", F.to_timestamp("ts")).select(
+        "event_id", "ts", "source", "details"
+    )
+
+
+RULE = {
+    "alert_name": "risky_login",
+    "alert_type": "threshold",
+    "criteria": "source='onelogin' AND CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80",
+    "summary": "risky login by {{metadata.value}}",
+    "event_snippet": "",
+    "aggregation_key": "details.user_name",
+    "threshold": 2,
+    "event_sample_count": 2,
+}
+
+
+def _strip_ids(doc):
+    doc = dict(doc)
+    doc.pop("_id", None)
+    return doc
+
+
+def test_alert_docs_frame_matches_doc_to_row(spark):
+    """Distributed doc assembly == driver doc_to_row, field by field
+    (parsed-doc equality; raw bytes differ only in JSON cosmetics)."""
+    fired = threshold_alerts(_events(spark), RULE)
+
+    driver_rows = [doc_to_row(d) for d in alerts_df_to_docs(fired)]
+    dist_rows = [r.asDict() for r in alert_docs_frame(fired).collect()]
+    assert len(driver_rows) == len(dist_rows) == 3
+
+    key = lambda r: r["summary"]  # noqa: E731
+    for dr, xr in zip(sorted(driver_rows, key=key), sorted(dist_rows, key=key)):
+        assert dr["alert_name"] == xr["alert_name"]
+        assert dr["utctimestamp"] == xr["utctimestamp"]
+        assert dr["utcepoch"] == xr["utcepoch"]
+        assert dr["expiration"] == xr["expiration"]
+        assert dr["summary"] == xr["summary"]
+        assert list(dr["alerted_event_ids"]) == list(xr["alerted_event_ids"])
+        d_doc, x_doc = json.loads(dr["doc"]), json.loads(xr["doc"])
+        assert _strip_ids(d_doc) == _strip_ids(x_doc)
+        # the row _id and the doc-internal _id agree in both writers
+        assert x_doc["_id"] == xr["_id"]
+        assert d_doc["_id"] == dr["_id"]
+
+
+def test_append_frame_feeds_next_run_dedup(spark, tmp_path):
+    """Documents written by append_frame must carry the flattened
+    alerted_event_ids that the next run's F8 anti-join probes."""
+    store = DocStore(spark, str(tmp_path / "alerts"))
+    fired = threshold_alerts(_events(spark), RULE)
+    store.append_frame(fired)
+
+    ids = sorted(r["alerted_event_id"] for r in store.alerted_ids().collect())
+    assert ids == [str(i) for i in range(9)]
+    # a second identical pass dedups to zero fired groups
+    again = threshold_alerts(
+        _events(spark), RULE, alerted_ids=store.alerted_ids()
+    )
+    assert again.count() == 0
+
+
+def test_upsert_many_set_based_last_wins(spark, tmp_path):
+    store = DocStore(spark, str(tmp_path / "state"))
+    store.append([{"_id": "a", "alert_name": "x", "summary": "v1"}])
+    store.upsert_many(
+        [
+            {"_id": "a", "alert_name": "x", "summary": "v2"},
+            {"_id": "a", "alert_name": "x", "summary": "v3"},  # last wins
+            {"_id": "b", "alert_name": "y", "summary": "w"},
+        ]
+    )
+    docs = {d["_id"]: d for d in store.docs()}
+    assert set(docs) == {"a", "b"}
+    assert docs["a"]["summary"] == "v3"
+    assert docs["b"]["summary"] == "w"
+
+    store.delete("a")
+    assert [d["_id"] for d in store.docs()] == ["b"]
+
+
+def test_append_frame_empty_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = DocStore(spark, str(tmp_path / "alerts"))
+    fired = threshold_alerts(_events(spark).where(F.lit(False)), RULE)
+    store.append_frame(fired)
+    assert store.docs() == []

@@ -1,0 +1,209 @@
+"""Measure the ALERT-CARDINALITY axis of the engine (the one axis the
+corpus-replication scale bench cannot see): wall time, emitted-alert
+count, in-flight-state count, and DRIVER max-RSS as the number of
+FIRED GROUPS grows 1x/3x/10x at a fixed rule count.
+
+Why this axis: one alert per aggregation-key value (reference fan-out,
+SURVEY.md §1.4-3) means fired-group cardinality grows with the corpus.
+The round-5 verdict flagged driver-side alert-document assembly as the
+remaining 100x bottleneck; round 6 moved threshold/deadman emission to
+the executor-side writer (DocStore.append_frame) and made state
+upserts set-based. This bench is the instrument that proves it: the
+emission tiers must show time exponent ~<1 in fired groups and a
+driver RSS that does not scale with alert cardinality (in-flight
+sequence SLOT STATE is the documented driver-side remainder — its
+growth is measured, not hidden).
+
+Usage:  python tools/alert_scale_bench.py [--groups 500,1500,5000]
+Merges results into SCALE_BENCH.json under engine_* keys and prints
+one line per (scale, phase).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import resource
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+N_RULES = 10
+EVENTS_PER_GROUP = 3
+
+
+def _mk_rules(kind: str):
+    slot = {
+        "alert_type": "threshold",
+        "criteria": (
+            "source='onelogin' AND "
+            "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80"
+        ),
+        "summary": "risky login by {{events.0.details.user_name}}",
+        "event_snippet": "",
+        "aggregation_key": "details.user_name",
+        "threshold": 1,
+        "event_sample_count": 2,
+    }
+    if kind == "threshold":
+        return [
+            dict(slot, alert_name=f"thr_{i}", summary="hit {{metadata.value}}")
+            for i in range(N_RULES)
+        ]
+    seq_slot1 = dict(
+        slot,
+        criteria=(
+            "source='onelogin' AND json_extract_scalar(details,'$.user_name')"
+            "='{{slots.0.events.0.details.user_name}}'"
+        ),
+    )
+    return [
+        {
+            "alert_name": f"seq_{i}",
+            "alert_type": "sequence",
+            "lifespan": "7 days",
+            "summary": "seq for {{slots.0.events.0.details.user_name}}",
+            "slots": [
+                dict(slot, alert_name=f"seq_{i}_s0"),
+                dict(seq_slot1, alert_name=f"seq_{i}_s1"),
+            ],
+        }
+        for i in range(N_RULES)
+    ]
+
+
+def _events(spark, groups: int, id_offset: int):
+    """groups x EVENTS_PER_GROUP onelogin events, one distinct user per
+    group, generated DISTRIBUTED (spark.range — no driver list)."""
+    from pyspark.sql import functions as F
+
+    n = groups * EVENTS_PER_GROUP
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("event_id"),
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, 0, 0, id)"
+        ).alias("ts"),
+        F.lit("onelogin").alias("source"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("u"), (F.col("id") % groups).cast("string")).alias(
+                    "user_name"
+                ),
+                F.lit("95").alias("risk_score"),
+            )
+        ).alias("details"),
+    )
+
+
+def _rss_mb() -> float:
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+
+
+def main() -> None:
+    group_scales = [500, 1500, 5000]
+    for a in sys.argv[1:]:
+        if a.startswith("--groups"):
+            group_scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from alerta_spark.engine import Engine
+    from alerta_spark.session import get_spark
+
+    import os
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "") or str(os.cpu_count() or 8)
+    spark = get_spark(
+        "alerta-alert-scale-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    results: dict[str, dict] = {
+        "engine_threshold_emission": {},
+        "engine_sequence_pass": {},
+    }
+    # warm: JVM, parquet writer, python workers
+    warm = Engine(spark, tempfile.mkdtemp(prefix="ab_warm_"))
+    warm.run_once(_events(spark, 50, 0), _mk_rules("threshold")[:2],
+                  fuse_thresholds=True)
+
+    for g in group_scales:
+        ev1 = _events(spark, g, 0).cache()
+        ev1.count()
+
+        # --- fused THRESHOLD pass: N_RULES x g fired groups, all
+        # emission through the distributed writer
+        eng = Engine(spark, tempfile.mkdtemp(prefix=f"ab_thr_{g}_"))
+        t0 = time.perf_counter()
+        eng.run_once(ev1, _mk_rules("threshold"), fuse_thresholds=True)
+        dt = round(time.perf_counter() - t0, 3)
+        n_alerts = eng.alerts.frame().count()
+        results["engine_threshold_emission"][str(g)] = {
+            "sec": dt,
+            "alerts": n_alerts,
+            "driver_rss_mb": _rss_mb(),
+        }
+        print(f"g={g:<6} threshold  {dt:>8.2f}s alerts={n_alerts} rss={_rss_mb()}MB")
+
+        # --- fused SEQUENCE starts + resume: in-flight slot state is
+        # the documented driver-side tier — measure its growth honestly
+        eng2 = Engine(spark, tempfile.mkdtemp(prefix=f"ab_seq_{g}_"))
+        t0 = time.perf_counter()
+        eng2.run_once(ev1, _mk_rules("sequence"), fuse_sequences=True)
+        t_start = round(time.perf_counter() - t0, 3)
+        n_inflight = eng2.inflight.frame().count()
+        ev2 = _events(spark, g, 10_000_000).cache()
+        ev2.count()
+        t0 = time.perf_counter()
+        eng2.run_once(ev2, _mk_rules("sequence"), fuse_sequences=True)
+        t_resume = round(time.perf_counter() - t0, 3)
+        n_alerts2 = eng2.alerts.frame().count()
+        results["engine_sequence_pass"][str(g)] = {
+            "sec": round(t_start + t_resume, 3),
+            "sec_start": t_start,
+            "sec_resume": t_resume,
+            "inflight_after_start": n_inflight,
+            "alerts": n_alerts2,
+            "driver_rss_mb": _rss_mb(),
+        }
+        print(
+            f"g={g:<6} sequence   start={t_start:.2f}s resume={t_resume:.2f}s "
+            f"alerts={n_alerts2} inflight={n_inflight} rss={_rss_mb()}MB"
+        )
+        ev1.unpersist()
+        ev2.unpersist()
+
+    lo, hi = str(group_scales[0]), str(group_scales[-1])
+    for name, r in results.items():
+        if lo != hi and lo in r and hi in r and r[lo]["sec"] > 0:
+            ratio = r[hi]["sec"] / r[lo]["sec"]
+            r["time_exponent"] = round(
+                math.log(ratio) / math.log(int(hi) / int(lo)), 2
+            )
+            if r[lo]["alerts"] > 0:
+                r["rows_exponent"] = round(
+                    math.log(max(r[hi]["alerts"], 1) / r[lo]["alerts"])
+                    / math.log(int(hi) / int(lo)),
+                    2,
+                )
+
+    out_path = REPO / "SCALE_BENCH.json"
+    record = {"results": {}}
+    if out_path.exists():
+        record = json.loads(out_path.read_text())
+    record["results"].update(results)
+    out_path.write_text(json.dumps(record, indent=1))
+    print(f"wrote {out_path}")
+    for name, r in results.items():
+        print(
+            f"{name:<28} time_exp={r.get('time_exponent')} "
+            f"rows_exp={r.get('rows_exponent')}"
+        )
+
+
+if __name__ == "__main__":
+    main()
