@@ -1859,6 +1859,8 @@ def hard_triplets(
 
     -> [anchor_id, pos_id, neg_id, cos_pos_q, cos_neg_q, margin_q]
     """
+    import logging
+
     import numpy as np
 
     from alerta_spark._ship import ensure_shipped
@@ -1869,9 +1871,23 @@ def hard_triplets(
     rows = (
         df.select(id_col, label_col, vec_col)
         .orderBy(id_col)
-        .limit(max_ref)
+        .limit(max_ref + 1)
         .collect()
     )
+    if len(rows) > max_ref:
+        # the semantic switch from exact all-pairs to capped-bank
+        # mining must be OBSERVABLE, not silent (callers with corpora
+        # over the cap would otherwise believe they got the exact form)
+        logging.getLogger(__name__).warning(
+            "hard_triplets: corpus exceeds max_ref=%d; mining against "
+            "the %d lowest-%s memory bank, not exact all-pairs "
+            "(use embedding_triplet_mining_blocked / LSH-IVF candidate "
+            "generators for full-corpus mining)",
+            max_ref,
+            max_ref,
+            id_col,
+        )
+        rows = rows[:max_ref]
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     labels = np.array([r[1] for r in rows], dtype=np.int64)
     # floor(x * scale): float32 -> float64 is exact, mul/floor IEEE

@@ -96,24 +96,32 @@ def split_json_blocks(
     return slim.mapInPandas(fn, out_schema)
 
 
-def load_cloudtrail_records(spark: SparkSession, path: str) -> DataFrame:
+def load_cloudtrail_records(
+    spark: SparkSession, path: str, allow_unnamed: bool = False
+) -> DataFrame:
     """Read CloudTrail-shaped files (``{"Records": [...]}``) and emit
     one row per record — the reference's per-file Records loop as one
     native multiline-JSON scan + Generate. Only files matching the
     reference's CloudTrail filename regex are kept (is_cloudtrail on
     ``input_file_name``); pass a directory and let non-matching files
-    drop, exactly as the reference's S3 listing filter does."""
+    drop, exactly as the reference's S3 listing filter does.
+
+    ``allow_unnamed=True`` additionally keeps rows whose
+    ``input_file_name()`` is EMPTY (in-memory relations, some
+    non-file sources). It is opt-in: empty filenames also occur for
+    production non-file sources, and defaulting them in would let
+    records bypass the reference's filename filter silently."""
     from alerta_spark.functions.scalars import is_cloudtrail
 
     raw = spark.read.option("multiLine", "true").json(path)
     if "Records" not in raw.columns:
         raise ValueError(f"no Records[] field in JSON at {path}")
+    keep = is_cloudtrail(F.col("_file"))
+    if allow_unnamed:
+        keep = keep | (F.col("_file") == "")
     return (
         raw.withColumn("_file", F.input_file_name())
-        .where(
-            is_cloudtrail(F.col("_file"))
-            | (F.col("_file") == "")  # in-memory test frames
-        )
+        .where(keep)
         .select("_file", F.explode("Records").alias("record"))
         .select(F.col("_file").alias("source_file"), "record.*")
     )
