@@ -694,8 +694,10 @@ def sequence_correlator_tws(
                 }
             )
 
-        def handleInputRows(self, key_, rows, timer_values):
-            corr = key_[0]
+        def handleInputRows(self, key, rows, timerValues):
+            # param names must match the StatefulProcessor ABC exactly:
+            # the runtime invokes these hooks with KEYWORD arguments
+            corr = key[0]
             pdfs = [p for p in rows if len(p)]
             ev_rows = (
                 pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
@@ -715,7 +717,7 @@ def sequence_correlator_tws(
             if event_time and len(ev_rows):
                 t0 = int(ev_rows["_ts"].min().value // 1_000_000)
             else:
-                t0 = self._now(timer_values)
+                t0 = self._now(timerValues)
             st = self._load(t0)
             completed = False
             if len(ev_rows):
@@ -738,11 +740,11 @@ def sequence_correlator_tws(
                 yield self._emit_pdf(corr, st, False)
                 return
             self._store(st)
-            self._arm_timer(timer_values, st)
+            self._arm_timer(timerValues, st)
 
-        def handleExpiredTimer(self, key_, timer_values, expired_timer_info):
-            corr = key_[0]
-            now = self._now(timer_values)
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            corr = key[0]
+            now = self._now(timerValues)
             st = self._load(now)
             st, completed, expired = machine.on_timeout(st, now)
             if completed or expired:
@@ -750,7 +752,7 @@ def sequence_correlator_tws(
                 yield self._emit_pdf(corr, st, expired)
             else:
                 self._store(st)
-                self._arm_timer(timer_values, st)
+                self._arm_timer(timerValues, st)
 
         def close(self) -> None:
             pass

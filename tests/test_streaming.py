@@ -122,18 +122,38 @@ def _has_protobuf() -> bool:
         return False
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _rocksdb_state_store(spark):
+    """transformWithState needs a state store with column families —
+    RocksDB (bundled rocksdbjni), not the default HDFS-backed one;
+    set per-test and restored so the legacy-path tests keep their
+    default provider."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas needs protobuf (absent in this env)",
 )
 def test_sequence_correlator_tws_completes_per_key(spark):
     """transformWithStateInPandas (arbitrary-state v2) path produces
-    the same completions as the applyInPandasWithState path.
-
-    transformWithState needs a state store with column families —
-    RocksDB (bundled rocksdbjni), not the default HDFS-backed one;
-    set per-test and restored so the legacy-path tests keep their
-    default provider."""
+    the same completions as the applyInPandasWithState path."""
     risky = lambda u, score=95: {"risk_score": str(score), "user_name": u}  # noqa: E731
     ev = _events(
         spark,
@@ -145,25 +165,13 @@ def test_sequence_correlator_tws_completes_per_key(spark):
             (4, risky("carol", score=10)),
         ],
     )
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with _rocksdb_state_store(spark):
         out = _run_stream(
             spark,
             ev,
             lambda s: sequence_correlator_tws(s, RULE, "details.user_name"),
             "seq_tws_out",
         ).collect()
-    finally:
-        if prior is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prior)
     done = {r["correlation_value"]: r for r in out}
     assert "alice" in done and done["alice"]["expired"] is False
     assert list(done["alice"]["slot_counts"]) == [2, 1]
@@ -329,6 +337,72 @@ def test_sequence_correlator_event_time_deadman(spark, tmp_path):
     w2 = run_wave(
         _events(spark, [(10, {"risk_score": "1", "user_name": "zed"})]), "et_w2"
     )
+    done = {r["correlation_value"]: r for r in w2}
+    assert "alice" in done
+    assert done["alice"]["expired"] is False
+    assert list(done["alice"]["slot_counts"]) == [1, 0]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this env)",
+)
+def test_sequence_correlator_tws_event_time_deadman(spark, tmp_path):
+    """The tws variant's TIMER channel (handleExpiredTimer with
+    watermark-driven timers): threshold -> deadman sequence on the
+    data clock, two waves through one checkpoint — same shape and
+    assertions as the applyInPandasWithState test above."""
+    rule = {
+        "alert_name": "login_then_silence_tws",
+        "alert_type": "sequence",
+        "lifespan": "1 hour",
+        "slots": [
+            {
+                "alert_name": "risky_login",
+                "alert_type": "threshold",
+                "criteria": "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80",
+                "threshold": 1,
+            },
+            {
+                "alert_name": "then_silence",
+                "alert_type": "deadman",
+                "threshold": 0,
+            },
+        ],
+    }
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    def run_wave(events_df, name):
+        events_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(events_df.schema).parquet(src)
+        out = sequence_correlator_tws(
+            stream, rule, "details.user_name", time_mode="eventTime"
+        )
+        emitted = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda batch, _id: emitted.extend(batch.collect())
+            )
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return emitted
+
+    with _rocksdb_state_store(spark):
+        w1 = run_wave(
+            _events(spark, [(0, {"risk_score": "95", "user_name": "alice"})]),
+            "tws_et_w1",
+        )
+        assert w1 == []  # slot 0 filled; deadman pending on the data clock
+        w2 = run_wave(
+            _events(spark, [(10, {"risk_score": "1", "user_name": "zed"})]),
+            "tws_et_w2",
+        )
     done = {r["correlation_value"]: r for r in w2}
     assert "alice" in done
     assert done["alice"]["expired"] is False
