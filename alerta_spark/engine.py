@@ -253,14 +253,33 @@ class Engine:
     ) -> None:
         """Fused threshold pass: validate each rule compiles/resolves
         (broken ones log and drop — reference swallow semantics,
-        alerta.py:470-473), anti-join alert history ONCE (the history
-        id set is global across rules, so dedup commutes with the
-        fusion), run the single-scan aggregate, then render each
-        rule's slice of the tiny fired frame."""
+        alerta.py:470-473), anti-join alert history ONCE, run the
+        single-scan aggregate, then render each rule's slice of the
+        tiny fired frame.
+
+        Intra-pass F8 replay (sequential-loop semantics): in the
+        sequential path, rule k's history probe sees the alerts rules
+        1..k-1 wrote THIS pass, so overlapping captures fire only
+        once. The fused pass replays that over the persisted fired
+        frame — each rule's post-filter slice contributes its event
+        ids to a captured-ids FRAME (never collected: emission is
+        distributed, and the id set is bounded by fired-groups x
+        event cap, i.e. unbounded in corpus size) that anti-joins the
+        next rule's slice. Slices are localCheckpointed so the chain
+        stays O(1) plan depth per rule. One documented divergence,
+        same as the fused sequence pass: a group that hit the
+        collection cap AND overlaps an earlier rule's capture keeps
+        the scan-time count (the uncollected tail is not
+        re-checkable without a second scan). Equivalence with the
+        sequential loop — including overlapping rules — is
+        pytest-pinned (tests/test_engine_rules.py)."""
         import logging
+
+        from pyspark.sql import functions as FF
 
         from alerta_spark.dialect import trino_to_spark
         from alerta_spark.operators.dedup import remove_previously_alerted
+        from alerta_spark.operators.sequence import _filter_slice_events_frame
         from alerta_spark.operators.threshold import (
             assemble_alerts,
             threshold_alerts_fused,
@@ -291,17 +310,42 @@ class Engine:
         ).persist()
         try:
             # per-rule writes off the persisted (tiny, post-aggregation)
-            # fired frame: keeps the sequential path's per-rule failure
-            # isolation while emission stays DISTRIBUTED (no collect)
+            # fired frame: keeps the sequential path's per-rule order
+            # while emission stays DISTRIBUTED (no collect)
+            captured = None  # DataFrame[alerted_event_id], this pass
             for rule in valid:
                 p = threshold_shell(rule)
                 slice_ = fired.where(
                     F.col("alert_name") == p["alert_name"]
                 ).select("value", "count", "events")
+                if captured is not None:
+                    slice_ = _filter_slice_events_frame(
+                        slice_, captured, int(p["threshold"]), self.id_col
+                    )
+                if len(valid) > 1:
+                    # materialize the tiny slice once: the write below
+                    # AND every later rule's anti-join read the
+                    # checkpointed blocks, so the replay chain never
+                    # recomputes upstream slices or deepens lineage
+                    slice_ = slice_.localCheckpoint(eager=True)
                 self.alerts.append_frame(
                     assemble_alerts(slice_, p, ev.schema),
                     id_field=self.id_col,
                 )
+                if len(valid) > 1:
+                    ids_k = slice_.select(
+                        FF.explode(
+                            FF.transform(
+                                "events",
+                                lambda e: e[self.id_col].cast("string"),
+                            )
+                        ).alias("alerted_event_id")
+                    ).where(FF.col("alerted_event_id").isNotNull())
+                    captured = (
+                        ids_k
+                        if captured is None
+                        else captured.unionByName(ids_k)
+                    )
         finally:
             fired.unpersist()
 

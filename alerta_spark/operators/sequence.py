@@ -279,22 +279,42 @@ def _filter_slice_events(slice_, extra_ids, thr: int, id_col: str):
     rule captures ~100k events the later rules' filters dominated the
     whole fused pass (measured 55s vs 21s sequential at sf0.1 x 10
     rules); the hash anti-join makes membership O(1)."""
-    from pyspark.sql import functions as F
-
     if not extra_ids:
         return slice_
     spark = slice_.sparkSession
     ids_df = spark.createDataFrame(
         [(x,) for x in sorted(extra_ids)], "alerted_event_id string"
     )
+    return _filter_slice_events_frame(
+        slice_, ids_df, thr, id_col, hint_broadcast=True
+    )
+
+
+def _filter_slice_events_frame(
+    slice_, ids_df, thr: int, id_col: str, hint_broadcast: bool = False
+):
+    """Frame-based form of :func:`_filter_slice_events`: the captured
+    ids arrive as DataFrame[alerted_event_id] instead of a driver set —
+    the fused THRESHOLD pass builds them as a plan over the persisted
+    fired frame (its emission never collects, so there is no driver
+    set to pass), while the sequence paths (which collect fired docs
+    anyway, for slot state) wrap their driver sets.
+
+    ``hint_broadcast`` is set only by the driver-set wrapper: a set
+    that already fits in driver memory is always broadcastable, while
+    a plan-derived id frame is bounded by (fired groups x event cap) —
+    unbounded in corpus size — so its join strategy stays AQE's call."""
+    from pyspark.sql import functions as F
+
     ex = slice_.select(
         "value",
         "count",
         F.size("events").alias("_n0"),
         F.posexplode("events").alias("_pos", "_e"),
     )
+    probe = F.broadcast(ids_df) if hint_broadcast else ids_df
     kept = ex.join(
-        F.broadcast(ids_df),
+        probe,
         ex["_e"][id_col].cast("string") == ids_df["alerted_event_id"],
         "left_anti",
     )
@@ -456,6 +476,7 @@ def sequence_resume_fused(
     ).persist()
     try:
         extra_ids: set[str] = set()
+        all_updates: list[dict] = []
         for i, (idx, p_asm, _probe, value_to_doc) in enumerate(fusable):
             thr = int(p_asm["threshold"])
             slice_ = grouped.where(
@@ -465,19 +486,22 @@ def sequence_resume_fused(
             fired_docs = alerts_df_to_docs(
                 assemble_alerts(slice_, p_asm, ev.schema)
             )
-            updates = []
             for fired_doc in fired_docs:
                 doc = value_to_doc.get(str(fired_doc["metadata"]["value"]))
                 if doc is None:
                     continue
                 inflight = deepcopy(sequence_shell(doc))
                 inflight["slots"][idx] = fired_doc
-                updates.append(inflight)
+                all_updates.append(inflight)
                 for evd in fired_doc.get("events") or []:
                     eid = evd.get(id_col)
                     if eid is not None:
                         extra_ids.add(str(eid))
-            inflight_store.upsert_many(updates)
+        # ONE state write for the whole pass (a rewrite per rule made
+        # N rules cost N table swaps; nothing between rules reads the
+        # store — the F9 intra-pass interaction is the driver-side
+        # extra_ids replay, and the dedup snapshot was taken above)
+        inflight_store.upsert_many(all_updates)
     finally:
         grouped.unpersist()
     return unfused, stray
@@ -559,6 +583,7 @@ def sequence_starts_fused(
     ).persist()
     try:
         extra_ids: set[str] = set()
+        all_updates: list[dict] = []
         for i, (doc, idx, p) in enumerate(fusable):
             thr = int(p["threshold"])
             # dedup only ever REMOVES events, so a group passing the
@@ -573,16 +598,16 @@ def sequence_starts_fused(
             fired_docs = alerts_df_to_docs(
                 assemble_alerts(slice_, p, ev.schema)
             )
-            updates = []
             for fired_doc in fired_docs:
                 inflight = deepcopy(doc)
                 inflight["slots"][idx] = fired_doc
-                updates.append(inflight)
+                all_updates.append(inflight)
                 for evd in fired_doc.get("events") or []:
                     eid = evd.get(id_col)
                     if eid is not None:
                         extra_ids.add(str(eid))
-            inflight_store.upsert_many(updates)
+        # ONE state write for the whole pass (see sequence_resume_fused)
+        inflight_store.upsert_many(all_updates)
     finally:
         grouped.unpersist()
     return leftover

@@ -186,6 +186,52 @@ def test_fused_engine_pass_matches_sequential(spark, events, tmp_path):
     assert not any(name == "broken_rule" for name, *_ in a)
 
 
+def test_fused_thresholds_overlapping_rules_match_sequential(
+    spark, events, tmp_path
+):
+    """Intra-pass F8 replay: in the sequential loop, rule k's history
+    probe already sees the alerts rules 1..k-1 wrote THIS pass, so two
+    rules capturing the SAME events fire only once. The fused pass
+    must replay that (regression: it used to snapshot the dedup set
+    once, so both of these identical rules fired)."""
+    from alerta_spark.engine import Engine
+
+    rule = {
+        "alert_type": "threshold",
+        "criteria": "event_type='purchase' AND CAST(json_extract_scalar(props,'$.k') AS INTEGER) > 50",
+        "aggregation_key": "user_id",
+        "threshold": 2,
+        "summary": "{{metadata.count}} big buys by {{metadata.value}}",
+    }
+    rules = [
+        dict(rule, alert_name="overlap_a"),
+        dict(rule, alert_name="overlap_b"),  # identical criteria
+        dict(rule, alert_name="overlap_c", threshold=1),  # subset overlap
+    ]
+
+    def run(fused: bool, sub: str):
+        eng = Engine(spark, str(tmp_path / sub))
+        eng.run_once(events, rules, fuse_thresholds=fused)
+        out = set()
+        for d in eng.alerts.docs():
+            out.add(
+                (
+                    d["alert_name"],
+                    d["metadata"]["value"],
+                    d["metadata"]["count"],
+                    tuple(e["event_id"] for e in d.get("events", [])),
+                )
+            )
+        return out
+
+    a = run(False, "seq_ovl")
+    b = run(True, "fused_ovl")
+    assert a == b and len(a) > 0
+    # the overlap actually bound: rule A fired, identical rule B did not
+    names = {name for name, *_ in a}
+    assert "overlap_a" in names and "overlap_b" not in names
+
+
 def test_fused_deadman_engine_pass_matches_sequential(spark, events, tmp_path):
     """run_once(fuse_deadmen=True) appends identical alert documents
     to the per-rule pass — including the broken-criteria rule, which
