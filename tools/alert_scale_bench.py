@@ -37,30 +37,35 @@ EVENTS_PER_GROUP = 3
 
 
 def _mk_rules(kind: str):
-    slot = {
-        "alert_type": "threshold",
-        "criteria": (
-            "source='onelogin' AND "
-            "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80"
-        ),
-        "summary": "risky login by {{events.0.details.user_name}}",
-        "event_snippet": "",
-        "aggregation_key": "details.user_name",
-        "threshold": 1,
-        "event_sample_count": 2,
-    }
+    """N_RULES DISJOINT rules: rule i serves the users whose bucket is
+    i (bucket = user % N_RULES, stamped into the payload). Disjoint
+    criteria keep every rule genuinely firing under the engine's
+    intra-pass F8 replay (identical rules would collapse to one — in
+    the reference's sequential loop, rule k dedups the events rules
+    1..k-1 captured this pass), so alert cardinality == fired groups
+    at every engine version and the axis measures emission, not
+    overlap semantics."""
+
+    def slot(i):
+        return {
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND "
+                "CAST(json_extract_scalar(details,'$.risk_score') as INTEGER)>80"
+                f" AND json_extract_scalar(details,'$.bucket')='{i}'"
+            ),
+            "summary": "risky login by {{events.0.details.user_name}}",
+            "event_snippet": "",
+            "aggregation_key": "details.user_name",
+            "threshold": 1,
+            "event_sample_count": 2,
+        }
+
     if kind == "threshold":
         return [
-            dict(slot, alert_name=f"thr_{i}", summary="hit {{metadata.value}}")
+            dict(slot(i), alert_name=f"thr_{i}", summary="hit {{metadata.value}}")
             for i in range(N_RULES)
         ]
-    seq_slot1 = dict(
-        slot,
-        criteria=(
-            "source='onelogin' AND json_extract_scalar(details,'$.user_name')"
-            "='{{slots.0.events.0.details.user_name}}'"
-        ),
-    )
     return [
         {
             "alert_name": f"seq_{i}",
@@ -68,8 +73,16 @@ def _mk_rules(kind: str):
             "lifespan": "7 days",
             "summary": "seq for {{slots.0.events.0.details.user_name}}",
             "slots": [
-                dict(slot, alert_name=f"seq_{i}_s0"),
-                dict(seq_slot1, alert_name=f"seq_{i}_s1"),
+                dict(slot(i), alert_name=f"seq_{i}_s0"),
+                dict(
+                    slot(i),
+                    alert_name=f"seq_{i}_s1",
+                    criteria=(
+                        f"source='onelogin' AND json_extract_scalar(details,'$.bucket')='{i}'"
+                        " AND json_extract_scalar(details,'$.user_name')"
+                        "='{{slots.0.events.0.details.user_name}}'"
+                    ),
+                ),
             ],
         }
         for i in range(N_RULES)
@@ -95,6 +108,9 @@ def _events(spark, groups: int, id_offset: int):
                     "user_name"
                 ),
                 F.lit("95").alias("risk_score"),
+                ((F.col("id") % groups) % N_RULES).cast("string").alias(
+                    "bucket"
+                ),
             )
         ).alias("details"),
     )
