@@ -286,6 +286,16 @@ class DocStore:
     def delete(self, _id: str) -> None:
         self.overwrite_frame(self.frame().where(F.col("_id") != _id))
 
+    def compact(self) -> None:
+        """Rewrite the table into one file. Distributed appends
+        (append_frame) add a few files per engine pass; on a
+        cron-per-15-minutes cadence that is ~100 files/day on the
+        alerts table, which the F8 dedup probe re-reads every pass —
+        compact on whatever maintenance cadence the deployment uses
+        (the write-then-swap in overwrite_frame keeps readers
+        consistent). On an ACID table format this is OPTIMIZE."""
+        self.overwrite_frame(self.frame())
+
     def alerted_ids(self) -> DataFrame:
         """DataFrame[alerted_event_id] for anti-join dedup (F8/F9)."""
         return (

@@ -110,6 +110,48 @@ def test_upsert_many_set_based_last_wins(spark, tmp_path):
     assert [d["_id"] for d in store.docs()] == ["b"]
 
 
+def test_alert_docs_frame_is_map_only(spark):
+    """The emission writer must add NO exchange of its own: document
+    assembly (ids, epochs, alerted_event_ids, to_json) is a pure
+    projection over the fired frame, so it rides whatever partitioning
+    the aggregation already produced."""
+    fired = spark.createDataFrame(
+        [
+            {
+                "alert_name": "a",
+                "summary": "s",
+                "utctimestamp": "2026-01-01T00:00:00+00:00",
+                "events": [{"event_id": "1"}, {"event_id": "2"}],
+            }
+        ]
+    )
+    plan = (
+        alert_docs_frame(fired)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_compact_single_file_same_docs(spark, tmp_path):
+    import os
+
+    store = DocStore(spark, str(tmp_path / "alerts"))
+    fired = threshold_alerts(_events(spark), RULE)
+    store.append_frame(fired)
+    store.append([{"alert_name": "x", "summary": "driver-side"}])
+
+    def parquet_files():
+        return [
+            f for f in os.listdir(store.path) if f.endswith(".parquet")
+        ]
+
+    before = {json.dumps(d, sort_keys=True) for d in store.docs()}
+    assert len(parquet_files()) >= 2
+    store.compact()
+    assert len(parquet_files()) == 1
+    after = {json.dumps(d, sort_keys=True) for d in store.docs()}
+    assert before == after
+
+
 def test_append_frame_empty_is_noop(spark, tmp_path):
     from pyspark.sql import functions as F
 
