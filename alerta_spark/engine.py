@@ -174,32 +174,41 @@ class Engine:
                         id_col=self.id_col,
                         ts_col=self.ts_col,
                     )
-                    self.alerts.append_frame(fired, id_field=self.id_col)
+                    # surface lazy SCAN errors here, inside the swallow
+                    # (the eager checkpoint executes the tiny fired
+                    # frame) — so the store write below sits OUTSIDE
+                    # it and a failing store still propagates instead
+                    # of silently dropping alerts
+                    fired = fired.localCheckpoint(eager=True)
                 except Exception:
                     import logging
 
                     logging.getLogger(__name__).exception(
                         "threshold scan failed for rule %r", rule.get("alert_name")
                     )
+                    fired = None
+                if fired is not None:
+                    self.alerts.append_frame(fired, id_field=self.id_col)
             elif kind == "deadman":
                 # reference failure semantics (alerta.py:417-420): a scan
                 # exception is swallowed and leaves events empty, so a
                 # broken criteria / unavailable lake FIRES the deadman
-                # (absence of evidence is the alarm condition). The
-                # distributed write is the action that surfaces lazy
-                # scan errors, so it sits inside the try.
+                # (absence of evidence is the alarm condition)
                 try:
                     fired = deadman_alerts(
                         events_df, rule, id_col=self.id_col, ts_col=self.ts_col
-                    )
-                    self.alerts.append_frame(fired, id_field=self.id_col)
+                    ).localCheckpoint(eager=True)  # scan errors surface HERE
                 except Exception:
                     empty = events_df.where(F.lit(False))
                     fired = deadman_alerts(
                         empty, dict(rule, criteria=""), id_col=self.id_col,
                         ts_col=self.ts_col,
                     )
-                    self.alerts.append_frame(fired, id_field=self.id_col)
+                # the store write stays OUTSIDE the scan-failure swallow:
+                # a transient store error must propagate, not be
+                # misread as "absence of evidence" (which would emit a
+                # FALSE deadman alert on the fallback path)
+                self.alerts.append_frame(fired, id_field=self.id_col)
             elif kind == "sequence":
                 process_sequence_alert(
                     events_df, rule, self.inflight, self.alerts, self.id_col, self.ts_col
@@ -275,10 +284,11 @@ class Engine:
         pytest-pinned (tests/test_engine_rules.py)."""
         import logging
 
-        from pyspark.sql import functions as FF
-
         from alerta_spark.dialect import trino_to_spark
-        from alerta_spark.operators.dedup import remove_previously_alerted
+        from alerta_spark.operators.dedup import (
+            alerted_event_ids,
+            remove_previously_alerted,
+        )
         from alerta_spark.operators.sequence import _filter_slice_events_frame
         from alerta_spark.operators.threshold import (
             assemble_alerts,
@@ -333,14 +343,7 @@ class Engine:
                     id_field=self.id_col,
                 )
                 if len(valid) > 1:
-                    ids_k = slice_.select(
-                        FF.explode(
-                            FF.transform(
-                                "events",
-                                lambda e: e[self.id_col].cast("string"),
-                            )
-                        ).alias("alerted_event_id")
-                    ).where(FF.col("alerted_event_id").isNotNull())
+                    ids_k = alerted_event_ids(slice_, id_field=self.id_col)
                     captured = (
                         ids_k
                         if captured is None

@@ -134,28 +134,53 @@ def alert_docs_frame(alerts: DataFrame, id_field: str = "event_id") -> DataFrame
     ).otherwise(F.lit(now_iso))
     stamped = stamped.withColumn("utctimestamp", ts)
     epoch_fallback = int(utcnow().timestamp())
+    # doc_to_row treats NAIVE timestamps as UTC (datetime.fromisoformat
+    # + replace(tzinfo=utc)); a session-tz cast would disagree whenever
+    # the session isn't UTC, so stamp an explicit +00:00 onto naive
+    # strings before casting — offset-carrying strings cast to the same
+    # instant in ANY session timezone
+    ts_str = F.col("utctimestamp")
+    ts_utc = F.when(
+        ts_str.rlike(r"([+-]\d{2}:?\d{2}|Z)$"), ts_str
+    ).otherwise(F.concat(ts_str, F.lit("+00:00")))
     stamped = stamped.withColumn(
         "utcepoch",
         F.coalesce(
-            F.unix_timestamp(F.col("utctimestamp").cast("timestamp")),
+            F.unix_timestamp(ts_utc.cast("timestamp")),
             F.lit(epoch_fallback),
         ).cast("long"),
     )
 
+    # null-safety matters here: F.concat/F.flatten return NULL when ANY
+    # input array is null, and sequence docs legitimately carry null
+    # events (unfilled slots) — a null-poisoned id list would silently
+    # disable the next run's F8/F9 dedup, so every part and every slot
+    # coalesces to [] (the `or []` in _doc_event_ids)
+    empty = F.array().cast("array<string>")
     id_parts = []
     if "events" in cols:
         id_parts.append(
-            F.transform("events", lambda e: e[id_field].cast("string"))
+            F.coalesce(
+                F.transform("events", lambda e: e[id_field].cast("string")),
+                empty,
+            )
         )
     if "slots" in cols:
         id_parts.append(
-            F.flatten(
-                F.transform(
-                    "slots",
-                    lambda s: F.transform(
-                        s["events"], lambda e: e[id_field].cast("string")
-                    ),
-                )
+            F.coalesce(
+                F.flatten(
+                    F.transform(
+                        "slots",
+                        lambda s: F.coalesce(
+                            F.transform(
+                                s["events"],
+                                lambda e: e[id_field].cast("string"),
+                            ),
+                            empty,
+                        ),
+                    )
+                ),
+                empty,
             )
         )
     if id_parts:
@@ -164,7 +189,7 @@ def alert_docs_frame(alerts: DataFrame, id_field: str = "event_id") -> DataFrame
             ids = F.concat(ids, p)
         ids = F.filter(ids, lambda x: x.isNotNull())
     else:
-        ids = F.array().cast("array<string>")
+        ids = empty
 
     doc = F.to_json(F.struct(*[F.col(c) for c in stamped.columns]))
     return stamped.select(

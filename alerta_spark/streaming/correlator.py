@@ -705,13 +705,19 @@ def sequence_correlator_tws(
             if len(ev_rows):
                 # the tws Arrow path can deliver POSITIONAL column names
                 # (_0.._N, observed on Spark 4.1 when the grouping key is
-                # re-projected); the order is the slim projection's, so
-                # rebind names positionally — correct under either naming
-                ev_rows = ev_rows.set_axis(
-                    ["_corr", "_eid", "_ts"]
-                    + [f"_m{i}" for i in range(n_slots)],
-                    axis=1,
-                )
+                # re-projected). Rebind only when the real names are
+                # absent (their order is the slim projection's); if the
+                # names ARE present, reorder by name — an unconditional
+                # positional rebind would silently mislabel columns on
+                # a runtime that delivers a different order
+                expected = ["_corr", "_eid", "_ts"] + [
+                    f"_m{i}" for i in range(n_slots)
+                ]
+                if list(ev_rows.columns) != expected:
+                    if set(ev_rows.columns) == set(expected):
+                        ev_rows = ev_rows[expected]
+                    else:
+                        ev_rows = ev_rows.set_axis(expected, axis=1)
             # deadline origin: first event's data-clock in eventTime
             # mode, else the engine's processing clock
             if event_time and len(ev_rows):

@@ -152,6 +152,64 @@ def test_compact_single_file_same_docs(spark, tmp_path):
     assert before == after
 
 
+def test_alert_docs_frame_null_slots_keep_event_ids(spark):
+    """Null-safety of the id flattening: unfilled sequence slots carry
+    events=NULL, and F.concat/F.flatten null-poison on any null input —
+    a regression here silently disables the next run's F8/F9 dedup."""
+    frame = spark.createDataFrame(
+        [
+            {
+                "alert_name": "seq",
+                "summary": "s",
+                "utctimestamp": "2026-01-01T00:00:00+00:00",
+                "events": None,
+                "slots": [
+                    {"events": [{"event_id": "7"}, {"event_id": "8"}]},
+                    {"events": None},  # unfilled slot
+                ],
+            }
+        ],
+        schema=(
+            "alert_name string, summary string, utctimestamp string, "
+            "events array<struct<event_id:string>>, "
+            "slots array<struct<events:array<struct<event_id:string>>>>"
+        ),
+    )
+    [row] = alert_docs_frame(frame).collect()
+    assert list(row["alerted_event_ids"]) == ["7", "8"]
+
+
+def test_alert_docs_frame_naive_ts_epoch_is_utc_any_session_tz(spark):
+    """doc_to_row treats naive timestamps as UTC; the distributed
+    writer must agree even when the session timezone is not UTC."""
+    frame = spark.createDataFrame(
+        [
+            {
+                "alert_name": "a",
+                "summary": "s",
+                "utctimestamp": "2026-01-01T00:05:00",  # naive
+                "events": [{"event_id": "1"}],
+            }
+        ]
+    )
+    tz_key = "spark.sql.session.timeZone"
+    prior = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        [row] = alert_docs_frame(frame).collect()
+    finally:
+        spark.conf.set(tz_key, prior)
+    expected = doc_to_row(
+        {
+            "alert_name": "a",
+            "summary": "s",
+            "utctimestamp": "2026-01-01T00:05:00",
+            "events": [{"event_id": "1"}],
+        }
+    )
+    assert row["utcepoch"] == expected["utcepoch"]
+
+
 def test_append_frame_empty_is_noop(spark, tmp_path):
     from pyspark.sql import functions as F
 

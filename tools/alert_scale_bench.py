@@ -122,9 +122,12 @@ def _rss_mb() -> float:
 
 def main() -> None:
     group_scales = [500, 1500, 5000]
-    for a in sys.argv[1:]:
-        if a.startswith("--groups"):
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a.startswith("--groups="):
             group_scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a == "--groups" and i + 1 < len(args):
+            group_scales = [int(x) for x in args[i + 1].split(",")]
 
     from alerta_spark.engine import Engine
     from alerta_spark.session import get_spark
@@ -208,9 +211,10 @@ def main() -> None:
                 )
 
     out_path = REPO / "SCALE_BENCH.json"
-    record = {"results": {}}
+    record = {"base": "synthetic alert-cardinality corpus", "results": {}}
     if out_path.exists():
         record = json.loads(out_path.read_text())
+        record.setdefault("results", {})
     record["results"].update(results)
     out_path.write_text(json.dumps(record, indent=1))
     print(f"wrote {out_path}")

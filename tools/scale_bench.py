@@ -243,9 +243,11 @@ def main() -> None:
 
     out_path = REPO / "SCALE_BENCH.json"
     merged = results
-    if only and out_path.exists():
-        # --only runs MERGE into the existing record instead of
-        # clobbering the full-family measurements
+    if out_path.exists():
+        # ALWAYS merge into the existing record: a full-family run
+        # must not clobber measurements other writers own (the engine
+        # alert-cardinality rows from tools/alert_scale_bench.py live
+        # in the same file)
         prior = json.loads(out_path.read_text()).get("results", {})
         prior.update(results)
         merged = prior
