@@ -26,7 +26,7 @@ from alerta_spark.operators.sequence import (
     process_sequence_alert,
 )
 from alerta_spark.operators.threshold import threshold_alerts
-from alerta_spark.state import DocStore
+from alerta_spark.state import DocStore, SlotEventStore
 
 
 class Engine:
@@ -36,12 +36,26 @@ class Engine:
         store_dir: str,
         id_col: str = "event_id",
         ts_col: str = "ts",
+        compact_every: int | None = 32,
     ):
         self.spark = spark
         self.alerts = DocStore(spark, os.path.join(store_dir, "alerts"))
         self.inflight = DocStore(spark, os.path.join(store_dir, "inflight_alerts"))
+        # full captured-event payloads for in-flight sequence slots live
+        # HERE (executor-written parquet), not in the driver documents
+        self.slot_events = SlotEventStore(
+            spark, os.path.join(store_dir, "slot_events")
+        )
         self.id_col = id_col
         self.ts_col = ts_col
+        # distributed appends add a few part files per pass; the F8
+        # probe re-reads the alerts table every pass, so the engine
+        # compacts it every `compact_every` passes (None disables —
+        # on an ACID table format this would be a scheduled OPTIMIZE).
+        # At the reference's 15-minute cron (startup.sh:24-26) the
+        # default keeps the table under ~a day's worth of files.
+        self.compact_every = compact_every
+        self._passes_since_compact = 0
 
     def run_once(
         self,
@@ -136,7 +150,7 @@ class Engine:
                 # through to the faithful per-rule loop below
                 leftover = sequence_starts_fused(
                     events_df, seq, self.inflight, self.alerts,
-                    self.id_col, self.ts_col,
+                    self.id_col, self.ts_col, spill_store=self.slot_events,
                 )
                 fused_names = {id(r) for r in seq} - {
                     id(r) for r in leftover
@@ -178,7 +192,15 @@ class Engine:
                     # (the eager checkpoint executes the tiny fired
                     # frame) — so the store write below sits OUTSIDE
                     # it and a failing store still propagates instead
-                    # of silently dropping alerts
+                    # of silently dropping alerts.
+                    # NOTE localCheckpoint stores UNREPLICATED
+                    # executor-local blocks: on a multi-executor
+                    # cluster, losing an executor between here and the
+                    # store write fails the pass (recoverable — the
+                    # next cron tick replays; F8 dedup makes the replay
+                    # idempotent). Deployments that cannot tolerate a
+                    # failed pass should configure a reliable
+                    # sc.setCheckpointDir + .checkpoint() instead.
                     fired = fired.localCheckpoint(eager=True)
                 except Exception:
                     import logging
@@ -211,11 +233,18 @@ class Engine:
                 self.alerts.append_frame(fired, id_field=self.id_col)
             elif kind == "sequence":
                 process_sequence_alert(
-                    events_df, rule, self.inflight, self.alerts, self.id_col, self.ts_col
+                    events_df, rule, self.inflight, self.alerts,
+                    self.id_col, self.ts_col, spill_store=self.slot_events,
                 )
 
-        create_sequence_alerts(self.inflight, self.alerts)
-        expire_sequence_alerts(self.inflight)
+        create_sequence_alerts(
+            self.inflight, self.alerts, spill_store=self.slot_events
+        )
+        expire_sequence_alerts(self.inflight, spill_store=self.slot_events)
+        self._passes_since_compact += 1
+        if self.compact_every and self._passes_since_compact >= self.compact_every:
+            self.alerts.compact()
+            self._passes_since_compact = 0
 
     def run_stream(
         self,
@@ -434,7 +463,7 @@ class Engine:
 
             unfused, stray = sequence_resume_fused(
                 events_df, groups, self.inflight, self.alerts,
-                self.id_col, self.ts_col,
+                self.id_col, self.ts_col, spill_store=self.slot_events,
             )
             singles.extend(stray)
             group_items = unfused
@@ -442,11 +471,12 @@ class Engine:
         for (_, idx), docs in group_items:
             leftover = process_sequence_slot_batched(
                 events_df, docs, idx, self.inflight, self.alerts,
-                self.id_col, self.ts_col,
+                self.id_col, self.ts_col, spill_store=self.slot_events,
             )
             singles.extend(docs if leftover is None else leftover)
 
         for doc in singles:
             process_sequence_alert(
-                events_df, doc, self.inflight, self.alerts, self.id_col, self.ts_col
+                events_df, doc, self.inflight, self.alerts,
+                self.id_col, self.ts_col, spill_store=self.slot_events,
             )

@@ -15,11 +15,19 @@ Semantics per micro-batch run:
 
 Scale notes. The heavy work — the slot scan + trigger — is a Spark
 plan per (rule, slot); state documents are one per correlation value
-and tiny, so driver-side orchestration over them is not a data-volume
-bottleneck. The fan-out optimization for many in-flight alerts of the
-same rule is implemented in :func:`slot_criteria_values`: alerts
-waiting on the same slot differ only in their templated values, so one
-scan with an IN-set/semi-join serves all of them. The fully
+and SLIM: a filled slot keeps the captured event IDS (F9 dedup) and
+the template-referenced events only (cross-slot criteria rendering),
+while the full captured event arrays spill executor-side to the
+:class:`~alerta_spark.state.SlotEventStore` keyed by a capture ref the
+document carries. Completion joins the spill table back and assembles
+the emitted documents inside an Arrow UDF — full event payloads never
+transit the driver, so driver memory scales with in-flight COUNT (a
+few hundred bytes per document), not with captured-event volume.
+The fan-out optimization for many in-flight alerts of the same rule:
+alerts waiting on the same slot differ only in their templated values,
+so one scan with an IN-set/semi-join serves all of them
+(:func:`process_sequence_slot_batched`), and the fused paths collapse
+N rules further into one conditional-aggregate scan. The fully
 distributed version (state in Spark's state store, no driver loop) is
 streaming/correlator.py.
 """
@@ -35,9 +43,15 @@ from pyspark.sql import DataFrame
 
 from alerta_spark.operators.deadman import deadman_alerts
 from alerta_spark.operators.threshold import threshold_alerts
-from alerta_spark.rules import sequence_shell, utcnow
-from alerta_spark.state import DocStore
-from alerta_spark.templates import render_py
+from alerta_spark.rules import (
+    deadman_shell,
+    generate_meteor_id,
+    sequence_shell,
+    threshold_shell,
+    utcnow,
+)
+from alerta_spark.state import DocStore, SlotEventStore
+from alerta_spark.templates import render_py, template_vars
 
 
 def first_unfilled_slot(doc: dict[str, Any]) -> tuple[int | None, dict | None]:
@@ -53,9 +67,154 @@ def alerts_df_to_docs(alerts: DataFrame) -> list[dict[str, Any]]:
     """Collect an alert DataFrame as JSON documents (events included).
 
     Only called on *alert* frames — already aggregated, one row per
-    fired group — never on raw event scans.
+    fired group — never on raw event scans. The sequence state tier
+    prefers :func:`slim_captures` (event payloads stay executor-side);
+    this full collect remains for templates whose event references
+    cannot be slimmed (``keep_full`` shapes) and for direct callers.
     """
     return [json.loads(s) for s in alerts.toJSON().collect()]
+
+
+def _referenced_event_indices(
+    doc: dict[str, Any], slot_index: int
+) -> tuple[set[int], bool]:
+    """Which event indices of slot ``slot_index`` the rule's templates
+    (every slot criteria + the completion summary) reference, as
+    ``(indices, keep_full)``. ``keep_full=True`` means a template
+    addresses the slot's events in a way index-slimming can't serve
+    (dynamic/negative slot index, non-indexed or whole-event
+    reference) and the caller must keep full event payloads in the
+    driver document."""
+    tmpls = [
+        str(s.get("criteria", ""))
+        for s in (doc.get("slots") or [])
+        if isinstance(s, dict)
+    ]
+    tmpls.append(str(doc.get("summary", "")))
+    refs: set[int] = set()
+    keep_full = False
+    for t in tmpls:
+        for var in template_vars(t):
+            parts = [x for x in var.split(".") if x]
+            if len(parts) < 3 or parts[0] != "slots":
+                continue
+            if not parts[1].lstrip("-").isdigit():
+                keep_full = True
+                continue
+            i = int(parts[1])
+            if parts[2] != "events":
+                continue  # metadata/value paths survive slimming
+            if i < 0:
+                keep_full = True  # negative slot index could be this slot
+                continue
+            if i != slot_index:
+                continue
+            if len(parts) == 4 or not parts[3].lstrip("-").isdigit():
+                keep_full = True  # whole-event or non-indexed reference
+                continue
+            refs.add(int(parts[3]))
+    return refs, keep_full
+
+
+def _slot_doc_from_row(
+    p: dict[str, Any], row, idx_sorted: list[int], id_col: str
+) -> dict[str, Any]:
+    """Rebuild the fired-slot document from a SLIM collected row: the
+    same fields (same key order) ``alerts_df_to_docs`` would yield from
+    :func:`~alerta_spark.operators.threshold.assemble_alerts` output,
+    except ``events`` holds id-only stubs plus the full event objects
+    only at template-referenced indices, and ``_events_ref`` points at
+    the full payload in the :class:`~alerta_spark.state.SlotEventStore`."""
+    ids = list(row["_ids"] or [])
+    n = len(ids)
+    placed: dict[int, dict] = {}
+    for k, j in enumerate(idx_sorted):
+        ej = row[f"_ej{k}"]
+        pos = j if j >= 0 else n + j
+        if ej is not None and 0 <= pos < n:
+            placed[pos] = json.loads(ej)
+    events = [placed.get(i, {id_col: eid}) for i, eid in enumerate(ids)]
+    return {
+        "alert_name": p["alert_name"],
+        "alert_type": p["alert_type"],
+        "severity": p.get("severity", "INFO"),
+        "category": p.get("category", "general"),
+        "tags": [str(t) for t in (p.get("tags") or [])],
+        "criteria": str(p.get("criteria", "")),
+        "aggregation_key": str(p.get("aggregation_key", "")),
+        "threshold": int(p.get("threshold", 1)),
+        "triggered": True,
+        "metadata": {"value": row["_v"], "count": row["_c"]},
+        "events": events,
+        "utctimestamp": str(p.get("utctimestamp", "")),
+        "summary": row["_s"],
+        "_events_ref": row["_ref"],
+    }
+
+
+def slim_captures(
+    fired: DataFrame,
+    p: dict[str, Any],
+    ref_indices: set[int],
+    id_col: str,
+    nonce: str,
+) -> tuple[list[dict[str, Any]], DataFrame | None]:
+    """Collect the DRIVER-SAFE view of a fired alert frame.
+
+    The round-6 state tier collected full alert documents
+    (``alerts_df_to_docs``) to seed in-flight sequence state — ~44 KB
+    of event payload per document, and in-flight cardinality grows
+    with the corpus (one document per fired group). This collects only
+    what later passes actually consume driver-side: the captured
+    value + count (routing and metadata), the rendered summary, the
+    event IDS (F9 dedup), and the full event objects at the indices
+    the rule's templates reference (cross-slot criteria rendering,
+    reference alerta.py:291) — typically one event. The full ordered
+    event array is returned as a (capture_id, events_json) SPILL frame
+    for the :class:`~alerta_spark.state.SlotEventStore`; completion
+    rehydrates from it so emitted documents are unchanged.
+
+    Returns ``(slot_docs, spill_frame)``; spill_frame is None when
+    nothing fired. The frame is localCheckpoint'd (tiny,
+    post-aggregation) so the slim collect and the spill write share
+    one computation and agree on capture ids."""
+    from pyspark.sql import functions as F
+
+    cap = F.md5(F.concat_ws("\x1f", F.lit(str(nonce)), F.col("metadata.value")))
+    with_ref = fired.withColumn("_ref", cap).localCheckpoint(eager=True)
+    idx_sorted = sorted(ref_indices)
+    sel = [
+        F.col("metadata.value").alias("_v"),
+        F.col("metadata.count").alias("_c"),
+        F.col("summary").alias("_s"),
+        F.transform("events", lambda e: e[id_col].cast("string")).alias("_ids"),
+        F.col("_ref"),
+    ]
+    for k, j in enumerate(idx_sorted):
+        sel.append(
+            F.to_json(
+                F.try_element_at(F.col("events"), F.lit(j + 1 if j >= 0 else j))
+            ).alias(f"_ej{k}")
+        )
+    rows = with_ref.select(*sel).collect()
+    if not rows:
+        return [], None
+    docs = [_slot_doc_from_row(p, r, idx_sorted, id_col) for r in rows]
+    spill = with_ref.select(
+        F.col("_ref").alias("capture_id"),
+        F.to_json("events").alias("events_json"),
+    )
+    return docs, spill
+
+
+def _live_refs(docs: list[dict[str, Any]]) -> list[str]:
+    """Capture ids still referenced by any in-flight document."""
+    return [
+        s["_events_ref"]
+        for d in docs
+        for s in (d.get("slots") or [])
+        if isinstance(s, dict) and s.get("_events_ref")
+    ]
 
 
 def process_sequence_alert(
@@ -65,9 +224,16 @@ def process_sequence_alert(
     alert_store: DocStore,
     id_col: str = "event_id",
     ts_col: str = "ts",
+    spill_store: SlotEventStore | None = None,
 ) -> None:
     """Advance one in-flight (or fresh) sequence alert by at most one
-    slot (reference: alerta.py:274-317)."""
+    slot (reference: alerta.py:274-317).
+
+    With ``spill_store`` the captured slot state is SLIM: the driver
+    document keeps event ids + template-referenced events only, full
+    payloads spill executor-side (:func:`slim_captures`); without it
+    (direct callers, compatibility) full events live in the document
+    as the reference does (alerta.py:274-317)."""
     doc = sequence_shell(doc)
     index, slot = first_unfilled_slot(doc)
     if slot is None:
@@ -78,19 +244,36 @@ def process_sequence_alert(
     criteria = render_py(str(slot.get("criteria", "")), doc)
     params = dict(slot, criteria=criteria)
 
-    fired_docs: list[dict[str, Any]] = []
+    fired = None
+    p: dict[str, Any] | None = None
     if slot.get("alert_type", "threshold") == "threshold":
         # F9 then F8 dedup, mirroring alerta.py:300-301
+        p = threshold_shell(params)
         dedup_ids = inflight_store.alerted_ids().unionByName(
             alert_store.alerted_ids()
         )
         fired = threshold_alerts(
-            events_df, params, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
+            events_df, p, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
         )
-        fired_docs = alerts_df_to_docs(fired)
     elif slot.get("alert_type") == "deadman":
-        fired = deadman_alerts(events_df, params, id_col=id_col, ts_col=ts_col)
+        p = deadman_shell(params)
+        fired = deadman_alerts(events_df, p, id_col=id_col, ts_col=ts_col)
+    if fired is None:
+        return
+
+    spill = None
+    if spill_store is None:
         fired_docs = alerts_df_to_docs(fired)
+    else:
+        refs, keep_full = _referenced_event_indices(doc, index)
+        if keep_full:
+            fired_docs = alerts_df_to_docs(fired)
+        else:
+            fired_docs, spill = slim_captures(
+                fired, p, refs, id_col, generate_meteor_id()
+            )
+    if spill is not None:
+        spill_store.append_frame(spill)
 
     # per-group fan-out: a FRESH rule (no _id) spawns one in-flight doc
     # per fired group; a RESUMED doc keeps its _id, so multiple fired
@@ -105,30 +288,128 @@ def process_sequence_alert(
     inflight_store.upsert_many(updates)
 
 
-def create_sequence_alerts(inflight_store: DocStore, alert_store: DocStore) -> int:
+def create_sequence_alerts(
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    spill_store: SlotEventStore | None = None,
+) -> int:
     """Emit alerts for fully-slotted sequences, drop their state
     (reference: alerta.py:218-237). Returns number emitted.
 
     Batched: one append to the alerts table + one state overwrite for
     any number of completions (the reference pays two Mongo round-trips
-    per completed sequence)."""
+    per completed sequence). With ``spill_store`` the emission is
+    DISTRIBUTED: slim state documents join the spilled event payloads
+    by capture ref and the full documents (rehydrated events, rendered
+    summary, DOC_SCHEMA row) are assembled inside an Arrow UDF — the
+    completed alerts' event payloads never pass through the driver.
+    The spill table is pruned to the refs that remain in-flight."""
     completed, remaining = [], []
     for doc in inflight_store.docs():
         slots = doc.get("slots") or []
         if slots and all("events" in s for s in slots):
-            doc = dict(doc)
-            doc["summary"] = render_py(str(doc.get("summary", "")), doc)
             completed.append(doc)
         else:
             remaining.append(doc)
-    if completed:
-        alert_store.append(completed)
-        inflight_store.overwrite(remaining)
+    if not completed:
+        return 0
+    if spill_store is None:
+        emitted = []
+        for doc in completed:
+            doc = dict(doc)
+            doc["summary"] = render_py(str(doc.get("summary", "")), doc)
+            emitted.append(doc)
+        alert_store.append(emitted)
+    else:
+        _emit_completed_distributed(completed, alert_store, spill_store)
+    inflight_store.overwrite(remaining)
+    if spill_store is not None:
+        spill_store.prune(_live_refs(remaining))
     return len(completed)
 
 
-def expire_sequence_alerts(inflight_store: DocStore, now: datetime | None = None) -> int:
-    """Reap state past its expiration (reference: alerta.py:240-248)."""
+def _emit_completed_distributed(
+    completed: list[dict[str, Any]],
+    alert_store: DocStore,
+    spill_store: SlotEventStore,
+) -> None:
+    """Assemble completed sequence documents EXECUTOR-side: the slim
+    in-flight docs (small, driver) join the spill table's full event
+    arrays by capture ref; rehydration, summary render (render_py is
+    pure Python) and DOC_SCHEMA row assembly (doc_to_row — the same
+    function the driver writer uses, so documents are identical) run
+    inside an Arrow-batched UDF. A ref missing from the spill table
+    (externally pruned / lost) degrades to the slim events rather than
+    failing the emission."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.state import DOC_SCHEMA, doc_to_row
+
+    spark = alert_store.spark
+    rows = []
+    for doc in completed:
+        refs = [
+            (i, s["_events_ref"])
+            for i, s in enumerate(doc.get("slots") or [])
+            if isinstance(s, dict) and s.get("_events_ref")
+        ]
+        rows.append(
+            (
+                json.dumps(doc, default=str),
+                [i for i, _ in refs],
+                [r for _, r in refs],
+            )
+        )
+    slim = spark.createDataFrame(
+        rows, "doc string, slot_idx array<int>, refs array<string>"
+    )
+    ex = slim.select(
+        "doc", F.explode_outer(F.arrays_zip("slot_idx", "refs")).alias("z")
+    ).select(
+        "doc",
+        F.col("z.slot_idx").alias("si"),
+        F.col("z.refs").alias("ref"),
+    )
+    spill = spill_store.frame()
+    joined = ex.join(spill, ex["ref"] == spill["capture_id"], "left").select(
+        "doc", "si", "events_json"
+    )
+    grouped = joined.groupBy("doc").agg(
+        F.collect_list(F.struct("si", "events_json")).alias("fills")
+    )
+
+    def assemble(batches):
+        import pandas as pd
+
+        cols = [f.name for f in DOC_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for doc_json, fills in zip(pdf["doc"], pdf["fills"]):
+                doc = json.loads(doc_json)
+                by_idx: dict[int, list] = {}
+                for f in list(fills) if fills is not None else []:
+                    si, ej = f.get("si"), f.get("events_json")
+                    if si is not None and ej is not None:
+                        by_idx[int(si)] = json.loads(ej)
+                for i, s in enumerate(doc.get("slots") or []):
+                    if isinstance(s, dict):
+                        if i in by_idx:
+                            s["events"] = by_idx[i]
+                        s.pop("_events_ref", None)
+                doc["summary"] = render_py(str(doc.get("summary", "")), doc)
+                out.append(doc_to_row(doc))
+            yield pd.DataFrame(out, columns=cols)
+
+    alert_store.append_rows(grouped.mapInPandas(assemble, schema=DOC_SCHEMA))
+
+
+def expire_sequence_alerts(
+    inflight_store: DocStore,
+    now: datetime | None = None,
+    spill_store: SlotEventStore | None = None,
+) -> int:
+    """Reap state past its expiration (reference: alerta.py:240-248);
+    with ``spill_store``, drop the reaped docs' spilled captures too."""
     now = now or utcnow()
     kept, dropped = [], 0
     for doc in inflight_store.docs():
@@ -145,6 +426,8 @@ def expire_sequence_alerts(inflight_store: DocStore, now: datetime | None = None
             kept.append(doc)
     if dropped:
         inflight_store.overwrite(kept)
+        if spill_store is not None:
+            spill_store.prune(_live_refs(kept))
     return dropped
 
 
@@ -207,6 +490,7 @@ def process_sequence_slot_batched(
     alert_store: DocStore,
     id_col: str = "event_id",
     ts_col: str = "ts",
+    spill_store: SlotEventStore | None = None,
 ) -> list[dict[str, Any]] | None:
     """Advance MANY in-flight alerts waiting on the same slot with ONE
     Spark job: the templated equality becomes a semi-join of the slot
@@ -249,13 +533,27 @@ def process_sequence_slot_batched(
     key = path_col(events_df, key_path).cast("string")
     candidates = events_df.where(key.isin(list(value_to_doc)))
     dedup_ids = inflight_store.alerted_ids().unionByName(alert_store.alerted_ids())
-    params = dict(slot, criteria=static)
+    p = threshold_shell(dict(slot, criteria=static))
     fired = threshold_alerts(
-        candidates, params, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
+        candidates, p, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
     )
 
+    spill = None
+    if spill_store is None:
+        fired_docs = alerts_df_to_docs(fired)
+    else:
+        refs, keep_full = _referenced_event_indices(docs[0], slot_index)
+        if keep_full:
+            fired_docs = alerts_df_to_docs(fired)
+        else:
+            fired_docs, spill = slim_captures(
+                fired, p, refs, id_col, generate_meteor_id()
+            )
+    if spill is not None:
+        spill_store.append_frame(spill)
+
     updates = []
-    for fired_doc in alerts_df_to_docs(fired):
+    for fired_doc in fired_docs:
         doc = value_to_doc.get(str(fired_doc["metadata"]["value"]))
         if doc is None:
             continue
@@ -372,6 +670,7 @@ def sequence_resume_fused(
     alert_store: DocStore,
     id_col: str = "event_id",
     ts_col: str = "ts",
+    spill_store: SlotEventStore | None = None,
 ) -> tuple[list[tuple[tuple[str, int], list[dict]]], list[dict]]:
     """Advance MANY (rule, slot) groups of in-flight sequence alerts
     with ONE events scan — the cross-RULE fusion of
@@ -409,10 +708,9 @@ def sequence_resume_fused(
     from alerta_spark.operators.dedup import remove_previously_alerted
     from alerta_spark.operators.threshold import assemble_alerts
     from alerta_spark.paths import path_col
-    from alerta_spark.rules import threshold_shell
     from alerta_spark.templates import _lookup
 
-    fusable: list[tuple[int, dict, Any, dict]] = []
+    fusable: list[tuple[int, dict, Any, dict, tuple[set[int], bool]]] = []
     unfused: list[tuple[tuple[str, int], list[dict]]] = []
     stray: list[dict] = []
     for (name, idx), docs in groups.items():
@@ -459,7 +757,10 @@ def sequence_resume_fused(
         except Exception:
             unfused.append(((name, idx), docs))
             continue
-        fusable.append((idx, p_asm, probe, value_to_doc))
+        fusable.append(
+            (idx, p_asm, probe, value_to_doc,
+             _referenced_event_indices(docs[0], idx))
+        )
     if not fusable:
         return unfused, stray
 
@@ -469,23 +770,32 @@ def sequence_resume_fused(
     ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
     grouped = sequence_slots_fused_frame(
         ev,
-        [p for _, p, _, _ in fusable],
+        [p for _, p, _, _, _ in fusable],
         id_col,
         ts_col,
-        extra_preds=[pr for _, _, pr, _ in fusable],
+        extra_preds=[pr for _, _, pr, _, _ in fusable],
     ).persist()
     try:
         extra_ids: set[str] = set()
         all_updates: list[dict] = []
-        for i, (idx, p_asm, _probe, value_to_doc) in enumerate(fusable):
+        spill_frames: list[DataFrame] = []
+        for i, (idx, p_asm, _probe, value_to_doc, (refs, keep_full)) in enumerate(
+            fusable
+        ):
             thr = int(p_asm["threshold"])
             slice_ = grouped.where(
                 (F.col("rule_idx") == i) & (F.col("count") >= thr)
             ).select("value", "count", "events")
             slice_ = _filter_slice_events(slice_, extra_ids, thr, id_col)
-            fired_docs = alerts_df_to_docs(
-                assemble_alerts(slice_, p_asm, ev.schema)
-            )
+            assembled = assemble_alerts(slice_, p_asm, ev.schema)
+            if spill_store is None or keep_full:
+                fired_docs = alerts_df_to_docs(assembled)
+            else:
+                fired_docs, spill = slim_captures(
+                    assembled, p_asm, refs, id_col, generate_meteor_id()
+                )
+                if spill is not None:
+                    spill_frames.append(spill)
             for fired_doc in fired_docs:
                 doc = value_to_doc.get(str(fired_doc["metadata"]["value"]))
                 if doc is None:
@@ -497,6 +807,16 @@ def sequence_resume_fused(
                     eid = evd.get(id_col)
                     if eid is not None:
                         extra_ids.add(str(eid))
+        # ONE spill append for the whole pass (the per-rule frames are
+        # localCheckpoint'd inside slim_captures, so the union is a
+        # cheap read of already-materialized blocks), written BEFORE
+        # the state upsert so a crash leaves orphan spill rows (pruned
+        # later) rather than dangling refs
+        if spill_frames:
+            out = spill_frames[0]
+            for s in spill_frames[1:]:
+                out = out.unionByName(s)
+            spill_store.append_frame(out)
         # ONE state write for the whole pass (a rewrite per rule made
         # N rules cost N table swaps; nothing between rules reads the
         # store — the F9 intra-pass interaction is the driver-side
@@ -514,6 +834,7 @@ def sequence_starts_fused(
     alert_store: DocStore,
     id_col: str = "event_id",
     ts_col: str = "ts",
+    spill_store: SlotEventStore | None = None,
 ) -> list[dict[str, Any]]:
     """Start N fresh sequence rules with ONE events scan (the fusion
     upgrade the threshold/deadman families already have): each rule's
@@ -584,6 +905,7 @@ def sequence_starts_fused(
     try:
         extra_ids: set[str] = set()
         all_updates: list[dict] = []
+        spill_frames: list[DataFrame] = []
         for i, (doc, idx, p) in enumerate(fusable):
             thr = int(p["threshold"])
             # dedup only ever REMOVES events, so a group passing the
@@ -595,9 +917,16 @@ def sequence_starts_fused(
             # intra-pass F9 (sequential-loop semantics): drop events
             # captured by EARLIER rules this pass
             slice_ = _filter_slice_events(slice_, extra_ids, thr, id_col)
-            fired_docs = alerts_df_to_docs(
-                assemble_alerts(slice_, p, ev.schema)
-            )
+            assembled = assemble_alerts(slice_, p, ev.schema)
+            refs, keep_full = _referenced_event_indices(doc, idx)
+            if spill_store is None or keep_full:
+                fired_docs = alerts_df_to_docs(assembled)
+            else:
+                fired_docs, spill = slim_captures(
+                    assembled, p, refs, id_col, generate_meteor_id()
+                )
+                if spill is not None:
+                    spill_frames.append(spill)
             for fired_doc in fired_docs:
                 inflight = deepcopy(doc)
                 inflight["slots"][idx] = fired_doc
@@ -606,7 +935,13 @@ def sequence_starts_fused(
                     eid = evd.get(id_col)
                     if eid is not None:
                         extra_ids.add(str(eid))
-        # ONE state write for the whole pass (see sequence_resume_fused)
+        # ONE spill append + ONE state write for the whole pass (see
+        # sequence_resume_fused)
+        if spill_frames:
+            out = spill_frames[0]
+            for s in spill_frames[1:]:
+                out = out.unionByName(s)
+            spill_store.append_frame(out)
         inflight_store.upsert_many(all_updates)
     finally:
         grouped.unpersist()

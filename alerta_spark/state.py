@@ -138,15 +138,20 @@ def alert_docs_frame(alerts: DataFrame, id_field: str = "event_id") -> DataFrame
     # + replace(tzinfo=utc)); a session-tz cast would disagree whenever
     # the session isn't UTC, so stamp an explicit +00:00 onto naive
     # strings before casting — offset-carrying strings cast to the same
-    # instant in ANY session timezone
-    ts_str = F.col("utctimestamp")
+    # instant in ANY session timezone. The offset test accepts every
+    # form fromisoformat does ('+05', '+0530', '+05:30', Z/z); trailing
+    # lowercase 'z' is uppercased because Python parses it and Spark
+    # does not. try_cast (not cast): ANSI mode throws on malformed
+    # strings where doc_to_row's except-ValueError falls back to the
+    # now-epoch — the writers must agree on garbage too.
+    ts_str = F.regexp_replace(F.col("utctimestamp"), r"z$", "Z")
     ts_utc = F.when(
-        ts_str.rlike(r"([+-]\d{2}:?\d{2}|Z)$"), ts_str
+        ts_str.rlike(r"([+-]\d{2}(:?\d{2})?|Z)$"), ts_str
     ).otherwise(F.concat(ts_str, F.lit("+00:00")))
     stamped = stamped.withColumn(
         "utcepoch",
         F.coalesce(
-            F.unix_timestamp(ts_utc.cast("timestamp")),
+            F.unix_timestamp(ts_utc.try_cast("timestamp")),
             F.lit(epoch_fallback),
         ).cast("long"),
     )
@@ -257,10 +262,29 @@ class DocStore:
         they were computed; the driver never sees a row, so alert
         cardinality (which grows with the corpus) never lands on
         driver memory. Parquet's job-commit protocol keeps the append
-        atomic per call."""
-        alert_docs_frame(alerts, id_field).write.mode("append").parquet(
-            self.path
+        atomic per call.
+
+        Zero-row frames skip the write entirely: every non-firing rule
+        in every engine pass would otherwise add an empty part file
+        that the F8 probe re-lists forever. The frame is checkpointed
+        first (fired frames are tiny, post-aggregation) so the
+        emptiness probe and the write share one computation — and the
+        per-row uuid ids are frozen before any action reads them."""
+        docs = alert_docs_frame(alerts, id_field).localCheckpoint(eager=True)
+        if docs.isEmpty():
+            return
+        docs.write.mode("append").parquet(self.path)
+
+    def append_rows(self, rows: DataFrame) -> None:
+        """Append an already-assembled DOC_SCHEMA frame executor-side
+        (the completed-sequence emission path builds its rows inside an
+        Arrow UDF; they must reach parquet without a driver hop)."""
+        out = rows.select([f.name for f in DOC_SCHEMA.fields]).localCheckpoint(
+            eager=True
         )
+        if out.isEmpty():
+            return
+        out.write.mode("append").parquet(self.path)
 
     def overwrite(self, docs: list[dict[str, Any]]) -> None:
         rows = [doc_to_row(d) for d in docs]
@@ -328,3 +352,74 @@ class DocStore:
             .select(F.explode("alerted_event_ids").alias("alerted_event_id"))
             .distinct()
         )
+
+
+SLOT_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("capture_id", T.StringType()),
+        T.StructField("events_json", T.StringType()),
+    ]
+)
+
+
+class SlotEventStore:
+    """Distributed side table for captured sequence-slot event payloads.
+
+    The batch sequence tier keeps its in-flight state documents on the
+    driver (they seed the next pass's templated criteria — reference
+    analogue: the state doc, alerta.py:274-317), but the full event
+    payloads a slot captures grow with fired-group cardinality, i.e.
+    with the corpus. So the driver-resident document keeps only event
+    IDS plus the template-referenced events, and the full per-capture
+    event array spills HERE, executor-side, keyed by a capture id the
+    document carries (``_events_ref``). Completion rehydrates by
+    joining this table — the payloads never pass through the driver.
+
+    Rows are (capture_id, events_json) where events_json is the
+    ``to_json`` of the capture's ordered events array."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def frame(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], SLOT_EVENTS_SCHEMA)
+        return self.spark.read.schema(SLOT_EVENTS_SCHEMA).parquet(self.path)
+
+    def append_frame(self, df: DataFrame) -> None:
+        """Append (capture_id, events_json) rows; zero-row frames skip
+        the write (same small-files discipline as DocStore)."""
+        out = df.select([f.name for f in SLOT_EVENTS_SCHEMA.fields])
+        out = out.localCheckpoint(eager=True)
+        if out.isEmpty():
+            return
+        out.write.mode("append").parquet(self.path)
+
+    def prune(self, live_ids: list[str]) -> None:
+        """Drop rows whose capture id is no longer referenced by any
+        in-flight document (called after completion/expiry drops docs).
+        Write-then-swap like DocStore.overwrite_frame, and the rewrite
+        doubles as compaction for this table."""
+        if not self._exists():
+            return
+        keep = self.frame()
+        if live_ids:
+            ids_df = self.spark.createDataFrame(
+                [(x,) for x in sorted(set(live_ids))], "capture_id string"
+            )
+            keep = keep.join(F.broadcast(ids_df), "capture_id", "left_semi")
+        else:
+            keep = keep.where(F.lit(False))
+        tmp = self.path + ".tmp"
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        out = self.spark.read.schema(SLOT_EVENTS_SCHEMA).parquet(tmp)
+        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -45,6 +45,54 @@ def test_engine_full_run_over_testdata(spark, events, tmp_path):
     assert len(engine.alerts.docs()) >= n_before
 
 
+def test_engine_auto_compacts_alerts_table(spark, tmp_path):
+    """Distributed appends add part files every pass; the engine must
+    compact the alerts table on its configured cadence so the file
+    count stays bounded across many cron ticks — with F8 dedup results
+    identical before and after compaction."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rule = {
+        "alert_name": "bursts",
+        "alert_type": "threshold",
+        "criteria": "source='app'",
+        "aggregation_key": "user",
+        "threshold": 1,
+        "summary": "burst by {{metadata.value}}",
+        "event_snippet": "",
+    }
+    engine = Engine(spark, str(tmp_path / "store"), compact_every=5)
+
+    def batch(i):
+        return spark.range(2).select(
+            (F.col("id") + 10 * i).alias("event_id"),
+            F.expr("timestamp'2026-01-01 00:00:00'").alias("ts"),
+            F.lit("app").alias("source"),
+            F.concat(F.lit(f"u{i}_"), F.col("id").cast("string")).alias("user"),
+        )
+
+    seen = set()
+    for i in range(16):
+        engine.run_once(batch(i), [rule])
+        # replay an OLD batch too: F8 must keep suppressing it across
+        # compactions (compaction must not lose dedup state)
+        engine.run_once(batch(0), [rule])
+        vals = [d["metadata"]["value"] for d in engine.alerts.docs()]
+        assert len(vals) == len(set(vals)), "compaction broke F8 dedup"
+        seen = set(vals)
+
+    files = [
+        f for f in os.listdir(engine.alerts.path) if f.endswith(".parquet")
+    ]
+    # 32 passes at compact_every=5: without compaction this is >=32
+    # files (one per firing pass); with it, at most one compacted file
+    # plus the appends since the last compaction cycle
+    assert len(files) <= 8, files
+    assert len(seen) == 32  # 16 batches x 2 users, each alerted once
+
+
 def test_deadman_fires_on_scan_failure(spark, events, tmp_path):
     """Reference failure semantics (alerta.py:417-420): a deadman rule
     whose criteria cannot even be evaluated FIRES — absence of evidence

@@ -242,6 +242,7 @@ def _strip_volatile(doc):
             x.pop("utctimestamp", None)
             x.pop("utcepoch", None)
             x.pop("expiration", None)
+            x.pop("_events_ref", None)  # random per-capture spill ref
             for v in x.values():
                 walk(v)
         elif isinstance(x, list):
@@ -469,6 +470,99 @@ def test_sequence_resume_fused_special_char_values(spark, tmp_path):
 
     assert canon(fus.alerts.docs()) == canon(seq.alerts.docs())
     assert canon(fus.inflight.docs()) == canon(seq.inflight.docs())
+
+
+def test_inflight_state_is_slim(spark, engine):
+    """The driver-resident in-flight document must carry event IDS and
+    the template-referenced event ONLY; the full captured event array
+    lives in the SlotEventStore keyed by the doc's ``_events_ref``
+    (driver RSS must scale with in-flight COUNT, not event volume)."""
+    ev = _onelogin_events(spark, [RISKY] * 6)  # 6 alice events, thr 1
+    engine.run_once(ev, [SEQ_RULE])
+
+    [doc] = engine.inflight.docs()
+    slot0 = doc["slots"][0]
+    events = slot0["events"]
+    assert len(events) == 6
+    # templates reference slots.0.events.0 only -> index 0 is full
+    assert "details" in events[0] and "user_name" in str(events[0]["details"])
+    # every other event is an id-only stub
+    for e in events[1:]:
+        assert set(e) == {"event_id"}
+    # F9 dedup still sees every captured id
+    ids = sorted(r["alerted_event_id"] for r in engine.inflight.alerted_ids().collect())
+    assert ids == [str(i) for i in range(6)]
+    # cross-slot templating still renders from the slim doc
+    assert render_py("{{slots.0.events.0.details.user_name}}", doc) == "alice"
+    # the full payload is in the spill table under the doc's ref
+    ref = slot0["_events_ref"]
+    [(cap, payload)] = [
+        (r["capture_id"], r["events_json"])
+        for r in engine.slot_events.frame().collect()
+    ]
+    assert cap == ref
+    import json as _json
+
+    full = _json.loads(payload)
+    assert len(full) == 6 and all("details" in e for e in full)
+
+
+def test_completion_rehydrates_and_prunes_spill(spark, engine):
+    """Completed sequences must emit documents with the FULL captured
+    events (rehydrated executor-side from the spill table), drop the
+    internal ``_events_ref`` marker, and prune the spill rows their
+    state no longer references."""
+    from pyspark.sql import functions as F
+
+    ev1 = _onelogin_events(spark, [RISKY] * 4)
+    engine.run_once(ev1, [SEQ_RULE])
+    ev2 = _onelogin_events(spark, [RISKY]).withColumn(
+        "event_id", F.col("event_id") + 100
+    )
+    engine.run_once(ev2, [SEQ_RULE])
+
+    assert engine.inflight.docs() == []
+    [alert] = engine.alerts.docs()
+    assert alert["summary"] == "Multiple risky logins by alice"
+    s0, s1 = alert["slots"]
+    assert len(s0["events"]) == 4 and len(s1["events"]) == 1
+    for e in s0["events"] + s1["events"]:
+        assert "details" in e and "ts" in e  # full payload, not a stub
+    assert "_events_ref" not in s0 and "_events_ref" not in s1
+    # nothing in-flight -> spill table pruned empty
+    assert engine.slot_events.frame().count() == 0
+
+
+def test_expiry_prunes_spill(spark, engine):
+    ev = _onelogin_events(spark, [RISKY])
+    rule = json.loads(json.dumps(SEQ_RULE))
+    rule["lifespan"] = "1 hours"
+    engine.run_once(ev, [rule])
+    assert engine.slot_events.frame().count() == 1
+    assert (
+        expire_sequence_alerts(
+            engine.inflight,
+            now=utcnow() + timedelta(days=1),
+            spill_store=engine.slot_events,
+        )
+        == 1
+    )
+    assert engine.slot_events.frame().count() == 0
+
+
+def test_keep_full_template_shape_falls_back(spark, engine):
+    """A template that addresses slot events in a non-indexable way
+    (whole-event reference) must keep FULL events in the driver doc —
+    correctness beats slimming for exotic shapes."""
+    rule = json.loads(json.dumps(SEQ_RULE))
+    rule["summary"] = "raw: {{slots.0.events.0}}"
+    ev = _onelogin_events(spark, [RISKY] * 3)
+    engine.run_once(ev, [rule])
+    [doc] = engine.inflight.docs()
+    events = doc["slots"][0]["events"]
+    assert len(events) == 3
+    assert all("details" in e for e in events)  # nothing slimmed
+    assert "_events_ref" not in doc["slots"][0]
 
 
 def test_engine_stream_fused_sequences_match_batch(spark, tmp_path):
