@@ -68,7 +68,13 @@ def _epoch(ts: str | None) -> int:
     if not ts:
         return int(utcnow().timestamp())
     try:
-        dt = datetime.fromisoformat(str(ts))
+        # trailing lowercase 'z' is valid ISO-8601 but rejected by
+        # CPython 3.11's fromisoformat; normalize so both writers
+        # (this one and the executor-side alert_docs_frame) parse it
+        s = str(ts)
+        if s.endswith("z"):
+            s = s[:-1] + "Z"
+        dt = datetime.fromisoformat(s)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         return int(dt.timestamp())

@@ -28,6 +28,7 @@ the equality always holds and only the static residual needs checking
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -716,8 +717,21 @@ def sequence_correlator_tws(
                 if list(ev_rows.columns) != expected:
                     if set(ev_rows.columns) == set(expected):
                         ev_rows = ev_rows[expected]
-                    else:
+                    elif len(ev_rows.columns) == len(expected) and all(
+                        re.fullmatch(r"_\d+", str(c)) for c in ev_rows.columns
+                    ):
+                        # positional names are _0.._N in projection
+                        # order by construction — safe to rebind
                         ev_rows = ev_rows.set_axis(expected, axis=1)
+                    else:
+                        # neither the real names nor the positional
+                        # pattern: rebinding would silently mislabel
+                        # _corr/_eid/_ts and corrupt correlation keys
+                        raise RuntimeError(
+                            "tws correlator: unexpected Arrow batch "
+                            f"columns {list(ev_rows.columns)!r} "
+                            f"(want {expected!r} or _0.._N)"
+                        )
             # deadline origin: first event's data-clock in eventTime
             # mode, else the engine's processing clock
             if event_time and len(ev_rows):
@@ -860,7 +874,21 @@ def streaming_threshold_alerts_fused(
     on sparse-match rules — a row matching NO rule carries a single
     NULL sentinel struct (O(1) state per window) whose group can never
     fire because only real matches are counted and thresholds are
-    required >= 1."""
+    required >= 1.
+
+    OVERLAPPING-RULES DIVERGENCE from the batch engine (intentional,
+    pytest-pinned in tests/test_streaming.py): when two rules' criteria
+    overlap, the BATCH fused pass replays the sequential loop's
+    intra-pass F8 interaction — rule k's slice drops events rules
+    1..k-1 captured this pass, so an event alerts at most once per
+    pass. THIS streaming face counts every matching event for EVERY
+    rule independently: it equals N single-rule streaming queries (the
+    union-of-singles parity pin), not the batch rule-ordered loop.
+    Windowed streaming counts consult no alert history (the window IS
+    the dedup horizon), so a cross-rule replay has no store to probe;
+    deployments needing batch overlap semantics should route
+    overlapping rules through the batch engine under
+    run_stream/foreachBatch, which executes the full cron body."""
     from alerta_spark.rules import threshold_shell
 
     shells = [threshold_shell(r) for r in rules]

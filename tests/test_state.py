@@ -211,9 +211,53 @@ def test_alert_docs_frame_naive_ts_epoch_is_utc_any_session_tz(spark):
 
 
 def test_append_frame_empty_is_noop(spark, tmp_path):
+    import os
+
     from pyspark.sql import functions as F
 
     store = DocStore(spark, str(tmp_path / "alerts"))
     fired = threshold_alerts(_events(spark).where(F.lit(False)), RULE)
     store.append_frame(fired)
     assert store.docs() == []
+    # and the table keeps ZERO part files (non-firing rules must not
+    # grow the file listing the F8 probe re-reads every pass)
+    assert not os.path.isdir(store.path) or not os.listdir(store.path)
+
+
+def test_alert_docs_frame_epoch_offset_forms_match_driver(spark):
+    """Every fromisoformat-parseable offset form must stamp the SAME
+    epoch in both writers — including 2-digit offsets ('+05'),
+    compact offsets ('+0530'), lowercase 'z', and garbage (which both
+    writers coerce to the now-epoch rather than throwing under ANSI)."""
+    import time
+
+    forms = [
+        "2026-01-01T00:05:00+05",
+        "2026-01-01T00:05:00+0530",
+        "2026-01-01T00:05:00+05:30",
+        "2026-01-01T00:05:00z",
+        "2026-01-01T00:05:00Z",
+        "2026-01-01T00:05:00",
+    ]
+    frame = spark.createDataFrame(
+        [
+            {"alert_name": f"a{i}", "summary": "s", "utctimestamp": ts,
+             "events": [{"event_id": "1"}]}
+            for i, ts in enumerate(forms)
+        ]
+    )
+    rows = {r["utctimestamp"]: r["utcepoch"] for r in alert_docs_frame(frame).collect()}
+    for ts in forms:
+        want = doc_to_row(
+            {"alert_name": "a", "summary": "s", "utctimestamp": ts,
+             "events": [{"event_id": "1"}]}
+        )["utcepoch"]
+        assert rows[ts] == want, ts
+
+    # garbage: both writers fall back to ~now instead of raising
+    g = spark.createDataFrame(
+        [{"alert_name": "g", "summary": "s", "utctimestamp": "not a time",
+          "events": [{"event_id": "1"}]}]
+    )
+    [row] = alert_docs_frame(g).collect()
+    assert abs(row["utcepoch"] - int(time.time())) < 600

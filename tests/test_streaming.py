@@ -749,6 +749,64 @@ def test_streaming_fused_thresholds_match_per_rule(spark):
     assert fused == sorted(per_rule) and len(fused) > 0
 
 
+def test_streaming_fused_overlap_diverges_from_batch(spark, tmp_path):
+    """Pin the DOCUMENTED batch<->streaming divergence on overlapping
+    fused threshold rules: the batch fused pass replays intra-pass F8
+    (rule 2 must NOT re-alert the events rule 1 captured this pass),
+    while the streaming fused aggregate counts overlapping captures
+    per rule (== N independent single-rule queries, no history probe).
+    Guards the round-6 batch replay fix from being misread as a
+    streaming guarantee."""
+    from alerta_spark.engine import Engine
+    from alerta_spark.streaming.correlator import (
+        streaming_threshold_alerts_fused,
+    )
+
+    risky = lambda u: {"risk_score": "95", "user_name": u}  # noqa: E731
+    ev = _events(
+        spark,
+        [(0, risky("alice")), (0, risky("alice")), (9, risky("late"))],
+    )
+    overlapping = [
+        {
+            "alert_name": f"overlap_{k}",
+            "alert_type": "threshold",
+            "criteria": (
+                "CAST(json_extract_scalar(details,'$.risk_score') "
+                "AS INTEGER) > 50"
+            ),
+            "aggregation_key": "details.user_name",
+            "threshold": 2,
+        }
+        for k in (1, 2)
+    ]
+
+    # batch: same criteria, rule-ordered loop semantics -> only rule 1
+    eng = Engine(spark, str(tmp_path / "overlap_store"))
+    eng.run_once(ev, overlapping, fuse_thresholds=True)
+    batch_fired = sorted(
+        (d["alert_name"], d["metadata"]["value"]) for d in eng.alerts.docs()
+    )
+    assert batch_fired == [("overlap_1", "alice")]
+
+    # streaming: per-rule independent windowed counts -> both rules
+    stream_fired = sorted(
+        (r.alert_name, r.metadata.value, r.metadata["count"])
+        for r in _run_stream(
+            spark,
+            ev,
+            lambda s: streaming_threshold_alerts_fused(
+                s, overlapping, window="1 hour"
+            ),
+            "overlap_stream_out",
+        ).collect()
+    )
+    assert stream_fired == [
+        ("overlap_1", "alice", 2),
+        ("overlap_2", "alice", 2),
+    ]
+
+
 def test_sequence_correlator_reproduces_funnel(spark):
     """Coherence pin between the two 'ordered steps per key' surfaces:
     a funnel IS a 3-slot all-threshold-1 sequence rule. On real events

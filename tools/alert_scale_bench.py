@@ -89,12 +89,29 @@ def _mk_rules(kind: str):
     ]
 
 
-def _events(spark, groups: int, id_offset: int):
-    """groups x EVENTS_PER_GROUP onelogin events, one distinct user per
-    group, generated DISTRIBUTED (spark.range — no driver list)."""
+def _events(
+    spark,
+    groups: int,
+    id_offset: int,
+    epg: int = EVENTS_PER_GROUP,
+    payload_bytes: int = 0,
+):
+    """groups x epg onelogin events, one distinct user per group,
+    generated DISTRIBUTED (spark.range — no driver list).
+    ``payload_bytes`` pads each event's details with a filler field —
+    the payload axis measures where captured event BYTES live."""
     from pyspark.sql import functions as F
 
-    n = groups * EVENTS_PER_GROUP
+    n = groups * epg
+    fields = [
+        F.concat(F.lit("u"), (F.col("id") % groups).cast("string")).alias(
+            "user_name"
+        ),
+        F.lit("95").alias("risk_score"),
+        ((F.col("id") % groups) % N_RULES).cast("string").alias("bucket"),
+    ]
+    if payload_bytes > 0:
+        fields.append(F.lit("x" * payload_bytes).alias("blob"))
     return spark.range(n).select(
         (F.col("id") + id_offset).alias("event_id"),
         F.expr(
@@ -102,22 +119,32 @@ def _events(spark, groups: int, id_offset: int):
             "+ make_interval(0, 0, 0, 0, 0, 0, id)"
         ).alias("ts"),
         F.lit("onelogin").alias("source"),
-        F.to_json(
-            F.struct(
-                F.concat(F.lit("u"), (F.col("id") % groups).cast("string")).alias(
-                    "user_name"
-                ),
-                F.lit("95").alias("risk_score"),
-                ((F.col("id") % groups) % N_RULES).cast("string").alias(
-                    "bucket"
-                ),
-            )
-        ).alias("details"),
+        F.to_json(F.struct(*fields)).alias("details"),
     )
 
 
 def _rss_mb() -> float:
     return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+
+
+def _state_bytes(eng) -> tuple[int, int]:
+    """(driver-resident in-flight doc bytes, executor-spilled captured
+    event bytes): the instrument that shows WHERE captured payloads
+    live. The doc column is exactly what DocStore.docs() collects to
+    the driver each pass; events_json never transits the driver."""
+    from pyspark.sql import functions as F
+
+    doc_b = (
+        eng.inflight.frame()
+        .select(F.coalesce(F.sum(F.length("doc")), F.lit(0)))
+        .collect()[0][0]
+    )
+    spill_b = (
+        eng.slot_events.frame()
+        .select(F.coalesce(F.sum(F.length("events_json")), F.lit(0)))
+        .collect()[0][0]
+    )
+    return int(doc_b), int(spill_b)
 
 
 def main() -> None:
@@ -175,6 +202,7 @@ def main() -> None:
         eng2.run_once(ev1, _mk_rules("sequence"), fuse_sequences=True)
         t_start = round(time.perf_counter() - t0, 3)
         n_inflight = eng2.inflight.frame().count()
+        doc_b, spill_b = _state_bytes(eng2)
         ev2 = _events(spark, g, 10_000_000).cache()
         ev2.count()
         t0 = time.perf_counter()
@@ -188,6 +216,8 @@ def main() -> None:
             "inflight_after_start": n_inflight,
             "alerts": n_alerts2,
             "driver_rss_mb": _rss_mb(),
+            "inflight_doc_bytes": doc_b,
+            "spilled_event_bytes": spill_b,
         }
         print(
             f"g={g:<6} sequence   start={t_start:.2f}s resume={t_resume:.2f}s "
@@ -195,6 +225,46 @@ def main() -> None:
         )
         ev1.unpersist()
         ev2.unpersist()
+
+    # --- PAYLOAD axis: fixed group count, growing EVENTS PER GROUP
+    # with ~0.5 KB of details per event. This is the axis the slim
+    # state tier exists for: captured event BYTES must land in the
+    # executor-side spill table (spilled_event_bytes), while the
+    # driver-resident documents stay id-sized (inflight_doc_bytes) —
+    # pre-slimming, every spilled byte lived in the driver docs.
+    results["engine_sequence_payload_axis"] = {}
+    gp = 1000
+    for epg in (3, 30, 100):
+        ev = _events(spark, gp, 0, epg=epg, payload_bytes=400).cache()
+        ev.count()
+        eng3 = Engine(spark, tempfile.mkdtemp(prefix=f"ab_pay_{epg}_"))
+        t0 = time.perf_counter()
+        eng3.run_once(ev, _mk_rules("sequence"), fuse_sequences=True)
+        dt = round(time.perf_counter() - t0, 3)
+        doc_b, spill_b = _state_bytes(eng3)
+        n_inf = eng3.inflight.frame().count()
+        results["engine_sequence_payload_axis"][str(epg)] = {
+            "sec": dt,
+            "inflight": n_inf,
+            "inflight_doc_bytes": doc_b,
+            "spilled_event_bytes": spill_b,
+            "doc_bytes_per_inflight": round(doc_b / max(n_inf, 1)),
+            "driver_rss_mb": _rss_mb(),
+        }
+        print(
+            f"epg={epg:<4} payload    {dt:>8.2f}s inflight={n_inf} "
+            f"doc_b/doc={round(doc_b / max(n_inf, 1))} "
+            f"spill_mb={round(spill_b / 1e6, 1)} rss={_rss_mb()}MB"
+        )
+        ev.unpersist()
+    pay = results["engine_sequence_payload_axis"]
+    if "3" in pay and "100" in pay and pay["3"]["inflight_doc_bytes"] > 0:
+        for metric in ("inflight_doc_bytes", "spilled_event_bytes"):
+            pay[f"{metric}_exponent"] = round(
+                math.log(max(pay["100"][metric], 1) / pay["3"][metric])
+                / math.log(100 / 3),
+                2,
+            )
 
     lo, hi = str(group_scales[0]), str(group_scales[-1])
     for name, r in results.items():
@@ -210,11 +280,22 @@ def main() -> None:
                     2,
                 )
 
+    import datetime as _dt
+
+    stamp = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
+    for r in results.values():
+        r["measured_at"] = stamp
     out_path = REPO / "SCALE_BENCH.json"
     record = {"base": "synthetic alert-cardinality corpus", "results": {}}
     if out_path.exists():
         record = json.loads(out_path.read_text())
         record.setdefault("results", {})
+    # prune engine_* keys this writer owns but no longer measures
+    record["results"] = {
+        k: v
+        for k, v in record["results"].items()
+        if not k.startswith("engine_") or k in results
+    }
     record["results"].update(results)
     out_path.write_text(json.dumps(record, indent=1))
     print(f"wrote {out_path}")

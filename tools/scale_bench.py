@@ -241,14 +241,28 @@ def main() -> None:
                     2,
                 )
 
+    import datetime as _dt
+
+    stamp = _dt.datetime.now(_dt.timezone.utc).isoformat(timespec="seconds")
+    for r in results.values():
+        r["measured_at"] = stamp
     out_path = REPO / "SCALE_BENCH.json"
     merged = results
     if out_path.exists():
         # ALWAYS merge into the existing record: a full-family run
         # must not clobber measurements other writers own (the engine
         # alert-cardinality rows from tools/alert_scale_bench.py live
-        # in the same file)
+        # in the same file). But within the keys THIS writer owns
+        # (every non-engine_* family), a full-family run prunes rows
+        # the current code no longer benches — a renamed/removed
+        # family must not misrepresent the tree as still measured.
         prior = json.loads(out_path.read_text()).get("results", {})
+        if set(results) >= set(FAMILY):  # full-family run
+            prior = {
+                k: v
+                for k, v in prior.items()
+                if k.startswith("engine_") or k in results
+            }
         prior.update(results)
         merged = prior
     out_path.write_text(json.dumps({"base": BASE_SF, "results": merged}, indent=1))
