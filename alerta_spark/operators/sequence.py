@@ -433,6 +433,16 @@ def expire_sequence_alerts(
 
 import re as _re
 
+# Above this many captured values, a Column `.isin` probe (an In
+# expression with one literal per value) bloats the logical plan —
+# Catalyst carries every literal through analysis, optimization and
+# codegen, so a 100k-value IN costs more to PLAN than to run. The
+# batched path switches to a broadcast semi-join on the same compiled
+# key; the fused path sends oversized groups to the batched path
+# (a join cannot be one rule's predicate inside the shared
+# conditional-aggregate scan).
+ISIN_PROBE_MAX = 4096
+
 # templated equality conjunct shapes we can turn into a join key:
 #   json_extract_scalar(col,'$.path') = '{{tmpl}}'
 #   CAST(col AS STRING) = '{{tmpl}}'
@@ -531,7 +541,22 @@ def process_sequence_slot_batched(
         return leftover
 
     key = path_col(events_df, key_path).cast("string")
-    candidates = events_df.where(key.isin(list(value_to_doc)))
+    if len(value_to_doc) <= ISIN_PROBE_MAX:
+        candidates = events_df.where(key.isin(list(value_to_doc)))
+    else:
+        # many captured values: an IN with N literals bloats the plan
+        # (Catalyst carries every literal through analysis/codegen), so
+        # probe via a broadcast semi-join on the SAME compiled key —
+        # still Column-built end to end, so backslashes/quotes in
+        # captured values never meet the SQL parser
+        from pyspark.sql import functions as F
+
+        vals = events_df.sparkSession.createDataFrame(
+            [(v,) for v in sorted(value_to_doc)], "_probe_value string"
+        )
+        candidates = events_df.join(
+            F.broadcast(vals), key == F.col("_probe_value"), "left_semi"
+        )
     dedup_ids = inflight_store.alerted_ids().unionByName(alert_store.alerted_ids())
     p = threshold_shell(dict(slot, criteria=static))
     fired = threshold_alerts(
@@ -733,6 +758,13 @@ def sequence_resume_fused(
                 group_stray.append(doc)
             else:
                 value_to_doc[str(v)] = doc
+        if len(value_to_doc) > ISIN_PROBE_MAX:
+            # the fused probe must be a Column predicate (it ANDs into
+            # the shared scan); past the IN-literal budget the whole
+            # group — strays included, so nothing double-processes —
+            # routes to the batched path's broadcast semi-join instead
+            unfused.append(((name, idx), docs))
+            continue
         stray.extend(group_stray)
         if not value_to_doc:
             continue

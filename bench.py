@@ -20,6 +20,7 @@ HEADLINE = [
     "a1_mostcommon",
     "a2_threshold_trigger",
     "c7_threshold_alert_render",
+    "s7_emission_readback",
     "a5_topk_per_group",
     "f8_dedup_antijoin",
     "tpch_q1_pricing_summary",

@@ -472,6 +472,56 @@ def test_sequence_resume_fused_special_char_values(spark, tmp_path):
     assert canon(fus.inflight.docs()) == canon(seq.inflight.docs())
 
 
+def test_large_probe_sets_route_to_semi_join(spark, tmp_path, monkeypatch):
+    """Past ISIN_PROBE_MAX captured values, the fused resume must route
+    the group to the batched path and the batched path must probe via
+    broadcast semi-join instead of an N-literal IN (plan-size guard for
+    100k-in-flight scale) — with results identical to the IN path,
+    including backslash-carrying values the Column build exists for."""
+    import alerta_spark.operators.sequence as seqmod
+
+    users = ["DOM\\u1", "u2", "u3", "u4", "u5"]
+    ev1 = _onelogin_events(spark, [dict(RISKY, user_name=u) for u in users])
+    from pyspark.sql import functions as F
+
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in users[:3]]
+    ).withColumn("event_id", F.col("event_id") + 500)
+
+    def run(tag):
+        eng = Engine(spark, str(tmp_path / f"probe_{tag}"), id_col="event_id", ts_col="ts")
+        eng.run_once(ev1, [SEQ_RULE], fuse_sequences=True)
+        eng.run_once(ev2, [SEQ_RULE], fuse_sequences=True)
+        return eng
+
+    big = run("in_path")  # default: IN probe serves all 5 values
+
+    monkeypatch.setattr(seqmod, "ISIN_PROBE_MAX", 2)
+    unfused_seen = []
+    orig = seqmod.sequence_resume_fused
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        unfused_seen.append(out[0])
+        return out
+
+    monkeypatch.setattr(seqmod, "sequence_resume_fused", spy)
+    small = run("semi_join")
+
+    # the capped run actually exercised the fallback route
+    assert unfused_seen and any(u for u in unfused_seen)
+
+    def canon(docs):
+        return sorted(
+            json.dumps(_strip_volatile(d), sort_keys=True) for d in docs
+        )
+
+    assert canon(small.alerts.docs()) == canon(big.alerts.docs())
+    assert canon(small.inflight.docs()) == canon(big.inflight.docs())
+    done = {d["slots"][0]["metadata"]["value"] for d in small.alerts.docs()}
+    assert done == set(users[:3])
+
+
 def test_inflight_state_is_slim(spark, engine):
     """The driver-resident in-flight document must carry event IDS and
     the template-referenced event ONLY; the full captured event array
