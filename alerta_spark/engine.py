@@ -237,13 +237,22 @@ class Engine:
                     self.id_col, self.ts_col, spill_store=self.slot_events,
                 )
 
+        # spill pruning is deferred to the compaction cadence below: a
+        # prune rewrites the whole spill table (the captured-payload
+        # volume), while rows dropped here are merely unreferenced
         create_sequence_alerts(
-            self.inflight, self.alerts, spill_store=self.slot_events
+            self.inflight, self.alerts, spill_store=self.slot_events,
+            prune=False,
         )
-        expire_sequence_alerts(self.inflight, spill_store=self.slot_events)
+        expire_sequence_alerts(
+            self.inflight, spill_store=self.slot_events, prune=False
+        )
         self._passes_since_compact += 1
         if self.compact_every and self._passes_since_compact >= self.compact_every:
             self.alerts.compact()
+            from alerta_spark.operators.sequence import _live_refs
+
+            self.slot_events.prune(_live_refs(self.inflight.docs()))
             self._passes_since_compact = 0
 
     def run_stream(

@@ -292,6 +292,7 @@ def create_sequence_alerts(
     inflight_store: DocStore,
     alert_store: DocStore,
     spill_store: SlotEventStore | None = None,
+    prune: bool = True,
 ) -> int:
     """Emit alerts for fully-slotted sequences, drop their state
     (reference: alerta.py:218-237). Returns number emitted.
@@ -303,7 +304,11 @@ def create_sequence_alerts(
     by capture ref and the full documents (rehydrated events, rendered
     summary, DOC_SCHEMA row) are assembled inside an Arrow UDF — the
     completed alerts' event payloads never pass through the driver.
-    The spill table is pruned to the refs that remain in-flight."""
+    With ``prune`` the spill table is rewritten down to the refs that
+    remain in-flight; the ENGINE passes prune=False and prunes on its
+    compaction cadence instead, because a prune rewrites the whole
+    spill table (the payload volume) while dropped rows are merely
+    unreferenced garbage until then."""
     completed, remaining = [], []
     for doc in inflight_store.docs():
         slots = doc.get("slots") or []
@@ -323,7 +328,7 @@ def create_sequence_alerts(
     else:
         _emit_completed_distributed(completed, alert_store, spill_store)
     inflight_store.overwrite(remaining)
-    if spill_store is not None:
+    if spill_store is not None and prune:
         spill_store.prune(_live_refs(remaining))
     return len(completed)
 
@@ -407,9 +412,11 @@ def expire_sequence_alerts(
     inflight_store: DocStore,
     now: datetime | None = None,
     spill_store: SlotEventStore | None = None,
+    prune: bool = True,
 ) -> int:
     """Reap state past its expiration (reference: alerta.py:240-248);
-    with ``spill_store``, drop the reaped docs' spilled captures too."""
+    with ``spill_store``, drop the reaped docs' spilled captures too
+    (``prune=False`` defers that rewrite to the engine's cadence)."""
     now = now or utcnow()
     kept, dropped = [], 0
     for doc in inflight_store.docs():
@@ -426,7 +433,7 @@ def expire_sequence_alerts(
             kept.append(doc)
     if dropped:
         inflight_store.overwrite(kept)
-        if spill_store is not None:
+        if spill_store is not None and prune:
             spill_store.prune(_live_refs(kept))
     return dropped
 

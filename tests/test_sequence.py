@@ -557,15 +557,20 @@ def test_inflight_state_is_slim(spark, engine):
     assert len(full) == 6 and all("details" in e for e in full)
 
 
-def test_completion_rehydrates_and_prunes_spill(spark, engine):
+def test_completion_rehydrates_and_prunes_spill(spark, tmp_path):
     """Completed sequences must emit documents with the FULL captured
     events (rehydrated executor-side from the spill table), drop the
-    internal ``_events_ref`` marker, and prune the spill rows their
-    state no longer references."""
+    internal ``_events_ref`` marker, and — on the engine's compaction
+    cadence — prune the spill rows their state no longer references."""
     from pyspark.sql import functions as F
 
+    engine = Engine(
+        spark, str(tmp_path / "store"), id_col="event_id", ts_col="ts",
+        compact_every=2,  # pass 2 hits the cadence -> spill prune runs
+    )
     ev1 = _onelogin_events(spark, [RISKY] * 4)
     engine.run_once(ev1, [SEQ_RULE])
+    assert engine.slot_events.frame().count() == 1  # capture spilled
     ev2 = _onelogin_events(spark, [RISKY]).withColumn(
         "event_id", F.col("event_id") + 100
     )
