@@ -296,17 +296,24 @@ class DocStore:
         rows = [doc_to_row(d) for d in docs]
         self.overwrite_frame(self.spark.createDataFrame(rows, DOC_SCHEMA))
 
-    def overwrite_frame(self, df: DataFrame) -> None:
+    def overwrite_frame(self, df: DataFrame, num_files: int = 1) -> None:
         """Replace the table with a DOC_SCHEMA frame (write-then-swap
         keeps readers consistent on a local fs, and materializing to
         the tmp path first makes self-referential plans — frames built
-        FROM this store — safe to write back)."""
+        FROM this store — safe to write back).
+
+        ``num_files=1`` suits the small mutable state tables this
+        class mostly backs; :meth:`compact` passes a size-derived
+        count so a large alerts table never funnels through one
+        task."""
         tmp = self.path + ".tmp"
-        df.select([f.name for f in DOC_SCHEMA.fields]).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        df.select([f.name for f in DOC_SCHEMA.fields]).coalesce(
+            max(1, int(num_files))
+        ).write.mode("overwrite").parquet(tmp)
         out = self.spark.read.schema(DOC_SCHEMA).parquet(tmp)
-        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+        out.coalesce(max(1, int(num_files))).write.mode("overwrite").parquet(
+            self.path
+        )
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
@@ -342,14 +349,27 @@ class DocStore:
         self.overwrite_frame(self.frame().where(F.col("_id") != _id))
 
     def compact(self) -> None:
-        """Rewrite the table into one file. Distributed appends
-        (append_frame) add a few files per engine pass; on a
+        """Rewrite the table into size-appropriate files. Distributed
+        appends (append_frame) add a few files per engine pass; on a
         cron-per-15-minutes cadence that is ~100 files/day on the
         alerts table, which the F8 dedup probe re-reads every pass —
         compact on whatever maintenance cadence the deployment uses
         (the write-then-swap in overwrite_frame keeps readers
-        consistent). On an ACID table format this is OPTIMIZE."""
-        self.overwrite_frame(self.frame())
+        consistent; the engine calls this automatically every
+        ``compact_every`` passes). NOT unconditionally coalesce(1): a
+        years-deep alerts table must not funnel through one task — the
+        target file count derives from the table's on-disk bytes
+        (one file while small, ~target_file_bytes files at volume).
+        On an ACID table format this is OPTIMIZE."""
+        total = 0
+        if os.path.isdir(self.path):
+            total = sum(
+                os.path.getsize(os.path.join(self.path, f))
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet")
+            )
+        target = 128 * 1024 * 1024
+        self.overwrite_frame(self.frame(), num_files=-(-total // target) or 1)
 
     def alerted_ids(self) -> DataFrame:
         """DataFrame[alerted_event_id] for anti-join dedup (F8/F9)."""
