@@ -605,6 +605,39 @@ def test_expiry_prunes_spill(spark, engine):
     assert engine.slot_events.frame().count() == 0
 
 
+def test_spill_orphans_are_garbage_not_corruption(spark, tmp_path):
+    """A crash between the spill append and the state upsert leaves
+    ORPHAN spill rows (written first by design). They must be inert —
+    never rehydrated into anyone's completion — and reaped by the
+    cadence prune that keeps only live refs."""
+    engine = Engine(
+        spark, str(tmp_path / "store"), id_col="event_id", ts_col="ts",
+        compact_every=2,
+    )
+    ev1 = _onelogin_events(spark, [RISKY])
+    engine.run_once(ev1, [SEQ_RULE])
+    # simulate the crash remnant: a spill row no document references
+    orphan = spark.createDataFrame(
+        [("deadbeef" * 4, '[{"event_id": "999", "details": "ghost"}]')],
+        "capture_id string, events_json string",
+    )
+    engine.slot_events.append_frame(orphan)
+    assert engine.slot_events.frame().count() == 2
+
+    from pyspark.sql import functions as F
+
+    ev2 = _onelogin_events(spark, [RISKY]).withColumn(
+        "event_id", F.col("event_id") + 100
+    )
+    engine.run_once(ev2, [SEQ_RULE])  # completes + hits the cadence
+    [alert] = engine.alerts.docs()
+    # no ghost event leaked into the emitted document
+    ids = {e["event_id"] for s in alert["slots"] for e in s["events"]}
+    assert "999" not in {str(i) for i in ids}
+    # orphan reaped with everything else (no live refs remain)
+    assert engine.slot_events.frame().count() == 0
+
+
 def test_keep_full_template_shape_falls_back(spark, engine):
     """A template that addresses slot events in a non-indexable way
     (whole-event reference) must keep FULL events in the driver doc —
