@@ -15,8 +15,12 @@ sequence SLOT STATE is the documented driver-side remainder — its
 growth is measured, not hidden).
 
 Usage:  python tools/alert_scale_bench.py [--groups 500,1500,5000]
+            [--label=<name>] [--skip-payload]
 Merges results into SCALE_BENCH.json under engine_* keys and prints
-one line per (scale, phase).
+one line per (scale, phase). --label suffixes the result keys with
+'@<name>' so one-off axes (e.g. an extreme-scale probe) coexist with
+the canonical 500/1500/5000 rows instead of replacing them;
+--skip-payload omits the events-per-group payload axis.
 """
 
 from __future__ import annotations
@@ -147,14 +151,27 @@ def _state_bytes(eng) -> tuple[int, int]:
     return int(doc_b), int(spill_b)
 
 
+FAMILIES = (
+    "engine_threshold_emission",
+    "engine_sequence_pass",
+    "engine_sequence_payload_axis",
+)
+
+
 def main() -> None:
     group_scales = [500, 1500, 5000]
+    label = ""  # '@label' suffix: one-off axes coexist with canonical
+    skip_payload = False
     args = sys.argv[1:]
     for i, a in enumerate(args):
         if a.startswith("--groups="):
             group_scales = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a == "--groups" and i + 1 < len(args):
             group_scales = [int(x) for x in args[i + 1].split(",")]
+        elif a.startswith("--label="):
+            label = "@" + a.split("=", 1)[1]
+        elif a == "--skip-payload":
+            skip_payload = True
 
     from alerta_spark.engine import Engine
     from alerta_spark.session import get_spark
@@ -168,10 +185,10 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
-    results: dict[str, dict] = {
-        "engine_threshold_emission": {},
-        "engine_sequence_pass": {},
-    }
+    k_thr = "engine_threshold_emission" + label
+    k_seq = "engine_sequence_pass" + label
+    k_pay = "engine_sequence_payload_axis" + label
+    results: dict[str, dict] = {k_thr: {}, k_seq: {}}
     # warm: JVM, parquet writer, python workers
     warm = Engine(spark, tempfile.mkdtemp(prefix="ab_warm_"))
     warm.run_once(_events(spark, 50, 0), _mk_rules("threshold")[:2],
@@ -188,7 +205,7 @@ def main() -> None:
         eng.run_once(ev1, _mk_rules("threshold"), fuse_thresholds=True)
         dt = round(time.perf_counter() - t0, 3)
         n_alerts = eng.alerts.frame().count()
-        results["engine_threshold_emission"][str(g)] = {
+        results[k_thr][str(g)] = {
             "sec": dt,
             "alerts": n_alerts,
             "driver_rss_mb": _rss_mb(),
@@ -209,7 +226,7 @@ def main() -> None:
         eng2.run_once(ev2, _mk_rules("sequence"), fuse_sequences=True)
         t_resume = round(time.perf_counter() - t0, 3)
         n_alerts2 = eng2.alerts.frame().count()
-        results["engine_sequence_pass"][str(g)] = {
+        results[k_seq][str(g)] = {
             "sec": round(t_start + t_resume, 3),
             "sec_start": t_start,
             "sec_resume": t_resume,
@@ -232,9 +249,10 @@ def main() -> None:
     # executor-side spill table (spilled_event_bytes), while the
     # driver-resident documents stay id-sized (inflight_doc_bytes) —
     # pre-slimming, every spilled byte lived in the driver docs.
-    results["engine_sequence_payload_axis"] = {}
+    if not skip_payload:
+        results[k_pay] = {}
     gp = 1000
-    for epg in (3, 30, 100):
+    for epg in () if skip_payload else (3, 30, 100):
         ev = _events(spark, gp, 0, epg=epg, payload_bytes=400).cache()
         ev.count()
         eng3 = Engine(spark, tempfile.mkdtemp(prefix=f"ab_pay_{epg}_"))
@@ -243,7 +261,7 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         doc_b, spill_b = _state_bytes(eng3)
         n_inf = eng3.inflight.frame().count()
-        results["engine_sequence_payload_axis"][str(epg)] = {
+        results[k_pay][str(epg)] = {
             "sec": dt,
             "inflight": n_inf,
             "inflight_doc_bytes": doc_b,
@@ -257,7 +275,7 @@ def main() -> None:
             f"spill_mb={round(spill_b / 1e6, 1)} rss={_rss_mb()}MB"
         )
         ev.unpersist()
-    pay = results["engine_sequence_payload_axis"]
+    pay = results.get(k_pay, {})
     if "3" in pay and "100" in pay and pay["3"]["inflight_doc_bytes"] > 0:
         for metric in ("inflight_doc_bytes", "spilled_event_bytes"):
             pay[f"{metric}_exponent"] = round(
@@ -290,11 +308,14 @@ def main() -> None:
     if out_path.exists():
         record = json.loads(out_path.read_text())
         record.setdefault("results", {})
-    # prune engine_* keys this writer owns but no longer measures
+    # prune engine_* keys whose base family (ignoring any '@label'
+    # one-off suffix) this tool no longer measures — a renamed/removed
+    # family must not misrepresent the current tree; labeled one-off
+    # axes and the canonical ones coexist
     record["results"] = {
         k: v
         for k, v in record["results"].items()
-        if not k.startswith("engine_") or k in results
+        if not k.startswith("engine_") or k.split("@", 1)[0] in FAMILIES
     }
     record["results"].update(results)
     out_path.write_text(json.dumps(record, indent=1))
