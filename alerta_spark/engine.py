@@ -477,12 +477,20 @@ class Engine:
             singles.extend(stray)
             group_items = unfused
 
+        # deferred-upsert form: every batched group's updates land in
+        # ONE state write (N groups used to cost N table swaps); the
+        # intra-pass F9 interaction rides `captured` instead of
+        # store re-reads (equivalence pytest-pinned)
+        captured: set[str] = set()
+        pending: list[dict] = []
         for (_, idx), docs in group_items:
             leftover = process_sequence_slot_batched(
                 events_df, docs, idx, self.inflight, self.alerts,
                 self.id_col, self.ts_col, spill_store=self.slot_events,
+                extra_alerted_ids=captured, collect_updates=pending,
             )
             singles.extend(docs if leftover is None else leftover)
+        self.inflight.upsert_many(pending)
 
         for doc in singles:
             process_sequence_alert(

@@ -508,6 +508,8 @@ def process_sequence_slot_batched(
     id_col: str = "event_id",
     ts_col: str = "ts",
     spill_store: SlotEventStore | None = None,
+    extra_alerted_ids: set[str] | None = None,
+    collect_updates: list[dict[str, Any]] | None = None,
 ) -> list[dict[str, Any]] | None:
     """Advance MANY in-flight alerts waiting on the same slot with ONE
     Spark job: the templated equality becomes a semi-join of the slot
@@ -519,7 +521,15 @@ def process_sequence_slot_batched(
     Requires the slot's aggregation_key to equal the equality's event
     key path (true for the reference corpus: both key on the templated
     field), so one grouped aggregate serves every document.
-    """
+
+    ``collect_updates`` (engine use) DEFERS the state write: updates
+    append to the caller's list for ONE upsert covering every group of
+    the pass — otherwise N groups cost N state-table swaps. The
+    sequential loop's intra-pass F9 interaction (a later group must
+    not re-capture events an earlier group captured THIS pass, which
+    the self-upserting form gets from re-reading the store) is
+    replayed through ``extra_alerted_ids``: captured ids accumulate in
+    the caller's set and AND into this group's dedup anti-join."""
     from pyspark.sql import functions as F
 
     from alerta_spark.paths import path_col
@@ -565,6 +575,14 @@ def process_sequence_slot_batched(
             F.broadcast(vals), key == F.col("_probe_value"), "left_semi"
         )
     dedup_ids = inflight_store.alerted_ids().unionByName(alert_store.alerted_ids())
+    if extra_alerted_ids:
+        # intra-pass F9 replay for the deferred-upsert form: ids
+        # captured by earlier groups this pass are not in the store yet
+        extra = events_df.sparkSession.createDataFrame(
+            [(x,) for x in sorted(extra_alerted_ids)],
+            "alerted_event_id string",
+        )
+        dedup_ids = dedup_ids.unionByName(extra)
     p = threshold_shell(dict(slot, criteria=static))
     fired = threshold_alerts(
         candidates, p, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
@@ -592,7 +610,15 @@ def process_sequence_slot_batched(
         inflight = deepcopy(sequence_shell(doc))
         inflight["slots"][slot_index] = fired_doc
         updates.append(inflight)
-    inflight_store.upsert_many(updates)
+        if extra_alerted_ids is not None:
+            for evd in fired_doc.get("events") or []:
+                eid = evd.get(id_col)
+                if eid is not None:
+                    extra_alerted_ids.add(str(eid))
+    if collect_updates is not None:
+        collect_updates.extend(updates)
+    else:
+        inflight_store.upsert_many(updates)
     return leftover
 
 

@@ -472,6 +472,112 @@ def test_sequence_resume_fused_special_char_values(spark, tmp_path):
     assert canon(fus.inflight.docs()) == canon(seq.inflight.docs())
 
 
+def test_batched_resume_intra_pass_f9_across_groups(spark, tmp_path):
+    """Two RULES whose slot-1 criteria match the same events, both
+    in-flight: the first group's capture this pass must hide those
+    events from the second group's scan (sequential-loop F9), and the
+    whole resume must cost ONE state write regardless of group count."""
+    import alerta_spark.state as statemod
+
+    def mk(name, kind):
+        r = json.loads(json.dumps(SEQ_RULE))
+        r["alert_name"] = name
+        # disjoint slot-0 criteria (per-rule kind marker) so BOTH rules
+        # get in-flight for alice; slot 1 (templated user equality)
+        # then overlaps on the same pass-2 event
+        r["slots"][0]["criteria"] = (
+            f"source='onelogin' AND json_extract_scalar(details,'$.kind')='{kind}'"
+        )
+        return r
+
+    rules = [mk("ga", 1), mk("gb", 2)]
+    ev1 = _onelogin_events(
+        spark, [dict(RISKY, kind="1"), dict(RISKY, kind="2")]
+    )
+    eng = Engine(spark, str(tmp_path / "store"), id_col="event_id", ts_col="ts")
+    eng.run_once(ev1, rules)
+    assert len(eng.inflight.docs()) == 2  # both rules waiting on slot 1
+
+    from pyspark.sql import functions as F
+
+    ev2 = _onelogin_events(spark, [RISKY]).withColumn(
+        "event_id", F.col("event_id") + 100
+    )
+    writes = []
+    orig = statemod.DocStore.upsert_many
+
+    def spy(self, docs):
+        if docs and self.path.endswith("inflight_alerts"):
+            writes.append(len(docs))
+        return orig(self, docs)
+
+    statemod.DocStore.upsert_many = spy
+    try:
+        eng.run_once(ev2, rules)
+    finally:
+        statemod.DocStore.upsert_many = orig
+
+    alerts = eng.alerts.docs()
+    done = {a["alert_name"] for a in alerts}
+    waiting = {d["alert_name"] for d in eng.inflight.docs()}
+    # event 100 can only be captured ONCE this pass: whichever group
+    # ran first completes, the other stays in-flight (reference loop
+    # semantics; group order follows the state scan, so either name)
+    assert len(done) == 1 and len(waiting) == 1
+    assert done | waiting == {"ga", "gb"}
+    # the resume advanced its groups with ONE state write
+    assert len(writes) == 1, writes
+
+
+def test_batched_resume_one_write_for_many_groups(spark, tmp_path):
+    """N (rule, slot) groups ALL firing in one resume pass must cost
+    ONE in-flight state write (the deferred-upsert form), not one
+    table swap per group."""
+    import alerta_spark.state as statemod
+
+    def mk(name, user):
+        r = json.loads(json.dumps(SEQ_RULE))
+        r["alert_name"] = name
+        r["slots"][0]["criteria"] = (
+            "source='onelogin' AND "
+            f"json_extract_scalar(details,'$.user_name')='{user}'"
+        )
+        return r
+
+    # three rules, disjoint users: three in-flight docs on slot 1
+    rules = [mk(f"r{u}", u) for u in ("ua", "ub", "uc")]
+    ev1 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in ("ua", "ub", "uc")]
+    )
+    eng = Engine(spark, str(tmp_path / "store"), id_col="event_id", ts_col="ts")
+    eng.run_once(ev1, rules)
+    assert len(eng.inflight.docs()) == 3
+
+    from pyspark.sql import functions as F
+
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in ("ua", "ub", "uc")]
+    ).withColumn("event_id", F.col("event_id") + 100)
+
+    writes = []
+    orig = statemod.DocStore.upsert_many
+
+    def spy(self, docs):
+        if docs and self.path.endswith("inflight_alerts"):
+            writes.append(len(docs))
+        return orig(self, docs)
+
+    statemod.DocStore.upsert_many = spy
+    try:
+        eng.run_once(ev2, rules)
+    finally:
+        statemod.DocStore.upsert_many = orig
+
+    assert {a["alert_name"] for a in eng.alerts.docs()} == {"rua", "rub", "ruc"}
+    assert eng.inflight.docs() == []
+    assert writes == [3], writes  # one write carrying all three groups
+
+
 def test_large_probe_sets_route_to_semi_join(spark, tmp_path, monkeypatch):
     """Past ISIN_PROBE_MAX captured values, the fused resume must route
     the group to the batched path and the batched path must probe via
