@@ -20,11 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alerta_spark.operators.deadman import deadman_alerts
-from alerta_spark.operators.sequence import (
-    create_sequence_alerts,
-    expire_sequence_alerts,
-    process_sequence_alert,
-)
+from alerta_spark.operators.sequence import process_sequence_alert
 from alerta_spark.operators.threshold import threshold_alerts
 from alerta_spark.state import DocStore, SlotEventStore
 
@@ -237,15 +233,15 @@ class Engine:
                     self.id_col, self.ts_col, spill_store=self.slot_events,
                 )
 
-        # spill pruning is deferred to the compaction cadence below: a
-        # prune rewrites the whole spill table (the captured-payload
-        # volume), while rows dropped here are merely unreferenced
-        create_sequence_alerts(
+        # completion + expiry share one state read/overwrite; spill
+        # pruning is deferred to the compaction cadence below (a prune
+        # rewrites the whole spill table — the captured-payload
+        # volume — while rows dropped here are merely unreferenced)
+        from alerta_spark.operators.sequence import finalize_sequences
+
+        finalize_sequences(
             self.inflight, self.alerts, spill_store=self.slot_events,
             prune=False,
-        )
-        expire_sequence_alerts(
-            self.inflight, spill_store=self.slot_events, prune=False
         )
         self._passes_since_compact += 1
         if self.compact_every and self._passes_since_compact >= self.compact_every:

@@ -408,6 +408,19 @@ def _emit_completed_distributed(
     alert_store.append_rows(grouped.mapInPandas(assemble, schema=DOC_SCHEMA))
 
 
+def _is_expired(doc: dict[str, Any], now: datetime) -> bool:
+    """Expiration test shared by the expiry faces (reference:
+    alerta.py:240-248); unparseable expirations never expire."""
+    exp = doc.get("expiration")
+    try:
+        exp_dt = datetime.fromisoformat(str(exp)) if exp else None
+        if exp_dt is not None and exp_dt.tzinfo is None:
+            exp_dt = exp_dt.replace(tzinfo=timezone.utc)
+    except ValueError:
+        exp_dt = None
+    return exp_dt is not None and exp_dt < now
+
+
 def expire_sequence_alerts(
     inflight_store: DocStore,
     now: datetime | None = None,
@@ -420,14 +433,7 @@ def expire_sequence_alerts(
     now = now or utcnow()
     kept, dropped = [], 0
     for doc in inflight_store.docs():
-        exp = doc.get("expiration")
-        try:
-            exp_dt = datetime.fromisoformat(str(exp)) if exp else None
-            if exp_dt is not None and exp_dt.tzinfo is None:
-                exp_dt = exp_dt.replace(tzinfo=timezone.utc)
-        except ValueError:
-            exp_dt = None
-        if exp_dt is not None and exp_dt < now:
+        if _is_expired(doc, now):
             dropped += 1
         else:
             kept.append(doc)
@@ -436,6 +442,48 @@ def expire_sequence_alerts(
         if spill_store is not None and prune:
             spill_store.prune(_live_refs(kept))
     return dropped
+
+
+def finalize_sequences(
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    spill_store: SlotEventStore | None = None,
+    now: datetime | None = None,
+    prune: bool = True,
+) -> tuple[int, int]:
+    """Completion + expiry as ONE state read and ONE overwrite — the
+    engine's fused form of :func:`create_sequence_alerts` then
+    :func:`expire_sequence_alerts` (which each collect and each
+    rewrite the table; at 50k in-flight docs that is two redundant
+    50k-doc parses and an extra table swap per pass). Order semantics
+    preserved: a document that is both complete and past expiration
+    EMITS (create ran first in the reference loop, alerta.py:489-495).
+    Returns (completed, expired)."""
+    now = now or utcnow()
+    completed, kept, dropped = [], [], 0
+    for doc in inflight_store.docs():
+        slots = doc.get("slots") or []
+        if slots and all("events" in s for s in slots):
+            completed.append(doc)
+        elif _is_expired(doc, now):
+            dropped += 1
+        else:
+            kept.append(doc)
+    if completed:
+        if spill_store is None:
+            emitted = []
+            for doc in completed:
+                doc = dict(doc)
+                doc["summary"] = render_py(str(doc.get("summary", "")), doc)
+                emitted.append(doc)
+            alert_store.append(emitted)
+        else:
+            _emit_completed_distributed(completed, alert_store, spill_store)
+    if completed or dropped:
+        inflight_store.overwrite(kept)
+        if spill_store is not None and prune:
+            spill_store.prune(_live_refs(kept))
+    return len(completed), dropped
 
 
 import re as _re

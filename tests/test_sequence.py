@@ -150,6 +150,33 @@ def test_sequence_threshold_then_deadman(spark, engine):
     assert alerts[0]["slots"][1]["metadata"]["count"] == 0
 
 
+def test_finalize_completed_and_expired_emits(spark, engine):
+    """finalize_sequences order semantics: a document that is BOTH
+    fully slotted and past expiration EMITS (create ran before expire
+    in the reference loop) — and expiry still reaps the incomplete."""
+    from alerta_spark.operators.sequence import finalize_sequences
+
+    done = sequence_shell(json.loads(json.dumps(SEQ_RULE)))
+    done["expiration"] = "2020-01-01T00:00:00+00:00"  # long past
+    for s in done["slots"]:
+        s["triggered"] = True
+        s["events"] = [
+            {"event_id": "1", "details": json.dumps({"user_name": "alice"})}
+        ]
+        s["metadata"] = {"value": "alice", "count": 1}
+    stale = sequence_shell(json.loads(json.dumps(SEQ_RULE)))
+    stale["expiration"] = "2020-01-01T00:00:00+00:00"
+    engine.inflight.upsert_many([done, stale])
+
+    n_done, n_dropped = finalize_sequences(
+        engine.inflight, engine.alerts, spill_store=engine.slot_events
+    )
+    assert (n_done, n_dropped) == (1, 1)
+    [alert] = engine.alerts.docs()
+    assert alert["summary"] == "Multiple risky logins by alice"
+    assert engine.inflight.docs() == []
+
+
 def test_expiry_reaps_state(spark, engine):
     doc = sequence_shell(dict(SEQ_RULE, lifespan="1 hours"))
     engine.inflight.upsert(doc)
