@@ -353,10 +353,14 @@ class Engine:
             ev, valid, id_col=self.id_col, ts_col=self.ts_col
         ).persist()
         try:
-            # per-rule writes off the persisted (tiny, post-aggregation)
-            # fired frame: keeps the sequential path's per-rule order
-            # while emission stays DISTRIBUTED (no collect)
+            # per-rule document assembly off the persisted (tiny,
+            # post-aggregation) fired frame, ONE store append for the
+            # whole pass: each rule's slice is checkpointed anyway for
+            # the F8 replay chain, so the union below is a cheap read
+            # of already-materialized blocks — N rules used to cost N
+            # parquet commit rounds
             captured = None  # DataFrame[alerted_event_id], this pass
+            doc_frames = []
             for rule in valid:
                 p = threshold_shell(rule)
                 slice_ = fired.where(
@@ -367,15 +371,12 @@ class Engine:
                         slice_, captured, int(p["threshold"]), self.id_col
                     )
                 if len(valid) > 1:
-                    # materialize the tiny slice once: the write below
-                    # AND every later rule's anti-join read the
+                    # materialize the tiny slice once: the emission
+                    # union AND every later rule's anti-join read the
                     # checkpointed blocks, so the replay chain never
                     # recomputes upstream slices or deepens lineage
                     slice_ = slice_.localCheckpoint(eager=True)
-                self.alerts.append_frame(
-                    assemble_alerts(slice_, p, ev.schema),
-                    id_field=self.id_col,
-                )
+                doc_frames.append(assemble_alerts(slice_, p, ev.schema))
                 if len(valid) > 1:
                     ids_k = alerted_event_ids(slice_, id_field=self.id_col)
                     captured = (
@@ -383,6 +384,10 @@ class Engine:
                         if captured is None
                         else captured.unionByName(ids_k)
                     )
+            out = doc_frames[0]
+            for fdf in doc_frames[1:]:
+                out = out.unionByName(fdf)
+            self.alerts.append_frame(out, id_field=self.id_col)
         finally:
             fired.unpersist()
 
@@ -423,15 +428,22 @@ class Engine:
             events_df, valid, id_col=self.id_col, ts_col=self.ts_col
         ).persist()
         try:
+            # ONE store append for every rule's slice (no F8 chain on
+            # the deadman path, so the union is over the persisted
+            # fired frame directly)
+            doc_frames = []
             for rule in valid:
                 p = deadman_shell(rule)
                 slice_ = fired_all.where(
                     F.col("alert_name") == p["alert_name"]
                 ).select("value", "count", "events")
-                self.alerts.append_frame(
-                    assemble_alerts(slice_, p, events_df.schema),
-                    id_field=self.id_col,
+                doc_frames.append(
+                    assemble_alerts(slice_, p, events_df.schema)
                 )
+            out = doc_frames[0]
+            for fdf in doc_frames[1:]:
+                out = out.unionByName(fdf)
+            self.alerts.append_frame(out, id_field=self.id_col)
         finally:
             fired_all.unpersist()
 
