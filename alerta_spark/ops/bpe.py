@@ -81,22 +81,63 @@ def learn_bpe(
     num_merges: int = 50,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    driver_vocab_max: int = 100_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns
     [(left, right, pair_freq)] in merge order — fully deterministic
     (ties break on the pair string), so retrains on the same corpus are
     byte-identical.
 
-    The driver holds only the current top pair per round (one 1-row
-    collect each — the aggregate itself is distributed); the word table
-    is cached and rewritten in place each round. Early-stops when the
-    best remaining pair drops below ``min_pair_freq``."""
+    Two regimes, same results. The corpus-wide work is ALWAYS the one
+    distributed word-frequency aggregate; what varies is where the
+    merge rounds run. A vocabulary of <= ``driver_vocab_max`` rows
+    (the common case — vocab grows sublinearly in corpus size) is
+    collected ONCE and the rounds run in plain Python with the exact
+    fold and desc-count/asc-pair tie-break the distributed path uses
+    (ASCII-only symbols, so Python and UTF8-binary string order
+    agree); this replaces 2 Spark jobs per round (pair-count shuffle +
+    fold materialization — measured 4.1s for 8 rounds at sf0.1, all
+    scheduling overhead on a 5k-word table) with one collect. Beyond
+    the cap, the distributed loop below runs unchanged: the driver
+    holds only the current top pair per round (one 1-row collect each
+    — the aggregate itself is distributed); the word table is cached
+    and rewritten in place each round. Both early-stop when the best
+    remaining pair drops below ``min_pair_freq``."""
     words = _word_freqs(df, text_col).select(
         "word", "freq", _initial_symbols().alias("syms")
     )
     words = words.persist()
     try:
         merges: list[tuple[str, str, int]] = []
+        if words.count() <= driver_vocab_max:
+            vocab = [
+                (list(r["syms"]), int(r["freq"]))
+                for r in words.select("syms", "freq").collect()
+            ]
+            for _ in range(num_merges):
+                counts: dict[tuple[str, str], int] = {}
+                for syms, freq in vocab:
+                    for i in range(len(syms) - 1):
+                        k = (syms[i], syms[i + 1])
+                        counts[k] = counts.get(k, 0) + freq
+                if not counts:
+                    break
+                (a, b), n = min(
+                    counts.items(),
+                    key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+                )
+                if n < min_pair_freq:
+                    break
+                merges.append((a, b, n))
+                for idx, (syms, freq) in enumerate(vocab):
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == a and x == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(x)
+                    vocab[idx] = (out, freq)
+            return merges
         for _ in range(num_merges):
             pairs = words.select(
                 "freq",

@@ -41,6 +41,23 @@ def test_learn_bpe_deterministic_across_runs(spark):
     assert m1 == m2 and len(m1) > 0
 
 
+def test_learn_bpe_regimes_equivalent(spark):
+    # the driver fast path (vocab collected once) and the distributed
+    # per-round loop must produce byte-identical merge tables —
+    # driver_vocab_max=0 forces the distributed regime
+    docs = _docs(
+        spark,
+        [
+            "the cat sat on the mat",
+            "the cats sat on the mats",
+            "a cat and a mat and a hat",
+        ],
+    )
+    fast = learn_bpe(docs, num_merges=10)
+    dist = learn_bpe(docs, num_merges=10, driver_vocab_max=0)
+    assert fast == dist and len(fast) > 0
+
+
 def test_apply_bpe_roundtrip_and_greedy_overlap(spark):
     docs = _docs(spark, ["low lowest", "aaa"])
     merges = learn_bpe(docs, num_merges=5, min_pair_freq=1)
