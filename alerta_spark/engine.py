@@ -19,6 +19,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from alerta_spark.ckpt import checkpoint
 from alerta_spark.operators.deadman import deadman_alerts
 from alerta_spark.operators.sequence import process_sequence_alert
 from alerta_spark.operators.threshold import threshold_alerts
@@ -189,15 +190,18 @@ class Engine:
                     # frame) — so the store write below sits OUTSIDE
                     # it and a failing store still propagates instead
                     # of silently dropping alerts.
-                    # NOTE localCheckpoint stores UNREPLICATED
-                    # executor-local blocks: on a multi-executor
-                    # cluster, losing an executor between here and the
-                    # store write fails the pass (recoverable — the
-                    # next cron tick replays; F8 dedup makes the replay
-                    # idempotent). Deployments that cannot tolerate a
-                    # failed pass should configure a reliable
-                    # sc.setCheckpointDir + .checkpoint() instead.
-                    fired = fired.localCheckpoint(eager=True)
+                    # NOTE the default localCheckpoint stores
+                    # UNREPLICATED executor-local blocks: on a
+                    # multi-executor cluster, losing an executor
+                    # between here and the store write fails the pass
+                    # (recoverable — the next cron tick replays; F8
+                    # dedup makes the replay idempotent). Deployments
+                    # that cannot tolerate a failed pass set
+                    # spark.alerta.reliableCheckpoint=true + a
+                    # checkpoint dir and every alerting-tier
+                    # truncation (this one included) persists to
+                    # fault-tolerant storage instead — see ckpt.py.
+                    fired = checkpoint(fired, eager=True)
                 except Exception:
                     import logging
 
@@ -215,7 +219,8 @@ class Engine:
                 try:
                     fired = deadman_alerts(
                         events_df, rule, id_col=self.id_col, ts_col=self.ts_col
-                    ).localCheckpoint(eager=True)  # scan errors surface HERE
+                    )
+                    fired = checkpoint(fired, eager=True)  # scan errors surface HERE
                 except Exception:
                     empty = events_df.where(F.lit(False))
                     fired = deadman_alerts(
@@ -375,7 +380,7 @@ class Engine:
                     # union AND every later rule's anti-join read the
                     # checkpointed blocks, so the replay chain never
                     # recomputes upstream slices or deepens lineage
-                    slice_ = slice_.localCheckpoint(eager=True)
+                    slice_ = checkpoint(slice_, eager=True)
                 doc_frames.append(assemble_alerts(slice_, p, ev.schema))
                 if len(valid) > 1:
                     ids_k = alerted_event_ids(slice_, id_field=self.id_col)

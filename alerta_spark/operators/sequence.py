@@ -41,6 +41,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
+from alerta_spark.ckpt import checkpoint
 from alerta_spark.operators.deadman import deadman_alerts
 from alerta_spark.operators.threshold import threshold_alerts
 from alerta_spark.rules import (
@@ -181,7 +182,7 @@ def slim_captures(
     from pyspark.sql import functions as F
 
     cap = F.md5(F.concat_ws("\x1f", F.lit(str(nonce)), F.col("metadata.value")))
-    with_ref = fired.withColumn("_ref", cap).localCheckpoint(eager=True)
+    with_ref = checkpoint(fired.withColumn("_ref", cap), eager=True)
     idx_sorted = sorted(ref_indices)
     sel = [
         F.col("metadata.value").alias("_v"),

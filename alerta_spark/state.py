@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from alerta_spark.ckpt import checkpoint
 from alerta_spark.rules import generate_meteor_id, utcnow
 
 DOC_SCHEMA = T.StructType(
@@ -276,7 +277,7 @@ class DocStore:
         first (fired frames are tiny, post-aggregation) so the
         emptiness probe and the write share one computation — and the
         per-row uuid ids are frozen before any action reads them."""
-        docs = alert_docs_frame(alerts, id_field).localCheckpoint(eager=True)
+        docs = checkpoint(alert_docs_frame(alerts, id_field), eager=True)
         if docs.isEmpty():
             return
         docs.write.mode("append").parquet(self.path)
@@ -285,8 +286,8 @@ class DocStore:
         """Append an already-assembled DOC_SCHEMA frame executor-side
         (the completed-sequence emission path builds its rows inside an
         Arrow UDF; they must reach parquet without a driver hop)."""
-        out = rows.select([f.name for f in DOC_SCHEMA.fields]).localCheckpoint(
-            eager=True
+        out = checkpoint(
+            rows.select([f.name for f in DOC_SCHEMA.fields]), eager=True
         )
         if out.isEmpty():
             return
@@ -422,7 +423,7 @@ class SlotEventStore:
         """Append (capture_id, events_json) rows; zero-row frames skip
         the write (same small-files discipline as DocStore)."""
         out = df.select([f.name for f in SLOT_EVENTS_SCHEMA.fields])
-        out = out.localCheckpoint(eager=True)
+        out = checkpoint(out, eager=True)
         if out.isEmpty():
             return
         out.write.mode("append").parquet(self.path)

@@ -1,0 +1,71 @@
+"""Checkpoint routing (ckpt.py): the alerting tier's lineage
+truncation defaults to localCheckpoint and opts into RELIABLE
+checkpoint() via spark.alerta.reliableCheckpoint=true + a checkpoint
+dir — the cluster-deployment knob for passes that must survive
+executor loss between the checkpoint and the store write."""
+
+import os
+
+import pytest
+
+from alerta_spark.ckpt import RELIABLE_CONF, checkpoint
+from alerta_spark.engine import Engine
+from alerta_spark.rules import load_rules
+
+
+@pytest.fixture
+def reliable(spark, tmp_path):
+    """Flip the session into reliable-checkpoint mode for one test.
+    The checkpoint DIR is process-global (SparkContext), but routing
+    is governed by the session conf, which this fixture restores — so
+    the rest of the suite stays on the localCheckpoint default."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set(RELIABLE_CONF, "true")
+    yield str(tmp_path / "ckpt")
+    spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_default_is_local_checkpoint(spark):
+    spark.conf.set(RELIABLE_CONF, "false")
+    df = checkpoint(spark.range(10))
+    assert df.count() == 10
+    # localCheckpoint truncates lineage to an RDD scan leaf
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_reliable_requires_checkpoint_dir(spark):
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        if spark.sparkContext.getCheckpointDir() is None:
+            with pytest.raises(ValueError, match="checkpoint directory"):
+                checkpoint(spark.range(5))
+        else:
+            # dir already set by an earlier test in this session —
+            # the guard can't be exercised; routing still must work
+            assert checkpoint(spark.range(5)).count() == 5
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_reliable_checkpoint_writes_to_dir_and_preserves_rows(
+    spark, reliable
+):
+    df = checkpoint(spark.range(100).selectExpr("id", "id * 2 AS y"))
+    assert df.count() == 100
+    assert df.selectExpr("sum(y)").collect()[0][0] == 9900
+    # the reliable path persisted blocks into the checkpoint dir
+    found = any(files for _, _, files in os.walk(reliable))
+    assert found, "reliable mode must write checkpoint files"
+
+
+def test_engine_pass_runs_in_reliable_mode(spark, events, tmp_path, reliable):
+    """Full engine pass (threshold + deadman + sequence emission paths
+    all route through ckpt.checkpoint) under reliable mode — results
+    must match the local-mode semantics."""
+    rules = load_rules("rules/*alert.yml")
+    engine = Engine(spark, str(tmp_path / "store"))
+    engine.run_once(events, rules)
+    names = {a["alert_name"] for a in engine.alerts.docs()}
+    assert "big_purchases" in names
+    assert "missing_heartbeat" in names
