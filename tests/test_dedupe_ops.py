@@ -124,6 +124,29 @@ def test_dup_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8}
 
 
+def test_dup_clusters_regimes_equivalent(spark):
+    # the driver union-find fast path and the distributed min-label
+    # loop must agree; driver_edges_max=0 forces the distributed
+    # regime. Mix of a chain (diameter 4), a star, string-typed ids,
+    # and a self-contained pair.
+    from alerta_spark.ops.dedupe import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("x", "p"), ("x", "q"), ("x", "r"), ("m", "n")],
+        "id_a string, id_b string",
+    )
+    fast = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, driver_edges_max=0).collect()
+    }
+    assert fast == dist
+    assert fast["e"] == "a" and fast["x"] == "p" and fast["n"] == "m"
+
+
 def test_keep_canonical_survivors(spark):
     from alerta_spark.ops.dedupe import dup_clusters, keep_canonical
 
