@@ -8,7 +8,8 @@ machine advanced one slot per run (alerta.py:274-317). Structured
 Streaming expresses each natively:
 
 - T1 trigger        -> ``trigger(processingTime=...)`` / ``availableNow``
-- T2 hop window     -> ``withWatermark + dropDuplicates`` (streaming_dedup)
+- T2 hop window     -> ``withWatermark + dropDuplicatesWithinWatermark``
+  (streaming_dedup; plain dropDuplicates on the batch twin)
 - A2 threshold      -> windowed groupBy-count (streaming_threshold_alerts)
 - T3-T6 sequence    -> ``applyInPandasWithState`` keyed by the rule's
                        correlation value (sequence_correlator): state =
@@ -850,9 +851,28 @@ def streaming_dedup(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """T2/T7: the reference's overlapping-scan + storage-dedup becomes
-    watermark + dropDuplicates on the event id — exactly-once delivery
-    within the watermark horizon, state auto-expired by Spark."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+    watermark + dropDuplicatesWithinWatermark on the event id —
+    exactly-once delivery within the watermark horizon, state
+    auto-expired by Spark.
+
+    ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``): plain
+    dropDuplicates evicts dedup state ONLY when the event-time column
+    is part of the dedup subset — keyed on the id alone, its state
+    grows with every distinct event id forever (the silent
+    unbounded-state hazard this function shipped with until round 7;
+    plan-guarded against regression in tests/test_streaming.py). The
+    WithinWatermark variant dedups on the id and evicts each key once
+    the watermark passes its event time, which is exactly the
+    documented horizon contract: a duplicate arriving within
+    ``watermark`` of the original is dropped, a later replay (which
+    the storage-level F8 probe would catch in the batch engine) is
+    out of contract. Batch frames (the stream==batch parity twin)
+    take plain ``dropDuplicates`` — Spark rejects the WithinWatermark
+    form on batch, where global dedup is exact anyway."""
+    wm = events.withWatermark(ts_col, watermark)
+    if events.isStreaming:
+        return wm.dropDuplicatesWithinWatermark([id_col])
+    return wm.dropDuplicates([id_col])
 
 
 def streaming_threshold_alerts_fused(

@@ -241,6 +241,30 @@ def test_streaming_dedup(spark):
     assert got.count() == 2
 
 
+def test_streaming_dedup_state_is_watermark_evictable(spark):
+    """Plan guard for the unbounded-state hazard: dedup keyed on the
+    id alone must run as StreamingDeduplicateWithinWatermark (state
+    evicted once the watermark passes each key's event time) — plain
+    StreamingDeduplicate without the event-time column in its keys
+    never evicts, and its state grows with every distinct event id."""
+    ev = _events(spark, [(0, {"x": 1})])
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr(
+            "value AS event_id",
+            "timestamp AS ts",
+            "'onelogin' AS source",
+            "'{}' AS details",
+        )
+    )
+    plan = streaming_dedup(stream)._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
+    # and the batch twin (plain dropDuplicates — WithinWatermark is
+    # stream-only) still dedups exactly
+    got = streaming_dedup(ev.union(ev))
+    assert not got.isStreaming and got.count() == 1
+
+
 def test_stream_alerts_sink_persists(spark, tmp_path):
     """Streaming threshold alerts land in the alerts table (S7 under
     streaming) and are readable for the next run's F8 dedup."""
