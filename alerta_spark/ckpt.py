@@ -28,13 +28,65 @@ Analytics ops (``ops/dedupe.dup_clusters`` etc.) deliberately stay on
 ``localCheckpoint``: they are bounded-round batch jobs whose docstrings
 document recompute-on-loss as acceptable; durability there buys
 nothing a retry doesn't.
+
+Checkpoint-file lifecycle: Spark does NOT delete reliable checkpoint
+data unless ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+(a context-start conf — set it when BUILDING the session; it cannot be
+flipped at runtime) lets the ContextCleaner reap checkpoint files as
+their RDDs are GC'd. A cron-driven engine in reliable mode checkpoints
+small frames every pass, so without the cleaner conf (or an external
+sweep of aged ``rdd-*`` subdirs) the checkpoint dir grows without
+bound — quota exhaustion would then fail passes, the exact outage
+reliable mode exists to prevent. ``validate`` warns once per session
+when the cleaner conf is off.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 RELIABLE_CONF = "spark.alerta.reliableCheckpoint"
+CLEANER_CONF = "spark.cleaner.referenceTracking.cleanCheckpoints"
+
+
+class ReliableCheckpointMisconfigured(ValueError):
+    """reliableCheckpoint=true without a checkpoint directory.
+
+    A CONFIG error, not a data error: the engine's per-rule scan
+    swallows re-raise this type so a misconfigured deployment fails
+    its pass loudly instead of silently persisting zero alerts per
+    tick (threshold) or misreading the error as absence-of-evidence
+    (deadman)."""
+
+
+def _reliable(spark: SparkSession) -> bool:
+    return str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true"
+
+
+def validate(spark: SparkSession) -> None:
+    """Fail fast on reliable-mode misconfiguration. The engine calls
+    this at pass entry — BEFORE any per-rule error swallow — so a
+    missing checkpoint dir aborts the pass instead of being logged
+    away as N per-rule scan failures."""
+    if not _reliable(spark):
+        return
+    if spark.sparkContext.getCheckpointDir() is None:
+        raise ReliableCheckpointMisconfigured(
+            f"{RELIABLE_CONF}=true requires a checkpoint directory: "
+            "call spark.sparkContext.setCheckpointDir(<fault-tolerant "
+            "path>) before running the engine"
+        )
+    if str(spark.conf.get(CLEANER_CONF, "false")).lower() != "true":
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s=true but %s is not enabled: Spark will never delete "
+            "checkpoint files, so the checkpoint dir grows every pass. "
+            "Set it when building the session, or sweep aged rdd-* "
+            "subdirectories externally.",
+            RELIABLE_CONF,
+            CLEANER_CONF,
+        )
 
 
 def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -42,9 +94,9 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     session opts in via ``spark.alerta.reliableCheckpoint=true``,
     ``localCheckpoint()`` otherwise (the local-mode/default path)."""
     spark = df.sparkSession
-    if str(spark.conf.get(RELIABLE_CONF, "false")).lower() == "true":
+    if _reliable(spark):
         if spark.sparkContext.getCheckpointDir() is None:
-            raise ValueError(
+            raise ReliableCheckpointMisconfigured(
                 f"{RELIABLE_CONF}=true requires a checkpoint directory: "
                 "call spark.sparkContext.setCheckpointDir(<fault-tolerant "
                 "path>) before running the engine"

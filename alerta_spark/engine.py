@@ -19,7 +19,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alerta_spark.ckpt import checkpoint
+from alerta_spark.ckpt import ReliableCheckpointMisconfigured, checkpoint
+from alerta_spark.ckpt import validate as ckpt_validate
 from alerta_spark.operators.deadman import deadman_alerts
 from alerta_spark.operators.sequence import process_sequence_alert
 from alerta_spark.operators.threshold import threshold_alerts
@@ -82,6 +83,11 @@ class Engine:
         rule's criteria/key resolution up front and dropping (logging)
         the broken ones, matching the swallow-and-continue semantics
         below."""
+        # reliable-checkpoint misconfiguration must abort the PASS, not
+        # drown in the per-rule scan swallows (where it would persist
+        # zero alerts per tick, or read as a deadman's absence-of-
+        # evidence) — validate before any rule executes
+        ckpt_validate(events_df.sparkSession)
         self._resume_inflight(events_df, fused=fuse_sequences)
         # maintenance windows: a rule whose `suppress` interval covers
         # this evaluation instant is skipped whole — including deadman
@@ -202,6 +208,8 @@ class Engine:
                     # truncation (this one included) persists to
                     # fault-tolerant storage instead — see ckpt.py.
                     fired = checkpoint(fired, eager=True)
+                except ReliableCheckpointMisconfigured:
+                    raise  # config error, not a broken criteria
                 except Exception:
                     import logging
 
@@ -221,6 +229,8 @@ class Engine:
                         events_df, rule, id_col=self.id_col, ts_col=self.ts_col
                     )
                     fired = checkpoint(fired, eager=True)  # scan errors surface HERE
+                except ReliableCheckpointMisconfigured:
+                    raise  # config error — must NOT read as absence
                 except Exception:
                     empty = events_df.where(F.lit(False))
                     fired = deadman_alerts(

@@ -37,6 +37,11 @@ def get_spark(
         # convert in the source layer (see sources.lake.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # reliable-checkpoint mode (ckpt.py) writes checkpoint files
+        # every engine pass; without the cleaner Spark never deletes
+        # them and the dir grows per tick. Context-start conf, so it
+        # must be set HERE, not at runtime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -34,16 +34,48 @@ def test_default_is_local_checkpoint(spark):
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
 
 
-def test_reliable_requires_checkpoint_dir(spark):
+def test_reliable_requires_checkpoint_dir(spark, monkeypatch):
+    # the checkpoint dir is process-global and other tests may have
+    # set it — simulate the unset state deterministically
+    from pyspark import SparkContext
+
+    from alerta_spark.ckpt import ReliableCheckpointMisconfigured
+
+    monkeypatch.setattr(
+        SparkContext, "getCheckpointDir", lambda self: None
+    )
     spark.conf.set(RELIABLE_CONF, "true")
     try:
-        if spark.sparkContext.getCheckpointDir() is None:
-            with pytest.raises(ValueError, match="checkpoint directory"):
-                checkpoint(spark.range(5))
-        else:
-            # dir already set by an earlier test in this session —
-            # the guard can't be exercised; routing still must work
-            assert checkpoint(spark.range(5)).count() == 5
+        with pytest.raises(
+            ReliableCheckpointMisconfigured, match="checkpoint directory"
+        ):
+            checkpoint(spark.range(5))
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_engine_pass_fails_fast_on_misconfigured_reliable_mode(
+    spark, events, tmp_path, monkeypatch
+):
+    """reliableCheckpoint=true without a checkpoint dir must ABORT the
+    pass at entry — not drown in the per-rule scan swallows, where it
+    would silently persist zero alerts per tick (threshold) or be
+    misread as absence-of-evidence (a FALSE deadman)."""
+    from pyspark import SparkContext
+
+    from alerta_spark.ckpt import ReliableCheckpointMisconfigured
+
+    monkeypatch.setattr(
+        SparkContext, "getCheckpointDir", lambda self: None
+    )
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        rules = load_rules("rules/*alert.yml")
+        engine = Engine(spark, str(tmp_path / "store"))
+        with pytest.raises(ReliableCheckpointMisconfigured):
+            engine.run_once(events, rules)
+        # nothing was persisted: the pass aborted before any rule ran
+        assert engine.alerts.docs() == []
     finally:
         spark.conf.set(RELIABLE_CONF, "false")
 
