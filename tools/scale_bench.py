@@ -88,6 +88,17 @@ FAMILY = [
     # reference cap binds at 3x/10x)
     "dedup_embedding_lsh",
     "similarity_lsh_topk",
+    # round-7 widening: the new regime-switch fast paths. Greedy
+    # source cover collects pattern-mask counts bounded by source
+    # COMBINATIONS (sources stay 20 at every replica scale, so the
+    # collected rows must stay ~flat while the shingle corpus grows
+    # 10x — the row that proves the driver term is corpus-size-
+    # independent). BPE's vocab grows with the rotated replicas but
+    # measured flat through x10 (still under driver_vocab_max — the
+    # synthetic vocab is small); the driver->distributed regime seam
+    # is pinned by the equivalence test, not this curve.
+    "corpus_greedy_source_cover",
+    "bpe_learn_merges_pinned",
 ]
 
 
