@@ -29,7 +29,6 @@ _FUNCTION_ALIASES = {
     "contains": "array_contains",  # same arg order (array, elem)
     "approx_distinct": "approx_count_distinct",
     "starts_with": "startswith",
-    "to_unixtime": "unix_timestamp",
     # identical in Spark SQL (kept out of the table, documented here):
     # position(IN), CAST/TRY_CAST, cardinality, element_at (1-based in
     # both), split_part, regexp_like/regexp_extract/regexp_replace,
@@ -50,6 +49,11 @@ _CALL_REWRITES = {
     "url_extract_parameter": "parse_url({0}, 'QUERY', {1})",
     "date_diff": "timestampdiff({0u}, {1}, {2})",
     "date_add": "timestampadd({0u}, {1}, {2})",
+    # NOT a pure rename: Trino to_unixtime returns DOUBLE epoch seconds
+    # with the fraction; Spark unix_timestamp returns BIGINT seconds,
+    # which would silently truncate sub-second criteria arithmetic
+    # (e.g. "to_unixtime(b) - to_unixtime(a) > 0.5" never firing)
+    "to_unixtime": "(unix_micros({0}) / 1000000.0)",
 }
 
 _TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -220,10 +224,20 @@ def trino_to_spark(criteria: str) -> str:
         if is_lit:
             parts.append(chunk)
         else:
-            parts.append(
-                _TOKEN.sub(
-                    lambda m: _FUNCTION_ALIASES.get(m.group(0).lower(), m.group(0)),
-                    chunk,
-                )
-            )
+            # rename only CALL sites: the token must be followed by
+            # '(' (whitespace allowed). A bare identifier that happens
+            # to collide with the alias table — a column literally
+            # named `contains`, a struct field `starts_with` — must
+            # pass through untouched or it becomes an unresolvable
+            # reference.
+            def _rename(m: re.Match, _chunk: str = chunk) -> str:
+                new = _FUNCTION_ALIASES.get(m.group(0).lower())
+                if new is None:
+                    return m.group(0)
+                j = m.end()
+                while j < len(_chunk) and _chunk[j].isspace():
+                    j += 1
+                return new if j < len(_chunk) and _chunk[j] == "(" else m.group(0)
+
+            parts.append(_TOKEN.sub(_rename, chunk))
     return "".join(parts)

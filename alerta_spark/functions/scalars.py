@@ -239,9 +239,16 @@ def in_any_cidr(col: Column | str, cidrs: list[str]) -> Column:
     return out
 
 
+# C17: the reference's CloudTrail filename regex verbatim (including
+# its unescaped dots), case-insensitive. One pattern, two consumers:
+# the Column predicate below and sources/ingest's driver-side file-
+# listing pre-filter — they must never drift.
+CLOUDTRAIL_FILENAME_RE = r"(?i)\d+_cloudtrail_.+.json.gz$"
+
+
 def is_cloudtrail(col: Column | str) -> Column:
     """C17 `is_cloudtrail` (utils/helpers.py:10,39-41): the reference's
     filename regex verbatim (including its unescaped dots), case-
     insensitive. Apply to ``F.input_file_name()`` to gate a
     file-derived frame, or to any filename column."""
-    return _c(col).cast("string").rlike(r"(?i)\d+_cloudtrail_.+.json.gz$")
+    return _c(col).cast("string").rlike(CLOUDTRAIL_FILENAME_RE)

@@ -42,15 +42,24 @@ def resolve_path(expr: Column, dtype: T.DataType, parts: list[str]) -> tuple[Col
         return resolve_path(expr.getField(head), field.dataType, rest)
 
     if isinstance(dtype, T.ArrayType):
-        if head.lstrip("-").isdigit():
-            idx = int(head)
+        # POSITIVE digit indexes only — chevron (the reference's
+        # renderer) gates list access on key.isdigit(), so 'items.-1'
+        # is a silent miss there and must be one here (and in the
+        # JSON-string branch below, and in templates._lookup — all
+        # three agree). try_element_at, NOT element_at: ANSI mode
+        # (default-on in Spark 4) makes element_at THROW on an
+        # out-of-range index, which would abort the job where the
+        # contract is NULL-on-miss.
+        if head.isdigit():
             # mustache paths are 0-based; element_at is 1-based
-            child = F.element_at(expr, idx + 1 if idx >= 0 else idx)
+            child = F.try_element_at(expr, F.lit(int(head) + 1))
             return resolve_path(child, dtype.elementType, rest)
         return F.lit(None).cast("string"), T.StringType()
 
     if isinstance(dtype, T.MapType):
-        child = F.element_at(expr, F.lit(head).cast(dtype.keyType))
+        # try_element_at: ANSI element_at throws INVALID_MAP_KEY on a
+        # missing key; the contract is NULL
+        child = F.try_element_at(expr, F.lit(head).cast(dtype.keyType))
         return resolve_path(child, dtype.valueType, rest)
 
     if isinstance(dtype, T.StringType):
@@ -103,15 +112,24 @@ def _flatten_query(query: dict, prefix: str = "") -> list[tuple[str, object]]:
 def dict_match(df: DataFrame, query: dict) -> Column:
     """F10 ``dict_match``/``sub_dict`` (utils/dict_helpers.py:63-76): true
     when every (possibly nested) key/value in `query` is present in the
-    row. Compiles to an AND of path-column equality comparisons — pure
-    codegen, no UDF; values compare as strings on JSON-string payloads
-    (the reference compares post-json.loads Python values; scalar parity
-    holds because JSON scalars stringify identically)."""
+    row. Compiles to an AND of path-column comparisons — pure codegen,
+    no UDF. The reference compares post-json.loads PYTHON values
+    (sub_dict: ``v == d[k]``), so the compiled comparison is typed per
+    query value: booleans compare against the JSON/cast rendering
+    'true'/'false' (Python str(True)='True' would NEVER match — both
+    get_json_object and a boolean cast yield lowercase); ints/floats
+    compare numerically via try_cast (Python 1 == 1.0 is true, and
+    ANSI cast of a non-numeric string must yield NULL, not throw);
+    strings compare as strings."""
     pred = F.lit(True)
     for path, value in _flatten_query(query):
         col = path_col(df, path)
         if value is None:
             cond = col.isNull()
+        elif isinstance(value, bool):  # BEFORE int: bool is an int
+            cond = col.cast("string") == F.lit("true" if value else "false")
+        elif isinstance(value, (int, float)):
+            cond = col.cast("string").try_cast("double") == F.lit(float(value))
         else:
             cond = col.cast("string") == F.lit(str(value))
         pred = pred & cond

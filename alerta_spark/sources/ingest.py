@@ -47,45 +47,28 @@ def split_json_blocks(
 
     cols = ([id_col] if id_col else []) + [blob_col]
     slim = df.select(*cols)
+    # the id column keeps ITS OWN type — hardcoding 'long' here broke
+    # any string-ish blob id (e.g. input_file_name()) at Arrow
+    # serialization time
     out_schema = (
-        (f"{id_col} long, " if id_col else "")
+        (f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+         if id_col else "")
         + "block_idx long, block string"
     )
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        def blocks(blob: str):
-            depth = 0
-            in_str = False
-            esc = False
-            start = None
-            for i, c in enumerate(blob or ""):
-                if esc:
-                    esc = False
-                    continue
-                if in_str:
-                    if c == "\\":
-                        esc = True
-                    elif c == '"':
-                        in_str = False
-                    continue
-                if c == '"':
-                    in_str = True
-                elif c == "{":
-                    if depth == 0:
-                        start = i
-                    depth += 1
-                elif c == "}":
-                    depth -= 1
-                    if depth == 0 and start is not None:
-                        yield blob[start : i + 1].strip()
-                        start = None
+        # the ONE splitter implementation (quote-aware brace counter);
+        # worker-side import resolves via the ensure_shipped zip
+        from alerta_spark.sources.jsonblob import (
+            split_json_blocks as _split_blocks,
+        )
 
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                for j, b in enumerate(blocks(r[blob_col])):
+                for j, b in enumerate(_split_blocks(r[blob_col] or "")):
                     rec = {"block_idx": j, "block": b}
                     if id_col:
                         rec[id_col] = r[id_col]
@@ -110,10 +93,48 @@ def load_cloudtrail_records(
     ``input_file_name()`` is EMPTY (in-memory relations, some
     non-file sources). It is opt-in: empty filenames also occur for
     production non-file sources, and defaulting them in would let
-    records bypass the reference's filename filter silently."""
-    from alerta_spark.functions.scalars import is_cloudtrail
+    records bypass the reference's filename filter silently.
 
-    raw = spark.read.option("multiLine", "true").json(path)
+    The default path PRE-FILTERS the file listing (metadata-only)
+    with the same regex before any byte is read: without this, every
+    non-CloudTrail file under ``path`` was multiline-JSON parsed on
+    every call just to be dropped by the post-read filter, and a
+    stray file with a differently-shaped ``Records`` field could
+    poison the inferred schema. The post-read filename filter stays
+    (it is the semantic contract and costs nothing). With
+    ``allow_unnamed=True`` the full scan is kept — unnamed rows can
+    only come from sources the listing cannot see."""
+    from alerta_spark.functions.scalars import (
+        CLOUDTRAIL_FILENAME_RE,
+        is_cloudtrail,
+    )
+
+    src: str | list[str] = path
+    if not allow_unnamed:
+        import re as _re
+
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        names: list[str] = []
+        if fs.isDirectory(hpath):
+            it = fs.listFiles(hpath, True)
+            while it.hasNext():
+                names.append(it.next().getPath().toString())
+        else:
+            for st in fs.globStatus(hpath) or []:
+                names.append(st.getPath().toString())
+        matched = [
+            n for n in names if _re.search(CLOUDTRAIL_FILENAME_RE, n)
+        ]
+        if not matched:
+            raise ValueError(
+                f"no CloudTrail-named files under {path} "
+                "(C17 filename regex matched nothing)"
+            )
+        src = matched
+
+    raw = spark.read.option("multiLine", "true").json(src)
     if "Records" not in raw.columns:
         raise ValueError(f"no Records[] field in JSON at {path}")
     keep = is_cloudtrail(F.col("_file"))

@@ -56,38 +56,21 @@ def read_json_blobs(
     spark: SparkSession, path: str, schema: T.StructType | str | None = None
 ) -> DataFrame:
     """One row per JSON object across every blob file under `path`."""
+    from alerta_spark._ship import ensure_shipped
+
+    ensure_shipped(spark)
     raw = spark.read.text(path, wholetext=True)
 
     out_schema = T.StructType([T.StructField("json_block", T.StringType())])
 
     def fn(batches: Iterator["object"]) -> Iterator["object"]:
-        # self-contained splitter (no package import on the worker)
         import pandas as _pd
 
-        def _split(text):
-            blocks, depth, start, in_str, esc = [], 0, None, False, False
-            for i, ch in enumerate(text):
-                if esc:
-                    esc = False
-                    continue
-                if ch == "\\":
-                    esc = in_str
-                    continue
-                if ch == '"':
-                    in_str = not in_str
-                    continue
-                if in_str:
-                    continue
-                if ch == "{":
-                    if depth == 0:
-                        start = i
-                    depth += 1
-                elif ch == "}":
-                    depth -= 1
-                    if depth == 0 and start is not None:
-                        blocks.append(text[start : i + 1])
-                        start = None
-            return blocks
+        # the ONE splitter implementation (module-level above);
+        # worker-side import resolves via the ensure_shipped zip
+        from alerta_spark.sources.jsonblob import (
+            split_json_blocks as _split,
+        )
 
         for pdf in batches:
             out = [b for t in pdf["value"] for b in _split(t or "")]

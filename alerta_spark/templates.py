@@ -33,12 +33,16 @@ _TOKEN = re.compile(r"\{\{\s*([^{}]+?)\s*\}\}")
 
 
 def _fmt(col: Column, dtype: T.DataType) -> Column:
-    """Render a resolved path value the way str() would."""
-    if isinstance(dtype, T.DoubleType | T.FloatType):
-        # cast('1.0' stays '1.0'); Spark's double->string matches str()
-        s = col.cast("string")
-    elif isinstance(dtype, T.BooleanType):
-        s = F.when(col, "True").otherwise("False")
+    """Render a resolved path value the way str() would.
+
+    Booleans: when/when, NOT when/otherwise — otherwise('False') would
+    swallow NULL into 'False' (a fabricated value in an alert summary)
+    instead of leaving it for the coalesce to render as the mustache
+    silent-miss ''. Known divergence (unexercised by the rule corpus):
+    doubles outside ~1e-4..1e7 render in Spark's E-notation
+    ('1.0E10') where Python str() gives '10000000000.0'."""
+    if isinstance(dtype, T.BooleanType):
+        s = F.when(col, "True").when(~col, "False")
     else:
         s = col.cast("string")
     return F.coalesce(s, F.lit(""))
@@ -91,9 +95,13 @@ def _lookup(ctx: Any, parts: list[str]) -> Any:
                 return None
         if isinstance(cur, dict):
             cur = cur.get(p)
-        elif isinstance(cur, (list, tuple)) and p.lstrip("-").isdigit():
+        elif isinstance(cur, (list, tuple)) and p.isdigit():
+            # positive indexes only — chevron (the reference renderer)
+            # gates list access on key.isdigit(), so 'items.-1' is a
+            # silent miss there, in resolve_path's array branch, and
+            # here alike
             i = int(p)
-            cur = cur[i] if -len(cur) <= i < len(cur) else None
+            cur = cur[i] if i < len(cur) else None
         else:
             return None
         if cur is None:

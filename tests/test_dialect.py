@@ -80,3 +80,36 @@ def test_rewritten_criteria_evaluate_in_spark(spark):
         " AND date_diff('hour', ts, date_add('day', 1, ts)) = 24"
     )
     assert spark.sql(f"SELECT count(*) c FROM dialect_t WHERE {sql}").first()["c"] == 1
+
+
+def test_alias_renames_only_call_sites():
+    from alerta_spark.dialect import trino_to_spark
+
+    # a bare column named like an aliased function must pass through
+    assert trino_to_spark("contains = 'x'") == "contains = 'x'"
+    assert (
+        trino_to_spark("details.contains = 'y'") == "details.contains = 'y'"
+    )
+    # real call sites still rewrite (whitespace before '(' allowed)
+    assert trino_to_spark("contains(tags, 'x')") == "array_contains(tags, 'x')"
+    assert trino_to_spark("contains (tags, 'x')") == "array_contains (tags, 'x')"
+
+
+def test_to_unixtime_keeps_fractional_seconds(spark):
+    """Trino to_unixtime returns DOUBLE epoch seconds; a rename to
+    unix_timestamp (BIGINT) silently truncated sub-second arithmetic."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.dialect import trino_to_spark
+
+    sql = trino_to_spark("to_unixtime(b) - to_unixtime(a) > 0.5")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00.100", "2024-01-01 00:00:00.800")],
+        "a string, b string",
+    ).select(
+        F.col("a").cast("timestamp").alias("a"),
+        F.col("b").cast("timestamp").alias("b"),
+    )
+    assert df.where(sql).count() == 1
+    sql2 = trino_to_spark("to_unixtime(b) - to_unixtime(a) > 0.9")
+    assert df.where(sql2).count() == 0

@@ -138,3 +138,50 @@ def test_load_events_csv_permissive(spark, tmp_path):
     assert {r["event_id"] for r in good} == {1, 2}
     assert len(bad) == 1
     df.unpersist()
+
+
+def test_split_json_blocks_string_id_column(spark):
+    """The id column keeps its own type (a hardcoded 'long' output
+    schema broke string blob ids at Arrow serialization)."""
+    objs = [{"a": 1}, {"b": 2}]
+    blob = "".join(json.dumps(o) for o in objs)
+    df = spark.createDataFrame(
+        [("s3://bucket/file1", blob)], "source_file string, blob string"
+    )
+    got = (
+        split_json_blocks(df, "blob", id_col="source_file")
+        .orderBy("block_idx")
+        .collect()
+    )
+    assert [json.loads(r["block"]) for r in got] == objs
+    assert all(r["source_file"] == "s3://bucket/file1" for r in got)
+
+
+def test_load_cloudtrail_records_prunes_listing(spark, tmp_path):
+    """Default path pre-filters the FILE LISTING: a non-CloudTrail
+    file with a differently-shaped Records field must neither be
+    parsed into the schema nor poison it."""
+    import gzip
+
+    doc = {"Records": [{"eventName": "ConsoleLogin"}]}
+    good = tmp_path / "55_cloudtrail_eu-west-1.json.gz"
+    with gzip.open(good, "wt") as fd:
+        fd.write(json.dumps(doc))
+    # Records is a STRING here — would corrupt the inferred element
+    # schema if this file were read at all
+    poison = tmp_path / "not_trail.json"
+    poison.write_text(json.dumps({"Records": "not-an-array"}))
+
+    out = load_cloudtrail_records(spark, str(tmp_path))
+    rows = out.collect()
+    assert [r["eventName"] for r in rows] == ["ConsoleLogin"]
+
+    # and nothing CloudTrail-named at all -> loud error, not a frame
+    # inferred from unrelated files
+    import pytest as _pytest
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    (empty / "other.json").write_text(json.dumps({"Records": []}))
+    with _pytest.raises(ValueError, match="no CloudTrail-named files"):
+        load_cloudtrail_records(spark, str(empty))

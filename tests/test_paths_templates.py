@@ -123,3 +123,93 @@ def test_dict_match_nested_and_miss(spark):
     assert df.where(dict_match(df, {"props": {"nope": 1}})).count() == 0
     # empty query matches everything (vacuous AND — reference parity)
     assert df.where(dict_match(df, {})).count() == 3
+
+
+def test_path_col_array_index_oob_is_null_not_throw(spark):
+    """ANSI mode (default-on in Spark 4) makes element_at THROW on an
+    out-of-range index; the silent-miss contract requires NULL —
+    try_element_at in resolve_path's array branch."""
+    from alerta_spark.paths import path_col
+
+    df = spark.createDataFrame(
+        [([{"x": 1}],)], "events array<struct<x:int>>"
+    )
+    rows = df.select(
+        path_col(df, "events.0.x").alias("hit"),
+        path_col(df, "events.5.x").alias("miss"),
+    ).collect()
+    assert rows[0]["hit"] == 1 and rows[0]["miss"] is None
+
+
+def test_path_col_map_missing_key_is_null_not_throw(spark):
+    """ANSI element_at on a map throws INVALID_MAP_KEY on a miss."""
+    from alerta_spark.paths import path_col
+
+    df = spark.createDataFrame([({"a": 1},)], "m map<string,int>")
+    rows = df.select(
+        path_col(df, "m.a").alias("hit"),
+        path_col(df, "m.zzz").alias("miss"),
+    ).collect()
+    assert rows[0]["hit"] == 1 and rows[0]["miss"] is None
+
+
+def test_negative_index_is_a_miss_everywhere(spark):
+    """chevron (the reference renderer) gates list access on
+    key.isdigit(), so 'items.-1' is a silent miss — in the column
+    compiler (array AND json-string branches) and the python twin
+    alike."""
+    from alerta_spark.paths import path_col
+    from alerta_spark.templates import render_py
+
+    df = spark.createDataFrame(
+        [([10, 20], json.dumps({"items": [1, 2, 3]}))],
+        "arr array<int>, payload string",
+    )
+    rows = df.select(
+        path_col(df, "arr.-1").alias("a"),
+        path_col(df, "payload.items.-1").alias("j"),
+    ).collect()
+    assert rows[0]["a"] is None and rows[0]["j"] is None
+    ctx = {"arr": [10, 20], "payload": {"items": [1, 2, 3]}}
+    assert render_py("{{arr.-1}}", ctx) == ""
+    assert render_py("{{payload.items.-1}}", ctx) == ""
+
+
+def test_template_null_boolean_renders_empty(spark):
+    """A NULL boolean must render '' (mustache silent miss), not a
+    fabricated 'False'."""
+    from alerta_spark.templates import template_col
+
+    df = spark.createDataFrame(
+        [(None, True, False)], "flag boolean, t boolean, f boolean"
+    )
+    row = df.select(
+        template_col(
+            "[{{flag}}|{{t}}|{{f}}]", F.struct("flag", "t", "f"),
+            df.select("flag", "t", "f").schema,
+        ).alias("s")
+    ).first()
+    assert row["s"] == "[|True|False]"
+
+
+def test_dict_match_boolean_and_numeric_values(spark):
+    """The reference compares post-json.loads PYTHON values, so
+    {'enabled': True} must match payload '{"enabled": true}' (Python
+    str(True)='True' would never equal the JSON token 'true'), a
+    native boolean column must match too, and 1 must match 1.0
+    (Python cross-type numeric equality)."""
+    from alerta_spark.paths import dict_match
+
+    df = spark.createDataFrame(
+        [
+            (json.dumps({"enabled": True, "n": 1}), True),
+            (json.dumps({"enabled": False, "n": 2.0}), False),
+        ],
+        "props string, flag boolean",
+    )
+    assert df.where(dict_match(df, {"props": {"enabled": True}})).count() == 1
+    assert df.where(dict_match(df, {"flag": True})).count() == 1
+    assert df.where(dict_match(df, {"flag": False})).count() == 1
+    # Python 1.0 == 1 and 2 == 2.0 — numeric compare, not string
+    assert df.where(dict_match(df, {"props": {"n": 1.0}})).count() == 1
+    assert df.where(dict_match(df, {"props": {"n": 2}})).count() == 1
