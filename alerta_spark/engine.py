@@ -376,10 +376,13 @@ class Engine:
             # parquet commit rounds
             captured = None  # DataFrame[alerted_event_id], this pass
             doc_frames = []
-            for rule in valid:
+            for i, rule in enumerate(valid):
                 p = threshold_shell(rule)
+                # slice on rule_idx, not alert_name: two rules sharing
+                # a name (both defaulting to 'unnamed') would otherwise
+                # emit each group once PER rule with the wrong params
                 slice_ = fired.where(
-                    F.col("alert_name") == p["alert_name"]
+                    F.col("rule_idx") == i
                 ).select("value", "count", "events")
                 if captured is not None:
                     slice_ = _filter_slice_events_frame(
@@ -447,10 +450,13 @@ class Engine:
             # the deadman path, so the union is over the persisted
             # fired frame directly)
             doc_frames = []
-            for rule in valid:
+            for i, rule in enumerate(valid):
                 p = deadman_shell(rule)
+                # slice on rule_idx, not alert_name: two rules sharing
+                # a name (both defaulting to 'unnamed') would otherwise
+                # cross-contaminate each other's slices
                 slice_ = fired_all.where(
-                    F.col("alert_name") == p["alert_name"]
+                    F.col("rule_idx") == i
                 ).select("value", "count", "events")
                 doc_frames.append(
                     assemble_alerts(slice_, p, events_df.schema)

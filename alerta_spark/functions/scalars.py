@@ -42,7 +42,13 @@ def to_utc(col: Column | str) -> Column:
     """
     s = _c(col).cast("string")
     num = s.try_cast("double")
-    n = num.cast("decimal(38,0)").cast("long")
+    # try_cast BOTH steps: ANSI mode (default-on in Spark 4) makes a
+    # plain cast THROW on overflow — a ~1e40 numeric string kills the
+    # decimal(38,0) cast and a >int64 value kills the long cast,
+    # aborting the whole scan where the contract is NULL-on-miss.
+    # An overflowed n makes every magnitude branch NULL, so the row
+    # falls through to try_to_timestamp (then NULL) — silent miss.
+    n = num.try_cast("decimal(38,0)").try_cast("long")
     from_num = (
         F.when(n < _SEC_MAX, F.timestamp_seconds(num))
         .when(n < _MS_MAX, F.timestamp_millis(n))
@@ -87,11 +93,23 @@ def to_utc_conformant(col: Column | str) -> Column:
                 if iv <= 0:
                     obj = epoch0
                 else:
-                    # the reference's divisor quirk, verbatim
+                    # the reference's divisor quirk, verbatim — but
+                    # guarded: fromtimestamp raises Overflow/ValueError
+                    # for digit strings outside the representable year
+                    # range (e.g. 20 digits with len%10==0 -> divisor
+                    # 1), and the documented contract is NULL on a bad
+                    # row, never an aborted scan
                     divisor = int("1" + "0" * (len(v) % 10))
-                    obj = datetime.fromtimestamp(iv / divisor, local)
+                    try:
+                        obj = datetime.fromtimestamp(iv / divisor, local)
+                    except (OverflowError, ValueError, OSError):
+                        return None
             else:
                 try:
+                    # OverflowError/OSError guards: 'inf' overflows
+                    # int(fv), and an out-of-range epoch overflows
+                    # fromtimestamp — one bad row must yield NULL, not
+                    # abort the scan
                     fv = float(v)
                     if fv <= 0:
                         obj = epoch0
@@ -102,6 +120,8 @@ def to_utc_conformant(col: Column | str) -> Column:
                         if magnitude > 9:
                             fv = fv / 10 ** (magnitude - 9)
                         obj = datetime.fromtimestamp(fv, local)
+                except (OverflowError, OSError):
+                    return None
                 except ValueError:
                     try:
                         obj = du_parse(v, fuzzy=True)

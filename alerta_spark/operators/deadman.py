@@ -52,13 +52,14 @@ def deadman_alerts(
     synthesized = spark.range(1).select(
         F.lit(str(p["aggregation_key"])).alias("value"),
         F.lit(0).cast("long").alias("count"),
-        F.lit(None).cast(events_type).alias("events"),
+        # empty array directly (as deadman_alerts_fused builds it) —
+        # a NULL-then-coalesce indirection implied a NULL-surviving
+        # path that never existed
+        F.array().cast(events_type).alias("events"),
     )
     # keep the synthesized row only when the aggregate produced nothing
     marker = grouped.select(F.lit(1).alias("_one")).limit(1)
-    synthesized = synthesized.join(marker, F.lit(True), "left_anti").withColumn(
-        "events", F.coalesce(F.col("events"), F.array().cast(events_type))
-    )
+    synthesized = synthesized.join(marker, F.lit(True), "left_anti")
 
     fired = grouped.where(F.col("count") <= int(p["threshold"])).unionByName(
         synthesized
@@ -81,8 +82,9 @@ def deadman_alerts_fused(
     by anti-joining the tiny rule list against the rule_idxs present
     in the aggregate — bounded by |rules|, never scan-sized).
 
-    Returns [alert_name, value, count, events]; per-rule equivalence
-    with :func:`deadman_alerts` is pytest-pinned.
+    Returns [rule_idx, alert_name, value, count, events] (rule_idx is
+    the unambiguous slice key — alert_names can collide); per-rule
+    equivalence with :func:`deadman_alerts` is pytest-pinned.
     """
     from alerta_spark.operators.threshold import fused_grouped
     from alerta_spark.rules import deadman_shell
@@ -115,6 +117,7 @@ def deadman_alerts_fused(
     return (
         fired.unionByName(synthesized)
         .select(
+            "rule_idx",
             F.element_at(names, F.col("rule_idx") + 1).alias("alert_name"),
             "value",
             "count",

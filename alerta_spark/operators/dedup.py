@@ -33,10 +33,23 @@ def alerted_event_ids(alerts: DataFrame, id_field: str = "event_id") -> DataFram
             )
         )
     if "slots" in cols:
+        # coalesce each slot's id array BEFORE flatten: Spark's
+        # flatten returns NULL for the WHOLE row if any nested array
+        # is NULL, so one unfilled slot (events=NULL) would erase
+        # every captured id on the document and already-captured
+        # events would re-fire
         parts.append(
             alerts.select(
                 F.explode(
-                    F.flatten(F.transform("slots", lambda s: s["events"][id_field]))
+                    F.flatten(
+                        F.transform(
+                            "slots",
+                            lambda s: F.coalesce(
+                                s["events"][id_field].cast("array<string>"),
+                                F.array().cast("array<string>"),
+                            ),
+                        )
+                    )
                 ).alias("_id")
             ).select(F.col("_id").cast("string").alias("alerted_event_id"))
         )

@@ -170,8 +170,12 @@ def threshold_alerts_fused(
     matching rule, exploded and aggregated by (rule_idx, value) — so
     the whole rule set costs ONE corpus scan and ONE exchange, with
     the criteria disjunction eligible for scan pushdown. Returns
-    [alert_name, value, count, events] rows for every fired group
-    (rendering stays per-rule: feed each slice to assemble_alerts).
+    [rule_idx, alert_name, value, count, events] rows for every fired
+    group (rendering stays per-rule: feed each slice to
+    assemble_alerts). ``rule_idx`` is the unambiguous slice key — two
+    rules may share an alert_name (e.g. both defaulting to 'unnamed'),
+    and a name-keyed slice would emit each such group once PER rule
+    with the wrong params for half of them.
 
     Equivalence with the sequential path is pytest-pinned
     (tests/test_threshold.py)."""
@@ -184,6 +188,7 @@ def threshold_alerts_fused(
             F.col("count") >= F.element_at(thresholds, F.col("rule_idx") + 1)
         )
         .select(
+            "rule_idx",
             F.element_at(names, F.col("rule_idx") + 1).alias("alert_name"),
             "value",
             "count",

@@ -32,14 +32,35 @@ from pyspark.sql import functions as F
 
 def event_tokens(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> Column:
     """The routing token set: top-level field names ∪ tags ∪ category
-    (reference: event_criteria_values, utils/plugins.py:12-29)."""
+    (reference: event_criteria_values, utils/plugins.py:12-29).
+
+    NULL-free by construction: a NULL category (reference: skipped by
+    the isinstance-str check) or a NULL tag element must not enter the
+    array — ``arrays_overlap`` returns NULL (not false) when there is
+    no common element and either side contains a null, and a NULL
+    match bit inverts to NULL in ``drop_when``'s filter, silently
+    DELETING rows the plugin never matched."""
     toks: list[Column] = [F.array(*[F.lit(c) for c in df.columns])]
     if "tags" in df.columns:
-        toks.append(F.coalesce(F.col("tags"), F.array().cast("array<string>")))
+        toks.append(
+            F.filter(
+                F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+                lambda t: t.isNotNull(),
+            )
+        )
     if "category" in df.columns:
-        toks.append(F.array(F.col("category")))
+        toks.append(
+            F.when(
+                F.col("category").isNotNull(), F.array(F.col("category"))
+            ).otherwise(F.array().cast("array<string>"))
+        )
     for c in extra_cols:
-        toks.append(F.array(F.col(c).cast("string")))
+        cast = F.col(c).cast("string")
+        toks.append(
+            F.when(cast.isNotNull(), F.array(cast)).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
     out = toks[0]
     for t in toks[1:]:
         out = F.concat(out, t)
@@ -76,26 +97,40 @@ class PluginChain:
         if "*" in plugin.registration:
             return F.lit(True)
         reg = F.array(*[F.lit(t) for t in plugin.registration])
-        return F.arrays_overlap(event_tokens(df), reg)
+        # coalesce: belt-and-braces against any NULL leaking out of
+        # arrays_overlap — the match bit must be two-valued (the
+        # reference's `send` is a plain bool)
+        return F.coalesce(F.arrays_overlap(event_tokens(df), reg), F.lit(False))
 
     def apply(self, df: DataFrame) -> DataFrame:
         """Run the chain (reference: send_event_to_plugins,
         utils/plugins.py:64-108). Each plugin sees the previous
         plugin's output; matched rows gain the plugin name in
-        ``plugins``."""
+        ``plugins``.
+
+        The match bit is MATERIALIZED as a column before the transform
+        runs: the reference decides ``send`` on the PRE-transform event
+        and appends the executed plugin's name unconditionally after it
+        runs — re-evaluating the routing predicate against the
+        transformed frame would skip provenance for any plugin that
+        rewrites its own routing field (and could fail to resolve if
+        the transform renames it)."""
         out = df
         if "plugins" not in out.columns:
             out = out.withColumn("plugins", F.array().cast("array<string>"))
         for p in self.plugins:
-            m = self.matched(out, p)
-            out = p.transform(out, m)
-            if "plugins" in out.columns:
+            out = out.withColumn("__matched", self.matched(out, p))
+            out = p.transform(out, F.col("__matched"))
+            if "plugins" in out.columns and "__matched" in out.columns:
                 out = out.withColumn(
                     "plugins",
-                    F.when(m, F.array_union("plugins", F.array(F.lit(p.name)))).otherwise(
-                        F.col("plugins")
-                    ),
+                    F.when(
+                        F.col("__matched"),
+                        F.array_union("plugins", F.array(F.lit(p.name))),
+                    ).otherwise(F.col("plugins")),
                 )
+            if "__matched" in out.columns:
+                out = out.drop("__matched")
         return out
 
 
@@ -130,6 +165,10 @@ def row_plugin_transform(
             df.sparkSession.sparkContext.addPyFile(module_file)
         schema = df.schema
         cols = [f.name for f in schema.fields]
+        # chain-internal dunder columns (e.g. the materialized match
+        # bit) ride through the batch but are NOT part of the event
+        # dict a reference-style plugin sees
+        vis = [c for c in cols if not c.startswith("__")]
         with_m = df.withColumn("__pm", matched)
 
         def run(batches):
@@ -147,7 +186,7 @@ def row_plugin_transform(
                         out_rows.append(row[cols])
                         continue
                     res = on_message(
-                        {c: row[c] for c in cols}, dict(metadata or {})
+                        {c: row[c] for c in vis}, dict(metadata or {})
                     )
                     ev = res[0] if isinstance(res, tuple) else res
                     if ev is None:

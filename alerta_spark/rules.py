@@ -45,7 +45,7 @@ def merge(overrides: dict, defaults: dict) -> dict:
 
 _TIMEDELTA = re.compile(
     r"(?P<n>\d+(?:\.\d+)?)\s*(?P<unit>w(?:eeks?)?|d(?:ays?)?|h(?:ours?|rs?)?|"
-    r"m(?:in(?:utes?)?)?|s(?:ec(?:onds?)?)?)\b",
+    r"m(?:in(?:ute)?s?)?|s(?:ec(?:ond)?s?)?)\b",
     re.IGNORECASE,
 )
 
@@ -54,11 +54,24 @@ _UNIT_SECONDS = {"w": 604800, "d": 86400, "h": 3600, "m": 60, "s": 1}
 
 def parse_timedelta(text: str) -> timedelta:
     """Parse human interval strings like '7 days', '1 hour', '90 min'
-    (reference uses pd.Timedelta at alerta.py:266)."""
+    (reference uses pd.Timedelta at alerta.py:266). Abbreviated plural
+    units ('90 mins', '30 secs', '2 hrs') parse like pd.Timedelta's;
+    an UNKNOWN unit raises even when mixed with known ones —
+    '2 days 1 month' must not silently become 2 days (pd.Timedelta
+    raises on it), or a sequence's state would expire far earlier
+    than configured."""
+    s = str(text)
     total = 0.0
-    for m in _TIMEDELTA.finditer(str(text)):
+    spans: list[tuple[int, int]] = []
+    for m in _TIMEDELTA.finditer(s):
         total += float(m.group("n")) * _UNIT_SECONDS[m.group("unit")[0].lower()]
-    if total == 0.0:
+        spans.append(m.span())
+    residue = "".join(
+        ch
+        for i, ch in enumerate(s)
+        if not any(a <= i < b for a, b in spans)
+    )
+    if total == 0.0 or re.search(r"\w", residue):
         raise ValueError(f"unparseable interval: {text!r}")
     return timedelta(seconds=total)
 

@@ -62,3 +62,15 @@ def test_mostcommon_order(events):
     assert counts == sorted(counts, reverse=True)
     total = sum(counts)
     assert total == events.where(F.col("event_type").isNotNull()).count()
+
+
+def test_slot_ids_survive_an_unfilled_null_slot(spark):
+    """Spark's flatten returns NULL for the whole row when ANY nested
+    array is NULL: one unfilled slot (events=NULL) used to erase every
+    captured id on the document, letting captured events re-fire."""
+    df = spark.createDataFrame(
+        [("seq", [], [([("7",), ("8",)],), (None,)])],
+        schema=_ALERTS_SCHEMA,
+    )
+    got = sorted(r["alerted_event_id"] for r in alerted_event_ids(df).collect())
+    assert got == ["7", "8"]

@@ -234,3 +234,66 @@ def test_meteor_id_and_short_uuid_formats(spark):
     assert all(re.fullmatch(r"[0-9a-f]{24}", r["mid"]) for r in rows)
     assert all(re.fullmatch(r"[0-9a-f-]{8}", r["sid"]) for r in rows)
     assert len({r["mid"] for r in rows}) == 200  # unique per row
+
+
+def test_plugin_null_category_never_matches_or_drops(spark):
+    """arrays_overlap yields NULL (not false) when either side holds a
+    null element: an event with category=NULL satisfying a drop
+    predicate used to be silently DELETED by a plugin that never
+    matched it (~NULL is NULL, where(NULL) drops). The token array is
+    now NULL-free and the match bit coalesced to false."""
+    df = spark.createDataFrame(
+        [("1", None, None, "x"), ("2", "network", ["fw", None], "y")],
+        "event_id string, category string, tags array<string>, payload string",
+    )
+    chain = PluginChain()
+    chain.register("dropper", ["authentication"], drop_when(F.lit(True)))
+    out = chain.apply(df)
+    # neither row matches 'authentication' -> nothing may drop
+    assert sorted(r["event_id"] for r in out.collect()) == ["1", "2"]
+    chain2 = PluginChain()
+    chain2.register("net_dropper", ["network"], drop_when(F.lit(True)))
+    out2 = chain2.apply(df)
+    # the null TAG element must not poison row 2's genuine match
+    assert [r["event_id"] for r in out2.collect()] == ["1"]
+
+
+def test_plugin_provenance_survives_routing_field_rewrite(spark):
+    """The reference appends the executed plugin's name AFTER
+    onMessage runs, based on the PRE-transform match: a plugin that
+    rewrites its own routing field must still be recorded."""
+    df = spark.createDataFrame(
+        [("1", "raw", ["raw"], "x")],
+        "event_id string, category string, tags array<string>, payload string",
+    )
+    chain = PluginChain()
+    # matched rows lose the 'raw' tag — the routing field it matched on
+    chain.register(
+        "normalizer",
+        ["raw"],
+        with_column_when("tags", F.array().cast("array<string>")),
+    )
+    row = chain.apply(df).first()
+    assert row["tags"] == []
+    assert row["plugins"] == ["normalizer"]
+
+
+def test_to_utc_overflow_strings_null_not_crash(spark):
+    """ANSI casts throw on overflow; the silent-miss contract says a
+    garbage numeric string yields NULL, never an aborted scan."""
+    from alerta_spark.functions.scalars import to_utc, to_utc_conformant
+
+    df = spark.createDataFrame(
+        [("20000000000000000000",), ("1" + "0" * 40,), ("inf",), ("1700000000",)],
+        "v string",
+    )
+    rows = df.select("v", to_utc("v").alias("t")).collect()
+    got = {r["v"]: r["t"] for r in rows}
+    assert got["1700000000"] is not None
+    assert got["20000000000000000000"] is None
+    assert got["1" + "0" * 40] is None
+    rows2 = df.select("v", to_utc_conformant("v").alias("t")).collect()
+    got2 = {r["v"]: r["t"] for r in rows2}
+    assert got2["1700000000"] is not None
+    assert got2["20000000000000000000"] is None
+    assert got2["inf"] is None

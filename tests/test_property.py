@@ -305,3 +305,20 @@ def test_portable_lsh_sign_bits_numpy_equals_exact_ints(vec, plane):
     dot_np = float(Q @ np.asarray(w, dtype=np.float64))
     assert dot_np == float(dot_exact)
     assert (dot_np > 0) == (dot_exact > 0)
+
+
+def test_parse_timedelta_abbreviated_plurals_and_strictness():
+    """pd.Timedelta (the reference's parser) accepts '90 mins'/'30
+    secs'/'2 hrs' and REJECTS unknown units even when mixed with known
+    ones — '2 days 1 month' silently becoming 2 days would expire
+    sequence state far earlier than configured."""
+    import pytest
+
+    assert parse_timedelta("90 mins").total_seconds() == 5400
+    assert parse_timedelta("30 secs").total_seconds() == 30
+    assert parse_timedelta("2 hrs").total_seconds() == 7200
+    assert parse_timedelta("1 day, 2 hours").total_seconds() == 93600
+    with pytest.raises(ValueError):
+        parse_timedelta("2 days 1 month")
+    with pytest.raises(ValueError):
+        parse_timedelta("1 fortnight")

@@ -233,3 +233,37 @@ def test_hot_key_capped_before_collect(spark):
         for r in threshold_alerts_fused(df, rules, max_events=10).collect()
     }
     assert fused["hot"]["count"] == n_hot and len(fused["hot"]["events"]) == 10
+
+
+def test_fused_rules_with_colliding_names_stay_separate(events):
+    """Two rules sharing an alert_name (e.g. both defaulting to
+    'unnamed') must not cross-contaminate: rule_idx is the slice key,
+    so each fired group belongs to exactly one rule."""
+    from alerta_spark.operators.threshold import (
+        threshold_alerts,
+        threshold_alerts_fused,
+    )
+
+    rules = [
+        {
+            # no alert_name -> shell default
+            "criteria": "event_type='purchase'",
+            "aggregation_key": "user_id",
+            "threshold": 2,
+        },
+        {
+            "criteria": "event_type='error'",
+            "aggregation_key": "user_id",
+            "threshold": 3,
+        },
+    ]
+    fused = threshold_alerts_fused(events, rules).collect()
+    by_idx = {}
+    for r in fused:
+        by_idx.setdefault(r["rule_idx"], set()).add((r["value"], r["count"]))
+    for i, rule in enumerate(rules):
+        seq = {
+            (r.metadata.value, r.metadata["count"])
+            for r in threshold_alerts(events, rule).collect()
+        }
+        assert by_idx.get(i, set()) == seq, f"rule {i} slice diverged"
