@@ -110,7 +110,12 @@ def _referenced_event_indices(
                 continue
             if i != slot_index:
                 continue
-            if len(parts) == 4 or not parts[3].lstrip("-").isdigit():
+            # len 3 = whole events ARRAY ({{slots.N.events}}), len 4 =
+            # whole event object at an index — both need full payloads
+            # (len(parts) < 5, not ==4: the 3-part form used to fall
+            # through to parts[3] and raise IndexError, aborting the
+            # whole pass)
+            if len(parts) < 5 or not parts[3].lstrip("-").isdigit():
                 keep_full = True  # whole-event or non-indexed reference
                 continue
             refs.add(int(parts[3]))
@@ -414,7 +419,14 @@ def _is_expired(doc: dict[str, Any], now: datetime) -> bool:
     alerta.py:240-248); unparseable expirations never expire."""
     exp = doc.get("expiration")
     try:
-        exp_dt = datetime.fromisoformat(str(exp)) if exp else None
+        # trailing lowercase 'z' is valid ISO-8601 but rejected by
+        # CPython 3.11's fromisoformat (state._epoch normalizes the
+        # same form); without this a doc stamped '...00z' would never
+        # expire — a permanent in-flight state and spill-table leak
+        s = str(exp)
+        if s.endswith("z"):
+            s = s[:-1] + "Z"
+        exp_dt = datetime.fromisoformat(s) if exp else None
         if exp_dt is not None and exp_dt.tzinfo is None:
             exp_dt = exp_dt.replace(tzinfo=timezone.utc)
     except ValueError:
@@ -598,7 +610,16 @@ def process_sequence_slot_batched(
     leftover: list[dict] = []
     for doc in docs:
         v = _lookup(doc, [p for p in tmpl_path.split(".") if p])
-        if v is None:
+        if v is None or str(v) in value_to_doc:
+            # duplicate captured value: the batch can only route a
+            # fired group to ONE document, so the first doc (the
+            # caller iterates newest-first, like the sequential loop)
+            # wins the batch and the duplicate goes through the
+            # per-document path — which runs AFTER the batch upsert,
+            # so its store-based F9 probe sees the winner's captures
+            # and replays the sequential contention exactly (a dict
+            # overwrite used to drop the loser silently: never
+            # scanned, never advanced, stuck until expiry)
             leftover.append(doc)
         else:
             value_to_doc[str(v)] = doc
@@ -836,7 +857,14 @@ def sequence_resume_fused(
         group_stray: list[dict] = []
         for doc in docs:
             v = _lookup(doc, [p for p in tmpl_path.split(".") if p])
-            if v is None:
+            if v is None or str(v) in value_to_doc:
+                # missing value OR duplicate captured value: the batch
+                # routes a fired group to ONE document, so the first
+                # doc (newest-first, like the sequential loop) wins
+                # and the duplicate takes the per-document path, whose
+                # store-based F9 probe (the fused upsert lands first)
+                # replays the sequential contention — a dict overwrite
+                # used to drop the loser silently
                 group_stray.append(doc)
             else:
                 value_to_doc[str(v)] = doc
@@ -847,8 +875,8 @@ def sequence_resume_fused(
             # routes to the batched path's broadcast semi-join instead
             unfused.append(((name, idx), docs))
             continue
-        stray.extend(group_stray)
         if not value_to_doc:
+            stray.extend(group_stray)
             continue
         try:
             # docs are assembled with the batched path's shell
@@ -869,8 +897,13 @@ def sequence_resume_fused(
                 .isin(sorted(value_to_doc))
             )
         except Exception:
+            # the WHOLE group (strays included) goes to the batched
+            # path; group_stray must NOT also land in `stray` here —
+            # it used to, and every stray doc was then processed twice
+            # (once per-document, once as the unfused group's leftover)
             unfused.append(((name, idx), docs))
             continue
+        stray.extend(group_stray)
         fusable.append(
             (idx, p_asm, probe, value_to_doc,
              _referenced_event_indices(docs[0], idx))

@@ -146,15 +146,30 @@ def alert_docs_frame(alerts: DataFrame, id_field: str = "event_id") -> DataFrame
     # the session isn't UTC, so stamp an explicit +00:00 onto naive
     # strings before casting — offset-carrying strings cast to the same
     # instant in ANY session timezone. The offset test accepts every
-    # form fromisoformat does ('+05', '+0530', '+05:30', Z/z); trailing
-    # lowercase 'z' is uppercased because Python parses it and Spark
-    # does not. try_cast (not cast): ANSI mode throws on malformed
-    # strings where doc_to_row's except-ValueError falls back to the
-    # now-epoch — the writers must agree on garbage too.
+    # form fromisoformat does ('+05', '+0530', '+05:30', Z/z) but
+    # REQUIRES a time-of-day before the offset: a bare-suffix test
+    # ([+-]\d{2}$) reads the '-16' of a date-only '2026-08-16' as an
+    # offset, skips the +00:00 stamp, and the session-tz cast shifts
+    # the epoch by the zone offset. Date-only strings get a midnight
+    # time AND the offset ('2026-08-16+00:00' alone does not cast).
+    # Trailing lowercase 'z' is uppercased because Python parses it
+    # and Spark does not. try_cast (not cast): ANSI mode throws on
+    # malformed strings where doc_to_row's except-ValueError falls
+    # back to the now-epoch — the writers must agree on garbage too
+    # (residual divergence, documented: exotic fromisoformat forms
+    # with no Spark-castable shape — '2026-08', basic-format
+    # '20260816' — fall back to the now-epoch here).
     ts_str = F.regexp_replace(F.col("utctimestamp"), r"z$", "Z")
-    ts_utc = F.when(
-        ts_str.rlike(r"([+-]\d{2}(:?\d{2})?|Z)$"), ts_str
-    ).otherwise(F.concat(ts_str, F.lit("+00:00")))
+    ts_utc = (
+        F.when(
+            ts_str.rlike(r":\d{2}(\.\d+)?([+-]\d{2}(:?\d{2})?|Z)$"), ts_str
+        )
+        .when(
+            ts_str.rlike(r"^\d{4}-\d{2}-\d{2}$"),
+            F.concat(ts_str, F.lit(" 00:00:00+00:00")),
+        )
+        .otherwise(F.concat(ts_str, F.lit("+00:00")))
+    )
     stamped = stamped.withColumn(
         "utcepoch",
         F.coalesce(

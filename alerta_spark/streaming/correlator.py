@@ -95,6 +95,8 @@ def _split_top_and(sql: str) -> list[str]:
         "\x00" * len(chunk) if is_lit else chunk.upper()
         for chunk, is_lit in _split_literals(sql)
     )
+    import re
+
     out, depth, start, i, n = [], 0, 0, 0, len(sql)
     while i < n:
         c = masked[i]
@@ -102,11 +104,17 @@ def _split_top_and(sql: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
-        if depth == 0 and masked[i : i + 5] == " AND ":
-            out.append(sql[start:i])
-            i += 5
-            start = i
-            continue
+        # ANY whitespace delimits the AND (a YAML block-scalar rule
+        # carries newlines: '...\nAND ...' — a literal-space-only test
+        # missed it, the residual collapsed to 'true', and the slot
+        # matched EVERY event in the group)
+        if depth == 0 and c.isspace():
+            m = re.match(r"\s+AND(\s+|(?=\())", masked[i:])
+            if m:
+                out.append(sql[start:i])
+                i += m.end()
+                start = i
+                continue
         i += 1
     out.append(sql[start:])
     return out
@@ -475,7 +483,12 @@ def sequence_correlator(
                 _arm(state, machine, st)
             return
 
-        rows = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        # materialize BEFORE the emptiness check — an iterator is
+        # always truthy, so `if pdfs` never guarded pd.concat([])
+        chunks = list(pdfs)
+        rows = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
         if state.exists:
             st = _unpack()
         else:
@@ -625,6 +638,14 @@ def sequence_correlator_tws(
         F.expr(trino_to_spark(_static_criteria(s)) or "true").alias(f"_m{i}")
         for i, s in enumerate(slots)
     ]
+    n_slots = len(slots)
+    alert_name = str(rule.get("alert_name", "unnamed"))
+    event_time = time_mode.lower() == "eventtime"
+    # null-correlation rows are dropped ABOVE the watermark node, not
+    # below it: every event must reach EventTimeWatermark or the
+    # event-time clock stalls whenever non-null-corr events are sparse
+    # and registered timers (deadman advancement, lifespan expiry)
+    # never fire — the same stall hazard sequence_correlator documents
     slim = (
         events.select(
             key,
@@ -632,8 +653,8 @@ def sequence_correlator_tws(
             F.col(ts_col).alias("_ts"),
             *match_cols,
         )
-        .where(F.col("_corr").isNotNull())
         .withWatermark("_ts", watermark)
+        .where(F.col("_corr").isNotNull())
     )
 
     machine = SlotMachine(
@@ -647,10 +668,11 @@ def sequence_correlator_tws(
             else None
             for s in slots
         ],
+        # same machine semantics as sequence_correlator: in eventTime
+        # mode a match stamped at/after the fixed deadline must not
+        # advance the machine (batch-boundary determinism)
+        strict_event_deadline=event_time,
     )
-    n_slots = len(slots)
-    alert_name = str(rule.get("alert_name", "unnamed"))
-    event_time = time_mode.lower() == "eventtime"
 
     class _SequenceProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -819,3 +819,82 @@ def test_engine_stream_fused_sequences_match_batch(spark, tmp_path):
     assert canon(s_eng.inflight.docs()) == canon(b_eng.inflight.docs())
     assert canon(s_eng.alerts.docs()) == canon(b_eng.alerts.docs())
     assert len(s_eng.inflight.docs()) == 3  # one in-flight doc per user
+
+
+def test_referenced_indices_whole_array_reference():
+    """{{slots.N.events}} (3-part path) must set keep_full, not raise
+    IndexError (which aborted the whole pass)."""
+    from alerta_spark.operators.sequence import _referenced_event_indices
+
+    doc = {
+        "slots": [{"criteria": "x = '{{slots.0.events}}'"}],
+        "summary": "all: {{slots.0.events}}",
+    }
+    refs, keep_full = _referenced_event_indices(doc, 0)
+    assert keep_full and refs == set()
+    # indexed forms still slim
+    doc2 = {
+        "slots": [{"criteria": "u = '{{slots.0.events.2.details.u}}'"}],
+        "summary": "",
+    }
+    refs2, keep2 = _referenced_event_indices(doc2, 0)
+    assert not keep2 and refs2 == {2}
+
+
+def test_is_expired_lowercase_z():
+    from datetime import datetime, timezone
+
+    from alerta_spark.operators.sequence import _is_expired
+
+    now = datetime(2026, 8, 16, tzinfo=timezone.utc)
+    assert _is_expired({"expiration": "2026-08-01T00:00:00z"}, now)
+    assert _is_expired({"expiration": "2026-08-01T00:00:00Z"}, now)
+    assert not _is_expired({"expiration": "2027-01-01T00:00:00z"}, now)
+
+
+def test_split_top_and_newline_delimited():
+    """YAML block scalars carry newline-separated conjuncts; a
+    space-only ' AND ' test collapsed the static residual to '' (-> a
+    slot matching EVERY event)."""
+    from alerta_spark.streaming.correlator import (
+        _split_top_and,
+        _static_criteria,
+    )
+
+    crit = "category='auth'\nAND user='{{slots.0.events.0.user}}'"
+    parts = _split_top_and(crit)
+    assert len(parts) == 2 and "category='auth'" in parts[0]
+    static = _static_criteria({"criteria": crit})
+    assert "category='auth'" in static
+    # tabs and multi-space forms too; ' and ' inside a literal intact
+    assert len(_split_top_and("a='x'\tAND\tb='y'")) == 2
+    assert len(_split_top_and("a=' AND ' AND b='y'")) == 2
+
+
+def test_batched_resume_duplicate_values_both_processed(spark, tmp_path):
+    """Two in-flight docs sharing a captured value: the batch advances
+    the first and routes the duplicate to the per-document path (it
+    used to be silently dropped from the pass — never scanned, stuck
+    until expiry)."""
+    from alerta_spark.operators.sequence import process_sequence_slot_batched
+    from alerta_spark.rules import sequence_shell
+    from alerta_spark.state import DocStore
+
+    inflight = DocStore(spark, str(tmp_path / "inflight"))
+    alerts = DocStore(spark, str(tmp_path / "alerts"))
+    base = sequence_shell(dict(SEQ_RULE))
+    fired0 = {
+        "alert_type": "threshold",
+        "triggered": True,
+        "metadata": {"value": "alice", "count": 2},
+        "events": [{"event_id": "100", "details": json.dumps(RISKY)}],
+    }
+    d1 = dict(base, _id="d1", slots=[fired0] + [dict(s) for s in base["slots"][1:]])
+    d2 = dict(base, _id="d2", slots=[dict(fired0)] + [dict(s) for s in base["slots"][1:]])
+    events = _onelogin_events(spark, [RISKY, RISKY])
+    leftover = process_sequence_slot_batched(
+        events, [d1, d2], 1, inflight, alerts
+    )
+    assert leftover is not None
+    # the duplicate-value doc comes back for per-document processing
+    assert [d["_id"] for d in leftover] == ["d2"]

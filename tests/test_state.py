@@ -261,3 +261,35 @@ def test_alert_docs_frame_epoch_offset_forms_match_driver(spark):
     )
     [row] = alert_docs_frame(g).collect()
     assert abs(row["utcepoch"] - int(time.time())) < 600
+
+
+def test_alert_docs_frame_date_only_epoch_is_utc_any_session_tz(spark):
+    """A DATE-only utctimestamp ('2026-08-16') must stamp midnight UTC
+    in any session timezone: the offset-detection regex used to read
+    the trailing '-16' as a timezone offset, skip the +00:00 stamp,
+    and let the session-tz cast shift the epoch by the zone offset."""
+    doc = {
+        "alert_name": "a",
+        "summary": "s",
+        "utctimestamp": "2026-08-16",
+        "events": [{"event_id": "1"}],
+    }
+    frame = spark.createDataFrame([doc])
+    tz_key = "spark.sql.session.timeZone"
+    prior = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        [row] = alert_docs_frame(frame).collect()
+    finally:
+        spark.conf.set(tz_key, prior)
+    expected = doc_to_row(dict(doc))
+    assert row["utcepoch"] == expected["utcepoch"]
+    # and real offsets after a time component still count as offsets
+    doc2 = dict(doc, utctimestamp="2026-08-16T10:00:00-04")
+    frame2 = spark.createDataFrame([doc2])
+    spark.conf.set(tz_key, "Asia/Tokyo")
+    try:
+        [row2] = alert_docs_frame(frame2).collect()
+    finally:
+        spark.conf.set(tz_key, prior)
+    assert row2["utcepoch"] == doc_to_row(dict(doc2))["utcepoch"]
