@@ -77,10 +77,18 @@ def run_from_config(config: dict[str, Any], stream: bool = False):
             fuse_sequences=fuse_seq,
         )
         return None
-    batch = load_table(spark, str(config["lake_dir"]), table)
-    src = spark.readStream.schema(batch.schema).parquet(
-        str(config["lake_dir"]) + f"/{table}.parquet"
-    )
+    if "stream_checkpoint" not in config:
+        # validated HERE (not load_config) because the key is only
+        # required in stream mode — but it must fail with the config
+        # contract's message, not a raw KeyError after the JVM is up
+        raise ValueError(
+            "config missing required key: stream_checkpoint (--stream)"
+        )
+    from alerta_spark.sources.lake import load_table_stream
+
+    # the streaming source needs the RAW parquet schema + the same
+    # post-conversions load_table applies — see load_table_stream
+    src = load_table_stream(spark, str(config["lake_dir"]), table)
     return engine.run_stream(
         src,
         rules,

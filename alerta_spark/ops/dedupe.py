@@ -611,6 +611,7 @@ def incremental_dedup_ingest(
     use_bloom: bool = False,
     bloom_prefix_len: int = 5,
     bloom_k: int = 4,
+    output_path: str | None = None,
 ) -> DataFrame:
     """Batch-over-batch corpus ingestion: dedup a new batch against a
     persistent fingerprint store (parquet of distinct content digests),
@@ -634,6 +635,12 @@ def incremental_dedup_ingest(
     IDENTICAL to the exact path (pinned in tests); size the bit space
     (``bloom_prefix_len``) to the expected store cardinality to keep
     the maybe-seen minority small.
+
+    ``output_path``: when the survivors feed a corpus sink, pass it
+    HERE so the output append happens before the digest append (see
+    the crash-ordering comment at the write site) -- composing the two
+    writes outside this function in the other order loses data on a
+    crash between them.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
@@ -691,6 +698,16 @@ def incremental_dedup_ingest(
     # output location first and derive the digest append from that
     # file instead.)
     kept = kept.localCheckpoint(eager=True)
+    if output_path is not None:
+        # crash-ordering: survivors land in their OUTPUT location
+        # before their digests land in the store. A crash between the
+        # two re-delivers the batch and re-emits the same survivors
+        # (at-least-once output -- duplicates are downstream-dedupable
+        # by the very digests this op maintains); the reverse order
+        # turns the same crash into silent PERMANENT loss, because
+        # redelivery anti-joins against the already-appended digests
+        # to zero survivors that were never written anywhere.
+        kept.drop("_digest").write.mode("append").parquet(output_path)
     kept.select(F.col("_digest").alias("digest")).write.mode(
         "append"
     ).parquet(store_path)

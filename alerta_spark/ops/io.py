@@ -45,15 +45,32 @@ def write_training_shards(
     ``num_shards`` controls the shuffle fan-in (defaults to the
     session's shuffle partitions); each task writes one file chain per
     partition value it holds, split every ``max_records_per_file``
-    rows. Rows are hash-routed by ``shard_key`` and sorted by it within
-    tasks, so the same input produces the same shard contents on every
-    rerun — the property that makes corpus versions diffable."""
+    rows. Rows are hash-routed by ``shard_key`` and sorted within
+    tasks by (shard_key, full-row digest) — the digest tiebreaker
+    makes the in-file order TOTAL even when shard_key is not unique
+    (duplicate ids, or a coarse key like 'lang'), so the same input
+    produces the same shard BYTES on every rerun; a key-only sort left
+    tie order to upstream task-completion timing and silently broke
+    the diffable/checksummable property this writer promises."""
     out = df
     if num_shards is not None:
         out = out.repartition(num_shards, F.col(shard_key))
     else:
         out = out.repartition(F.col(shard_key))
-    out = out.sortWithinPartitions(shard_key)
+    tiebreak = F.md5(
+        F.concat_ws(
+            "\x02",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in df.columns
+            ],
+        )
+    )
+    out = (
+        out.withColumn("_tb", tiebreak)
+        .sortWithinPartitions(shard_key, "_tb")
+        .drop("_tb")
+    )
     writer = (
         out.write.mode("overwrite")
         .format(fmt)
@@ -140,22 +157,26 @@ def stream_ingest_dedup(
     backfills and the live stream share ONE dedup implementation and
     one store.
 
-    Exactly-once note: the file source + checkpoint give each input
-    file to exactly one epoch; within an epoch the store append and the
-    output append are two writes, so a crash between them can leave a
-    digest whose survivor row was never written — the store is a
-    superset and re-delivery stays suppressed (at-least-once dedup,
-    never duplicate output of the same content). ``available_now``
-    drains what exists then stops (batch-style run of the same
-    streaming graph); pass False for a continuous micro-batch trigger.
+    Delivery note: the file source + checkpoint give each input file
+    to exactly one epoch; within an epoch the output append and the
+    store digest append are two writes, ordered OUTPUT FIRST (inside
+    incremental_dedup_ingest via ``output_path``). A crash between
+    them re-delivers the batch and re-emits the same survivors —
+    at-least-once OUTPUT, dedupable downstream by the digests this op
+    maintains. The reverse order (digests first, output second — how
+    this function originally composed the two calls) turns the same
+    crash into silent permanent loss: redelivery anti-joins against
+    the already-appended digests to zero survivors that were never
+    written anywhere. ``available_now`` drains what exists then stops
+    (batch-style run of the same streaming graph); pass False for a
+    continuous micro-batch trigger.
     """
     from alerta_spark.ops.dedupe import incremental_dedup_ingest
 
     stream = spark.readStream.format(fmt).schema(schema).load(input_path)
 
     def _epoch(df, _epoch_id):
-        kept = incremental_dedup_ingest(spark, store_path, df)
-        kept.write.mode("append").parquet(out_path)
+        incremental_dedup_ingest(spark, store_path, df, output_path=out_path)
 
     writer = stream.writeStream.foreachBatch(_epoch).option(
         "checkpointLocation", checkpoint
@@ -182,15 +203,26 @@ def zorder_key(
     from one tiny aggregate (a driver ``first()`` of 2*len(cols)
     numbers — bounded, documented); key construction is pure codegen
     bit arithmetic, map-only."""
+    n = len(cols)
+    if n * bits > 63:
+        # shiftleft on LongType masks the shift count to 6 bits, so
+        # positions past 63 would silently WRAP onto low bits and the
+        # key would stop being a Morton interleave — degrade precision
+        # instead (every column still gets equal bits)
+        bits = 63 // n
     stats_row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
     ).first()
-    n = len(cols)
     scaled = []
     for c in cols:
-        mn = float(stats_row[f"_mn_{c}"])
-        mx = float(stats_row[f"_mx_{c}"])
+        # None stats (empty frame / all-NULL column): constants keep
+        # the plan valid — NULL inputs produce a NULL _zkey, empty
+        # frames write empty output, neither crashes float()
+        mn_raw = stats_row[f"_mn_{c}"]
+        mx_raw = stats_row[f"_mx_{c}"]
+        mn = float(mn_raw) if mn_raw is not None else 0.0
+        mx = float(mx_raw) if mx_raw is not None else 0.0
         span = (mx - mn) or 1.0
         q = F.least(
             F.lit((1 << bits) - 1),
@@ -253,8 +285,27 @@ def snapshot_diff(
     downstream work.
 
     -> [id_col, change] with change in ('added', 'removed', 'changed').
+
+    Content columns must exist in BOTH snapshots: deriving them from
+    one side alone either crashed on a column the other side lacks or
+    silently ignored a dropped column on both sides (documents whose
+    content changed only there would read 'unchanged' and be skipped
+    by the incremental pipeline). Schema evolution between snapshots
+    needs an explicit ``content_cols`` naming the comparable set.
     """
     cols = content_cols or [c for c in new.columns if c != id_col]
+    missing = [
+        (c, side)
+        for c in cols
+        for side, d in (("old", old), ("new", new))
+        if c not in d.columns
+    ]
+    if missing:
+        raise ValueError(
+            "snapshot_diff content columns absent from a snapshot: "
+            + ", ".join(f"{c} (missing in {side})" for c, side in missing)
+            + " — pass content_cols with the columns common to both"
+        )
 
     def digest(df: DataFrame) -> DataFrame:
         tagged = [

@@ -50,9 +50,24 @@ def forget_users(
             "rows_kept_in_rewritten": 0,
         }
 
-    slice_df = lake.where(F.col(partition_col).isin(touched_vals))
+    # NULL handling, twice over. (1) The touched-partition predicate:
+    # isin([...None...]) can never match a NULL partition value (SQL
+    # NULL semantics), so subject rows living in
+    # __HIVE_DEFAULT_PARTITION__ would survive while the audit claimed
+    # a deletion — the exact compliance failure this module exists to
+    # prevent. (2) The keep predicate: ~isin(subjects) is NULL (not
+    # true) for a NULL user id, and where(NULL) DROPS the row — every
+    # anonymous event in a touched partition would be silently
+    # deleted and counted as a subject row in rows_dropped.
+    non_null_vals = [v for v in touched_vals if v is not None]
+    part_pred = F.col(partition_col).isin(non_null_vals)
+    if None in touched_vals:
+        part_pred = part_pred | F.col(partition_col).isNull()
+    slice_df = lake.where(part_pred)
     n_before = slice_df.count()
-    kept = slice_df.where(~subjects).localCheckpoint(eager=True)
+    kept = slice_df.where(
+        ~subjects | F.col(user_col).isNull()
+    ).localCheckpoint(eager=True)
     n_kept = kept.count()
 
     # Dynamic partitionOverwriteMode only replaces partitions PRESENT in
@@ -84,8 +99,12 @@ def forget_users(
         jvm = spark._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         for v in emptied_vals:
+            # Spark writes NULL partition values to the Hive default
+            # dir — deleting "day=None" would be a silent no-op and a
+            # false deletion attestation
+            dirname = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
             p = jvm.org.apache.hadoop.fs.Path(
-                f"{lake_path}/{partition_col}={v}"
+                f"{lake_path}/{partition_col}={dirname}"
             )
             fs = p.getFileSystem(hconf)
             fs.delete(p, True)

@@ -59,6 +59,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_stream(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Streaming twin of :func:`load_table`: readStream with the RAW
+    parquet schema, then the SAME post-conversions. Feeding the
+    stream the batch frame's POST-conversion schema (what cli.py used
+    to do) breaks on any TIMESTAMP(NANOS) column — the physical
+    int64-nanos column cannot be read with a requested TimestampType,
+    and even where readable the ns->us conversion would silently
+    never run on stream rows."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isfile(path):
+        # the file stream source requires a DIRECTORY; a single-file
+        # table (the testdata layout) streams from its parent with a
+        # name filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        df = reader.parquet(os.path.dirname(path))
+    else:
+        df = reader.parquet(path)
+    for c in _nano_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream table: event_id, ts, user_id, event_type,
     value, props (JSON string — the analogue of the reference's

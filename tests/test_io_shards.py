@@ -117,3 +117,73 @@ def test_zorder_skips_files_on_second_dimension(spark, tmp_path):
     assert z_hit < z_total / 2, (z_hit, z_total)
     # row parity: both layouts hold the full grid
     assert spark.read.parquet(zpath).count() == 256 * 256
+
+
+def test_shards_byte_stable_with_duplicate_shard_keys(spark, tmp_path):
+    """Non-unique shard_key: the in-file order must still be total
+    (full-row digest tiebreak) — a key-only sort left tie order to
+    task-completion timing and broke rerun byte-stability."""
+    from alerta_spark.ops.io import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i % 7, f"text {i}") for i in range(200)], "doc_id long, text string"
+    ).repartition(8)
+
+    def fingerprint(p):
+        out = {}
+        for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
+            part = os.path.basename(f).split("-")[1]
+            rows = tuple(
+                (r["doc_id"], r["text"])
+                for r in spark.read.parquet(f).collect()
+            )
+            out[part] = rows
+        return out
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, num_shards=4)
+    write_training_shards(df, p2, num_shards=4)
+    assert fingerprint(p1) == fingerprint(p2)
+
+
+def test_zorder_empty_and_allnull_inputs(spark, tmp_path):
+    """Empty frames and all-NULL clustering columns must not crash the
+    stats float() — degenerate keys, valid write."""
+    from alerta_spark.ops.io import write_zordered, zorder_key
+
+    empty = spark.createDataFrame([], "x long, y long")
+    write_zordered(empty, str(tmp_path / "z0"), ["x", "y"])
+    assert spark.read.parquet(str(tmp_path / "z0")).count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)], "x long, y long")
+    out = zorder_key(nulls, ["x", "y"])
+    assert out.count() == 2  # NULL y -> NULL key rows, no crash
+
+
+def test_zorder_bits_auto_reduce_past_64(spark):
+    """5 columns x 16 bits would shift past 63 (Spark masks shift
+    counts mod 64, wrapping high bits onto low ones) — bits must
+    auto-reduce so the key stays a true Morton interleave."""
+    from alerta_spark.ops.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 5), (100, 90, 80, 70, 60)],
+        "a long, b long, c long, d long, e long",
+    )
+    rows = zorder_key(df, ["a", "b", "c", "d", "e"]).collect()
+    # 5 cols * 12 bits = 60 <= 63: keys are distinct and ordered
+    assert rows[0]["_zkey"] != rows[1]["_zkey"]
+
+
+def test_snapshot_diff_schema_mismatch_is_loud(spark):
+    import pytest
+
+    from alerta_spark.ops.io import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="missing in old"):
+        snapshot_diff(old, new)
+    # explicit common columns work
+    assert snapshot_diff(old, new, content_cols=["text"]).count() == 0

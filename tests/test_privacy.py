@@ -102,3 +102,43 @@ def test_forget_users_deletes_all_subject_partition(spark, tmp_path):
     audit2 = forget_users(spark, lake, [8, 9])
     assert audit2["partitions_deleted"] == 2 and audit2["partitions_rewritten"] == 0
     assert not os.path.isdir(f"{lake}/day=d2") and not os.path.isdir(f"{lake}/day=d3")
+
+
+def test_forget_users_preserves_null_user_rows(spark, tmp_path):
+    """~isin() is NULL (not true) for a NULL user id: anonymous rows
+    in touched partitions used to be silently DELETED and counted as
+    subject rows in the audit."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.ops.privacy import forget_users
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, "d1", "a"), (None, "d1", "b"), (2, "d2", "c"), (None, "d2", "d")],
+        "user_id long, day string, payload string",
+    )
+    df.write.partitionBy("day").parquet(lake)
+    audit = forget_users(spark, lake, [1], partition_col="day")
+    out = spark.read.parquet(lake)
+    assert audit["rows_dropped"] == 1
+    # the anonymous rows survive — in the rewritten partition too
+    kept = {(r["user_id"], r["payload"]) for r in out.collect()}
+    assert kept == {(None, "b"), (2, "c"), (None, "d")}
+
+
+def test_forget_users_null_partition_actually_deleted(spark, tmp_path):
+    """Subject rows in the NULL partition (__HIVE_DEFAULT_PARTITION__)
+    used to survive while the audit attested a deletion: isin([None])
+    matches nothing and 'day=None' is not the dir Spark wrote."""
+    from alerta_spark.ops.privacy import forget_users
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "d1", "y")],
+        "user_id long, day string, payload string",
+    )
+    df.write.partitionBy("day").parquet(lake)
+    audit = forget_users(spark, lake, [1], partition_col="day")
+    out = spark.read.parquet(lake)
+    assert [r["user_id"] for r in out.collect()] == [2]
+    assert audit["partitions_deleted"] == 1 and audit["rows_dropped"] == 1
