@@ -48,6 +48,12 @@ from pyspark.sql import DataFrame, SparkSession
 RELIABLE_CONF = "spark.alerta.reliableCheckpoint"
 CLEANER_CONF = "spark.cleaner.referenceTracking.cleanCheckpoints"
 
+# validate() runs at every engine pass entry; without memoization the
+# cleaner warning would repeat per cron tick. Keyed by applicationId
+# (same pattern as _ship._SHIPPED_SESSIONS) so a fresh session warns
+# again.
+_CLEANER_WARNED: set[str] = set()
+
 
 class ReliableCheckpointMisconfigured(ValueError):
     """reliableCheckpoint=true without a checkpoint directory.
@@ -77,6 +83,10 @@ def validate(spark: SparkSession) -> None:
             "path>) before running the engine"
         )
     if str(spark.conf.get(CLEANER_CONF, "false")).lower() != "true":
+        app_id = spark.sparkContext.applicationId
+        if app_id in _CLEANER_WARNED:
+            return
+        _CLEANER_WARNED.add(app_id)
         import logging
 
         logging.getLogger(__name__).warning(

@@ -51,25 +51,44 @@ def write_training_shards(
     (duplicate ids, or a coarse key like 'lang'), so the same input
     produces the same shard BYTES on every rerun; a key-only sort left
     tie order to upstream task-completion timing and silently broke
-    the diffable/checksummable property this writer promises."""
+    the diffable/checksummable property this writer promises.
+
+    The tiebreak digest hashes EACH column value to a fixed-width
+    token first (NULL vs value disambiguated by distinct prefixes),
+    then concatenates the tokens separator-free — a raw
+    separator-joined concat was ambiguous for values containing the
+    separator byte, leaving in-file order nondeterministic for exactly
+    those rows. The internal sort column name is suffixed until it
+    collides with no user column, so a column literally named like it
+    survives the write."""
     out = df
     if num_shards is not None:
         out = out.repartition(num_shards, F.col(shard_key))
     else:
         out = out.repartition(F.col(shard_key))
+    # 'v'+value vs bare 'n' for NULL: distinct prefixes mean NULL never
+    # hashes equal to any real value; md5 per column yields fixed
+    # 32-hex tokens whose concatenation needs no separator.
     tiebreak = F.md5(
-        F.concat_ws(
-            "\x02",
+        F.concat(
             *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                F.md5(
+                    F.coalesce(
+                        F.concat(F.lit("v"), F.col(c).cast("string")),
+                        F.lit("n"),
+                    )
+                )
                 for c in df.columns
             ],
         )
     )
+    tb = "__alerta_tb"
+    while tb in df.columns:
+        tb += "_"
     out = (
-        out.withColumn("_tb", tiebreak)
-        .sortWithinPartitions(shard_key, "_tb")
-        .drop("_tb")
+        out.withColumn(tb, tiebreak)
+        .sortWithinPartitions(shard_key, tb)
+        .drop(tb)
     )
     writer = (
         out.write.mode("overwrite")

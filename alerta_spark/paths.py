@@ -128,6 +128,26 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             cond = col.isNull()
         elif isinstance(value, bool):  # BEFORE int: bool is an int
             cond = col.cast("string") == F.lit("true" if value else "false")
+        elif isinstance(value, int) and abs(value) >= 2**53:
+            # >= because 2^53 itself, though exactly representable,
+            # shares its double with 2^53+1 — the double path would
+            # match both. From 2^53 on a double cannot represent every
+            # neighboring integer, so
+            # the double path would match neighboring values (snowflake
+            # ids differing in the low bits compare equal after
+            # rounding) where the reference's Python == is exact.
+            # decimal(38,0) keeps 38 exact digits. The rlike guard
+            # restricts the match to integer-rendered values: without
+            # it, cast-to-decimal ROUNDS ("...993.4" -> ...993), which
+            # would fabricate a match Python == rejects. Garbage
+            # strings try_cast to NULL and fail the match.
+            cond = (
+                col.cast("string").rlike(r"^-?\d+$")
+                & (
+                    col.cast("string").try_cast("decimal(38,0)")
+                    == F.lit(str(value)).cast("decimal(38,0)")
+                )
+            )
         elif isinstance(value, (int, float)):
             cond = col.cast("string").try_cast("double") == F.lit(float(value))
         else:

@@ -112,3 +112,26 @@ def test_position_u_credit_conservation(spark, tmp_path):
     total = sum(r["credit_bp"] for r in out)
     assert total == 3 * 10000
     assert sum(r["credit_share"] for r in out) == pytest.approx(1.0)
+
+
+def test_greedy_source_cover_tolerates_null_sources(spark, tmp_path):
+    """A NULL source is uncoverable in both regimes; it must not crash
+    the fast path's sorted()/int(mask) (None vs str was unorderable)
+    nor be picked. Distinct texts per source keep the coverage math
+    obvious: each named source covers only its own shingles."""
+    from alerta_spark.plans.catalog import corpus_greedy_source_cover
+
+    rows = []
+    for i, src in enumerate(["web", "wiki", None, "web", None]):
+        words = " ".join(f"tok{i}_{j}" for j in range(8))
+        rows.append((i, words, "en", src, len(words)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = corpus_greedy_source_cover(spark, str(tmp_path)).collect()
+    picked = [r["source"] for r in out]
+    assert None not in picked
+    assert set(picked) <= {"web", "wiki"}
+    assert len(picked) == 2  # both named sources add positive gain

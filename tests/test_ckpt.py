@@ -101,3 +101,34 @@ def test_engine_pass_runs_in_reliable_mode(spark, events, tmp_path, reliable):
     names = {a["alert_name"] for a in engine.alerts.docs()}
     assert "big_purchases" in names
     assert "missing_heartbeat" in names
+
+
+def test_cleaner_warning_fires_once_per_session(
+    spark, reliable, caplog, monkeypatch
+):
+    """validate() runs at every engine pass entry; the missing-cleaner
+    warning must be memoized per applicationId or reliable mode logs
+    one warning per cron tick."""
+    import logging
+
+    from alerta_spark import ckpt
+
+    ckpt._CLEANER_WARNED.discard(spark.sparkContext.applicationId)
+    # the test session enables the real cleaner conf (session.py) and
+    # core confs cannot be modified at runtime — point validate() at
+    # an unset key so its conf.get defaults to "false" and the warning
+    # branch runs
+    monkeypatch.setattr(
+        ckpt, "CLEANER_CONF", "spark.alerta.test.unsetCleanerConf"
+    )
+    try:
+        with caplog.at_level(logging.WARNING, logger="alerta_spark.ckpt"):
+            ckpt.validate(spark)
+            ckpt.validate(spark)
+            ckpt.validate(spark)
+    finally:
+        ckpt._CLEANER_WARNED.discard(spark.sparkContext.applicationId)
+    hits = [
+        r for r in caplog.records if "checkpoint dir grows" in r.getMessage()
+    ]
+    assert len(hits) == 1

@@ -187,3 +187,42 @@ def test_snapshot_diff_schema_mismatch_is_loud(spark):
         snapshot_diff(old, new)
     # explicit common columns work
     assert snapshot_diff(old, new, content_cols=["text"]).count() == 0
+
+
+def test_shards_preserve_user_tiebreak_named_column(spark, tmp_path):
+    """A user column literally named like the internal sort column must
+    survive the write with its values intact (the old writer silently
+    overwrote then dropped it)."""
+    path = str(tmp_path / "tb")
+    df = spark.createDataFrame(
+        [(1, "a", "keep1"), (2, "b", "keep2")],
+        "doc_id long, text string, __alerta_tb string",
+    )
+    write_training_shards(df, path, num_shards=1)
+    back = read_training_shards(spark, path)
+    assert "__alerta_tb" in back.columns
+    assert {r["__alerta_tb"] for r in back.collect()} == {"keep1", "keep2"}
+
+
+def test_shards_tiebreak_unambiguous_for_separator_bytes(spark, tmp_path):
+    """Distinct rows whose values embed control bytes must land in a
+    deterministic relative order: per-column hashing removes the
+    separator ambiguity ('a\\x02' + 'b' vs 'a' + '\\x02b' concatenated
+    identically under the old separator join)."""
+    path_a, path_b = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [(1, "a\x02", "b"), (1, "a", "\x02b"), (1, "c", "d")]
+    # two logically-identical inputs built in different input orders
+    df_a = spark.createDataFrame(rows, "doc_id long, x string, y string")
+    df_b = spark.createDataFrame(
+        rows[::-1], "doc_id long, x string, y string"
+    )
+    for df, path in ((df_a, path_a), (df_b, path_b)):
+        write_training_shards(df, path, num_shards=1)
+
+    def ordered(path):
+        import glob as _g
+
+        (f,) = _g.glob(f"{path}/*.parquet")
+        return [(r["x"], r["y"]) for r in spark.read.parquet(f).collect()]
+
+    assert ordered(path_a) == ordered(path_b)

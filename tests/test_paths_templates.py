@@ -213,3 +213,29 @@ def test_dict_match_boolean_and_numeric_values(spark):
     # Python 1.0 == 1 and 2 == 2.0 — numeric compare, not string
     assert df.where(dict_match(df, {"props": {"n": 1.0}})).count() == 1
     assert df.where(dict_match(df, {"props": {"n": 2}})).count() == 1
+
+
+def test_dict_match_big_int_exact(spark):
+    """Integers past 2^53 (snowflake ids) must compare EXACTLY: the
+    double path rounds 9007199254740993 and its even neighbors to the
+    same double, fabricating matches the reference's Python == rejects.
+    Fractional renderings must not round-match either (decimal cast
+    ROUNDS, so the integer-pattern guard carries the semantics)."""
+    import json as _json
+
+    from alerta_spark.paths import dict_match
+
+    big = 2**53 + 1  # 9007199254740993; float(big) == float(big - 1)
+    df = spark.createDataFrame(
+        [
+            {"props": _json.dumps({"id": big})},
+            {"props": _json.dumps({"id": big - 1})},
+            {"props": '{"id": 9007199254740993.4}'},
+            {"props": _json.dumps({"id": "garbage"})},
+        ]
+    )
+    assert df.where(dict_match(df, {"props": {"id": big}})).count() == 1
+    assert df.where(dict_match(df, {"props": {"id": big - 1}})).count() == 1
+    # small ints keep the reference's numeric 1 == 1.0 laxity
+    small = spark.createDataFrame([{"props": '{"k": 1.0}'}])
+    assert small.where(dict_match(small, {"props": {"k": 1}})).count() == 1

@@ -322,3 +322,20 @@ def test_parse_timedelta_abbreviated_plurals_and_strictness():
         parse_timedelta("2 days 1 month")
     with pytest.raises(ValueError):
         parse_timedelta("1 fortnight")
+
+
+def test_parse_timedelta_compact_forms():
+    """pd.Timedelta accepts compact multi-unit strings ('1h30m',
+    '1d12h') with no separator between units; the unit-boundary
+    lookahead must treat a following digit as a new term, while a
+    following LETTER still pushes the token to the residue ('1mo'
+    must raise, not parse as 1 minute)."""
+    import pytest
+
+    assert parse_timedelta("1h30m").total_seconds() == 5400
+    assert parse_timedelta("1d12h").total_seconds() == 129600
+    assert parse_timedelta("2w3d").total_seconds() == 2 * 604800 + 3 * 86400
+    with pytest.raises(ValueError):
+        parse_timedelta("1mo")
+    with pytest.raises(ValueError):
+        parse_timedelta("1h30x")
