@@ -25,9 +25,11 @@ Config keys (YAML, flat):
                        N-times fewer scans
     fuse_sequences:    bool (default false) — one-scan fused sequence
                        starts AND one-scan fused in-flight resume
-                       across rules (operators/sequence.
-                       sequence_starts_fused / sequence_resume_fused);
-                       identical documents, N-times fewer scans
+                       across rules, with state kept executor-side
+                       (operators/sequence_frames.starts_fused_frames
+                       / resume_fused_frames); identical documents,
+                       N-times fewer scans, driver RSS flat in
+                       in-flight cardinality
 """
 
 from __future__ import annotations

@@ -58,6 +58,50 @@ _CALL_REWRITES = {
 
 _TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+# Trino constructs the shim deliberately does NOT translate (no
+# clean Spark equivalent at the token-rewrite level). Without this
+# check they fall through to Spark's parser, whose raw ParseException
+# ("Syntax error at or near ...") tells a rule author nothing about
+# WHICH Trino construct broke or what to write instead — so name the
+# construct and the supported alternative here, before the parser.
+# Checked on non-literal chunks only ('AT TIME ZONE' inside a string
+# stays data).
+_UNSUPPORTED = [
+    (
+        re.compile(r"\btry\s*\(", re.IGNORECASE),
+        "TRY(expr)",
+        "Spark has no generic TRY(); use try_cast(expr AS type) or a "
+        "try_* function (try_element_at, try_divide, try_to_timestamp)",
+    ),
+    (
+        re.compile(r"\bat\s+time\s+zone\b", re.IGNORECASE),
+        "AT TIME ZONE",
+        "use from_utc_timestamp(ts, tz) / to_utc_timestamp(ts, tz) or "
+        "convert_timezone(src_tz, dst_tz, ts)",
+    ),
+    (
+        re.compile(r"\brow\s*\(", re.IGNORECASE),
+        "ROW(...) constructor",
+        "use struct(v1, v2, ...) or named_struct('name', value, ...)",
+    ),
+    (
+        re.compile(r"\bmap\s*\(\s*array\b", re.IGNORECASE),
+        "MAP(ARRAY[...], ARRAY[...]) constructor",
+        "use map_from_arrays(keys_array, values_array) (Spark's map() "
+        "takes interleaved key/value pairs, not two arrays)",
+    ),
+]
+
+
+def _reject_unsupported(chunk: str, criteria: str) -> None:
+    for rx, name, hint in _UNSUPPORTED:
+        m = rx.search(chunk)
+        if m:
+            raise ValueError(
+                f"unsupported Trino construct {name} in criteria "
+                f"{criteria!r} (at {m.group(0)!r}): {hint}"
+            )
+
 
 def _split_literals(sql: str) -> list[tuple[str, bool]]:
     """Split into (chunk, is_string_literal) preserving order."""
@@ -217,13 +261,18 @@ def trino_to_spark(criteria: str) -> str:
     Function renames apply only outside string literals; the few calls
     whose argument shape differs (url_extract_*, date_diff/date_add)
     are rewritten with paren-matched, literal-aware templates.
+    Known-untranslatable Trino constructs (TRY, AT TIME ZONE, ROW/MAP
+    constructors) raise a ValueError naming the construct and the
+    Spark alternative instead of leaking a raw parser error.
     """
+    original = criteria
     criteria = _apply_call_rewrites(criteria)
     parts = []
     for chunk, is_lit in _split_literals(criteria):
         if is_lit:
             parts.append(chunk)
         else:
+            _reject_unsupported(chunk, original)
             # rename only CALL sites: the token must be followed by
             # '(' (whitespace allowed). A bare identifier that happens
             # to collide with the alias table — a column literally

@@ -73,11 +73,13 @@ class Engine:
         are identical to the sequential path (pytest-pinned); only
         their append order in the store differs (all thresholds first).
         ``fuse_sequences=True`` applies the same one-scan treatment to
-        sequence rules on BOTH phases of the pass: the in-flight resume
-        (`sequence_resume_fused` — all fusable (rule, slot) groups share
-        one conditional-aggregate scan) and the fresh starts
-        (`sequence_starts_fused`), with the sequential loop's intra-pass
-        dedup interaction replayed driver-side; unfusable shapes fall
+        sequence rules on BOTH phases of the pass via the FRAME-NATIVE
+        tier (operators/sequence_frames.py): the in-flight resume
+        (`resume_fused_frames` — all fusable (rule, slot) groups share
+        one conditional-aggregate scan with a broadcast value-probe)
+        and the fresh starts (`starts_fused_frames`), with state kept
+        executor-side end to end and the intra-pass dedup interaction
+        replayed as chained id-frame anti-joins; unfusable shapes fall
         back to the faithful per-group/per-document paths.
         Per-rule failure isolation is preserved by validating each
         rule's criteria/key resolution up front and dropping (logging)
@@ -143,15 +145,17 @@ class Engine:
         if fuse_sequences:
             seq = [r for r in rules if r.get("alert_type") == "sequence"]
             if seq:
-                from alerta_spark.operators.sequence import (
-                    sequence_starts_fused,
+                from alerta_spark.operators.sequence_frames import (
+                    starts_fused_frames,
                 )
 
                 # one conditional-aggregate scan starts every fusable
-                # sequence rule; unfusable ones (deadman slots,
-                # templated slot-0 criteria, broken criteria) fall
-                # through to the faithful per-rule loop below
-                leftover = sequence_starts_fused(
+                # sequence rule, with fired-group documents assembled
+                # and appended EXECUTOR-side (frame-native tier) —
+                # unfusable ones (deadman slots, templated slot-0
+                # criteria, broken criteria) fall through to the
+                # faithful per-rule loop below
+                leftover = starts_fused_frames(
                     events_df, seq, self.inflight, self.alerts,
                     self.id_col, self.ts_col, spill_store=self.slot_events,
                 )
@@ -251,19 +255,23 @@ class Engine:
         # completion + expiry share one state read/overwrite; spill
         # pruning is deferred to the compaction cadence below (a prune
         # rewrites the whole spill table — the captured-payload
-        # volume — while rows dropped here are merely unreferenced)
-        from alerta_spark.operators.sequence import finalize_sequences
+        # volume — while rows dropped here are merely unreferenced).
+        # Frame-native: completion flags, emission, and the kept-rows
+        # overwrite all run executor-side — no pass ever collects the
+        # in-flight table to the driver.
+        from alerta_spark.operators.sequence_frames import (
+            finalize_sequences_frames,
+            live_refs_frame,
+        )
 
-        finalize_sequences(
+        finalize_sequences_frames(
             self.inflight, self.alerts, spill_store=self.slot_events,
             prune=False,
         )
         self._passes_since_compact += 1
         if self.compact_every and self._passes_since_compact >= self.compact_every:
             self.alerts.compact()
-            from alerta_spark.operators.sequence import _live_refs
-
-            self.slot_events.prune(_live_refs(self.inflight.docs()))
+            self.slot_events.prune_frame(live_refs_frame(self.inflight))
             self._passes_since_compact = 0
 
     def run_stream(
@@ -475,11 +483,15 @@ class Engine:
         same slot are advanced by ONE scan + semi-join on their
         captured values (SURVEY.md §7.4-1) — 10k in-flight alerts cost
         a handful of Spark jobs, not 10k. With ``fused`` (the engine's
-        ``fuse_sequences`` flag) the per-group scans collapse further:
-        ALL fusable (rule, slot) groups share one conditional-aggregate
-        scan (`sequence_resume_fused`). Documents whose slot shape
-        isn't batchable fall back to the faithful per-document path.
-        """
+        ``fuse_sequences`` flag) the per-group scans collapse further
+        AND the state never transits the driver: ALL fusable (rule,
+        slot) groups share one conditional-aggregate scan with a
+        broadcast value-probe, and updated documents are assembled
+        executor-side (`sequence_frames.resume_fused_frames`) — driver
+        memory scales with GROUP count (rules × slots), not in-flight
+        cardinality. Documents whose slot shape isn't fusable fall
+        back to the faithful batched/per-document paths (only those
+        are ever collected)."""
         from collections import defaultdict
 
         from alerta_spark.operators.sequence import (
@@ -487,24 +499,26 @@ class Engine:
             process_sequence_slot_batched,
         )
 
-        groups: dict[tuple[str, int], list[dict]] = defaultdict(list)
         singles: list[dict] = []
-        for doc in self.inflight.docs(newest_first=True):
-            idx, slot = first_unfilled_slot(doc)
-            if slot is None:
-                continue
-            groups[(str(doc.get("alert_name", "")), idx)].append(doc)
+        if fused:
+            from alerta_spark.operators.sequence_frames import (
+                resume_fused_frames,
+            )
 
-        group_items = list(groups.items())
-        if fused and group_items:
-            from alerta_spark.operators.sequence import sequence_resume_fused
-
-            unfused, stray = sequence_resume_fused(
-                events_df, groups, self.inflight, self.alerts,
+            unfused, stray = resume_fused_frames(
+                events_df, self.inflight, self.alerts,
                 self.id_col, self.ts_col, spill_store=self.slot_events,
             )
             singles.extend(stray)
             group_items = unfused
+        else:
+            groups: dict[tuple[str, int], list[dict]] = defaultdict(list)
+            for doc in self.inflight.docs(newest_first=True):
+                idx, slot = first_unfilled_slot(doc)
+                if slot is None:
+                    continue
+                groups[(str(doc.get("alert_name", "")), idx)].append(doc)
+            group_items = list(groups.items())
 
         # deferred-upsert form: every batched group's updates land in
         # ONE state write (N groups used to cost N table swaps); the

@@ -213,6 +213,36 @@ def slim_captures(
     return docs, spill
 
 
+def _filter_replayed_completions(
+    completed: list[dict[str, Any]], alert_store: DocStore
+) -> list[dict[str, Any]]:
+    """Crash-replay guard shared by the completion faces: the emitted
+    alert keeps the in-flight document's ``_id``, so a pass that died
+    between the alerts append and the state overwrite leaves the
+    completed doc in-flight WITH its alert already written. Drop those
+    from the emission batch (their state still clears) so the rerun is
+    idempotent (reference analogue: the cron rerun + storage-level
+    dedup contract, SURVEY §1.4-5). Docs without an ``_id`` cannot be
+    matched and emit (they cannot have been written before — every
+    store writer stamps one)."""
+    from pyspark.sql import functions as F
+
+    ids = sorted({str(d["_id"]) for d in completed if d.get("_id")})
+    if not ids:
+        return completed
+    ids_df = alert_store.spark.createDataFrame([(x,) for x in ids], "_id string")
+    existing = {
+        r["_id"]
+        for r in alert_store.frame()
+        .join(F.broadcast(ids_df), "_id", "left_semi")
+        .select("_id")
+        .collect()
+    }
+    if not existing:
+        return completed
+    return [d for d in completed if str(d.get("_id")) not in existing]
+
+
 def _live_refs(docs: list[dict[str, Any]]) -> list[str]:
     """Capture ids still referenced by any in-flight document."""
     return [
@@ -324,15 +354,16 @@ def create_sequence_alerts(
             remaining.append(doc)
     if not completed:
         return 0
+    to_emit = _filter_replayed_completions(completed, alert_store)
     if spill_store is None:
         emitted = []
-        for doc in completed:
+        for doc in to_emit:
             doc = dict(doc)
             doc["summary"] = render_py(str(doc.get("summary", "")), doc)
             emitted.append(doc)
         alert_store.append(emitted)
-    else:
-        _emit_completed_distributed(completed, alert_store, spill_store)
+    elif to_emit:
+        _emit_completed_distributed(to_emit, alert_store, spill_store)
     inflight_store.overwrite(remaining)
     if spill_store is not None and prune:
         spill_store.prune(_live_refs(remaining))
@@ -388,11 +419,24 @@ def _emit_completed_distributed(
     grouped = joined.groupBy("doc").agg(
         F.collect_list(F.struct("si", "events_json")).alias("fills")
     )
+    alert_store.append_rows(
+        grouped.mapInPandas(_assemble_completed_udf(), schema=DOC_SCHEMA)
+    )
+
+
+def _assemble_completed_udf():
+    """The completion-emission Arrow UDF, shared with the frame-native
+    tier (operators/sequence_frames.py): rehydrate slots from the
+    joined spill fills, render the summary (render_py is pure Python),
+    assemble the DOC_SCHEMA row with the same doc_to_row the driver
+    writer uses — documents are identical across paths."""
+    from alerta_spark.state import DOC_SCHEMA, doc_to_row
+
+    cols = [f.name for f in DOC_SCHEMA.fields]
 
     def assemble(batches):
         import pandas as pd
 
-        cols = [f.name for f in DOC_SCHEMA.fields]
         for pdf in batches:
             out = []
             for doc_json, fills in zip(pdf["doc"], pdf["fills"]):
@@ -411,7 +455,7 @@ def _emit_completed_distributed(
                 out.append(doc_to_row(doc))
             yield pd.DataFrame(out, columns=cols)
 
-    alert_store.append_rows(grouped.mapInPandas(assemble, schema=DOC_SCHEMA))
+    return assemble
 
 
 def _is_expired(doc: dict[str, Any], now: datetime) -> bool:
@@ -483,15 +527,16 @@ def finalize_sequences(
         else:
             kept.append(doc)
     if completed:
+        to_emit = _filter_replayed_completions(completed, alert_store)
         if spill_store is None:
             emitted = []
-            for doc in completed:
+            for doc in to_emit:
                 doc = dict(doc)
                 doc["summary"] = render_py(str(doc.get("summary", "")), doc)
                 emitted.append(doc)
             alert_store.append(emitted)
-        else:
-            _emit_completed_distributed(completed, alert_store, spill_store)
+        elif to_emit:
+            _emit_completed_distributed(to_emit, alert_store, spill_store)
     if completed or dropped:
         inflight_store.overwrite(kept)
         if spill_store is not None and prune:

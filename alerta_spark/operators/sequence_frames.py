@@ -1,0 +1,804 @@
+"""Frame-native fused sequence tier — in-flight state stays executor-side.
+
+The driver-side fused path (operators/sequence.py) still round-trips
+every in-flight document through driver Python each pass: the engine
+collects ``DocStore.docs()`` to build resume groups, ``slim_captures``
+collects the fired slim rows, updates are deepcopied dicts re-serialized
+through ``createDataFrame``, and ``finalize_sequences`` collects the
+whole table again. The docs are slim (~1.5 KB stubs), but 50k in-flight
+groups still cost ~50k JSON parses + dict copies + re-serializations on
+the driver per pass — measured as driver max-RSS growing 207→782 MB
+across 5k→50k in-flight groups while the documents themselves were only
+73 MB.
+
+This module keeps the in-flight table AS A DATAFRAME end to end
+(reference analogue: the state scan feeding the correlator loop,
+alerta.py:210-215, re-expressed as joins):
+
+- per-doc routing (next unfilled slot, captured template value,
+  completion/expiry flags) is computed in Arrow-batched UDFs over the
+  store frame — the driver never parses a state document;
+- the driver materializes only per-(rule, slot) GROUP metadata — one
+  representative document per group, bounded by rule count × slot
+  count, independent of in-flight cardinality;
+- the captured-value probe is a broadcast semi-join of the exploded
+  scan against the winners frame (``fused_grouped(probe=...)``) — no
+  IN literals, no plan-size cap, no collected value set;
+- fired groups join back to their documents by captured value and the
+  updated documents (slot fill + ``doc_to_row``) are assembled inside
+  Arrow UDFs, reaching the store via ``DocStore.upsert_rows`` /
+  ``append_rows`` without a driver hop;
+- completion + expiry flag the frame, emit through the same
+  spill-join/assemble UDF, and overwrite the kept rows from the frame.
+
+Unfusable shapes (deadman slots, multi-templated criteria, key ≠
+aggregation key, criteria that fail to parse) and duplicate-value
+strays are the ONLY documents ever collected — they route to the
+faithful driver-side paths, preserving their exact semantics.
+
+Ordering note: the driver loop processes groups in newest-first
+document-scan order; this tier orders fusable groups by (max group
+utcepoch desc, alert_name, slot idx) and picks per-value winners by
+(utcepoch desc, _id) — identical wherever epochs differ, deterministic
+(where the collect order was not) on ties. Same accepted divergence
+class as the fused/sequential boundary already documents.
+"""
+
+from __future__ import annotations
+
+import json
+from copy import deepcopy
+from datetime import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from alerta_spark.ckpt import checkpoint
+from alerta_spark.operators.sequence import (
+    _emit_completed_distributed,
+    _is_expired,
+    _referenced_event_indices,
+    _slot_doc_from_row,
+    compile_templated_criteria,
+    first_unfilled_slot,
+)
+from alerta_spark.rules import (
+    generate_meteor_id,
+    sequence_shell,
+    threshold_shell,
+    utcnow,
+)
+from alerta_spark.state import (
+    DOC_SCHEMA,
+    SLOT_EVENTS_SCHEMA,
+    DocStore,
+    SlotEventStore,
+    doc_to_row,
+)
+from alerta_spark.templates import _lookup
+
+_DOC_COLS = [f.name for f in DOC_SCHEMA.fields]
+
+_ROUTE_SCHEMA = T.StructType(
+    list(DOC_SCHEMA.fields)
+    + [
+        T.StructField("g_name", T.StringType()),
+        T.StructField("next_idx", T.IntegerType()),
+    ]
+)
+
+_FLAG_SCHEMA = T.StructType(
+    list(DOC_SCHEMA.fields)
+    + [
+        T.StructField("complete", T.BooleanType()),
+        T.StructField("expired", T.BooleanType()),
+        T.StructField("slot_idx", T.ArrayType(T.IntegerType())),
+        T.StructField("refs", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _passthrough(pdf, extra: dict):
+    import pandas as pd
+
+    out = pdf.copy()
+    for k, v in extra.items():
+        out[k] = pd.Series(v, index=pdf.index, dtype="object")
+    return out
+
+
+def route_inflight(inf: DataFrame) -> DataFrame:
+    """Per-document resume routing, executor-side: the doc's own rule
+    copy names its next unfilled slot (first_unfilled_slot — reference
+    utils/helpers.py:96-113) and its group key. ``next_idx`` is -1 for
+    documents with no unfilled slot (complete — finalize's business)."""
+
+    def fn(batches):
+        for pdf in batches:
+            names, idxs = [], []
+            for doc_json in pdf["doc"]:
+                doc = json.loads(doc_json)
+                idx, slot = first_unfilled_slot(doc)
+                names.append(str(doc.get("alert_name", "")))
+                idxs.append(-1 if slot is None else int(idx))
+            yield _passthrough(pdf, {"g_name": names, "next_idx": idxs})
+
+    return inf.mapInPandas(fn, schema=_ROUTE_SCHEMA)
+
+
+def _annotate_tmpl_values(
+    routed: DataFrame, paths: dict[tuple[str, int], list[str]]
+) -> DataFrame:
+    """Add ``tmpl_value`` — the captured state value the group's
+    compiled template path names, looked up with the exact Python
+    semantics of the driver loop (``templates._lookup``: dict walk,
+    JSON-string descent, str() rendering)."""
+    schema = T.StructType(
+        list(_ROUTE_SCHEMA.fields) + [T.StructField("tmpl_value", T.StringType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            vals = []
+            for doc_json, name, idx in zip(
+                pdf["doc"], pdf["g_name"], pdf["next_idx"]
+            ):
+                parts = paths.get((str(name), int(idx)))
+                if parts is None:
+                    vals.append(None)
+                    continue
+                v = _lookup(json.loads(doc_json), parts)
+                vals.append(None if v is None else str(v))
+            yield _passthrough(pdf, {"tmpl_value": vals})
+
+    return routed.mapInPandas(fn, schema=schema)
+
+
+class _GroupMeta:
+    """Driver-side metadata for ONE fusable (rule, slot) group — the
+    only thing the driver keeps per group: the representative doc's
+    compiled slot shape, never the member documents."""
+
+    __slots__ = (
+        "name", "idx", "p_asm", "static", "tmpl_parts",
+        "refs", "keep_full", "max_epoch",
+    )
+
+    def __init__(self, name, idx, p_asm, static, tmpl_parts, refs,
+                 keep_full, max_epoch):
+        self.name = name
+        self.idx = idx
+        self.p_asm = p_asm
+        self.static = static
+        self.tmpl_parts = tmpl_parts
+        self.refs = refs
+        self.keep_full = keep_full
+        self.max_epoch = max_epoch
+
+
+def _coerce_slim_row(pdf, i: int, n_ej: int) -> dict[str, Any]:
+    """Arrow->Python coercion for one slim fired row: the driver path
+    reads these fields off a collected Row (Python int/str/list); the
+    pandas batch carries numpy scalars and arrays, which json.dumps
+    would mangle (np.int64 hits default=str and renders as a STRING
+    count)."""
+    ids = pdf["_ids"].iloc[i]
+    row = {
+        "_v": pdf["_v"].iloc[i],
+        "_c": int(pdf["_c"].iloc[i]),
+        "_s": pdf["_s"].iloc[i],
+        "_ids": list(ids) if ids is not None else [],
+        "_ref": pdf["_ref"].iloc[i] if "_ref" in pdf.columns else None,
+    }
+    for k in range(n_ej):
+        v = pdf[f"_ej{k}"].iloc[i]
+        row[f"_ej{k}"] = None if v is None else str(v)
+    return row
+
+
+def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str):
+    """Arrow UDF: (in-flight doc JSON) x (slim fired columns) -> the
+    updated DOC_SCHEMA row — exactly the driver loop's
+    ``inflight = deepcopy(sequence_shell(doc)); slots[i] = fired_doc;
+    doc_to_row(...)`` (same helpers, so written documents are
+    byte-compatible)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                fired = _slot_doc_from_row(
+                    p_asm, _coerce_slim_row(pdf, i, len(idx_sorted)),
+                    idx_sorted, id_col,
+                )
+                doc = sequence_shell(json.loads(pdf["doc"].iloc[i]))
+                doc["slots"][slot_index] = fired
+                out.append(doc_to_row(doc))
+            yield pd.DataFrame(out, columns=_DOC_COLS)
+
+    return fn
+
+
+def _mk_resume_full_udf(slot_index: int):
+    """keep_full groups: the fired alert row arrives as its whole-row
+    JSON (``to_json(struct(*))`` — the executor-side twin of
+    ``alerts_df_to_docs``) and lands in the document verbatim. Even
+    full payloads never transit the driver on this path."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_json, fired_json in zip(pdf["doc"], pdf["_fired_json"]):
+                doc = sequence_shell(json.loads(doc_json))
+                doc["slots"][slot_index] = json.loads(fired_json)
+                out.append(doc_to_row(doc))
+            yield pd.DataFrame(out, columns=_DOC_COLS)
+
+    return fn
+
+
+def _mk_start_slim_udf(template_json: str, p_asm, slot_index: int,
+                       idx_sorted, id_col: str):
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                fired = _slot_doc_from_row(
+                    p_asm, _coerce_slim_row(pdf, i, len(idx_sorted)),
+                    idx_sorted, id_col,
+                )
+                doc = json.loads(template_json)
+                doc["slots"][slot_index] = fired
+                doc.setdefault("_id", generate_meteor_id())
+                out.append(doc_to_row(doc))
+            yield pd.DataFrame(out, columns=_DOC_COLS)
+
+    return fn
+
+
+def _mk_start_full_udf(template_json: str, slot_index: int):
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for fired_json in pdf["_fired_json"]:
+                doc = json.loads(template_json)
+                doc["slots"][slot_index] = json.loads(fired_json)
+                doc.setdefault("_id", generate_meteor_id())
+                out.append(doc_to_row(doc))
+            yield pd.DataFrame(out, columns=_DOC_COLS)
+
+    return fn
+
+
+def _slim_projection(assembled: DataFrame, idx_sorted, id_col: str,
+                     with_ref: bool):
+    """The executor-side twin of ``slim_captures``'s collect
+    projection: value/count/summary/ids (+ per-referenced-index event
+    JSON) as plain columns the update UDF consumes."""
+    sel = [
+        F.col("metadata.value").alias("_v"),
+        F.col("metadata.count").alias("_c"),
+        F.col("summary").alias("_s"),
+        F.transform("events", lambda e: e[id_col].cast("string")).alias("_ids"),
+    ]
+    if with_ref:
+        sel.append(F.col("_ref"))
+    for k, j in enumerate(idx_sorted):
+        sel.append(
+            F.to_json(
+                F.try_element_at(F.col("events"), F.lit(j + 1 if j >= 0 else j))
+            ).alias(f"_ej{k}")
+        )
+    return assembled.select(*sel)
+
+
+def resume_fused_frames(
+    events_df: DataFrame,
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    spill_store: SlotEventStore | None = None,
+) -> tuple[list[tuple[tuple[str, int], list[dict]]], list[dict]]:
+    """Advance every fusable in-flight (rule, slot) group with ONE
+    events scan and ZERO per-document driver materialization — the
+    frame-native successor of ``sequence_resume_fused`` (same return
+    contract: ``(unfused_groups, stray_docs)`` for the caller's
+    batched/per-document fallbacks; only THOSE documents are ever
+    collected).
+
+    F9 intra-pass replay: captured event ids chain between group
+    slices as FRAMES (``_filter_slice_events_frame`` — the same
+    mechanism the fused threshold pass uses), never as driver sets.
+    The captured-value probe is a broadcast semi-join inside the
+    shared scan, so group size has no plan-size cap (the driver
+    ``ISIN_PROBE_MAX`` detour does not exist here)."""
+    from alerta_spark.dialect import trino_to_spark
+    from alerta_spark.operators.dedup import (
+        alerted_event_ids,
+        remove_previously_alerted,
+    )
+    from alerta_spark.operators.sequence import _filter_slice_events_frame
+    from alerta_spark.operators.threshold import assemble_alerts, fused_grouped
+
+    spark = events_df.sparkSession
+    if not inflight_store._exists():
+        return [], []
+    routed = route_inflight(inflight_store.frame())
+    resumable = routed.where(F.col("next_idx") >= 0).persist()
+    try:
+        meta_rows = (
+            resumable.groupBy("g_name", "next_idx")
+            .agg(
+                F.max("utcepoch").alias("max_epoch"),
+                F.max_by(
+                    "doc", F.struct(F.col("utcepoch"), F.col("_id"))
+                ).alias("rep_doc"),
+            )
+            .collect()
+        )
+        if not meta_rows:
+            return [], []
+
+        def _collect_group(name: str, idx: int) -> list[dict]:
+            rows = (
+                resumable.where(
+                    (F.col("g_name") == name) & (F.col("next_idx") == idx)
+                )
+                .orderBy(F.desc("utcepoch"), F.asc("_id"))
+                .select("doc")
+                .collect()
+            )
+            return [json.loads(r["doc"]) for r in rows]
+
+        fusable: list[_GroupMeta] = []
+        unfused: list[tuple[tuple[str, int], list[dict]]] = []
+        for r in meta_rows:
+            name, idx = str(r["g_name"]), int(r["next_idx"])
+            rep = json.loads(r["rep_doc"])
+            slot = rep["slots"][idx]
+            compiled = compile_templated_criteria(str(slot.get("criteria", "")))
+            if (
+                slot.get("alert_type", "threshold") != "threshold"
+                or compiled is None
+                or str(slot.get("aggregation_key", "")) != compiled[1]
+            ):
+                unfused.append(((name, idx), _collect_group(name, idx)))
+                continue
+            static, _key_path, tmpl_path = compiled
+            try:
+                p_asm = threshold_shell(dict(slot, criteria=static))
+                if static:
+                    # plan-time parse + resolve check; no job runs
+                    events_df.where(F.expr(trino_to_spark(static))).schema
+            except Exception:
+                unfused.append(((name, idx), _collect_group(name, idx)))
+                continue
+            refs, keep_full = _referenced_event_indices(rep, idx)
+            fusable.append(
+                _GroupMeta(
+                    name, idx, p_asm, static,
+                    [p for p in tmpl_path.split(".") if p],
+                    sorted(refs), keep_full, int(r["max_epoch"]),
+                )
+            )
+        if not fusable:
+            return unfused, []
+        # driver-loop order: newest group first (see module docstring)
+        fusable.sort(key=lambda g: (-g.max_epoch, g.name, g.idx))
+
+        valued = _annotate_tmpl_values(
+            resumable, {(g.name, g.idx): g.tmpl_parts for g in fusable}
+        )
+        fus_keys = spark.createDataFrame(
+            [(g.name, g.idx, i) for i, g in enumerate(fusable)],
+            "g_name string, next_idx int, rule_idx int",
+        )
+        members = valued.join(F.broadcast(fus_keys), ["g_name", "next_idx"])
+        w = Window.partitionBy("rule_idx", "tmpl_value").orderBy(
+            F.desc("utcepoch"), F.asc("_id")
+        )
+        ranked = members.withColumn("_rn", F.row_number().over(w)).persist()
+        winners = ranked.where(
+            F.col("tmpl_value").isNotNull() & (F.col("_rn") == 1)
+        )
+        stray_rows = (
+            ranked.where(F.col("tmpl_value").isNull() | (F.col("_rn") > 1))
+            .orderBy(F.desc("utcepoch"), F.asc("_id"))
+            .select("doc")
+            .collect()
+        )
+        stray = [json.loads(r["doc"]) for r in stray_rows]
+        try:
+            probe = winners.select(
+                "rule_idx", F.col("tmpl_value").alias("value")
+            )
+            dedup_ids = inflight_store.alerted_ids().unionByName(
+                alert_store.alerted_ids()
+            )
+            ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
+            grouped = fused_grouped(
+                ev, [g.p_asm for g in fusable], id_col, ts_col, probe=probe
+            ).persist()
+            try:
+                captured = None
+                upd_frames: list[DataFrame] = []
+                spill_frames: list[DataFrame] = []
+                multi = len(fusable) > 1
+                for i, g in enumerate(fusable):
+                    thr = int(g.p_asm["threshold"])
+                    slice_ = grouped.where(
+                        (F.col("rule_idx") == i) & (F.col("count") >= thr)
+                    ).select("value", "count", "events")
+                    if captured is not None:
+                        slice_ = _filter_slice_events_frame(
+                            slice_, captured, thr, id_col
+                        )
+                    slice_ = checkpoint(slice_, eager=True)
+                    if multi:
+                        ids_k = alerted_event_ids(slice_, id_field=id_col)
+                        captured = (
+                            ids_k
+                            if captured is None
+                            else captured.unionByName(ids_k)
+                        )
+                    assembled = assemble_alerts(slice_, g.p_asm, ev.schema)
+                    win_g = winners.where(F.col("rule_idx") == i).select(
+                        "doc", "tmpl_value"
+                    )
+                    if spill_store is None or g.keep_full:
+                        fired_j = assembled.select(
+                            F.col("metadata.value").alias("_v"),
+                            F.to_json(
+                                F.struct(*[F.col(c) for c in assembled.columns])
+                            ).alias("_fired_json"),
+                        )
+                        joined = win_g.join(
+                            fired_j, win_g["tmpl_value"] == fired_j["_v"]
+                        ).select("doc", "_fired_json")
+                        upd_frames.append(
+                            joined.mapInPandas(
+                                _mk_resume_full_udf(g.idx), schema=DOC_SCHEMA
+                            )
+                        )
+                    else:
+                        nonce = generate_meteor_id()
+                        with_ref = checkpoint(
+                            assembled.withColumn(
+                                "_ref",
+                                F.md5(
+                                    F.concat_ws(
+                                        "\x1f",
+                                        F.lit(nonce),
+                                        F.col("metadata.value"),
+                                    )
+                                ),
+                            ),
+                            eager=True,
+                        )
+                        spill_frames.append(
+                            with_ref.select(
+                                F.col("_ref").alias("capture_id"),
+                                F.to_json("events").alias("events_json"),
+                            )
+                        )
+                        slim = _slim_projection(
+                            with_ref, g.refs, id_col, with_ref=True
+                        )
+                        joined = win_g.join(
+                            slim, win_g["tmpl_value"] == slim["_v"]
+                        ).drop("tmpl_value")
+                        upd_frames.append(
+                            joined.mapInPandas(
+                                _mk_resume_slim_udf(
+                                    g.p_asm, g.idx, g.refs, id_col
+                                ),
+                                schema=DOC_SCHEMA,
+                            )
+                        )
+                # ONE spill append + ONE state write for the whole pass,
+                # spill first so a crash leaves orphan spill rows (pruned
+                # on the compaction cadence) rather than dangling refs
+                if spill_frames:
+                    out = spill_frames[0]
+                    for s in spill_frames[1:]:
+                        out = out.unionByName(s)
+                    spill_store.append_frame(out)
+                if upd_frames:
+                    out = upd_frames[0]
+                    for u in upd_frames[1:]:
+                        out = out.unionByName(u)
+                    inflight_store.upsert_rows(out)
+            finally:
+                grouped.unpersist()
+        finally:
+            ranked.unpersist()
+        return unfused, stray
+    finally:
+        resumable.unpersist()
+
+
+def starts_fused_frames(
+    events_df: DataFrame,
+    rules: list[dict[str, Any]],
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    spill_store: SlotEventStore | None = None,
+) -> list[dict[str, Any]]:
+    """Start N fresh sequence rules with ONE events scan AND zero
+    per-group driver materialization — the frame-native successor of
+    ``sequence_starts_fused`` (same contract: returns the rules it
+    could not fuse). Each fired group spawns its in-flight document
+    inside an Arrow UDF from the rule's (driver-computed, constant)
+    shell; fresh documents append to the state table executor-side."""
+    from alerta_spark.dialect import trino_to_spark
+    from alerta_spark.operators.dedup import (
+        alerted_event_ids,
+        remove_previously_alerted,
+    )
+    from alerta_spark.operators.sequence import _filter_slice_events_frame
+    from alerta_spark.operators.threshold import assemble_alerts, fused_grouped
+    from alerta_spark.paths import path_col
+    from alerta_spark.templates import template_vars
+
+    fusable: list[tuple[dict, int, dict]] = []
+    leftover: list[dict] = []
+    for rule in rules:
+        doc = sequence_shell(deepcopy(rule))
+        idx, slot = first_unfilled_slot(doc)
+        if slot is None:
+            continue
+        crit = str(slot.get("criteria", ""))
+        if (
+            slot.get("alert_type", "threshold") != "threshold"
+            or template_vars(crit)
+        ):
+            leftover.append(rule)
+            continue
+        try:
+            p = threshold_shell(dict(slot))
+            if p["criteria"]:
+                # plan-time parse + resolve check; no job runs
+                events_df.where(F.expr(trino_to_spark(p["criteria"]))).schema
+            path_col(events_df, p["aggregation_key"])
+        except Exception:
+            leftover.append(rule)
+            continue
+        fusable.append((doc, idx, p))
+    if not fusable:
+        return leftover
+
+    dedup_ids = inflight_store.alerted_ids().unionByName(
+        alert_store.alerted_ids()
+    )
+    ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
+    grouped = fused_grouped(
+        ev, [p for _, _, p in fusable], id_col, ts_col
+    ).persist()
+    try:
+        captured = None
+        upd_frames: list[DataFrame] = []
+        spill_frames: list[DataFrame] = []
+        multi = len(fusable) > 1
+        for i, (doc, idx, p) in enumerate(fusable):
+            thr = int(p["threshold"])
+            slice_ = grouped.where(
+                (F.col("rule_idx") == i) & (F.col("count") >= thr)
+            ).select("value", "count", "events")
+            if captured is not None:
+                slice_ = _filter_slice_events_frame(
+                    slice_, captured, thr, id_col
+                )
+            slice_ = checkpoint(slice_, eager=True)
+            if multi:
+                ids_k = alerted_event_ids(slice_, id_field=id_col)
+                captured = (
+                    ids_k if captured is None else captured.unionByName(ids_k)
+                )
+            assembled = assemble_alerts(slice_, p, ev.schema)
+            template_json = json.dumps(doc, default=str)
+            refs, keep_full = _referenced_event_indices(doc, idx)
+            idx_sorted = sorted(refs)
+            if spill_store is None or keep_full:
+                fired_j = assembled.select(
+                    F.to_json(
+                        F.struct(*[F.col(c) for c in assembled.columns])
+                    ).alias("_fired_json")
+                )
+                upd_frames.append(
+                    fired_j.mapInPandas(
+                        _mk_start_full_udf(template_json, idx),
+                        schema=DOC_SCHEMA,
+                    )
+                )
+            else:
+                nonce = generate_meteor_id()
+                with_ref = checkpoint(
+                    assembled.withColumn(
+                        "_ref",
+                        F.md5(
+                            F.concat_ws(
+                                "\x1f", F.lit(nonce), F.col("metadata.value")
+                            )
+                        ),
+                    ),
+                    eager=True,
+                )
+                spill_frames.append(
+                    with_ref.select(
+                        F.col("_ref").alias("capture_id"),
+                        F.to_json("events").alias("events_json"),
+                    )
+                )
+                slim = _slim_projection(with_ref, idx_sorted, id_col, True)
+                upd_frames.append(
+                    slim.mapInPandas(
+                        _mk_start_slim_udf(
+                            template_json, p, idx, idx_sorted, id_col
+                        ),
+                        schema=DOC_SCHEMA,
+                    )
+                )
+        if spill_frames:
+            out = spill_frames[0]
+            for s in spill_frames[1:]:
+                out = out.unionByName(s)
+            spill_store.append_frame(out)
+        if upd_frames:
+            out = upd_frames[0]
+            for u in upd_frames[1:]:
+                out = out.unionByName(u)
+            # fresh documents carry fresh ids: append, no upsert probe
+            inflight_store.append_rows(out)
+    finally:
+        grouped.unpersist()
+    return leftover
+
+
+def flag_inflight(inf: DataFrame, now: datetime) -> DataFrame:
+    """Completion/expiry flags + spill refs per document, executor-side
+    (the finalize routing). Exact driver semantics: complete =
+    every slot has events; expired checked only when NOT complete (a
+    document that is both EMITS — create ran before expire in the
+    reference loop, alerta.py:489-495)."""
+
+    def fn(batches):
+        for pdf in batches:
+            comp, exp, sidx, refs = [], [], [], []
+            for doc_json in pdf["doc"]:
+                doc = json.loads(doc_json)
+                slots = doc.get("slots") or []
+                c = bool(slots) and all("events" in s for s in slots)
+                comp.append(c)
+                exp.append(bool((not c) and _is_expired(doc, now)))
+                pairs = [
+                    (i, s["_events_ref"])
+                    for i, s in enumerate(slots)
+                    if isinstance(s, dict) and s.get("_events_ref")
+                ]
+                sidx.append([i for i, _ in pairs])
+                refs.append([r for _, r in pairs])
+            yield _passthrough(
+                pdf,
+                {"complete": comp, "expired": exp, "slot_idx": sidx,
+                 "refs": refs},
+            )
+
+    return inf.mapInPandas(fn, schema=_FLAG_SCHEMA)
+
+
+def live_refs_frame(inflight_store: DocStore) -> DataFrame:
+    """DataFrame[capture_id] of spill refs still referenced by any
+    in-flight document — the frame form of ``_live_refs`` for
+    ``SlotEventStore.prune_frame`` (live-ref cardinality tracks
+    in-flight cardinality; never collect it)."""
+    flagged = flag_inflight(inflight_store.frame(), utcnow())
+    return (
+        flagged.select(F.explode("refs").alias("capture_id")).distinct()
+    )
+
+
+def finalize_sequences_frames(
+    inflight_store: DocStore,
+    alert_store: DocStore,
+    spill_store: SlotEventStore | None = None,
+    now: datetime | None = None,
+    prune: bool = True,
+) -> tuple[int, int]:
+    """Completion + expiry as ONE state read and ONE overwrite, with
+    no per-document driver materialization — the frame-native
+    successor of ``finalize_sequences`` (same contract and order
+    semantics; returns (completed, expired)). Completed documents emit
+    through the shared spill-join/assemble UDF; kept rows overwrite
+    the table straight from the frame."""
+    now = now or utcnow()
+    if not inflight_store._exists():
+        return 0, 0
+    flagged = flag_inflight(inflight_store.frame(), now).persist()
+    try:
+        counts = flagged.agg(
+            F.coalesce(
+                F.sum(F.col("complete").cast("long")), F.lit(0)
+            ).alias("c"),
+            F.coalesce(
+                F.sum(F.col("expired").cast("long")), F.lit(0)
+            ).alias("e"),
+        ).collect()[0]
+        n_completed, n_expired = int(counts["c"]), int(counts["e"])
+        if not n_completed and not n_expired:
+            return 0, 0
+        if n_completed:
+            # crash-replay guard: the emitted alert keeps the in-flight
+            # document's _id, so a pass that died between the alerts
+            # append and the state overwrite leaves the completed doc
+            # in-flight WITH its alert already written — the rerun must
+            # drop the state without double-firing. Anti-join on _id
+            # makes the replay emission an exact no-op (reference
+            # analogue: the cron rerun + storage-level dedup contract,
+            # SURVEY §1.4-5).
+            _emit_completed_frame(
+                flagged.where(F.col("complete"))
+                .join(alert_store.frame().select("_id"), "_id", "left_anti")
+                .select("doc", "slot_idx", "refs"),
+                alert_store,
+                spill_store,
+            )
+        kept = flagged.where(
+            ~F.col("complete") & ~F.col("expired")
+        )
+        inflight_store.overwrite_frame(kept.select(*_DOC_COLS))
+        if spill_store is not None and prune:
+            spill_store.prune_frame(
+                kept.select(F.explode("refs").alias("capture_id")).distinct()
+            )
+        return n_completed, n_expired
+    finally:
+        flagged.unpersist()
+
+
+def _emit_completed_frame(
+    slim: DataFrame,
+    alert_store: DocStore,
+    spill_store: SlotEventStore | None,
+) -> None:
+    """Frame-fed core of the distributed completion emission (shared
+    assemble UDF with ``_emit_completed_distributed``): rehydrate each
+    completed document's slots from the spill table by capture ref,
+    render the summary, assemble the DOC_SCHEMA row — all inside the
+    Arrow UDF, then append executor-side."""
+    from alerta_spark.operators.sequence import _assemble_completed_udf
+
+    spark = alert_store.spark
+    spill = (
+        spill_store.frame()
+        if spill_store is not None
+        else spark.createDataFrame([], SLOT_EVENTS_SCHEMA)
+    )
+    ex = slim.select(
+        "doc", F.explode_outer(F.arrays_zip("slot_idx", "refs")).alias("z")
+    ).select(
+        "doc",
+        F.col("z.slot_idx").alias("si"),
+        F.col("z.refs").alias("ref"),
+    )
+    joined = ex.join(spill, ex["ref"] == spill["capture_id"], "left").select(
+        "doc", "si", "events_json"
+    )
+    grouped = joined.groupBy("doc").agg(
+        F.collect_list(F.struct("si", "events_json")).alias("fills")
+    )
+    alert_store.append_rows(
+        grouped.mapInPandas(_assemble_completed_udf(), schema=DOC_SCHEMA)
+    )

@@ -204,6 +204,7 @@ def fused_grouped(
     ts_col: str = "ts",
     max_events: int = 1000,
     extra_preds: list[Column | None] | None = None,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """The shared one-scan/one-exchange core of rule fusion: evaluate
     every rule's criteria + aggregation key as columns, explode one
@@ -214,7 +215,15 @@ def fused_grouped(
     a Column — callers with value-carrying predicates (the sequence
     resume's captured-value IN probe) build them with Column ops so
     captured values never round-trip through the SQL parser (a
-    backslash in a string literal would be eaten as an escape)."""
+    backslash in a string literal would be eaten as an escape).
+
+    ``probe`` (optional) is the FRAME form of the same candidate cut:
+    a DataFrame[rule_idx int, value string] semi-joined (broadcast)
+    against the exploded rows BEFORE the window/aggregate — the
+    per-rule captured values never pass through the driver or the
+    plan as literals, so there is no plan-size cap on probe
+    cardinality (in-flight state is bounded by rule x correlation
+    values, well inside broadcast range)."""
     preds = [
         F.expr(trino_to_spark(p["criteria"]) or "true") if p["criteria"] else F.lit(True)
         for p in shells
@@ -254,6 +263,17 @@ def fused_grouped(
         "_o2",
         "e",
     )
+    if probe is not None:
+        flat = flat.join(
+            F.broadcast(
+                probe.select(
+                    F.col("rule_idx").cast("int").alias("rule_idx"),
+                    F.col("value").cast("string").alias("value"),
+                ).distinct()
+            ),
+            ["rule_idx", "value"],
+            "left_semi",
+        )
     w_rank = Window.partitionBy("rule_idx", "value").orderBy(
         F.col("_o1").asc(), F.col("_o2").asc()
     )

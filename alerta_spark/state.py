@@ -361,6 +361,24 @@ class DocStore:
         )
         self.overwrite_frame(kept.unionByName(new_df))
 
+    def upsert_rows(self, rows: DataFrame) -> None:
+        """Executor-side :meth:`upsert_many`: insert-or-replace from an
+        already-assembled DOC_SCHEMA frame (the frame-native sequence
+        tier builds its updated in-flight documents inside Arrow UDFs —
+        they must reach the table without a driver hop). The frame is
+        eagerly checkpointed first so the anti-join probe and the
+        overwrite read materialized blocks rather than re-running the
+        update plan (which itself reads THIS table). Caller contract:
+        one row per ``_id`` (the frame paths update each in-flight doc
+        at most once per pass)."""
+        rows = checkpoint(
+            rows.select([f.name for f in DOC_SCHEMA.fields]), eager=True
+        )
+        if rows.isEmpty():
+            return
+        kept = self.frame().join(rows.select("_id"), "_id", "left_anti")
+        self.overwrite_frame(kept.unionByName(rows))
+
     def delete(self, _id: str) -> None:
         self.overwrite_frame(self.frame().where(F.col("_id") != _id))
 
@@ -458,6 +476,24 @@ class SlotEventStore:
             keep = keep.join(F.broadcast(ids_df), "capture_id", "left_semi")
         else:
             keep = keep.where(F.lit(False))
+        self._swap(keep)
+
+    def prune_frame(self, live: DataFrame) -> None:
+        """Frame form of :meth:`prune`: the live capture ids arrive as
+        DataFrame[capture_id] (derived executor-side from the in-flight
+        frame) instead of a driver list — live-ref cardinality tracks
+        in-flight cardinality and must never be collected. The id frame
+        is checkpointed first: its plan reads the in-flight store, and
+        the semi-join must not race a concurrent state swap."""
+        if not self._exists():
+            return
+        live = checkpoint(
+            live.select(F.col(live.columns[0]).alias("capture_id")).distinct(),
+            eager=True,
+        )
+        self._swap(self.frame().join(live, "capture_id", "left_semi"))
+
+    def _swap(self, keep: DataFrame) -> None:
         tmp = self.path + ".tmp"
         keep.coalesce(1).write.mode("overwrite").parquet(tmp)
         out = self.spark.read.schema(SLOT_EVENTS_SCHEMA).parquet(tmp)

@@ -113,3 +113,30 @@ def test_to_unixtime_keeps_fractional_seconds(spark):
     assert df.where(sql).count() == 1
     sql2 = trino_to_spark("to_unixtime(b) - to_unixtime(a) > 0.9")
     assert df.where(sql2).count() == 0
+
+
+def test_unsupported_constructs_raise_named_errors():
+    """TRY(...), AT TIME ZONE, and ROW/MAP constructors have no
+    token-rewrite translation; the shim must name the construct and
+    the Spark alternative instead of leaking Spark's raw
+    ParseException (which tells a rule author nothing)."""
+    import pytest
+
+    from alerta_spark.dialect import trino_to_spark
+
+    with pytest.raises(ValueError, match=r"TRY\(expr\).*try_cast"):
+        trino_to_spark("TRY(CAST(x AS INTEGER)) > 1")
+    with pytest.raises(ValueError, match="AT TIME ZONE.*from_utc_timestamp"):
+        trino_to_spark("ts AT TIME ZONE 'UTC' > TIMESTAMP '2024-01-01'")
+    with pytest.raises(ValueError, match=r"ROW\(.*struct"):
+        trino_to_spark("ROW(a, b) = ROW(1, 2)")
+    with pytest.raises(ValueError, match="MAP\\(ARRAY.*map_from_arrays"):
+        trino_to_spark("cardinality(MAP(ARRAY['k'], ARRAY[v])) > 0")
+    # ...but the construct names stay DATA inside string literals, and
+    # ordinary identifiers that merely contain the words pass through
+    assert (
+        trino_to_spark("note = 'use TRY( and AT TIME ZONE here'")
+        == "note = 'use TRY( and AT TIME ZONE here'"
+    )
+    assert trino_to_spark("retry_count > 0") == "retry_count > 0"
+    assert trino_to_spark("map(k, v)['k'] = 1") == "map(k, v)['k'] = 1"

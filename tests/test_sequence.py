@@ -414,19 +414,21 @@ def test_sequence_resume_fused_matches_sequential(spark, tmp_path):
         eng.run_once(ev2, rules, fuse_sequences=mode)
         return eng
 
+    import alerta_spark.operators.sequence_frames as sfmod
+
     calls = []
-    orig = seqmod.sequence_resume_fused
+    orig = sfmod.resume_fused_frames
 
     def spy(*a, **k):
         out = orig(*a, **k)
         calls.append(out)
         return out
 
-    seqmod.sequence_resume_fused = spy
+    sfmod.resume_fused_frames = spy
     try:
         fus = run(True)
     finally:
-        seqmod.sequence_resume_fused = orig
+        sfmod.resume_fused_frames = orig
     seq = run(False)
 
     # the fused path actually served every group (nothing fell back)
@@ -470,19 +472,21 @@ def test_sequence_resume_fused_special_char_values(spark, tmp_path):
         eng.run_once(ev2, [SEQ_RULE], fuse_sequences=mode)
         return eng
 
+    import alerta_spark.operators.sequence_frames as sfmod
+
     calls = []
-    orig = seqmod.sequence_resume_fused
+    orig = sfmod.resume_fused_frames
 
     def spy(*a, **k):
         out = orig(*a, **k)
         calls.append(out)
         return out
 
-    seqmod.sequence_resume_fused = spy
+    sfmod.resume_fused_frames = spy
     try:
         fus = run(True)
     finally:
-        seqmod.sequence_resume_fused = orig
+        sfmod.resume_fused_frames = orig
     seq = run(False)
 
     # the fused path served the group (no fallback hid the bug)
@@ -606,11 +610,13 @@ def test_batched_resume_one_write_for_many_groups(spark, tmp_path):
 
 
 def test_large_probe_sets_route_to_semi_join(spark, tmp_path, monkeypatch):
-    """Past ISIN_PROBE_MAX captured values, the fused resume must route
-    the group to the batched path and the batched path must probe via
-    broadcast semi-join instead of an N-literal IN (plan-size guard for
-    100k-in-flight scale) — with results identical to the IN path,
-    including backslash-carrying values the Column build exists for."""
+    """The frame-native fused resume probes captured values via a
+    broadcast semi-join frame — NO plan-size cap applies to it. The
+    driver-side batched path (non-fused engine, unfusable-group
+    fallback) still switches from an N-literal IN to a broadcast
+    semi-join past ISIN_PROBE_MAX; both regimes must produce identical
+    results, including backslash-carrying values the Column build
+    exists for."""
     import alerta_spark.operators.sequence as seqmod
 
     users = ["DOM\\u1", "u2", "u3", "u4", "u5"]
@@ -621,28 +627,29 @@ def test_large_probe_sets_route_to_semi_join(spark, tmp_path, monkeypatch):
         spark, [dict(RISKY, user_name=u) for u in users[:3]]
     ).withColumn("event_id", F.col("event_id") + 500)
 
-    def run(tag):
+    def run(tag, fused):
         eng = Engine(spark, str(tmp_path / f"probe_{tag}"), id_col="event_id", ts_col="ts")
-        eng.run_once(ev1, [SEQ_RULE], fuse_sequences=True)
-        eng.run_once(ev2, [SEQ_RULE], fuse_sequences=True)
+        eng.run_once(ev1, [SEQ_RULE], fuse_sequences=fused)
+        eng.run_once(ev2, [SEQ_RULE], fuse_sequences=fused)
         return eng
 
-    big = run("in_path")  # default: IN probe serves all 5 values
+    big = run("frame_probe", True)  # frame path: join probe, no cap
 
+    # cap the batched path's IN budget so the NON-fused engine's
+    # resume exercises the broadcast semi-join branch for all 5 values
     monkeypatch.setattr(seqmod, "ISIN_PROBE_MAX", 2)
-    unfused_seen = []
-    orig = seqmod.sequence_resume_fused
+    batch_sizes = []
+    orig = seqmod.process_sequence_slot_batched
 
-    def spy(*a, **k):
-        out = orig(*a, **k)
-        unfused_seen.append(out[0])
-        return out
+    def spy(events_df, docs, *a, **k):
+        batch_sizes.append(len(docs))
+        return orig(events_df, docs, *a, **k)
 
-    monkeypatch.setattr(seqmod, "sequence_resume_fused", spy)
-    small = run("semi_join")
+    monkeypatch.setattr(seqmod, "process_sequence_slot_batched", spy)
+    small = run("semi_join", False)
 
-    # the capped run actually exercised the fallback route
-    assert unfused_seen and any(u for u in unfused_seen)
+    # the capped run actually probed past the IN budget
+    assert batch_sizes and max(batch_sizes) > 2
 
     def canon(docs):
         return sorted(
@@ -898,3 +905,112 @@ def test_batched_resume_duplicate_values_both_processed(spark, tmp_path):
     assert leftover is not None
     # the duplicate-value doc comes back for per-document processing
     assert [d["_id"] for d in leftover] == ["d2"]
+
+
+def test_fused_pass_never_collects_inflight_docs(spark, tmp_path, monkeypatch):
+    """The frame-native fused pass must keep in-flight state
+    executor-side end to end: DocStore.docs() (the driver collect)
+    must not run at all during a fuse_sequences pass — driver memory
+    scales with GROUP count, not in-flight cardinality. Unfusable
+    shapes are the only sanctioned exception (none in this rule set)."""
+    import alerta_spark.state as statemod
+
+    calls = []
+    orig = statemod.DocStore.docs
+
+    def spy(self, *a, **k):
+        calls.append(self.path)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(statemod.DocStore, "docs", spy)
+
+    users = ["u1", "u2", "u3"]
+    ev1 = _onelogin_events(spark, [dict(RISKY, user_name=u) for u in users])
+    from pyspark.sql import functions as F
+
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, user_name=u) for u in users]
+    ).withColumn("event_id", F.col("event_id") + 500)
+
+    eng = Engine(
+        spark, str(tmp_path / "nocollect"), id_col="event_id", ts_col="ts",
+        compact_every=2,  # pass 2 hits the cadence -> prune path too
+    )
+    eng.run_once(ev1, [SEQ_RULE], fuse_sequences=True)
+    eng.run_once(ev2, [SEQ_RULE], fuse_sequences=True)
+
+    assert calls == [], calls
+    # the pass still did its job: all three sequences completed
+    monkeypatch.setattr(statemod.DocStore, "docs", orig)
+    done = {d["slots"][0]["metadata"]["value"] for d in eng.alerts.docs()}
+    assert done == set(users)
+    assert eng.inflight.frame().count() == 0
+
+
+@pytest.mark.parametrize("fused", [False, True])
+@pytest.mark.parametrize("use_reliable", [False, True])
+def test_crash_replay_is_idempotent(spark, tmp_path, monkeypatch, fused, use_reliable):
+    """A pass that dies between the alerts append and the state
+    overwrite (the crash window of the emit->overwrite sequence) must
+    replay cleanly on the next cron tick: no double-fired alert (the
+    completed doc's _id is already in the alerts store — the replay
+    guard skips it), no lost state (the completed doc still clears).
+    Pinned under both checkpoint regimes and both sequence paths."""
+    import alerta_spark.state as statemod
+    from alerta_spark.ckpt import RELIABLE_CONF
+
+    if use_reliable:
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        from pyspark.sql import functions as F
+
+        ev1 = _onelogin_events(spark, [RISKY])
+        ev2 = _onelogin_events(
+            spark, [dict(RISKY, sourceipaddress="9.9.9.9")]
+        ).withColumn("event_id", F.col("event_id") + 100)
+
+        control = Engine(
+            spark, str(tmp_path / "ctl"), id_col="event_id", ts_col="ts"
+        )
+        control.run_once(ev1, [SEQ_RULE], fuse_sequences=fused)
+        control.run_once(ev2, [SEQ_RULE], fuse_sequences=fused)
+
+        crash = Engine(
+            spark, str(tmp_path / "crash"), id_col="event_id", ts_col="ts"
+        )
+        crash.run_once(ev1, [SEQ_RULE], fuse_sequences=fused)
+
+        # die on the INFLIGHT overwrite that follows the alerts append
+        # (pass 2's finalize emits first — the alerts store is non-empty
+        # exactly from that point on)
+        orig = statemod.DocStore.overwrite_frame
+
+        def dying(self, df, *a, **k):
+            if self.path.endswith("inflight_alerts") and crash.alerts._exists():
+                raise RuntimeError("simulated death after alerts append")
+            return orig(self, df, *a, **k)
+
+        monkeypatch.setattr(statemod.DocStore, "overwrite_frame", dying)
+        with pytest.raises(RuntimeError, match="simulated death"):
+            crash.run_once(ev2, [SEQ_RULE], fuse_sequences=fused)
+        monkeypatch.setattr(statemod.DocStore, "overwrite_frame", orig)
+
+        # the crash window is real: alert written, state NOT cleared
+        assert len(crash.alerts.docs()) == 1
+        assert len(crash.inflight.docs()) == 1
+
+        # the cron replay: same events, unpatched
+        crash.run_once(ev2, [SEQ_RULE], fuse_sequences=fused)
+
+        def canon(docs):
+            return sorted(
+                json.dumps(_strip_volatile(d), sort_keys=True) for d in docs
+            )
+
+        assert canon(crash.alerts.docs()) == canon(control.alerts.docs())
+        assert canon(crash.inflight.docs()) == canon(control.inflight.docs())
+        assert len(crash.alerts.docs()) == 1  # no double fire
+        assert crash.inflight.docs() == []  # no lost/stuck state
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")

@@ -155,6 +155,9 @@ FAMILIES = (
     "engine_threshold_emission",
     "engine_sequence_pass",
     "engine_sequence_payload_axis",
+    # owned by tools/streaming_scale_bench.py — listed here so this
+    # tool's engine_* prune never deletes the sibling's rows
+    "engine_streaming_correlator",
 )
 
 

@@ -1,0 +1,217 @@
+"""Measure the STREAMING correlator's in-flight-cardinality axis: batch
+duration, state-store rows, and emitted completions as the number of
+correlation KEYS grows 1x/3x/10x.
+
+Why this axis: the batch engine has measured emission/sequence/payload
+curves (tools/alert_scale_bench.py), but the streaming correlator
+(streaming/correlator.py sequence_correlator) kept only correctness
+pins — and streaming scale bugs hide exactly in state-size behavior
+(round 7's find: an id-keyed dropDuplicates that NEVER evicted state).
+This instrument records how the state store and batch time respond to
+key cardinality so a regression in either shows up as an exponent, not
+an anecdote.
+
+Corpus shape per scale g: g correlation keys, each with two slot-0
+matching events (slot-0 threshold 2); EVEN keys get a third event that
+fires slot 1 -> half the keys complete (emit + state cleared), half
+remain in-flight (state rows after the drain == g/2). Events are
+generated DISTRIBUTED (spark.range -> explode), written to parquet,
+and replayed through a real file-source stream under
+trigger(availableNow) into a memory sink.
+
+Usage:  python tools/streaming_scale_bench.py [--keys 2000,6000,20000]
+Merges results into SCALE_BENCH.json under engine_streaming_correlator
+(same merge discipline as the other scale tools — never clobber).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+
+RULE = {
+    "alert_name": "scale_seq",
+    "alert_type": "sequence",
+    "lifespan": "7 days",
+    "slots": [
+        {
+            "alert_name": "s1",
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND CAST(json_extract_scalar("
+                "details,'$.risk_score') as INTEGER)>80"
+            ),
+            "aggregation_key": "details.user_name",
+            "threshold": 2,
+        },
+        {
+            "alert_name": "s2",
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND json_extract_scalar("
+                "details,'$.user_name')="
+                "'{{slots.0.events.0.details.user_name}}'"
+            ),
+            "aggregation_key": "details.user_name",
+            "threshold": 1,
+        },
+    ],
+}
+
+
+def _events(spark, keys: int):
+    """keys x {2,3} onelogin events, one distinct user per key,
+    generated distributed. Even keys carry the third (completing)
+    event; odd keys stay in-flight after slot 0 fills."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(keys).select(F.col("id").alias("k"))
+    n_ev = F.when(F.col("k") % 2 == 0, F.lit(3)).otherwise(F.lit(2))
+    ex = base.select(
+        "k", F.explode(F.sequence(F.lit(0), n_ev - 1)).alias("j")
+    )
+    details = F.to_json(
+        F.struct(
+            F.concat(F.lit("u"), F.col("k").cast("string")).alias(
+                "user_name"
+            ),
+            F.lit("95").alias("risk_score"),
+        )
+    )
+    return ex.select(
+        (F.col("k") * 3 + F.col("j")).alias("event_id"),
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, 0, 0, k * 3 + j)"
+        ).alias("ts"),
+        F.lit("onelogin").alias("source"),
+        details.alias("details"),
+    )
+
+
+def _drain(spark, events_df, name: str):
+    """File-source -> sequence_correlator -> memory sink under
+    availableNow; returns (wall_sec, progresses)."""
+    from alerta_spark.streaming.correlator import sequence_correlator
+
+    src = tempfile.mkdtemp(prefix="sb_src_")
+    ck = tempfile.mkdtemp(prefix="sb_ck_")
+    events_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events_df.schema).parquet(src)
+    out = sequence_correlator(stream, RULE, "details.user_name")
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 600
+    while q.isActive and time.time() < deadline:
+        q.awaitTermination(2)
+        lp = q.lastProgress
+        if lp and lp["numInputRows"] == 0:
+            q.stop()
+            break
+    q.awaitTermination(30)
+    wall = round(time.perf_counter() - t0, 3)
+    return wall, [json.loads(p.json) for p in q.recentProgress]
+
+
+def main() -> None:
+    key_scales = [2000, 6000, 20000]
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a.startswith("--keys="):
+            key_scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a == "--keys" and i + 1 < len(args):
+            key_scales = [int(x) for x in args[i + 1].split(",")]
+
+    import os
+
+    from alerta_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "") or str(os.cpu_count() or 8)
+    spark = get_spark(
+        "alerta-streaming-scale-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    key = "engine_streaming_correlator"
+    results: dict[str, dict] = {key: {}}
+    # warm: JVM, file-stream machinery, python workers
+    _drain(spark, _events(spark, 50), "sb_warm")
+
+    for g in key_scales:
+        wall, progs = _drain(spark, _events(spark, g), f"sb_{g}")
+        emitted = spark.sql(f"SELECT count(*) c FROM sb_{g}").collect()[0][
+            "c"
+        ]
+        # last progress that actually processed rows carries the state
+        # operator's row count after commit
+        state_rows, batch_ms = None, None
+        for p in progs:
+            if p.get("numInputRows", 0) > 0 and p.get("stateOperators"):
+                state_rows = p["stateOperators"][0].get("numRowsTotal")
+                batch_ms = p.get("batchDuration")
+        results[key][str(g)] = {
+            "sec": wall,
+            "batch_ms": batch_ms,
+            "emitted": int(emitted),
+            "state_rows_after": state_rows,
+            "keys": g,
+        }
+        print(
+            f"keys={g:<7} wall={wall:>7.2f}s batch={batch_ms}ms "
+            f"emitted={emitted} state_rows={state_rows}"
+        )
+
+    lo, hi = str(key_scales[0]), str(key_scales[-1])
+    r = results[key]
+    if lo != hi and lo in r and hi in r and r[lo]["sec"] > 0:
+        span = math.log(int(hi) / int(lo))
+        r["time_exponent"] = round(
+            math.log(r[hi]["sec"] / r[lo]["sec"]) / span, 2
+        )
+        if r[lo]["state_rows_after"]:
+            r["state_rows_exponent"] = round(
+                math.log(
+                    max(r[hi]["state_rows_after"], 1)
+                    / r[lo]["state_rows_after"]
+                )
+                / span,
+                2,
+            )
+
+    import datetime as _dt
+
+    r["measured_at"] = _dt.datetime.now(_dt.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+    out_path = REPO / "SCALE_BENCH.json"
+    record = {"base": "synthetic alert-cardinality corpus", "results": {}}
+    if out_path.exists():
+        record = json.loads(out_path.read_text())
+        record.setdefault("results", {})
+    record["results"].update(results)
+    out_path.write_text(json.dumps(record, indent=1))
+    print(f"wrote {out_path}")
+    print(
+        f"{key:<28} time_exp={r.get('time_exponent')} "
+        f"state_rows_exp={r.get('state_rows_exponent')}"
+    )
+
+
+if __name__ == "__main__":
+    main()
