@@ -26,9 +26,13 @@ few hundred bytes per document), not with captured-event volume.
 The fan-out optimization for many in-flight alerts of the same rule:
 alerts waiting on the same slot differ only in their templated values,
 so one scan with an IN-set/semi-join serves all of them
-(:func:`process_sequence_slot_batched`), and the fused paths collapse
-N rules further into one conditional-aggregate scan. The fully
-distributed version (state in Spark's state store, no driver loop) is
+(:func:`process_sequence_slot_batched`). The engine's fused tier goes
+further — N rules in one conditional-aggregate scan AND the state kept
+executor-side end to end — in operators/sequence_frames.py; this
+module holds the faithful driver-side paths (per-document resume, the
+batched per-group form, and the completion/expiry faces) that the
+frame tier falls back to for unfusable shapes. The fully distributed
+streaming version (state in Spark's state store, no driver loop) is
 streaming/correlator.py.
 """
 
@@ -737,44 +741,27 @@ def process_sequence_slot_batched(
     return leftover
 
 
-def _filter_slice_events(slice_, extra_ids, thr: int, id_col: str):
-    """Intra-pass F9 replay shared by the fused start/resume paths:
-    drop events captured by EARLIER groups this pass from the
-    collected sample, recompute the count exactly whenever the
-    collection cap was not hit, re-apply the threshold.
-
-    Shape: explode the (fired-groups-only, tiny) slice, broadcast
-    anti-join on event id, regroup preserving the original (ts, id)
-    array order via the carried position. A literal-array
-    `array_contains` here is O(|captured ids|) PER EVENT — after one
-    rule captures ~100k events the later rules' filters dominated the
-    whole fused pass (measured 55s vs 21s sequential at sf0.1 x 10
-    rules); the hash anti-join makes membership O(1)."""
-    if not extra_ids:
-        return slice_
-    spark = slice_.sparkSession
-    ids_df = spark.createDataFrame(
-        [(x,) for x in sorted(extra_ids)], "alerted_event_id string"
-    )
-    return _filter_slice_events_frame(
-        slice_, ids_df, thr, id_col, hint_broadcast=True
-    )
-
-
 def _filter_slice_events_frame(
     slice_, ids_df, thr: int, id_col: str, hint_broadcast: bool = False
 ):
-    """Frame-based form of :func:`_filter_slice_events`: the captured
-    ids arrive as DataFrame[alerted_event_id] instead of a driver set —
-    the fused THRESHOLD pass builds them as a plan over the persisted
-    fired frame (its emission never collects, so there is no driver
-    set to pass), while the sequence paths (which collect fired docs
-    anyway, for slot state) wrap their driver sets.
+    """Intra-pass F8/F9 replay shared by the fused passes: drop
+    events captured by EARLIER rules/groups this pass from the
+    collected sample, recompute the count exactly whenever the
+    collection cap was not hit, re-apply the threshold.
 
-    ``hint_broadcast`` is set only by the driver-set wrapper: a set
-    that already fits in driver memory is always broadcastable, while
-    a plan-derived id frame is bounded by (fired groups x event cap) —
-    unbounded in corpus size — so its join strategy stays AQE's call."""
+    Shape: explode the (fired-groups-only, tiny) slice, anti-join on
+    event id, regroup preserving the original (ts, id) array order via
+    the carried position — a literal-array membership test is
+    O(|captured ids|) PER EVENT and dominated the fused pass once one
+    rule captured ~100k events; the hash anti-join makes it O(1).
+    The captured ids arrive as DataFrame[alerted_event_id], built as a
+    plan over persisted fired frames (emission never collects, so
+    there is no driver set anywhere on these paths).
+
+    ``hint_broadcast`` is for callers whose id frame is known tiny; a
+    plan-derived id frame is bounded by (fired groups x event cap) —
+    unbounded in corpus size — so its join strategy stays AQE's call
+    by default."""
     from pyspark.sql import functions as F
 
     ex = slice_.select(
@@ -834,307 +821,3 @@ def sequence_slots_fused_frame(
     return fused_grouped(
         events_df, slot_shells, id_col, ts_col, extra_preds=extra_preds
     )
-
-
-def sequence_resume_fused(
-    events_df: DataFrame,
-    groups: dict[tuple[str, int], list[dict[str, Any]]],
-    inflight_store: DocStore,
-    alert_store: DocStore,
-    id_col: str = "event_id",
-    ts_col: str = "ts",
-    spill_store: SlotEventStore | None = None,
-) -> tuple[list[tuple[tuple[str, int], list[dict]]], list[dict]]:
-    """Advance MANY (rule, slot) groups of in-flight sequence alerts
-    with ONE events scan — the cross-RULE fusion of
-    :func:`process_sequence_slot_batched` (which already collapses the
-    per-document fan-out within one group to one scan, but still costs
-    one scan per group): each fusable group evaluates ``static`` as its
-    criteria plus a Column-built probe
-    ``path_col(key_path).cast("string").isin(<captured values>)`` —
-    the *same* key column and isin the batched path uses, built with
-    Column ops (never a SQL string literal, so captured values with
-    backslashes or quotes probe exactly) — and all groups share one
-    conditional-aggregate scan (:func:`sequence_slots_fused_frame`
-    via ``extra_preds``). Fired groups route back to their documents
-    by captured value; alert docs are assembled with the same
-    (static-criteria) shell the batched path uses, so the written
-    documents are identical.
-
-    Returns ``(unfused_groups, stray_docs)``: groups whose slot shape
-    isn't fusable (deadman slots, multi-templated criteria, key !=
-    aggregation key, criteria that fail to parse) for the caller's
-    per-group batched path, plus documents whose template value is
-    missing for the per-document path.
-
-    Intra-pass F9 replay: as in :func:`sequence_starts_fused`, events
-    captured by earlier groups THIS pass are filtered from later
-    groups' samples driver-side. Fusable groups process before
-    unfused ones, so when groups' captures overlap ACROSS the
-    fused/unfused boundary the pass order (not the result of any
-    single group) can differ from the strict dict-order loop — same
-    accepted divergence class as the fused threshold pass.
-    """
-    from pyspark.sql import functions as F
-
-    from alerta_spark.dialect import trino_to_spark
-    from alerta_spark.operators.dedup import remove_previously_alerted
-    from alerta_spark.operators.threshold import assemble_alerts
-    from alerta_spark.paths import path_col
-    from alerta_spark.templates import _lookup
-
-    fusable: list[tuple[int, dict, Any, dict, tuple[set[int], bool]]] = []
-    unfused: list[tuple[tuple[str, int], list[dict]]] = []
-    stray: list[dict] = []
-    for (name, idx), docs in groups.items():
-        slot = docs[0]["slots"][idx]
-        crit = str(slot.get("criteria", ""))
-        compiled = compile_templated_criteria(crit)
-        if (
-            slot.get("alert_type", "threshold") != "threshold"
-            or compiled is None
-            or str(slot.get("aggregation_key", "")) != compiled[1]
-        ):
-            unfused.append(((name, idx), docs))
-            continue
-        static, key_path, tmpl_path = compiled
-        value_to_doc: dict[str, dict] = {}
-        group_stray: list[dict] = []
-        for doc in docs:
-            v = _lookup(doc, [p for p in tmpl_path.split(".") if p])
-            if v is None or str(v) in value_to_doc:
-                # missing value OR duplicate captured value: the batch
-                # routes a fired group to ONE document, so the first
-                # doc (newest-first, like the sequential loop) wins
-                # and the duplicate takes the per-document path, whose
-                # store-based F9 probe (the fused upsert lands first)
-                # replays the sequential contention — a dict overwrite
-                # used to drop the loser silently
-                group_stray.append(doc)
-            else:
-                value_to_doc[str(v)] = doc
-        if len(value_to_doc) > ISIN_PROBE_MAX:
-            # the fused probe must be a Column predicate (it ANDs into
-            # the shared scan); past the IN-literal budget the whole
-            # group — strays included, so nothing double-processes —
-            # routes to the batched path's broadcast semi-join instead
-            unfused.append(((name, idx), docs))
-            continue
-        if not value_to_doc:
-            stray.extend(group_stray)
-            continue
-        try:
-            # docs are assembled with the batched path's shell
-            # (criteria = static only) so written documents are
-            # byte-identical to it
-            p_asm = threshold_shell(dict(slot, criteria=static))
-            if static:
-                # plan-time parse + resolve check; no job runs
-                events_df.where(F.expr(trino_to_spark(static))).schema
-            # the captured values probe the SAME compiled key column
-            # the batched path semi-joins on — Column ops, not a SQL
-            # literal, so backslashes/quotes in values never hit the
-            # parser (and CAST-shaped templated conjuncts can't
-            # diverge on non-canonical values)
-            probe = (
-                path_col(events_df, key_path)
-                .cast("string")
-                .isin(sorted(value_to_doc))
-            )
-        except Exception:
-            # the WHOLE group (strays included) goes to the batched
-            # path; group_stray must NOT also land in `stray` here —
-            # it used to, and every stray doc was then processed twice
-            # (once per-document, once as the unfused group's leftover)
-            unfused.append(((name, idx), docs))
-            continue
-        stray.extend(group_stray)
-        fusable.append(
-            (idx, p_asm, probe, value_to_doc,
-             _referenced_event_indices(docs[0], idx))
-        )
-    if not fusable:
-        return unfused, stray
-
-    dedup_ids = inflight_store.alerted_ids().unionByName(
-        alert_store.alerted_ids()
-    )
-    ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
-    grouped = sequence_slots_fused_frame(
-        ev,
-        [p for _, p, _, _, _ in fusable],
-        id_col,
-        ts_col,
-        extra_preds=[pr for _, _, pr, _, _ in fusable],
-    ).persist()
-    try:
-        extra_ids: set[str] = set()
-        all_updates: list[dict] = []
-        spill_frames: list[DataFrame] = []
-        for i, (idx, p_asm, _probe, value_to_doc, (refs, keep_full)) in enumerate(
-            fusable
-        ):
-            thr = int(p_asm["threshold"])
-            slice_ = grouped.where(
-                (F.col("rule_idx") == i) & (F.col("count") >= thr)
-            ).select("value", "count", "events")
-            slice_ = _filter_slice_events(slice_, extra_ids, thr, id_col)
-            assembled = assemble_alerts(slice_, p_asm, ev.schema)
-            if spill_store is None or keep_full:
-                fired_docs = alerts_df_to_docs(assembled)
-            else:
-                fired_docs, spill = slim_captures(
-                    assembled, p_asm, refs, id_col, generate_meteor_id()
-                )
-                if spill is not None:
-                    spill_frames.append(spill)
-            for fired_doc in fired_docs:
-                doc = value_to_doc.get(str(fired_doc["metadata"]["value"]))
-                if doc is None:
-                    continue
-                inflight = deepcopy(sequence_shell(doc))
-                inflight["slots"][idx] = fired_doc
-                all_updates.append(inflight)
-                for evd in fired_doc.get("events") or []:
-                    eid = evd.get(id_col)
-                    if eid is not None:
-                        extra_ids.add(str(eid))
-        # ONE spill append for the whole pass (the per-rule frames are
-        # localCheckpoint'd inside slim_captures, so the union is a
-        # cheap read of already-materialized blocks), written BEFORE
-        # the state upsert so a crash leaves orphan spill rows (pruned
-        # later) rather than dangling refs
-        if spill_frames:
-            out = spill_frames[0]
-            for s in spill_frames[1:]:
-                out = out.unionByName(s)
-            spill_store.append_frame(out)
-        # ONE state write for the whole pass (a rewrite per rule made
-        # N rules cost N table swaps; nothing between rules reads the
-        # store — the F9 intra-pass interaction is the driver-side
-        # extra_ids replay, and the dedup snapshot was taken above)
-        inflight_store.upsert_many(all_updates)
-    finally:
-        grouped.unpersist()
-    return unfused, stray
-
-
-def sequence_starts_fused(
-    events_df: DataFrame,
-    rules: list[dict[str, Any]],
-    inflight_store: DocStore,
-    alert_store: DocStore,
-    id_col: str = "event_id",
-    ts_col: str = "ts",
-    spill_store: SlotEventStore | None = None,
-) -> list[dict[str, Any]]:
-    """Start N fresh sequence rules with ONE events scan (the fusion
-    upgrade the threshold/deadman families already have): each rule's
-    first unfilled slot — template-free threshold slots only — joins
-    one conditional-aggregate scan; fired groups spawn the same
-    in-flight documents :func:`process_sequence_alert` writes, in the
-    same per-rule order. Returns the rules it could NOT fuse (deadman
-    slots, templated slot criteria, or criteria that fail to
-    parse/resolve) — the caller runs those through the faithful
-    per-rule path.
-
-    Dedup: the store-level F8/F9 anti-join set is snapshotted once
-    and applied inside the single scan; the SEQUENTIAL loop's
-    intra-pass interaction — rule k's dedup also hides events captured
-    by rules 1..k-1 of the same pass — is replayed driver-side over
-    the persisted (tiny, post-aggregation) grouped frame, so alert
-    documents match the per-rule loop exactly (pytest-pinned in
-    tests/test_sequence.py). The one documented divergence: a group
-    that hit the 1000-event collection cap AND overlaps an earlier
-    rule's capture keeps the scan-time count (the uncollected tail is
-    not re-checkable without a second scan).
-    """
-    from pyspark.sql import functions as F
-
-    from alerta_spark.dialect import trino_to_spark
-    from alerta_spark.operators.dedup import remove_previously_alerted
-    from alerta_spark.operators.threshold import assemble_alerts
-    from alerta_spark.paths import path_col
-    from alerta_spark.rules import threshold_shell
-    from alerta_spark.templates import template_vars
-
-    fusable: list[tuple[dict, int, dict]] = []
-    leftover: list[dict] = []
-    for rule in rules:
-        doc = sequence_shell(deepcopy(rule))
-        idx, slot = first_unfilled_slot(doc)
-        if slot is None:
-            continue
-        crit = str(slot.get("criteria", ""))
-        if (
-            slot.get("alert_type", "threshold") != "threshold"
-            or template_vars(crit)
-        ):
-            leftover.append(rule)
-            continue
-        try:
-            p = threshold_shell(dict(slot))
-            if p["criteria"]:
-                # plan-time parse + resolve check; no job runs
-                events_df.where(
-                    F.expr(trino_to_spark(p["criteria"]))
-                ).schema
-            path_col(events_df, p["aggregation_key"])
-        except Exception:
-            leftover.append(rule)
-            continue
-        fusable.append((doc, idx, p))
-    if not fusable:
-        return leftover
-
-    dedup_ids = inflight_store.alerted_ids().unionByName(
-        alert_store.alerted_ids()
-    )
-    ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
-    grouped = sequence_slots_fused_frame(
-        ev, [p for _, _, p in fusable], id_col, ts_col
-    ).persist()
-    try:
-        extra_ids: set[str] = set()
-        all_updates: list[dict] = []
-        spill_frames: list[DataFrame] = []
-        for i, (doc, idx, p) in enumerate(fusable):
-            thr = int(p["threshold"])
-            # dedup only ever REMOVES events, so a group passing the
-            # threshold post-dedup necessarily passes pre-dedup — the
-            # scan-side filter is a lossless candidate cut
-            slice_ = grouped.where(
-                (F.col("rule_idx") == i) & (F.col("count") >= thr)
-            ).select("value", "count", "events")
-            # intra-pass F9 (sequential-loop semantics): drop events
-            # captured by EARLIER rules this pass
-            slice_ = _filter_slice_events(slice_, extra_ids, thr, id_col)
-            assembled = assemble_alerts(slice_, p, ev.schema)
-            refs, keep_full = _referenced_event_indices(doc, idx)
-            if spill_store is None or keep_full:
-                fired_docs = alerts_df_to_docs(assembled)
-            else:
-                fired_docs, spill = slim_captures(
-                    assembled, p, refs, id_col, generate_meteor_id()
-                )
-                if spill is not None:
-                    spill_frames.append(spill)
-            for fired_doc in fired_docs:
-                inflight = deepcopy(doc)
-                inflight["slots"][idx] = fired_doc
-                all_updates.append(inflight)
-                for evd in fired_doc.get("events") or []:
-                    eid = evd.get(id_col)
-                    if eid is not None:
-                        extra_ids.add(str(eid))
-        # ONE spill append + ONE state write for the whole pass (see
-        # sequence_resume_fused)
-        if spill_frames:
-            out = spill_frames[0]
-            for s in spill_frames[1:]:
-                out = out.unionByName(s)
-            spill_store.append_frame(out)
-        inflight_store.upsert_many(all_updates)
-    finally:
-        grouped.unpersist()
-    return leftover

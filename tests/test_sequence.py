@@ -1014,3 +1014,135 @@ def test_crash_replay_is_idempotent(spark, tmp_path, monkeypatch, fused, use_rel
         assert crash.inflight.docs() == []  # no lost/stuck state
     finally:
         spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_fused_resume_unfusable_group_falls_back(spark, tmp_path):
+    """An in-flight group whose NEXT slot is a deadman (unfusable shape)
+    must route through the frame tier's collected fallback and still
+    advance/complete — side by side with a fusable group in the same
+    fused pass — producing the same documents as the non-fused engine."""
+    deadman_rule = json.loads(json.dumps(SEQ_RULE))
+    deadman_rule["alert_name"] = "seq_then_silence"
+    # disjoint slot-0 (bob only): intra-pass F9 must not let the other
+    # rule swallow this rule's capture, or it never gets in-flight
+    deadman_rule["slots"][0]["criteria"] += (
+        " AND json_extract_scalar(details,'$.user_name')='bob'"
+    )
+    deadman_rule["slots"][1] = {
+        "alert_name": "then_silence",
+        "alert_type": "deadman",
+        "criteria": (
+            "source='onelogin' AND json_extract_scalar(details,"
+            "'$.user_name')='{{slots.0.events.0.details.user_name}}'"
+        ),
+        "summary": "user went quiet",
+        "aggregation_key": "details.user_name",
+        "threshold": 0,
+        "event_sample_count": 0,
+    }
+    rules = [deadman_rule, SEQ_RULE]
+    from pyspark.sql import functions as F
+
+    ev1 = _onelogin_events(spark, [RISKY, dict(RISKY, user_name="bob")])
+    # pass 2: no onelogin rows at all -> the deadman slot fires on
+    # absence; SEQ_RULE's threshold slot 1 finds nothing
+    ev2 = ev1.where("source='nope'")
+
+    def run(mode):
+        eng = Engine(
+            spark, str(tmp_path / f"dm_{mode}"), id_col="event_id", ts_col="ts"
+        )
+        eng.run_once(ev1, rules, fuse_sequences=mode)
+        eng.run_once(ev2, rules, fuse_sequences=mode)
+        return eng
+
+    fus, seq = run(True), run(False)
+
+    def canon(docs):
+        return sorted(
+            json.dumps(_strip_volatile(d), sort_keys=True) for d in docs
+        )
+
+    assert canon(fus.alerts.docs()) == canon(seq.alerts.docs())
+    assert canon(fus.inflight.docs()) == canon(seq.inflight.docs())
+    done = {d["alert_name"] for d in fus.alerts.docs()}
+    assert done == {"seq_then_silence"}  # deadman completed on absence
+    waiting = {d["alert_name"] for d in fus.inflight.docs()}
+    assert waiting == {"multiple_risky_logins"}  # threshold still waits
+
+
+def test_fused_resume_duplicate_value_stray(spark, tmp_path):
+    """Two in-flight docs of the same rule with the SAME captured value:
+    the batch can route a fired group to only ONE document — the newest
+    wins the fused batch, the duplicate takes the per-document path
+    whose store-based F9 probe sees the winner's capture (sequential
+    contention replayed): exactly one completes per new event."""
+    import time as _t
+
+    doc_a = sequence_shell(json.loads(json.dumps(SEQ_RULE)))
+    doc_b = sequence_shell(json.loads(json.dumps(SEQ_RULE)))
+    for d, eid in ((doc_a, "1"), (doc_b, "2")):
+        d["slots"][0] = {
+            **d["slots"][0],
+            "triggered": True,
+            "metadata": {"value": "alice", "count": 1},
+            "events": [
+                {"event_id": eid, "details": json.dumps({"user_name": "alice"})}
+            ],
+            "summary": "risky login by alice",
+        }
+    eng = Engine(spark, str(tmp_path / "dup"), id_col="event_id", ts_col="ts")
+    eng.inflight.upsert_many([doc_a, doc_b])
+    assert len(eng.inflight.docs()) == 2
+
+    from pyspark.sql import functions as F
+
+    ev = _onelogin_events(spark, [RISKY]).withColumn(
+        "event_id", F.col("event_id") + 100
+    )
+    eng.run_once(ev, [SEQ_RULE], fuse_sequences=True)
+
+    # ONE new event -> one doc captured it (completed), the duplicate
+    # found it already captured and stays in flight
+    assert len(eng.alerts.docs()) == 1
+    assert len(eng.inflight.docs()) == 1
+
+
+def test_fused_keep_full_template_keeps_full_events(spark, tmp_path):
+    """A rule whose summary references the slot's WHOLE events array
+    ({{slots.0.events}}) cannot be slimmed — the frame tier must take
+    the keep_full path (full payloads in the document, no spill ref)
+    and still produce documents identical to the non-fused engine."""
+    rule = json.loads(json.dumps(SEQ_RULE))
+    rule["alert_name"] = "full_events_seq"
+    rule["summary"] = "captured: {{slots.0.events}}"
+
+    from pyspark.sql import functions as F
+
+    ev1 = _onelogin_events(spark, [RISKY])
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, sourceipaddress="9.9.9.9")]
+    ).withColumn("event_id", F.col("event_id") + 100)
+
+    def run(mode):
+        eng = Engine(
+            spark, str(tmp_path / f"kf_{mode}"), id_col="event_id", ts_col="ts"
+        )
+        eng.run_once(ev1, [rule], fuse_sequences=mode)
+        eng.run_once(ev2, [rule], fuse_sequences=mode)
+        return eng
+
+    fus, seq = run(True), run(False)
+
+    def canon(docs):
+        return sorted(
+            json.dumps(_strip_volatile(d), sort_keys=True) for d in docs
+        )
+
+    assert canon(fus.alerts.docs()) == canon(seq.alerts.docs())
+    [alert] = fus.alerts.docs()
+    # slot 0's events carry FULL payloads (details present), and the
+    # doc holds no spill ref
+    ev0 = alert["slots"][0]["events"][0]
+    assert "details" in ev0 and "user_name" in str(ev0["details"])
+    assert "_events_ref" not in alert["slots"][0]
