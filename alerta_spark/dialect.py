@@ -103,6 +103,107 @@ def _reject_unsupported(chunk: str, criteria: str) -> None:
             )
 
 
+_ARRAY_LIT = re.compile(r"\barray\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """Trino array literals use brackets (``ARRAY['a','b']``); Spark's
+    constructor is ``array('a','b')``. Rewrite bracket-matched, outside
+    string literals, innermost-safe via re-scan (``ARRAY[ARRAY[1]]``).
+    Subscripts inside elements (``m['k']``) balance their own brackets
+    so depth counting stays correct; a bare identifier followed by a
+    subscript (``col[1]``) has a non-ARRAY token and passes through.
+
+    A subscript directly ON the literal (``ARRAY['a','b'][1]``) is
+    1-based in Trino but 0-based as a Spark ``[...]`` access, so it
+    rewrites to ``element_at(array(...), 1)`` — Spark's element_at is
+    1-based, matching Trino exactly — instead of silently shifting
+    every element access by one."""
+    while True:
+        spans = []
+        # string-literal spans, recomputed per rewrite round
+        i, n = 0, len(sql)
+        while i < n:
+            if sql[i] == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                spans.append((i, j))
+                i = j + 1
+            else:
+                i += 1
+        m = None
+        for cand in _ARRAY_LIT.finditer(sql):
+            if not any(a <= cand.start() <= b for a, b in spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_ = m.end() - 1  # the '['
+        depth, i, in_str = 0, open_, False
+        close = -1
+        while i < len(sql):
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    if i + 1 < len(sql) and sql[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+            i += 1
+        if close < 0:
+            return sql  # unbalanced: leave for Spark's parser to name
+        body = sql[open_ + 1 : close]
+        # 1-based subscript directly on the literal -> element_at
+        j = close + 1
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "[":
+            depth2, k, in_str2 = 0, j, False
+            close2 = -1
+            while k < len(sql):
+                ch = sql[k]
+                if in_str2:
+                    if ch == "'":
+                        if k + 1 < len(sql) and sql[k + 1] == "'":
+                            k += 1
+                        else:
+                            in_str2 = False
+                elif ch == "'":
+                    in_str2 = True
+                elif ch == "[":
+                    depth2 += 1
+                elif ch == "]":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        close2 = k
+                        break
+                k += 1
+            if close2 > 0:
+                sub = sql[j + 1 : close2]
+                sql = (
+                    sql[: m.start()]
+                    + f"element_at(array({body}), {sub})"
+                    + sql[close2 + 1 :]
+                )
+                continue
+        sql = sql[: m.start()] + "array(" + body + ")" + sql[close + 1 :]
+
+
 def _split_literals(sql: str) -> list[tuple[str, bool]]:
     """Split into (chunk, is_string_literal) preserving order."""
     out: list[tuple[str, bool]] = []
@@ -260,12 +361,15 @@ def trino_to_spark(criteria: str) -> str:
 
     Function renames apply only outside string literals; the few calls
     whose argument shape differs (url_extract_*, date_diff/date_add)
-    are rewritten with paren-matched, literal-aware templates.
-    Known-untranslatable Trino constructs (TRY, AT TIME ZONE, ROW/MAP
-    constructors) raise a ValueError naming the construct and the
-    Spark alternative instead of leaking a raw parser error.
+    are rewritten with paren-matched, literal-aware templates, and
+    bracket array literals (``ARRAY['a','b']``) become Spark's
+    ``array('a','b')``. Known-untranslatable Trino constructs (TRY,
+    AT TIME ZONE, ROW/MAP constructors) raise a ValueError naming the
+    construct and the Spark alternative instead of leaking a raw
+    parser error.
     """
     original = criteria
+    criteria = _rewrite_array_literals(criteria)
     criteria = _apply_call_rewrites(criteria)
     parts = []
     for chunk, is_lit in _split_literals(criteria):

@@ -350,19 +350,8 @@ def resume_fused_frames(
         if not meta_rows:
             return [], []
 
-        def _collect_group(name: str, idx: int) -> list[dict]:
-            rows = (
-                resumable.where(
-                    (F.col("g_name") == name) & (F.col("next_idx") == idx)
-                )
-                .orderBy(F.desc("utcepoch"), F.asc("_id"))
-                .select("doc")
-                .collect()
-            )
-            return [json.loads(r["doc"]) for r in rows]
-
         fusable: list[_GroupMeta] = []
-        unfused: list[tuple[tuple[str, int], list[dict]]] = []
+        unfused_keys: list[tuple[str, int]] = []
         for r in meta_rows:
             name, idx = str(r["g_name"]), int(r["next_idx"])
             rep = json.loads(r["rep_doc"])
@@ -373,7 +362,7 @@ def resume_fused_frames(
                 or compiled is None
                 or str(slot.get("aggregation_key", "")) != compiled[1]
             ):
-                unfused.append(((name, idx), _collect_group(name, idx)))
+                unfused_keys.append((name, idx))
                 continue
             static, _key_path, tmpl_path = compiled
             try:
@@ -382,7 +371,7 @@ def resume_fused_frames(
                     # plan-time parse + resolve check; no job runs
                     events_df.where(F.expr(trino_to_spark(static))).schema
             except Exception:
-                unfused.append(((name, idx), _collect_group(name, idx)))
+                unfused_keys.append((name, idx))
                 continue
             refs, keep_full = _referenced_event_indices(rep, idx)
             fusable.append(
@@ -392,6 +381,31 @@ def resume_fused_frames(
                     sorted(refs), keep_full, int(r["max_epoch"]),
                 )
             )
+        # ONE collect serves every unfusable group (a sorted collect
+        # per group would cost one Spark job per group); the global
+        # (utcepoch desc, _id) sort makes each group's slice arrive in
+        # the driver loop's newest-first order
+        unfused: list[tuple[tuple[str, int], list[dict]]] = []
+        if unfused_keys:
+            keys_df = spark.createDataFrame(
+                unfused_keys, "g_name string, next_idx int"
+            )
+            rows = (
+                resumable.join(
+                    F.broadcast(keys_df), ["g_name", "next_idx"], "left_semi"
+                )
+                .orderBy(F.desc("utcepoch"), F.asc("_id"))
+                .select("g_name", "next_idx", "doc")
+                .collect()
+            )
+            by_key: dict[tuple[str, int], list[dict]] = {
+                k: [] for k in unfused_keys
+            }
+            for r in rows:
+                by_key[(str(r["g_name"]), int(r["next_idx"]))].append(
+                    json.loads(r["doc"])
+                )
+            unfused = [(k, by_key[k]) for k in unfused_keys]
         if not fusable:
             return unfused, []
         # driver-loop order: newest group first (see module docstring)
@@ -564,6 +578,11 @@ def starts_fused_frames(
         if (
             slot.get("alert_type", "threshold") != "threshold"
             or template_vars(crit)
+            # a rule dict carrying an explicit _id makes every spawned
+            # document share it; the driver path's upsert_many keeps
+            # last-wins ONE, while this path's append would keep them
+            # all — route the degenerate shape to the faithful loop
+            or "_id" in rule
         ):
             leftover.append(rule)
             continue

@@ -141,11 +141,14 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             # it, cast-to-decimal ROUNDS ("...993.4" -> ...993), which
             # would fabricate a match Python == rejects. Garbage
             # strings try_cast to NULL and fail the match.
+            # try_cast on the LITERAL side too: a query int wider than
+            # 38 digits must compare as "no match" (NULL equality),
+            # not throw an ANSI overflow at execution
             cond = (
                 col.cast("string").rlike(r"^-?\d+$")
                 & (
                     col.cast("string").try_cast("decimal(38,0)")
-                    == F.lit(str(value)).cast("decimal(38,0)")
+                    == F.lit(str(value)).try_cast("decimal(38,0)")
                 )
             )
         elif isinstance(value, (int, float)):

@@ -140,6 +140,14 @@ def alert_docs_frame(alerts: DataFrame, id_field: str = "event_id") -> DataFrame
         F.coalesce(ts_raw, F.lit("")) != "", ts_raw
     ).otherwise(F.lit(now_iso))
     stamped = stamped.withColumn("utctimestamp", ts)
+    # PLAN-BUILD-time now, deliberately: for malformed timestamps the
+    # stamped epoch is the pass's build instant, exactly the clock the
+    # driver-side writer (doc_to_row's except-fallback) uses in the
+    # same pass — so the two writers agree on garbage. Caveat if this
+    # frame were ever cached and re-executed in a LATER pass: the
+    # fallback stays frozen at build time (a with-column expression
+    # would drift instead; neither is "right" for garbage input, and
+    # no engine path caches doc frames across passes).
     epoch_fallback = int(utcnow().timestamp())
     # doc_to_row treats NAIVE timestamps as UTC (datetime.fromisoformat
     # + replace(tzinfo=utc)); a session-tz cast would disagree whenever

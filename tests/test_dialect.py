@@ -140,3 +140,62 @@ def test_unsupported_constructs_raise_named_errors():
     )
     assert trino_to_spark("retry_count > 0") == "retry_count > 0"
     assert trino_to_spark("map(k, v)['k'] = 1") == "map(k, v)['k'] = 1"
+
+
+def test_array_bracket_literals_rewrite(spark):
+    """Trino's ARRAY['a','b'] bracket literals rewrite to Spark's
+    array('a','b') — bracket-matched, nested, string-literal aware —
+    and actually evaluate."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.dialect import trino_to_spark
+
+    assert (
+        trino_to_spark("contains(ARRAY['a','b'], source)")
+        == "array_contains(array('a','b'), source)"
+    )
+    # nested literals; subscripts inside elements balance their own
+    # brackets
+    assert (
+        trino_to_spark("cardinality(ARRAY[ARRAY[1,2], ARRAY[3]]) > 1")
+        == "cardinality(array(array(1,2), array(3))) > 1"
+    )
+    # 'ARRAY[' inside a string stays data; a subscripted column is not
+    # an array literal
+    assert (
+        trino_to_spark("note = 'use ARRAY[1] here'")
+        == "note = 'use ARRAY[1] here'"
+    )
+    assert trino_to_spark("tags[1] = 'x'") == "tags[1] = 'x'"
+    # the rewritten predicate runs end-to-end
+    df = spark.createDataFrame([("onelogin",), ("gsuite",)], "source string")
+    got = df.where(
+        F.expr(trino_to_spark("contains(ARRAY['onelogin','okta'], source)"))
+    ).collect()
+    assert [r["source"] for r in got] == ["onelogin"]
+    # MAP(ARRAY...) is still rejected AFTER the bracket rewrite
+    import pytest
+
+    with pytest.raises(ValueError, match="map_from_arrays"):
+        trino_to_spark("cardinality(MAP(ARRAY['k'], ARRAY[1])) > 0")
+
+
+def test_array_literal_subscript_is_one_based(spark):
+    """Trino subscripts are 1-based; a subscript directly on a bracket
+    array literal must become element_at (1-based in Spark) — a plain
+    Spark [] access is 0-based and would silently shift every element
+    access by one."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.dialect import trino_to_spark
+
+    sql = trino_to_spark("ARRAY['a','b'][1] = 'a'")
+    assert sql == "element_at(array('a','b'), 1) = 'a'"
+    df = spark.range(1)
+    assert df.where(F.expr(sql)).count() == 1  # Trino: [1] is 'a'
+    assert (
+        trino_to_spark("ARRAY[ARRAY[1,2]][1][1] = 1")
+        == "element_at(array(array(1,2)), 1)[1] = 1"
+        # chained second subscript stays a raw access (documented:
+        # the shim cannot know the outer expression's base offset)
+    )

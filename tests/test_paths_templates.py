@@ -239,3 +239,6 @@ def test_dict_match_big_int_exact(spark):
     # small ints keep the reference's numeric 1 == 1.0 laxity
     small = spark.createDataFrame([{"props": '{"k": 1.0}'}])
     assert small.where(dict_match(small, {"props": {"k": 1}})).count() == 1
+    # a query int wider than decimal(38,0) compares as no-match,
+    # never as an ANSI overflow throw
+    assert df.where(dict_match(df, {"props": {"id": 10**40}})).count() == 0

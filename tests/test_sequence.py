@@ -1146,3 +1146,57 @@ def test_fused_keep_full_template_keeps_full_events(spark, tmp_path):
     ev0 = alert["slots"][0]["events"][0]
     assert "details" in ev0 and "user_name" in str(ev0["details"])
     assert "_events_ref" not in alert["slots"][0]
+
+
+def test_fused_probe_frame_plan_is_single_scan_broadcast_semi(spark, events):
+    """The frame-native resume probe must compile to ONE events scan
+    plus a BROADCAST left-semi join on (rule_idx, value) — no IN
+    literals in the plan (no plan-size dependence on probe
+    cardinality), no shuffle added for the probe side."""
+    from alerta_spark.operators.threshold import fused_grouped
+    from alerta_spark.rules import threshold_shell
+
+    shells = [
+        threshold_shell(
+            {
+                "alert_name": f"s{i}",
+                "criteria": f"event_type='{et}'",
+                "aggregation_key": "user_id",
+                "threshold": 1,
+            }
+        )
+        for i, et in enumerate(["purchase", "error"])
+    ]
+    probe = spark.createDataFrame(
+        [(0, "1"), (0, "2"), (1, "3")], "rule_idx int, value string"
+    )
+    frame = fused_grouped(events, shells, "event_id", "ts", probe=probe)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fused_starts_rule_with_explicit_id_matches_sequential(spark, tmp_path):
+    """A rule dict carrying an explicit _id makes every spawned doc
+    share it; the sequential path's upsert keeps last-wins ONE. The
+    fused path must route the degenerate shape to the faithful loop,
+    not append N same-_id rows."""
+    rule = json.loads(json.dumps(SEQ_RULE))
+    rule["_id"] = "fixedid0123456789abcdef0"
+    ev = _onelogin_events(
+        spark,
+        [RISKY, dict(RISKY, user_name="bob")],  # two fired groups
+    )
+
+    def run(mode):
+        eng = Engine(
+            spark, str(tmp_path / f"id_{mode}"), id_col="event_id", ts_col="ts"
+        )
+        eng.run_once(ev, [rule], fuse_sequences=mode)
+        return eng
+
+    fus, seq = run(True), run(False)
+    assert len(fus.inflight.docs()) == len(seq.inflight.docs()) == 1
+    assert {d["_id"] for d in fus.inflight.docs()} == {rule["_id"]}

@@ -99,9 +99,18 @@ def _events(spark, keys: int):
 
 def _drain(spark, events_df, name: str):
     """File-source -> sequence_correlator -> memory sink under
-    availableNow; returns (wall_sec, progresses)."""
+    availableNow; returns (wall_sec, progresses).
+
+    Spark does not self-terminate an availableNow query while un-fired
+    state timers remain armed (the 7-day lifespan arms one per key), so
+    the drain stops on the idle signal — but only AFTER the cumulative
+    input-row count reaches the corpus size: a zero-input progress
+    observed before the data batches commit must not end the
+    measurement early (it would silently merge a partial drain into
+    SCALE_BENCH.json)."""
     from alerta_spark.streaming.correlator import sequence_correlator
 
+    expected = events_df.count()
     src = tempfile.mkdtemp(prefix="sb_src_")
     ck = tempfile.mkdtemp(prefix="sb_ck_")
     events_df.write.mode("overwrite").parquet(src)
@@ -120,7 +129,8 @@ def _drain(spark, events_df, name: str):
     while q.isActive and time.time() < deadline:
         q.awaitTermination(2)
         lp = q.lastProgress
-        if lp and lp["numInputRows"] == 0:
+        seen = sum(p.numInputRows for p in q.recentProgress)
+        if lp and lp["numInputRows"] == 0 and seen >= expected:
             q.stop()
             break
     q.awaitTermination(30)
