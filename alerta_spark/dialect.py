@@ -54,7 +54,91 @@ _CALL_REWRITES = {
     # which would silently truncate sub-second criteria arithmetic
     # (e.g. "to_unixtime(b) - to_unixtime(a) > 0.5" never firing)
     "to_unixtime": "(unix_micros({0}) / 1000000.0)",
+    "from_iso8601_timestamp": "to_timestamp({0})",
+    "from_iso8601_date": "to_date({0})",
+    # Trino day numbering is ISO (1=Monday..7=Sunday); Spark's
+    # dayofweek is 1=Sunday..7=Saturday — a pure rename would shift
+    # every weekday criteria by one, silently
+    "day_of_week": "((dayofweek({0}) + 5) % 7 + 1)",
+    "dow": "((dayofweek({0}) + 5) % 7 + 1)",
+    "day_of_year": "dayofyear({0})",
+    "doy": "dayofyear({0})",
+    "week": "weekofyear({0})",
+    "week_of_year": "weekofyear({0})",
 }
+
+# Trino date_parse uses MySQL %-specifiers; Spark's to_timestamp takes
+# Java DateTimeFormatter patterns. Translated per-specifier; literal
+# LETTERS must be quoted on the Java side (pattern letters) and bare
+# quotes escaped.
+_MYSQL_TO_JAVA = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "l": "h", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD", "T": "HH:mm:ss",
+    "W": "EEEE", "a": "EEE", "M": "MMMM", "b": "MMM", "v": "ww",
+    "%": "%",
+}
+
+
+def _mysql_format_to_java(fmt: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            java = _MYSQL_TO_JAVA.get(spec)
+            if java is None:
+                raise ValueError(
+                    f"unsupported date_parse specifier %{spec} in format "
+                    f"{fmt!r}: supported specifiers are "
+                    f"{''.join(sorted(_MYSQL_TO_JAVA))} — rewrite the "
+                    "criteria with to_timestamp(expr, <Java pattern>)"
+                )
+            out.append(java)
+            i += 2
+        elif ch.isalpha():
+            out.append(f"'{ch}'")
+            i += 1
+        elif ch == "'":
+            out.append("''")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _rw_date_parse(args: list[str]) -> str:
+    """Trino ``date_parse(expr, '%Y-%m-%d')`` -> Spark ``to_timestamp``
+    with the format translated MySQL->Java. The format must be a string
+    literal (it is in every observed rule); a computed format cannot be
+    translated at compile time and raises with guidance."""
+    if len(args) != 2:
+        raise KeyError("date_parse takes (expr, format)")
+    fmt = args[1].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'") and len(fmt) >= 2):
+        raise ValueError(
+            "date_parse needs a string-literal format for MySQL->Java "
+            f"translation, got {fmt!r}; use to_timestamp(expr, "
+            "<Java pattern>) directly for computed formats"
+        )
+    java = _mysql_format_to_java(fmt[1:-1].replace("''", "'"))
+    # the Java pattern may itself contain single quotes (quoted literal
+    # letters like 'T'); escape them for the SQL string literal
+    return f"to_timestamp({args[0]}, '{java.replace(chr(39), chr(39) * 2)}')"
+
+
+# callable rewrites: fname -> fn(args) -> replacement text. Every
+# rewrite here must change the call's NAME (date_parse->to_timestamp)
+# or it would re-match on the loop's rescan and never reach a
+# fixpoint — which is why Trino's split(string, LITERAL delimiter) is
+# deliberately NOT rewritten: Spark's same-named split takes a regex
+# (split(x, '.') splits on every char). Rule authors should use
+# split_part (literal delimiter, 1-based — identical in both engines)
+# or write the regex intentionally; the divergence is documented, not
+# silently "fixed" with a rewrite that corrupts itself on rescan.
+_CALL_REWRITES["date_parse"] = _rw_date_parse
 
 _TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -330,11 +414,17 @@ def _apply_call_rewrites(sql: str) -> str:
                             break
                     i += 1
                 args = _split_args(sql[open_ + 1 : i])
-                ctx = {str(k): a for k, a in enumerate(args)}
-                for k, a in enumerate(args):
-                    ctx[f"{k}u"] = a.strip().strip("'")
                 try:
-                    replacement = _fmt(template, ctx)
+                    if callable(template):
+                        # translation rewrites (date_parse): ValueError
+                        # escapes on purpose — it names the unsupported
+                        # piece, which beats Spark's raw parse error
+                        replacement = template(args)
+                    else:
+                        ctx = {str(k): a for k, a in enumerate(args)}
+                        for k, a in enumerate(args):
+                            ctx[f"{k}u"] = a.strip().strip("'")
+                        replacement = _fmt(template, ctx)
                 except (KeyError, IndexError):
                     start = at + 1
                     continue

@@ -199,3 +199,50 @@ def test_array_literal_subscript_is_one_based(spark):
         # chained second subscript stays a raw access (documented:
         # the shim cannot know the outer expression's base offset)
     )
+
+
+def test_datetime_family_rewrites(spark):
+    """Trino datetime surface: date_parse (MySQL %-format translated to
+    a Java pattern, literal letters quoted), from_iso8601_*, and the
+    ISO day_of_week numbering (Trino 1=Monday; Spark's dayofweek
+    1=Sunday — a pure rename would shift every weekday criteria)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from alerta_spark.dialect import trino_to_spark
+
+    assert (
+        trino_to_spark("date_parse(s, '%Y-%m-%d %H:%i:%s')")
+        == "to_timestamp(s, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    # literal 'T' between specifiers must be pattern-quoted AND
+    # SQL-escaped
+    assert (
+        trino_to_spark("date_parse(s, '%Y-%m-%dT%H:%i:%s')")
+        == "to_timestamp(s, 'yyyy-MM-dd''T''HH:mm:ss')"
+    )
+    with pytest.raises(ValueError, match="unsupported date_parse specifier"):
+        trino_to_spark("date_parse(s, '%Q')")
+    with pytest.raises(ValueError, match="string-literal format"):
+        trino_to_spark("date_parse(s, fmt_col)")
+
+    df = spark.createDataFrame(
+        [("2024-06-05T13:07:09",)], "s string"  # a Wednesday
+    )
+    row = df.select(
+        F.expr(trino_to_spark("date_parse(s, '%Y-%m-%dT%H:%i:%s')")).alias("t"),
+        F.expr(
+            trino_to_spark("day_of_week(from_iso8601_timestamp(s))")
+        ).alias("dow"),
+        F.expr(trino_to_spark("day_of_year(from_iso8601_date('2024-02-01'))")).alias(
+            "doy"
+        ),
+        F.expr(trino_to_spark("week(from_iso8601_date('2024-01-04'))")).alias(
+            "wk"
+        ),
+    ).collect()[0]
+    assert str(row["t"]) == "2024-06-05 13:07:09"
+    assert row["dow"] == 3  # ISO: Wednesday = 3 (Spark dayofweek says 4)
+    assert row["doy"] == 32
+    assert row["wk"] == 1  # ISO week 1 contains Jan 4
