@@ -246,3 +246,26 @@ def test_datetime_family_rewrites(spark):
     assert row["dow"] == 3  # ISO: Wednesday = 3 (Spark dayofweek says 4)
     assert row["doy"] == 32
     assert row["wk"] == 1  # ISO week 1 contains Jan 4
+
+
+def test_date_parse_format_corpus(spark):
+    """MySQL-specifier corpus across the supported table: 12-hour
+    clock, basic (separator-free) dates, day-of-year, 2-digit year,
+    non-padded day — each parsed by Spark through the translated
+    pattern to the expected instant."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.dialect import trino_to_spark
+
+    cases = [
+        ("05/06/2024 13:07", "%d/%m/%Y %H:%i", "2024-06-05 13:07:00"),
+        ("20240605", "%Y%m%d", "2024-06-05 00:00:00"),
+        ("01:07 PM", "%h:%i %p", "1970-01-01 13:07:00"),
+        ("24-6-5", "%y-%c-%e", "2024-06-05 00:00:00"),
+        ("2024 032", "%Y %j", "2024-02-01 00:00:00"),
+    ]
+    df = spark.range(1)
+    for value, fmt, expect in cases:
+        sql = trino_to_spark(f"date_parse('{value}', '{fmt}')")
+        got = df.select(F.expr(sql).alias("t")).collect()[0]["t"]
+        assert str(got) == expect, (fmt, sql, got)
