@@ -68,20 +68,52 @@ _CALL_REWRITES = {
 }
 
 # Trino date_parse uses MySQL %-specifiers; Spark's to_timestamp takes
-# Java DateTimeFormatter patterns. Translated per-specifier; literal
-# LETTERS must be quoted on the Java side (pattern letters) and bare
-# quotes escaped.
+# Java DateTimeFormatter patterns. Translated per-specifier; runs of
+# literal text (letters, quotes, and Java-reserved punctuation) are
+# coalesced into ONE quoted span — per-character quoting would merge
+# adjacent quotes into escaped quotes and corrupt multi-letter
+# literals ('at' became a't').
+#
+# Deliberately ABSENT (translation-time error beats a runtime parser
+# error or a silent shift):
+#   %y  — MySQL/Trino resolve 70-99 to 1970-1999; Java 'yy' resolves
+#         every two-digit year to 2000-2099 (a silent century shift)
+#   %W %a — weekday names need Java 'E', which Spark bans for PARSING
+#   %v %x %u — week-based fields ('w' letters), banned the same way
 _MYSQL_TO_JAVA = {
-    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "Y": "yyyy", "m": "MM", "c": "M", "d": "dd", "e": "d",
     "H": "HH", "k": "H", "h": "hh", "l": "h", "i": "mm", "s": "ss",
     "S": "ss", "f": "SSSSSS", "p": "a", "j": "DDD", "T": "HH:mm:ss",
-    "W": "EEEE", "a": "EEE", "M": "MMMM", "b": "MMM", "v": "ww",
+    "M": "MMMM", "b": "MMM",
     "%": "%",
 }
+
+_SPECIFIER_HINTS = {
+    "y": "two-digit years resolve to different centuries in MySQL "
+         "(70-99 -> 19xx) and Java (always 20xx); use %Y or parse with "
+         "to_timestamp and post-correct the century",
+    "W": "Spark bans weekday-name ('E') fields when PARSING",
+    "a": "Spark bans weekday-name ('E') fields when PARSING",
+    "v": "Spark bans week-based fields when parsing",
+    "x": "Spark bans week-based fields when parsing",
+    "u": "Spark bans week-based fields when parsing",
+}
+
+# reserved in Java patterns even though non-alphabetic: '#'/'{'/'}'
+# throw at runtime, '['/']' mark OPTIONAL sections (inverting Trino's
+# literal-bracket semantics) — all must ride inside quoted spans
+_JAVA_QUOTED_PUNCT = set("#{}[]")
 
 
 def _mysql_format_to_java(fmt: str) -> str:
     out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
     i = 0
     while i < len(fmt):
         ch = fmt[i]
@@ -89,23 +121,27 @@ def _mysql_format_to_java(fmt: str) -> str:
             spec = fmt[i + 1]
             java = _MYSQL_TO_JAVA.get(spec)
             if java is None:
+                hint = _SPECIFIER_HINTS.get(
+                    spec,
+                    "supported specifiers are "
+                    + "".join(sorted(_MYSQL_TO_JAVA)),
+                )
                 raise ValueError(
                     f"unsupported date_parse specifier %{spec} in format "
-                    f"{fmt!r}: supported specifiers are "
-                    f"{''.join(sorted(_MYSQL_TO_JAVA))} — rewrite the "
-                    "criteria with to_timestamp(expr, <Java pattern>)"
+                    f"{fmt!r}: {hint} — or rewrite the criteria with "
+                    "to_timestamp(expr, <Java pattern>)"
                 )
+            flush()
             out.append(java)
             i += 2
-        elif ch.isalpha():
-            out.append(f"'{ch}'")
-            i += 1
-        elif ch == "'":
-            out.append("''")
+        elif ch.isalpha() or ch == "'" or ch in _JAVA_QUOTED_PUNCT:
+            lit.append(ch)
             i += 1
         else:
+            flush()
             out.append(ch)
             i += 1
+    flush()
     return "".join(out)
 
 
@@ -117,11 +153,21 @@ def _rw_date_parse(args: list[str]) -> str:
     if len(args) != 2:
         raise KeyError("date_parse takes (expr, format)")
     fmt = args[1].strip()
-    if not (fmt.startswith("'") and fmt.endswith("'") and len(fmt) >= 2):
+    # ONE string literal, not merely quote-delimited text: a composite
+    # like '%Y' || '-%m' starts and ends with a quote too, and treating
+    # it as a literal would emit a garbage pattern — an interior
+    # unescaped quote means the argument is an expression
+    if not (
+        fmt.startswith("'")
+        and fmt.endswith("'")
+        and len(fmt) >= 2
+        and "'" not in fmt[1:-1].replace("''", "")
+    ):
         raise ValueError(
-            "date_parse needs a string-literal format for MySQL->Java "
-            f"translation, got {fmt!r}; use to_timestamp(expr, "
-            "<Java pattern>) directly for computed formats"
+            "date_parse needs a single string-literal format for "
+            f"MySQL->Java translation, got {fmt!r}; use "
+            "to_timestamp(expr, <Java pattern>) directly for computed "
+            "formats"
         )
     java = _mysql_format_to_java(fmt[1:-1].replace("''", "'"))
     # the Java pattern may itself contain single quotes (quoted literal

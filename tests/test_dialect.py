@@ -261,11 +261,38 @@ def test_date_parse_format_corpus(spark):
         ("05/06/2024 13:07", "%d/%m/%Y %H:%i", "2024-06-05 13:07:00"),
         ("20240605", "%Y%m%d", "2024-06-05 00:00:00"),
         ("01:07 PM", "%h:%i %p", "1970-01-01 13:07:00"),
-        ("24-6-5", "%y-%c-%e", "2024-06-05 00:00:00"),
+        ("2024-6-5", "%Y-%c-%e", "2024-06-05 00:00:00"),
         ("2024 032", "%Y %j", "2024-02-01 00:00:00"),
+        # multi-letter literal runs coalesce into ONE quoted span
+        ("2024 at 13", "%Y at %H", "2024-01-01 13:00:00"),
+        # Java-reserved punctuation ([, ], #) rides inside quoted spans
+        ("[2024]#06", "[%Y]#%m", "2024-06-01 00:00:00"),
     ]
     df = spark.range(1)
     for value, fmt, expect in cases:
         sql = trino_to_spark(f"date_parse('{value}', '{fmt}')")
         got = df.select(F.expr(sql).alias("t")).collect()[0]["t"]
         assert str(got) == expect, (fmt, sql, got)
+
+
+def test_date_parse_rejects_divergent_and_banned_specifiers():
+    """Specifiers Spark cannot parse faithfully must raise the guided
+    translation-time error, never reach the runtime parser or shift
+    silently: %y (century resolution differs between MySQL and Java),
+    %W/%a (Java 'E' banned for parsing), %v (week-based banned) — and
+    a composite 'literal' like '%Y' || '-%m' is an expression, not a
+    format."""
+    import pytest
+
+    from alerta_spark.dialect import trino_to_spark
+
+    for fmt, why in (
+        ("%y-%m-%d", "y"),
+        ("%W, %d %M %Y", "W"),
+        ("%a %d", "a"),
+        ("%v", "v"),
+    ):
+        with pytest.raises(ValueError, match=f"%{why}"):
+            trino_to_spark(f"date_parse(s, '{fmt}')")
+    with pytest.raises(ValueError, match="single string-literal"):
+        trino_to_spark("date_parse(s, '%Y' || '-%m')")
