@@ -298,11 +298,18 @@ def _rewrite_array_literals(sql: str) -> str:
         if close < 0:
             return sql  # unbalanced: leave for Spark's parser to name
         body = sql[open_ + 1 : close]
-        # 1-based subscript directly on the literal -> element_at
-        j = close + 1
-        while j < len(sql) and sql[j].isspace():
-            j += 1
-        if j < len(sql) and sql[j] == "[":
+        # 1-based subscripts directly on the literal -> element_at;
+        # LOOPED so every directly-chained [i] nests
+        # (ARRAY[ARRAY[1,2]][1][2] -> element_at(element_at(...,1),2))
+        # — a raw Spark [] tail would be 0-based, a silent shift
+        expr = f"array({body})"
+        end = close + 1
+        while True:
+            j = end
+            while j < len(sql) and sql[j].isspace():
+                j += 1
+            if j >= len(sql) or sql[j] != "[":
+                break
             depth2, k, in_str2 = 0, j, False
             close2 = -1
             while k < len(sql):
@@ -323,15 +330,12 @@ def _rewrite_array_literals(sql: str) -> str:
                         close2 = k
                         break
                 k += 1
-            if close2 > 0:
-                sub = sql[j + 1 : close2]
-                sql = (
-                    sql[: m.start()]
-                    + f"element_at(array({body}), {sub})"
-                    + sql[close2 + 1 :]
-                )
-                continue
-        sql = sql[: m.start()] + "array(" + body + ")" + sql[close + 1 :]
+            if close2 < 0:
+                break  # unbalanced tail: leave for Spark's parser
+            sub = sql[j + 1 : close2]
+            expr = f"element_at({expr}, {sub})"
+            end = close2 + 1
+        sql = sql[: m.start()] + expr + sql[end:]
 
 
 def _split_literals(sql: str) -> list[tuple[str, bool]]:

@@ -1,3 +1,8 @@
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from alerta_spark.dialect import trino_to_spark
 
 
@@ -193,12 +198,15 @@ def test_array_literal_subscript_is_one_based(spark):
     assert sql == "element_at(array('a','b'), 1) = 'a'"
     df = spark.range(1)
     assert df.where(F.expr(sql)).count() == 1  # Trino: [1] is 'a'
-    assert (
-        trino_to_spark("ARRAY[ARRAY[1,2]][1][1] = 1")
-        == "element_at(array(array(1,2)), 1)[1] = 1"
-        # chained second subscript stays a raw access (documented:
-        # the shim cannot know the outer expression's base offset)
-    )
+    # chained subscripts nest: each directly-chained [i] is 1-based in
+    # Trino, so each becomes its own element_at — a raw [] tail would
+    # silently 0-shift (ARRAY[ARRAY[1,2]][1][1] is 1 in Trino, and a
+    # raw [1] tail would have returned 2)
+    sql2 = trino_to_spark("ARRAY[ARRAY[1,2]][1][1] = 1")
+    assert sql2 == "element_at(element_at(array(array(1,2)), 1), 1) = 1"
+    assert df.where(F.expr(sql2)).count() == 1
+    sql3 = trino_to_spark("ARRAY[ARRAY[1,2]][1][2] = 2")
+    assert df.where(F.expr(sql3)).count() == 1
 
 
 def test_datetime_family_rewrites(spark):
@@ -296,3 +304,64 @@ def test_date_parse_rejects_divergent_and_banned_specifiers():
             trino_to_spark(f"date_parse(s, '{fmt}')")
     with pytest.raises(ValueError, match="single string-literal"):
         trino_to_spark("date_parse(s, '%Y' || '-%m')")
+
+
+# MySQL specifier -> the DuckDB strftime specifier that RENDERS the
+# identical text (DuckDB strftime is C-style: %M is minute there and
+# month NAME in MySQL; %-d/%-m/%-H/%-I are DuckDB's no-pad modifiers
+# for MySQL's %e/%c/%k/%l).
+_MYSQL_TO_DUCKDB = {
+    "%Y": "%Y", "%m": "%m", "%c": "%-m", "%d": "%d", "%e": "%-d",
+    "%H": "%H", "%k": "%-H", "%h": "%I", "%l": "%-I", "%i": "%M",
+    "%s": "%S", "%S": "%S", "%f": "%f", "%p": "%p", "%j": "%j",
+    "%T": "%H:%M:%S", "%M": "%B", "%b": "%b",
+}
+
+_DATE_BLOCKS = [
+    "%Y-%m-%d", "%Y/%c/%e", "%Y%m%d", "%d.%m.%Y",
+    "%Y %j", "%e %b %Y", "%e %M %Y",
+]
+_TIME_BLOCKS = [
+    "%H:%i:%s", "%T", "%k:%i:%s",
+    "%h:%i:%s %p", "%l:%i:%s %p", "%H:%i:%s.%f",
+]
+_SEPS = [" ", "T", " at ", ", "]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ts=st.datetimes(
+        min_value=datetime.datetime(1905, 1, 1),
+        max_value=datetime.datetime(2261, 12, 31),
+    ),
+    d_i=st.integers(0, len(_DATE_BLOCKS) - 1),
+    t_i=st.integers(0, len(_TIME_BLOCKS) - 1),
+    s_i=st.integers(0, len(_SEPS) - 1),
+)
+def test_date_parse_roundtrip_property(spark, ts, d_i, t_i, s_i):
+    """Round-trip property for the supported specifier table: any
+    timestamp DuckDB strftime-renders with a fully-determining MySQL
+    format must parse back to the same instant through the translated
+    Java pattern — covering %f six-digit fractions, %k/%l unpadded
+    hours, %j day-of-year with %Y, 12-hour %h/%l with %p, month names,
+    and coalesced literal separators, at every hour/day padding edge
+    hypothesis finds."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    import re
+
+    mysql_fmt = _DATE_BLOCKS[d_i] + _SEPS[s_i] + _TIME_BLOCKS[t_i]
+    # single-pass token substitution: sequential str.replace corrupts
+    # itself (%i -> %M, which a later pass rewrites to %B month name)
+    duck_fmt = re.sub(
+        r"%.", lambda m: _MYSQL_TO_DUCKDB[m.group(0)], mysql_fmt
+    )
+    expect = ts if "%f" in mysql_fmt else ts.replace(microsecond=0)
+    rendered = duckdb.sql(
+        "SELECT strftime(?::TIMESTAMP, ?)", params=[expect, duck_fmt]
+    ).fetchone()[0]
+    sql = trino_to_spark(f"date_parse('{rendered}', '{mysql_fmt}')")
+    got = spark.range(1).select(F.expr(sql).alias("t")).collect()[0]["t"]
+    assert got == expect, (mysql_fmt, rendered, sql, got)
