@@ -143,14 +143,44 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             # strings try_cast to NULL and fail the match.
             # try_cast on the LITERAL side too: a query int wider than
             # 38 digits must compare as "no match" (NULL equality),
-            # not throw an ANSI overflow at execution
-            cond = (
-                col.cast("string").rlike(r"^-?\d+$")
-                & (
-                    col.cast("string").try_cast("decimal(38,0)")
+            # not throw an ANSI overflow at execution. The OR'd exact
+            # string equality covers >38-digit values (both try_casts
+            # NULL out, but Python == on the equal ints is True; SQL
+            # NULL | true = true keeps the match).
+            col_str = col.cast("string")
+            cond = col_str.rlike(r"^-?\d+$") & (
+                (
+                    col_str.try_cast("decimal(38,0)")
                     == F.lit(str(value)).try_cast("decimal(38,0)")
                 )
+                | (col_str == F.lit(str(value)))
             )
+            # A double-TYPED column renders in float form
+            # ("9.007199254740992E15", "1.0E20") and fails the integer
+            # rlike; the reference's Python == (float vs int) is an
+            # exact real comparison, true iff the double equals the
+            # int exactly — expressible only when the query int round-
+            # trips through double (float(value) == value): then
+            # double equality against lit(float(value)) IS the exact
+            # comparison. A non-round-tripping int equals NO double,
+            # so that branch is correctly absent. The float-form rlike
+            # (must contain '.' or an exponent) keeps integer-rendered
+            # STRINGS like "9007199254740993" off this branch — they
+            # would round to a neighboring double and fabricate a
+            # match the exact decimal path above rejects.
+            try:
+                exact_dbl = float(value)
+                round_trips = int(exact_dbl) == value
+            except OverflowError:
+                round_trips = False
+            if round_trips:
+                cond = cond | (
+                    col_str.rlike(
+                        r"^-?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?$"
+                        r"|^-?\d+[eE][+-]?\d+$"
+                    )
+                    & (col_str.try_cast("double") == F.lit(exact_dbl))
+                )
         elif isinstance(value, (int, float)):
             cond = col.cast("string").try_cast("double") == F.lit(float(value))
         else:

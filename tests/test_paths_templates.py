@@ -242,3 +242,24 @@ def test_dict_match_big_int_exact(spark):
     # a query int wider than decimal(38,0) compares as no-match,
     # never as an ANSI overflow throw
     assert df.where(dict_match(df, {"props": {"id": 10**40}})).count() == 0
+    # a float-RENDERED column holding an integer the query int round-
+    # trips to exactly MUST match (Python float == int is an exact
+    # real comparison): 2^53 as "9007199254740992.0" / "9.00...E15"
+    fl = spark.createDataFrame(
+        [
+            {"props": '{"id": 9007199254740992.0}'},
+            {"props": '{"id": 9.007199254740992E15}'},
+            {"props": '{"id": 1e20}'},
+        ]
+    )
+    assert df.where(dict_match(df, {"props": {"id": big - 1}})).count() == 1
+    assert fl.where(dict_match(fl, {"props": {"id": 2**53}})).count() == 2
+    assert fl.where(dict_match(fl, {"props": {"id": 10**20}})).count() == 1
+    # ...but a NON-round-tripping query int equals no double: 2^53+1
+    # must not pick up the 2^53-valued float rows
+    assert fl.where(dict_match(fl, {"props": {"id": big}})).count() == 0
+    # two equal >38-digit integers compare EQUAL (exact string path;
+    # both decimal casts NULL out but Python == is True)
+    huge = spark.createDataFrame([{"props": _json.dumps({"id": 10**40 + 7})}])
+    assert huge.where(dict_match(huge, {"props": {"id": 10**40 + 7}})).count() == 1
+    assert huge.where(dict_match(huge, {"props": {"id": 10**40 + 9}})).count() == 0
