@@ -43,15 +43,17 @@ def merge(overrides: dict, defaults: dict) -> dict:
     return out
 
 
-# Unit ends at a digit, whitespace, separator, or end-of-string (not
+# Unit ends at anything that is NOT a letter (negative lookahead, not
 # \b): compact pd.Timedelta forms like '1h30m' put the next number
 # right after the unit letter, which \b rejected ('1h' then ended up
-# in the residue and raised). A letter after the unit still fails the
-# lookahead, so '2 days 1 month' keeps raising instead of silently
-# parsing the 'm' of 'month' as minutes.
+# in the residue and raised), and trailing punctuation ('3 days)',
+# '1h;') must stay tolerated — it lands in the residue where only \w
+# raises. A LETTER after the unit still fails the lookahead, so
+# '2 days 1 month' keeps raising instead of silently parsing the 'm'
+# of 'month' as minutes.
 _TIMEDELTA = re.compile(
     r"(?P<n>\d+(?:\.\d+)?)\s*(?P<unit>w(?:eeks?)?|d(?:ays?)?|h(?:ours?|rs?)?|"
-    r"m(?:in(?:ute)?s?)?|s(?:ec(?:ond)?s?)?)(?=[\d\s,.]|$)",
+    r"m(?:in(?:ute)?s?)?|s(?:ec(?:ond)?s?)?)(?![A-Za-z])",
     re.IGNORECASE,
 )
 

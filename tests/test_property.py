@@ -318,6 +318,12 @@ def test_parse_timedelta_abbreviated_plurals_and_strictness():
     assert parse_timedelta("30 secs").total_seconds() == 30
     assert parse_timedelta("2 hrs").total_seconds() == 7200
     assert parse_timedelta("1 day, 2 hours").total_seconds() == 93600
+    # trailing non-letter punctuation is tolerated (it lands in the
+    # residue where only \w raises) — '3 days)' from a parenthesized
+    # rule note, '1h;' from a config list
+    assert parse_timedelta("3 days)").total_seconds() == 259200
+    assert parse_timedelta("1h;").total_seconds() == 3600
+    assert parse_timedelta("(30 min)").total_seconds() == 1800
     with pytest.raises(ValueError):
         parse_timedelta("2 days 1 month")
     with pytest.raises(ValueError):
