@@ -79,8 +79,12 @@ class Engine:
         one conditional-aggregate scan with a broadcast value-probe)
         and the fresh starts (`starts_fused_frames`), with state kept
         executor-side end to end and the intra-pass dedup interaction
-        replayed as chained id-frame anti-joins; unfusable shapes fall
-        back to the faithful per-group/per-document paths.
+        replayed as chained id-frame anti-joins; deadman (absence)
+        resume slots fuse through the frame tier's deadman face
+        (round 9); the remaining unfusable shapes (multi-templated
+        criteria, key mismatch) fall back to the faithful
+        per-group/per-document paths, with a warning past 1000
+        fallback documents.
         Per-rule failure isolation is preserved by validating each
         rule's criteria/key resolution up front and dropping (logging)
         the broken ones, matching the swallow-and-continue semantics

@@ -31,10 +31,20 @@ alerta.py:210-215, re-expressed as joins):
 - completion + expiry flag the frame, emit through the same
   spill-join/assemble UDF, and overwrite the kept rows from the frame.
 
-Unfusable shapes (deadman slots, multi-templated criteria, key ≠
-aggregation key, criteria that fail to parse) and duplicate-value
-strays are the ONLY documents ever collected — they route to the
-faithful driver-side paths, preserving their exact semantics.
+Deadman (absence) resume slots fuse too (round 9): the captured
+values probe one raw-events aggregate (NO F8/F9 anti-joins — the
+deadman path has no dedup, reference parity alerta.py:413-425), a
+value with count <= threshold advances with its real group, and a
+value with NO matching events advances with the reference's
+synthesized (aggregation_key, 0, []) row — broadcast as a 1-row
+constant onto the absent members. The fired slot's rendered criteria
+is reconstructed per document (prefix + captured value + suffix).
+
+Unfusable shapes (multi-templated criteria, key ≠ aggregation key,
+criteria that fail to parse, non-threshold/deadman slot types) and
+duplicate-value strays are the ONLY documents ever collected — they
+route to the faithful driver-side paths, preserving their exact
+semantics.
 
 Ordering note: the driver loop processes groups in newest-first
 document-scan order; this tier orders fusable groups by (max group
@@ -159,15 +169,22 @@ def _annotate_tmpl_values(
 class _GroupMeta:
     """Driver-side metadata for ONE fusable (rule, slot) group — the
     only thing the driver keeps per group: the representative doc's
-    compiled slot shape, never the member documents."""
+    compiled slot shape, never the member documents.
+
+    ``crit_parts`` (deadman groups only) is the (prefix, suffix) of
+    the slot's TEMPLATED criteria text around its single template
+    variable: the per-document path records the RENDERED criteria in
+    the fired slot (``render_py`` at sequence.py:284), so the frame
+    face reconstructs it as prefix + captured value + suffix inside
+    the update UDF — byte-identical to the driver path."""
 
     __slots__ = (
         "name", "idx", "p_asm", "static", "tmpl_parts",
-        "refs", "keep_full", "max_epoch",
+        "refs", "keep_full", "max_epoch", "crit_parts",
     )
 
     def __init__(self, name, idx, p_asm, static, tmpl_parts, refs,
-                 keep_full, max_epoch):
+                 keep_full, max_epoch, crit_parts=None):
         self.name = name
         self.idx = idx
         self.p_asm = p_asm
@@ -176,6 +193,7 @@ class _GroupMeta:
         self.refs = refs
         self.keep_full = keep_full
         self.max_epoch = max_epoch
+        self.crit_parts = crit_parts
 
 
 def _coerce_slim_row(pdf, i: int, n_ej: int) -> dict[str, Any]:
@@ -237,6 +255,59 @@ def _mk_resume_full_udf(slot_index: int):
             for doc_json, fired_json in zip(pdf["doc"], pdf["_fired_json"]):
                 doc = sequence_shell(json.loads(doc_json))
                 doc["slots"][slot_index] = json.loads(fired_json)
+                out.append(doc_to_row(doc))
+            yield pd.DataFrame(out, columns=_DOC_COLS)
+
+    return fn
+
+
+def _mk_resume_full_dm_udf(slot_index: int, crit_parts: tuple[str, str]):
+    """Deadman variant of :func:`_mk_resume_full_udf`: the fired slot
+    additionally records the RENDERED criteria (prefix + the doc's
+    captured value + suffix — the per-document path's ``render_py``
+    output), which for the ABSENT/synthesized case differs from the
+    fired row's metadata value (that one is the aggregation_key
+    literal, the reference's empty-input synthesis)."""
+    pre, suf = crit_parts
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_json, val, fired_json in zip(
+                pdf["doc"], pdf["tmpl_value"], pdf["_fired_json"]
+            ):
+                doc = sequence_shell(json.loads(doc_json))
+                fired = json.loads(fired_json)
+                fired["criteria"] = pre + str(val) + suf
+                doc["slots"][slot_index] = fired
+                out.append(doc_to_row(doc))
+            yield pd.DataFrame(out, columns=_DOC_COLS)
+
+    return fn
+
+
+def _mk_resume_slim_dm_udf(p_asm, slot_index: int, idx_sorted, id_col: str,
+                           crit_parts: tuple[str, str]):
+    """Deadman variant of :func:`_mk_resume_slim_udf` (fired rows with
+    1 <= count <= threshold carry real events): same slim rebuild plus
+    the rendered-criteria patch."""
+    pre, suf = crit_parts
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                fired = _slot_doc_from_row(
+                    p_asm, _coerce_slim_row(pdf, i, len(idx_sorted)),
+                    idx_sorted, id_col,
+                )
+                fired["criteria"] = pre + str(pdf["tmpl_value"].iloc[i]) + suf
+                doc = sequence_shell(json.loads(pdf["doc"].iloc[i]))
+                doc["slots"][slot_index] = fired
                 out.append(doc_to_row(doc))
             yield pd.DataFrame(out, columns=_DOC_COLS)
 
@@ -350,41 +421,71 @@ def resume_fused_frames(
         if not meta_rows:
             return [], []
 
+        from alerta_spark.rules import deadman_shell
+        from alerta_spark.templates import template_parts
+
         fusable: list[_GroupMeta] = []
-        unfused_keys: list[tuple[str, int]] = []
+        dm_groups: list[_GroupMeta] = []
+        unfused_meta: list[tuple[int, str, int]] = []
         for r in meta_rows:
             name, idx = str(r["g_name"]), int(r["next_idx"])
             rep = json.loads(r["rep_doc"])
             slot = rep["slots"][idx]
-            compiled = compile_templated_criteria(str(slot.get("criteria", "")))
+            crit = str(slot.get("criteria", ""))
+            a_type = str(slot.get("alert_type", "threshold"))
+            compiled = compile_templated_criteria(crit)
             if (
-                slot.get("alert_type", "threshold") != "threshold"
+                a_type not in ("threshold", "deadman")
                 or compiled is None
                 or str(slot.get("aggregation_key", "")) != compiled[1]
             ):
-                unfused_keys.append((name, idx))
+                unfused_meta.append((int(r["max_epoch"]), name, idx))
                 continue
             static, _key_path, tmpl_path = compiled
+            crit_parts = None
+            if a_type == "deadman":
+                # the fired slot records the RENDERED criteria on the
+                # per-document path; reconstructable in-frame only when
+                # the criteria has exactly one template variable
+                parts = template_parts(crit)
+                var_at = [k for k, (kind, _) in enumerate(parts) if kind == "var"]
+                if len(var_at) != 1:
+                    unfused_meta.append((int(r["max_epoch"]), name, idx))
+                    continue
+                crit_parts = (
+                    "".join(t for _, t in parts[: var_at[0]]),
+                    "".join(t for _, t in parts[var_at[0] + 1 :]),
+                )
             try:
-                p_asm = threshold_shell(dict(slot, criteria=static))
+                if a_type == "deadman":
+                    p_asm = deadman_shell(dict(slot, criteria=static))
+                else:
+                    p_asm = threshold_shell(dict(slot, criteria=static))
                 if static:
                     # plan-time parse + resolve check; no job runs
                     events_df.where(F.expr(trino_to_spark(static))).schema
             except Exception:
-                unfused_keys.append((name, idx))
+                unfused_meta.append((int(r["max_epoch"]), name, idx))
                 continue
             refs, keep_full = _referenced_event_indices(rep, idx)
-            fusable.append(
-                _GroupMeta(
-                    name, idx, p_asm, static,
-                    [p for p in tmpl_path.split(".") if p],
-                    sorted(refs), keep_full, int(r["max_epoch"]),
-                )
+            meta = _GroupMeta(
+                name, idx, p_asm, static,
+                [p for p in tmpl_path.split(".") if p],
+                sorted(refs), keep_full, int(r["max_epoch"]), crit_parts,
             )
+            (dm_groups if a_type == "deadman" else fusable).append(meta)
         # ONE collect serves every unfusable group (a sorted collect
         # per group would cost one Spark job per group); the global
         # (utcepoch desc, _id) sort makes each group's slice arrive in
-        # the driver loop's newest-first order
+        # the driver loop's newest-first order. Groups themselves run
+        # newest-first (max_epoch desc, then name, idx) — mirroring
+        # fusable.sort below — so intra-pass F9 contention between
+        # overlapping unfused captures resolves the same way every run
+        # (meta_rows collect order is nondeterministic groupBy output).
+        unfused_meta.sort(key=lambda t: (-t[0], t[1], t[2]))
+        unfused_keys: list[tuple[str, int]] = [
+            (n, i) for _, n, i in unfused_meta
+        ]
         unfused: list[tuple[tuple[str, int], list[dict]]] = []
         if unfused_keys:
             keys_df = spark.createDataFrame(
@@ -406,48 +507,80 @@ def resume_fused_frames(
                     json.loads(r["doc"])
                 )
             unfused = [(k, by_key[k]) for k in unfused_keys]
-        if not fusable:
+            if len(rows) > 1000:
+                # the fallback is per-DOCUMENT driver work (Spark jobs
+                # per doc) — regression to pre-frame-tier cost must be
+                # observable, not silent; measured curve:
+                # engine_sequence_pass_unfused in SCALE_BENCH.json
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "resume_fused_frames: %d in-flight documents across "
+                    "%d groups fall back to the per-document driver path "
+                    "(unfusable next-slot shapes: multi-templated "
+                    "criteria, key!=aggregation_key, or unparseable "
+                    "criteria) — expect roughly linear pass time in that "
+                    "document count",
+                    len(rows),
+                    len(unfused_keys),
+                )
+        if not fusable and not dm_groups:
             return unfused, []
         # driver-loop order: newest group first (see module docstring)
         fusable.sort(key=lambda g: (-g.max_epoch, g.name, g.idx))
+        dm_groups.sort(key=lambda g: (-g.max_epoch, g.name, g.idx))
 
         valued = _annotate_tmpl_values(
-            resumable, {(g.name, g.idx): g.tmpl_parts for g in fusable}
+            resumable,
+            {(g.name, g.idx): g.tmpl_parts for g in fusable + dm_groups},
         )
-        fus_keys = spark.createDataFrame(
-            [(g.name, g.idx, i) for i, g in enumerate(fusable)],
-            "g_name string, next_idx int, rule_idx int",
-        )
-        members = valued.join(F.broadcast(fus_keys), ["g_name", "next_idx"])
-        w = Window.partitionBy("rule_idx", "tmpl_value").orderBy(
-            F.desc("utcepoch"), F.asc("_id")
-        )
-        ranked = members.withColumn("_rn", F.row_number().over(w)).persist()
-        winners = ranked.where(
-            F.col("tmpl_value").isNotNull() & (F.col("_rn") == 1)
-        )
-        stray_rows = (
-            ranked.where(F.col("tmpl_value").isNull() | (F.col("_rn") > 1))
-            .orderBy(F.desc("utcepoch"), F.asc("_id"))
-            .select("doc")
-            .collect()
-        )
-        stray = [json.loads(r["doc"]) for r in stray_rows]
+        stray: list[dict] = []
+        upd_frames: list[DataFrame] = []
+        spill_frames: list[DataFrame] = []
+        to_unpersist: list[DataFrame] = []
         try:
-            probe = winners.select(
-                "rule_idx", F.col("tmpl_value").alias("value")
-            )
-            dedup_ids = inflight_store.alerted_ids().unionByName(
-                alert_store.alerted_ids()
-            )
-            ev = remove_previously_alerted(events_df, dedup_ids, id_col=id_col)
-            grouped = fused_grouped(
-                ev, [g.p_asm for g in fusable], id_col, ts_col, probe=probe
-            ).persist()
-            try:
+            if fusable:
+                fus_keys = spark.createDataFrame(
+                    [(g.name, g.idx, i) for i, g in enumerate(fusable)],
+                    "g_name string, next_idx int, rule_idx int",
+                )
+                members = valued.join(
+                    F.broadcast(fus_keys), ["g_name", "next_idx"]
+                )
+                w = Window.partitionBy("rule_idx", "tmpl_value").orderBy(
+                    F.desc("utcepoch"), F.asc("_id")
+                )
+                ranked = members.withColumn(
+                    "_rn", F.row_number().over(w)
+                ).persist()
+                to_unpersist.append(ranked)
+                winners = ranked.where(
+                    F.col("tmpl_value").isNotNull() & (F.col("_rn") == 1)
+                )
+                stray_rows = (
+                    ranked.where(
+                        F.col("tmpl_value").isNull() | (F.col("_rn") > 1)
+                    )
+                    .orderBy(F.desc("utcepoch"), F.asc("_id"))
+                    .select("doc")
+                    .collect()
+                )
+                stray.extend(json.loads(r["doc"]) for r in stray_rows)
+                probe = winners.select(
+                    "rule_idx", F.col("tmpl_value").alias("value")
+                )
+                dedup_ids = inflight_store.alerted_ids().unionByName(
+                    alert_store.alerted_ids()
+                )
+                ev = remove_previously_alerted(
+                    events_df, dedup_ids, id_col=id_col
+                )
+                grouped = fused_grouped(
+                    ev, [g.p_asm for g in fusable], id_col, ts_col,
+                    probe=probe,
+                ).persist()
+                to_unpersist.append(grouped)
                 captured = None
-                upd_frames: list[DataFrame] = []
-                spill_frames: list[DataFrame] = []
                 multi = len(fusable) > 1
                 for i, g in enumerate(fusable):
                     thr = int(g.p_asm["threshold"])
@@ -520,23 +653,167 @@ def resume_fused_frames(
                                 schema=DOC_SCHEMA,
                             )
                         )
-                # ONE spill append + ONE state write for the whole pass,
-                # spill first so a crash leaves orphan spill rows (pruned
-                # on the compaction cadence) rather than dangling refs
-                if spill_frames:
-                    out = spill_frames[0]
-                    for s in spill_frames[1:]:
-                        out = out.unionByName(s)
-                    spill_store.append_frame(out)
-                if upd_frames:
-                    out = upd_frames[0]
-                    for u in upd_frames[1:]:
-                        out = out.unionByName(u)
-                    inflight_store.upsert_rows(out)
-            finally:
-                grouped.unpersist()
+            if dm_groups:
+                # DEADMAN face (absence slots): each group's captured
+                # value fires when its event count is <= threshold —
+                # including zero (the reference's empty-input synthesis,
+                # alerta.py:413-425: a (aggregation_key, 0) row with no
+                # events). Runs on the RAW events frame with no F8/F9
+                # anti-joins (no dedup on the deadman path — reference
+                # parity, alerta.py:413-425) and AFTER the threshold
+                # face, mirroring the driver loop (batched threshold
+                # groups first, per-document singles after). ALL members
+                # of a value advance (the per-document path processes
+                # duplicates individually and each fires identically),
+                # so there is no winner cut and no duplicate-value
+                # strays here — only null captured values fall back.
+                dm_keys = spark.createDataFrame(
+                    [(g.name, g.idx, j) for j, g in enumerate(dm_groups)],
+                    "g_name string, next_idx int, rule_idx int",
+                )
+                dm_members = valued.join(
+                    F.broadcast(dm_keys), ["g_name", "next_idx"]
+                ).persist()
+                to_unpersist.append(dm_members)
+                dm_stray_rows = (
+                    dm_members.where(F.col("tmpl_value").isNull())
+                    .orderBy(F.desc("utcepoch"), F.asc("_id"))
+                    .select("doc")
+                    .collect()
+                )
+                stray.extend(json.loads(r["doc"]) for r in dm_stray_rows)
+                dm_ok = dm_members.where(F.col("tmpl_value").isNotNull())
+                dm_probe = dm_ok.select(
+                    "rule_idx", F.col("tmpl_value").alias("value")
+                ).distinct()
+                dm_grouped = fused_grouped(
+                    events_df, [g.p_asm for g in dm_groups], id_col,
+                    ts_col, probe=dm_probe,
+                ).persist()
+                to_unpersist.append(dm_grouped)
+                events_type = dm_grouped.schema["events"].dataType
+                for j, g in enumerate(dm_groups):
+                    thr = int(g.p_asm["threshold"])
+                    # the FULL per-value aggregate (not just fired):
+                    # values present with count > threshold must block
+                    # both the fired join and the absent anti-join
+                    slice_all = checkpoint(
+                        dm_grouped.where(F.col("rule_idx") == j).select(
+                            "value", "count", "events"
+                        ),
+                        eager=True,
+                    )
+                    mem_g = dm_ok.where(F.col("rule_idx") == j).select(
+                        "doc", "tmpl_value"
+                    )
+                    # ABSENT: the captured value matched nothing — the
+                    # synthesized (aggregation_key, 0, []) row fires;
+                    # its constant 1-row assembled form broadcasts onto
+                    # every absent member (the only crossJoin shape the
+                    # repo allows: broadcast of a 1-row frame)
+                    synth = spark.range(1).select(
+                        F.lit(str(g.p_asm["aggregation_key"])).alias(
+                            "value"
+                        ),
+                        F.lit(0).cast("long").alias("count"),
+                        F.array().cast(events_type).alias("events"),
+                    )
+                    synth_a = assemble_alerts(
+                        synth, g.p_asm, events_df.schema
+                    )
+                    synth_j = synth_a.select(
+                        F.to_json(
+                            F.struct(*[F.col(c) for c in synth_a.columns])
+                        ).alias("_fired_json")
+                    )
+                    absent = mem_g.join(
+                        slice_all.select(F.col("value").alias("_v2")),
+                        mem_g["tmpl_value"] == F.col("_v2"),
+                        "left_anti",
+                    )
+                    upd_frames.append(
+                        absent.crossJoin(F.broadcast(synth_j)).mapInPandas(
+                            _mk_resume_full_dm_udf(g.idx, g.crit_parts),
+                            schema=DOC_SCHEMA,
+                        )
+                    )
+                    # PRESENT with 1 <= count <= threshold: fires with
+                    # the real captured group (same full/slim split as
+                    # the threshold face)
+                    fired = slice_all.where(F.col("count") <= thr)
+                    assembled = assemble_alerts(
+                        fired, g.p_asm, events_df.schema
+                    )
+                    if spill_store is None or g.keep_full:
+                        fired_j = assembled.select(
+                            F.col("metadata.value").alias("_v"),
+                            F.to_json(
+                                F.struct(
+                                    *[F.col(c) for c in assembled.columns]
+                                )
+                            ).alias("_fired_json"),
+                        )
+                        joined = mem_g.join(
+                            fired_j, mem_g["tmpl_value"] == fired_j["_v"]
+                        ).select("doc", "tmpl_value", "_fired_json")
+                        upd_frames.append(
+                            joined.mapInPandas(
+                                _mk_resume_full_dm_udf(g.idx, g.crit_parts),
+                                schema=DOC_SCHEMA,
+                            )
+                        )
+                    else:
+                        nonce = generate_meteor_id()
+                        with_ref = checkpoint(
+                            assembled.withColumn(
+                                "_ref",
+                                F.md5(
+                                    F.concat_ws(
+                                        "\x1f",
+                                        F.lit(nonce),
+                                        F.col("metadata.value"),
+                                    )
+                                ),
+                            ),
+                            eager=True,
+                        )
+                        spill_frames.append(
+                            with_ref.select(
+                                F.col("_ref").alias("capture_id"),
+                                F.to_json("events").alias("events_json"),
+                            )
+                        )
+                        slim = _slim_projection(
+                            with_ref, g.refs, id_col, with_ref=True
+                        )
+                        joined = mem_g.join(
+                            slim, mem_g["tmpl_value"] == slim["_v"]
+                        )
+                        upd_frames.append(
+                            joined.mapInPandas(
+                                _mk_resume_slim_dm_udf(
+                                    g.p_asm, g.idx, g.refs, id_col,
+                                    g.crit_parts,
+                                ),
+                                schema=DOC_SCHEMA,
+                            )
+                        )
+            # ONE spill append + ONE state write for the whole pass,
+            # spill first so a crash leaves orphan spill rows (pruned
+            # on the compaction cadence) rather than dangling refs
+            if spill_frames:
+                out = spill_frames[0]
+                for s in spill_frames[1:]:
+                    out = out.unionByName(s)
+                spill_store.append_frame(out)
+            if upd_frames:
+                out = upd_frames[0]
+                for u in upd_frames[1:]:
+                    out = out.unionByName(u)
+                inflight_store.upsert_rows(out)
         finally:
-            ranked.unpersist()
+            for df_ in to_unpersist:
+                df_.unpersist()
         return unfused, stray
     finally:
         resumable.unpersist()

@@ -1017,10 +1017,13 @@ def test_crash_replay_is_idempotent(spark, tmp_path, monkeypatch, fused, use_rel
 
 
 def test_fused_resume_unfusable_group_falls_back(spark, tmp_path):
-    """An in-flight group whose NEXT slot is a deadman (unfusable shape)
-    must route through the frame tier's collected fallback and still
-    advance/complete — side by side with a fusable group in the same
-    fused pass — producing the same documents as the non-fused engine."""
+    """An in-flight group whose NEXT slot is a deadman routes through
+    the frame tier's DEADMAN face (fused since round 9 — before that,
+    the collected per-document fallback) and still advances/completes
+    on absence — side by side with a fusable threshold group in the
+    same fused pass — producing byte-identical documents (including
+    the RENDERED criteria the per-document path records) to the
+    non-fused engine."""
     deadman_rule = json.loads(json.dumps(SEQ_RULE))
     deadman_rule["alert_name"] = "seq_then_silence"
     # disjoint slot-0 (bob only): intra-pass F9 must not let the other
@@ -1200,3 +1203,185 @@ def test_fused_starts_rule_with_explicit_id_matches_sequential(spark, tmp_path):
     fus, seq = run(True), run(False)
     assert len(fus.inflight.docs()) == len(seq.inflight.docs()) == 1
     assert {d["_id"] for d in fus.inflight.docs()} == {rule["_id"]}
+
+
+@pytest.mark.parametrize("crash_pass", [1, 2])
+def test_crash_after_spill_append_then_compaction_is_idempotent(
+    spark, tmp_path, monkeypatch, crash_pass
+):
+    """The remaining crash window of the frame tier's spill-first
+    ordering (sequence_frames: ONE spill append, THEN the in-flight
+    overwrite): a pass that dies between the two leaves ORPHAN spill
+    rows whose capture ids no in-flight document references yet. The
+    compaction cadence's prune (engine.py: slot_events.prune_frame on
+    live_refs_frame) racing that crashed pass must stay safe — it
+    reaps the orphans (they are inert) and must never drop rows a
+    LIVE document references. Replaying the crashed pass afterwards
+    must produce exactly the uninterrupted run's alerts, state, and
+    spill liveness. Pinned for a crash in the STARTS pass (no docs
+    landed yet) and in the RESUME pass (old docs still reference old
+    captures)."""
+    import alerta_spark.state as statemod
+    from alerta_spark.operators.sequence_frames import live_refs_frame
+
+    from pyspark.sql import functions as F
+
+    ev1 = _onelogin_events(spark, [RISKY])
+    ev2 = _onelogin_events(
+        spark, [dict(RISKY, sourceipaddress="9.9.9.9")]
+    ).withColumn("event_id", F.col("event_id") + 100)
+
+    control = Engine(
+        spark, str(tmp_path / "ctl"), id_col="event_id", ts_col="ts"
+    )
+    control.run_once(ev1, [SEQ_RULE], fuse_sequences=True)
+    control.run_once(ev2, [SEQ_RULE], fuse_sequences=True)
+
+    crash = Engine(
+        spark, str(tmp_path / "crash"), id_col="event_id", ts_col="ts"
+    )
+    if crash_pass == 2:
+        crash.run_once(ev1, [SEQ_RULE], fuse_sequences=True)
+
+    # die right AFTER the spill append lands (the append itself
+    # succeeds — the orphan rows are on disk) and before the
+    # in-flight write
+    orig = statemod.SlotEventStore.append_frame
+
+    def dying(self, df):
+        orig(self, df)
+        raise RuntimeError("simulated death after spill append")
+
+    monkeypatch.setattr(statemod.SlotEventStore, "append_frame", dying)
+    crash_events = ev1 if crash_pass == 1 else ev2
+    with pytest.raises(RuntimeError, match="after spill append"):
+        crash.run_once(crash_events, [SEQ_RULE], fuse_sequences=True)
+    monkeypatch.setattr(statemod.SlotEventStore, "append_frame", orig)
+
+    # the window is real: spill rows exist that no in-flight doc
+    # references (pass 1: no docs at all; pass 2: docs still point at
+    # the PREVIOUS captures)
+    spill_ids = {
+        r["capture_id"] for r in crash.slot_events.frame().collect()
+    }
+    live_ids = {
+        r["capture_id"]
+        for r in live_refs_frame(crash.inflight).collect()
+    }
+    assert spill_ids - live_ids, "crash window did not materialize"
+
+    # compaction races the crashed pass: prune must reap ONLY orphans
+    crash.slot_events.prune_frame(live_refs_frame(crash.inflight))
+    after = {r["capture_id"] for r in crash.slot_events.frame().collect()}
+    assert after == live_ids & spill_ids
+
+    # cron replay of the crashed pass, unpatched
+    crash.run_once(crash_events, [SEQ_RULE], fuse_sequences=True)
+    if crash_pass == 1:
+        crash.run_once(ev2, [SEQ_RULE], fuse_sequences=True)
+
+    def canon(docs):
+        return sorted(
+            json.dumps(_strip_volatile(d), sort_keys=True) for d in docs
+        )
+
+    assert canon(crash.alerts.docs()) == canon(control.alerts.docs())
+    assert canon(crash.inflight.docs()) == canon(control.inflight.docs())
+    # spill liveness converges too: every live ref resolves, no
+    # orphan survives a final prune on both engines
+    for eng in (crash, control):
+        eng.slot_events.prune_frame(live_refs_frame(eng.inflight))
+        live = {
+            r["capture_id"]
+            for r in live_refs_frame(eng.inflight).collect()
+        }
+        stored = {
+            r["capture_id"] for r in eng.slot_events.frame().collect()
+        }
+        assert stored <= live
+
+
+def test_fused_deadman_face_threshold_and_no_collect(spark, tmp_path, monkeypatch):
+    """The frame tier's deadman face, beyond the absence case: a
+    captured value PRESENT with 1 <= count <= threshold fires with its
+    REAL events (not the synthesized row); present with count >
+    threshold stays in-flight; and the whole fused pass — deadman
+    next-slots included — never collects the state table
+    (DocStore.docs() pinned to zero calls, extending the round-8
+    no-collect pin to the round-9 face)."""
+    import alerta_spark.state as statemod
+
+    from pyspark.sql import functions as F
+
+    dm_rule = json.loads(json.dumps(SEQ_RULE))
+    dm_rule["alert_name"] = "seq_then_quietish"
+    dm_rule["slots"][1] = {
+        "alert_name": "then_quietish",
+        "alert_type": "deadman",
+        "criteria": (
+            "source='onelogin' AND json_extract_scalar(details,"
+            "'$.user_name')='{{slots.0.events.0.details.user_name}}'"
+        ),
+        "summary": "user nearly quiet",
+        "aggregation_key": "details.user_name",
+        "threshold": 1,  # fires when AT MOST one matching event arrives
+        "event_sample_count": 0,
+    }
+    ev1 = _onelogin_events(spark, [RISKY, dict(RISKY, user_name="bob")])
+    # pass 2: alice sends ONE event (count 1 <= 1 -> fires WITH it);
+    # bob sends TWO (count 2 > 1 -> stays in-flight)
+    ev2 = _onelogin_events(
+        spark, [RISKY, dict(RISKY, user_name="bob"),
+                dict(RISKY, user_name="bob")]
+    ).withColumn("event_id", F.col("event_id") + 100)
+
+    def run(mode):
+        eng = Engine(
+            spark, str(tmp_path / f"dmt_{mode}"),
+            id_col="event_id", ts_col="ts",
+        )
+        eng.run_once(ev1, [dm_rule], fuse_sequences=mode)
+        eng.run_once(ev2, [dm_rule], fuse_sequences=mode)
+        return eng
+
+    calls: list[str] = []
+    orig = statemod.DocStore.docs
+
+    def spying(self, *a, **k):
+        calls.append(self.path)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(statemod.DocStore, "docs", spying)
+    fus = run(True)
+    assert calls == [], calls  # deadman face stays frame-native
+    monkeypatch.setattr(statemod.DocStore, "docs", orig)
+    seq = run(False)
+
+    def canon(docs):
+        return sorted(
+            json.dumps(_strip_volatile(d), sort_keys=True) for d in docs
+        )
+
+    assert canon(fus.alerts.docs()) == canon(seq.alerts.docs())
+    assert canon(fus.inflight.docs()) == canon(seq.inflight.docs())
+    done = fus.alerts.docs()
+    assert len(done) == 1  # alice completed
+    slot1 = done[0]["slots"][1]
+    assert slot1["metadata"]["count"] == 1  # the REAL group, not synth
+    assert slot1["metadata"]["value"] == "alice"
+    assert "alice" in slot1["criteria"]  # rendered criteria recorded
+    waiting = fus.inflight.docs()
+    # bob's ORIGINAL doc still waits on the deadman slot (count 2 > 1
+    # blocked the advance) — plus the fresh slot-0 start his two new
+    # pass-2 events fired (they were never captured, so F8 lets the
+    # starts pass spawn a second sequence; parity with the non-fused
+    # engine asserted above)
+    assert len(waiting) == 2
+    from alerta_spark.operators.sequence import first_unfilled_slot as _fus
+
+    assert sorted(_fus(d)[0] for d in waiting) == [1, 1]
+    blocked = [
+        d for d in waiting
+        if d["slots"][0]["events"][0]["event_id"] in ("0", "1", 0, 1)
+    ]
+    assert len(blocked) == 1  # the pass-1 doc survived unadvanced

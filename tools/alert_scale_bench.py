@@ -70,6 +70,69 @@ def _mk_rules(kind: str):
             dict(slot(i), alert_name=f"thr_{i}", summary="hit {{metadata.value}}")
             for i in range(N_RULES)
         ]
+    if kind == "sequence_deadman":
+        # threshold -> DEADMAN sequences: the resume slot is an absence
+        # check on the captured user — the shape the frame tier's
+        # deadman face fuses (round 9); pre-round-9 this was the
+        # dominant unfusable shape (per-document driver fallback)
+        return [
+            {
+                "alert_name": f"dmseq_{i}",
+                "alert_type": "sequence",
+                "lifespan": "7 days",
+                "summary": "quiet {{slots.0.events.0.details.user_name}}",
+                "slots": [
+                    dict(slot(i), alert_name=f"dmseq_{i}_s0"),
+                    {
+                        "alert_name": f"dmseq_{i}_s1",
+                        "alert_type": "deadman",
+                        "criteria": (
+                            "source='onelogin' AND "
+                            f"json_extract_scalar(details,'$.bucket')='{i}'"
+                            " AND json_extract_scalar(details,"
+                            "'$.user_name')="
+                            "'{{slots.0.events.0.details.user_name}}'"
+                        ),
+                        "summary": "user went quiet",
+                        "aggregation_key": "details.user_name",
+                        "threshold": 0,
+                        "event_sample_count": 0,
+                    },
+                ],
+            }
+            for i in range(N_RULES)
+        ]
+    if kind == "sequence_unfused":
+        # resume slot with TWO templated conjuncts: uncompilable by
+        # compile_templated_criteria, so every in-flight group routes
+        # through the per-document driver fallback — the axis that
+        # makes the fallback's cost visible (it runs Spark jobs PER
+        # DOCUMENT: expect ~linear time in groups with a large
+        # constant; measure at SMALL group counts only)
+        return [
+            {
+                "alert_name": f"useq_{i}",
+                "alert_type": "sequence",
+                "lifespan": "7 days",
+                "summary": "seq for {{slots.0.events.0.details.user_name}}",
+                "slots": [
+                    dict(slot(i), alert_name=f"useq_{i}_s0"),
+                    dict(
+                        slot(i),
+                        alert_name=f"useq_{i}_s1",
+                        criteria=(
+                            "source='onelogin' AND json_extract_scalar("
+                            "details,'$.user_name')="
+                            "'{{slots.0.events.0.details.user_name}}'"
+                            " AND json_extract_scalar(details,"
+                            "'$.risk_score')="
+                            "'{{slots.0.events.0.details.risk_score}}'"
+                        ),
+                    ),
+                ],
+            }
+            for i in range(N_RULES)
+        ]
     return [
         {
             "alert_name": f"seq_{i}",
@@ -155,6 +218,10 @@ FAMILIES = (
     "engine_threshold_emission",
     "engine_sequence_pass",
     "engine_sequence_payload_axis",
+    # round-9 axes (opt-in via --axes): the fused deadman resume face
+    # and the per-document fallback's honest cost curve
+    "engine_sequence_pass_deadman",
+    "engine_sequence_pass_unfused",
     # owned by tools/streaming_scale_bench.py — listed here so this
     # tool's engine_* prune never deletes the sibling's rows
     "engine_streaming_correlator",
@@ -165,6 +232,7 @@ def main() -> None:
     group_scales = [500, 1500, 5000]
     label = ""  # '@label' suffix: one-off axes coexist with canonical
     skip_payload = False
+    axes = {"threshold", "sequence"}
     args = sys.argv[1:]
     for i, a in enumerate(args):
         if a.startswith("--groups="):
@@ -175,6 +243,9 @@ def main() -> None:
             label = "@" + a.split("=", 1)[1]
         elif a == "--skip-payload":
             skip_payload = True
+        elif a.startswith("--axes="):
+            # e.g. --axes=deadman / --axes=unfused / --axes=threshold,sequence
+            axes = set(a.split("=", 1)[1].split(","))
 
     from alerta_spark.engine import Engine
     from alerta_spark.session import get_spark
@@ -191,7 +262,17 @@ def main() -> None:
     k_thr = "engine_threshold_emission" + label
     k_seq = "engine_sequence_pass" + label
     k_pay = "engine_sequence_payload_axis" + label
-    results: dict[str, dict] = {k_thr: {}, k_seq: {}}
+    k_dm = "engine_sequence_pass_deadman" + label
+    k_unf = "engine_sequence_pass_unfused" + label
+    results: dict[str, dict] = {}
+    for ax, key in (
+        ("threshold", k_thr),
+        ("sequence", k_seq),
+        ("deadman", k_dm),
+        ("unfused", k_unf),
+    ):
+        if ax in axes:
+            results[key] = {}
     # warm: JVM, parquet writer, python workers
     warm = Engine(spark, tempfile.mkdtemp(prefix="ab_warm_"))
     warm.run_once(_events(spark, 50, 0), _mk_rules("threshold")[:2],
@@ -203,18 +284,84 @@ def main() -> None:
 
         # --- fused THRESHOLD pass: N_RULES x g fired groups, all
         # emission through the distributed writer
-        eng = Engine(spark, tempfile.mkdtemp(prefix=f"ab_thr_{g}_"))
-        t0 = time.perf_counter()
-        eng.run_once(ev1, _mk_rules("threshold"), fuse_thresholds=True)
-        dt = round(time.perf_counter() - t0, 3)
-        n_alerts = eng.alerts.frame().count()
-        results[k_thr][str(g)] = {
-            "sec": dt,
-            "alerts": n_alerts,
-            "driver_rss_mb": _rss_mb(),
-        }
-        print(f"g={g:<6} threshold  {dt:>8.2f}s alerts={n_alerts} rss={_rss_mb()}MB")
+        if "threshold" in axes:
+            eng = Engine(spark, tempfile.mkdtemp(prefix=f"ab_thr_{g}_"))
+            t0 = time.perf_counter()
+            eng.run_once(ev1, _mk_rules("threshold"), fuse_thresholds=True)
+            dt = round(time.perf_counter() - t0, 3)
+            n_alerts = eng.alerts.frame().count()
+            results[k_thr][str(g)] = {
+                "sec": dt,
+                "alerts": n_alerts,
+                "driver_rss_mb": _rss_mb(),
+            }
+            print(f"g={g:<6} threshold  {dt:>8.2f}s alerts={n_alerts} rss={_rss_mb()}MB")
 
+        # --- fused threshold->DEADMAN sequences (round 9): pass 1
+        # captures g in-flight groups; pass 2 sees NO matching events,
+        # so every group's absence slot fires through the frame tier's
+        # deadman face and the whole cohort completes + emits. The
+        # done-criterion mirrors the fused threshold tier: time
+        # exponent ~<1 in groups, flat driver RSS.
+        if "deadman" in axes:
+            engd = Engine(spark, tempfile.mkdtemp(prefix=f"ab_dm_{g}_"))
+            rules_dm = _mk_rules("sequence_deadman")
+            t0 = time.perf_counter()
+            engd.run_once(ev1, rules_dm, fuse_sequences=True)
+            t_s = round(time.perf_counter() - t0, 3)
+            n_inf = engd.inflight.frame().count()
+            t0 = time.perf_counter()
+            engd.run_once(ev1.limit(0), rules_dm, fuse_sequences=True)
+            t_r = round(time.perf_counter() - t0, 3)
+            n_al = engd.alerts.frame().count()
+            results[k_dm][str(g)] = {
+                "sec": round(t_s + t_r, 3),
+                "sec_start": t_s,
+                "sec_resume": t_r,
+                "inflight_after_start": n_inf,
+                "alerts": n_al,
+                "driver_rss_mb": _rss_mb(),
+            }
+            print(
+                f"g={g:<6} deadman    start={t_s:.2f}s resume={t_r:.2f}s "
+                f"alerts={n_al} inflight={n_inf} rss={_rss_mb()}MB"
+            )
+
+        # --- UNFUSED fallback (round 9): a resume slot with two
+        # templated conjuncts is uncompilable, so every in-flight group
+        # takes the per-document driver path — Spark jobs PER DOCUMENT.
+        # This axis records that cost honestly; run it at SMALL group
+        # counts (--axes=unfused --groups=50,150,500).
+        if "unfused" in axes:
+            engu = Engine(spark, tempfile.mkdtemp(prefix=f"ab_unf_{g}_"))
+            rules_u = _mk_rules("sequence_unfused")
+            t0 = time.perf_counter()
+            engu.run_once(ev1, rules_u, fuse_sequences=True)
+            t_s = round(time.perf_counter() - t0, 3)
+            n_inf = engu.inflight.frame().count()
+            ev2u = _events(spark, g, 20_000_000).cache()
+            ev2u.count()
+            t0 = time.perf_counter()
+            engu.run_once(ev2u, rules_u, fuse_sequences=True)
+            t_r = round(time.perf_counter() - t0, 3)
+            n_al = engu.alerts.frame().count()
+            results[k_unf][str(g)] = {
+                "sec": round(t_s + t_r, 3),
+                "sec_start": t_s,
+                "sec_resume": t_r,
+                "inflight_after_start": n_inf,
+                "alerts": n_al,
+                "driver_rss_mb": _rss_mb(),
+            }
+            print(
+                f"g={g:<6} unfused    start={t_s:.2f}s resume={t_r:.2f}s "
+                f"alerts={n_al} inflight={n_inf} rss={_rss_mb()}MB"
+            )
+            ev2u.unpersist()
+
+        if "sequence" not in axes:
+            ev1.unpersist()
+            continue
         # --- fused SEQUENCE starts + resume: in-flight slot state is
         # the documented driver-side tier — measure its growth honestly
         eng2 = Engine(spark, tempfile.mkdtemp(prefix=f"ab_seq_{g}_"))
@@ -252,10 +399,10 @@ def main() -> None:
     # executor-side spill table (spilled_event_bytes), while the
     # driver-resident documents stay id-sized (inflight_doc_bytes) —
     # pre-slimming, every spilled byte lived in the driver docs.
-    if not skip_payload:
+    if "sequence" in axes and not skip_payload:
         results[k_pay] = {}
     gp = 1000
-    for epg in () if skip_payload else (3, 30, 100):
+    for epg in (3, 30, 100) if "sequence" in axes and not skip_payload else ():
         ev = _events(spark, gp, 0, epg=epg, payload_bytes=400).cache()
         ev.count()
         eng3 = Engine(spark, tempfile.mkdtemp(prefix=f"ab_pay_{epg}_"))
