@@ -1881,8 +1881,9 @@ def hard_triplets(
         logging.getLogger(__name__).warning(
             "hard_triplets: corpus exceeds max_ref=%d; mining against "
             "the %d lowest-%s memory bank, not exact all-pairs "
-            "(use embedding_triplet_mining_blocked / LSH-IVF candidate "
-            "generators for full-corpus mining)",
+            "(use the production embedding_triplet_mining blocked "
+            "form / LSH-IVF candidate generators for full-corpus "
+            "mining)",
             max_ref,
             max_ref,
             id_col,

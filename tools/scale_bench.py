@@ -72,9 +72,11 @@ FAMILY = [
     "sample_kcenter_coreset",
     "corpus_source_overlap_matrix",
     # round-4 widening 4: the session-4 additions with quadratic or
-    # shuffle-shape risk — triplet mining (one int64 matmul per anchor
-    # batch against the broadcast corpus: expected time_exp ~2 with
-    # tiny constants; the 100 TB path swaps in LSH/IVF candidates),
+    # shuffle-shape risk — triplet mining (round 9: the production
+    # name now routes to the BLOCKED pinned-cell plan — distributed
+    # max_by, no broadcast/collect; the demoted broadcast form
+    # measured exponent 1.31 and lives on as the explicit
+    # embedding_triplet_mining_broadcast alias),
     # Markov removal (sessionize + fixed 65-step chain solve on a
     # 1-row frame: expect ~linear), and the sweep-line concurrency on
     # the distributed prefix-sum primitive (expect ~linear)
