@@ -268,9 +268,54 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_pq_topk",
     "similarity_ivf_partitioned",
-    "embedding_triplet_mining_blocked",
+    # round 9: the blocked plan took over the production name
+    # `embedding_triplet_mining` (tracked above); this slot keeps the
+    # demoted broadcast form measurable under its explicit alias
+    "embedding_triplet_mining_broadcast",
     "t3_sequence_correlator_fused",
 ]
+
+# Canary normalization (round 9): this host swings ±40% run to run
+# (BASELINE.md's same-commit 1.3-1.45x uniform band), which burned
+# three rounds of watch items on noise. These ten queries are pinned
+# plan-stable shapes (scan+filter, hash agg, broadcast/shuffle joins,
+# window, Arrow UDF, text codegen, LSH banding) whose code hasn't
+# changed since the r02 methodology-clean record; the values are
+# their BENCH_r02.json per-query seconds at sf0.1/32 cpus. The median
+# of (current / r02) over the set estimates host load this run;
+# each query's normalized time = raw / that factor. A REAL regression
+# moves one query against the canary median; host load moves the
+# median itself. Raw stays the official metric — normalized columns
+# exist so a verdict can separate plan regressions from host load
+# without re-running quiet.
+CANARY_R02 = {
+    "s1_criteria_scan": 0.7892,
+    "tpch_q1_pricing_summary": 1.1457,
+    "tpch_q3_shipping_priority": 1.7025,
+    "join_revenue_by_nation": 1.8843,
+    "subquery_in_large_orders": 1.5564,
+    "asof_join_latest_order": 1.4399,
+    "text_quality_score": 2.506,
+    "rollup_incremental_hourly": 1.0685,
+    "dedup_minhash_lsh": 5.0547,
+    "similarity_cosine_topk": 1.0538,
+}
+
+
+def _host_factor(timings: dict[str, float]) -> tuple[float, dict[str, float]]:
+    """Median current/r02 ratio over the canary set (1.0 when the run
+    isn't comparable: different sf, missing canaries)."""
+    ratios = {
+        n: round(timings[n] / r, 4)
+        for n, r in CANARY_R02.items()
+        if n in timings and timings[n] > 0
+    }
+    if len(ratios) < len(CANARY_R02) // 2 + 1:
+        return 1.0, ratios
+    vals = sorted(ratios.values())
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    return round(med, 4), ratios
 
 
 def main() -> None:
@@ -327,6 +372,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # canary columns only make sense against the r02 conditions
+    comparable = sf_val == 0.1
+    factor, canary_ratios = (
+        _host_factor(timings) if comparable else (1.0, {})
+    )
+    normalized = {n: round(t / factor, 4) for n, t in timings.items()}
+    total_norm = round(sum(normalized.values()), 4)
     # Per-query detail goes to a file: at 79+ queries the detail dict
     # overflows the driver's stdout tail window and the round's official
     # record ends up unparseable (BENCH_r03 "parsed": null). The stdout
@@ -341,6 +393,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf_val,
+                "host_factor": factor,
+                "canary_ratios": canary_ratios,
+                "value_normalized": total_norm,
+                "queries_normalized": normalized,
             },
             indent=1,
         )
@@ -353,6 +409,8 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "host_factor": factor,
+                "value_normalized": total_norm,
                 "detail": "BENCH_DETAIL.json",
             }
         )
