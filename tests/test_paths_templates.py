@@ -1,5 +1,8 @@
 import json
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from pyspark.sql import functions as F
 
 from alerta_spark.paths import path_col
@@ -263,3 +266,138 @@ def test_dict_match_big_int_exact(spark):
     huge = spark.createDataFrame([{"props": _json.dumps({"id": 10**40 + 7})}])
     assert huge.where(dict_match(huge, {"props": {"id": 10**40 + 7}})).count() == 1
     assert huge.where(dict_match(huge, {"props": {"id": 10**40 + 9}})).count() == 0
+
+
+# --- dict_match property: compiled Spark predicate vs an executable
+# spec of its DOCUMENTED compare semantics (paths.py dict_match
+# docstring: bool -> JSON rendering, numerics -> Python ==-style
+# numeric laxity with the >=2^53 exact branch, strings -> string
+# equality, None -> silent-miss NULL). The generator stays inside the
+# documented regime: strings always contain a letter (a numeric-
+# looking STRING is indistinguishable from a number after
+# get_json_object — documented divergence), floats stay below 2^53.
+
+_PM_SMALL_INTS = [-1000, -1, 0, 7, 999]
+_PM_BIG_INTS = [2**53 - 1, 2**53, 2**53 + 1, 10**18, 10**40 + 7]
+_PM_FLOATS = [0.5, -2.25, 123.0, 9007199254740992.0]
+_PM_STRINGS = ["abc", "x1", "Z z", "O'neil", "päy"]
+_PM_KEYS = ["a", "b", "c", "d", "nest"]
+
+
+def _pm_scalars():
+    from hypothesis import strategies as st
+
+    return st.one_of(
+        st.sampled_from(_PM_SMALL_INTS),
+        st.sampled_from(_PM_BIG_INTS),
+        st.sampled_from(_PM_FLOATS),
+        st.sampled_from(_PM_STRINGS),
+        st.booleans(),
+        st.none(),
+    )
+
+
+def _pm_match_spec(payload, query):
+    """The documented dict_match semantics, executable: used as the
+    oracle for the property. Mirrors the compile rules, NOT raw Python
+    == (bool vs int and str vs number laxities are documented
+    non-matches)."""
+
+    def walk(d, path):
+        cur = d
+        for part in path.split("."):
+            if isinstance(cur, dict) and part in cur:
+                cur = cur[part]
+            else:
+                return None  # silent miss -> NULL
+        return cur
+
+    def flat(q, prefix=""):
+        for k, v in q.items():
+            p = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                yield from flat(v, p)
+            else:
+                yield p, v
+
+    for path, v in flat(query):
+        cur = walk(payload, path)
+        if v is None:
+            if cur is not None:
+                return False
+        elif isinstance(v, bool):
+            if not (isinstance(cur, bool) and cur == v):
+                return False
+        elif isinstance(v, (int, float)):
+            if isinstance(cur, bool) or not isinstance(cur, (int, float)):
+                return False
+            if cur != v:  # Python's exact cross-type numeric ==
+                return False
+        else:
+            if not (isinstance(cur, str) and cur == v):
+                return False
+    return True
+
+
+def _pm_payloads():
+    from hypothesis import strategies as st
+
+    flat = st.dictionaries(
+        st.sampled_from(_PM_KEYS[:4]), _pm_scalars(), min_size=1, max_size=4
+    )
+    return st.builds(
+        lambda base, nested: {**base, **({"nest": nested} if nested else {})},
+        flat,
+        st.one_of(st.none(), flat),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_dict_match_property_vs_spec(spark, data):
+    """Property: over random nested payloads and queries (values drawn
+    from the payload for matches, from the same class for near-misses
+    — including the 2^53±1 precision traps and >38-digit integers),
+    the compiled predicate selects exactly the rows the documented
+    semantics select. Exercises path descent through JSON strings,
+    number re-rendering (integer, scientific, fractional), the
+    decimal(38,0) exact branch, the round-tripping-double branch, and
+    bool/string/None typing."""
+    from alerta_spark.paths import dict_match
+
+    payloads = data.draw(
+        st.lists(_pm_payloads(), min_size=1, max_size=5), label="payloads"
+    )
+    # query: mix of values copied from payload 0 (match-shaped) and
+    # random same-class values (miss-shaped)
+    q: dict = {}
+    src = payloads[0]
+    for k, v in list(src.items())[:3]:
+        if isinstance(v, dict):
+            q[k] = {
+                kk: (
+                    vv
+                    if data.draw(st.booleans(), label=f"keep.{k}.{kk}")
+                    else data.draw(_pm_scalars(), label=f"mut.{k}.{kk}")
+                )
+                for kk, vv in list(v.items())[:2]
+            }
+        elif data.draw(st.booleans(), label=f"keep.{k}"):
+            q[k] = v
+        else:
+            q[k] = data.draw(_pm_scalars(), label=f"mut.{k}")
+    if not q:
+        q = {"a": 7}
+
+    rows = [
+        {"rid": i, "props": json.dumps(p)} for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows, "rid int, props string")
+    got = sorted(
+        r["rid"]
+        for r in df.where(dict_match(df, {"props": q})).select("rid").collect()
+    )
+    want = sorted(
+        i for i, p in enumerate(payloads) if _pm_match_spec(p, q)
+    )
+    assert got == want, (q, payloads, got, want)
