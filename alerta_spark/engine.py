@@ -539,8 +539,16 @@ class Engine:
             singles.extend(docs if leftover is None else leftover)
         self.inflight.upsert_many(pending)
 
+        # deferred-upsert form for the per-document fallback too: the
+        # self-upserting call paid a full state-table swap PER DOCUMENT
+        # (~8s/doc measured, engine_sequence_pass_unfused); captured
+        # ids thread through `captured` so a later document's F9 probe
+        # still sees earlier documents' captures from this pass
+        pending_singles: list[dict] = []
         for doc in singles:
             process_sequence_alert(
                 events_df, doc, self.inflight, self.alerts,
                 self.id_col, self.ts_col, spill_store=self.slot_events,
+                collect_updates=pending_singles, extra_alerted_ids=captured,
             )
+        self.inflight.upsert_many(pending_singles)

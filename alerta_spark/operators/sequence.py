@@ -265,6 +265,8 @@ def process_sequence_alert(
     id_col: str = "event_id",
     ts_col: str = "ts",
     spill_store: SlotEventStore | None = None,
+    collect_updates: list[dict[str, Any]] | None = None,
+    extra_alerted_ids: set[str] | None = None,
 ) -> None:
     """Advance one in-flight (or fresh) sequence alert by at most one
     slot (reference: alerta.py:274-317).
@@ -273,7 +275,19 @@ def process_sequence_alert(
     document keeps event ids + template-referenced events only, full
     payloads spill executor-side (:func:`slim_captures`); without it
     (direct callers, compatibility) full events live in the document
-    as the reference does (alerta.py:274-317)."""
+    as the reference does (alerta.py:274-317).
+
+    ``collect_updates`` (engine use) DEFERS the state write, exactly
+    like :func:`process_sequence_slot_batched`'s form: the updated
+    documents append to the caller's list for ONE upsert covering the
+    whole singles loop — the self-upserting form pays a full
+    state-table swap PER DOCUMENT (the dominant cost of the fallback
+    path, ~8s/doc measured on engine_sequence_pass_unfused). The
+    sequential loop's intra-pass F9 interaction (a later document's
+    history probe sees earlier documents' captures from THIS pass,
+    which the self-upserting form gets from re-reading the store) is
+    replayed through ``extra_alerted_ids``: captured ids accumulate in
+    the caller's set and union into this document's dedup anti-join."""
     doc = sequence_shell(doc)
     index, slot = first_unfilled_slot(doc)
     if slot is None:
@@ -292,6 +306,14 @@ def process_sequence_alert(
         dedup_ids = inflight_store.alerted_ids().unionByName(
             alert_store.alerted_ids()
         )
+        if extra_alerted_ids:
+            # deferred-upsert form: ids captured earlier THIS pass are
+            # not in the store yet
+            extra = events_df.sparkSession.createDataFrame(
+                [(x,) for x in sorted(extra_alerted_ids)],
+                "alerted_event_id string",
+            )
+            dedup_ids = dedup_ids.unionByName(extra)
         fired = threshold_alerts(
             events_df, p, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
         )
@@ -325,7 +347,15 @@ def process_sequence_alert(
         inflight = deepcopy(doc)
         inflight["slots"][index] = fired_doc
         updates.append(inflight)
-    inflight_store.upsert_many(updates)
+        if extra_alerted_ids is not None:
+            for evd in fired_doc.get("events") or []:
+                eid = evd.get(id_col)
+                if eid is not None:
+                    extra_alerted_ids.add(str(eid))
+    if collect_updates is not None:
+        collect_updates.extend(updates)
+    else:
+        inflight_store.upsert_many(updates)
 
 
 def create_sequence_alerts(
