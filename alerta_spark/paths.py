@@ -24,6 +24,8 @@ NOTE (documented divergence, SURVEY.md §1.4-1): the reference's
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -128,7 +130,20 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             cond = col.isNull()
         elif isinstance(value, bool):  # BEFORE int: bool is an int
             cond = col.cast("string") == F.lit("true" if value else "false")
-        elif isinstance(value, int) and abs(value) >= 2**53:
+        elif (
+            isinstance(value, (int, float))
+            and (not isinstance(value, float) or math.isfinite(value))
+            and abs(value) >= 2**53
+            and int(value) == value
+        ):
+            # floats >= 2^53 are ALL integral doubles, so a big float
+            # query is semantically the int query int(value): Python's
+            # float == int is an exact real comparison, and routing it
+            # through the lossy double cast would round an int column
+            # 9007199254740993 onto the query 9007199254740992.0 —
+            # the same neighboring-snowflake false positive the int
+            # branch below exists to prevent
+            value = int(value)
             # >= because 2^53 itself, though exactly representable,
             # shares its double with 2^53+1 — the double path would
             # match both. From 2^53 on a double cannot represent every

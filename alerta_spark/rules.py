@@ -79,7 +79,13 @@ def parse_timedelta(text: str) -> timedelta:
         for i, ch in enumerate(s)
         if not any(a <= i < b for a, b in spans)
     )
-    if total == 0.0 or re.search(r"\w", residue):
+    # residue rejects word characters AND sign characters: the
+    # punctuation-tolerant lookahead must not let '1h-30m' or
+    # '2 days - 1 hour' silently SUM components whose signs
+    # pd.Timedelta (the reference parser) rejects ("only leading
+    # negative signs are allowed"); a lifespan is a positive duration,
+    # so a leading sign raises too rather than parsing sign-stripped
+    if total == 0.0 or re.search(r"[\w+\-]", residue):
         raise ValueError(f"unparseable interval: {text!r}")
     return timedelta(seconds=total)
 

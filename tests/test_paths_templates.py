@@ -266,6 +266,16 @@ def test_dict_match_big_int_exact(spark):
     huge = spark.createDataFrame([{"props": _json.dumps({"id": 10**40 + 7})}])
     assert huge.where(dict_match(huge, {"props": {"id": 10**40 + 7}})).count() == 1
     assert huge.where(dict_match(huge, {"props": {"id": 10**40 + 9}})).count() == 0
+    # a FLOAT query >= 2^53 routes through the exact branch too:
+    # Python's 9007199254740993 == 9007199254740992.0 is False (exact
+    # real comparison), so the lossy double cast must not round the
+    # int column onto the query — the same neighboring-snowflake trap
+    # as the int branch, from the other side
+    q = float(2**53)  # 9007199254740992.0
+    assert df.where(dict_match(df, {"props": {"id": q}})).count() == 1  # =2^53 row
+    assert fl.where(dict_match(fl, {"props": {"id": q}})).count() == 2
+    only_993 = spark.createDataFrame([{"props": _json.dumps({"id": big})}])
+    assert only_993.where(dict_match(only_993, {"props": {"id": q}})).count() == 0
 
 
 # --- dict_match property: compiled Spark predicate vs an executable

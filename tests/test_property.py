@@ -324,6 +324,14 @@ def test_parse_timedelta_abbreviated_plurals_and_strictness():
     assert parse_timedelta("3 days)").total_seconds() == 259200
     assert parse_timedelta("1h;").total_seconds() == 3600
     assert parse_timedelta("(30 min)").total_seconds() == 1800
+    # ...but SIGN characters are not tolerated punctuation:
+    # pd.Timedelta raises on interior signs ("only leading negative
+    # signs are allowed"), and silently SUMMING '1h-30m' to 1:30:00
+    # would expire state later than the author intended; a leading
+    # sign raises too (a lifespan is a positive duration)
+    for bad in ("1h-30m", "2 days - 1 hour", "-30m", "+1h"):
+        with pytest.raises(ValueError):
+            parse_timedelta(bad)
     with pytest.raises(ValueError):
         parse_timedelta("2 days 1 month")
     with pytest.raises(ValueError):
