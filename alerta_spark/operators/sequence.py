@@ -308,11 +308,21 @@ def process_sequence_alert(
         )
         if extra_alerted_ids:
             # deferred-upsert form: ids captured earlier THIS pass are
-            # not in the store yet
-            extra = events_df.sparkSession.createDataFrame(
-                [(x,) for x in sorted(extra_alerted_ids)],
-                "alerted_event_id string",
-            )
+            # not in the store yet. Memoized per (set, size): ids only
+            # accumulate, so an unchanged length means an unchanged
+            # set, and a singles loop where most documents fire
+            # nothing must not re-sort + re-serialize the whole id set
+            # per document
+            key = (id(extra_alerted_ids), len(extra_alerted_ids))
+            memo = getattr(process_sequence_alert, "_extras_memo", None)
+            if memo is not None and memo[0] == key:
+                extra = memo[1]
+            else:
+                extra = events_df.sparkSession.createDataFrame(
+                    [(x,) for x in sorted(extra_alerted_ids)],
+                    "alerted_event_id string",
+                )
+                process_sequence_alert._extras_memo = (key, extra)
             dedup_ids = dedup_ids.unionByName(extra)
         fired = threshold_alerts(
             events_df, p, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col

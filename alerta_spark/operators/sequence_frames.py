@@ -216,12 +216,18 @@ def _coerce_slim_row(pdf, i: int, n_ej: int) -> dict[str, Any]:
     return row
 
 
-def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str):
+def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str,
+                        crit_parts: tuple[str, str] | None = None):
     """Arrow UDF: (in-flight doc JSON) x (slim fired columns) -> the
     updated DOC_SCHEMA row — exactly the driver loop's
     ``inflight = deepcopy(sequence_shell(doc)); slots[i] = fired_doc;
     doc_to_row(...)`` (same helpers, so written documents are
-    byte-compatible)."""
+    byte-compatible).
+
+    ``crit_parts`` (deadman face): the fired slot additionally records
+    the RENDERED criteria — prefix + the doc's captured value
+    (``tmpl_value`` column) + suffix, the per-document path's
+    ``render_py`` output."""
 
     def fn(batches):
         import pandas as pd
@@ -233,6 +239,12 @@ def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str):
                     p_asm, _coerce_slim_row(pdf, i, len(idx_sorted)),
                     idx_sorted, id_col,
                 )
+                if crit_parts is not None:
+                    fired["criteria"] = (
+                        crit_parts[0]
+                        + str(pdf["tmpl_value"].iloc[i])
+                        + crit_parts[1]
+                    )
                 doc = sequence_shell(json.loads(pdf["doc"].iloc[i]))
                 doc["slots"][slot_index] = fired
                 out.append(doc_to_row(doc))
@@ -241,59 +253,17 @@ def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str):
     return fn
 
 
-def _mk_resume_full_udf(slot_index: int):
+def _mk_resume_full_udf(slot_index: int,
+                        crit_parts: tuple[str, str] | None = None):
     """keep_full groups: the fired alert row arrives as its whole-row
     JSON (``to_json(struct(*))`` — the executor-side twin of
     ``alerts_df_to_docs``) and lands in the document verbatim. Even
-    full payloads never transit the driver on this path."""
+    full payloads never transit the driver on this path.
 
-    def fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for doc_json, fired_json in zip(pdf["doc"], pdf["_fired_json"]):
-                doc = sequence_shell(json.loads(doc_json))
-                doc["slots"][slot_index] = json.loads(fired_json)
-                out.append(doc_to_row(doc))
-            yield pd.DataFrame(out, columns=_DOC_COLS)
-
-    return fn
-
-
-def _mk_resume_full_dm_udf(slot_index: int, crit_parts: tuple[str, str]):
-    """Deadman variant of :func:`_mk_resume_full_udf`: the fired slot
-    additionally records the RENDERED criteria (prefix + the doc's
-    captured value + suffix — the per-document path's ``render_py``
-    output), which for the ABSENT/synthesized case differs from the
-    fired row's metadata value (that one is the aggregation_key
-    literal, the reference's empty-input synthesis)."""
-    pre, suf = crit_parts
-
-    def fn(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out = []
-            for doc_json, val, fired_json in zip(
-                pdf["doc"], pdf["tmpl_value"], pdf["_fired_json"]
-            ):
-                doc = sequence_shell(json.loads(doc_json))
-                fired = json.loads(fired_json)
-                fired["criteria"] = pre + str(val) + suf
-                doc["slots"][slot_index] = fired
-                out.append(doc_to_row(doc))
-            yield pd.DataFrame(out, columns=_DOC_COLS)
-
-    return fn
-
-
-def _mk_resume_slim_dm_udf(p_asm, slot_index: int, idx_sorted, id_col: str,
-                           crit_parts: tuple[str, str]):
-    """Deadman variant of :func:`_mk_resume_slim_udf` (fired rows with
-    1 <= count <= threshold carry real events): same slim rebuild plus
-    the rendered-criteria patch."""
-    pre, suf = crit_parts
+    ``crit_parts`` (deadman face): patch the fired slot's criteria to
+    the per-document RENDERED form — needed because for the
+    ABSENT/synthesized case the fired row's metadata value is the
+    aggregation_key literal, not the doc's captured value."""
 
     def fn(batches):
         import pandas as pd
@@ -301,12 +271,14 @@ def _mk_resume_slim_dm_udf(p_asm, slot_index: int, idx_sorted, id_col: str,
         for pdf in batches:
             out = []
             for i in range(len(pdf)):
-                fired = _slot_doc_from_row(
-                    p_asm, _coerce_slim_row(pdf, i, len(idx_sorted)),
-                    idx_sorted, id_col,
-                )
-                fired["criteria"] = pre + str(pdf["tmpl_value"].iloc[i]) + suf
                 doc = sequence_shell(json.loads(pdf["doc"].iloc[i]))
+                fired = json.loads(pdf["_fired_json"].iloc[i])
+                if crit_parts is not None:
+                    fired["criteria"] = (
+                        crit_parts[0]
+                        + str(pdf["tmpl_value"].iloc[i])
+                        + crit_parts[1]
+                    )
                 doc["slots"][slot_index] = fired
                 out.append(doc_to_row(doc))
             yield pd.DataFrame(out, columns=_DOC_COLS)
@@ -371,6 +343,61 @@ def _slim_projection(assembled: DataFrame, idx_sorted, id_col: str,
             ).alias(f"_ej{k}")
         )
     return assembled.select(*sel)
+
+
+def _advance_members(assembled, members, g, id_col: str, spill_store,
+                     upd_frames, spill_frames) -> None:
+    """Shared fired→document advance of the resume faces (threshold
+    AND deadman-present): join the assembled fired groups back to the
+    member documents by captured value and append the update plan —
+    full-payload form when there is no spill store or the rule's
+    templates need whole events, slim + executor-side spill otherwise.
+    ``g.crit_parts`` (set only on deadman groups) patches the rendered
+    criteria inside the UDF."""
+    if spill_store is None or g.keep_full:
+        fired_j = assembled.select(
+            F.col("metadata.value").alias("_v"),
+            F.to_json(
+                F.struct(*[F.col(c) for c in assembled.columns])
+            ).alias("_fired_json"),
+        )
+        joined = members.join(
+            fired_j, members["tmpl_value"] == fired_j["_v"]
+        ).select("doc", "tmpl_value", "_fired_json")
+        upd_frames.append(
+            joined.mapInPandas(
+                _mk_resume_full_udf(g.idx, g.crit_parts), schema=DOC_SCHEMA
+            )
+        )
+    else:
+        nonce = generate_meteor_id()
+        with_ref = checkpoint(
+            assembled.withColumn(
+                "_ref",
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(nonce), F.col("metadata.value")
+                    )
+                ),
+            ),
+            eager=True,
+        )
+        spill_frames.append(
+            with_ref.select(
+                F.col("_ref").alias("capture_id"),
+                F.to_json("events").alias("events_json"),
+            )
+        )
+        slim = _slim_projection(with_ref, g.refs, id_col, with_ref=True)
+        joined = members.join(slim, members["tmpl_value"] == slim["_v"])
+        upd_frames.append(
+            joined.mapInPandas(
+                _mk_resume_slim_udf(
+                    g.p_asm, g.idx, g.refs, id_col, g.crit_parts
+                ),
+                schema=DOC_SCHEMA,
+            )
+        )
 
 
 def resume_fused_frames(
@@ -603,56 +630,10 @@ def resume_fused_frames(
                     win_g = winners.where(F.col("rule_idx") == i).select(
                         "doc", "tmpl_value"
                     )
-                    if spill_store is None or g.keep_full:
-                        fired_j = assembled.select(
-                            F.col("metadata.value").alias("_v"),
-                            F.to_json(
-                                F.struct(*[F.col(c) for c in assembled.columns])
-                            ).alias("_fired_json"),
-                        )
-                        joined = win_g.join(
-                            fired_j, win_g["tmpl_value"] == fired_j["_v"]
-                        ).select("doc", "_fired_json")
-                        upd_frames.append(
-                            joined.mapInPandas(
-                                _mk_resume_full_udf(g.idx), schema=DOC_SCHEMA
-                            )
-                        )
-                    else:
-                        nonce = generate_meteor_id()
-                        with_ref = checkpoint(
-                            assembled.withColumn(
-                                "_ref",
-                                F.md5(
-                                    F.concat_ws(
-                                        "\x1f",
-                                        F.lit(nonce),
-                                        F.col("metadata.value"),
-                                    )
-                                ),
-                            ),
-                            eager=True,
-                        )
-                        spill_frames.append(
-                            with_ref.select(
-                                F.col("_ref").alias("capture_id"),
-                                F.to_json("events").alias("events_json"),
-                            )
-                        )
-                        slim = _slim_projection(
-                            with_ref, g.refs, id_col, with_ref=True
-                        )
-                        joined = win_g.join(
-                            slim, win_g["tmpl_value"] == slim["_v"]
-                        ).drop("tmpl_value")
-                        upd_frames.append(
-                            joined.mapInPandas(
-                                _mk_resume_slim_udf(
-                                    g.p_asm, g.idx, g.refs, id_col
-                                ),
-                                schema=DOC_SCHEMA,
-                            )
-                        )
+                    _advance_members(
+                        assembled, win_g, g, id_col, spill_store,
+                        upd_frames, spill_frames,
+                    )
             if dm_groups:
                 # DEADMAN face (absence slots): each group's captured
                 # value fires when its event count is <= threshold —
@@ -683,9 +664,11 @@ def resume_fused_frames(
                 )
                 stray.extend(json.loads(r["doc"]) for r in dm_stray_rows)
                 dm_ok = dm_members.where(F.col("tmpl_value").isNotNull())
+                # no .distinct() here: fused_grouped distincts its
+                # probe internally before broadcasting
                 dm_probe = dm_ok.select(
                     "rule_idx", F.col("tmpl_value").alias("value")
-                ).distinct()
+                )
                 dm_grouped = fused_grouped(
                     events_df, [g.p_asm for g in dm_groups], id_col,
                     ts_col, probe=dm_probe,
@@ -733,71 +716,21 @@ def resume_fused_frames(
                     )
                     upd_frames.append(
                         absent.crossJoin(F.broadcast(synth_j)).mapInPandas(
-                            _mk_resume_full_dm_udf(g.idx, g.crit_parts),
+                            _mk_resume_full_udf(g.idx, g.crit_parts),
                             schema=DOC_SCHEMA,
                         )
                     )
                     # PRESENT with 1 <= count <= threshold: fires with
                     # the real captured group (same full/slim split as
-                    # the threshold face)
+                    # the threshold face, via the shared helper)
                     fired = slice_all.where(F.col("count") <= thr)
                     assembled = assemble_alerts(
                         fired, g.p_asm, events_df.schema
                     )
-                    if spill_store is None or g.keep_full:
-                        fired_j = assembled.select(
-                            F.col("metadata.value").alias("_v"),
-                            F.to_json(
-                                F.struct(
-                                    *[F.col(c) for c in assembled.columns]
-                                )
-                            ).alias("_fired_json"),
-                        )
-                        joined = mem_g.join(
-                            fired_j, mem_g["tmpl_value"] == fired_j["_v"]
-                        ).select("doc", "tmpl_value", "_fired_json")
-                        upd_frames.append(
-                            joined.mapInPandas(
-                                _mk_resume_full_dm_udf(g.idx, g.crit_parts),
-                                schema=DOC_SCHEMA,
-                            )
-                        )
-                    else:
-                        nonce = generate_meteor_id()
-                        with_ref = checkpoint(
-                            assembled.withColumn(
-                                "_ref",
-                                F.md5(
-                                    F.concat_ws(
-                                        "\x1f",
-                                        F.lit(nonce),
-                                        F.col("metadata.value"),
-                                    )
-                                ),
-                            ),
-                            eager=True,
-                        )
-                        spill_frames.append(
-                            with_ref.select(
-                                F.col("_ref").alias("capture_id"),
-                                F.to_json("events").alias("events_json"),
-                            )
-                        )
-                        slim = _slim_projection(
-                            with_ref, g.refs, id_col, with_ref=True
-                        )
-                        joined = mem_g.join(
-                            slim, mem_g["tmpl_value"] == slim["_v"]
-                        )
-                        upd_frames.append(
-                            joined.mapInPandas(
-                                _mk_resume_slim_dm_udf(
-                                    g.p_asm, g.idx, g.refs, id_col,
-                                    g.crit_parts,
-                                ),
-                                schema=DOC_SCHEMA,
-                            )
-                        )
+                    _advance_members(
+                        assembled, mem_g, g, id_col, spill_store,
+                        upd_frames, spill_frames,
+                    )
             # ONE spill append + ONE state write for the whole pass,
             # spill first so a crash leaves orphan spill rows (pruned
             # on the compaction cadence) rather than dangling refs
