@@ -411,3 +411,101 @@ def test_dict_match_property_vs_spec(spark, data):
         i for i, p in enumerate(payloads) if _pm_match_spec(p, q)
     )
     assert got == want, (q, payloads, got, want)
+
+
+# --- render parity property: the driver-side mustache renderer
+# (render_py, used by the per-document sequence path) and the codegen
+# column compiler (template_col, used by the fused/assembled paths)
+# must produce identical strings for the same context — divergence
+# means a fused pass writes different summaries/criteria than the
+# faithful driver loop. Generator stays inside the conformant domain:
+# no doubles (documented E-notation divergence), no paths terminating
+# at a non-scalar (str(dict) vs struct cast), no bools inside JSON
+# payloads (Python True vs JSON true).
+
+_RP_PATHS = [
+    "s", "n", "b", "nest.k", "nest.m", "arr.0", "arr.9",
+    "payload.a", "payload.b", "payload.nested.x",
+    "payload.items.0", "payload.items.9",
+    "missing", "payload.nope.deep", "s.deeper",
+]
+_RP_LITS = [" ", " by ", ": ", "!", " — ", "[", "]", "#"]
+_RP_STRS = ["alice", "O'neil", "a b\tc", "päy", "", "x,y", '"q"']
+
+
+def _rp_ctx():
+    from hypothesis import strategies as st
+
+    return st.fixed_dictionaries(
+        {
+            "s": st.sampled_from(_RP_STRS),
+            "n": st.integers(-(2**31), 2**31),
+            "b": st.one_of(st.none(), st.booleans()),
+            "nest": st.fixed_dictionaries(
+                {
+                    "k": st.sampled_from(_RP_STRS),
+                    "m": st.integers(-100, 100),
+                }
+            ),
+            "arr": st.lists(
+                st.integers(-(2**31), 2**31), min_size=0, max_size=3
+            ),
+            "payload": st.fixed_dictionaries(
+                {
+                    "a": st.one_of(
+                        st.sampled_from(_RP_STRS), st.integers(-1000, 1000)
+                    ),
+                    "b": st.integers(-(2**40), 2**40),
+                    "nested": st.fixed_dictionaries(
+                        {"x": st.sampled_from(_RP_STRS)}
+                    ),
+                    "items": st.lists(
+                        st.one_of(
+                            st.sampled_from(_RP_STRS),
+                            st.integers(-1000, 1000),
+                        ),
+                        min_size=0,
+                        max_size=3,
+                    ),
+                }
+            ),
+        }
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_render_py_template_col_parity_property(spark, data):
+    """Property: for random contexts (typed columns, nested structs,
+    arrays, JSON-string payloads) and random templates over the
+    scalar-terminal path pool (hits, misses, out-of-range indices,
+    descents into scalars), render_py and template_col render the
+    SAME string."""
+    ctx = data.draw(_rp_ctx(), label="ctx")
+    n_parts = data.draw(st.integers(1, 5), label="n_parts")
+    tmpl = ""
+    for i in range(n_parts):
+        if data.draw(st.booleans(), label=f"isvar{i}"):
+            tmpl += "{{" + data.draw(
+                st.sampled_from(_RP_PATHS), label=f"var{i}"
+            ) + "}}"
+        else:
+            tmpl += data.draw(st.sampled_from(_RP_LITS), label=f"lit{i}")
+
+    py_ctx = dict(ctx, payload=json.dumps(ctx["payload"]))
+    expected = render_py(tmpl, py_ctx)
+
+    df = spark.createDataFrame(
+        [
+            (
+                ctx["s"], ctx["n"], ctx["b"],
+                (ctx["nest"]["k"], ctx["nest"]["m"]),
+                ctx["arr"], json.dumps(ctx["payload"]),
+            )
+        ],
+        "s string, n long, b boolean, nest struct<k:string,m:long>, "
+        "arr array<long>, payload string",
+    )
+    root = F.struct(*[F.col(c) for c in df.columns])
+    got = df.select(template_col(tmpl, root, df.schema).alias("r")).first()["r"]
+    assert got == expected, (tmpl, py_ctx, got, expected)
