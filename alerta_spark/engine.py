@@ -545,10 +545,12 @@ class Engine:
         # ids thread through `captured` so a later document's F9 probe
         # still sees earlier documents' captures from this pass
         pending_singles: list[dict] = []
+        extras_memo: list = []  # per-pass: dies with this call frame
         for doc in singles:
             process_sequence_alert(
                 events_df, doc, self.inflight, self.alerts,
                 self.id_col, self.ts_col, spill_store=self.slot_events,
                 collect_updates=pending_singles, extra_alerted_ids=captured,
+                extras_memo=extras_memo,
             )
         self.inflight.upsert_many(pending_singles)

@@ -267,6 +267,7 @@ def process_sequence_alert(
     spill_store: SlotEventStore | None = None,
     collect_updates: list[dict[str, Any]] | None = None,
     extra_alerted_ids: set[str] | None = None,
+    extras_memo: list | None = None,
 ) -> None:
     """Advance one in-flight (or fresh) sequence alert by at most one
     slot (reference: alerta.py:274-317).
@@ -308,21 +309,27 @@ def process_sequence_alert(
         )
         if extra_alerted_ids:
             # deferred-upsert form: ids captured earlier THIS pass are
-            # not in the store yet. Memoized per (set, size): ids only
+            # not in the store yet. ``extras_memo`` is a caller-owned,
+            # PER-PASS one-slot holder: within a pass ids only
             # accumulate, so an unchanged length means an unchanged
             # set, and a singles loop where most documents fire
             # nothing must not re-sort + re-serialize the whole id set
-            # per document
-            key = (id(extra_alerted_ids), len(extra_alerted_ids))
-            memo = getattr(process_sequence_alert, "_extras_memo", None)
-            if memo is not None and memo[0] == key:
-                extra = memo[1]
-            else:
+            # per document. Because the holder's lifetime is the pass
+            # (the engine creates a fresh list per _resume_inflight),
+            # a later pass can never be served a stale frame — the
+            # failure mode of the removed process-global id()-keyed
+            # memo, where CPython address reuse could alias two
+            # same-length sets across passes.
+            extra = None
+            if extras_memo and extras_memo[0][0] == len(extra_alerted_ids):
+                extra = extras_memo[0][1]
+            if extra is None:
                 extra = events_df.sparkSession.createDataFrame(
                     [(x,) for x in sorted(extra_alerted_ids)],
                     "alerted_event_id string",
                 )
-                process_sequence_alert._extras_memo = (key, extra)
+                if extras_memo is not None:
+                    extras_memo[:] = [(len(extra_alerted_ids), extra)]
             dedup_ids = dedup_ids.unionByName(extra)
         fired = threshold_alerts(
             events_df, p, alerted_ids=dedup_ids, id_col=id_col, ts_col=ts_col
@@ -631,22 +638,75 @@ def compile_templated_criteria(criteria: str) -> tuple[str, str, str] | None:
     state_template_path) when exactly one conjunct is a templated
     equality of a supported shape; None -> caller falls back to
     per-document rendering (SURVEY.md §7.4-1)."""
+    multi = compile_templated_criteria_multi(criteria)
+    if multi is None or len(multi[1]) != 1:
+        return None
+    static, key_paths, tmpl_paths = multi
+    return static, key_paths[0], tmpl_paths[0]
+
+
+def compile_templated_criteria_multi(
+    criteria: str,
+) -> tuple[str, list[str], list[str]] | None:
+    """N-variable generalization of :func:`compile_templated_criteria`
+    (frame-tier use): split a slot criteria into (static_conjuncts,
+    [event_key_paths], [state_template_paths]) when EVERY templated
+    conjunct is an equality of a supported shape, in criteria text
+    order — so component k of the compiled lists corresponds to the
+    k-th ``{{...}}`` occurrence in the text (each supported conjunct
+    carries exactly one variable, and ``_split_top_and`` preserves
+    order). None -> caller falls back to per-document rendering; the
+    only remaining None shapes are non-equality / multi-variable-per-
+    conjunct templates."""
     from alerta_spark.streaming.correlator import _split_top_and
     from alerta_spark.templates import template_vars
 
     if not template_vars(criteria):
         return None
     conjuncts = [c.strip() for c in _split_top_and(criteria)]
-    templated = [c for c in conjuncts if template_vars(c)]
-    if len(templated) != 1:
+    key_paths: list[str] = []
+    tmpl_paths: list[str] = []
+    for c in conjuncts:
+        if not template_vars(c):
+            continue
+        for rx, extract in _TMPL_EQ:
+            m = rx.match(c)
+            if m:
+                key_path, tmpl_path = extract(m)
+                key_paths.append(key_path)
+                tmpl_paths.append(tmpl_path)
+                break
+        else:
+            return None
+    static = " AND ".join(c for c in conjuncts if not template_vars(c))
+    return static, key_paths, tmpl_paths
+
+
+def criteria_segments(criteria: str, n_vars: int) -> list[str] | None:
+    """The N+1 static text segments around a criteria's N template
+    variables, in text order — ``render_py(criteria, doc)`` equals
+    ``segs[0] + v0 + segs[1] + ... + v(n-1) + segs[n]`` where ``vk``
+    is the k-th variable's rendered value. Used by the fused resume
+    faces to reconstruct the per-document path's RENDERED criteria
+    inside the update UDF. None when the variable count disagrees
+    with ``n_vars`` (caller routes the group unfused)."""
+    from alerta_spark.templates import template_parts
+
+    parts = template_parts(criteria)
+    segs: list[str] = []
+    cur: list[str] = []
+    seen = 0
+    for kind, text in parts:
+        if kind == "var":
+            segs.append("".join(cur))
+            cur = []
+            seen += 1
+        else:
+            cur.append(text)
+    segs.append("".join(cur))
+    if seen != n_vars:
         return None
-    for rx, extract in _TMPL_EQ:
-        m = rx.match(templated[0])
-        if m:
-            key_path, tmpl_path = extract(m)
-            static = " AND ".join(c for c in conjuncts if not template_vars(c))
-            return static, key_path, tmpl_path
-    return None
+    return segs
 
 
 def process_sequence_slot_batched(

@@ -95,12 +95,22 @@ def grouped_events(
     )
 
 
-def assemble_alerts(fired: DataFrame, params: dict[str, Any], events_schema) -> DataFrame:
+def assemble_alerts(
+    fired: DataFrame,
+    params: dict[str, Any],
+    events_schema,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Turn fired groups [value, count, events] into alert documents.
 
     Renders ``summary`` then appends ``" " + event_snippet`` per sampled
     event (first ``event_sample_count``), exactly the reference's
     enrichment loop (alerta.py:453-458).
+
+    ``carry`` names extra input columns to pass through UNCHANGED
+    alongside the alert document (e.g. the multi-templated resume's
+    composite join key) — they are routing metadata, not part of the
+    document, so callers serializing the document must exclude them.
     """
     k = int(params.get("event_sample_count", 3) or 0)
     alert = fired.select(
@@ -118,10 +128,16 @@ def assemble_alerts(fired: DataFrame, params: dict[str, Any], events_schema) -> 
         ).alias("metadata"),
         F.col("events"),
         F.lit(str(params.get("utctimestamp", ""))).alias("utctimestamp"),
+        *[F.col(c) for c in carry],
     )
-    # summary template renders against the whole alert document
-    root = F.struct(*[F.col(c) for c in alert.columns])
-    summary = template_col(str(params.get("summary", "")), root, alert.schema)
+    # summary template renders against the whole alert DOCUMENT —
+    # carry columns are routing metadata, not document fields
+    import pyspark.sql.types as T
+
+    doc_cols = [c for c in alert.columns if c not in carry]
+    root = F.struct(*[F.col(c) for c in doc_cols])
+    doc_schema = T.StructType([alert.schema[c] for c in doc_cols])
+    summary = template_col(str(params.get("summary", "")), root, doc_schema)
     snippet_tmpl = str(params.get("event_snippet", "") or "")
     if k > 0:
         snips = F.transform(
@@ -205,11 +221,22 @@ def fused_grouped(
     max_events: int = 1000,
     extra_preds: list[Column | None] | None = None,
     probe: DataFrame | None = None,
+    composite_keys: list[list[str] | None] | None = None,
 ) -> DataFrame:
     """The shared one-scan/one-exchange core of rule fusion: evaluate
     every rule's criteria + aggregation key as columns, explode one
     (rule_idx, value) struct per matching rule, aggregate by
     (rule_idx, value) -> [rule_idx, value, count, events].
+
+    ``composite_keys[i]`` (optional) replaces shell i's aggregation
+    key with a COMPOSITE of several event paths, rendered as the JSON
+    array string of the components (``to_json(array(...))`` —
+    byte-identical to Python's ``json.dumps(..., ensure_ascii=False,
+    separators=(',', ':'))``, test-pinned). The multi-templated
+    sequence resume probes on this key: a slot criteria pinning N
+    captured values groups by the N-tuple, so each captured composite
+    yields exactly one group. NULL in any component nulls the key
+    (the equality conjuncts it stands for cannot match NULL).
 
     ``extra_preds[i]`` (optional) is AND-ed onto shell i's criteria as
     a Column — callers with value-carrying predicates (the sequence
@@ -232,7 +259,16 @@ def fused_grouped(
         preds = [
             (p & e) if e is not None else p for p, e in zip(preds, extra_preds)
         ]
-    keys = [path_col(df, p["aggregation_key"]).cast("string") for p in shells]
+    def _key(i: int, p: dict[str, Any]) -> Column:
+        paths = composite_keys[i] if composite_keys is not None else None
+        if paths is None:
+            return path_col(df, p["aggregation_key"]).cast("string")
+        arr = F.array(*[path_col(df, kp).cast("string") for kp in paths])
+        return F.when(
+            ~F.exists(arr, lambda x: x.isNull()), F.to_json(arr)
+        )
+
+    keys = [_key(i, p) for i, p in enumerate(shells)]
     matches = F.array(
         *[
             F.when(

@@ -162,13 +162,23 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             # string equality covers >38-digit values (both try_casts
             # NULL out, but Python == on the equal ints is True; SQL
             # NULL | true = true keeps the match).
+            # Zero-fraction renderings ("…993.00", a DECIMAL-typed
+            # column writing an integral value) are exactly-known
+            # integers too, so they take THIS exact path, not the
+            # lossy double branch below — a double cast would round
+            # "9007199254740993.00" onto a neighboring round-tripping
+            # query int and fabricate a match the exact comparison
+            # rejects. The trailing ".0*" is stripped for the literal
+            # string-equality arm (>38-digit values) so
+            # "…993.00" == "…993" compares equal as the ints do.
             col_str = col.cast("string")
-            cond = col_str.rlike(r"^-?\d+$") & (
+            int_norm = F.regexp_replace(col_str, r"\.0*$", "")
+            cond = col_str.rlike(r"^-?\d+(\.0*)?$") & (
                 (
                     col_str.try_cast("decimal(38,0)")
                     == F.lit(str(value)).try_cast("decimal(38,0)")
                 )
-                | (col_str == F.lit(str(value)))
+                | (int_norm == F.lit(str(value)))
             )
             # A double-TYPED column renders in float form
             # ("9.007199254740992E15", "1.0E20") and fails the integer
@@ -179,10 +189,12 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             # double equality against lit(float(value)) IS the exact
             # comparison. A non-round-tripping int equals NO double,
             # so that branch is correctly absent. The float-form rlike
-            # (must contain '.' or an exponent) keeps integer-rendered
-            # STRINGS like "9007199254740993" off this branch — they
-            # would round to a neighboring double and fabricate a
-            # match the exact decimal path above rejects.
+            # (an exponent, or a fraction with a NONZERO digit) keeps
+            # integer-rendered strings ("9007199254740993") AND
+            # zero-fraction decimal renderings ("9007199254740993.00")
+            # off this branch — both are exactly-known integers served
+            # by the exact path above; the double cast would round
+            # them onto a neighboring value and fabricate a match.
             try:
                 exact_dbl = float(value)
                 round_trips = int(exact_dbl) == value
@@ -191,8 +203,8 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             if round_trips:
                 cond = cond | (
                     col_str.rlike(
-                        r"^-?(\d+\.\d*|\.\d+)([eE][+-]?\d+)?$"
-                        r"|^-?\d+[eE][+-]?\d+$"
+                        r"^-?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$"
+                        r"|^-?\d*\.\d*[1-9]\d*$"
                     )
                     & (col_str.try_cast("double") == F.lit(exact_dbl))
                 )

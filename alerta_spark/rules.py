@@ -46,11 +46,14 @@ def merge(overrides: dict, defaults: dict) -> dict:
 # Unit ends at anything that is NOT a letter (negative lookahead, not
 # \b): compact pd.Timedelta forms like '1h30m' put the next number
 # right after the unit letter, which \b rejected ('1h' then ended up
-# in the residue and raised), and trailing punctuation ('3 days)',
-# '1h;') must stay tolerated — it lands in the residue where only \w
-# raises. A LETTER after the unit still fails the lookahead, so
-# '2 days 1 month' keeps raising instead of silently parsing the 'm'
-# of 'month' as minutes.
+# in the residue and raised). Leading/trailing wrapper punctuation
+# ('3 days)', '1h;', '(30 min)') stays tolerated — a documented
+# divergence from pd.Timedelta, which raises — but residue BETWEEN
+# matched components is restricted to the separators pandas itself
+# accepts (whitespace, ','): '1h;30m' / '3 days) 1 hour' must raise,
+# not silently SUM components the reference parser rejects. A LETTER
+# after the unit still fails the lookahead, so '2 days 1 month' keeps
+# raising instead of silently parsing the 'm' of 'month' as minutes.
 _TIMEDELTA = re.compile(
     r"(?P<n>\d+(?:\.\d+)?)\s*(?P<unit>w(?:eeks?)?|d(?:ays?)?|h(?:ours?|rs?)?|"
     r"m(?:in(?:ute)?s?)?|s(?:ec(?:ond)?s?)?)(?![A-Za-z])",
@@ -74,18 +77,21 @@ def parse_timedelta(text: str) -> timedelta:
     for m in _TIMEDELTA.finditer(s):
         total += float(m.group("n")) * _UNIT_SECONDS[m.group("unit")[0].lower()]
         spans.append(m.span())
-    residue = "".join(
-        ch
-        for i, ch in enumerate(s)
-        if not any(a <= i < b for a, b in spans)
-    )
-    # residue rejects word characters AND sign characters: the
-    # punctuation-tolerant lookahead must not let '1h-30m' or
-    # '2 days - 1 hour' silently SUM components whose signs
-    # pd.Timedelta (the reference parser) rejects ("only leading
-    # negative signs are allowed"); a lifespan is a positive duration,
-    # so a leading sign raises too rather than parsing sign-stripped
-    if total == 0.0 or re.search(r"[\w+\-]", residue):
+    if total == 0.0:
+        raise ValueError(f"unparseable interval: {text!r}")
+    # Residue policy, positional (ADVICE r9): INTERIOR residue — text
+    # between two matched components — may only be the separators
+    # pd.Timedelta itself accepts (whitespace, ','), so '1h;30m' and
+    # '3 days) 1 hour' raise instead of silently summing components
+    # the reference parser rejects. LEADING/TRAILING residue keeps the
+    # wrapper-punctuation tolerance ('(30 min)', '3 days)' — a
+    # documented divergence, pandas raises) but still rejects word
+    # characters AND sign characters: pd.Timedelta allows only leading
+    # negative signs, and a lifespan is a positive duration, so
+    # '-30m'/'+1h' raise rather than parsing sign-stripped.
+    interior = "".join(s[b1:a2] for (_, b1), (a2, _) in zip(spans, spans[1:]))
+    edges = s[: spans[0][0]] + s[spans[-1][1] :]
+    if re.search(r"[^\s,]", interior) or re.search(r"[\w+\-]", edges):
         raise ValueError(f"unparseable interval: {text!r}")
     return timedelta(seconds=total)
 

@@ -278,6 +278,41 @@ def test_dict_match_big_int_exact(spark):
     assert only_993.where(dict_match(only_993, {"props": {"id": q}})).count() == 0
 
 
+def test_dict_match_zero_fraction_decimal_rendering(spark):
+    """A DECIMAL-typed column renders integral values with a zero
+    fraction ("…993.00"); those are exactly-known integers and must
+    take the EXACT path: routing them through the double branch would
+    round "9007199254740993.00" onto the round-tripping query int
+    9007199254740992 and fabricate the same neighboring-snowflake
+    match the exact decimal path exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.paths import dict_match
+
+    big = 2**53 + 1  # float(big) == float(big - 1)
+    df = spark.createDataFrame(
+        [(str(big),), (str(big - 1),)], "raw string"
+    ).select(F.col("raw").cast("decimal(38,2)").alias("id"))
+    # the rendering under test really is zero-fraction decimal form
+    assert df.select(F.col("id").cast("string")).first()[0].endswith(".00")
+    assert df.where(dict_match(df, {"id": big})).count() == 1
+    # the round-tripping neighbor must NOT pick up the ".00" row for
+    # big — exactly one (exact) match each, no cross-rounding
+    assert df.where(dict_match(df, {"id": big - 1})).count() == 1
+    # a big FLOAT query hits the exact path as well: only the row it
+    # equals exactly, never the ".00"-rendered neighbor
+    assert df.where(dict_match(df, {"id": float(2**53)})).count() == 1
+    # >38-digit integral decimals ride the normalized string arm
+    hv = 10**40 + 7
+    huge = spark.createDataFrame([(f"{hv}.000",)], "id string")
+    assert huge.where(dict_match(huge, {"id": hv})).count() == 1
+    assert huge.where(dict_match(huge, {"id": hv + 2})).count() == 0
+    # nonzero fractions still follow the reference's json.loads-then-==
+    # double semantics, not the exact path
+    frac = spark.createDataFrame([("9007199254740992.9",)], "id string")
+    assert frac.where(dict_match(frac, {"id": 2**53})).count() == 1
+
+
 # --- dict_match property: compiled Spark predicate vs an executable
 # spec of its DOCUMENTED compare semantics (paths.py dict_match
 # docstring: bool -> JSON rendering, numerics -> Python ==-style

@@ -332,6 +332,12 @@ def test_parse_timedelta_abbreviated_plurals_and_strictness():
     for bad in ("1h-30m", "2 days - 1 hour", "-30m", "+1h"):
         with pytest.raises(ValueError):
             parse_timedelta(bad)
+    # ...and INTERIOR punctuation between components is not tolerated
+    # either (ADVICE r9): pd.Timedelta only separates components with
+    # whitespace/commas, so these must raise, not silently sum
+    for bad in ("1h;30m", "3 days) 1 hour", "1h.30m", "(1h) (30m)"):
+        with pytest.raises(ValueError):
+            parse_timedelta(bad)
     with pytest.raises(ValueError):
         parse_timedelta("2 days 1 month")
     with pytest.raises(ValueError):

@@ -1385,3 +1385,52 @@ def test_fused_deadman_face_threshold_and_no_collect(spark, tmp_path, monkeypatc
         if d["slots"][0]["events"][0]["event_id"] in ("0", "1", 0, 1)
     ]
     assert len(blocked) == 1  # the pass-1 doc survived unadvanced
+
+
+def test_extras_memo_is_pass_scoped(spark, engine):
+    """The captured-ids dedup frame memo must be owned by the PASS,
+    not the process: two passes whose id sets happen to share a
+    length (the shape the removed id()-keyed global memo could alias
+    after CPython address reuse) must each probe THEIR OWN set.
+    Within one pass an unchanged-length set reuses the cached frame
+    (ids only accumulate, so same length == same set)."""
+    from alerta_spark.operators.sequence import process_sequence_alert
+
+    ev = _onelogin_events(spark, [RISKY])  # one event, event_id 0
+
+    # pass 1: event 0 was captured earlier this pass -> F9 eats it
+    memo1: list = []
+    out1: list = []
+    process_sequence_alert(
+        ev, json.loads(json.dumps(SEQ_RULE)), engine.inflight,
+        engine.alerts, "event_id", "ts",
+        collect_updates=out1, extra_alerted_ids={"0"}, extras_memo=memo1,
+    )
+    assert out1 == []
+    assert len(memo1) == 1 and memo1[0][0] == 1
+
+    # same pass, same holder, unchanged length: frame reused, still
+    # no fire
+    frame_before = memo1[0][1]
+    out1b: list = []
+    process_sequence_alert(
+        ev, json.loads(json.dumps(SEQ_RULE)), engine.inflight,
+        engine.alerts, "event_id", "ts",
+        collect_updates=out1b, extra_alerted_ids={"0"}, extras_memo=memo1,
+    )
+    assert out1b == []
+    assert memo1[0][1] is frame_before
+
+    # pass 2: FRESH holder, different set of the SAME length — the
+    # old global memo could serve pass 1's {"0"} frame here and
+    # silently suppress the fire; the pass-scoped holder must rebuild
+    # from this pass's set, so event 0 fires
+    memo2: list = []
+    out2: list = []
+    process_sequence_alert(
+        ev, json.loads(json.dumps(SEQ_RULE)), engine.inflight,
+        engine.alerts, "event_id", "ts",
+        collect_updates=out2, extra_alerted_ids={"999"}, extras_memo=memo2,
+    )
+    assert len(out2) == 1
+    assert memo2[0][1] is not frame_before
