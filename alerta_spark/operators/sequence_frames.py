@@ -138,13 +138,26 @@ def route_inflight(inf: DataFrame) -> DataFrame:
     return inf.mapInPandas(fn, schema=_ROUTE_SCHEMA)
 
 
+def _composite_value(values: list[str]) -> str:
+    """The doc-side rendering of a multi-variable captured composite:
+    the JSON array string of the components — byte-identical to the
+    event side's ``to_json(array(...))`` (``fused_grouped``'s
+    ``composite_keys``; parity pinned incl. quotes/backslashes/
+    control chars in tests)."""
+    return json.dumps(values, ensure_ascii=False, separators=(",", ":"))
+
+
 def _annotate_tmpl_values(
-    routed: DataFrame, paths: dict[tuple[str, int], list[str]]
+    routed: DataFrame, paths: dict[tuple[str, int], list[list[str]]]
 ) -> DataFrame:
-    """Add ``tmpl_value`` — the captured state value the group's
-    compiled template path names, looked up with the exact Python
+    """Add ``tmpl_value`` — the captured state value(s) the group's
+    compiled template paths name, looked up with the exact Python
     semantics of the driver loop (``templates._lookup``: dict walk,
-    JSON-string descent, str() rendering)."""
+    JSON-string descent, str() rendering). Single-variable groups
+    carry the raw rendered value; multi-variable groups carry the
+    composite JSON array string (``_composite_value``). NULL when ANY
+    component misses — those documents fall back per-document, where
+    ``render_py`` handles the miss."""
     schema = T.StructType(
         list(_ROUTE_SCHEMA.fields) + [T.StructField("tmpl_value", T.StringType())]
     )
@@ -155,12 +168,18 @@ def _annotate_tmpl_values(
             for doc_json, name, idx in zip(
                 pdf["doc"], pdf["g_name"], pdf["next_idx"]
             ):
-                parts = paths.get((str(name), int(idx)))
-                if parts is None:
+                parts_lists = paths.get((str(name), int(idx)))
+                if parts_lists is None:
                     vals.append(None)
                     continue
-                v = _lookup(json.loads(doc_json), parts)
-                vals.append(None if v is None else str(v))
+                doc = json.loads(doc_json)
+                comps = [_lookup(doc, parts) for parts in parts_lists]
+                if any(c is None for c in comps):
+                    vals.append(None)
+                elif len(comps) == 1:
+                    vals.append(str(comps[0]))
+                else:
+                    vals.append(_composite_value([str(c) for c in comps]))
             yield _passthrough(pdf, {"tmpl_value": vals})
 
     return routed.mapInPandas(fn, schema=schema)
@@ -171,20 +190,31 @@ class _GroupMeta:
     only thing the driver keeps per group: the representative doc's
     compiled slot shape, never the member documents.
 
-    ``crit_parts`` (deadman groups only) is the (prefix, suffix) of
-    the slot's TEMPLATED criteria text around its single template
-    variable: the per-document path records the RENDERED criteria in
-    the fired slot (``render_py`` at sequence.py:284), so the frame
-    face reconstructs it as prefix + captured value + suffix inside
-    the update UDF — byte-identical to the driver path."""
+    ``crit_parts`` (deadman groups, and multi-variable threshold
+    groups) is the list of N+1 static segments of the slot's
+    TEMPLATED criteria text around its N template variables
+    (``criteria_segments``): the per-document path records the
+    RENDERED criteria in the fired slot (``render_py`` at
+    sequence.py:298), so the frame face reconstructs it as
+    segs[0] + v0 + segs[1] + ... inside the update UDF —
+    byte-identical to the driver path. Single-variable threshold
+    groups leave it None (their faithful twin is the BATCHED driver
+    path, which records the static criteria).
+
+    ``tmpl_parts`` is a list of dotted-path component lists (one per
+    template variable); ``key_paths`` the matching event-side paths;
+    ``agg_idx`` the component whose event path equals the slot's
+    aggregation_key (the fired group's ``metadata.value``)."""
 
     __slots__ = (
         "name", "idx", "p_asm", "static", "tmpl_parts",
         "refs", "keep_full", "max_epoch", "crit_parts",
+        "key_paths", "agg_idx",
     )
 
     def __init__(self, name, idx, p_asm, static, tmpl_parts, refs,
-                 keep_full, max_epoch, crit_parts=None):
+                 keep_full, max_epoch, crit_parts=None,
+                 key_paths=None, agg_idx=0):
         self.name = name
         self.idx = idx
         self.p_asm = p_asm
@@ -194,6 +224,12 @@ class _GroupMeta:
         self.keep_full = keep_full
         self.max_epoch = max_epoch
         self.crit_parts = crit_parts
+        self.key_paths = key_paths
+        self.agg_idx = agg_idx
+
+    @property
+    def n_vars(self) -> int:
+        return len(self.tmpl_parts)
 
 
 def _coerce_slim_row(pdf, i: int, n_ej: int) -> dict[str, Any]:
@@ -216,18 +252,37 @@ def _coerce_slim_row(pdf, i: int, n_ej: int) -> dict[str, Any]:
     return row
 
 
+def _rendered_criteria(crit_parts, tmpl_value: str, composite: bool) -> str:
+    """Reconstruct ``render_py(criteria, doc)`` from the group's
+    static segments + the doc's captured value(s): segs[0] + v0 +
+    segs[1] + ... — the composite form decodes its components from
+    the JSON array ``tmpl_value``."""
+    comps = json.loads(tmpl_value) if composite else [tmpl_value]
+    out = [str(crit_parts[0])]
+    for c, seg in zip(comps, crit_parts[1:]):
+        out.append(str(c))
+        out.append(str(seg))
+    return "".join(out)
+
+
 def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str,
-                        crit_parts: tuple[str, str] | None = None):
+                        crit_parts=None, composite: bool = False):
     """Arrow UDF: (in-flight doc JSON) x (slim fired columns) -> the
     updated DOC_SCHEMA row — exactly the driver loop's
     ``inflight = deepcopy(sequence_shell(doc)); slots[i] = fired_doc;
     doc_to_row(...)`` (same helpers, so written documents are
     byte-compatible).
 
-    ``crit_parts`` (deadman face): the fired slot additionally records
-    the RENDERED criteria — prefix + the doc's captured value
-    (``tmpl_value`` column) + suffix, the per-document path's
-    ``render_py`` output."""
+    ``crit_parts`` (deadman + multi-variable faces): the fired slot
+    additionally records the RENDERED criteria — the static segments
+    interleaved with the doc's captured value(s) (``tmpl_value``
+    column), the per-document path's ``render_py`` output.
+
+    ``composite``: ``tmpl_value`` carries the JSON-array composite
+    (decoded for criteria rendering); the slim row's ``_v`` —
+    the slot's ``metadata.value`` — is already the aggregation-key
+    COMPONENT (``_slim_projection`` keeps the join key separate as
+    ``_jv``), so no value patch is needed."""
 
     def fn(batches):
         import pandas as pd
@@ -240,10 +295,8 @@ def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str,
                     idx_sorted, id_col,
                 )
                 if crit_parts is not None:
-                    fired["criteria"] = (
-                        crit_parts[0]
-                        + str(pdf["tmpl_value"].iloc[i])
-                        + crit_parts[1]
+                    fired["criteria"] = _rendered_criteria(
+                        crit_parts, pdf["tmpl_value"].iloc[i], composite
                     )
                 doc = sequence_shell(json.loads(pdf["doc"].iloc[i]))
                 doc["slots"][slot_index] = fired
@@ -253,17 +306,19 @@ def _mk_resume_slim_udf(p_asm, slot_index: int, idx_sorted, id_col: str,
     return fn
 
 
-def _mk_resume_full_udf(slot_index: int,
-                        crit_parts: tuple[str, str] | None = None):
+def _mk_resume_full_udf(slot_index: int, crit_parts=None,
+                        composite: bool = False):
     """keep_full groups: the fired alert row arrives as its whole-row
     JSON (``to_json(struct(*))`` — the executor-side twin of
     ``alerts_df_to_docs``) and lands in the document verbatim. Even
     full payloads never transit the driver on this path.
 
-    ``crit_parts`` (deadman face): patch the fired slot's criteria to
-    the per-document RENDERED form — needed because for the
-    ABSENT/synthesized case the fired row's metadata value is the
-    aggregation_key literal, not the doc's captured value."""
+    ``crit_parts`` (deadman + multi-variable faces): patch the fired
+    slot's criteria to the per-document RENDERED form — needed
+    because for the ABSENT/synthesized case the fired row's metadata
+    value is the aggregation_key literal, not the doc's captured
+    value. (``metadata.value`` itself needs no patch here: the
+    assembled frame already carries the aggregation-key component.)"""
 
     def fn(batches):
         import pandas as pd
@@ -274,10 +329,8 @@ def _mk_resume_full_udf(slot_index: int,
                 doc = sequence_shell(json.loads(pdf["doc"].iloc[i]))
                 fired = json.loads(pdf["_fired_json"].iloc[i])
                 if crit_parts is not None:
-                    fired["criteria"] = (
-                        crit_parts[0]
-                        + str(pdf["tmpl_value"].iloc[i])
-                        + crit_parts[1]
+                    fired["criteria"] = _rendered_criteria(
+                        crit_parts, pdf["tmpl_value"].iloc[i], composite
                     )
                 doc["slots"][slot_index] = fired
                 out.append(doc_to_row(doc))
@@ -324,16 +377,23 @@ def _mk_start_full_udf(template_json: str, slot_index: int):
 
 
 def _slim_projection(assembled: DataFrame, idx_sorted, id_col: str,
-                     with_ref: bool):
+                     with_ref: bool, join_col: str | None = None):
     """The executor-side twin of ``slim_captures``'s collect
     projection: value/count/summary/ids (+ per-referenced-index event
-    JSON) as plain columns the update UDF consumes."""
+    JSON) as plain columns the update UDF consumes.
+
+    ``join_col`` (multi-variable groups): the composite join key
+    column, kept SEPARATE from ``_v`` as ``_jv`` — ``_v`` stays the
+    slot document's ``metadata.value`` (the aggregation-key
+    component) while the member join runs on the composite."""
     sel = [
         F.col("metadata.value").alias("_v"),
         F.col("metadata.count").alias("_c"),
         F.col("summary").alias("_s"),
         F.transform("events", lambda e: e[id_col].cast("string")).alias("_ids"),
     ]
+    if join_col is not None:
+        sel.append(F.col(join_col).alias("_jv"))
     if with_ref:
         sel.append(F.col("_ref"))
     for k, j in enumerate(idx_sorted):
@@ -352,13 +412,25 @@ def _advance_members(assembled, members, g, id_col: str, spill_store,
     member documents by captured value and append the update plan —
     full-payload form when there is no spill store or the rule's
     templates need whole events, slim + executor-side spill otherwise.
-    ``g.crit_parts`` (set only on deadman groups) patches the rendered
-    criteria inside the UDF."""
+    ``g.crit_parts`` (set on deadman and multi-variable groups)
+    patches the rendered criteria inside the UDF.
+
+    Multi-variable groups (``g.n_vars > 1``): ``assembled`` carries
+    the composite join key as the ``_cv`` passthrough column
+    (``assemble_alerts(..., carry=('_cv',))``) — the member join and
+    the spill ref key on the COMPOSITE (``metadata.value`` is only
+    the aggregation-key component, shared between composites, so
+    keying the ref on it would collide two groups' spill payloads),
+    and ``_cv`` is excluded from the serialized document."""
+    composite = g.n_vars > 1
+    join_src = "_cv" if composite else "metadata.value"
     if spill_store is None or g.keep_full:
         fired_j = assembled.select(
-            F.col("metadata.value").alias("_v"),
+            F.col(join_src).alias("_v"),
             F.to_json(
-                F.struct(*[F.col(c) for c in assembled.columns])
+                F.struct(
+                    *[F.col(c) for c in assembled.columns if c != "_cv"]
+                )
             ).alias("_fired_json"),
         )
         joined = members.join(
@@ -366,7 +438,8 @@ def _advance_members(assembled, members, g, id_col: str, spill_store,
         ).select("doc", "tmpl_value", "_fired_json")
         upd_frames.append(
             joined.mapInPandas(
-                _mk_resume_full_udf(g.idx, g.crit_parts), schema=DOC_SCHEMA
+                _mk_resume_full_udf(g.idx, g.crit_parts, composite),
+                schema=DOC_SCHEMA,
             )
         )
     else:
@@ -374,11 +447,7 @@ def _advance_members(assembled, members, g, id_col: str, spill_store,
         with_ref = checkpoint(
             assembled.withColumn(
                 "_ref",
-                F.md5(
-                    F.concat_ws(
-                        "\x1f", F.lit(nonce), F.col("metadata.value")
-                    )
-                ),
+                F.md5(F.concat_ws("\x1f", F.lit(nonce), F.col(join_src))),
             ),
             eager=True,
         )
@@ -388,12 +457,16 @@ def _advance_members(assembled, members, g, id_col: str, spill_store,
                 F.to_json("events").alias("events_json"),
             )
         )
-        slim = _slim_projection(with_ref, g.refs, id_col, with_ref=True)
-        joined = members.join(slim, members["tmpl_value"] == slim["_v"])
+        slim = _slim_projection(
+            with_ref, g.refs, id_col, with_ref=True,
+            join_col="_cv" if composite else None,
+        )
+        join_key = slim["_jv"] if composite else slim["_v"]
+        joined = members.join(slim, members["tmpl_value"] == join_key)
         upd_frames.append(
             joined.mapInPandas(
                 _mk_resume_slim_udf(
-                    g.p_asm, g.idx, g.refs, id_col, g.crit_parts
+                    g.p_asm, g.idx, g.refs, id_col, g.crit_parts, composite
                 ),
                 schema=DOC_SCHEMA,
             )
@@ -448,8 +521,11 @@ def resume_fused_frames(
         if not meta_rows:
             return [], []
 
+        from alerta_spark.operators.sequence import (
+            compile_templated_criteria_multi,
+            criteria_segments,
+        )
         from alerta_spark.rules import deadman_shell
-        from alerta_spark.templates import template_parts
 
         fusable: list[_GroupMeta] = []
         dm_groups: list[_GroupMeta] = []
@@ -460,29 +536,28 @@ def resume_fused_frames(
             slot = rep["slots"][idx]
             crit = str(slot.get("criteria", ""))
             a_type = str(slot.get("alert_type", "threshold"))
-            compiled = compile_templated_criteria(crit)
+            compiled = compile_templated_criteria_multi(crit)
             if (
                 a_type not in ("threshold", "deadman")
                 or compiled is None
-                or str(slot.get("aggregation_key", "")) != compiled[1]
+                or str(slot.get("aggregation_key", "")) not in compiled[1]
             ):
                 unfused_meta.append((int(r["max_epoch"]), name, idx))
                 continue
-            static, _key_path, tmpl_path = compiled
+            static, key_paths, tmpl_paths = compiled
+            n_vars = len(key_paths)
+            agg_idx = key_paths.index(str(slot.get("aggregation_key", "")))
             crit_parts = None
-            if a_type == "deadman":
-                # the fired slot records the RENDERED criteria on the
-                # per-document path; reconstructable in-frame only when
-                # the criteria has exactly one template variable
-                parts = template_parts(crit)
-                var_at = [k for k, (kind, _) in enumerate(parts) if kind == "var"]
-                if len(var_at) != 1:
+            if a_type == "deadman" or n_vars > 1:
+                # these faces' faithful twin is the PER-DOCUMENT path,
+                # which records the RENDERED criteria in the fired slot
+                # — reconstructed in-UDF from the static segments
+                # around the template variables (single-variable
+                # threshold's twin is the batched path: static only)
+                crit_parts = criteria_segments(crit, n_vars)
+                if crit_parts is None:
                     unfused_meta.append((int(r["max_epoch"]), name, idx))
                     continue
-                crit_parts = (
-                    "".join(t for _, t in parts[: var_at[0]]),
-                    "".join(t for _, t in parts[var_at[0] + 1 :]),
-                )
             try:
                 if a_type == "deadman":
                     p_asm = deadman_shell(dict(slot, criteria=static))
@@ -497,8 +572,9 @@ def resume_fused_frames(
             refs, keep_full = _referenced_event_indices(rep, idx)
             meta = _GroupMeta(
                 name, idx, p_asm, static,
-                [p for p in tmpl_path.split(".") if p],
+                [[p for p in tp.split(".") if p] for tp in tmpl_paths],
                 sorted(refs), keep_full, int(r["max_epoch"]), crit_parts,
+                key_paths=key_paths, agg_idx=agg_idx,
             )
             (dm_groups if a_type == "deadman" else fusable).append(meta)
         # ONE collect serves every unfusable group (a sorted collect
@@ -544,10 +620,10 @@ def resume_fused_frames(
                 logging.getLogger(__name__).warning(
                     "resume_fused_frames: %d in-flight documents across "
                     "%d groups fall back to the per-document driver path "
-                    "(unfusable next-slot shapes: multi-templated "
-                    "criteria, key!=aggregation_key, or unparseable "
-                    "criteria) — expect roughly linear pass time in that "
-                    "document count",
+                    "(unfusable next-slot shapes: non-equality template "
+                    "conjuncts, aggregation_key outside the templated "
+                    "paths, or unparseable criteria) — expect roughly "
+                    "linear pass time in that document count",
                     len(rows),
                     len(unfused_keys),
                 )
@@ -605,6 +681,10 @@ def resume_fused_frames(
                 grouped = fused_grouped(
                     ev, [g.p_asm for g in fusable], id_col, ts_col,
                     probe=probe,
+                    composite_keys=[
+                        g.key_paths if g.n_vars > 1 else None
+                        for g in fusable
+                    ],
                 ).persist()
                 to_unpersist.append(grouped)
                 captured = None
@@ -626,7 +706,26 @@ def resume_fused_frames(
                             if captured is None
                             else captured.unionByName(ids_k)
                         )
-                    assembled = assemble_alerts(slice_, g.p_asm, ev.schema)
+                    if g.n_vars > 1:
+                        # composite group: the grouped "value" is the
+                        # JSON-array composite; the slot document's
+                        # metadata.value is the aggregation-key
+                        # COMPONENT (per-document parity), with the
+                        # composite riding along as the _cv carry for
+                        # the member join / spill ref
+                        slice_ = slice_.select(
+                            F.from_json(
+                                F.col("value"), "array<string>"
+                            )[g.agg_idx].alias("value"),
+                            "count",
+                            "events",
+                            F.col("value").alias("_cv"),
+                        )
+                        assembled = assemble_alerts(
+                            slice_, g.p_asm, ev.schema, carry=("_cv",)
+                        )
+                    else:
+                        assembled = assemble_alerts(slice_, g.p_asm, ev.schema)
                     win_g = winners.where(F.col("rule_idx") == i).select(
                         "doc", "tmpl_value"
                     )
@@ -672,6 +771,10 @@ def resume_fused_frames(
                 dm_grouped = fused_grouped(
                     events_df, [g.p_asm for g in dm_groups], id_col,
                     ts_col, probe=dm_probe,
+                    composite_keys=[
+                        g.key_paths if g.n_vars > 1 else None
+                        for g in dm_groups
+                    ],
                 ).persist()
                 to_unpersist.append(dm_grouped)
                 events_type = dm_grouped.schema["events"].dataType
@@ -716,7 +819,9 @@ def resume_fused_frames(
                     )
                     upd_frames.append(
                         absent.crossJoin(F.broadcast(synth_j)).mapInPandas(
-                            _mk_resume_full_udf(g.idx, g.crit_parts),
+                            _mk_resume_full_udf(
+                                g.idx, g.crit_parts, g.n_vars > 1
+                            ),
                             schema=DOC_SCHEMA,
                         )
                     )
@@ -724,9 +829,26 @@ def resume_fused_frames(
                     # the real captured group (same full/slim split as
                     # the threshold face, via the shared helper)
                     fired = slice_all.where(F.col("count") <= thr)
-                    assembled = assemble_alerts(
-                        fired, g.p_asm, events_df.schema
-                    )
+                    if g.n_vars > 1:
+                        # composite group: metadata.value is the
+                        # aggregation-key component; the composite
+                        # rides the _cv carry (see _advance_members)
+                        fired = fired.select(
+                            F.from_json(
+                                F.col("value"), "array<string>"
+                            )[g.agg_idx].alias("value"),
+                            "count",
+                            "events",
+                            F.col("value").alias("_cv"),
+                        )
+                        assembled = assemble_alerts(
+                            fired, g.p_asm, events_df.schema,
+                            carry=("_cv",),
+                        )
+                    else:
+                        assembled = assemble_alerts(
+                            fired, g.p_asm, events_df.schema
+                        )
                     _advance_members(
                         assembled, mem_g, g, id_col, spill_store,
                         upd_frames, spill_frames,

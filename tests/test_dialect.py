@@ -365,3 +365,63 @@ def test_date_parse_roundtrip_property(spark, ts, d_i, t_i, s_i):
     sql = trino_to_spark(f"date_parse('{rendered}', '{mysql_fmt}')")
     got = spark.range(1).select(F.expr(sql).alias("t")).collect()[0]["t"]
     assert got == expect, (mysql_fmt, rendered, sql, got)
+
+
+# --- property: the ARRAY-literal bracket/subscript rewriter
+# (dialect.py hand-rolled parser) vs a Python evaluation of the Trino
+# semantics. Elements are strings carrying the parser's worst enemies
+# ('[', ']', quotes, commas, 'ARRAY[' itself) or nested arrays;
+# chained subscripts are 1-based end to end.
+
+_SUB_STRS = [
+    "a", "a[b", "x]", "[", "]]", "O'neil", "1,2", "ARRAY[1]", "",
+    "a][b", "']'", " [2] ",
+]
+
+
+def _gen_array(data, depth: int):
+    """(trino_sql, python_value) for a depth-`depth` homogeneous
+    nested array literal."""
+    if depth == 0:
+        s = data.draw(st.sampled_from(_SUB_STRS), label="leaf")
+        return "'" + s.replace("'", "''") + "'", s
+    n = data.draw(st.integers(min_value=1, max_value=3), label=f"n@{depth}")
+    items = [_gen_array(data, depth - 1) for _ in range(n)]
+    return (
+        "ARRAY[" + ",".join(s for s, _ in items) + "]",
+        [v for _, v in items],
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_array_subscript_rewrite_property(spark, data):
+    """Property: for random nested ARRAY literals (string elements
+    containing brackets/quotes/commas) with a random chain of in-range
+    1-based subscripts, Spark's evaluation of the rewritten expression
+    equals a Python evaluation of the Trino semantics — value-exact at
+    every chain length, including the no-subscript and whole-subarray
+    results."""
+    from pyspark.sql import functions as F
+
+    depth = data.draw(st.integers(min_value=1, max_value=3), label="depth")
+    sql, expected = _gen_array(data, depth)
+    # random chain of valid subscripts (possibly stopping early at a
+    # sub-array), optional whitespace before each bracket — the
+    # rewriter must treat '  [i]' as a chained subscript too
+    while isinstance(expected, list) and data.draw(
+        st.booleans(), label="descend"
+    ):
+        idx = data.draw(
+            st.integers(min_value=1, max_value=len(expected)), label="idx"
+        )
+        pad = " " if data.draw(st.booleans(), label="pad") else ""
+        sql += f"{pad}[{idx}]"
+        expected = expected[idx - 1]
+
+    out = trino_to_spark(sql)
+    # the literal (and any subscript chain) was rewritten — 'ARRAY['
+    # may only survive INSIDE string data
+    assert out.startswith(("array(", "element_at("))
+    got = spark.range(1).select(F.expr(out).alias("v")).collect()[0]["v"]
+    assert got == expected, (sql, out, got, expected)

@@ -206,10 +206,45 @@ def test_compile_templated_criteria_reference_shapes():
     )[1] == "user_id"
     # non-templated criteria -> None
     assert compile_templated_criteria("source='x'") is None
-    # two templated conjuncts -> not batchable
+    # two templated conjuncts -> not batchable on the SINGLE-variable
+    # driver path, but the multi compiler serves the frame tier
     assert compile_templated_criteria(
         "a='{{x}}' AND b='{{y}}'"
     ) is None
+
+
+def test_compile_templated_criteria_multi_shapes():
+    from alerta_spark.operators.sequence import (
+        compile_templated_criteria_multi,
+        criteria_segments,
+    )
+
+    c = (
+        "source='onelogin' AND a='{{slots.0.x}}' AND "
+        "json_extract_scalar(details,'$.ip')='{{slots.0.y}}'"
+    )
+    static, keys, tmpls = compile_templated_criteria_multi(c)
+    assert static == "source='onelogin'"
+    assert keys == ["a", "details.ip"]
+    assert tmpls == ["slots.0.x", "slots.0.y"]
+    # segments reassemble render_py: segs[0]+v0+segs[1]+v1+segs[2]
+    segs = criteria_segments(c, 2)
+    assert len(segs) == 3
+    from alerta_spark.templates import render_py
+
+    doc = {"slots": [{"x": "V1", "y": "V2"}]}
+    assert (
+        segs[0] + "V1" + segs[1] + "V2" + segs[2] == render_py(c, doc)
+    )
+    # a conjunct whose template is not a supported equality poisons
+    # the whole compile (falls back per-document)
+    assert compile_templated_criteria_multi(
+        "a='{{x}}' AND b LIKE '{{y}}%'"
+    ) is None
+    # two variables inside ONE conjunct is not an equality shape
+    assert compile_templated_criteria_multi("a='{{x}}{{y}}'") is None
+    # wrong variable count -> segments refuses
+    assert criteria_segments(c, 3) is None
 
 
 def test_batched_slot_advance_many_docs(spark, engine):
@@ -1434,3 +1469,252 @@ def test_extras_memo_is_pass_scoped(spark, engine):
     )
     assert len(out2) == 1
     assert memo2[0][1] is not frame_before
+
+
+def _events_src(spark, rows, source, base=0):
+    from pyspark.sql import functions as F
+
+    data = [
+        {
+            "event_id": base + i,
+            "ts": f"2026-01-01 00:{i:02d}:00",
+            "source": source,
+            "details": json.dumps(d),
+        }
+        for i, d in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data)
+    return df.withColumn("ts", F.to_timestamp("ts")).select(
+        "event_id", "ts", "source", "details"
+    )
+
+
+def _two_var_rule(name="two_var_seq", extra_slot=False, deadman=False,
+                  mark=None):
+    """Sequence rule whose SECOND slot pins TWO captured values
+    (user_name AND sourceipaddress) — the multi-templated shape that
+    round 9 still served per-document. ``mark`` adds a static kind
+    conjunct so two rules' slot-1 criteria stay DISJOINT (overlapping
+    criteria contend through F9 intra-pass dedup and only one rule
+    captures a shared event)."""
+    second = {
+        "alert_name": "s1",
+        "alert_type": "deadman" if deadman else "threshold",
+        "criteria": (
+            "source='heartbeat' AND " if deadman else "source='onelogin' AND "
+        )
+        + (
+            f"json_extract_scalar(details,'$.kind')='{mark}' AND "
+            if mark is not None
+            else ""
+        )
+        + "json_extract_scalar(details,'$.user_name')="
+        "'{{slots.0.events.0.details.user_name}}' AND "
+        "json_extract_scalar(details,'$.sourceipaddress')="
+        "'{{slots.0.events.0.details.sourceipaddress}}'",
+        "summary": "second {{events.0.details.user_name}}",
+        "event_snippet": "",
+        "aggregation_key": "details.user_name",
+        "threshold": 0 if deadman else 1,
+        "event_sample_count": 5,
+    }
+    slots = [
+        {
+            "alert_name": "s0",
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND "
+                + (
+                    f"json_extract_scalar(details,'$.kind')='{mark}' AND "
+                    if mark is not None
+                    else ""
+                )
+                + "CAST(json_extract_scalar("
+                "details,'$.risk_score') as INTEGER)>80"
+            ),
+            "summary": "risky {{events.0.details.user_name}}",
+            "event_snippet": "",
+            "aggregation_key": "details.user_name",
+            "threshold": 1,
+            "event_sample_count": 5,
+        },
+        second,
+    ]
+    if extra_slot:
+        slots.append(
+            {
+                "alert_name": "s2",
+                "alert_type": "threshold",
+                "criteria": "source='never_matches'",
+                "summary": "tail",
+                "event_snippet": "",
+                "aggregation_key": "details.user_name",
+                "threshold": 1,
+                "event_sample_count": 5,
+            }
+        )
+    return {
+        "alert_name": name,
+        "alert_type": "sequence",
+        "lifespan": "7 days",
+        "severity": "INFO",
+        "summary": "done {{slots.0.events.0.details.user_name}}",
+        "category": "authentication",
+        "tags": ["login"],
+        "slots": slots,
+    }
+
+
+def _canon_docs(docs):
+    return sorted(
+        json.dumps(_strip_volatile(d), sort_keys=True) for d in docs
+    )
+
+
+def test_fused_multi_templated_resume_matches_sequential(spark, tmp_path):
+    """A slot criteria pinning TWO captured values must advance through
+    the frame-native fused tier (composite-value probe) with documents
+    byte-identical to the non-fused engine — both the COMPLETED
+    sequence (2-slot rule) and the still-in-flight fired slot with its
+    reconstructed RENDERED criteria (3-slot rule). A user whose second
+    component diverges (same user_name, different source ip) must NOT
+    advance — the shape a single-value probe cannot express."""
+    rules = [
+        _two_var_rule("mt_done", mark="d"),
+        _two_var_rule("mt_tail", extra_slot=True, mark="t"),
+    ]
+    rows1 = [
+        {"risk_score": "95", "kind": k, "user_name": u, "sourceipaddress": ip}
+        for k in ("d", "t")
+        for u, ip in (
+            ("alice", "1.2.3.4"),
+            ("bob", "9.9.9.9"),
+            ("carol", "5.5.5.5"),
+        )
+    ]
+    rows2 = [
+        {"risk_score": "10", "kind": k, "user_name": u, "sourceipaddress": ip}
+        for k in ("d", "t")
+        for u, ip in (
+            ("alice", "1.2.3.4"),
+            ("bob", "9.9.9.9"),
+            # carol reappears from a DIFFERENT ip: user_name alone
+            # matches, the composite (user, ip) must not
+            ("carol", "7.7.7.7"),
+        )
+    ]
+
+    def run(tag, fused):
+        eng = Engine(
+            spark, str(tmp_path / tag), id_col="event_id", ts_col="ts"
+        )
+        eng.run_once(_events_src(spark, rows1, "onelogin"), rules,
+                     fuse_sequences=fused)
+        eng.run_once(_events_src(spark, rows2, "onelogin", base=100), rules,
+                     fuse_sequences=fused)
+        return eng
+
+    seq = run("mt_seq", False)
+    fus = run("mt_fus", True)
+    assert _canon_docs(fus.alerts.docs()) == _canon_docs(seq.alerts.docs())
+    assert _canon_docs(fus.inflight.docs()) == _canon_docs(seq.inflight.docs())
+    done = {d["slots"][0]["metadata"]["value"] for d in fus.alerts.docs()}
+    assert done == {"alice", "bob"}  # mt_done completed for both
+    # mt_tail advanced its multi slot and waits on slot 2 with the
+    # RENDERED criteria recorded (per-document parity)
+    waiting = {
+        (d["alert_name"], d["slots"][0]["metadata"]["value"]): d
+        for d in fus.inflight.docs()
+    }
+    adv = waiting[("mt_tail", "alice")]
+    assert adv["slots"][1]["metadata"]["value"] == "alice"
+    assert "='alice'" in adv["slots"][1]["criteria"]
+    assert "='1.2.3.4'" in adv["slots"][1]["criteria"]
+    assert "{{" not in adv["slots"][1]["criteria"]
+    # carol never advanced past slot 1 in either rule
+    assert ("mt_done", "carol") in waiting
+    assert first_unfilled_slot(waiting[("mt_done", "carol")])[0] == 1
+
+
+def test_fused_multi_templated_deadman_matches_sequential(spark, tmp_path):
+    """Deadman (absence) slots with TWO template variables fuse too:
+    a heartbeat matching only ONE component (same user, different ip)
+    leaves the composite ABSENT, so the sequence advances — while the
+    fully-matching composite blocks. Documents byte-identical to the
+    non-fused engine."""
+    rules = [_two_var_rule("mt_dm", deadman=True)]
+    rows1 = [
+        {"risk_score": "95", "user_name": "alice", "sourceipaddress": "1.1.1.1"},
+        {"risk_score": "95", "user_name": "bob", "sourceipaddress": "2.2.2.2"},
+    ]
+    beats = [
+        # alice's heartbeat matches BOTH components -> present -> blocked
+        {"user_name": "alice", "sourceipaddress": "1.1.1.1"},
+        # bob's heartbeat matches user but NOT ip -> composite absent
+        # -> deadman fires -> completes
+        {"user_name": "bob", "sourceipaddress": "9.9.9.9"},
+    ]
+
+    def run(tag, fused):
+        eng = Engine(
+            spark, str(tmp_path / tag), id_col="event_id", ts_col="ts"
+        )
+        eng.run_once(_events_src(spark, rows1, "onelogin"), rules,
+                     fuse_sequences=fused)
+        eng.run_once(_events_src(spark, beats, "heartbeat", base=100), rules,
+                     fuse_sequences=fused)
+        return eng
+
+    seq = run("mtdm_seq", False)
+    fus = run("mtdm_fus", True)
+    assert _canon_docs(fus.alerts.docs()) == _canon_docs(seq.alerts.docs())
+    assert _canon_docs(fus.inflight.docs()) == _canon_docs(seq.inflight.docs())
+    done = {d["slots"][0]["metadata"]["value"] for d in fus.alerts.docs()}
+    assert done == {"bob"}
+    still = {d["slots"][0]["metadata"]["value"] for d in fus.inflight.docs()}
+    assert still == {"alice"}
+    dm = next(iter(fus.alerts.docs()))["slots"][1]
+    assert "='bob'" in dm["criteria"] and "='2.2.2.2'" in dm["criteria"]
+
+
+def test_fused_multi_templated_no_collect_and_sql_special_values(
+    spark, tmp_path, monkeypatch
+):
+    """The multi-variable face keeps state executor-side (zero
+    DocStore.docs() collects — it must NOT route to the per-document
+    fallback) and, because the composite probe is a JSON-encoded
+    broadcast join rather than rendered SQL text, captured values
+    carrying backslashes/quotes advance correctly — the shape the
+    per-document path's SQL round-trip cannot serve (dialect parity:
+    Trino string literals do not process backslash escapes)."""
+    import alerta_spark.state as statemod
+
+    calls = []
+    orig = statemod.DocStore.docs
+
+    def spy(self, *a, **k):
+        calls.append(self.path)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(statemod.DocStore, "docs", spy)
+
+    rules = [_two_var_rule("mt_nasty")]
+    rows1 = [
+        {"risk_score": "95", "user_name": "DOM\\u1", "sourceipaddress": 'O"9'},
+        {"risk_score": "95", "user_name": "a'b", "sourceipaddress": "x\ty"},
+    ]
+    rows2 = [
+        {"risk_score": "10", "user_name": "DOM\\u1", "sourceipaddress": 'O"9'},
+        {"risk_score": "10", "user_name": "a'b", "sourceipaddress": "x\ty"},
+    ]
+    eng = Engine(spark, str(tmp_path / "mt_nc"), id_col="event_id", ts_col="ts")
+    eng.run_once(_events_src(spark, rows1, "onelogin"), rules,
+                 fuse_sequences=True)
+    eng.run_once(_events_src(spark, rows2, "onelogin", base=100), rules,
+                 fuse_sequences=True)
+
+    assert calls == [], calls
+    monkeypatch.setattr(statemod.DocStore, "docs", orig)
+    done = {d["slots"][0]["metadata"]["value"] for d in eng.alerts.docs()}
+    assert done == {"DOM\\u1", "a'b"}
+    assert eng.inflight.frame().count() == 0

@@ -102,13 +102,46 @@ def _mk_rules(kind: str):
             }
             for i in range(N_RULES)
         ]
+    if kind == "sequence_multivar":
+        # resume slot with TWO templated conjuncts: round 10 compiles
+        # this into the frame tier (composite-value probe), so the
+        # axis now measures the fused MULTI-VARIABLE face — pre-round-
+        # 10 this exact shape was the per-document fallback's
+        # dominant population
+        return [
+            {
+                "alert_name": f"mvseq_{i}",
+                "alert_type": "sequence",
+                "lifespan": "7 days",
+                "summary": "seq for {{slots.0.events.0.details.user_name}}",
+                "slots": [
+                    dict(slot(i), alert_name=f"mvseq_{i}_s0"),
+                    dict(
+                        slot(i),
+                        alert_name=f"mvseq_{i}_s1",
+                        criteria=(
+                            "source='onelogin' AND json_extract_scalar("
+                            "details,'$.user_name')="
+                            "'{{slots.0.events.0.details.user_name}}'"
+                            " AND json_extract_scalar(details,"
+                            "'$.risk_score')="
+                            "'{{slots.0.events.0.details.risk_score}}'"
+                        ),
+                    ),
+                ],
+            }
+            for i in range(N_RULES)
+        ]
     if kind == "sequence_unfused":
-        # resume slot with TWO templated conjuncts: uncompilable by
-        # compile_templated_criteria, so every in-flight group routes
-        # through the per-document driver fallback — the axis that
-        # makes the fallback's cost visible (it runs Spark jobs PER
-        # DOCUMENT: expect ~linear time in groups with a large
-        # constant; measure at SMALL group counts only)
+        # resume slot whose templated conjunct is NOT a supported
+        # equality shape (literal on the LEFT): uncompilable by
+        # compile_templated_criteria_multi, so every in-flight group
+        # routes through the per-document driver fallback — the axis
+        # that makes the fallback's cost visible (it runs Spark jobs
+        # PER DOCUMENT: expect ~linear time in groups with a large
+        # constant; measure at SMALL group counts only). Semantically
+        # identical to the fusable equality, so alert counts stay
+        # comparable across axes.
         return [
             {
                 "alert_name": f"useq_{i}",
@@ -121,12 +154,10 @@ def _mk_rules(kind: str):
                         slot(i),
                         alert_name=f"useq_{i}_s1",
                         criteria=(
-                            "source='onelogin' AND json_extract_scalar("
-                            "details,'$.user_name')="
+                            "source='onelogin' AND "
                             "'{{slots.0.events.0.details.user_name}}'"
-                            " AND json_extract_scalar(details,"
-                            "'$.risk_score')="
-                            "'{{slots.0.events.0.details.risk_score}}'"
+                            "=json_extract_scalar("
+                            "details,'$.user_name')"
                         ),
                     ),
                 ],
@@ -218,9 +249,11 @@ FAMILIES = (
     "engine_threshold_emission",
     "engine_sequence_pass",
     "engine_sequence_payload_axis",
-    # round-9 axes (opt-in via --axes): the fused deadman resume face
-    # and the per-document fallback's honest cost curve
+    # round-9/10 axes (opt-in via --axes): the fused deadman resume
+    # face, the fused multi-variable (composite probe) face, and the
+    # per-document fallback's honest cost curve
     "engine_sequence_pass_deadman",
+    "engine_sequence_pass_multivar",
     "engine_sequence_pass_unfused",
     # owned by tools/streaming_scale_bench.py — listed here so this
     # tool's engine_* prune never deletes the sibling's rows
@@ -263,12 +296,14 @@ def main() -> None:
     k_seq = "engine_sequence_pass" + label
     k_pay = "engine_sequence_payload_axis" + label
     k_dm = "engine_sequence_pass_deadman" + label
+    k_mv = "engine_sequence_pass_multivar" + label
     k_unf = "engine_sequence_pass_unfused" + label
     results: dict[str, dict] = {}
     for ax, key in (
         ("threshold", k_thr),
         ("sequence", k_seq),
         ("deadman", k_dm),
+        ("multivar", k_mv),
         ("unfused", k_unf),
     ):
         if ax in axes:
@@ -327,11 +362,43 @@ def main() -> None:
                 f"alerts={n_al} inflight={n_inf} rss={_rss_mb()}MB"
             )
 
-        # --- UNFUSED fallback (round 9): a resume slot with two
-        # templated conjuncts is uncompilable, so every in-flight group
-        # takes the per-document driver path — Spark jobs PER DOCUMENT.
-        # This axis records that cost honestly; run it at SMALL group
-        # counts (--axes=unfused --groups=50,150,500).
+        # --- fused MULTI-VARIABLE face (round 10): a resume slot
+        # pinning TWO captured values advances through the frame tier
+        # on a composite-value probe — the done-criterion mirrors the
+        # other fused faces: sublinear time in groups, flat RSS.
+        if "multivar" in axes:
+            engm = Engine(spark, tempfile.mkdtemp(prefix=f"ab_mv_{g}_"))
+            rules_m = _mk_rules("sequence_multivar")
+            t0 = time.perf_counter()
+            engm.run_once(ev1, rules_m, fuse_sequences=True)
+            t_s = round(time.perf_counter() - t0, 3)
+            n_inf = engm.inflight.frame().count()
+            ev2m = _events(spark, g, 30_000_000).cache()
+            ev2m.count()
+            t0 = time.perf_counter()
+            engm.run_once(ev2m, rules_m, fuse_sequences=True)
+            t_r = round(time.perf_counter() - t0, 3)
+            n_al = engm.alerts.frame().count()
+            results[k_mv][str(g)] = {
+                "sec": round(t_s + t_r, 3),
+                "sec_start": t_s,
+                "sec_resume": t_r,
+                "inflight_after_start": n_inf,
+                "alerts": n_al,
+                "driver_rss_mb": _rss_mb(),
+            }
+            print(
+                f"g={g:<6} multivar   start={t_s:.2f}s resume={t_r:.2f}s "
+                f"alerts={n_al} inflight={n_inf} rss={_rss_mb()}MB"
+            )
+            ev2m.unpersist()
+
+        # --- UNFUSED fallback (rounds 9-10): a resume slot whose
+        # templated conjunct is not a supported equality is
+        # uncompilable, so every in-flight group takes the
+        # per-document driver path — Spark jobs PER DOCUMENT. This
+        # axis records that cost honestly; run it at SMALL group
+        # counts (--axes=unfused --groups=20,60,200).
         if "unfused" in axes:
             engu = Engine(spark, tempfile.mkdtemp(prefix=f"ab_unf_{g}_"))
             rules_u = _mk_rules("sequence_unfused")
