@@ -71,10 +71,30 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _corr_col(events: DataFrame, key) -> "F.Column":
+    """Correlation-value column for one rule: a single dotted path, or
+    a list/tuple of paths forming a COMPOSITE key — rendered as the
+    JSON array string of the components (``to_json(array(...))``, the
+    same encoding as the batch tier's multi-variable probe), NULL when
+    any component is NULL (an equality conjunct cannot match NULL).
+
+    A rule whose templated slot criteria pin MORE THAN ONE captured
+    field must key by the composite of ALL templated event paths —
+    keying by just one of them would make ``_static_criteria``'s
+    structural-equality assumption false for the others (a group keyed
+    by user alone treats an ip equality as always-true)."""
+    if isinstance(key, (list, tuple)):
+        arr = F.array(*[path_col(events, k).cast("string") for k in key])
+        return F.when(~F.exists(arr, lambda x: x.isNull()), F.to_json(arr))
+    return path_col(events, key).cast("string")
+
+
 def _static_criteria(slot: dict[str, Any]) -> str:
     """Strip templated equality conjuncts — within a correlation-key
-    group they hold by construction. Conjuncts are split on top-level
-    AND; a conjunct containing a {{...}} template var is dropped."""
+    group they hold by construction (the caller keys by the templated
+    path, or by the COMPOSITE of all templated paths — ``_corr_col``).
+    Conjuncts are split on top-level AND; a conjunct containing a
+    {{...}} template var is dropped."""
     criteria = str(slot.get("criteria", ""))
     if not template_vars(criteria):
         return criteria
@@ -335,12 +355,24 @@ def sequence_correlator(
     Works on both streaming and batch frames (batch: timeouts do not
     fire, so deadman slots never advance — streaming is the real mode;
     the batch engine covers deadman separately).
+
+    MULTI-VARIABLE rules (round 10): a slot whose templated criteria
+    pin more than one captured field must key by the COMPOSITE of all
+    templated event paths — pass a tuple/list of paths as that rule's
+    correlation key (``_corr_col`` renders it as the same JSON-array
+    string the batch tier's composite probe uses). Keying by a single
+    one of the paths would silently treat the other equalities as
+    always-true within the group. ``correlation_value`` in the output
+    then carries the JSON-array rendering.
     """
     from alerta_spark._ship import ensure_shipped
 
     ensure_shipped(events.sparkSession)
 
     rules = rule if isinstance(rule, list) else [rule]
+    # a LIST is a per-rule key list (entries: path, or tuple/list of
+    # paths = composite); a str or TUPLE is one shared key for every
+    # rule (tuple = shared composite — see _corr_col)
     keys = (
         correlation_key
         if isinstance(correlation_key, list)
@@ -356,7 +388,7 @@ def sequence_correlator(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("_ri"),
-                path_col(events, keys[i]).cast("string").alias("_corr"),
+                _corr_col(events, keys[i]).alias("_corr"),
                 F.array(
                     *[
                         F.expr(
@@ -633,7 +665,8 @@ def sequence_correlator_tws(
     lifespan_ms = int(
         parse_timedelta(str(rule.get("lifespan", "3 days"))).total_seconds() * 1000
     )
-    key = path_col(events, correlation_key).cast("string").alias("_corr")
+    # composite (tuple/list) keys supported as in sequence_correlator
+    key = _corr_col(events, correlation_key).alias("_corr")
     match_cols = [
         F.expr(trino_to_spark(_static_criteria(s)) or "true").alias(f"_m{i}")
         for i, s in enumerate(slots)

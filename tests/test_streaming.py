@@ -1108,3 +1108,68 @@ def test_sequence_correlator_fused_rules_match_singles(spark):
     assert fused == canon(singles)
     names = {n for n, *_ in fused}
     assert names == {"seq_a", "seq_b"}
+
+
+def test_sequence_correlator_composite_key_two_variables(spark):
+    """A rule whose templated slot pins TWO captured fields (user AND
+    ip) must key by the COMPOSITE of both paths: _static_criteria
+    drops every templated conjunct, so a user-only key would treat the
+    ip equality as always-true and complete on a wrong-ip event. The
+    composite key (tuple form -> JSON-array correlation value, the
+    batch tier's encoding) keeps the groups honest."""
+    two_var = {
+        "alert_name": "seq_user_ip",
+        "alert_type": "sequence",
+        "lifespan": "7 days",
+        "slots": [
+            {
+                "alert_name": "s1",
+                "alert_type": "threshold",
+                "criteria": (
+                    "source='onelogin' AND CAST(json_extract_scalar("
+                    "details,'$.risk_score') as INTEGER)>80"
+                ),
+                "aggregation_key": "details.user_name",
+                "threshold": 1,
+            },
+            {
+                "alert_name": "s2",
+                "alert_type": "threshold",
+                "criteria": (
+                    "source='onelogin' AND "
+                    "json_extract_scalar(details,'$.user_name')="
+                    "'{{slots.0.events.0.details.user_name}}' AND "
+                    "json_extract_scalar(details,'$.sourceipaddress')="
+                    "'{{slots.0.events.0.details.sourceipaddress}}'"
+                ),
+                "aggregation_key": "details.user_name",
+                "threshold": 1,
+            },
+        ],
+    }
+    mk = lambda u, ip, score: {  # noqa: E731
+        "risk_score": str(score), "user_name": u, "sourceipaddress": ip
+    }
+    ev = _events(
+        spark,
+        [
+            (0, mk("alice", "ip1", 95)),  # slot0 fires for (alice, ip1)
+            (1, mk("alice", "ip2", 10)),  # WRONG ip: must not advance
+            (2, mk("alice", "ip1", 10)),  # same composite -> completes
+        ],
+    )
+    # composite key: one completion, captured slot-1 event is the
+    # same-ip event (id 2), correlation value is the JSON array
+    rows = sequence_correlator(
+        ev, two_var,
+        ("details.user_name", "details.sourceipaddress"),
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["correlation_value"] == '["alice","ip1"]'
+    assert "2" in rows[0]["sample_event_ids"]
+    assert "1" not in rows[0]["sample_event_ids"]
+    # the user-only key DOCUMENTS the hazard the composite exists for:
+    # the wrong-ip event completes the sequence (ip conjunct dropped
+    # as structurally-true within the user group)
+    rows1 = sequence_correlator(ev, two_var, "details.user_name").collect()
+    assert len(rows1) == 1 and "1" in rows1[0]["sample_event_ids"]
