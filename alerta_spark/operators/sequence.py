@@ -607,7 +607,9 @@ import re as _re
 # conditional-aggregate scan).
 ISIN_PROBE_MAX = 4096
 
-# templated equality conjunct shapes we can turn into a join key:
+# templated equality conjunct shapes we can turn into a join key
+# (each also accepted with the operands REVERSED — SQL equality is
+# symmetric and rule authors write both orders):
 #   json_extract_scalar(col,'$.path') = '{{tmpl}}'
 #   CAST(col AS STRING) = '{{tmpl}}'
 #   col = '{{tmpl}}'
@@ -621,14 +623,32 @@ _TMPL_EQ = [
     ),
     (
         _re.compile(
+            r"^\s*'\{\{([^{}]+)\}\}'\s*=\s*json_extract_scalar\(\s*(\w+)\s*,\s*'\$\.([\w.]+)'\s*\)\s*$",
+            _re.IGNORECASE,
+        ),
+        lambda m: (f"{m.group(2)}.{m.group(3)}", m.group(1).strip()),
+    ),
+    (
+        _re.compile(
             r"^\s*CAST\(\s*(\w+)\s+AS\s+\w+\s*\)\s*=\s*'\{\{([^{}]+)\}\}'\s*$",
             _re.IGNORECASE,
         ),
         lambda m: (m.group(1), m.group(2).strip()),
     ),
     (
+        _re.compile(
+            r"^\s*'\{\{([^{}]+)\}\}'\s*=\s*CAST\(\s*(\w+)\s+AS\s+\w+\s*\)\s*$",
+            _re.IGNORECASE,
+        ),
+        lambda m: (m.group(2), m.group(1).strip()),
+    ),
+    (
         _re.compile(r"^\s*(\w+)\s*=\s*'\{\{([^{}]+)\}\}'\s*$"),
         lambda m: (m.group(1), m.group(2).strip()),
+    ),
+    (
+        _re.compile(r"^\s*'\{\{([^{}]+)\}\}'\s*=\s*(\w+)\s*$"),
+        lambda m: (m.group(2), m.group(1).strip()),
     ),
 ]
 

@@ -236,10 +236,26 @@ def test_compile_templated_criteria_multi_shapes():
     assert (
         segs[0] + "V1" + segs[1] + "V2" + segs[2] == render_py(c, doc)
     )
+    # REVERSED operands compile too (SQL equality is symmetric):
+    # literal-left bare column, CAST, and json_extract_scalar forms
+    rev = (
+        "'{{slots.0.x}}'=a AND "
+        "'{{slots.0.y}}' = CAST(b AS STRING) AND "
+        "'{{slots.0.z}}'=json_extract_scalar(details,'$.ip')"
+    )
+    static_r, keys_r, tmpls_r = compile_templated_criteria_multi(rev)
+    assert static_r == ""
+    assert keys_r == ["a", "b", "details.ip"]
+    assert tmpls_r == ["slots.0.x", "slots.0.y", "slots.0.z"]
     # a conjunct whose template is not a supported equality poisons
     # the whole compile (falls back per-document)
     assert compile_templated_criteria_multi(
         "a='{{x}}' AND b LIKE '{{y}}%'"
+    ) is None
+    # ...including a template inside a function call (the scale
+    # bench's residual-fallback shape)
+    assert compile_templated_criteria_multi(
+        "concat('{{x}}','')=json_extract_scalar(details,'$.u')"
     ) is None
     # two variables inside ONE conjunct is not an equality shape
     assert compile_templated_criteria_multi("a='{{x}}{{y}}'") is None

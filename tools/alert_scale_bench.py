@@ -134,14 +134,16 @@ def _mk_rules(kind: str):
         ]
     if kind == "sequence_unfused":
         # resume slot whose templated conjunct is NOT a supported
-        # equality shape (literal on the LEFT): uncompilable by
-        # compile_templated_criteria_multi, so every in-flight group
-        # routes through the per-document driver fallback — the axis
-        # that makes the fallback's cost visible (it runs Spark jobs
-        # PER DOCUMENT: expect ~linear time in groups with a large
-        # constant; measure at SMALL group counts only). Semantically
-        # identical to the fusable equality, so alert counts stay
-        # comparable across axes.
+        # equality shape (template inside a function call):
+        # uncompilable by compile_templated_criteria_multi — reversed
+        # operands now compile (round 10), so the residual fallback
+        # population is genuinely non-equality shapes like this one.
+        # Every in-flight group routes through the per-document driver
+        # fallback — the axis that makes the fallback's cost visible
+        # (it runs Spark jobs PER DOCUMENT: expect ~linear time in
+        # groups with a large constant; measure at SMALL group counts
+        # only). concat(tmpl,'') renders to an exact equality, so
+        # alert counts stay comparable across axes.
         return [
             {
                 "alert_name": f"useq_{i}",
@@ -155,7 +157,8 @@ def _mk_rules(kind: str):
                         alert_name=f"useq_{i}_s1",
                         criteria=(
                             "source='onelogin' AND "
-                            "'{{slots.0.events.0.details.user_name}}'"
+                            "concat('{{slots.0.events.0.details"
+                            ".user_name}}','')"
                             "=json_extract_scalar("
                             "details,'$.user_name')"
                         ),
