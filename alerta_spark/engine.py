@@ -24,6 +24,7 @@ from alerta_spark.ckpt import validate as ckpt_validate
 from alerta_spark.operators.deadman import deadman_alerts
 from alerta_spark.operators.sequence import process_sequence_alert
 from alerta_spark.operators.threshold import threshold_alerts
+from alerta_spark.rules import parse_timedelta
 from alerta_spark.state import DocStore, SlotEventStore
 
 
@@ -35,6 +36,7 @@ class Engine:
         id_col: str = "event_id",
         ts_col: str = "ts",
         compact_every: int | None = 32,
+        dedup_history: str | None = None,
     ):
         self.spark = spark
         self.alerts = DocStore(spark, os.path.join(store_dir, "alerts"))
@@ -54,6 +56,19 @@ class Engine:
         # default keeps the table under ~a day's worth of files.
         self.compact_every = compact_every
         self._passes_since_compact = 0
+        # F8 dedup-history bound: alerts older than this interval are
+        # excluded from the dedup anti-join probe (exact under the
+        # reference's ≤2h scan-window model whenever the interval
+        # covers scan span + emission lag — full argument in
+        # DocStore.alerted_ids). None = probe the whole history, the
+        # right default for arbitrary/backfill event frames; a
+        # months-long deployment sets e.g. "2 days" so the per-pass
+        # probe reads O(window) alert files, not O(history).
+        self._dedup_history_s: int | None = (
+            int(parse_timedelta(dedup_history).total_seconds())
+            if dedup_history
+            else None
+        )
 
     def run_once(
         self,
@@ -94,6 +109,16 @@ class Engine:
         # zero alerts per tick, or read as a deadman's absence-of-
         # evidence) — validate before any rule executes
         ckpt_validate(events_df.sparkSession)
+        # arm this pass's F8 history bound BEFORE any dedup probe runs
+        # (the resume below probes too); inflight is never bounded —
+        # active sequence captures must dedup regardless of age
+        if self._dedup_history_s is not None:
+            from alerta_spark.rules import utcnow as _utcnow
+
+            ref = eval_time or _utcnow()
+            self.alerts.dedup_min_epoch = (
+                int(ref.timestamp()) - self._dedup_history_s
+            )
         self._resume_inflight(events_df, fused=fuse_sequences)
         # maintenance windows: a rule whose `suppress` interval covers
         # this evaluation instant is skipped whole — including deadman

@@ -259,6 +259,11 @@ class DocStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # optional F8 dedup-history bound (epoch seconds), set by the
+        # engine per pass when `dedup_history` is configured — see
+        # `alerted_ids`. None = full history (exact for arbitrary
+        # event frames).
+        self.dedup_min_epoch: int | None = None
 
     def _exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -414,9 +419,34 @@ class DocStore:
         self.overwrite_frame(self.frame(), num_files=-(-total // target) or 1)
 
     def alerted_ids(self) -> DataFrame:
-        """DataFrame[alerted_event_id] for anti-join dedup (F8/F9)."""
+        """DataFrame[alerted_event_id] for anti-join dedup (F8/F9).
+
+        With ``dedup_min_epoch`` set (the engine's ``dedup_history``
+        knob), documents older than the bound are excluded BEFORE the
+        explode. This keeps the per-pass F8 cost proportional to
+        RECENT alerts instead of the whole history: an append-only
+        alert table grows without bound, and the ``utcepoch >= N``
+        filter prunes at the parquet footer level (per-pass appends
+        are time-ordered, so whole old files skip on min/max stats —
+        at a months-long 100 TB deployment this is the difference
+        between an O(history) and an O(window) dedup probe every 15
+        minutes).
+
+        Exactness argument (window model, BASELINE.md engine table):
+        the reference scans only the current + previous hour of
+        events (alerta.py:136-146), and an alert written at epoch T
+        can only contain events scanned at or before T. An alert with
+        ``utcepoch < scan_window_start - margin`` therefore cannot
+        hold ANY event id present in the current scan, so excluding
+        it cannot change the anti-join result. The bound is exact
+        whenever ``dedup_history >= event scan span + emission lag``;
+        callers feeding arbitrary (e.g. backfill) event frames should
+        leave it unset."""
+        df = self.frame()
+        if self.dedup_min_epoch is not None:
+            df = df.where(F.col("utcepoch") >= int(self.dedup_min_epoch))
         return (
-            self.frame()
+            df
             .select(F.explode("alerted_event_ids").alias("alerted_event_id"))
             .distinct()
         )

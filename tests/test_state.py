@@ -293,3 +293,89 @@ def test_alert_docs_frame_date_only_epoch_is_utc_any_session_tz(spark):
     finally:
         spark.conf.set(tz_key, prior)
     assert row2["utcepoch"] == doc_to_row(dict(doc2))["utcepoch"]
+
+
+def test_dedup_history_bound_prunes_old_alerts(spark, tmp_path):
+    """The engine's ``dedup_history`` knob bounds the F8 probe to
+    recent alerts: an alert OUTSIDE the window no longer blocks its
+    event ids (exact under the scan-window model — an old alert
+    cannot contain an event in the current scan), while alerts inside
+    the window still dedup. The utcepoch filter must reach the
+    parquet scan (footer-level file pruning is the point: per-pass
+    F8 cost O(window), not O(history))."""
+    import json as _json
+
+    from alerta_spark.engine import Engine
+    from alerta_spark.rules import utcnow
+    from pyspark.sql import functions as F
+
+    now = int(utcnow().timestamp())
+
+    def alert_doc(name, eid, epoch):
+        return {
+            "alert_name": name,
+            "alert_type": "threshold",
+            "utctimestamp": "2026-01-01T00:00:00+00:00",
+            "utcepoch": epoch,
+            "summary": name,
+            "events": [{"event_id": eid}],
+        }
+
+    eng = Engine(
+        spark, str(tmp_path / "store"), id_col="event_id", ts_col="ts",
+        dedup_history="1 hours",
+    )
+    # one alert 10 days old holding event 1, one 5 minutes old
+    # holding event 2
+    eng.alerts.append(
+        [
+            alert_doc("old", "1", now - 10 * 86400),
+            alert_doc("recent", "2", now - 300),
+        ]
+    )
+
+    data = [
+        {"event_id": i, "ts": "2026-01-01 00:00:00", "source": "onelogin",
+         "details": _json.dumps({"user_name": f"u{i}"})}
+        for i in (1, 2)
+    ]
+    ev = (
+        spark.createDataFrame(data)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .select("event_id", "ts", "source", "details")
+    )
+    rule = {
+        "alert_name": "probe",
+        "alert_type": "threshold",
+        "criteria": "source='onelogin'",
+        "aggregation_key": "details.user_name",
+        "threshold": 1,
+    }
+    eng.run_once(ev, [rule])
+    fired = {
+        d["events"][0]["event_id"]
+        for d in eng.alerts.docs()
+        if d["alert_name"] == "probe"
+    }
+    # event 1 re-fires (its alert aged out of the window); event 2
+    # stays deduped (its alert is inside the window)
+    assert fired == {1}
+
+    # the bound is applied as a scan-level filter: pushed to parquet
+    eng.alerts.dedup_min_epoch = now - 3600
+    plan = eng.alerts.alerted_ids()._jdf.queryExecution().executedPlan().toString()
+    assert "utcepoch" in plan and "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(utcepoch" in plan
+
+    # unset (default engine) -> full history probes both
+    eng2 = Engine(spark, str(tmp_path / "store2"), id_col="event_id", ts_col="ts")
+    eng2.alerts.append(
+        [
+            alert_doc("old", "1", now - 10 * 86400),
+            alert_doc("recent", "2", now - 300),
+        ]
+    )
+    eng2.run_once(ev, [rule])
+    assert not any(
+        d["alert_name"] == "probe" for d in eng2.alerts.docs()
+    )
