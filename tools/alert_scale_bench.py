@@ -253,11 +253,13 @@ FAMILIES = (
     "engine_sequence_pass",
     "engine_sequence_payload_axis",
     # round-9/10 axes (opt-in via --axes): the fused deadman resume
-    # face, the fused multi-variable (composite probe) face, and the
-    # per-document fallback's honest cost curve
+    # face, the fused multi-variable (composite probe) face, the
+    # per-document fallback's honest cost curve, and the F8
+    # history-bound probe (pass cost vs ALERT HISTORY size)
     "engine_sequence_pass_deadman",
     "engine_sequence_pass_multivar",
     "engine_sequence_pass_unfused",
+    "engine_dedup_history",
     # owned by tools/streaming_scale_bench.py — listed here so this
     # tool's engine_* prune never deletes the sibling's rows
     "engine_streaming_correlator",
@@ -301,6 +303,7 @@ def main() -> None:
     k_dm = "engine_sequence_pass_deadman" + label
     k_mv = "engine_sequence_pass_multivar" + label
     k_unf = "engine_sequence_pass_unfused" + label
+    k_hist = "engine_dedup_history" + label
     results: dict[str, dict] = {}
     for ax, key in (
         ("threshold", k_thr),
@@ -308,6 +311,7 @@ def main() -> None:
         ("deadman", k_dm),
         ("multivar", k_mv),
         ("unfused", k_unf),
+        ("history", k_hist),
     ):
         if ax in axes:
             results[key] = {}
@@ -429,6 +433,84 @@ def main() -> None:
             )
             ev2u.unpersist()
 
+        # --- F8 HISTORY axis (round 10): pass cost vs ALERT-HISTORY
+        # size, with and without the Engine(dedup_history=...) bound.
+        # `g` is the number of historical alert documents, written as
+        # 32 time-ordered chunks spread over 30 days (so per-file
+        # utcepoch min/max stats are disjoint and the bound's pushed
+        # filter can skip whole files). The events under test are a
+        # small FIXED frame; the variable is history. Done-criterion:
+        # sec_bounded flat in `g`, sec_unbounded growing.
+        if "history" in axes:
+            from pyspark.sql import functions as F
+
+            now_s = int(time.time())
+            ev_h = _events(spark, 200, 40_000_000).cache()
+            ev_h.count()
+            hist_times = {}
+            for tag, window in (("unbounded", None), ("bounded", "1 hours")):
+                engh = Engine(
+                    spark,
+                    tempfile.mkdtemp(prefix=f"ab_hist_{tag}_{g}_"),
+                    dedup_history=window,
+                )
+                n_chunks = 32
+                per = max(1, g // n_chunks)
+                for c in range(n_chunks):
+                    epoch = now_s - (c + 1) * (30 * 86400 // n_chunks)
+                    chunk = spark.range(per).select(
+                        F.concat(F.lit(f"h{c}_"), F.col("id").cast("string")).alias("_id"),
+                        F.lit("hist").alias("alert_name"),
+                        F.lit("2026-01-01T00:00:00+00:00").alias("utctimestamp"),
+                        F.lit(epoch).cast("long").alias("utcepoch"),
+                        F.lit(None).cast("string").alias("expiration"),
+                        F.lit("hist").alias("summary"),
+                        F.array(
+                            F.concat(
+                                F.lit(f"x{c}_"), F.col("id").cast("string")
+                            )
+                        ).cast("array<string>").alias("alerted_event_ids"),
+                        F.lit("{}").alias("doc"),
+                    )
+                    chunk.coalesce(1).write.mode("append").parquet(
+                        engh.alerts.path
+                    )
+                t0 = time.perf_counter()
+                engh.run_once(ev_h, _mk_rules("threshold"),
+                              fuse_thresholds=True)
+                hist_times[f"sec_{tag}"] = round(time.perf_counter() - t0, 3)
+                # the bare F8 probe, isolated from the pass's fixed
+                # overhead (the signal the full-pass timing buries in
+                # host noise at local scale): explode + distinct +
+                # anti-join, warm
+                from alerta_spark.operators.dedup import (
+                    remove_previously_alerted,
+                )
+
+                t0 = time.perf_counter()
+                remove_previously_alerted(
+                    ev_h, engh.alerts.alerted_ids(), id_col="event_id"
+                ).count()
+                hist_times[f"probe_sec_{tag}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            results[k_hist][str(g)] = {
+                # "sec" mirrors the unbounded pass so the generic
+                # exponent fit names the UNBOUNDED growth; the bounded
+                # exponent is added separately below. alerts=0 skips
+                # the rows fit (alert count is not this axis's output)
+                "sec": hist_times["sec_unbounded"],
+                **hist_times,
+                "history_docs": g,
+                "alerts": 0,
+                "driver_rss_mb": _rss_mb(),
+            }
+            print(
+                f"g={g:<6} history    unbounded={hist_times['sec_unbounded']:.2f}s "
+                f"bounded={hist_times['sec_bounded']:.2f}s rss={_rss_mb()}MB"
+            )
+            ev_h.unpersist()
+
         if "sequence" not in axes:
             ev1.unpersist()
             continue
@@ -505,6 +587,15 @@ def main() -> None:
             )
 
     lo, hi = str(group_scales[0]), str(group_scales[-1])
+    hist = results.get(k_hist, {})
+    if lo != hi and lo in hist and hi in hist:
+        for metric in ("sec_bounded", "probe_sec_unbounded", "probe_sec_bounded"):
+            if hist[lo].get(metric, 0) > 0:
+                hist[f"{metric}_exponent"] = round(
+                    math.log(hist[hi][metric] / hist[lo][metric])
+                    / math.log(int(hi) / int(lo)),
+                    2,
+                )
     for name, r in results.items():
         if lo != hi and lo in r and hi in r and r[lo]["sec"] > 0:
             ratio = r[hi]["sec"] / r[lo]["sec"]
