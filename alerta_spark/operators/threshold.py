@@ -259,14 +259,13 @@ def fused_grouped(
         preds = [
             (p & e) if e is not None else p for p, e in zip(preds, extra_preds)
         ]
+    from alerta_spark.paths import composite_key_col
+
     def _key(i: int, p: dict[str, Any]) -> Column:
         paths = composite_keys[i] if composite_keys is not None else None
         if paths is None:
             return path_col(df, p["aggregation_key"]).cast("string")
-        arr = F.array(*[path_col(df, kp).cast("string") for kp in paths])
-        return F.when(
-            ~F.exists(arr, lambda x: x.isNull()), F.to_json(arr)
-        )
+        return composite_key_col(df, paths)
 
     keys = [_key(i, p) for i, p in enumerate(shells)]
     matches = F.array(

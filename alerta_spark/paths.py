@@ -92,6 +92,20 @@ def path_col(df_or_schema: DataFrame | T.StructType, path: str) -> Column:
     return expr
 
 
+def composite_key_col(df: DataFrame, paths: list[str]) -> Column:
+    """The multi-variable composite join key: the JSON array string of
+    the (string-cast) path values — byte-identical to Python's
+    ``json.dumps(values, ensure_ascii=False, separators=(',', ':'))``
+    (parity pinned in tests incl. quotes/backslashes/control chars).
+    NULL when ANY component is NULL: each component stands for an
+    equality conjunct, and SQL equality cannot match NULL. Shared by
+    the fused sequence tier's event-side grouping
+    (``fused_grouped(composite_keys=...)``) and the streaming
+    correlators' composite correlation keys."""
+    arr = F.array(*[path_col(df, p).cast("string") for p in paths])
+    return F.when(~F.exists(arr, lambda x: x.isNull()), F.to_json(arr))
+
+
 def path_value(expr: Column, dtype: T.DataType, path: str) -> Column:
     """Like path_col but relative to an arbitrary expression (e.g. a
     lambda variable inside transform())."""

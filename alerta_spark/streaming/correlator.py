@@ -73,10 +73,9 @@ STATE_SCHEMA = T.StructType(
 
 def _corr_col(events: DataFrame, key) -> "F.Column":
     """Correlation-value column for one rule: a single dotted path, or
-    a list/tuple of paths forming a COMPOSITE key — rendered as the
-    JSON array string of the components (``to_json(array(...))``, the
-    same encoding as the batch tier's multi-variable probe), NULL when
-    any component is NULL (an equality conjunct cannot match NULL).
+    a list/tuple of paths forming a COMPOSITE key
+    (``paths.composite_key_col`` — the batch tier's multi-variable
+    probe encoding).
 
     A rule whose templated slot criteria pin MORE THAN ONE captured
     field must key by the composite of ALL templated event paths —
@@ -84,8 +83,9 @@ def _corr_col(events: DataFrame, key) -> "F.Column":
     structural-equality assumption false for the others (a group keyed
     by user alone treats an ip equality as always-true)."""
     if isinstance(key, (list, tuple)):
-        arr = F.array(*[path_col(events, k).cast("string") for k in key])
-        return F.when(~F.exists(arr, lambda x: x.isNull()), F.to_json(arr))
+        from alerta_spark.paths import composite_key_col
+
+        return composite_key_col(events, list(key))
     return path_col(events, key).cast("string")
 
 
