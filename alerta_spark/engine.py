@@ -109,15 +109,17 @@ class Engine:
         # zero alerts per tick, or read as a deadman's absence-of-
         # evidence) — validate before any rule executes
         ckpt_validate(events_df.sparkSession)
+        from alerta_spark.rules import rule_suppressed, utcnow
+
+        # ONE evaluation instant per pass: the dedup-history bound and
+        # the suppression checks below must agree on "now"
+        now = eval_time or utcnow()
         # arm this pass's F8 history bound BEFORE any dedup probe runs
         # (the resume below probes too); inflight is never bounded —
         # active sequence captures must dedup regardless of age
         if self._dedup_history_s is not None:
-            from alerta_spark.rules import utcnow as _utcnow
-
-            ref = eval_time or _utcnow()
             self.alerts.dedup_min_epoch = (
-                int(ref.timestamp()) - self._dedup_history_s
+                int(now.timestamp()) - self._dedup_history_s
             )
         self._resume_inflight(events_df, fused=fuse_sequences)
         # maintenance windows: a rule whose `suppress` interval covers
@@ -125,9 +127,6 @@ class Engine:
         # rules (a maintenance window is precisely when absence is
         # expected). In-flight sequence state still resumes/expires
         # above/below so suppression never corrupts it.
-        from alerta_spark.rules import rule_suppressed, utcnow
-
-        now = eval_time or utcnow()
         # Per-rule failure isolation applies here too: ONE rule with a
         # malformed suppress window must not abort the whole pass (the
         # scan path below already swallows per-rule criteria errors).

@@ -702,6 +702,25 @@ def compile_templated_criteria_multi(
     return static, key_paths, tmpl_paths
 
 
+def key_paths_resolve(events_df: DataFrame, key_paths: list[str]) -> bool:
+    """True when every compiled event key path's HEAD names a real
+    column of ``events_df``. ``path_col`` is NULL-on-miss, so an
+    unresolvable key (a typo'd column — or a numeric/boolean literal
+    the ``\\w+`` equality patterns also match, e.g. ``1='{{x}}'``)
+    would null the probe key for EVERY event and a fused group would
+    silently never fire; the per-document fallback renders working
+    SQL for those shapes, so callers must route them there. Deeper
+    path segments descend into JSON strings at runtime and cannot be
+    checked statically — the head check is exactly ``path_col``'s
+    static resolution step."""
+    names = {f.name for f in events_df.schema.fields}
+    for kp in key_paths:
+        parts = [p for p in kp.split(".") if p]
+        if not parts or parts[0] not in names:
+            return False
+    return True
+
+
 def criteria_segments(criteria: str, n_vars: int) -> list[str] | None:
     """The N+1 static text segments around a criteria's N template
     variables, in text order — ``render_py(criteria, doc)`` equals

@@ -138,13 +138,43 @@ def route_inflight(inf: DataFrame) -> DataFrame:
     return inf.mapInPandas(fn, schema=_ROUTE_SCHEMA)
 
 
+_JSON_SHORT_ESCAPES = {
+    '"': '\\"', "\\": "\\\\", "\b": "\\b", "\t": "\\t",
+    "\n": "\\n", "\f": "\\f", "\r": "\\r",
+}
+
+
 def _composite_value(values: list[str]) -> str:
     """The doc-side rendering of a multi-variable captured composite:
     the JSON array string of the components — byte-identical to the
     event side's ``to_json(array(...))`` (``fused_grouped``'s
     ``composite_keys``; parity pinned incl. quotes/backslashes/
-    control chars in tests)."""
-    return json.dumps(values, ensure_ascii=False, separators=(",", ":"))
+    control chars in tests).
+
+    Hand-rolled rather than ``json.dumps``: Jackson (Spark's writer)
+    emits UPPERCASE hex in ``\\uXXXX`` control-char escapes where
+    Python emits lowercase, so ``json.dumps`` silently breaks the
+    composite join for any captured value containing U+000B, U+000E-
+    U+000F, or U+001A-U+001F (the control chars whose hex carries a
+    letter — the shortcuts ``\\b \\t \\n \\f \\r`` and digit-only
+    codes agree between the two). Jackson's escape set is exactly:
+    quote, backslash, the five shortcuts, and ``\\u00XX`` uppercase
+    for the remaining chars below 0x20; nothing else (non-ASCII and
+    DEL pass through raw — probed live against Spark 4)."""
+    parts = []
+    for v in values:
+        buf = ['"']
+        for ch in v:
+            esc = _JSON_SHORT_ESCAPES.get(ch)
+            if esc is not None:
+                buf.append(esc)
+            elif ord(ch) < 0x20:
+                buf.append("\\u%04X" % ord(ch))
+            else:
+                buf.append(ch)
+        buf.append('"')
+        parts.append("".join(buf))
+    return "[" + ",".join(parts) + "]"
 
 
 def _annotate_tmpl_values(
@@ -405,6 +435,28 @@ def _slim_projection(assembled: DataFrame, idx_sorted, id_col: str,
     return assembled.select(*sel)
 
 
+def _assemble_fired(slice_, g, events_schema) -> DataFrame:
+    """Assemble a fired slice into alert documents, composite-aware:
+    for a multi-variable group the grouped "value" is the JSON-array
+    composite — the slot document's ``metadata.value`` becomes the
+    aggregation-key COMPONENT (per-document parity) while the
+    composite rides along as the ``_cv`` carry for the member join /
+    spill ref (see ``_advance_members``)."""
+    from alerta_spark.operators.threshold import assemble_alerts
+
+    if g.n_vars > 1:
+        slice_ = slice_.select(
+            F.from_json(F.col("value"), "array<string>")[g.agg_idx].alias(
+                "value"
+            ),
+            "count",
+            "events",
+            F.col("value").alias("_cv"),
+        )
+        return assemble_alerts(slice_, g.p_asm, events_schema, carry=("_cv",))
+    return assemble_alerts(slice_, g.p_asm, events_schema)
+
+
 def _advance_members(assembled, members, g, id_col: str, spill_store,
                      upd_frames, spill_frames) -> None:
     """Shared fired→document advance of the resume faces (threshold
@@ -524,6 +576,7 @@ def resume_fused_frames(
         from alerta_spark.operators.sequence import (
             compile_templated_criteria_multi,
             criteria_segments,
+            key_paths_resolve,
         )
         from alerta_spark.rules import deadman_shell
 
@@ -541,6 +594,10 @@ def resume_fused_frames(
                 a_type not in ("threshold", "deadman")
                 or compiled is None
                 or str(slot.get("aggregation_key", "")) not in compiled[1]
+                # an unresolvable event key path would NULL the probe
+                # key for every event (silent never-fire); the
+                # per-document path renders working SQL for it
+                or not key_paths_resolve(events_df, compiled[1])
             ):
                 unfused_meta.append((int(r["max_epoch"]), name, idx))
                 continue
@@ -706,26 +763,7 @@ def resume_fused_frames(
                             if captured is None
                             else captured.unionByName(ids_k)
                         )
-                    if g.n_vars > 1:
-                        # composite group: the grouped "value" is the
-                        # JSON-array composite; the slot document's
-                        # metadata.value is the aggregation-key
-                        # COMPONENT (per-document parity), with the
-                        # composite riding along as the _cv carry for
-                        # the member join / spill ref
-                        slice_ = slice_.select(
-                            F.from_json(
-                                F.col("value"), "array<string>"
-                            )[g.agg_idx].alias("value"),
-                            "count",
-                            "events",
-                            F.col("value").alias("_cv"),
-                        )
-                        assembled = assemble_alerts(
-                            slice_, g.p_asm, ev.schema, carry=("_cv",)
-                        )
-                    else:
-                        assembled = assemble_alerts(slice_, g.p_asm, ev.schema)
+                    assembled = _assemble_fired(slice_, g, ev.schema)
                     win_g = winners.where(F.col("rule_idx") == i).select(
                         "doc", "tmpl_value"
                     )
@@ -829,26 +867,7 @@ def resume_fused_frames(
                     # the real captured group (same full/slim split as
                     # the threshold face, via the shared helper)
                     fired = slice_all.where(F.col("count") <= thr)
-                    if g.n_vars > 1:
-                        # composite group: metadata.value is the
-                        # aggregation-key component; the composite
-                        # rides the _cv carry (see _advance_members)
-                        fired = fired.select(
-                            F.from_json(
-                                F.col("value"), "array<string>"
-                            )[g.agg_idx].alias("value"),
-                            "count",
-                            "events",
-                            F.col("value").alias("_cv"),
-                        )
-                        assembled = assemble_alerts(
-                            fired, g.p_asm, events_df.schema,
-                            carry=("_cv",),
-                        )
-                    else:
-                        assembled = assemble_alerts(
-                            fired, g.p_asm, events_df.schema
-                        )
+                    assembled = _assemble_fired(fired, g, events_df.schema)
                     _advance_members(
                         assembled, mem_g, g, id_col, spill_store,
                         upd_frames, spill_frames,

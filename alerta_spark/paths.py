@@ -185,6 +185,15 @@ def dict_match(df: DataFrame, query: dict) -> Column:
             # rejects. The trailing ".0*" is stripped for the literal
             # string-equality arm (>38-digit values) so
             # "…993.00" == "…993" compares equal as the ints do.
+            # DOCUMENTED DIVERGENCE (deliberate, ADVICE r9): a
+            # zero-fraction rendering that reached us as a raw JSON
+            # NUMBER (a non-Python producer writing fixed-point,
+            # {"id": 9007199254740993.00}) would be json.loads'd by
+            # the reference into a ROUNDED double and match the
+            # neighbor; after the string cast that source is
+            # indistinguishable from an exact DECIMAL column, and we
+            # resolve the ambiguity toward exactness (never match a
+            # value the stored digits say is different).
             col_str = col.cast("string")
             int_norm = F.regexp_replace(col_str, r"\.0*$", "")
             cond = col_str.rlike(r"^-?\d+(\.0*)?$") & (

@@ -422,29 +422,42 @@ class DocStore:
         """DataFrame[alerted_event_id] for anti-join dedup (F8/F9).
 
         With ``dedup_min_epoch`` set (the engine's ``dedup_history``
-        knob), documents older than the bound are excluded BEFORE the
-        explode. This keeps the per-pass F8 cost proportional to
-        RECENT alerts instead of the whole history: an append-only
-        alert table grows without bound, and the ``utcepoch >= N``
-        filter prunes at the parquet footer level (per-pass appends
-        are time-ordered, so whole old files skip on min/max stats —
-        at a months-long 100 TB deployment this is the difference
-        between an O(history) and an O(window) dedup probe every 15
-        minutes).
+        knob), alert FILES written before the bound are excluded
+        before the explode, via the ``_metadata.file_modification_
+        time`` hidden column — a file-listing-level prune, so the
+        per-pass F8 cost is proportional to RECENT alerts instead of
+        the whole append-only history (at a months-long 100 TB
+        deployment: an O(window) probe every 15 minutes instead of
+        O(history)).
+
+        The bound is WRITE time, deliberately not ``utcepoch``: a
+        completed sequence's document timestamp is its sequence START
+        (``sequence_shell`` stamps creation; a 7-day sequence's alert
+        is 'old' the moment it is emitted), so an epoch bound would
+        prune slow-completing sequences' captures immediately and
+        re-fire their events. File write time is when the ids became
+        visible to dedup, which is the quantity the window argument
+        needs.
 
         Exactness argument (window model, BASELINE.md engine table):
         the reference scans only the current + previous hour of
-        events (alerta.py:136-146), and an alert written at epoch T
-        can only contain events scanned at or before T. An alert with
-        ``utcepoch < scan_window_start - margin`` therefore cannot
-        hold ANY event id present in the current scan, so excluding
-        it cannot change the anti-join result. The bound is exact
-        whenever ``dedup_history >= event scan span + emission lag``;
+        events (alerta.py:136-146), and a file written at time T can
+        only contain events scanned at or before T. A file written
+        before ``scan_window_start - margin`` therefore cannot hold
+        ANY event id present in the current scan, so excluding it
+        cannot change the anti-join result. The bound is exact
+        whenever ``dedup_history >= event scan span + one pass``;
         callers feeding arbitrary (e.g. backfill) event frames should
-        leave it unset."""
+        leave it unset. Compaction rewrites files and refreshes their
+        mtimes — old ids then re-enter the probe window until they
+        age out again, which only ever errs conservative (extra
+        dedup, never a lost one)."""
         df = self.frame()
-        if self.dedup_min_epoch is not None:
-            df = df.where(F.col("utcepoch") >= int(self.dedup_min_epoch))
+        if self.dedup_min_epoch is not None and self._exists():
+            df = df.where(
+                F.col("_metadata.file_modification_time")
+                >= F.lit(int(self.dedup_min_epoch)).cast("timestamp")
+            )
         return (
             df
             .select(F.explode("alerted_event_ids").alias("alerted_event_id"))

@@ -358,26 +358,37 @@ def sequence_correlator(
 
     MULTI-VARIABLE rules (round 10): a slot whose templated criteria
     pin more than one captured field must key by the COMPOSITE of all
-    templated event paths — pass a tuple/list of paths as that rule's
-    correlation key (``_corr_col`` renders it as the same JSON-array
-    string the batch tier's composite probe uses). Keying by a single
-    one of the paths would silently treat the other equalities as
-    always-true within the group. ``correlation_value`` in the output
-    then carries the JSON-array rendering.
+    templated event paths (``_corr_col`` renders it as the same
+    JSON-array string the batch tier's composite probe uses). Keying
+    by a single one of the paths would silently treat the other
+    equalities as always-true within the group. Pass the composite as
+    a TUPLE of paths (single-rule callers may also pass a list —
+    it is read as that one rule's composite); in the FUSED form a
+    top-level LIST is always the per-rule key list, whose entries may
+    themselves be tuples. ``correlation_value`` in the output carries
+    the JSON-array rendering.
     """
     from alerta_spark._ship import ensure_shipped
 
     ensure_shipped(events.sparkSession)
 
     rules = rule if isinstance(rule, list) else [rule]
-    # a LIST is a per-rule key list (entries: path, or tuple/list of
-    # paths = composite); a str or TUPLE is one shared key for every
-    # rule (tuple = shared composite — see _corr_col)
-    keys = (
-        correlation_key
-        if isinstance(correlation_key, list)
-        else [correlation_key] * len(rules)
-    )
+    # Key forms: str = one shared single-path key; TUPLE = one shared
+    # COMPOSITE key (see _corr_col). A LIST is that rule's composite
+    # when `rule` is a single dict (the natural reading of
+    # "pass a list of paths as the correlation key"); for FUSED rule
+    # lists it is the per-rule key list (entries: path str, or
+    # tuple/list of paths = that rule's composite) — so a fused
+    # caller wanting one shared composite passes a TUPLE, never a
+    # list (a same-length list of paths would silently key each rule
+    # by a single component, the always-true-conjunct hazard the
+    # composite exists to prevent).
+    if isinstance(correlation_key, list) and not isinstance(rule, list):
+        keys = [tuple(correlation_key)]
+    elif isinstance(correlation_key, list):
+        keys = correlation_key
+    else:
+        keys = [correlation_key] * len(rules)
     if len(keys) != len(rules):
         raise ValueError("one correlation key per rule (or a single shared one)")
     event_time = time_mode.lower() == "eventtime"

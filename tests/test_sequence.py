@@ -1734,3 +1734,67 @@ def test_fused_multi_templated_no_collect_and_sql_special_values(
     done = {d["slots"][0]["metadata"]["value"] for d in eng.alerts.docs()}
     assert done == {"DOM\\u1", "a'b"}
     assert eng.inflight.frame().count() == 0
+
+
+def test_composite_value_byte_parity_with_spark_to_json(spark):
+    """The doc-side composite encoder must be byte-identical to
+    Spark's (Jackson's) ``to_json(array(...))`` — including the
+    control chars whose ``\\uXXXX`` hex carries a LETTER (U+000B,
+    U+000E-U+000F, U+001A-U+001F), where Python's json.dumps emits
+    lowercase hex and Jackson uppercase: a json.dumps-based encoder
+    silently breaks every composite join for such values."""
+    from pyspark.sql import functions as F
+
+    from alerta_spark.operators.sequence_frames import _composite_value
+
+    vals = [
+        "a\x1fb", "x\x0by", "c\x0e\x0f\x1a", "del\x7fchar", "\x00nul",
+        "\x1b[0m ansi", "lit\\u001f",  # literal backslash-u in DATA
+        "DOM\\u1", 'O"x', "a b\tc", "päy", "", "emoji🙂",
+        "line\nbreak", "ctrl\x01char", " sep",
+    ] + [chr(c) for c in range(0x20)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        r["j"]
+        for r in df.select(
+            F.to_json(F.array(F.col("v"), F.lit("k2"))).alias("j")
+        ).collect()
+    ]
+    want = [_composite_value([v, "k2"]) for v in vals]
+    assert got == want
+
+
+def test_literal_templated_conjunct_routes_per_document(spark, tmp_path):
+    """A templated equality whose 'column' side is not a resolvable
+    event column (e.g. the literal `1='{{...}}'` — the \\w+ equality
+    patterns match it) must NOT fuse: the composite probe key would
+    be NULL for every event and the group would silently never fire.
+    It routes to the per-document path, which renders working SQL
+    (`1='1'` is true), so the sequence advances — identically on the
+    fused and non-fused engines."""
+    rule = _two_var_rule("lit_seq")
+    rule["slots"][1]["criteria"] = (
+        "source='onelogin' AND 1='{{slots.0.metadata.count}}' AND "
+        "json_extract_scalar(details,'$.user_name')="
+        "'{{slots.0.events.0.details.user_name}}'"
+    )
+    rows1 = [
+        {"risk_score": "95", "user_name": "alice", "sourceipaddress": "1.1.1.1"}
+    ]
+    rows2 = [
+        {"risk_score": "10", "user_name": "alice", "sourceipaddress": "1.1.1.1"}
+    ]
+
+    def run(tag, fused):
+        eng = Engine(spark, str(tmp_path / tag), id_col="event_id", ts_col="ts")
+        eng.run_once(_events_src(spark, rows1, "onelogin"), [rule],
+                     fuse_sequences=fused)
+        eng.run_once(_events_src(spark, rows2, "onelogin", base=100), [rule],
+                     fuse_sequences=fused)
+        return eng
+
+    seq = run("lit_seq", False)
+    fus = run("lit_fus", True)
+    assert _canon_docs(fus.alerts.docs()) == _canon_docs(seq.alerts.docs())
+    assert len(fus.alerts.docs()) == 1  # it DID advance and complete
+    assert fus.inflight.docs() == []

@@ -297,13 +297,15 @@ def test_alert_docs_frame_date_only_epoch_is_utc_any_session_tz(spark):
 
 def test_dedup_history_bound_prunes_old_alerts(spark, tmp_path):
     """The engine's ``dedup_history`` knob bounds the F8 probe to
-    recent alerts: an alert OUTSIDE the window no longer blocks its
-    event ids (exact under the scan-window model — an old alert
-    cannot contain an event in the current scan), while alerts inside
-    the window still dedup. The utcepoch filter must reach the
-    parquet scan (footer-level file pruning is the point: per-pass
-    F8 cost O(window), not O(history))."""
+    recently WRITTEN alert files: a file older than the window no
+    longer blocks its event ids (exact under the scan-window model —
+    a file written before the window cannot contain an event in the
+    current scan), while files inside the window still dedup — in
+    particular an alert whose DOCUMENT timestamp is ancient (a
+    slow-completing sequence: utcepoch is the sequence START) but
+    whose file was just written must still dedup."""
     import json as _json
+    import os as _os
 
     from alerta_spark.engine import Engine
     from alerta_spark.rules import utcnow
@@ -325,19 +327,26 @@ def test_dedup_history_bound_prunes_old_alerts(spark, tmp_path):
         spark, str(tmp_path / "store"), id_col="event_id", ts_col="ts",
         dedup_history="1 hours",
     )
-    # one alert 10 days old holding event 1, one 5 minutes old
-    # holding event 2
+    # file 1: written "10 days ago" (mtime aged), holds event 1
+    eng.alerts.append([alert_doc("old", "1", now - 10 * 86400)])
+    for root, _dirs, files in _os.walk(eng.alerts.path):
+        for f in files:
+            p = _os.path.join(root, f)
+            _os.utime(p, (now - 10 * 86400, now - 10 * 86400))
+    # file 2: fresh write holding a RECENT alert (event 2) and a
+    # slow-sequence alert whose utcepoch is 10 days old (event 3) —
+    # both must keep deduping (write-time, not document-time, bound)
     eng.alerts.append(
         [
-            alert_doc("old", "1", now - 10 * 86400),
             alert_doc("recent", "2", now - 300),
+            alert_doc("slowseq", "3", now - 10 * 86400),
         ]
     )
 
     data = [
         {"event_id": i, "ts": "2026-01-01 00:00:00", "source": "onelogin",
          "details": _json.dumps({"user_name": f"u{i}"})}
-        for i in (1, 2)
+        for i in (1, 2, 3)
     ]
     ev = (
         spark.createDataFrame(data)
@@ -351,28 +360,34 @@ def test_dedup_history_bound_prunes_old_alerts(spark, tmp_path):
         "aggregation_key": "details.user_name",
         "threshold": 1,
     }
+    # the bound is a file-level prune: with it armed, only the fresh
+    # file's ids surface at all (checked BEFORE the pass appends its
+    # own alerts)
+    eng.alerts.dedup_min_epoch = now - 3600
+    ids = {
+        r["alerted_event_id"] for r in eng.alerts.alerted_ids().collect()
+    }
+    assert ids == {"2", "3"}
+    eng.alerts.dedup_min_epoch = None
+
     eng.run_once(ev, [rule])
     fired = {
         d["events"][0]["event_id"]
         for d in eng.alerts.docs()
         if d["alert_name"] == "probe"
     }
-    # event 1 re-fires (its alert aged out of the window); event 2
-    # stays deduped (its alert is inside the window)
+    # event 1 re-fires (its FILE aged out of the window); events 2
+    # and 3 stay deduped (their file is inside the window — even
+    # though alert 3's document timestamp is ancient)
     assert fired == {1}
 
-    # the bound is applied as a scan-level filter: pushed to parquet
-    eng.alerts.dedup_min_epoch = now - 3600
-    plan = eng.alerts.alerted_ids()._jdf.queryExecution().executedPlan().toString()
-    assert "utcepoch" in plan and "PushedFilters: [" in plan
-    assert "GreaterThanOrEqual(utcepoch" in plan
-
-    # unset (default engine) -> full history probes both
+    # unset (default engine) -> full history probes everything
     eng2 = Engine(spark, str(tmp_path / "store2"), id_col="event_id", ts_col="ts")
     eng2.alerts.append(
         [
             alert_doc("old", "1", now - 10 * 86400),
             alert_doc("recent", "2", now - 300),
+            alert_doc("slowseq", "3", now - 10 * 86400),
         ]
     )
     eng2.run_once(ev, [rule])

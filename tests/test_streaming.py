@@ -1168,6 +1168,13 @@ def test_sequence_correlator_composite_key_two_variables(spark):
     assert rows[0]["correlation_value"] == '["alice","ip1"]'
     assert "2" in rows[0]["sample_event_ids"]
     assert "1" not in rows[0]["sample_event_ids"]
+    # a single-rule caller passing a LIST gets the same composite
+    # (not a per-rule length mismatch)
+    rows_l = sequence_correlator(
+        ev, two_var,
+        ["details.user_name", "details.sourceipaddress"],
+    ).collect()
+    assert [r["correlation_value"] for r in rows_l] == ['["alice","ip1"]']
     # the user-only key DOCUMENTS the hazard the composite exists for:
     # the wrong-ip event completes the sequence (ip conjunct dropped
     # as structurally-true within the user group)
