@@ -442,6 +442,8 @@ def main() -> None:
         # small FIXED frame; the variable is history. Done-criterion:
         # sec_bounded flat in `g`, sec_unbounded growing.
         if "history" in axes:
+            import os as _os
+
             from pyspark.sql import functions as F
 
             now_s = int(time.time())
@@ -456,6 +458,7 @@ def main() -> None:
                 )
                 n_chunks = 32
                 per = max(1, g // n_chunks)
+                stamped: set[str] = set()
                 for c in range(n_chunks):
                     epoch = now_s - (c + 1) * (30 * 86400 // n_chunks)
                     chunk = spark.range(per).select(
@@ -475,6 +478,16 @@ def main() -> None:
                     chunk.coalesce(1).write.mode("append").parquet(
                         engh.alerts.path
                     )
+                    # the dedup_history bound keys on FILE WRITE TIME
+                    # (_metadata.file_modification_time): age each
+                    # chunk's new files to its historical epoch so
+                    # the bound has something to prune
+                    for root, _dirs, files in _os.walk(engh.alerts.path):
+                        for fn in files:
+                            p = _os.path.join(root, fn)
+                            if p not in stamped:
+                                _os.utime(p, (epoch, epoch))
+                                stamped.add(p)
                 t0 = time.perf_counter()
                 engh.run_once(ev_h, _mk_rules("threshold"),
                               fuse_thresholds=True)
