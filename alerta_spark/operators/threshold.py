@@ -230,9 +230,10 @@ def fused_grouped(
 
     ``composite_keys[i]`` (optional) replaces shell i's aggregation
     key with a COMPOSITE of several event paths, rendered as the JSON
-    array string of the components (``to_json(array(...))`` —
-    byte-identical to Python's ``json.dumps(..., ensure_ascii=False,
-    separators=(',', ':'))``, test-pinned). The multi-templated
+    array string of the components (``paths.composite_key_col``;
+    doc-side twin ``sequence_frames._composite_value`` — Jackson-
+    parity hand encoder, NOT json.dumps, see the helper docstrings;
+    byte parity test-pinned). The multi-templated
     sequence resume probes on this key: a slot criteria pinning N
     captured values groups by the N-tuple, so each captured composite
     yields exactly one group. NULL in any component nulls the key

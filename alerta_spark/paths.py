@@ -94,12 +94,16 @@ def path_col(df_or_schema: DataFrame | T.StructType, path: str) -> Column:
 
 def composite_key_col(df: DataFrame, paths: list[str]) -> Column:
     """The multi-variable composite join key: the JSON array string of
-    the (string-cast) path values — byte-identical to Python's
-    ``json.dumps(values, ensure_ascii=False, separators=(',', ':'))``
-    (parity pinned in tests incl. quotes/backslashes/control chars).
-    NULL when ANY component is NULL: each component stands for an
-    equality conjunct, and SQL equality cannot match NULL. Shared by
-    the fused sequence tier's event-side grouping
+    the (string-cast) path values. The doc-side twin is
+    ``sequence_frames._composite_value`` — a HAND-ROLLED encoder
+    mirroring Jackson's escape rules, NOT ``json.dumps`` (Python
+    emits lowercase hex in ``\\uXXXX`` control-char escapes where
+    Jackson emits uppercase, so a json.dumps encoder silently breaks
+    the join for values containing U+000B/U+000E/U+000F/U+001A-
+    U+001F; byte parity is pinned over all 32 control chars in
+    tests). NULL when ANY component is NULL: each component stands
+    for an equality conjunct, and SQL equality cannot match NULL.
+    Shared by the fused sequence tier's event-side grouping
     (``fused_grouped(composite_keys=...)``) and the streaming
     correlators' composite correlation keys."""
     arr = F.array(*[path_col(df, p).cast("string") for p in paths])

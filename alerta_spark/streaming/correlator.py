@@ -383,7 +383,18 @@ def sequence_correlator(
     # list (a same-length list of paths would silently key each rule
     # by a single component, the always-true-conjunct hazard the
     # composite exists to prevent).
-    if isinstance(correlation_key, list) and not isinstance(rule, list):
+    # Back-compat: only a MULTI-entry all-string list reads as a
+    # single-rule composite — that form previously raised a length
+    # mismatch, so no working caller changes meaning. [(\"a\",\"b\")]
+    # (per-rule list with a composite entry) and [\"path\"] (per-rule
+    # list, bare single-path encoding, existing checkpoints keyed on
+    # the bare value) keep their original readings.
+    if (
+        isinstance(correlation_key, list)
+        and not isinstance(rule, list)
+        and len(correlation_key) > 1
+        and all(isinstance(k, str) for k in correlation_key)
+    ):
         keys = [tuple(correlation_key)]
     elif isinstance(correlation_key, list):
         keys = correlation_key

@@ -360,14 +360,43 @@ def test_dedup_history_bound_prunes_old_alerts(spark, tmp_path):
         "aggregation_key": "details.user_name",
         "threshold": 1,
     }
-    # the bound is a file-level prune: with it armed, only the fresh
+    # the bound is a FILE-level prune: with it armed, only the fresh
     # file's ids surface at all (checked BEFORE the pass appends its
-    # own alerts)
+    # own alerts), and the parquet scan reads FEWER FILES than exist
+    # — the O(window)-vs-O(history) property itself, asserted via the
+    # scan node's numFiles metric so a Spark upgrade that demotes
+    # _metadata filters to row-level evaluation fails loudly here
+    # instead of silently regressing the probe to O(history)
     eng.alerts.dedup_min_epoch = now - 3600
-    ids = {
-        r["alerted_event_id"] for r in eng.alerts.alerted_ids().collect()
-    }
-    assert ids == {"2", "3"}
+    # AQE wraps every staged plan in QueryStageExec shells that hide
+    # the scan's metrics from collectLeaves; disable it for the
+    # metric read (the pruning itself is AQE-independent — it happens
+    # at file listing, before any physical planning)
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prior = spark.conf.get(aqe_key)
+    try:
+        spark.conf.set(aqe_key, "false")
+        probe = eng.alerts.alerted_ids()
+        ids = {r["alerted_event_id"] for r in probe.collect()}
+        assert ids == {"2", "3"}
+        n_part_files = sum(
+            1
+            for _root, _dirs, files in _os.walk(eng.alerts.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        assert n_part_files >= 2
+        leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+        files_read = None
+        for i in range(leaves.size()):
+            metrics = leaves.apply(i).metrics()
+            if metrics.contains("numFiles"):
+                files_read = metrics.apply("numFiles").value()
+        assert files_read is not None and files_read < n_part_files, (
+            files_read, n_part_files
+        )
+    finally:
+        spark.conf.set(aqe_key, aqe_prior)
     eng.alerts.dedup_min_epoch = None
 
     eng.run_once(ev, [rule])

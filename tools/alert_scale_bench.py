@@ -436,11 +436,12 @@ def main() -> None:
         # --- F8 HISTORY axis (round 10): pass cost vs ALERT-HISTORY
         # size, with and without the Engine(dedup_history=...) bound.
         # `g` is the number of historical alert documents, written as
-        # 32 time-ordered chunks spread over 30 days (so per-file
-        # utcepoch min/max stats are disjoint and the bound's pushed
-        # filter can skip whole files). The events under test are a
-        # small FIXED frame; the variable is history. Done-criterion:
-        # sec_bounded flat in `g`, sec_unbounded growing.
+        # 32 chunks whose FILE MTIMES are aged over 30 days (the
+        # bound prunes on _metadata.file_modification_time at the
+        # file-listing level, so aged files skip entirely). The
+        # events under test are a small FIXED frame; the variable is
+        # history. Done-criterion: sec_bounded flat in `g`,
+        # sec_unbounded growing.
         if "history" in axes:
             import os as _os
 
