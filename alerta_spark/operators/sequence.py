@@ -235,9 +235,12 @@ def _filter_replayed_completions(
     if not ids:
         return completed
     ids_df = alert_store.spark.createDataFrame([(x,) for x in ids], "_id string")
+    # bounded_frame: a replayed alert was written by the crashed pass
+    # (minutes ago), so the dedup-history mtime bound — when armed —
+    # keeps this guard O(window) too instead of a full-history scan
     existing = {
         r["_id"]
-        for r in alert_store.frame()
+        for r in alert_store.bounded_frame()
         .join(F.broadcast(ids_df), "_id", "left_semi")
         .select("_id")
         .collect()

@@ -1117,10 +1117,16 @@ def finalize_sequences_frames(
             # drop the state without double-firing. Anti-join on _id
             # makes the replay emission an exact no-op (reference
             # analogue: the cron rerun + storage-level dedup contract,
-            # SURVEY §1.4-5).
+            # SURVEY §1.4-5). bounded_frame: a replayed alert was
+            # written minutes ago by the crashed pass, so the armed
+            # dedup-history mtime bound keeps this guard O(window).
             _emit_completed_frame(
                 flagged.where(F.col("complete"))
-                .join(alert_store.frame().select("_id"), "_id", "left_anti")
+                .join(
+                    alert_store.bounded_frame().select("_id"),
+                    "_id",
+                    "left_anti",
+                )
                 .select("doc", "slot_idx", "refs"),
                 alert_store,
                 spill_store,

@@ -452,17 +452,27 @@ class DocStore:
         mtimes — old ids then re-enter the probe window until they
         age out again, which only ever errs conservative (extra
         dedup, never a lost one)."""
+        return (
+            self.bounded_frame()
+            .select(F.explode("alerted_event_ids").alias("alerted_event_id"))
+            .distinct()
+        )
+
+    def bounded_frame(self) -> DataFrame:
+        """``frame()``, mtime-bounded by ``dedup_min_epoch`` when set
+        (the file-listing-level prune ``alerted_ids`` documents) —
+        for probes that only need RECENTLY WRITTEN rows: the F8 dedup
+        ids, and the crash-replay ``_id`` guards, whose matching
+        writes are at most one pass old (a replayed completion's
+        alert was written by the crashed pass minutes earlier, far
+        inside any sane ``dedup_history`` window)."""
         df = self.frame()
         if self.dedup_min_epoch is not None and self._exists():
             df = df.where(
                 F.col("_metadata.file_modification_time")
                 >= F.lit(int(self.dedup_min_epoch)).cast("timestamp")
             )
-        return (
-            df
-            .select(F.explode("alerted_event_ids").alias("alerted_event_id"))
-            .distinct()
-        )
+        return df
 
 
 SLOT_EVENTS_SCHEMA = T.StructType(
