@@ -1753,6 +1753,24 @@ def test_composite_value_byte_parity_with_spark_to_json(spark):
         "DOM\\u1", 'O"x', "a b\tc", "päy", "", "emoji🙂",
         "line\nbreak", "ctrl\x01char", " sep",
     ] + [chr(c) for c in range(0x20)]
+    # seeded pseudo-random corpus over the risky unicode ranges:
+    # controls, ASCII punctuation (quotes/backslashes/brackets),
+    # Latin-1, line/paragraph separators, BMP letters, astral plane
+    import random
+
+    rng = random.Random(0xA1E47A)
+    pools = (
+        list(range(0x01, 0x20)),
+        list(range(0x20, 0x7F)),
+        [0x7F, 0xA0, 0xE4, 0x2028, 0x2029, 0xFFFD],
+        list(range(0x0400, 0x0420)),
+        [0x1F642, 0x1F4A9, 0x10348],
+    )
+    for _ in range(120):
+        n = rng.randint(0, 8)
+        vals.append(
+            "".join(chr(rng.choice(rng.choice(pools))) for _ in range(n))
+        )
     df = spark.createDataFrame([(v,) for v in vals], "v string")
     got = [
         r["j"]
