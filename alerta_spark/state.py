@@ -17,14 +17,50 @@ schema:
 Alerts are append-only (S7). In-flight state is read-modify-write of a
 small table (S8-S10) — the state cardinality is one row per (rule ×
 correlation value), tiny next to the scan, so an overwrite per
-micro-batch is cheap and atomic-enough; the streaming engine keeps
-state in Spark's own state store instead (streaming/correlator.py).
+micro-batch is cheap; the streaming engine keeps state in Spark's own
+state store instead (streaming/correlator.py).
+
+Mutations are MANIFEST-VERSIONED (the metadata-pointer half of what an
+ACID table format provides, built from two filesystem primitives):
+a ``_CURRENT`` file inside the table directory names the live version
+subdirectory (``_v-<counter>-<rand>/``); readers resolve it at plan-
+build time, writers materialize a FRESH version directory and then
+atomically ``os.replace`` the manifest. Consequences, each pinned in
+tests/test_state.py:
+
+- readers get snapshot isolation: a frame held across an overwrite
+  keeps reading its (intact) version directory — the previous version
+  survives one GC generation — instead of crashing on files deleted
+  out from under the plan, which is what a delete-then-write
+  ``mode("overwrite")`` of the live directory does;
+- a crash anywhere inside an overwrite leaves ``_CURRENT`` pointing
+  at the complete old version (the unflipped new directory is orphan
+  garbage, collected by the next successful overwrite) — the old
+  two-phase tmp swap could crash between deleting the live directory
+  and rewriting it, losing the table;
+- self-referential plans (frames built FROM this store, written back)
+  are safe by construction — input and output directories differ —
+  so every overwrite writes the data ONCE (the tmp swap wrote twice);
+- concurrent mutators are last-writer-wins (the reference's Mongo
+  replace_one gives per-document atomicity; full multi-writer MERGE
+  still needs a real ACID format — COVERAGE.md). The engine contract
+  stays single-mutator-per-store; what versioning fixes is that
+  concurrent/straggling READERS and crashes no longer corrupt or
+  lose state.
+
+Both the manifest and version directories are ``_``-prefixed, which
+Hadoop's hidden-path filter ignores, so pre-versioning table
+directories (bare parquet files at the root) keep reading correctly
+and migrate in place at their first overwrite.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
+import uuid
 from datetime import datetime, timezone
 from typing import Any
 
@@ -253,6 +289,150 @@ def alert_docs_frame(alerts: DataFrame, id_field: str = "event_id") -> DataFrame
     )
 
 
+_MANIFEST = "_CURRENT"
+_VERSION_PREFIX = "_v-"
+
+
+def _current_version(path: str) -> str | None:
+    """Version-directory name the manifest points at (None: legacy or
+    brand-new store). A just-created-but-not-yet-written manifest reads
+    as empty -> None, which resolves to the (empty) legacy root — never
+    to a half-initialized version."""
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    # refuse traversal-shaped or foreign content: the manifest names a
+    # single _v-* child of the table directory, nothing else
+    if not name.startswith(_VERSION_PREFIX) or "/" in name or "\\" in name:
+        return None
+    return name
+
+
+def _resolve_data_dir(path: str) -> str:
+    """Directory holding the table's CURRENT parquet files: the
+    manifest's version dir, or the table root for legacy/new stores."""
+    v = _current_version(path)
+    return os.path.join(path, v) if v is not None else path
+
+
+def _next_version_name(current: str | None) -> str:
+    """Monotonic counter (for humans debugging a store directory; the
+    manifest, not the counter, defines currency) + random suffix so two
+    racing writers can never collide on a directory name."""
+    n = 0
+    if current:
+        try:
+            n = int(current.split("-")[1])
+        except (IndexError, ValueError):
+            n = 0
+    return f"{_VERSION_PREFIX}{n + 1:010d}-{uuid.uuid4().hex[:8]}"
+
+
+def _flip_manifest(path: str, new_version: str) -> str | None:
+    """Atomically point the manifest at ``new_version`` (write-temp +
+    ``os.replace``, the POSIX atomic-publish idiom); returns the
+    previously-current version name so the caller's GC can grant it
+    one generation of reader grace."""
+    old = _current_version(path)
+    tmp = os.path.join(path, f".{_MANIFEST}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        f.write(new_version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+    return old
+
+
+def _init_version_dir(path: str) -> str:
+    """First-append initialization: create version dir + manifest for a
+    brand-new store. An O_EXCL lock file picks exactly one winner among
+    concurrent first-appenders; losers wait for the winner's manifest
+    and append into ITS directory (both appends survive — parquet part
+    file names are job-unique), instead of one append landing in a root
+    directory the manifest is about to shadow."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "._init.lock")
+    try:
+        os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            v = _current_version(path)
+            if v is not None:
+                return os.path.join(path, v)
+            time.sleep(0.01)
+        raise RuntimeError(
+            f"store init lock {lock!r} held but no manifest appeared; "
+            "remove the stale lock if the initializing process died"
+        )
+    name = _next_version_name(None)
+    os.makedirs(os.path.join(path, name), exist_ok=True)
+    _flip_manifest(path, name)
+    return os.path.join(path, name)
+
+
+def _append_dir(path: str) -> str:
+    """Directory an APPEND should write into: the current version dir
+    (initializing one for a brand-new store), or the root while a
+    pre-versioning store awaits its migrating first overwrite."""
+    v = _current_version(path)
+    if v is not None:
+        return os.path.join(path, v)
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return path  # legacy layout: keep appending where readers look
+    return _init_version_dir(path)
+
+
+def _gc_versions(path: str, keep: set[str]) -> None:
+    """Drop version directories outside ``keep`` (the just-published
+    version and its predecessor — one generation of grace for frames
+    resolved before the flip) plus, once a manifest exists, the
+    superseded legacy root files a migrating overwrite replaced.
+    Unflipped orphans from crashed writers collect here too."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return
+    for entry in entries:
+        full = os.path.join(path, entry)
+        if (
+            entry.startswith(_VERSION_PREFIX)
+            and entry not in keep
+            and os.path.isdir(full)
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+        elif entry.endswith(".parquet") and os.path.isfile(full):
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+        elif entry == "_SUCCESS" and os.path.isfile(full):
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+
+
+def _versioned_overwrite(path: str, df: DataFrame, num_files: int) -> None:
+    """The shared overwrite protocol (module docstring): materialize a
+    fresh version directory, atomically flip the manifest, GC all but
+    {new, previous}. The input plan may read the store's current
+    version — that directory is untouched until at least the NEXT
+    overwrite, so the write is single-pass and self-referentially
+    safe."""
+    os.makedirs(path, exist_ok=True)
+    name = _next_version_name(_current_version(path))
+    df.coalesce(max(1, int(num_files))).write.mode("overwrite").parquet(
+        os.path.join(path, name)
+    )
+    old = _flip_manifest(path, name)
+    _gc_versions(path, {name, old} - {None})
+
+
 class DocStore:
     """A tiny document table over parquet (the Mongo stand-in)."""
 
@@ -265,15 +445,25 @@ class DocStore:
         # event frames).
         self.dedup_min_epoch: int | None = None
 
+    def data_dir(self) -> str:
+        """Directory currently holding the table's parquet files (the
+        manifest's version dir; the root for legacy/new stores) —
+        resolved at CALL time, so a frame built from it is a snapshot
+        that later overwrites do not disturb. External file-level
+        consumers (file-count assertions, mtime aging in the scale
+        benches) must look here, not at ``self.path``."""
+        return _resolve_data_dir(self.path)
+
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
+        d = self.data_dir()
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
         )
 
     def frame(self) -> DataFrame:
         if not self._exists():
             return self.spark.createDataFrame([], DOC_SCHEMA)
-        return self.spark.read.schema(DOC_SCHEMA).parquet(self.path)
+        return self.spark.read.schema(DOC_SCHEMA).parquet(self.data_dir())
 
     def docs(self, newest_first: bool = True) -> list[dict[str, Any]]:
         """Full scan, newest first (reference sort: alerta.py:213)."""
@@ -288,7 +478,7 @@ class DocStore:
         rows = [doc_to_row(d) for d in docs]
         self.spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
             "append"
-        ).parquet(self.path)
+        ).parquet(_append_dir(self.path))
 
     def append_frame(self, alerts: DataFrame, id_field: str = "event_id") -> None:
         """S7 distributed: append an ALERT FRAME without collecting —
@@ -308,7 +498,7 @@ class DocStore:
         docs = checkpoint(alert_docs_frame(alerts, id_field), eager=True)
         if docs.isEmpty():
             return
-        docs.write.mode("append").parquet(self.path)
+        docs.write.mode("append").parquet(_append_dir(self.path))
 
     def append_rows(self, rows: DataFrame) -> None:
         """Append an already-assembled DOC_SCHEMA frame executor-side
@@ -319,33 +509,30 @@ class DocStore:
         )
         if out.isEmpty():
             return
-        out.write.mode("append").parquet(self.path)
+        out.write.mode("append").parquet(_append_dir(self.path))
 
     def overwrite(self, docs: list[dict[str, Any]]) -> None:
         rows = [doc_to_row(d) for d in docs]
         self.overwrite_frame(self.spark.createDataFrame(rows, DOC_SCHEMA))
 
     def overwrite_frame(self, df: DataFrame, num_files: int = 1) -> None:
-        """Replace the table with a DOC_SCHEMA frame (write-then-swap
-        keeps readers consistent on a local fs, and materializing to
-        the tmp path first makes self-referential plans — frames built
-        FROM this store — safe to write back).
+        """Replace the table with a DOC_SCHEMA frame via the manifest-
+        versioned protocol (module docstring): ONE write to a fresh
+        version directory + an atomic manifest flip — snapshot-
+        isolated for concurrent readers, crash-safe (an unflipped
+        write leaves the old version current), and self-referentially
+        safe because the input plan's version directory is never the
+        output directory (and survives until the NEXT overwrite's GC).
 
         ``num_files=1`` suits the small mutable state tables this
         class mostly backs; :meth:`compact` passes a size-derived
         count so a large alerts table never funnels through one
         task."""
-        tmp = self.path + ".tmp"
-        df.select([f.name for f in DOC_SCHEMA.fields]).coalesce(
-            max(1, int(num_files))
-        ).write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.schema(DOC_SCHEMA).parquet(tmp)
-        out.coalesce(max(1, int(num_files))).write.mode("overwrite").parquet(
-            self.path
+        _versioned_overwrite(
+            self.path,
+            df.select([f.name for f in DOC_SCHEMA.fields]),
+            num_files,
         )
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
 
     def upsert(self, doc: dict[str, Any]) -> None:
         """Insert-or-replace by _id (reference: alerta.py:92-111)."""
@@ -401,18 +588,19 @@ class DocStore:
         cron-per-15-minutes cadence that is ~100 files/day on the
         alerts table, which the F8 dedup probe re-reads every pass —
         compact on whatever maintenance cadence the deployment uses
-        (the write-then-swap in overwrite_frame keeps readers
-        consistent; the engine calls this automatically every
-        ``compact_every`` passes). NOT unconditionally coalesce(1): a
+        (overwrite_frame's manifest flip keeps readers consistent;
+        the engine calls this automatically every ``compact_every``
+        passes). NOT unconditionally coalesce(1): a
         years-deep alerts table must not funnel through one task — the
         target file count derives from the table's on-disk bytes
         (one file while small, ~target_file_bytes files at volume).
         On an ACID table format this is OPTIMIZE."""
         total = 0
-        if os.path.isdir(self.path):
+        d = self.data_dir()
+        if os.path.isdir(d):
             total = sum(
-                os.path.getsize(os.path.join(self.path, f))
-                for f in os.listdir(self.path)
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
                 if f.endswith(".parquet")
             )
         target = 128 * 1024 * 1024
@@ -503,15 +691,22 @@ class SlotEventStore:
         self.spark = spark
         self.path = path
 
+    def data_dir(self) -> str:
+        """See :meth:`DocStore.data_dir`."""
+        return _resolve_data_dir(self.path)
+
     def _exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
+        d = self.data_dir()
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
         )
 
     def frame(self) -> DataFrame:
         if not self._exists():
             return self.spark.createDataFrame([], SLOT_EVENTS_SCHEMA)
-        return self.spark.read.schema(SLOT_EVENTS_SCHEMA).parquet(self.path)
+        return self.spark.read.schema(SLOT_EVENTS_SCHEMA).parquet(
+            self.data_dir()
+        )
 
     def append_frame(self, df: DataFrame) -> None:
         """Append (capture_id, events_json) rows; zero-row frames skip
@@ -520,13 +715,13 @@ class SlotEventStore:
         out = checkpoint(out, eager=True)
         if out.isEmpty():
             return
-        out.write.mode("append").parquet(self.path)
+        out.write.mode("append").parquet(_append_dir(self.path))
 
     def prune(self, live_ids: list[str]) -> None:
         """Drop rows whose capture id is no longer referenced by any
         in-flight document (called after completion/expiry drops docs).
-        Write-then-swap like DocStore.overwrite_frame, and the rewrite
-        doubles as compaction for this table."""
+        Manifest-versioned like DocStore.overwrite_frame, and the
+        rewrite doubles as compaction for this table."""
         if not self._exists():
             return
         keep = self.frame()
@@ -544,8 +739,9 @@ class SlotEventStore:
         DataFrame[capture_id] (derived executor-side from the in-flight
         frame) instead of a driver list — live-ref cardinality tracks
         in-flight cardinality and must never be collected. The id frame
-        is checkpointed first: its plan reads the in-flight store, and
-        the semi-join must not race a concurrent state swap."""
+        is checkpointed first: its plan reads the in-flight store,
+        whose version directory outlives only ONE later overwrite —
+        materializing here keeps the semi-join off that clock."""
         if not self._exists():
             return
         live = checkpoint(
@@ -555,10 +751,8 @@ class SlotEventStore:
         self._swap(self.frame().join(live, "capture_id", "left_semi"))
 
     def _swap(self, keep: DataFrame) -> None:
-        tmp = self.path + ".tmp"
-        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.schema(SLOT_EVENTS_SCHEMA).parquet(tmp)
-        out.coalesce(1).write.mode("overwrite").parquet(self.path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        _versioned_overwrite(
+            self.path,
+            keep.select([f.name for f in SLOT_EVENTS_SCHEMA.fields]),
+            1,
+        )

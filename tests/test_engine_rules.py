@@ -84,7 +84,9 @@ def test_engine_auto_compacts_alerts_table(spark, tmp_path):
         seen = set(vals)
 
     files = [
-        f for f in os.listdir(engine.alerts.path) if f.endswith(".parquet")
+        f
+        for f in os.listdir(engine.alerts.data_dir())
+        if f.endswith(".parquet")
     ]
     # 32 passes at compact_every=5: without compaction this is >=32
     # files (one per firing pass); with it, at most one compacted file

@@ -141,7 +141,7 @@ def test_compact_single_file_same_docs(spark, tmp_path):
 
     def parquet_files():
         return [
-            f for f in os.listdir(store.path) if f.endswith(".parquet")
+            f for f in os.listdir(store.data_dir()) if f.endswith(".parquet")
         ]
 
     before = {json.dumps(d, sort_keys=True) for d in store.docs()}
@@ -423,3 +423,139 @@ def test_dedup_history_bound_prunes_old_alerts(spark, tmp_path):
     assert not any(
         d["alert_name"] == "probe" for d in eng2.alerts.docs()
     )
+
+
+# --- manifest-versioned store layout (snapshot isolation, crash
+# safety, legacy migration) --------------------------------------
+
+
+def _doc(i):
+    return {
+        "_id": f"d{i:023d}",
+        "alert_name": f"a{i}",
+        "summary": "s",
+        "utctimestamp": "2026-01-01T00:00:00+00:00",
+    }
+
+
+def _version_dirs(path):
+    import os
+
+    return sorted(
+        e
+        for e in os.listdir(path)
+        if e.startswith("_v-") and os.path.isdir(os.path.join(path, e))
+    )
+
+
+def test_versioned_overwrite_snapshot_isolation(spark, tmp_path):
+    """A frame resolved BEFORE an overwrite keeps serving its version
+    directory (one GC generation of grace): concurrent/straggling
+    readers of a mutating store must never crash on files deleted out
+    from under their plan — the delete-then-rewrite race a plain
+    mode('overwrite') of the live directory has, named in VERDICT r9
+    as the first real-user hit on a cluster."""
+    store = DocStore(spark, str(tmp_path / "alerts"))
+    store.append([_doc(1)])
+    held = store.frame()  # file listing resolved here, pre-overwrite
+    store.overwrite([_doc(2)])
+    assert [r["_id"] for r in held.select("_id").collect()] == [
+        "d" + "0" * 22 + "1"
+    ]
+    assert [d["_id"] for d in store.docs()] == ["d" + "0" * 22 + "2"]
+
+
+def test_versioned_overwrite_crash_before_flip_keeps_old(spark, tmp_path):
+    """A writer that dies after materializing its version directory
+    but before the manifest flip changes NOTHING: readers stay on the
+    complete old version, and the orphan directory is collected by
+    the next successful overwrite. (The old two-phase tmp swap could
+    crash between deleting the live directory and rewriting it,
+    losing the whole table.)"""
+    import os
+
+    from alerta_spark.state import DOC_SCHEMA, doc_to_row
+
+    store = DocStore(spark, str(tmp_path / "alerts"))
+    store.append([_doc(1)])
+    # simulate the crashed writer's unflipped output
+    orphan = os.path.join(store.path, "_v-0000000099-deadbeef")
+    spark.createDataFrame([doc_to_row(_doc(9))], DOC_SCHEMA).coalesce(
+        1
+    ).write.parquet(orphan)
+    assert [d["_id"] for d in store.docs()] == ["d" + "0" * 22 + "1"]
+    store.overwrite([_doc(2)])
+    assert [d["_id"] for d in store.docs()] == ["d" + "0" * 22 + "2"]
+    assert "_v-0000000099-deadbeef" not in _version_dirs(store.path)
+
+
+def test_versioned_migration_from_legacy_layout(spark, tmp_path):
+    """A pre-versioning store directory (bare parquet at the root)
+    keeps reading and appending in place; its first overwrite
+    migrates it — manifest + version dir, same rows, and the
+    superseded root files garbage-collected."""
+    import os
+
+    from alerta_spark.state import DOC_SCHEMA, doc_to_row
+
+    root = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [doc_to_row(_doc(1))], DOC_SCHEMA
+    ).coalesce(1).write.parquet(root)
+    store = DocStore(spark, root)
+    assert [d["_id"] for d in store.docs()] == ["d" + "0" * 22 + "1"]
+    store.append([_doc(2)])  # legacy append stays at the root
+    assert not _version_dirs(root)
+    assert {d["_id"] for d in store.docs()} == {
+        "d" + "0" * 22 + "1",
+        "d" + "0" * 22 + "2",
+    }
+    store.upsert(dict(_doc(3)))  # first overwrite migrates
+    assert _version_dirs(root)
+    assert {d["_id"] for d in store.docs()} == {
+        "d" + "0" * 22 + "1",
+        "d" + "0" * 22 + "2",
+        "d" + "0" * 22 + "3",
+    }
+    assert not [
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    ], "superseded legacy root files must be GC'd after migration"
+
+
+def test_versioned_gc_keeps_exactly_two_generations(spark, tmp_path):
+    """Version directories accumulate to exactly {current, previous}:
+    unbounded retention would grow the store directory by one full
+    table copy per mutation (the in-flight store mutates every
+    engine pass), while keeping none would reintroduce the reader
+    race the grace generation exists to close. Appends land INSIDE
+    the current version (no new generation)."""
+    store = DocStore(spark, str(tmp_path / "alerts"))
+    store.append([_doc(1)])
+    assert len(_version_dirs(store.path)) == 1
+    for i in range(2, 6):
+        store.upsert(_doc(i))
+    assert len(_version_dirs(store.path)) == 2
+    store.append([_doc(99)])
+    assert len(_version_dirs(store.path)) == 2
+    assert len(store.docs()) == 6
+    # data_dir resolves to the manifest's (current) version
+    assert store.data_dir() != store.path
+    assert store.data_dir().startswith(store.path)
+
+
+def test_versioned_slot_event_store_swap_grace(spark, tmp_path):
+    """SlotEventStore shares the protocol: a spill frame held across
+    a prune (its plan reads the pre-prune version) still collects."""
+    from alerta_spark.state import SlotEventStore
+
+    store = SlotEventStore(spark, str(tmp_path / "slot_events"))
+    store.append_frame(
+        spark.createDataFrame(
+            [("c1", "[]"), ("c2", "[]")],
+            "capture_id string, events_json string",
+        )
+    )
+    held = store.frame()
+    store.prune(["c1"])
+    assert {r["capture_id"] for r in held.collect()} == {"c1", "c2"}
+    assert {r["capture_id"] for r in store.frame().collect()} == {"c1"}

@@ -477,7 +477,7 @@ def main() -> None:
                         F.lit("{}").alias("doc"),
                     )
                     chunk.coalesce(1).write.mode("append").parquet(
-                        engh.alerts.path
+                        engh.alerts.data_dir()
                     )
                     # the dedup_history bound keys on FILE WRITE TIME
                     # (_metadata.file_modification_time): age each
