@@ -46,10 +46,18 @@ def main() -> int:
     from alerta_spark.plans import catalog
     from alerta_spark.session import get_spark
 
+    # optional conf overrides for A/B config experiments:
+    #   SPARK_GRAFT_EXTRA_CONF="spark.a=b;spark.c=d"
+    extra = {}
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = get_spark(
         "alerta-qtime",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf=extra or None,
     )
     qs = catalog.queries()
     # same warm-up as bench.py
