@@ -1030,7 +1030,7 @@ def fuzzy_pairs_levenshtein(
     )
     # occurrence index makes the multiset element (_g, _occ) — the
     # prefix principle needs multiset semantics, not set
-    occ = _persist(
+    occ = (
         grams.groupBy("_id", "_s", "_g")
         .agg(F.count("*").alias("_c"))
         .select(
@@ -1040,9 +1040,16 @@ def fuzzy_pairs_levenshtein(
             F.explode(F.expr("sequence(1, int(_c))")).alias("_occ"),
         )
     )
-    dfreq = occ.groupBy("_g", "_occ").agg(F.count("*").alias("_df"))
+    # corpus frequency of each (gram, occurrence) as a count-window
+    # over the same partitioning the old groupBy+join pair shuffled
+    # for twice (r10: one exchange + one join fewer; occ now has a
+    # single consumer, so its persist went too)
+    from pyspark.sql import Window as _W
+
     prefix = (
-        occ.join(dfreq, ["_g", "_occ"])
+        occ.withColumn(
+            "_df", F.count(F.lit(1)).over(_W.partitionBy("_g", "_occ"))
+        )
         .groupBy("_id", "_s")
         .agg(
             F.slice(
