@@ -693,10 +693,12 @@ def bm25_topk(
     behind every "find me training docs about X" probe and the hard
     baseline for the ANN ops in ops/similarity.
 
-    Scale shape — the inverted-index probe: the query-term filter is
-    applied BEFORE the (doc, term) count aggregate, so only posting
-    rows for |Q| terms ever shuffle; the full token stream feeds one
-    doc-keyed length aggregate (needed for dl) and nothing else. The
+    Scale shape — the inverted-index probe: the corpus is tokenized
+    ONCE into a single map-side-combined per-doc aggregate carrying dl
+    plus the |Q| query-term tfs, so only one (doc, dl, tf_1..tf_|Q|)
+    row per doc per partition ever shuffles; the posting view is a
+    |Q|-way explode of that doc-sized frame filtered to tf > 0, so
+    only |Q|-term rows reach the scoring join. The
     final cut is ``orderBy(...).limit(k)`` — Spark's
     TakeOrderedAndProject, per-partition heaps merged on the driver,
     never a single-partition global window.
@@ -716,15 +718,52 @@ def bm25_topk(
     dl*N stays below 2^53 for any realistic doc length and corpus;
     beyond that, pre-divide dl by a constant.
     """
+    from alerta_spark.ops.dedupe import _persist
+
     toks = _lm_terms(df, text_col, id_col)
-    doclen = toks.groupBy("_id").agg(F.count("*").alias("_dl"))
-    totals = doclen.agg(
+    # ONE corpus tokenization pass (r10): dl and the |Q| query-term
+    # tfs come out of a single map-side-combined per-doc aggregate —
+    # the old shape tokenized once for doclen (feeding totals AND the
+    # scoring join) and again for the IN-filtered posting counts.
+    # The shuffle still carries one (doc, dl, tf_1..tf_|Q|) row per
+    # doc per partition; the posting view below is a |Q|-way explode
+    # of the persisted doc-sized frame, so "only |Q|-term rows reach
+    # the scoring join" survives the fusion.
+    terms = list(dict.fromkeys(query_terms))
+    per_doc = _persist(
+        toks.groupBy("_id").agg(
+            F.count("*").alias("_dl"),
+            *[
+                F.sum(
+                    F.when(F.col("term") == F.lit(t), 1).otherwise(0)
+                ).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+    )
+    totals = per_doc.agg(
         F.count("*").alias("_n_docs"), F.sum("_dl").alias("_t_corpus")
     )
     qcounts = (
-        toks.where(F.col("term").isin(list(query_terms)))
-        .groupBy("_id", "term")
-        .agg(F.count("*").alias("_tf"))
+        per_doc.select(
+            "_id",
+            "_dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_tf{i}").alias("_tf"),
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("_e"),
+        )
+        .select(
+            "_id", "_dl", F.col("_e.term").alias("term"), F.col("_e._tf").alias("_tf")
+        )
+        .where(F.col("_tf") > 0)
     )
     docfreq = (
         qcounts.groupBy("term")
@@ -749,18 +788,17 @@ def bm25_topk(
     )
     scored = (
         qcounts.join(F.broadcast(docfreq.select("term", idf_q.alias("_idf_q"))), "term")
-        .join(doclen, "_id")
         .crossJoin(F.broadcast(totals))
         .select(
             "_id",
             F.floor(part * F.lit(float(score_quant))).cast("long").alias("_pq"),
         )
     )
-    per_doc = scored.groupBy("_id").agg(
+    doc_scores = scored.groupBy("_id").agg(
         F.count("*").alias("n_terms_matched"), F.sum("_pq").alias("_sq")
     )
     return (
-        per_doc.orderBy(F.desc("_sq"), F.asc("_id"))
+        doc_scores.orderBy(F.desc("_sq"), F.asc("_id"))
         .limit(k)
         .select(
             F.col("_id").alias(id_col),

@@ -321,15 +321,25 @@ def test_unigram_nll_caches_vocab_bounded_exchanges(spark):
 
 
 def test_bm25_probe_filters_before_shuffle_and_takes_ordered(spark):
-    """BM25 is the inverted-index probe: the query-term IN filter must
-    sit BELOW the posting (doc, term) aggregate — only |Q|-term rows
-    shuffle — and the top-k cut must be TakeOrderedAndProject, never a
-    global single-partition window."""
+    """BM25 is the inverted-index probe: the corpus is tokenized ONCE
+    into a per-doc (dl, tf_1..tf_|Q|) aggregate (r10 fusion — the old
+    shape tokenized the corpus twice), only |Q|-term posting rows reach
+    the scoring join, and the top-k cut must be TakeOrderedAndProject,
+    never a global single-partition window."""
+    from alerta_spark.ops.dedupe import release_cached
+
     plan = _plan(spark, "text_bm25_topk")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
-    # the IN-filter appears on the generated term column pre-aggregate
-    assert "term" in plan and " IN (spark,join,vector)" in plan, plan
+    # ONE corpus tokenization pass: every FileScan in the plan sits
+    # inside the persisted per-doc InMemoryRelation (the FileScan text
+    # under an InMemoryRelation is the cache's description, not an
+    # executed scan), so all consumers read the single cached aggregate
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), plan
+    assert "InMemoryTableScan" in plan, plan
+    # the per-term when-counts appear in the fused aggregate
+    assert "CASE WHEN (term" in plan, plan
+    release_cached()
 
 
 def test_aqe_splits_skewed_join_partition(spark):
