@@ -64,24 +64,28 @@ def _marker_hits(toks: Column, markers: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+def language_cols(text_col: str | Column = "text") -> tuple[Column, Column]:
+    """(lang_pred, lang_score) column pair over ``text_col`` — the
+    column form of :func:`language_id`, for composing the prediction
+    into an existing projection WITHOUT a self-join on the doc key
+    (adjacent projections collapse in Catalyst, so the resulting plan
+    is identical to language_id's two-stage select)."""
+    toks = tokenize(text_col)
+    langs = sorted(LANG_MARKERS)
+    scores = {code: _marker_hits(toks, LANG_MARKERS[code]) for code in langs}
+    best = F.greatest(*[scores[code] for code in langs])
+    pick = F.when(best <= 0, F.lit("und"))
+    for code in langs:  # asc order => deterministic tie-break
+        pick = pick.when(scores[code] == best, F.lit(code))
+    return pick, best
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: stopword-marker hit counts per language,
     argmax with deterministic tie-break (language code asc); 'und'
     (undetermined) when nothing matches."""
-    toks = tokenize(text_col)
-    scored = df.select(
-        "doc_id",
-        *[
-            _marker_hits(toks, m).alias(f"score_{lang}")
-            for lang, m in sorted(LANG_MARKERS.items())
-        ],
-    )
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{code}") for code in langs])
-    pick = F.when(best <= 0, F.lit("und"))
-    for code in langs:  # asc order => deterministic tie-break
-        pick = pick.when(F.col(f"score_{code}") == best, F.lit(code))
-    return scored.select(
+    pick, best = language_cols(text_col)
+    return df.select(
         "doc_id", pick.alias("lang_pred"), best.alias("lang_score")
     )
 
@@ -92,14 +96,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 _STOPWORDS = LANG_MARKERS["en"] + ["that", "it", "for", "on", "with", "as"]
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality features + a composite [0,1] score.
-
-    score = 0.25*len_ok + 0.25*word_len_ok + 0.3*stopword_signal
-          + 0.2*(1 - symbol_noise)
-    with every feature a deterministic ratio (matches the oracle SQL
-    bit-for-bit since all math is double on both sides).
-    """
+def quality_cols(text_col: str | Column = "text") -> dict[str, Column]:
+    """The final (rounded) quality columns of :func:`quality_score`,
+    keyed by output name — the column form, for composing a subset of
+    the features into an existing projection without a self-join."""
     t = _c(text_col)
     toks = tokenize(text_col)
     n_tokens = F.size(toks)
@@ -134,14 +134,27 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * stop_signal
         + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio + punct_ratio, F.lit(1.0)))
     )
+    return {
+        "n_tokens": n_tokens,
+        "mean_word_len": F.round(mean_word_len, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite [0,1] score.
+
+    score = 0.25*len_ok + 0.25*word_len_ok + 0.3*stopword_signal
+          + 0.2*(1 - symbol_noise)
+    with every feature a deterministic ratio (matches the oracle SQL
+    bit-for-bit since all math is double on both sides).
+    """
+    cols = quality_cols(text_col)
     return df.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
