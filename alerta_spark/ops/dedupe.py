@@ -1152,7 +1152,11 @@ def containment_pairs(
         ).alias("text"),
     )
     interior_shingles = shingle_rows(interior, "text", "_id", n)
-    anchors = (
+    # anchors feeds TWO consumers (the broadcast anchor-set filter and
+    # the probe join) — persist or each consumer re-runs the interior
+    # tokenize/shingle pass AND the doc-freq join (measured ~2.4s per
+    # recompute at sf0.1). One row per eligible inner doc — tiny.
+    anchors = _persist(
         interior_shingles.join(doc_freq, "shingle")
         .groupBy("_id")
         .agg(F.min(F.struct("_df", "shingle")).alias("_a"))
