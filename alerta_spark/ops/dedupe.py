@@ -439,6 +439,11 @@ def simhash_near_dups(
         ).alias("cc"),
     ).select("_id", "simhash", "cc.chunk", "cc.key")
 
+    # the self-join reads `banded` twice; without a persist each side
+    # re-runs tokenize -> per-token hash -> the 64-lane bit-sum
+    # aggregate (the expensive stage — doubly so on the md5-portable
+    # path). chunks rows of four scalars per doc, so the cache is tiny.
+    banded = _persist(banded)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -1030,7 +1035,7 @@ def fuzzy_pairs_levenshtein(
     )
     # occurrence index makes the multiset element (_g, _occ) — the
     # prefix principle needs multiset semantics, not set
-    occ = (
+    occ = _persist(
         grams.groupBy("_id", "_s", "_g")
         .agg(F.count("*").alias("_c"))
         .select(
@@ -1040,16 +1045,15 @@ def fuzzy_pairs_levenshtein(
             F.explode(F.expr("sequence(1, int(_c))")).alias("_occ"),
         )
     )
-    # corpus frequency of each (gram, occurrence) as a count-window
-    # over the same partitioning the old groupBy+join pair shuffled
-    # for twice (r10: one exchange + one join fewer; occ now has a
-    # single consumer, so its persist went too)
-    from pyspark.sql import Window as _W
-
+    # corpus gram frequency DELIBERATELY stays groupBy + join-back, not
+    # a count-window over (_g, _occ): the aggregate partial-combines
+    # map-side and the join is AQE-skew-splittable, while a window
+    # partition holds EVERY key sharing a hot gram (think the "htt"
+    # gram of a URL key column) in one task — a 100 TB straggler.
+    # test_plans pins Window out of this plan for exactly that reason.
+    dfreq = occ.groupBy("_g", "_occ").agg(F.count("*").alias("_df"))
     prefix = (
-        occ.withColumn(
-            "_df", F.count(F.lit(1)).over(_W.partitionBy("_g", "_occ"))
-        )
+        occ.join(dfreq, ["_g", "_occ"])
         .groupBy("_id", "_s")
         .agg(
             F.slice(
@@ -1067,6 +1071,10 @@ def fuzzy_pairs_levenshtein(
         )
         .select("_id", "_s", F.col("_e._g").alias("_g"), F.col("_e._occ").alias("_occ"))
     )
+    # the candidate self-join reads `prefix` twice; unpersisted, each
+    # side re-ran grams -> occurrence aggregate -> frequency window ->
+    # prefix cut. At most prefix_len short rows per key — tiny cache.
+    prefix = _persist(prefix)
     a = prefix.select(
         F.col("_id").alias("id_a"),
         F.col("_s").alias("_sa"),
