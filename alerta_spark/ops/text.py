@@ -531,20 +531,22 @@ def tfidf_top_terms(
     ndocs = counts.select("_id").distinct().agg(
         F.count("*").alias("_n_docs")
     )
-    doclen = counts.groupBy("_id").agg(F.sum("_c").alias("_n"))
     idf_q = F.floor(
         F.log(F.col("_n_docs").cast("double") / F.col("_df").cast("double"))
         * F.lit(float(quant))
     ).cast("long")
+    # doc length as a sum-window over the _id partitioning the rank
+    # window below already establishes (doc-bounded partitions, skew-
+    # safe) — one aggregate exchange + one join fewer than the old
+    # groupBy(_id)+join-back pair; same exact BIGINT sum row-for-row
     scored = (
         counts.join(docfreq, "term")
         .crossJoin(F.broadcast(ndocs))
-        .join(doclen, "_id")
         .select(
             "_id",
             "term",
             "_c",
-            "_n",
+            F.sum("_c").over(W.partitionBy("_id")).alias("_n"),
             (F.col("_c") * idf_q).alias("_score_q"),
         )
     )
