@@ -164,11 +164,15 @@ def mann_kendall(
     ``value_q_col`` must be exact integers (quantize first).
     Public algorithm: Mann (1945), Kendall (1975).
     """
+    # base feeds both self-join sides, the n count and the tie
+    # aggregate — four consumers, each otherwise re-running the
+    # caller's rollup (typically a full-corpus aggregate). The series
+    # is pre-aggregated (n <= a few thousand per group), so tiny.
     base = df.select(
         *group_cols,
         F.col(order_col).alias("_t"),
         F.col(value_q_col).cast("long").alias("_x"),
-    )
+    ).persist()
     i, j = base.alias("i"), base.alias("j")
     cond = [F.col(f"i.{g}") == F.col(f"j.{g}") for g in group_cols]
     d = F.col("j._x") - F.col("i._x")
@@ -226,11 +230,13 @@ def theil_sen(
     """
     from pyspark.sql import Window as W
 
+    # both self-join sides re-ran the caller's rollup — persist the
+    # tiny pre-aggregated series (mann_kendall discipline)
     base = df.select(
         *group_cols,
         F.col(order_col).cast("long").alias("_t"),
         F.col(value_q_col).cast("long").alias("_x"),
-    )
+    ).persist()
     i, j = base.alias("i"), base.alias("j")
     cond = [F.col(f"i.{g}") == F.col(f"j.{g}") for g in group_cols]
     slope_q = F.expr(
