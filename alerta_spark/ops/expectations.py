@@ -80,20 +80,25 @@ def validate_expectations(
                 ).cast("long").alias(f"_v{i}")
             )
         one = df.agg(*aggs)
-        per_rule = []
-        for i, r in row_local:
-            per_rule.append(
-                one.select(
-                    F.lit(i).alias("rule_idx"),
-                    F.lit(r["kind"]).alias("kind"),
-                    F.lit(r.get("col", "")).alias("col"),
-                    F.col("_n").alias("n_checked"),
-                    F.col(f"_v{i}").alias("n_violations"),
+        # ONE report row per rule via an in-row explode of the 1-row
+        # aggregate — the former per-rule union re-ran the corpus
+        # aggregate once per rule (N scans for N row-local rules)
+        rep = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("rule_idx"),
+                            F.lit(r["kind"]).alias("kind"),
+                            F.lit(r.get("col", "")).alias("col"),
+                            F.col("_n").alias("n_checked"),
+                            F.col(f"_v{i}").alias("n_violations"),
+                        )
+                        for i, r in row_local
+                    ]
                 )
-            )
-        rep = per_rule[0]
-        for p in per_rule[1:]:
-            rep = rep.unionByName(p)
+            ).alias("_r")
+        ).select("_r.*")
         reports.append(rep)
 
     for i, r in uniques:
