@@ -644,6 +644,8 @@ def rake_keyphrases(
     pat = r"\b(?:%s)\b" % "|".join(sw)
     s = F.regexp_replace(F.lower(_c(text_col)), "[^a-z0-9 ]+", "|")
     s = F.regexp_replace(s, pat, "|")
+    # ph feeds the word stats AND the phrase counts: persist the
+    # phrase rows or both re-run the two corpus regexes + explode
     ph = (
         df.select(F.explode(F.split(s, r"\|")).alias("p"))
         .select(F.trim(F.regexp_replace("p", " +", " ")).alias("phrase"))
@@ -651,6 +653,7 @@ def rake_keyphrases(
             (F.col("phrase") != "")
             & (F.size(F.split("phrase", " ")) <= max_words)
         )
+        .persist()
     )
     pw = ph.select(
         "phrase",
