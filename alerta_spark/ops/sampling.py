@@ -337,9 +337,15 @@ def dsir_select(
             F.filter(tokenize(F.col(text_col)), lambda t: t != F.lit(""))
         ).alias("term"),
     )
+    # doc_terms feeds the term-stats branch AND the final scoring
+    # join — without persist each consumer re-runs the corpus
+    # tokenize+explode+aggregate (the single promised corpus scan
+    # would run twice). Aggregated (doc, term) rows, far smaller
+    # than the token stream.
     doc_terms = terms.groupBy(id_col, "_tgt", "term").agg(
         F.count(F.lit(1)).cast("long").alias("n_w")
-    )
+    ).persist()
+    # stats is vocab-sized and feeds totals + lam
     stats = doc_terms.groupBy("term").agg(
         F.sum(F.when(F.col("_tgt"), F.col("n_w")).otherwise(0))
         .cast("long")
@@ -347,7 +353,7 @@ def dsir_select(
         F.sum(F.when(~F.col("_tgt"), F.col("n_w")).otherwise(0))
         .cast("long")
         .alias("c_r"),
-    )
+    ).persist()
     totals = stats.agg(
         F.sum("c_t").cast("long").alias("t_t"),
         F.sum("c_r").cast("long").alias("t_r"),
@@ -407,14 +413,19 @@ def negative_samples(
 
     one = F.pmod(F.length(F.col("_nid").cast("string")), F.lit(1))
     wr = W.partitionBy(one).orderBy("_nid")
+    # the rank index feeds the n count, BOTH pick joins, and (below)
+    # the anchor frame — four consumers, each otherwise re-running
+    # the distinct + global rank window. 2 columns, id-sized.
     idx = df.select(F.col(id_col).alias("_nid")).distinct().select(
         "_nid", (F.row_number().over(wr) - 1).cast("long").alias("_r")
-    )
+    ).persist()
     n = idx.agg(F.count(F.lit(1)).cast("long").alias("_n"))
 
+    # anchors = the same distinct id set the index already holds —
+    # read it from the persisted idx instead of re-deriving the
+    # distinct from the source frame (one fewer source scan)
     anchors = (
-        df.select(F.col(id_col).alias("anchor_id"))
-        .distinct()
+        idx.select(F.col("_nid").alias("anchor_id"))
         .crossJoin(F.broadcast(n))
         .select(
             "anchor_id",
