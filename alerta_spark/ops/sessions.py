@@ -329,9 +329,11 @@ def cohort_retention(
     offset-0 cohort-size join are both cohort-sized (weeks², not
     users) — nothing user-sized crosses more than two exchanges."""
     wk = F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk")
-    # uw feeds the first-week aggregate AND the activity join — both
-    # otherwise re-run the corpus distinct. (user, week)-sized.
-    uw = df.select(F.col(user_col).alias("_u"), wk).distinct().persist()
+    # uw feeds the first-week aggregate and the activity join;
+    # deliberately NOT persisted — (user, week)-sized frame, cheap
+    # one-distinct subtree: caching measured cold-worse at local[32]
+    # (1.12 -> 1.57 s rep0 ABBA)
+    uw = df.select(F.col(user_col).alias("_u"), wk).distinct()
     first = uw.groupBy("_u").agg(F.min("wk").alias("cohort_week"))
     act = (
         uw.join(first, "_u")
@@ -344,9 +346,6 @@ def cohort_retention(
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active"))
-        # act feeds the cohort-size cut and the output join; tiny
-        # (weeks² rows)
-        .persist()
     )
     size = act.where(F.col("week_offset") == 0).select(
         "cohort_week", F.col("n_active").alias("cohort_size")
