@@ -49,6 +49,11 @@ def target_encode_loo(
         if isinstance(target_col, Column)
         else F.col(target_col)
     ).cast("long")
+    # base feeds the category totals and the row-level encode join;
+    # deliberately NOT persisted — row-sized frame whose subtree is a
+    # scan (+ caller's broadcast join): caching measured cold-worse at
+    # local[32] (features_target_encoding_loo rep0 1.68 -> 2.12 s
+    # ABBA; the persist serializes what idle cores amortize)
     base = df.select(F.col(id_col), F.col(cat_col), t.alias("target"))
     tot = base.groupBy(cat_col).agg(
         F.sum("target").cast("long").alias("_cat_sum"),

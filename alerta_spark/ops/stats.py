@@ -387,33 +387,29 @@ def sprt_scan(
             | (F.col("llr_q") <= F.lit(k["b"]))
         ).alias("hit"),
     )
-    first = crossed.where("hit").groupBy(key_col).agg(
-        F.min("rn").cast("long").alias("n_at_decision")
-    )
-    tot = crossed.groupBy(key_col).agg(
+    # ONE aggregate over the cumsum stream instead of three consumers
+    # (first-crossing agg, totals agg, at-decision lookup join) — the
+    # key-ordered window pass over the corpus runs once, and the two
+    # joins disappear. min/max_by ignore NULL ordering keys, so keys
+    # that never cross yield NULL n/llr_at_decision exactly like the
+    # old left joins.
+    hit_rn = F.when(F.col("hit"), F.col("rn"))
+    out = crossed.groupBy(key_col).agg(
         F.max("rn").cast("long").alias("n_total"),
+        F.min(hit_rn).cast("long").alias("n_at_decision"),
+        F.min_by("llr_q", hit_rn).cast("long").alias("llr_q_at_decision"),
         F.max_by("llr_q", "rn").cast("long").alias("llr_q_final"),
     )
-    return (
-        tot.join(first, key_col, "left")
-        .join(
-            crossed.select(
-                key_col, F.col("rn").alias("n_at_decision"), "llr_q"
-            ),
-            [key_col, "n_at_decision"],
-            "left",
-        )
-        .select(
-            key_col,
-            "n_total",
-            "n_at_decision",
-            F.col("llr_q").alias("llr_q_at_decision"),
-            "llr_q_final",
-            F.when(F.col("llr_q") >= F.lit(k["a"]), "reject_h0")
-            .when(F.col("llr_q") <= F.lit(k["b"]), "accept_h0")
-            .otherwise("continue")
-            .alias("decision"),
-        )
+    return out.select(
+        key_col,
+        "n_total",
+        "n_at_decision",
+        "llr_q_at_decision",
+        "llr_q_final",
+        F.when(F.col("llr_q_at_decision") >= F.lit(k["a"]), "reject_h0")
+        .when(F.col("llr_q_at_decision") <= F.lit(k["b"]), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
     )
 
 
