@@ -359,6 +359,14 @@ def main() -> None:
     # (the `pareto_customer_revenue` creep investigation, round 5).
     release_every = int(os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "0"))
     timings: dict[str, float] = {}
+    # wall-clock offset of each query's start (seconds since the loop
+    # began): the round-10 closing benches showed host stalls landing
+    # on CONTIGUOUS WINDOWS of consecutive queries — with offsets in
+    # the detail file, a stall window is locatable post-hoc instead of
+    # reading as per-query regressions. Detail-file-only; the stdout
+    # contract line is unchanged.
+    offsets: dict[str, float] = {}
+    loop_t0 = time.perf_counter()
     for i, name in enumerate(names):
         if release_every and i and i % release_every == 0:
             from alerta_spark.ops.dedupe import release_cached
@@ -366,6 +374,7 @@ def main() -> None:
             release_cached()
             spark.catalog.clearCache()
         t0 = time.perf_counter()
+        offsets[name] = round(t0 - loop_t0, 2)
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -397,6 +406,7 @@ def main() -> None:
                 "canary_ratios": canary_ratios,
                 "value_normalized": total_norm,
                 "queries_normalized": normalized,
+                "query_t_offset": offsets,
             },
             indent=1,
         )

@@ -167,6 +167,30 @@ def test_sprt_scan_decides_at_first_crossing(spark):
     assert out["t2"]["n_at_decision"] is None
 
 
+def test_sprt_scan_accept_h0_lower_boundary(spark):
+    """The accept_h0 (lower-boundary) face: enough failures drive the
+    LLR to b — pins the fused single-aggregate form on the third
+    decision branch (first crossing index, at-decision LLR, and a
+    trailing tail that must not move the frozen decision point)."""
+    import math
+
+    from alerta_spark.ops.stats import sprt_constants, sprt_scan
+
+    k = sprt_constants()
+    need = math.ceil(k["b"] / k["w0"])  # both negative -> positive n
+    rows = [(1, 0)] * (need + 4)
+    out = {
+        r["event_type"]: r
+        for r in sprt_scan(_sprt_events(spark, rows), k).collect()
+    }
+    t1 = out["t1"]
+    assert t1["decision"] == "accept_h0"
+    assert t1["n_at_decision"] == need
+    assert t1["llr_q_at_decision"] == need * k["w0"]
+    assert t1["n_total"] == need + 4
+    assert t1["llr_q_final"] == (need + 4) * k["w0"]
+
+
 def test_incremental_sprt_matches_single_scan(spark, tmp_path):
     """Two time-ordered batches through the store == one scan, and a
     decided key stays frozen even if later data would re-cross."""
