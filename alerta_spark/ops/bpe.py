@@ -107,6 +107,7 @@ def learn_bpe(
         "word", "freq", _initial_symbols().alias("syms")
     )
     words = words.persist()
+    prev = None  # the previous distributed round's cache, if still held
     try:
         merges: list[tuple[str, str, int]] = []
         if words.count() <= driver_vocab_max:
@@ -154,6 +155,10 @@ def learn_bpe(
                     ).otherwise(F.expr("array()")),
                 ).alias("p"),
             )
+            # the top-pair aggregate scans every partition of words, so
+            # this one action also materializes the round's cache — the
+            # previous round's frame is only released after it, and no
+            # separate count() pass runs per round
             top = (
                 pairs.groupBy("p.a", "p.b")
                 .agg(F.sum("freq").alias("n"))
@@ -161,6 +166,9 @@ def learn_bpe(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top or top[0]["n"] < min_pair_freq:
                 break
             a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
@@ -168,17 +176,24 @@ def learn_bpe(
             nxt = words.select(
                 "word", "freq", _merge_fold(a, b).alias("syms")
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            words.unpersist()
-            words = nxt
+            prev, words = words, nxt
             if len(merges) % 5 == 0:
                 # truncate logical lineage: each round's fold otherwise
                 # chains the full expression history and analyzer time
-                # grows with merge count (same hazard as dup_clusters)
-                words = words.localCheckpoint()
+                # grows with merge count (same hazard as dup_clusters).
+                # localCheckpoint is eager, so it materializes nxt and
+                # both parent caches can be released immediately
+                cp = words.localCheckpoint()
+                words.unpersist()
+                words = cp
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
         return merges
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
 
 
 def apply_bpe(

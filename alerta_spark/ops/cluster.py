@@ -78,7 +78,7 @@ def kmeans_pinned(
     comp = q.select("_id", F.posexplode("_xq").alias("pos", "x"))
 
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         # aggregation shape, not k literal projection lanes: distances
         # via a broadcast centroid join + codegen'd hash aggregate
         # (interpreted higher-order lanes measured ~2x slower even at
@@ -107,7 +107,13 @@ def kmeans_pinned(
             F.col("_m.cluster").alias("cluster"),
             F.col("_m.dist").alias("dist_q"),
         )
-        assigned = _persist(q.join(best, "_id"))
+        assigned = q.join(best, "_id")
+        if it == iters - 1:
+            # only the FINAL round's assignment has two consumers (the
+            # centroid update below AND the stats aggregate returned);
+            # earlier rounds are consumed once, so persisting them is a
+            # pure materialization cost
+            assigned = _persist(assigned)
         upd = (
             assigned.select(
                 "cluster", F.posexplode("_xq").alias("pos", "x")

@@ -55,7 +55,19 @@ def pagerank_fixedpoint(
     All intermediate products fit comfortably in BIGINT:
     damping_pct * sum(contributions) <= 100 * UNIT * 1 = 1e14.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # localCheckpoint (not just persist — the dup_clusters discipline):
+    # the distinct edge set is consumed by the vertex union (twice),
+    # the out-degree aggregate, and every round's contribution join.
+    # Without materialization each consumer re-runs the CALLER's edge
+    # builder (for the transition graph, a full corpus window pass per
+    # consumer); with a plain persist every round's plan re-EMBEDS the
+    # builder's subtree textually and analyzer time grows with iters.
+    # Truncating here bounds each round's plan to edges + one join.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     vertices = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -71,12 +83,19 @@ def pagerank_fixedpoint(
     ).persist()
     base = ((100 - damping_pct) * (UNIT // n)) // 100
 
+    prev = None
     for _ in range(iters):
+        # the dangling aggregate scans every partition of ranks, so
+        # this one driver action also materializes the round's cache —
+        # the previous round's frame is only released after it, and no
+        # separate count() pass runs per round
         dangling = (
             ranks.where(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("d"))
             .first()["d"]
         )
+        if prev is not None:
+            prev.unpersist()
         contrib = (
             e.join(ranks, e["src"] == ranks["id"])
             .select(
@@ -102,9 +121,10 @@ def pagerank_fixedpoint(
             )
             .persist()
         )
-        new_ranks.count()  # materialize before releasing the input
-        ranks.unpersist()
-        ranks = new_ranks
+        prev, ranks = ranks, new_ranks
 
+    ranks.count()  # materialize the final round before releasing its parent
+    if prev is not None:
+        prev.unpersist()
     vertices.unpersist()
     return ranks.select("id", "rank_fp")

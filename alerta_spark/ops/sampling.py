@@ -125,9 +125,14 @@ def temperature_mix(
     """
     if not 0.0 < budget_frac <= 1.0:
         raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    from alerta_spark.ops.dedupe import _persist
+
     w = F.col("_w").cast("double")
     scaled = F.sqrt(w) if alpha == 0.5 else F.pow(w, F.lit(float(alpha)))
-    totals = (
+    # persisted: the per-source totals feed the denominator aggregate
+    # AND the plan projection — one corpus aggregate pass instead of
+    # two (tiny-frame rule: |sources| rows)
+    totals = _persist(
         df.groupBy(source_col)
         .agg(
             F.sum(F.col(weight_col)).cast("bigint").alias("_w"),
@@ -529,12 +534,15 @@ def kcenter_coreset(
                 .alias("_mind2"),
             )
         )
-        nxt.count()
+        # the argmax TakeOrdered scans every partition, so this one
+        # action both materializes nxt's cache and serves the
+        # selection — no separate count() pass per round; the parent
+        # cache is released only once nxt is fully materialized
+        top = (
+            nxt.orderBy(F.desc("_mind2"), F.asc("_id")).limit(1).collect()[0]
+        )
         cur.unpersist()
         cur = nxt
-        top = (
-            cur.orderBy(F.desc("_mind2"), F.asc("_id")).limit(1).collect()[0]
-        )
         chosen.append((r, top["_id"], int(top["_mind2"])))
         last_vec = list(top["_q"])
     spark = df.sparkSession

@@ -510,14 +510,24 @@ def histogram_quantiles(
     from pyspark.sql import Window as W
 
     total = hist.agg(F.sum("cnt").cast("long").alias("_n"))
-    probes = None
-    for p in probes_pct:
-        row = total.select(
-            F.lit(p).cast("long").alias("q_pct"),
-            # ceil(p*n/100) in exact integers
-            F.expr(f"(({p} * _n) + 99) div 100").cast("long").alias("rank_k"),
-        )
-        probes = row if probes is None else probes.unionByName(row)
+    # one probe row per q% by an in-row explode of the 1-row total —
+    # the former per-probe union re-ran the histogram aggregate once
+    # per probe (ceil(p*n/100) stays exact integer arithmetic)
+    probes = total.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("q_pct"),
+                        F.expr(f"(({p} * _n) + 99) div 100")
+                        .cast("long")
+                        .alias("rank_k"),
+                    )
+                    for p in probes_pct
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.*")
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
