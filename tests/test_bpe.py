@@ -76,3 +76,25 @@ def test_apply_bpe_unmerged_chars_pass_through(spark):
     merges = learn_bpe(other, num_merges=2, min_pair_freq=1)
     out = apply_bpe(docs, merges).collect()[0].bpe_tokens
     assert out == ["z", "z", "z", "</w>", "q", "q", "q", "</w>"]
+
+
+def test_learn_bpe_distributed_releases_round_caches(spark):
+    # round-10 pin: the distributed loop releases every round's word
+    # cache (the pre-checkpoint persist used to leak each 5th round).
+    # Only the localCheckpoint block RDDs may remain persisted after
+    # the call returns (merges is a plain list — nothing lazy reads
+    # the caches afterwards). 10 merges -> at most 2 checkpoints.
+    docs = _docs(
+        spark,
+        [
+            "the cat sat on the mat",
+            "the cats sat on the mats",
+            "a cat and a mat and a hat",
+        ],
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    merges = learn_bpe(docs, num_merges=10, driver_vocab_max=0)
+    assert len(merges) > 0
+    n_after = jsc.getPersistentRDDs().size()
+    assert n_after - n_before <= 2, (n_before, n_after)

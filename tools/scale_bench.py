@@ -101,6 +101,16 @@ FAMILY = [
     # is pinned by the equivalence test, not this curve.
     "corpus_greedy_source_cover",
     "bpe_learn_merges_pinned",
+    # round-10 widening: the other iterative driver-round ops after
+    # the redundant-materialization fold (one action per round, parent
+    # cache released after the round's own argmax/aggregate) — pinned
+    # Lloyd rounds over replicated embeddings (expect ~linear in the
+    # distance/update aggregates) and fixed-point PageRank whose edge
+    # builder is a corpus window pass but whose per-round work is
+    # |types|²-bounded after the round-10 edge-set localCheckpoint
+    # (expect ~the window pass's exponent, rounds flat)
+    "clustering_kmeans_pinned",
+    "graph_pagerank_transitions",
 ]
 
 
