@@ -182,7 +182,15 @@ def learn_bpe(
                 # chains the full expression history and analyzer time
                 # grows with merge count (same hazard as dup_clusters).
                 # localCheckpoint is eager, so it materializes nxt and
-                # both parent caches can be released immediately
+                # both parent caches can be released immediately.
+                # NOTE on the checkpointed frame itself: its blocks
+                # live outside the CacheManager, so the unpersist()
+                # calls that later see this frame (as `prev` next
+                # round, or in the finally block) are no-ops on it —
+                # one checkpointed words-copy per 5 merges stays
+                # pinned until the ContextCleaner GCs the unreferenced
+                # RDD after the call returns. Bounded: vocab-sized
+                # rows (thousands), not corpus-sized.
                 cp = words.localCheckpoint()
                 words.unpersist()
                 words = cp

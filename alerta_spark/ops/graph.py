@@ -63,6 +63,12 @@ def pagerank_fixedpoint(
     # consumer); with a plain persist every round's plan re-EMBEDS the
     # builder's subtree textually and analyzer time grows with iters.
     # Truncating here bounds each round's plan to edges + one join.
+    # Lifetime: checkpoint blocks live OUTSIDE the CacheManager (a
+    # Dataset.unpersist here would be a no-op) and are reclaimed by
+    # the ContextCleaner once the RDD is unreferenced — i.e. after the
+    # returned ranks frame is dropped, not at release_cached() time.
+    # The edge set is |types|²-bounded for the catalog callers, so the
+    # GC-bound lifetime is a few KB, documented rather than managed.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()

@@ -498,7 +498,19 @@ class DocStore:
         docs = checkpoint(alert_docs_frame(alerts, id_field), eager=True)
         if docs.isEmpty():
             return
-        docs.write.mode("append").parquet(_append_dir(self.path))
+        # coalesce the bounded batch to ONE file: the checkpointed
+        # frame inherits the threshold aggregate's full shuffle width,
+        # so a bare append emits one near-empty part file per task —
+        # ~width files per engine pass that the F8 probe and every
+        # readback re-list (small-files tax, twice). One post-
+        # checkpoint read task funnels only the fired rows (tiny,
+        # post-aggregation — overwrite_frame's num_files=1 argument);
+        # assembly and the emptiness probe keep their parallelism, and
+        # the append-atomic commit + zero-row skip are untouched.
+        # compact() remains the remedy for multi-pass accumulation.
+        docs.coalesce(1).write.mode("append").parquet(
+            _append_dir(self.path)
+        )
 
     def append_rows(self, rows: DataFrame) -> None:
         """Append an already-assembled DOC_SCHEMA frame executor-side
@@ -509,7 +521,10 @@ class DocStore:
         )
         if out.isEmpty():
             return
-        out.write.mode("append").parquet(_append_dir(self.path))
+        # same one-file append as append_frame (bounded emission batch)
+        out.coalesce(1).write.mode("append").parquet(
+            _append_dir(self.path)
+        )
 
     def overwrite(self, docs: list[dict[str, Any]]) -> None:
         rows = [doc_to_row(d) for d in docs]
@@ -715,7 +730,11 @@ class SlotEventStore:
         out = checkpoint(out, eager=True)
         if out.isEmpty():
             return
-        out.write.mode("append").parquet(_append_dir(self.path))
+        # one file per bounded spill batch (DocStore.append_frame's
+        # small-files reasoning; prune's rewrite re-compacts anyway)
+        out.coalesce(1).write.mode("append").parquet(
+            _append_dir(self.path)
+        )
 
     def prune(self, live_ids: list[str]) -> None:
         """Drop rows whose capture id is no longer referenced by any

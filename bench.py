@@ -366,6 +366,20 @@ def main() -> None:
     # reading as per-query regressions. Detail-file-only; the stdout
     # contract line is unchanged.
     offsets: dict[str, float] = {}
+    # bytes NEWLY cached while each query ran (storage level, mem +
+    # disk): family bench entries are dominated by shared-cache
+    # materialization landing on whichever member runs first — this
+    # makes that first-touch cost attributable post-hoc. Additive,
+    # detail-file-only; query order and the timed region unchanged.
+    storage_delta: dict[str, int] = {}
+
+    def _cached_bytes() -> int:
+        try:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            return int(sum(i.memSize() + i.diskSize() for i in infos))
+        except Exception:
+            return -1
+
     loop_t0 = time.perf_counter()
     for i, name in enumerate(names):
         if release_every and i and i % release_every == 0:
@@ -373,11 +387,15 @@ def main() -> None:
 
             release_cached()
             spark.catalog.clearCache()
+        pre_bytes = _cached_bytes()
         t0 = time.perf_counter()
         offsets[name] = round(t0 - loop_t0, 2)
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        post_bytes = _cached_bytes()
+        if pre_bytes >= 0 and post_bytes >= 0:
+            storage_delta[name] = post_bytes - pre_bytes
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -407,6 +425,7 @@ def main() -> None:
                 "value_normalized": total_norm,
                 "queries_normalized": normalized,
                 "query_t_offset": offsets,
+                "storage_delta": storage_delta,
             },
             indent=1,
         )

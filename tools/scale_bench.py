@@ -111,6 +111,19 @@ FAMILY = [
     # (expect ~the window pass's exponent, rounds flat)
     "clustering_kmeans_pinned",
     "graph_pagerank_transitions",
+    # round-11 widening: the six round-10 changes kept DESPITE a
+    # measured local cost, on an at-scale argument (verdict item 1) —
+    # the salted top-3 window (straggler fix whose salt adds a local
+    # phase) and the five tiny-frame persists that each trade one
+    # extra local materialization for a saved corpus pass. These rows
+    # turn that argument into a measurement: if the kept shape's 10x
+    # time is above the reverted shape's, the keep was wrong.
+    "recs_als_rank1_pinned",
+    "corpus_temperature_mix",
+    "abtest_stratified_rates",
+    "survival_logrank_abtest",
+    "stats_cramers_v",
+    "stats_ljung_box_daily",
 ]
 
 

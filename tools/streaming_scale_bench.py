@@ -67,10 +67,51 @@ RULE = {
 }
 
 
-def _events(spark, keys: int):
+# COMPOSITE axis (round 11): the round-10 BUILD commits added
+# composite correlation keys (a slot whose templated criteria pin TWO
+# captured paths keys state by the composite of both) with correctness
+# pins but no scale axis. This rule's slot 1 templates user_name AND
+# tenant, so the correlator must key by the composite pair — the
+# measurement shows whether the composite rendering (JSON-array string
+# key) changes the state-size/batch-time curve vs the single-key axis.
+COMPOSITE_RULE = {
+    "alert_name": "scale_seq_composite",
+    "alert_type": "sequence",
+    "lifespan": "7 days",
+    "slots": [
+        {
+            "alert_name": "s1",
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND CAST(json_extract_scalar("
+                "details,'$.risk_score') as INTEGER)>80"
+            ),
+            "aggregation_key": "details.user_name",
+            "threshold": 2,
+        },
+        {
+            "alert_name": "s2",
+            "alert_type": "threshold",
+            "criteria": (
+                "source='onelogin' AND json_extract_scalar("
+                "details,'$.user_name')="
+                "'{{slots.0.events.0.details.user_name}}' AND "
+                "json_extract_scalar(details,'$.tenant')="
+                "'{{slots.0.events.0.details.tenant}}'"
+            ),
+            "aggregation_key": "details.user_name",
+            "threshold": 1,
+        },
+    ],
+}
+
+
+def _events(spark, keys: int, with_tenant: bool = False):
     """keys x {2,3} onelogin events, one distinct user per key,
     generated distributed. Even keys carry the third (completing)
-    event; odd keys stay in-flight after slot 0 fills."""
+    event; odd keys stay in-flight after slot 0 fills. With
+    ``with_tenant`` each key also carries a per-key tenant field (the
+    second component of the composite correlation key)."""
     from pyspark.sql import functions as F
 
     base = spark.range(keys).select(F.col("id").alias("k"))
@@ -78,14 +119,15 @@ def _events(spark, keys: int):
     ex = base.select(
         "k", F.explode(F.sequence(F.lit(0), n_ev - 1)).alias("j")
     )
-    details = F.to_json(
-        F.struct(
-            F.concat(F.lit("u"), F.col("k").cast("string")).alias(
-                "user_name"
-            ),
-            F.lit("95").alias("risk_score"),
+    fields = [
+        F.concat(F.lit("u"), F.col("k").cast("string")).alias("user_name"),
+        F.lit("95").alias("risk_score"),
+    ]
+    if with_tenant:
+        fields.append(
+            F.concat(F.lit("t"), F.col("k").cast("string")).alias("tenant")
         )
-    )
+    details = F.to_json(F.struct(*fields))
     return ex.select(
         (F.col("k") * 3 + F.col("j")).alias("event_id"),
         F.expr(
@@ -97,7 +139,7 @@ def _events(spark, keys: int):
     )
 
 
-def _drain(spark, events_df, name: str):
+def _drain(spark, events_df, name: str, rule=None, corr_key=None):
     """File-source -> sequence_correlator -> memory sink under
     availableNow; returns (wall_sec, progresses).
 
@@ -115,7 +157,9 @@ def _drain(spark, events_df, name: str):
     ck = tempfile.mkdtemp(prefix="sb_ck_")
     events_df.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(events_df.schema).parquet(src)
-    out = sequence_correlator(stream, RULE, "details.user_name")
+    out = sequence_correlator(
+        stream, rule or RULE, corr_key or "details.user_name"
+    )
     t0 = time.perf_counter()
     q = (
         out.writeStream.format("memory")
@@ -158,57 +202,88 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
 
-    key = "engine_streaming_correlator"
-    results: dict[str, dict] = {key: {}}
+    import resource
+
+    def _rss_mb() -> float:
+        return round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+        )
+
+    axes = [
+        ("engine_streaming_correlator", None, None, False),
+        # composite correlation key (two templated paths -> state keyed
+        # by the JSON-array rendering of both): the round-10 composite
+        # commits' missing scale axis
+        (
+            "engine_streaming_correlator_composite@extreme",
+            COMPOSITE_RULE,
+            ["details.user_name", "details.tenant"],
+            True,
+        ),
+    ]
+    only = [a.split("=", 1)[1] for a in args if a.startswith("--axis=")]
+    if only:
+        axes = [x for x in axes if any(o in x[0] for o in only)]
+    results: dict[str, dict] = {}
     # warm: JVM, file-stream machinery, python workers
     _drain(spark, _events(spark, 50), "sb_warm")
 
-    for g in key_scales:
-        wall, progs = _drain(spark, _events(spark, g), f"sb_{g}")
-        emitted = spark.sql(f"SELECT count(*) c FROM sb_{g}").collect()[0][
-            "c"
-        ]
-        # last progress that actually processed rows carries the state
-        # operator's row count after commit
-        state_rows, batch_ms = None, None
-        for p in progs:
-            if p.get("numInputRows", 0) > 0 and p.get("stateOperators"):
-                state_rows = p["stateOperators"][0].get("numRowsTotal")
-                batch_ms = p.get("batchDuration")
-        results[key][str(g)] = {
-            "sec": wall,
-            "batch_ms": batch_ms,
-            "emitted": int(emitted),
-            "state_rows_after": state_rows,
-            "keys": g,
-        }
-        print(
-            f"keys={g:<7} wall={wall:>7.2f}s batch={batch_ms}ms "
-            f"emitted={emitted} state_rows={state_rows}"
-        )
-
-    lo, hi = str(key_scales[0]), str(key_scales[-1])
-    r = results[key]
-    if lo != hi and lo in r and hi in r and r[lo]["sec"] > 0:
-        span = math.log(int(hi) / int(lo))
-        r["time_exponent"] = round(
-            math.log(r[hi]["sec"] / r[lo]["sec"]) / span, 2
-        )
-        if r[lo]["state_rows_after"]:
-            r["state_rows_exponent"] = round(
-                math.log(
-                    max(r[hi]["state_rows_after"], 1)
-                    / r[lo]["state_rows_after"]
-                )
-                / span,
-                2,
+    for key, rule, corr_key, with_tenant in axes:
+        results[key] = {}
+        for g in key_scales:
+            qname = f"sb_{key.split('@')[0][-9:]}_{g}".replace("-", "_")
+            wall, progs = _drain(
+                spark,
+                _events(spark, g, with_tenant=with_tenant),
+                qname,
+                rule=rule,
+                corr_key=corr_key,
+            )
+            emitted = spark.sql(
+                f"SELECT count(*) c FROM {qname}"
+            ).collect()[0]["c"]
+            # last progress that actually processed rows carries the
+            # state operator's row count after commit
+            state_rows, batch_ms = None, None
+            for p in progs:
+                if p.get("numInputRows", 0) > 0 and p.get("stateOperators"):
+                    state_rows = p["stateOperators"][0].get("numRowsTotal")
+                    batch_ms = p.get("batchDuration")
+            results[key][str(g)] = {
+                "sec": wall,
+                "batch_ms": batch_ms,
+                "emitted": int(emitted),
+                "state_rows_after": state_rows,
+                "keys": g,
+                "driver_rss_mb": _rss_mb(),
+            }
+            print(
+                f"{key} keys={g:<7} wall={wall:>7.2f}s batch={batch_ms}ms "
+                f"emitted={emitted} state_rows={state_rows} rss={_rss_mb()}MB"
             )
 
-    import datetime as _dt
+        lo, hi = str(key_scales[0]), str(key_scales[-1])
+        r = results[key]
+        if lo != hi and lo in r and hi in r and r[lo]["sec"] > 0:
+            span = math.log(int(hi) / int(lo))
+            r["time_exponent"] = round(
+                math.log(r[hi]["sec"] / r[lo]["sec"]) / span, 2
+            )
+            if r[lo]["state_rows_after"]:
+                r["state_rows_exponent"] = round(
+                    math.log(
+                        max(r[hi]["state_rows_after"], 1)
+                        / r[lo]["state_rows_after"]
+                    )
+                    / span,
+                    2,
+                )
 
-    r["measured_at"] = _dt.datetime.now(_dt.timezone.utc).isoformat(
-        timespec="seconds"
-    )
+        import datetime as _dt
+
+        r["measured_at"] = _dt.datetime.now(_dt.timezone.utc).isoformat(
+            timespec="seconds"
+        )
     out_path = REPO / "SCALE_BENCH.json"
     record = {"base": "synthetic alert-cardinality corpus", "results": {}}
     if out_path.exists():
