@@ -125,14 +125,15 @@ def temperature_mix(
     """
     if not 0.0 < budget_frac <= 1.0:
         raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
-    from alerta_spark.ops.dedupe import _persist
-
     w = F.col("_w").cast("double")
     scaled = F.sqrt(w) if alpha == 0.5 else F.pow(w, F.lit(float(alpha)))
-    # persisted: the per-source totals feed the denominator aggregate
-    # AND the plan projection — one corpus aggregate pass instead of
-    # two (tiny-frame rule: |sources| rows)
-    totals = _persist(
+    # NOT persisted (round 11): AQE stage reuse dedupes the totals
+    # shuffle map side for the denominator aggregate and the plan
+    # projection, and the re-executed reduce is DIMENSION-scale
+    # (|sources| rows after map-side partial agg) — near-free at any
+    # corpus size. Cold x10 A/B: plain wins 0.581 vs 0.639s
+    # (min-of-4).
+    totals = (
         df.groupBy(source_col)
         .agg(
             F.sum(F.col(weight_col)).cast("bigint").alias("_w"),
